@@ -1,0 +1,88 @@
+"""DocTags stream parser: serialized layout markup -> ordered spans.
+
+The reference delegates layout analysis to docling-serve and receives a
+serialized, ordered DocTags stream: ``<kind><loc_l><loc_t><loc_r><loc_b>
+text</kind>`` lines, with ``<picture>`` spans carrying empty bodies
+(media placeholders, image_export_mode="placeholder" —
+/root/reference/document_loader_api.py:16). Real samples live at
+/root/reference/parsing_results.json:28,54,83,112,140.
+
+This parser converts those streams into the engine's canonical
+``(kind, text, media_ref, offset)`` span sequences — the north-rule
+span-sequence-equality fixtures are produced exactly this way.
+
+Parsing rules (derived from the observed streams):
+- wrapper tags ``<doctag>``/``</doctag>`` and ``<unordered_list>``/
+  ``</unordered_list>`` are structural; list members keep kind
+  ``list_item``.
+- every content tag is ``<kind>`` followed by 0+ ``<loc_N>`` geometry
+  tokens, then the body text, then ``</kind>``.
+- ``picture`` spans have empty bodies; they are assigned
+  ``media_ref = "pic-<k>"`` numbered in document order (k starts at 0),
+  other spans get ``media_ref = ""``.
+- ``offset`` = emission order (0-based), which is the document reading
+  order — the core ordering invariant (SURVEY.md O2).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+_WRAPPER_TAGS = {"doctag", "unordered_list", "ordered_list", "otsl"}
+
+# One content span: <kind><loc..>body</kind>
+_SPAN_RE = re.compile(
+    r"<(?P<kind>[a-z_][a-z0-9_]*)>"  # opening tag
+    r"(?P<locs>(?:<loc_\d+>)*)"  # geometry tokens
+    r"(?P<body>.*?)"  # text body (may be empty)
+    r"</(?P=kind)>",  # matching close tag
+    re.DOTALL,
+)
+
+_LOC_RE = re.compile(r"<loc_(\d+)>")
+
+
+def parse_doctags(stream: str) -> list[dict]:
+    """Parse one serialized DocTags stream into ordered span dicts.
+
+    Returns [{kind, text, media_ref, offset}, ...]; tolerant of a
+    truncated tail (unclosed final tag is dropped, matching how the
+    reference previews cut streams mid-tag at 1000 chars —
+    /root/reference/pipeline.py:408).
+    """
+    if not stream:
+        return []
+    # Drop wrapper tags so nested members (e.g. list_item inside
+    # unordered_list) surface as first-class spans.
+    cleaned = stream
+    for tag in _WRAPPER_TAGS:
+        cleaned = cleaned.replace(f"<{tag}>", "").replace(f"</{tag}>", "")
+    spans: list[dict] = []
+    pic_count = 0
+    for m in _SPAN_RE.finditer(cleaned):
+        kind = m.group("kind")
+        if kind.startswith("loc_"):
+            continue
+        body = m.group("body").strip()
+        if kind == "picture":
+            media_ref = f"pic-{pic_count}"
+            pic_count += 1
+            body = ""
+        else:
+            media_ref = ""
+        spans.append(
+            {
+                "kind": kind,
+                "text": body,
+                "media_ref": media_ref,
+                "offset": len(spans),
+            }
+        )
+    return spans
+
+
+def parse_doctags_batch(streams: pd.Series) -> pd.Series:
+    """Vectorized-over-batch variant: Series[str] -> Series[list[dict]]."""
+    return streams.map(parse_doctags)

@@ -1,0 +1,137 @@
+"""DataFrame-level extraction orchestration.
+
+Thin and declarative: the semantics are in ocr_spark.kernel.extract;
+this module owns the *distribution* concerns — partitioning, skew
+handling, Arrow batching — per SURVEY.md §4.3.
+
+Skew strategy (docs are atomic; a document may never straddle batches
+or the span order invariant dies):
+- partition key = pmod(hash(doc_id), P) with P >> cores so giant docs
+  (the 1% 2k-20k-span tail, FIXTURES.md) land alone in small partitions
+  that AQE won't coalesce into monsters;
+- ``weight_partition`` optionally sorts docs by size within partitions
+  so the biggest docs start first (shorter straggler tail);
+- Arrow batch rows are capped (session.ARROW_MAX_RECORDS) so one batch
+  holds a bounded number of docs.
+
+At 100 TB the same plan holds: the scan is parquet/Iceberg with doc_id
+bucketing, the repartition is the only shuffle, and the UDF is
+embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.kernel.extract import (
+    DEFAULT_CONFIG,
+    PARITY_CONFIG,
+    ExtractConfig,
+    doc_metrics,
+    extract_flat,
+    extract_nested,
+)
+from ocr_spark.schema import (
+    ANNOTATED_SPAN_SCHEMA,
+    DOC_METRICS_SCHEMA,
+    DOC_SCHEMA,
+    FLAT_SPAN_SCHEMA,
+    KIND_ERROR,
+)
+
+
+def _repartition_for_kernel(df: DataFrame, num_partitions: int | None) -> DataFrame:
+    """Distribute docs across partitions by doc_id hash.
+
+    Skipped when the input is already partitioned (num_partitions None
+    and input partitioning adequate) — callers opt in. The key is a
+    plain hash: with P sufficiently large relative to cores, the skew
+    tail spreads out and AQE-free static partitioning stays balanced.
+    """
+    if not num_partitions:
+        return df
+    return df.repartition(num_partitions, F.pmod(F.hash("doc_id"), F.lit(num_partitions)))
+
+
+def weight_partition(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Size-aware distribution: docs sorted heaviest-first inside hash
+    partitions, so stragglers start early (LPT-style heuristic without
+    a global sort — no single-task window)."""
+    w = df.withColumn("_w", F.size("spans"))
+    out = w.repartition(
+        num_partitions, F.pmod(F.hash("doc_id"), F.lit(num_partitions))
+    ).sortWithinPartitions(F.desc("_w"))
+    return out.drop("_w")
+
+
+def _run_kernel(df: DataFrame, fn, schema, cfg: ExtractConfig, num_partitions: int | None):
+    df = _repartition_for_kernel(df, num_partitions)
+
+    def apply_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield fn(pdf, cfg)
+
+    return df.mapInPandas(apply_batches, schema=schema)
+
+
+def extract_spans(
+    df: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Main-content extraction, flat output (doc_id, kind, text,
+    media_ref, offset, kept, block_id, link_density).
+
+    Input: (doc_id string, spans array<struct>). Error rows surface as
+    kind='__error__' (E1/E2/E4: errors become data).
+    """
+    return _run_kernel(df, extract_flat, ANNOTATED_SPAN_SCHEMA, cfg, num_partitions)
+
+
+def extract_main_content(
+    df: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Boilerplate-stripped span stream, canonical flat shape
+    (doc_id, kind, text, media_ref, offset) — error rows excluded."""
+    out = extract_spans(df, cfg, num_partitions)
+    return out.where(F.col("kind") != KIND_ERROR).select(
+        "doc_id", "kind", "text", "media_ref", "offset"
+    )
+
+
+def classify_spans(
+    df: DataFrame,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Parity mode: every span kept and annotated; order preserved.
+
+    This is the path the north-rule fixtures check: output
+    (kind, text, media_ref, offset) per doc == input sequence.
+    """
+    return extract_spans(df, PARITY_CONFIG, num_partitions)
+
+
+def extract_documents(
+    df: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Nested output matching the input contract:
+    (doc_id, spans array<struct<kind,text,media_ref,offset>>)."""
+    return _run_kernel(df, extract_nested, DOC_SCHEMA, cfg, num_partitions)
+
+
+def extraction_metrics(
+    df: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-doc metrics (A4): n_spans_in/out, parse_failed, warning."""
+    return _run_kernel(df, doc_metrics, DOC_METRICS_SCHEMA, cfg, num_partitions)

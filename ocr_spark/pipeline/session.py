@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the extraction workload: Arrow-batched pandas UDFs, AQE for
+post-shuffle coalescing and skew-join splitting, capped Arrow batch
+sizes so one giant document cannot blow executor memory
+(SURVEY.md §4.3 batch sizing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# A giant doc (20k spans, FIXTURES.md skew tail) must not be batched
+# with thousands of siblings; iterator-style mapInPandas streams
+# batches of this many *rows* (docs) at a time.
+ARROW_MAX_RECORDS = 512
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "ocr_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    # shuffle partitions ~ 2x cores in local mode; a real cluster run
+    # would size this to 2-3x total executor cores (or rely on AQE).
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+        shuffle_partitions = 2 * (cpus if n == "*" else int(n))
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

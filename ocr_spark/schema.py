@@ -1,0 +1,99 @@
+"""Canonical Spark schemas for the interleaved text+media document model.
+
+Input table shape is fixed by BASELINE.json ``input_hint``:
+  (doc_id: string, spans: array<struct<kind, text, media_ref, offset>>)
+
+Span ``kind`` vocabulary comes from the DocTags streams the reference
+emits (observed in /root/reference/parsing_results.json:28,54,83,112,140).
+"""
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Span kinds observed in the reference DocTags streams.
+KIND_TEXT = "text"
+KIND_SECTION_HEADER = "section_header_level_1"
+KIND_PAGE_HEADER = "page_header"
+KIND_PAGE_FOOTER = "page_footer"
+KIND_LIST_ITEM = "list_item"
+KIND_PICTURE = "picture"
+KIND_CAPTION = "caption"
+KIND_LINK = "link"
+# Synthetic kinds our pipeline can emit (never dropped silently —
+# errors become data, mirroring abort_on_error=False at
+# /root/reference/document_loader_api.py:19).
+KIND_ERROR = "__error__"
+KIND_TRUNCATION_MARKER = "__truncated__"
+
+CONTENT_KINDS = (
+    KIND_TEXT,
+    KIND_SECTION_HEADER,
+    KIND_LIST_ITEM,
+    KIND_PICTURE,
+    KIND_CAPTION,
+)
+# Page furniture: boilerplate-strip candidates (SURVEY.md P7).
+FURNITURE_KINDS = (KIND_PAGE_HEADER, KIND_PAGE_FOOTER)
+# Kinds the truncation budget always keeps — the span analog of the
+# reference's "always keep page anchors and headers" rule
+# (/root/reference/pipeline.py:119-121).
+TRUNCATION_KEEP_KINDS = (KIND_SECTION_HEADER, KIND_PAGE_HEADER)
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("media_ref", StringType(), True),
+        StructField("offset", IntegerType(), True),
+    ]
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(SPAN_STRUCT), True),
+    ]
+)
+
+# Flat (exploded) span row — the shape the extraction UDF emits.
+FLAT_SPAN_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("kind", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("media_ref", StringType(), True),
+        StructField("offset", IntegerType(), True),
+    ]
+)
+
+# Flat span row + classification annotations (parity / debug mode).
+ANNOTATED_SPAN_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("kind", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("media_ref", StringType(), True),
+        StructField("offset", IntegerType(), True),
+        StructField("kept", IntegerType(), True),  # 1 = survives strip
+        StructField("block_id", IntegerType(), True),
+        StructField("link_density", DoubleType(), True),
+    ]
+)
+
+# Per-document extraction metrics (SURVEY.md A4 / north rule).
+DOC_METRICS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("n_spans_in", LongType(), True),
+        StructField("n_spans_out", LongType(), True),
+        StructField("parse_failed", IntegerType(), True),
+        StructField("warning", StringType(), True),
+    ]
+)

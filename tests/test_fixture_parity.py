@@ -1,0 +1,54 @@
+"""North-rule invariant: span-sequence equality (kind, text, media_ref,
+order) per document against the reference's golden DocTags fixtures
+(/root/reference/parsing_results.json:28,54,83,112,140), end-to-end
+through the Spark pipeline. BASELINE.json: pass rate must be 100%."""
+
+import pytest
+
+from ocr_spark.fixtures import frozen_fixture_docs
+from ocr_spark.pipeline.extract import classify_spans, extract_documents
+from ocr_spark.kernel.extract import PARITY_CONFIG
+from ocr_spark.schema import DOC_SCHEMA
+
+FIXTURES = frozen_fixture_docs()
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    rows = [
+        (d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+        for d in FIXTURES
+    ]
+    return spark.createDataFrame(rows, schema=DOC_SCHEMA)
+
+
+def test_fixtures_loaded():
+    assert len(FIXTURES) == 5
+    assert all(len(d["spans"]) > 0 for d in FIXTURES)
+
+
+def test_span_sequence_equality_flat(spark, fixture_df):
+    out = classify_spans(fixture_df, num_partitions=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["offset"], r["kind"], r["text"], r["media_ref"]))
+    for d in FIXTURES:
+        expected = [(s["offset"], s["kind"], s["text"], s["media_ref"]) for s in d["spans"]]
+        assert sorted(got[d["doc_id"]]) == expected, f"span mismatch for {d['doc_id']}"
+
+
+def test_span_sequence_equality_nested(spark, fixture_df):
+    out = extract_documents(fixture_df, cfg=PARITY_CONFIG, num_partitions=4)
+    got = {r["doc_id"]: r["spans"] for r in out.collect()}
+    for d in FIXTURES:
+        spans = got[d["doc_id"]]
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans
+        ] == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]]
+
+
+def test_picture_media_refs_preserved(spark, fixture_df):
+    out = classify_spans(fixture_df).where("kind = 'picture'").collect()
+    assert len(out) > 0
+    assert all(r["media_ref"].startswith("pic-") for r in out)
+    assert all(r["text"] == "" for r in out)
