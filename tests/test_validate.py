@@ -1,0 +1,153 @@
+"""F1-F9 + A1 validation: Spark SQL exprs vs DuckDB oracle vs
+hand-derived reference expectations (/root/reference/pipeline.py:196-351).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ocr_spark.pipeline.validate import (
+    NA,
+    FieldSpec,
+    validate_fields,
+    validate_sql,
+)
+
+SCHEMA = {
+    "name": FieldSpec(type="string", required=True),
+    "amount": FieldSpec(type="number", required=True),
+    "when_at": FieldSpec(type="date", format="iso-date", required=True),
+    "code": FieldSpec(type="string", regex=r"^\d{4}$"),
+    "status": FieldSpec(type="string", enum=["ok", "bad"]),
+    "note": FieldSpec(type="string", nullable=True, required=False),
+}
+
+ROWS = [
+    # id, name, amount, when_at, code, status, note
+    (0, "Alice", "1.234,56", "2023-01-05", "1234", "ok", "x"),
+    (1, None, "1,234.56", "05/01/2023", "12", "meh", None),
+    (2, "", "20,50", "31-12-2023", None, "N/A", ""),
+    (3, "N/A", "1,234", "2023/12/31", "9999", "bad", "N/A"),
+    (4, "Bob", "1,234,56", "born 05/01/2023 ok", "abcd", "ok", "n"),
+    (5, "Cara", "$ 1.000", "13/2023", "0000", None, None),
+    (6, "Dan", "abc", "99/99/9999", "55555", "ok", "z"),
+    (7, "Eve", "-5", "2-3-2023", "4321", "bad", "w"),
+    (8, "Fay", "12.5%", "2023-1-05", "777", "ok", "v"),
+    (9, "Gil", "", "", "", "", None),
+]
+COLS = ["row_id", "name", "amount", "when_at", "code", "status", "note"]
+
+
+@pytest.fixture(scope="module")
+def pdf() -> pd.DataFrame:
+    df = pd.DataFrame(ROWS, columns=COLS)
+    for c in COLS[1:]:
+        df[c] = df[c].astype("object")
+    return df
+
+
+@pytest.fixture(scope="module")
+def spark_out(spark, pdf):
+    df = spark.createDataFrame(pdf)
+    out = validate_fields(df, SCHEMA, keep=["row_id"])
+    return out.orderBy("row_id").toPandas()
+
+
+def test_spark_matches_duckdb_oracle(spark_out, pdf):
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = validate_sql(
+        SCHEMA, "t", raw={n: n for n in SCHEMA}, keep=["row_id"]
+    )
+    oracle = con.execute(sql + " ORDER BY row_id").df()
+    spark_flat = spark_out.drop(columns=["warnings"])
+    assert list(oracle.columns) == list(spark_flat.columns)
+    for c in oracle.columns:
+        a, b = spark_flat[c].tolist(), oracle[c].tolist()
+        for i, (x, y) in enumerate(zip(a, b)):
+            if isinstance(x, float) and isinstance(y, float):
+                if pd.isna(x) and pd.isna(y):
+                    continue
+                assert x == pytest.approx(y, abs=1e-12), (c, i)
+            else:
+                xx = None if (x is None or (isinstance(x, float) and pd.isna(x))) else x
+                yy = None if (y is None or (isinstance(y, float) and pd.isna(y))) else y
+                assert xx == yy, (c, i, x, y)
+
+
+def test_number_normalization(spark_out):
+    got = dict(zip(spark_out["row_id"], spark_out["amount_num"]))
+    assert got[0] == 1234.56  # 1.234,56 -> rightmost comma is decimal
+    assert got[1] == 1234.56  # 1,234.56 -> dot decimal
+    assert got[2] == 20.50  # 20,50 -> 2 digits after last comma
+    assert got[3] == 1234.0  # 1,234 -> thousands
+    assert pd.isna(got[4])  # 1,234,56 -> '1.234.56' -> float() fails
+    assert got[5] == 1.0  # '$ 1.000': both seps absent; '.': 1.000
+    assert pd.isna(got[6])  # abc -> '' -> fail
+    assert got[7] == -5.0
+    assert got[8] == 12.5
+
+
+def test_number_failure_keeps_raw_and_warns(spark_out):
+    r4 = spark_out[spark_out["row_id"] == 4].iloc[0]
+    assert r4["amount"] == "1,234,56"
+    assert "amount: invalid number format '1,234,56'" in r4["warnings_joined"]
+
+
+def test_date_normalization(spark_out):
+    got = dict(zip(spark_out["row_id"], spark_out["when_at"]))
+    assert got[0] == "2023-01-05"
+    assert got[1] == "2023-01-05"
+    assert got[2] == "2023-12-31"
+    assert got[3] == "2023-12-31"
+    assert got[4] == "2023-01-05"  # re.search inside longer string
+    assert got[5] == "13/2023"  # no pattern -> raw kept + warning
+    assert got[6] == "9999-99-99"  # no calendar validation
+    assert got[7] == "2-3-2023"  # \d{2} patterns need 2 digits
+    assert got[8] == "2023-1-05"  # partial-width miss -> raw kept
+    assert got[9] == NA  # empty -> N/A
+
+
+def test_missing_and_nullable(spark_out):
+    by = {r.row_id: r for r in spark_out.itertuples()}
+    assert by[1].name == NA  # None + required -> N/A + warning
+    assert "name: required field is missing or N/A" in by[1].warnings_joined
+    assert by[2].name == NA and by[3].name == NA
+    assert by[1].note is None  # nullable + NULL stays NULL
+    assert by[2].note == NA  # nullable + "" -> N/A (validate_field path)
+    assert by[3].note == NA
+
+
+def test_regex_and_enum(spark_out):
+    by = {r.row_id: r for r in spark_out.itertuples()}
+    assert "code: value '12' does not match regex pattern" in by[1].warnings_joined
+    assert "status: value 'meh' not in allowed enum ['ok', 'bad']" in by[1].warnings_joined
+    assert "code" not in by[0].warnings_joined
+    assert "status" not in by[0].warnings_joined
+    # N/A exempt from both
+    assert "status" not in by[2].warnings_joined
+    # number parse failed -> still a string -> regex applies? (code field
+    # is separate; amount has no regex) enum on missing status -> N/A exempt
+    assert "status" not in by[5].warnings_joined
+
+
+def test_confidence(spark_out):
+    by = {r.row_id: r for r in spark_out.itertuples()}
+    # row 0: no warnings
+    assert by[0].confidence == 1.0
+    # row 9: amount missing (.1) + when_at missing (.1);
+    # code/status/note not required -> no warning
+    assert by[9].confidence == pytest.approx(0.8)
+    # row 1: name missing (.1), code regex (.05), status enum (.05)
+    assert by[1].confidence == pytest.approx(0.8)
+
+
+def test_confidence_clamped(spark):
+    schema = {f"f{i}": FieldSpec(type="string", required=True) for i in range(15)}
+    df = spark.createDataFrame(
+        pd.DataFrame({f"f{i}": [None] for i in range(15)})
+    )
+    out = validate_fields(df, schema).toPandas()
+    assert out["confidence"].iloc[0] == 0.0
