@@ -1,0 +1,297 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket-join), SimHash, and n-gram Jaccard — each as a Spark DataFrame
+plan plus a bit-identical DuckDB SQL twin.
+
+Scale notes (the 100 TB plan, not the 60k-row plan):
+- exact_dedup is one hash-aggregate: map-side partial agg + one
+  shuffle on the 60-bit text hash; no skew (hash keys are uniform).
+- minhash signatures are computed per-row inside the scan stage with
+  higher-order array exprs (no explode, no shuffle); the only shuffle
+  is the band-bucket self-join, which AQE skew-splits if one band
+  bucket goes hot (near-identical boilerplate corpora do this).
+- ngram_jaccard explodes distinct shingles; hot shingles (stop-phrase
+  boilerplate) are bounded because shingle width-5 keeps selectivity
+  high; the pair-group aggregate is a second shuffle. For a production
+  corpus, run minhash_lsh_pairs first and jaccard-verify only the
+  candidates (candidates << n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.hashing import (
+    MASK_40,
+    MINHASH_PRIME,
+    md5_long_expr,
+    md5_long_sql,
+    minhash_perms,
+)
+from ocr_spark.functions.text import floor6, floor6_sql
+
+SHINGLE_W = 5
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+SIMHASH_BITS = 60
+MOD40 = MASK_40 + 1
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared)
+# ---------------------------------------------------------------------------
+
+
+def shingles_expr(w: int = SHINGLE_W) -> str:
+    """Spark SQL expr: text -> array of w-word shingles (whole text as
+    a single shingle when shorter)."""
+    return (
+        f"CASE WHEN size(split(text, '\\\\s+')) < {w} "
+        f"THEN array(concat_ws(' ', split(text, '\\\\s+'))) "
+        f"ELSE transform(sequence(0, size(split(text, '\\\\s+')) - {w}), "
+        f"i -> concat_ws(' ', slice(split(text, '\\\\s+'), i + 1, {w}))) END"
+    )
+
+
+def shingles_sql(w: int = SHINGLE_W) -> str:
+    return (
+        f"CASE WHEN len(regexp_split_to_array(text, '\\s+')) < {w} "
+        f"THEN [array_to_string(regexp_split_to_array(text, '\\s+'), ' ')] "
+        f"ELSE list_transform(range(0, len(regexp_split_to_array(text, '\\s+')) - {w} + 1), "
+        f"i -> array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), i + 1, i + {w}), ' ')) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group by content hash: (text_md5, n_docs, rep_doc_id) with the
+    lowest doc_id as the keeper. One shuffle, uniform keys."""
+    return (
+        docs.select(F.md5("text").alias("text_md5"), F.col("doc_id").cast("long"))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+    )
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return f"""
+      SELECT md5(text) AS text_md5, count(*) AS n_docs,
+             min(CAST(doc_id AS BIGINT)) AS rep_doc_id
+      FROM {table} GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# minhash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def _sigs_expr(k: int, w: int) -> str:
+    """Spark expr producing the length-k minhash signature array."""
+    a, b = minhash_perms(k)
+    h40 = f"transform({shingles_expr(w)}, s -> {md5_long_expr('s')} % {MOD40})"
+    sigs = ", ".join(
+        f"array_min(transform(hs, h -> ({a[i]} * h + {b[i]}) % {MINHASH_PRIME}))"
+        for i in range(k)
+    )
+    return h40, f"array({sigs})"
+
+
+def _sigs_sql(k: int, w: int) -> tuple[str, str]:
+    a, b = minhash_perms(k)
+    h40 = f"list_transform({shingles_sql(w)}, s -> {md5_long_sql('s')} % {MOD40})"
+    sigs = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {MINHASH_PRIME}))"
+        for i in range(k)
+    )
+    return h40, f"[{sigs}]"
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, w: int = SHINGLE_W) -> DataFrame:
+    """(doc_id, perm, sig): flattened k-permutation minhash signature.
+
+    Per-row array math inside the scan stage; the posexplode is the
+    only row multiplier (x k) and there is no shuffle at all.
+    """
+    h40, sigs = _sigs_expr(k, w)
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.expr(h40).alias("hs"))
+        .select("doc_id", F.posexplode(F.expr(sigs)).alias("perm", "sig"))
+    )
+
+
+def minhash_signatures_sql(table: str = "documents", k: int = MINHASH_K, w: int = SHINGLE_W) -> str:
+    h40, sigs = _sigs_sql(k, w)
+    return f"""
+      SELECT doc_id, CAST(r.i AS INT) AS perm, sigs[r.i + 1] AS sig
+      FROM (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {sigs} AS sigs
+        FROM (SELECT doc_id, {h40} AS hs FROM {table})
+      ) CROSS JOIN range(0, {k}) r(i)
+    """
+
+
+def _band_keys_expr(bands: int, rows: int) -> str:
+    """Spark expr: signature array 'sigs' -> array of band md5 keys."""
+    return (
+        f"transform(sequence(0, {bands - 1}), bi -> md5(array_join("
+        f"transform(slice(sigs, bi * {rows} + 1, {rows}), x -> CAST(x AS STRING)), ',')))"
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS, w: int = SHINGLE_W
+) -> DataFrame:
+    """(doc_a, doc_b) near-duplicate candidate pairs: docs sharing at
+    least one LSH band bucket, a < b, distinct.
+
+    The self-join shuffles on (band, key) — uniform md5 keys, and AQE
+    skew-split handles boilerplate-heavy buckets at scale.
+    """
+    rows = k // bands
+    h40, sigs = _sigs_expr(k, w)
+    banded = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.expr(h40).alias("hs"))
+        .select("doc_id", F.expr(f"{sigs} AS sigs"))
+        .select("doc_id", F.posexplode(F.expr(_band_keys_expr(bands, rows))).alias("band", "key"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents", k: int = MINHASH_K, bands: int = LSH_BANDS, w: int = SHINGLE_W
+) -> str:
+    rows = k // bands
+    h40, sigs = _sigs_sql(k, w)
+    band_keys = (
+        f"list_transform(range(0, {bands}), bi -> md5(array_to_string("
+        f"list_transform(list_slice(sigs, bi * {rows} + 1, bi * {rows} + {rows}), "
+        f"x -> CAST(x AS VARCHAR)), ',')))"
+    )
+    return f"""
+      WITH banded AS (
+        SELECT doc_id, r.i AS band, keys[r.i + 1] AS key
+        FROM (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, {band_keys} AS keys
+          FROM (SELECT doc_id, {sigs} AS sigs
+                FROM (SELECT doc_id, {h40} AS hs FROM {table}))
+        ) CROSS JOIN range(0, {bands}) r(i)
+      )
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): 60-bit simhash over word occurrences.
+
+    bit b set iff sum over words of (+1 if word-hash bit b else -1) > 0.
+    Pure per-row array math — computed inside the scan stage.
+    """
+    hs = f"transform(split(text, '\\\\s+'), w -> {md5_long_expr('w')})"
+    bitsum = "aggregate(hs, 0, (acc, h) -> acc + CAST((h >> b) & 1 AS INT) * 2 - 1)"
+    fp = (
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+        f"(acc, b) -> acc + CASE WHEN {bitsum} > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.expr(hs).alias("hs")
+    ).selectExpr("doc_id", f"{fp} AS simhash")
+
+
+def simhash_sql(table: str = "documents", bits: int = SIMHASH_BITS) -> str:
+    hs = f"list_transform(regexp_split_to_array(text, '\\s+'), w -> {md5_long_sql('w')})"
+    bitsum = "list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1))"
+    fp = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(0, {bits}), b -> CASE WHEN {bitsum} > 0 "
+        f"THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), "
+        f"(acc, x) -> acc + x)"
+    )
+    return f"""
+      SELECT doc_id, {fp} AS simhash
+      FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, {hs} AS hs FROM {table})
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2) -> DataFrame:
+    """(doc_a, doc_b, n_shared, n_a, n_b, jaccard): exact Jaccard over
+    distinct w-word shingles for pairs sharing >= 1 shingle, filtered
+    to jaccard >= tau.
+
+    Candidate generation = equi-join on the shingle (no n^2); the pair
+    aggregate shuffles on (doc_a, doc_b).
+    """
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.expr(f"array_distinct({shingles_expr(w)})")).alias("sh"),
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    j = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .where(j >= tau)
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", floor6(j).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs_sql(table: str = "documents", w: int = SHINGLE_W, tau: float = 0.2) -> str:
+    j = "(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared))"
+    return f"""
+      WITH sh AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(list_distinct({shingles_sql(w)})) AS sh
+        FROM {table}
+      ),
+      counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, n_shared, ca.n AS n_a, cb.n AS n_b,
+             {floor6_sql(j)} AS jaccard
+      FROM shared
+      JOIN counts ca ON shared.doc_a = ca.doc_id
+      JOIN counts cb ON shared.doc_b = cb.doc_id
+      WHERE {j} >= {tau}
+    """

@@ -1,0 +1,285 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the correctness baseline; broadcast the
+  (small) query set against the full corpus — one pass, no shuffle on
+  the corpus side, per-partition top-k then a tiny global top-k.
+- LSH-bucketed ANN (random hyperplanes): the scale path; vectors are
+  bucketed by a 16-bit sign signature computed per-row in the scan
+  stage, the join is an equi-join on the bucket id, and only in-bucket
+  candidates get an exact cosine. At 10^12 rows the bucket join
+  replaces the O(n * q) cross product with O(candidates).
+- embedding near-dup: same buckets, in-bucket pairs with cosine >= tau.
+
+Cross-engine determinism: all dot products / norms are sequential
+left folds over the array (Spark ``aggregate``, DuckDB ``list_reduce``)
+after casting each float32 element to double — the resulting doubles
+are IEEE-identical, so even top-k *ranking* agrees across engines.
+Hyperplane components are literal 3-decimal constants baked from a
+seeded LCG, identical in both SQL dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import floor6, floor6_sql
+
+DIM = 64
+# Bucket width: 2^n buckets. 4 keeps buckets populated at test SFs;
+# at production corpus sizes raise it (and/or add multi-table probing)
+# so buckets stay ~O(1000) rows.
+N_PLANES = 4
+
+
+def hyperplanes(n: int = N_PLANES, dim: int = DIM, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes with exact 3-decimal
+    components in [-0.5, 0.5) — literal-embeddable in both engines."""
+    x = seed
+    planes = []
+    for _ in range(n):
+        row = []
+        for _ in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(((x >> 17) % 1000) / 1000.0 - 0.5)
+        planes.append(row)
+    return planes
+
+
+# ---------------------------------------------------------------------------
+# fold helpers
+# ---------------------------------------------------------------------------
+
+
+def _dot_expr(a: str, b: str) -> str:
+    """Spark: sequential-fold dot product of two double arrays."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_expr(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
+def _dot_sql(a: str, b: str, dim: int = DIM) -> str:
+    """DuckDB: same sequential fold (list_reduce is left-to-right;
+    prepend the 0.0 init so the first element isn't consumed as init)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str, dim: int = DIM) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (acc, v) -> acc + v))"
+    )
+
+
+def _plane_lit_expr(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
+
+
+def _plane_lit_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + "]"
+
+
+def bucket_expr(vec: str = "embedding", n: int = N_PLANES) -> str:
+    """Spark expr: 16-bit sign-signature LSH bucket id."""
+    planes = hyperplanes(n)
+    terms = [
+        f"CASE WHEN {_dot_expr(vec, _plane_lit_expr(planes[p]))} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def bucket_sql(vec: str = "embedding", n: int = N_PLANES) -> str:
+    planes = hyperplanes(n)
+    terms = [
+        f"CASE WHEN {_dot_sql(vec, _plane_lit_sql(planes[p]))} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos): exact top-k cosine neighbors
+    for the query set vec_id < n_queries (self excluded).
+
+    The query side is broadcast (it is tiny by construction); the
+    corpus is scanned once, cosines are codegen'd array folds, and the
+    top-k is a per-query window. At cluster scale replace the window
+    row_number with a per-partition top-k + global merge; semantics
+    identical.
+    """
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+        F.expr(_norm_expr("embedding")).alias("norm"),
+    )
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos = F.expr(_dot_expr("q_emb", "embedding")) / (F.col("q_norm") * F.col("norm"))
+    pairs = (
+        F.broadcast(q)
+        .join(base, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", floor6(F.col("cos_raw")).alias("cos"))
+    )
+
+
+def cosine_topk_sql(table: str = "embeddings", n_queries: int = 5, k: int = 10) -> str:
+    cos = (
+        f"({_dot_sql('q.embedding', 'c.embedding')} / (q.norm * c.norm))"
+    )
+    return f"""
+      WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+               {_norm_sql('embedding')} AS norm
+        FROM {table}
+      ),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_raw
+        FROM base q JOIN base c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {n_queries}
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id ASC) AS rank,
+               cos_raw
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+             {floor6_sql('cos_raw')} AS cos
+      FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN
+# ---------------------------------------------------------------------------
+
+
+def ann_lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket — the join is bucket-equi, not a cross product."""
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+        F.expr(_norm_expr("embedding")).alias("norm"),
+        F.expr(bucket_expr()).alias("bucket"),
+    )
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = F.expr(_dot_expr("q_emb", "embedding")) / (F.col("q_norm") * F.col("norm"))
+    pairs = (
+        F.broadcast(q)
+        .join(base, (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", floor6(F.col("cos_raw")).alias("cos"))
+    )
+
+
+def ann_lsh_topk_sql(table: str = "embeddings", n_queries: int = 5, k: int = 10) -> str:
+    cos = f"({_dot_sql('q.embedding', 'c.embedding')} / (q.norm * c.norm))"
+    return f"""
+      WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+               {_norm_sql('embedding')} AS norm,
+               {bucket_sql('embedding')} AS bucket
+        FROM {table}
+      ),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_raw
+        FROM base q JOIN base c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {n_queries}
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id ASC) AS rank,
+               cos_raw
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+             {floor6_sql('cos_raw')} AS cos
+      FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(emb: DataFrame, tau: float = 0.9) -> DataFrame:
+    """(vec_a, vec_b, cos): in-bucket pairs with cosine >= tau."""
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+        F.expr(_norm_expr("embedding")).alias("norm"),
+        F.expr(bucket_expr()).alias("bucket"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cos = F.expr(_dot_expr("a.embedding", "b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_raw"),
+        )
+        .where(F.col("cos_raw") >= tau)
+        .select("vec_a", "vec_b", floor6(F.col("cos_raw")).alias("cos"))
+    )
+
+
+def embedding_near_dups_sql(table: str = "embeddings", tau: float = 0.9) -> str:
+    cos = f"({_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm))"
+    return f"""
+      WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+               {_norm_sql('embedding')} AS norm,
+               {bucket_sql('embedding')} AS bucket
+        FROM {table}
+      )
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {floor6_sql(cos)} AS cos
+      FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {cos} >= {tau}
+    """

@@ -1,0 +1,232 @@
+"""Text analysis for training-data pipelines: token counting,
+language-ID, quality scoring, document fingerprinting.
+
+All operators are narrow per-row column expressions (no shuffle, no
+UDF): at 100 TB they run inside the parquet scan stage with full
+whole-stage codegen, and the scan only reads (doc_id, text) thanks to
+column pruning. Each has a DuckDB SQL twin for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.hashing import md5_long_expr, md5_long_sql
+
+# BPE-ish word/symbol tokenizer: alnum runs or single non-space symbols.
+TOKEN_RE = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"
+PUNCT_RE = "[^a-zA-Z0-9\\s]"
+
+# Small per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "an", "of", "and", "to", "in", "is", "was", "for",
+           "on", "with", "as", "at", "by", "it", "that", "this"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+           "eine", "zu", "den", "von", "auf", "im", "sich"],
+    "fr": ["le", "les", "et", "est", "une", "des", "du", "dans", "pour",
+           "que", "qui", "au", "sur", "pas", "plus"],
+    "es": ["el", "los", "las", "y", "es", "una", "del", "en", "para",
+           "por", "con", "se", "su", "lo", "como"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他",
+           "们", "个", "上", "来", "就"],
+}
+LANGS = list(STOPWORDS)
+
+FP_MOD40 = 1 << 40  # token-hash range
+FP_MOD56 = 1 << 56  # rolling-hash modulus (31x fold stays in int64)
+
+
+def _lit_list_sql(items: list[str]) -> str:
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in items) + "]"
+
+
+def _lit_array_expr(items: list[str]) -> str:
+    return "array(" + ", ".join("'" + w.replace("'", "''") + "'" for w in items) + ")"
+
+
+def words_col(text: str = "text") -> Column:
+    return F.split(F.col(text), r"\s+")
+
+
+def floor6(c: Column) -> Column:
+    """Truncate to 6 decimals — identical in both engines (floor has no
+    rounding-mode ambiguity; inputs are already IEEE-identical)."""
+    return F.floor(c * 1000000.0) / 1000000.0
+
+
+def floor6_sql(expr: str) -> str:
+    return f"floor(({expr}) * 1000000.0) / 1000000.0"
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens_ws, n_tokens_re): whitespace tokens and
+    BPE-ish regex tokens."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(words_col()).alias("n_tokens_ws"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).alias("n_tokens_re"),
+    )
+
+
+def token_counts_sql(table: str = "documents") -> str:
+    return f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tokens_ws,
+             CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS n_tokens_re
+      FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+
+def _stop_hits_expr(lang: str) -> str:
+    lst = _lit_array_expr(STOPWORDS[lang])
+    return (
+        f"size(filter(split(text, '\\\\s+'), w -> array_contains({lst}, lower(w))))"
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, stop_hits): argmax of per-language stopword
+    hit counts; ties broken by LANGS order; all-zero -> 'und'."""
+    hits = "array(" + ", ".join(_stop_hits_expr(lang) for lang in LANGS) + ")"
+    langs_lit = _lit_array_expr(LANGS)
+    pred = (
+        f"CASE WHEN array_max({hits}) = 0 THEN 'und' "
+        f"ELSE element_at({langs_lit}, CAST(array_position({hits}, array_max({hits})) AS INT))"
+        f" END"
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(pred).alias("lang_pred"),
+        F.expr(f"array_max({hits})").alias("stop_hits"),
+    )
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    def hits(lang: str) -> str:
+        lst = _lit_list_sql(STOPWORDS[lang])
+        return (
+            f"len(list_filter(regexp_split_to_array(text, '\\s+'), "
+            f"w -> list_contains({lst}, lower(w))))"
+        )
+
+    hits_list = "[" + ", ".join(hits(lang) for lang in LANGS) + "]"
+    langs_lit = _lit_list_sql(LANGS)
+    return f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CASE WHEN list_max(h) = 0 THEN 'und'
+                  ELSE {langs_lit}[list_position(h, list_max(h))] END AS lang_pred,
+             CAST(list_max(h) AS INT) AS stop_hits
+      FROM (SELECT doc_id, {hits_list} AS h FROM {table})
+    """
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_ALL_STOPS = sorted({w for lang in ("en", "de", "fr", "es") for w in STOPWORDS[lang]})
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars_obs, n_words, stop_ratio, punct_ratio, quality)
+    — deterministic length/punct/stopword quality heuristic.
+
+    quality = floor6(0.35*min(1, 3*stop_ratio) + 0.25*min(1, chars/500)
+              + 0.2*min(1, words/100) + 0.2*(1 - punct_ratio))
+    """
+    stops = _lit_array_expr(_ALL_STOPS)
+    base = docs.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        "length(text) AS n_chars_obs",
+        "size(split(text, '\\\\s+')) AS n_words",
+        f"size(filter(split(text, '\\\\s+'), w -> array_contains({stops}, lower(w)))) AS stop_hits",
+        # Spark SQL string literals process backslash escapes -> double
+        # them so the regex engine still sees \s (DuckDB literals don't).
+        f"regexp_count(text, '{PUNCT_RE.replace(chr(92), chr(92) * 2)}') AS punct_hits",
+    )
+    stop_ratio = F.col("stop_hits") / F.greatest(F.col("n_words"), F.lit(1))
+    punct_ratio = F.col("punct_hits") / F.greatest(F.col("n_chars_obs"), F.lit(1))
+    quality = (
+        F.lit(0.35) * F.least(F.lit(1.0), F.lit(3.0) * stop_ratio)
+        + F.lit(0.25) * F.least(F.lit(1.0), F.col("n_chars_obs") / F.lit(500.0))
+        + F.lit(0.2) * F.least(F.lit(1.0), F.col("n_words") / F.lit(100.0))
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+    )
+    return base.select(
+        "doc_id",
+        "n_chars_obs",
+        "n_words",
+        floor6(stop_ratio).alias("stop_ratio"),
+        floor6(punct_ratio).alias("punct_ratio"),
+        floor6(quality).alias("quality"),
+    )
+
+
+def quality_score_sql(table: str = "documents") -> str:
+    stops = _lit_list_sql(_ALL_STOPS)
+    stop_ratio = "(stop_hits / greatest(n_words, 1))"
+    punct_ratio = "(punct_hits / greatest(n_chars_obs, 1))"
+    # CAST(... AS DOUBLE) everywhere: DuckDB numeric literals are
+    # DECIMAL, and decimal division diverges from Spark's double math.
+    quality = (
+        f"0.35 * least(CAST(1.0 AS DOUBLE), 3.0 * {stop_ratio}) "
+        f"+ 0.25 * least(CAST(1.0 AS DOUBLE), CAST(n_chars_obs AS DOUBLE) / 500.0) "
+        f"+ 0.2 * least(CAST(1.0 AS DOUBLE), CAST(n_words AS DOUBLE) / 100.0) "
+        f"+ 0.2 * (CAST(1.0 AS DOUBLE) - {punct_ratio})"
+    )
+    return f"""
+      SELECT doc_id, n_chars_obs, n_words,
+             {floor6_sql(stop_ratio)} AS stop_ratio,
+             {floor6_sql(punct_ratio)} AS punct_ratio,
+             {floor6_sql(quality)} AS quality
+      FROM (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(length(text) AS INT) AS n_chars_obs,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_words,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    w -> list_contains({stops}, lower(w)))) AS DOUBLE) AS stop_hits,
+               CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE) AS punct_hits
+        FROM {table}
+      )
+    """
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (rolling hash)
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): order-sensitive 56-bit rolling hash over word
+    hashes — a cheap content fingerprint for exact/near-exact grouping.
+    fold: acc' = (acc*31 + md5_40(word)) % 2^56, sequential in word
+    order (both engines fold left-to-right -> identical)."""
+    h = f"{md5_long_expr('w')} % {FP_MOD40}"
+    fp = (
+        f"aggregate(transform(split(text, '\\\\s+'), w -> {h}), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {FP_MOD56})"
+    )
+    return docs.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", f"{fp} AS fp")
+
+
+def fingerprint_sql(table: str = "documents") -> str:
+    h = f"{md5_long_sql('w')} % {FP_MOD40}"
+    return f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_split_to_array(text, '\\s+'), w -> {h})),
+               (acc, x) -> (acc * 31 + x) % {FP_MOD56}) AS fp
+      FROM {table}
+    """

