@@ -1,0 +1,130 @@
+"""Page splitting & page metadata (SURVEY.md R1-R4).
+
+The reference splits multi-page PDFs into one work unit per page and
+attaches {original_name, page_number (1-based), total_pages}
+(/root/reference/webapp/pdf_utils.py:44-68,
+/root/reference/webapp/state.py:425-449). Columnar equivalent: derive
+a pages array and posexplode it — one narrow pass, no shuffle; page
+metadata falls out of the explode position instead of a window.
+
+On a 100 TB corpus this is the fan-out stage: the explode multiplies
+rows but keeps them in the same partition as the parent doc, so
+downstream per-page work needs no re-shuffle until an aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+WORDS_PER_PAGE = 40
+SPLIT_FALLBACK_NOTE = "SPLIT_FAILED: processed as single page"
+
+
+def _pages_expr(words_per_page: int) -> str:
+    w = words_per_page
+    return (
+        f"transform(sequence(0, (size(split(text, '\\\\s+')) + {w - 1}) div {w} - 1), "
+        f"i -> concat_ws(' ', slice(split(text, '\\\\s+'), i * {w} + 1, {w})))"
+    )
+
+
+def split_pages(docs: DataFrame, words_per_page: int = WORDS_PER_PAGE) -> DataFrame:
+    """R1+R2+R3: (doc_id, page_number, total_pages, page_text, split_note).
+
+    Empty/whitespace-only docs take the split-failure fallback: one
+    page 1/1 holding the raw text plus a note — the doc is never
+    dropped (/root/reference/webapp/state.py:440-449).
+    """
+    pages = _pages_expr(words_per_page)
+    split_ok = F.expr("size(split(text, '\\\\s+')) > 0") & (F.trim(F.col("text")) != "")
+    with_pages = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(split_ok, F.expr(pages)).otherwise(F.array(F.col("text"))).alias("pages"),
+        F.when(split_ok, F.lit("")).otherwise(F.lit(SPLIT_FALLBACK_NOTE)).alias("split_note"),
+    )
+    return with_pages.select(
+        "doc_id",
+        F.posexplode("pages").alias("pos", "page_text"),
+        F.size("pages").alias("total_pages"),
+        "split_note",
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("page_number"),
+        F.col("total_pages").cast("int"),
+        "page_text",
+        "split_note",
+    )
+
+
+def split_pages_sql(table: str = "documents", words_per_page: int = WORDS_PER_PAGE) -> str:
+    w = words_per_page
+    pages = (
+        f"list_transform(range(0, (len(regexp_split_to_array(text, '\\s+')) + {w - 1}) // {w}), "
+        f"i -> array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), "
+        f"i * {w} + 1, i * {w} + {w}), ' '))"
+    )
+    split_ok = f"(len(regexp_split_to_array(text, '\\s+')) > 0 AND trim(text) <> '')"
+    # parallel unnests zip in DuckDB: page_number rides along page_text
+    return f"""
+      SELECT doc_id,
+             CAST(unnest(range(1, len(pages) + 1)) AS INT) AS page_number,
+             CAST(len(pages) AS INT) AS total_pages,
+             unnest(pages) AS page_text,
+             split_note
+      FROM (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN {split_ok} THEN {pages} ELSE [text] END AS pages,
+               CASE WHEN {split_ok} THEN '' ELSE '{SPLIT_FALLBACK_NOTE}' END AS split_note
+        FROM {table}
+      )
+    """
+
+
+def unique_names(docs: DataFrame, name_col: str = "source") -> DataFrame:
+    """R4: dedup colliding names with _1, _2, ... suffixes in doc_id
+    order (/root/reference/webapp/pdf_utils.py:26-41: first keeps the
+    bare name, later collisions get suffixes).
+
+    The window shuffles on the name key — small-cardinality dimension
+    data; at corpus scale names are near-unique so partitions stay flat.
+    """
+    w = Window.partitionBy(name_col).orderBy("doc_id")
+    seq = F.row_number().over(w)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(name_col).alias("name"),
+        F.when(seq == 1, F.col(name_col))
+        .otherwise(F.concat_ws("_", F.col(name_col), (seq - 1).cast("string")))
+        .alias("unique_name"),
+    )
+
+
+def unique_names_sql(table: str = "documents", name_col: str = "source") -> str:
+    return f"""
+      SELECT doc_id, name,
+             CASE WHEN seq = 1 THEN name
+                  ELSE name || '_' || CAST(seq - 1 AS VARCHAR) END AS unique_name
+      FROM (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {name_col} AS name,
+               row_number() OVER (PARTITION BY {name_col} ORDER BY doc_id) AS seq
+        FROM {table}
+      )
+    """
+
+
+def page_count_probe(docs: DataFrame) -> DataFrame:
+    """P3 analog: pages_detected per doc
+    (/root/reference/pipeline.py:409 counts '# Page' anchors; here the
+    deterministic page count of the split)."""
+    return split_pages(docs).groupBy("doc_id").agg(
+        F.max("total_pages").alias("pages_detected")
+    )
+
+
+def page_count_probe_sql(table: str = "documents") -> str:
+    return f"""
+      SELECT doc_id, max(total_pages) AS pages_detected
+      FROM ({split_pages_sql(table)}) GROUP BY doc_id
+    """

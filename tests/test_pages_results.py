@@ -1,0 +1,122 @@
+"""R1-R5, J1-J4: page splitting and results-table semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.pipeline import pages, results
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    return c
+
+
+def assert_same(spark_df, con, sql):
+    got = sorted(map(tuple, spark_df.collect()))
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+
+
+def test_split_pages_matches_oracle(docs, con):
+    assert_same(pages.split_pages(docs), con, pages.split_pages_sql())
+
+
+def test_split_pages_metadata(docs):
+    out = pages.split_pages(docs, words_per_page=10).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.page_number)
+        assert [r.page_number for r in rows] == list(range(1, len(rows) + 1))
+        assert all(r.total_pages == len(rows) for r in rows)
+
+
+def test_split_fallback_single_page(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["", "one two three"]})
+    )
+    rows = {r.doc_id: r for r in pages.split_pages(df).collect()}
+    assert rows[1].page_number == 1 and rows[1].total_pages == 1
+    assert rows[1].split_note == pages.SPLIT_FALLBACK_NOTE
+    assert rows[2].split_note == ""
+
+
+def test_unique_names(docs, con):
+    assert_same(pages.unique_names(docs), con, pages.unique_names_sql())
+
+
+def test_unique_names_suffixing(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3, 1, 2], "source": ["a.pdf", "a.pdf", "b.pdf"]})
+    )
+    out = {r.doc_id: r.unique_name for r in pages.unique_names(df).collect()}
+    assert out == {1: "a.pdf", 3: "a.pdf_1", 2: "b.pdf"}
+
+
+def test_page_count_probe(docs, con):
+    assert_same(pages.page_count_probe(docs), con, pages.page_count_probe_sql())
+
+
+def test_deterministic_token_stable(spark):
+    df = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("page")
+    )
+    t1 = [r[0] for r in df.select(results.deterministic_token(F.col("doc_id"), F.col("page"))).collect()]
+    t2 = [r[0] for r in df.select(results.deterministic_token(F.col("doc_id"), F.col("page"))).collect()]
+    assert t1 == t2 and len(set(t1)) == 3
+
+
+def test_dedup_last_wins(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "token": ["a", "a", "b", "c", "c", "c"],
+                "run_ts": [1, 2, 1, 1, 3, 2],
+                "val": ["a1", "a2", "b1", "c1", "c3", "c2"],
+            }
+        )
+    )
+    out = {r.token: r.val for r in results.dedup_last_wins(df, ["token"]).collect()}
+    assert out == {"a": "a2", "b": "b1", "c": "c3"}
+
+
+def test_append_then_dedup_equals_upsert(spark):
+    run1 = spark.createDataFrame(
+        pd.DataFrame({"token": ["a", "b"], "run_ts": [1, 1], "val": ["a1", "b1"]})
+    )
+    run2 = spark.createDataFrame(
+        pd.DataFrame({"token": ["b", "c"], "run_ts": [2, 2], "val": ["b2", "c2"]})
+    )
+    merged = results.dedup_last_wins(results.append_results(run1, run2), ["token"])
+    out = {r.token: r.val for r in merged.collect()}
+    assert out == {"a": "a1", "b": "b2", "c": "c2"}
+
+
+def test_edit_update(spark):
+    target = spark.createDataFrame(
+        pd.DataFrame(
+            {"token": ["a", "b", "c"], "f1": ["x", "y", "z"], "f2": ["1", "2", "3"]}
+        )
+    )
+    updates = spark.createDataFrame(
+        pd.DataFrame({"token": ["b", "zz"], "f1": ["EDITED", "nope"], "f2": [None, None]})
+    )
+    out = results.edit_update(target, updates, "token", ["f1", "f2"])
+    rows = {r.token: (r.f1, r.f2) for r in out.collect()}
+    # matched row takes the edit; null update fields keep the original;
+    # unmatched update token ('zz') is ignored; row count unchanged.
+    assert rows == {"a": ("x", "1"), "b": ("EDITED", "2"), "c": ("z", "3")}
