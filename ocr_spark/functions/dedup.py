@@ -95,15 +95,26 @@ def exact_dedup_sql(table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 
-def _sigs_expr(k: int, w: int) -> str:
-    """Spark expr producing the length-k minhash signature array."""
+def _sig_table(docs: DataFrame, k: int, w: int) -> DataFrame:
+    """(doc_id, s0..s{k-1}): minhash signature columns via explode +
+    hash-aggregate.
+
+    Deliberately NOT a nested higher-order array expression: nested
+    lambdas drop out of whole-stage codegen and ran ~6x slower. The
+    explode multiplies rows by ~shingle count but partial (map-side)
+    min-aggregation collapses them before the doc_id shuffle — at
+    100 TB this is a single well-combined shuffle keyed on uniform
+    doc_ids."""
     a, b = minhash_perms(k)
-    h40 = f"transform({shingles_expr(w)}, s -> {md5_long_expr('s')} % {MOD40})"
-    sigs = ", ".join(
-        f"array_min(transform(hs, h -> ({a[i]} * h + {b[i]}) % {MINHASH_PRIME}))"
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.expr(shingles_expr(w))).alias("s"),
+    ).select("doc_id", F.expr(f"{md5_long_expr('s')} % {MOD40}").alias("h"))
+    aggs = [
+        F.min(F.expr(f"({a[i]} * h + {b[i]}) % {MINHASH_PRIME}")).alias(f"s{i}")
         for i in range(k)
-    )
-    return h40, f"array({sigs})"
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def _sigs_sql(k: int, w: int) -> tuple[str, str]:
@@ -117,16 +128,10 @@ def _sigs_sql(k: int, w: int) -> tuple[str, str]:
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, w: int = SHINGLE_W) -> DataFrame:
-    """(doc_id, perm, sig): flattened k-permutation minhash signature.
-
-    Per-row array math inside the scan stage; the posexplode is the
-    only row multiplier (x k) and there is no shuffle at all.
-    """
-    h40, sigs = _sigs_expr(k, w)
-    return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.expr(h40).alias("hs"))
-        .select("doc_id", F.posexplode(F.expr(sigs)).alias("perm", "sig"))
-    )
+    """(doc_id, perm, sig): flattened k-permutation minhash signature."""
+    sig = _sig_table(docs, k, w)
+    stack = ", ".join(f"{i}, s{i}" for i in range(k))
+    return sig.selectExpr("doc_id", f"stack({k}, {stack}) AS (perm, sig)")
 
 
 def minhash_signatures_sql(table: str = "documents", k: int = MINHASH_K, w: int = SHINGLE_W) -> str:
@@ -140,14 +145,6 @@ def minhash_signatures_sql(table: str = "documents", k: int = MINHASH_K, w: int 
     """
 
 
-def _band_keys_expr(bands: int, rows: int) -> str:
-    """Spark expr: signature array 'sigs' -> array of band md5 keys."""
-    return (
-        f"transform(sequence(0, {bands - 1}), bi -> md5(array_join("
-        f"transform(slice(sigs, bi * {rows} + 1, {rows}), x -> CAST(x AS STRING)), ',')))"
-    )
-
-
 def minhash_lsh_pairs(
     docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS, w: int = SHINGLE_W
 ) -> DataFrame:
@@ -158,11 +155,15 @@ def minhash_lsh_pairs(
     skew-split handles boilerplate-heavy buckets at scale.
     """
     rows = k // bands
-    h40, sigs = _sigs_expr(k, w)
-    banded = (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.expr(h40).alias("hs"))
-        .select("doc_id", F.expr(f"{sigs} AS sigs"))
-        .select("doc_id", F.posexplode(F.expr(_band_keys_expr(bands, rows))).alias("band", "key"))
+    sig = _sig_table(docs, k, w)
+    band_keys = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(s{b * rows + r} AS STRING)" for r in range(rows))
+        + "))"
+        for b in range(bands)
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(F.expr(f"array({band_keys})")).alias("band", "key")
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -211,18 +212,25 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): 60-bit simhash over word occurrences.
 
     bit b set iff sum over words of (+1 if word-hash bit b else -1) > 0.
-    Pure per-row array math — computed inside the scan stage.
-    """
-    hs = f"transform(split(text, '\\\\s+'), w -> {md5_long_expr('w')})"
-    bitsum = "aggregate(hs, 0, (acc, h) -> acc + CAST((h >> b) & 1 AS INT) * 2 - 1)"
-    fp = (
-        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
-        f"(acc, b) -> acc + CASE WHEN {bitsum} > 0 "
-        f"THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"
+    Shaped as explode + 60-column hash-aggregate (not a nested
+    higher-order fold, which loses codegen and was ~6x slower): the
+    per-bit sums partial-aggregate map-side, the only shuffle is on
+    uniform doc_ids, and integer sums are order-independent so the
+    result is bit-identical to the DuckDB oracle."""
+    wh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.expr("split(text, '\\\\s+')")).alias("w"),
+    ).select("doc_id", F.expr(md5_long_expr("w")).alias("h"))
+    aggs = [
+        F.sum(F.expr(f"CAST((h >> {b}) & 1 AS INT) * 2 - 1")).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    g = wh.groupBy("doc_id").agg(*aggs)
+    fp = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
     )
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), F.expr(hs).alias("hs")
-    ).selectExpr("doc_id", f"{fp} AS simhash")
+    return g.selectExpr("doc_id", f"{fp} AS simhash")
 
 
 def simhash_sql(table: str = "documents", bits: int = SIMHASH_BITS) -> str:
