@@ -39,17 +39,23 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _amplified_docs(spark, sf_dir: str, copies: int):
+def _amplified_docs(spark, sf_dir: str, copies: int, pre_partitions: int | None = None):
     """Deterministically amplify the documents table: K disjoint
-    doc_id ranges over identical text — same input every run."""
+    doc_id ranges over identical text — same input every run. One scan
+    + a broadcast nested-loop against range(K), not a K-branch union.
+
+    ``pre_partitions`` shuffles the SMALL base before the expansion so
+    the K-fold blow-up (and everything downstream) runs in parallel —
+    only the tiny base rows ever cross the wire."""
     from pyspark.sql import functions as F
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    out = None
-    for k in range(copies):
-        c = base.select((F.col("doc_id") + k * 10_000_000).alias("doc_id"), "text")
-        out = c if out is None else out.unionByName(c)
-    return out
+    if pre_partitions:
+        base = base.repartition(pre_partitions)
+    ks = spark.range(copies).select(F.col("id").alias("_k"))
+    return base.crossJoin(F.broadcast(ks)).select(
+        (F.col("doc_id") + F.col("_k") * 10_000_000).alias("doc_id"), "text"
+    )
 
 
 def headline_queries(spark, sf_dir: str):
@@ -174,7 +180,7 @@ def _hw_parallel_speedup(lo: int, hi: int) -> float:
     return rates[hi] / rates[lo]
 
 
-def run_scaling(levels=(2, 8), copies: int = 64, trials: int = 2) -> None:
+def run_scaling(levels=(2, 8), copies: int = 128, trials: int = 2) -> None:
     """Same job, same input, two parallelism levels -> efficiency.
 
     The input is repartitioned FLAT (text) before span synthesis — the
@@ -194,7 +200,7 @@ def run_scaling(levels=(2, 8), copies: int = 64, trials: int = 2) -> None:
     n = None
     for cores in levels:
         spark = get_spark(f"local[{cores}]", app_name=f"ocr_spark_scale_{cores}")
-        docs = _amplified_docs(spark, SF_DIR, copies).repartition(3 * cores)
+        docs = _amplified_docs(spark, SF_DIR, copies, pre_partitions=3 * cores)
         n = docs.count()
         spans = synthesize_spans(docs)
         job = lambda: _materialize(extract_main_content(spans))

@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ocr_spark.kernel import arrow_extract as ak
 from ocr_spark.kernel.extract import (
     DEFAULT_CONFIG,
     PARITY_CONFIG,
@@ -68,8 +69,34 @@ def weight_partition(df: DataFrame, num_partitions: int) -> DataFrame:
     return out.drop("_w")
 
 
-def _run_kernel(df: DataFrame, fn, schema, cfg: ExtractConfig, num_partitions: int | None):
+# pandas-kernel fn -> arrow-kernel twin (the default execution path;
+# the pandas kernel remains the executable spec / test oracle)
+_ARROW_TWIN = {
+    extract_flat: ak.extract_flat_batch,
+    extract_nested: ak.extract_nested_batch,
+    doc_metrics: ak.metrics_batch,
+}
+
+
+def _run_kernel(
+    df: DataFrame,
+    fn,
+    schema,
+    cfg: ExtractConfig,
+    num_partitions: int | None,
+    engine: str = "arrow",
+):
     df = _repartition_for_kernel(df, num_partitions)
+
+    if engine == "arrow":
+        afn = _ARROW_TWIN[fn]
+
+        def apply_arrow(batches):
+            for b in batches:
+                if b.num_rows:
+                    yield afn(b, cfg)
+
+        return df.mapInArrow(apply_arrow, schema=schema)
 
     def apply_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,6 +110,7 @@ def extract_spans(
     df: DataFrame,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Main-content extraction, flat output (doc_id, kind, text,
     media_ref, offset, kept, block_id, link_density).
@@ -90,17 +118,18 @@ def extract_spans(
     Input: (doc_id string, spans array<struct>). Error rows surface as
     kind='__error__' (E1/E2/E4: errors become data).
     """
-    return _run_kernel(df, extract_flat, ANNOTATED_SPAN_SCHEMA, cfg, num_partitions)
+    return _run_kernel(df, extract_flat, ANNOTATED_SPAN_SCHEMA, cfg, num_partitions, engine)
 
 
 def extract_main_content(
     df: DataFrame,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Boilerplate-stripped span stream, canonical flat shape
     (doc_id, kind, text, media_ref, offset) — error rows excluded."""
-    out = extract_spans(df, cfg, num_partitions)
+    out = extract_spans(df, cfg, num_partitions, engine)
     return out.where(F.col("kind") != KIND_ERROR).select(
         "doc_id", "kind", "text", "media_ref", "offset"
     )
@@ -109,29 +138,32 @@ def extract_main_content(
 def classify_spans(
     df: DataFrame,
     num_partitions: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Parity mode: every span kept and annotated; order preserved.
 
     This is the path the north-rule fixtures check: output
     (kind, text, media_ref, offset) per doc == input sequence.
     """
-    return extract_spans(df, PARITY_CONFIG, num_partitions)
+    return extract_spans(df, PARITY_CONFIG, num_partitions, engine)
 
 
 def extract_documents(
     df: DataFrame,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Nested output matching the input contract:
     (doc_id, spans array<struct<kind,text,media_ref,offset>>)."""
-    return _run_kernel(df, extract_nested, DOC_SCHEMA, cfg, num_partitions)
+    return _run_kernel(df, extract_nested, DOC_SCHEMA, cfg, num_partitions, engine)
 
 
 def extraction_metrics(
     df: DataFrame,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Per-doc metrics (A4): n_spans_in/out, parse_failed, warning."""
-    return _run_kernel(df, doc_metrics, DOC_METRICS_SCHEMA, cfg, num_partitions)
+    return _run_kernel(df, doc_metrics, DOC_METRICS_SCHEMA, cfg, num_partitions, engine)

@@ -1,0 +1,100 @@
+"""Arrow kernel vs pandas kernel: bit-identical outputs on every
+surface, including the hostile corpus (empty docs, malformed spans,
+giant skew-tail docs, unordered offsets)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ocr_spark.fixtures import generate_corpus
+from ocr_spark.pipeline.extract import (
+    classify_spans,
+    extract_documents,
+    extract_main_content,
+    extraction_metrics,
+)
+from ocr_spark.schema import DOC_SCHEMA
+from ocr_spark.sources.synth import synthesize_spans
+
+
+@pytest.fixture(scope="module")
+def synth_docs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return synthesize_spans(docs).cache()
+
+@pytest.fixture(scope="module")
+def hostile_docs(spark):
+    rows = generate_corpus(n_docs=300, seed=7, giant_frac=0.03)
+    return spark.createDataFrame(rows, schema=DOC_SCHEMA).cache()
+
+
+def _rows(df):
+    return sorted(
+        tuple(x if not isinstance(x, list) else tuple(map(tuple, x)) for x in r)
+        for r in df.collect()
+    )
+
+
+def _nested_rows(df):
+    out = []
+    for r in df.collect():
+        spans = tuple((s.kind, s.text, s.media_ref, s.offset) for s in (r.spans or []))
+        out.append((r.doc_id, spans))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("corpus", ["synth_docs", "hostile_docs"])
+def test_flat_equivalence(request, corpus):
+    df = request.getfixturevalue(corpus)
+    a = _rows(extract_main_content(df, engine="arrow"))
+    p = _rows(extract_main_content(df, engine="pandas"))
+    assert a == p
+
+
+@pytest.mark.parametrize("corpus", ["synth_docs", "hostile_docs"])
+def test_classify_equivalence(request, corpus):
+    df = request.getfixturevalue(corpus)
+    a = _rows(classify_spans(df, engine="arrow"))
+    p = _rows(classify_spans(df, engine="pandas"))
+    assert a == p
+
+
+@pytest.mark.parametrize("corpus", ["synth_docs", "hostile_docs"])
+def test_nested_equivalence(request, corpus):
+    df = request.getfixturevalue(corpus)
+    a = _nested_rows(extract_documents(df, engine="arrow"))
+    p = _nested_rows(extract_documents(df, engine="pandas"))
+    assert a == p
+
+
+@pytest.mark.parametrize("corpus", ["synth_docs", "hostile_docs"])
+def test_metrics_equivalence(request, corpus):
+    df = request.getfixturevalue(corpus)
+    a = _rows(extraction_metrics(df, engine="arrow"))
+    p = _rows(extraction_metrics(df, engine="pandas"))
+    assert a == p
+
+
+def test_null_spans_row(spark):
+    df = spark.createDataFrame(
+        [("d1", None), ("d2", [])], schema=DOC_SCHEMA
+    )
+    rows = _rows(extraction_metrics(df, engine="arrow"))
+    assert all(r[3] == 1 for r in rows)  # parse_failed for both
+    nested = _nested_rows(extract_documents(df, engine="arrow"))
+    assert nested == [("d1", ()), ("d2", ())]
+
+
+def test_truncation_equivalence(spark):
+    # one doc over the 50k budget: 600 spans x ~100 chars
+    spans = [
+        {"kind": "text" if i % 7 else "section_header_level_1",
+         "text": "x" * 95 + f"-{i:03d}", "media_ref": "", "offset": i}
+        for i in range(600)
+    ]
+    df = spark.createDataFrame([("big", spans), ("small", spans[:3])], schema=DOC_SCHEMA)
+    a = _rows(extract_main_content(df, engine="arrow"))
+    p = _rows(extract_main_content(df, engine="pandas"))
+    assert a == p
+    assert any(r[1] == "__truncated__" for r in a)
