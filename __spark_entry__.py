@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.functions import dedup as ded
+from ocr_spark.functions import multimodal as mm
 from ocr_spark.functions import similarity as sim
 from ocr_spark.functions import text as txt
 from ocr_spark.pipeline import pages as pg
@@ -316,6 +317,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": lambda s, d: ded.minhash_lsh_pairs(_read(s, d, "documents")),
         "simhash": lambda s, d: ded.simhash(_read(s, d, "documents")),
         "ngram_jaccard_pairs": lambda s, d: ded.ngram_jaccard_pairs(_read(s, d, "documents")),
+        # --- multimodal plumbing (binary media + typed metadata)
+        "media_table": lambda s, d: mm.synthesize_media(_read(s, d, "documents"))
+        .select("media_ref", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")),
+        "media_features": lambda s, d: mm.image_features_flat(
+            mm.synthesize_media(_read(s, d, "documents"))
+        ),
         # --- similarity search
         "cosine_topk": lambda s, d: sim.cosine_topk(_read(s, d, "embeddings")),
         "ann_lsh_topk": lambda s, d: sim.ann_lsh_topk(_read(s, d, "embeddings")),
@@ -354,6 +361,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": ded.minhash_lsh_pairs_sql(),
         "simhash": ded.simhash_sql(),
         "ngram_jaccard_pairs": ded.ngram_jaccard_pairs_sql(),
+        "media_table": (
+            "SELECT media_ref, width, height FROM ("
+            + mm.synthesize_media_sql()
+            + ")"
+        ),
+        "media_features": mm.image_features_flat_sql(),
         "cosine_topk": sim.cosine_topk_sql(),
         "ann_lsh_topk": sim.ann_lsh_topk_sql(),
         "embedding_near_dups": sim.embedding_near_dups_sql(tau=0.35),

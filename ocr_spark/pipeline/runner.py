@@ -1,0 +1,189 @@
+"""Checkpoint-resumable extraction runs with per-partition lineage
+(SURVEY.md T1-T5, §4.3; the columnar rewrite of the reference's
+split-job cursor protocol, /root/reference/webapp/jobs.py:25-291).
+
+Unit of work = a doc_id hash bucket (the analog of the reference's
+per-page cursor). A run:
+
+1. writes a manifest once: (run_id, n_buckets, config snapshot) —
+   T1 job creation;
+2. processes pending buckets in groups; each group is one Spark job
+   that writes ``bucket=<k>/`` parquet partitions (overwrite-by-
+   partition discipline -> idempotent re-runs; the Iceberg analog is
+   a MERGE/replacePartitions commit) — T3/T4;
+3. after each group commits, writes one lineage record per bucket:
+   (run_id, bucket, status, attempt, n_docs, n_spans_in, n_spans_out,
+   parse_failures, wall_ms) as a single JSON file per bucket — the
+   write is atomic (tmp + rename), so a crash mid-group leaves those
+   buckets pending and the next invocation redoes exactly them — T2/T5
+   rollback-free retry;
+4. ``resume()`` = skip buckets whose lineage record exists (the
+   anti-join against done work).
+
+Determinism guarantees idempotence: bucket assignment is a pure hash
+of doc_id, the kernel is deterministic, and output files are
+overwritten whole per bucket.
+
+At cluster scale the same structure holds with Iceberg: manifest ->
+table property, lineage -> ``_lineage`` table appended per commit,
+bucket -> ``bucket(N, doc_id)`` partition transform.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.kernel.extract import DEFAULT_CONFIG, ExtractConfig
+from ocr_spark.pipeline.extract import extract_documents, extraction_metrics
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    run_id: str
+    n_buckets: int = 16
+    buckets_per_commit: int = 4
+    kernel: ExtractConfig = DEFAULT_CONFIG
+
+
+def _bucket_col(n_buckets: int):
+    return F.pmod(F.hash("doc_id"), F.lit(n_buckets))
+
+
+class ExtractionRun:
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        output_dir: str,
+        cfg: RunConfig,
+    ):
+        self.spark = spark
+        self.docs = docs
+        self.out = output_dir.rstrip("/")
+        self.cfg = cfg
+        self.lineage_dir = f"{self.out}/_lineage/{cfg.run_id}"
+        os.makedirs(self.lineage_dir, exist_ok=True)
+
+    # -- T1: manifest ------------------------------------------------------
+    def write_manifest(self) -> None:
+        path = f"{self.lineage_dir}/manifest.json"
+        if os.path.exists(path):
+            return  # resume: manifest is immutable per run_id
+        manifest = {
+            "run_id": self.cfg.run_id,
+            "n_buckets": self.cfg.n_buckets,
+            "buckets_per_commit": self.cfg.buckets_per_commit,
+            "kernel": asdict(self.cfg.kernel),
+        }
+        self._atomic_write(path, json.dumps(manifest, indent=2))
+
+    # -- lineage ----------------------------------------------------------
+    def _record_path(self, bucket: int) -> str:
+        return f"{self.lineage_dir}/bucket-{bucket:05d}.json"
+
+    def done_buckets(self) -> set[int]:
+        done = set()
+        for b in range(self.cfg.n_buckets):
+            p = self._record_path(b)
+            if os.path.exists(p):
+                with open(p) as f:
+                    if json.load(f).get("status") == "done":
+                        done.add(b)
+        return done
+
+    def _atomic_write(self, path: str, content: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(content)
+        os.replace(tmp, path)
+
+    # -- T3/T4: process + commit ------------------------------------------
+    def _process_group(self, buckets: list[int], attempt: int) -> None:
+        t0 = time.time()
+        subset = self.docs.withColumn("bucket", _bucket_col(self.cfg.n_buckets)).where(
+            F.col("bucket").isin(buckets)
+        )
+        subset = subset.persist()
+        try:
+            out = extract_documents(subset.drop("bucket"), self.cfg.kernel).join(
+                subset.select("doc_id", "bucket"), "doc_id"
+            )
+            (
+                out.repartition(len(buckets), "bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(self.out)
+            )
+            metrics = (
+                extraction_metrics(subset.drop("bucket"), self.cfg.kernel)
+                .join(subset.select("doc_id", "bucket"), "doc_id")
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("n_spans_in").alias("n_spans_in"),
+                    F.sum("n_spans_out").alias("n_spans_out"),
+                    F.sum("parse_failed").alias("parse_failures"),
+                )
+                .collect()
+            )
+        finally:
+            subset.unpersist()
+        by_bucket = {r.bucket: r for r in metrics}
+        wall_ms = int((time.time() - t0) * 1000)
+        for b in buckets:
+            r = by_bucket.get(b)
+            rec = {
+                "run_id": self.cfg.run_id,
+                "bucket": b,
+                "status": "done",
+                "attempt": attempt,
+                "n_docs": int(r.n_docs) if r else 0,
+                "n_spans_in": int(r.n_spans_in) if r else 0,
+                "n_spans_out": int(r.n_spans_out) if r else 0,
+                "parse_failures": int(r.parse_failures) if r else 0,
+                "wall_ms": wall_ms,
+            }
+            self._atomic_write(self._record_path(b), json.dumps(rec))
+
+    # -- T2/T5: run with resume -------------------------------------------
+    def run(self, fail_after_groups: int | None = None) -> dict:
+        """Process all pending buckets. ``fail_after_groups`` is a test
+        hook simulating a mid-run crash. Returns the run summary."""
+        self.write_manifest()
+        done = self.done_buckets()
+        pending = [b for b in range(self.cfg.n_buckets) if b not in done]
+        attempt = 1 if not done else 2
+        groups = [
+            pending[i : i + self.cfg.buckets_per_commit]
+            for i in range(0, len(pending), self.cfg.buckets_per_commit)
+        ]
+        for gi, group in enumerate(groups):
+            if fail_after_groups is not None and gi >= fail_after_groups:
+                raise RuntimeError(f"simulated crash before group {gi}")
+            self._process_group(group, attempt)
+        return self.summary()
+
+    def summary(self) -> dict:
+        recs = []
+        for b in sorted(self.done_buckets()):
+            with open(self._record_path(b)) as f:
+                recs.append(json.load(f))
+        return {
+            "run_id": self.cfg.run_id,
+            "buckets_done": len(recs),
+            "n_buckets": self.cfg.n_buckets,
+            "n_docs": sum(r["n_docs"] for r in recs),
+            "n_spans_in": sum(r["n_spans_in"] for r in recs),
+            "n_spans_out": sum(r["n_spans_out"] for r in recs),
+            "parse_failures": sum(r["parse_failures"] for r in recs),
+        }
+
+    def output(self) -> DataFrame:
+        return self.spark.read.parquet(self.out)

@@ -1,0 +1,81 @@
+"""T1-T5: checkpoint-resumable runs — crash mid-run, resume, output
+identical to a single-shot run with no duplicates."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.pipeline.runner import ExtractionRun, RunConfig
+from ocr_spark.sources.synth import synthesize_spans
+
+
+@pytest.fixture()
+def docs(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return synthesize_spans(d)
+
+
+def _nested_rows(df):
+    out = []
+    for r in df.collect():
+        spans = tuple((s.kind, s.text, s.media_ref, s.offset) for s in (r.spans or []))
+        out.append((r.doc_id, spans))
+    return sorted(out)
+
+
+def test_single_shot_run(spark, docs, tmp_path):
+    run = ExtractionRun(spark, docs, str(tmp_path / "out"), RunConfig("r1", n_buckets=8))
+    s = run.run()
+    assert s["buckets_done"] == 8
+    assert s["n_docs"] == 500
+    assert s["parse_failures"] == 0
+    out = run.output()
+    assert out.select("doc_id").distinct().count() == 500
+
+
+def test_crash_and_resume_equals_single_shot(spark, docs, tmp_path):
+    ref = ExtractionRun(spark, docs, str(tmp_path / "ref"), RunConfig("ref", n_buckets=8))
+    ref.run()
+    expected = _nested_rows(ref.output().drop("bucket"))
+
+    run = ExtractionRun(
+        spark, docs, str(tmp_path / "out"),
+        RunConfig("r2", n_buckets=8, buckets_per_commit=2),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run.run(fail_after_groups=2)
+    assert len(run.done_buckets()) == 4  # two groups of two committed
+
+    s = run.run()  # resume
+    assert s["buckets_done"] == 8
+    got = _nested_rows(run.output().drop("bucket"))
+    assert got == expected
+    # no duplicate docs
+    assert run.output().groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_resume_is_noop_when_done(spark, docs, tmp_path):
+    run = ExtractionRun(spark, docs, str(tmp_path / "out"), RunConfig("r3", n_buckets=4))
+    run.run()
+    recs_before = {
+        b: json.load(open(run._record_path(b))) for b in run.done_buckets()
+    }
+    run.run()  # all buckets recorded -> nothing reprocessed
+    recs_after = {
+        b: json.load(open(run._record_path(b))) for b in run.done_buckets()
+    }
+    assert recs_before == recs_after
+
+
+def test_lineage_metrics_consistency(spark, docs, tmp_path):
+    run = ExtractionRun(spark, docs, str(tmp_path / "out"), RunConfig("r4", n_buckets=4))
+    s = run.run()
+    out = run.output()
+    n_spans_out = out.select(F.explode("spans")).count()
+    assert s["n_spans_out"] == n_spans_out
+    assert s["n_spans_in"] >= s["n_spans_out"]
+    assert os.path.exists(f"{tmp_path}/out/_lineage/r4/manifest.json")
