@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.functions import dedup as ded
+from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import multimodal as mm
 from ocr_spark.functions import similarity as sim
 from ocr_spark.functions import text as txt
@@ -188,6 +189,52 @@ def _edit_update_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# LLM-response parsing demo (P4/P5): fake responses derived from docs
+# ---------------------------------------------------------------------------
+
+_RESP_CASES_SPARK = (
+    "CASE CAST(doc_id % 4 AS INT)"
+    " WHEN 0 THEN concat('{\"a\": \"', lang, '\", \"n\": ', CAST(doc_id AS STRING), '}')"
+    " WHEN 1 THEN concat('```json', chr(10), '{\"a\": \"', source, '\"}', chr(10), '```')"
+    " WHEN 2 THEN concat('noise {\"a\": \"', lang, '\"} trailing')"
+    " ELSE 'no json here' END"
+)
+
+_RESP_CASES_SQL = (
+    "CASE CAST(doc_id % 4 AS INT)"
+    " WHEN 0 THEN '{\"a\": \"' || lang || '\", \"n\": ' || CAST(doc_id AS VARCHAR) || '}'"
+    " WHEN 1 THEN '```json' || chr(10) || '{\"a\": \"' || source || '\"}' || chr(10) || '```'"
+    " WHEN 2 THEN 'noise {\"a\": \"' || lang || '\"} trailing'"
+    " ELSE 'no json here' END"
+)
+
+
+def _llm_parse_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id", f"{_RESP_CASES_SPARK} AS response"
+    )
+    body = lp.json_candidate(F.col("response"))
+    return docs.select(
+        "doc_id",
+        body.isNotNull().alias("parsed"),
+        lp.extract_field(body, "a").alias("a"),
+        lp.extract_field(body, "n").alias("n"),
+    )
+
+
+def _llm_parse_sql() -> str:
+    body = lp.json_candidate_sql("response")
+    return f"""
+      SELECT doc_id, ({body}) IS NOT NULL AS parsed,
+             {lp.extract_field_sql(body, 'a')} AS a,
+             {lp.extract_field_sql(body, 'n')} AS n
+      FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {_RESP_CASES_SQL} AS response
+            FROM documents)
+    """
+
+
+# ---------------------------------------------------------------------------
 # extraction oracles
 # ---------------------------------------------------------------------------
 
@@ -299,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- validation & normalization (F1-F9, A1)
         "validate_normalize": _validated_spark,
         "run_summary": lambda s, d: run_summary(_validated_spark(s, d)),
+        # --- LLM-response parsing (P4/P5)
+        "llm_response_parse": _llm_parse_spark,
         # --- results-table semantics (J1, J3, J4, R5)
         "results_upsert": _upsert_spark,
         "edit_update": _edit_update_spark,
@@ -347,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
                    AS warnings_count
           FROM ({_validated_sql()})
         """,
+        "llm_response_parse": _llm_parse_sql(),
         "results_upsert": _upsert_sql(),
         "edit_update": _edit_update_sql(),
         "split_pages": pg.split_pages_sql(),

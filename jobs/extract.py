@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the extraction pipeline (north rule:
+``spark-submit --py-files dist/ocr_spark.zip jobs/extract.py ...``).
+
+Reads an interleaved span table (or a flat documents table with
+--synthesize), runs the checkpoint-resumable bucketed extraction, and
+writes partitioned parquet + per-bucket lineage. Re-invoking with the
+same --run-id resumes: only uncommitted buckets are processed.
+
+Example:
+  spark-submit --py-files dist/ocr_spark.zip jobs/extract.py \\
+    --input /data/documents.parquet --synthesize \\
+    --output /out/extracted --run-id run-001 --buckets 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="input parquet path")
+    ap.add_argument("--output", required=True, help="output table dir")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--buckets-per-commit", type=int, default=4)
+    ap.add_argument(
+        "--synthesize",
+        action="store_true",
+        help="input is a flat documents table; derive the span table",
+    )
+    ap.add_argument("--master", default=None, help="override master URL")
+    args = ap.parse_args()
+
+    from ocr_spark.pipeline.runner import ExtractionRun, RunConfig
+    from ocr_spark.pipeline.session import get_spark
+    from ocr_spark.sources.synth import synthesize_spans
+
+    spark = get_spark(args.master, app_name=f"ocr_spark_extract_{args.run_id}")
+    docs = spark.read.parquet(args.input)
+    if args.synthesize:
+        docs = synthesize_spans(docs)
+    run = ExtractionRun(
+        spark,
+        docs,
+        args.output,
+        RunConfig(
+            run_id=args.run_id,
+            n_buckets=args.buckets,
+            buckets_per_commit=args.buckets_per_commit,
+        ),
+    )
+    summary = run.run()
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""North-rule submission path: the job runs under real spark-submit
+with the package shipped via --py-files."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build_zip(dest: str) -> str:
+    zpath = os.path.join(dest, "ocr_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "ocr_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+@pytest.mark.slow
+def test_spark_submit_extract_job(tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    zpath = _build_zip(str(tmp_path))
+    out = str(tmp_path / "out")
+    cmd = [
+        spark_submit,
+        "--master", "local[4]",
+        "--py-files", zpath,
+        os.path.join(REPO, "jobs", "extract.py"),
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--synthesize",
+        "--output", out,
+        "--run-id", "submit-test",
+        "--buckets", "4",
+    ]
+    env = {**os.environ, "PYTHONPATH": ""}  # package must come from --py-files
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
+    assert res.returncode == 0, res.stderr[-3000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["buckets_done"] == 4
+    assert summary["n_docs"] == 500
+    assert os.path.isdir(out)
