@@ -123,20 +123,25 @@ def _number_cols(c: Column) -> tuple[Column, Column]:
 
 
 def _date_cols(c: Column) -> tuple[Column, Column]:
-    """(normalized 'YYYY-MM-DD' string, failed) via ordered patterns (F5)."""
-    result = F.lit(None).cast("string")
-    # build a COALESCE over patterns in priority order
+    """(normalized 'YYYY-MM-DD' string, failed) via ordered patterns (F5).
+
+    Every reference pattern is fixed-width (10 chars, literal
+    separators), so one regexp_extract of the WHOLE first match plus
+    substring slicing replaces three per-group regex evaluations —
+    ~3x fewer regex ops on the hot path, identical results."""
     branches = []
     for pattern, year_first in DATE_PATTERNS:
-        g1 = F.regexp_extract(c, pattern, 1)
-        g2 = F.regexp_extract(c, pattern, 2)
-        g3 = F.regexp_extract(c, pattern, 3)
-        hit = g1 != ""
-        norm = (
-            F.concat_ws("-", g1, g2, g3) if year_first else F.concat_ws("-", g3, g2, g1)
-        )
-        branches.append(F.when(hit, norm))
-    result = F.coalesce(*[b.otherwise(F.lit(None)) for b in branches])
+        m = F.regexp_extract(c, pattern, 0)
+        if year_first:  # yyyy?MM?dd
+            norm = F.concat_ws(
+                "-", F.substring(m, 1, 4), F.substring(m, 6, 2), F.substring(m, 9, 2)
+            )
+        else:  # dd?MM?yyyy
+            norm = F.concat_ws(
+                "-", F.substring(m, 7, 4), F.substring(m, 4, 2), F.substring(m, 1, 2)
+            )
+        branches.append(F.when(m != "", norm).otherwise(F.lit(None)))
+    result = F.coalesce(*branches)
     return result, result.isNull()
 
 
