@@ -188,6 +188,87 @@ def _edit_update_sql() -> str:
     return res.edit_update_sql(target, updates, "token", ["f1", "f2"], passthrough=[])
 
 
+def _run_summary_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 with float-determinism hardening: a parallel double sum is
+    order-dependent, so the average is computed from exact integer
+    centi-confidences (confidence is always a multiple of 0.05)."""
+    v = _validated_spark(spark, sf_dir)
+    return v.agg(
+        F.count("*").alias("total_files"),
+        (
+            F.sum(F.round(F.col("confidence") * 100).cast("long"))
+            / (F.lit(100.0) * F.count("*"))
+        ).alias("average_confidence"),
+        F.sum(F.when(F.col("n_warnings") > 0, 1).otherwise(0)).alias("warnings_count"),
+    )
+
+
+def _event_windows_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation (the batch face of the
+    streaming op). value sums use exact integer cents so parallel
+    summation order cannot perturb the result."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+def _event_windows_sql() -> str:
+    return """
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+      FROM events GROUP BY 1, 2
+    """
+
+
+def _doc_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join the per-doc quality scores back onto document
+    dimensions and aggregate by (source, lang)."""
+    docs = _read(spark, sf_dir, "documents")
+    q = txt.quality_score(docs)
+    dims = docs.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "source", "lang")
+    return (
+        q.join(F.broadcast(dims), "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars_obs").alias("total_chars"),
+            (
+                F.sum(F.round(F.col("quality") * 1000000).cast("long"))
+                / (F.lit(1000000.0) * F.count("*"))
+            ).alias("avg_quality"),
+        )
+    )
+
+
+def _doc_stats_sql() -> str:
+    return f"""
+      SELECT d.source, d.lang, count(*) AS n_docs,
+             CAST(sum(q.n_chars_obs) AS BIGINT) AS total_chars,
+             CAST(sum(CAST(round(q.quality * 1000000) AS BIGINT)) AS DOUBLE)
+               / (1000000.0 * count(*)) AS avg_quality
+      FROM ({txt.quality_score_sql()}) q
+      JOIN documents d ON q.doc_id = d.doc_id
+      GROUP BY 1, 2
+    """
+
+
 # ---------------------------------------------------------------------------
 # LLM-response parsing demo (P4/P5): fake responses derived from docs
 # ---------------------------------------------------------------------------
@@ -345,7 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").alias("n")),
         # --- validation & normalization (F1-F9, A1)
         "validate_normalize": _validated_spark,
-        "run_summary": lambda s, d: run_summary(_validated_spark(s, d)),
+        "run_summary": _run_summary_spark,
         # --- LLM-response parsing (P4/P5)
         "llm_response_parse": _llm_parse_spark,
         # --- results-table semantics (J1, J3, J4, R5)
@@ -366,6 +447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": lambda s, d: ded.minhash_lsh_pairs(_read(s, d, "documents")),
         "simhash": lambda s, d: ded.simhash(_read(s, d, "documents")),
         "ngram_jaccard_pairs": lambda s, d: ded.ngram_jaccard_pairs(_read(s, d, "documents")),
+        "dup_clusters": lambda s, d: ded.dup_clusters(_read(s, d, "documents")),
+        # --- windowed aggregation + dimensional stats
+        "event_window_counts": _event_windows_spark,
+        "doc_stats_by_source": _doc_stats_spark,
         # --- multimodal plumbing (binary media + typed metadata)
         "media_table": lambda s, d: mm.synthesize_media(_read(s, d, "documents"))
         .select("media_ref", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")),
@@ -391,7 +476,8 @@ def oracle_sql() -> dict[str, str]:
         "validate_normalize": _validated_sql(),
         "run_summary": f"""
           SELECT count(*) AS total_files,
-                 avg(confidence) AS average_confidence,
+                 CAST(sum(CAST(round(confidence * 100) AS BIGINT)) AS DOUBLE)
+                   / (100.0 * count(*)) AS average_confidence,
                  CAST(sum(CASE WHEN n_warnings > 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS warnings_count
           FROM ({_validated_sql()})
@@ -411,6 +497,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": ded.minhash_lsh_pairs_sql(),
         "simhash": ded.simhash_sql(),
         "ngram_jaccard_pairs": ded.ngram_jaccard_pairs_sql(),
+        "dup_clusters": ded.dup_clusters_sql(),
+        "event_window_counts": _event_windows_sql(),
+        "doc_stats_by_source": _doc_stats_sql(),
         "media_table": (
             "SELECT media_ref, width, height FROM ("
             + mm.synthesize_media_sql()

@@ -283,6 +283,72 @@ def ngram_jaccard_pairs(docs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2) -
     )
 
 
+def dup_clusters(docs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2) -> DataFrame:
+    """(doc_id, cluster_rep): connected components over the verified
+    near-duplicate pair graph — min-label propagation iterated to a
+    fixpoint (the distributed union-find for dedup group selection;
+    keep rep = lowest doc_id, drop the rest).
+
+    The driver loop converges in O(component diameter) joins; dup
+    components are tiny in practice, and each iteration is one
+    doc_id-keyed shuffle. Only docs that appear in >=1 pair are
+    emitted (singletons are trivially their own cluster)."""
+    edges = ngram_jaccard_pairs(docs, w, tau).select("doc_a", "doc_b")
+    bidir = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        bidir.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    while True:
+        nbr_min = (
+            bidir.join(labels, bidir.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    bidir.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+def dup_clusters_sql(table: str = "documents", w: int = SHINGLE_W, tau: float = 0.2) -> str:
+    pairs = ngram_jaccard_pairs_sql(table, w, tau)
+    return f"""
+      WITH RECURSIVE pairs AS ({pairs}),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM verts
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+      )
+      SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY doc_id
+    """
+
+
 def ngram_jaccard_pairs_sql(table: str = "documents", w: int = SHINGLE_W, tau: float = 0.2) -> str:
     j = "(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared))"
     return f"""

@@ -176,3 +176,23 @@ def test_embedding_near_dups(emb, con):
         con,
         similarity.embedding_near_dups_sql(tau=0.5),
     )
+
+
+def test_dup_clusters_transitive(spark):
+    import pandas as pd
+
+    words = [f"w{i:02d}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words[:39] + ["X"])  # near a
+    c = " ".join(["Y"] + words[1:])  # near a (and b transitively)
+    far = " ".join(f"z{i:02d}" for i in range(40))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11, 12, 13], "text": [a, b, c, far]})
+    )
+    out = {r.doc_id: r.cluster_rep for r in dedup.dup_clusters(df, tau=0.5).collect()}
+    # a,b,c form one component with rep = min doc_id = 10; far absent
+    assert out == {10: 10, 11: 10, 12: 10}
+
+
+def test_dup_clusters_matches_oracle(docs, con):
+    assert_same(dedup.dup_clusters(docs), con, dedup.dup_clusters_sql())
