@@ -123,7 +123,11 @@ def _validated_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = validate_fields(raw, VALIDATE_SCHEMA, keep=["o_orderkey"]).drop("warnings")
     # a NULL double round-trips as None in Spark but NaN through
     # pandas/DuckDB — sentinel it out of the exported surface
-    return out.withColumn("amount_num", F.coalesce(F.col("amount_num"), F.lit(-1.0)))
+    out = out.withColumn("amount_num", F.coalesce(F.col("amount_num"), F.lit(-1.0)))
+    # F9: display string (/root/reference/webapp/results.py:56)
+    return out.withColumn(
+        "confidence_pct", F.format_string("%.1f%%", F.col("confidence") * 100)
+    )
 
 
 def _validated_sql() -> str:
@@ -134,8 +138,9 @@ def _validated_sql() -> str:
         keep=["o_orderkey"],
     )
     return (
-        "SELECT * REPLACE (coalesce(amount_num, CAST(-1.0 AS DOUBLE)) AS amount_num) "
-        f"FROM ({inner})"
+        "SELECT *, printf('%.1f%%', confidence * 100) AS confidence_pct "
+        "FROM (SELECT * REPLACE (coalesce(amount_num, CAST(-1.0 AS DOUBLE)) "
+        f"AS amount_num) FROM ({inner}))"
     )
 
 

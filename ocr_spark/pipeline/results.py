@@ -94,6 +94,13 @@ def edit_update_sql(
     """
 
 
+def latest_row(df: DataFrame, order_col: str = "run_ts") -> DataFrame:
+    """O3: the single newest row (UI 'latestRow',
+    /root/reference/webapp/jobs.py:264-267) — max_by over the run
+    ordering; ties broken by the token for determinism."""
+    return df.orderBy(F.desc(order_col), *df.columns).limit(1)
+
+
 def with_run_meta(df: DataFrame, **meta: str | int | float) -> DataFrame:
     """A3: run-level constant columns (schema_version, engine, langs...)
     (/root/reference/webapp/results.py:77-88)."""

@@ -1,0 +1,46 @@
+"""Sources (SURVEY.md S1/S2): table + file-tree readers.
+
+The reference's ingestion is a recursive directory walk plus a glob
+filter (/root/reference/pipeline.py:82-95,509-515; dup
+/root/reference/cli.py:16-21). The Spark equivalents are read options
+— ``recursiveFileLookup`` and ``pathGlobFilter`` — which push the
+filter into file listing (no data is touched for excluded files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ocr_spark.schema import DOC_SCHEMA
+
+
+def read_span_table(spark: SparkSession, path: str) -> DataFrame:
+    """The canonical input: (doc_id, spans) parquet/Iceberg table."""
+    return spark.read.schema(DOC_SCHEMA).parquet(path)
+
+
+def read_file_tree(
+    spark: SparkSession,
+    root: str,
+    fmt: str = "parquet",
+    glob: str | None = None,
+    schema=None,
+) -> DataFrame:
+    """S1+S2: recursive scan of a directory tree with an optional glob
+    (e.g. ``*.parquet``) applied at listing time."""
+    reader = spark.read.format(fmt).option("recursiveFileLookup", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(root)
+
+
+def read_binary_files(spark: SparkSession, root: str, glob: str | None = None) -> DataFrame:
+    """Raw-bytes ingestion (path, modificationTime, length, content) —
+    the cluster-scale answer to the reference's upload endpoint (S3):
+    files land in object storage and are scanned as binary rows."""
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(root)

@@ -98,3 +98,22 @@ def test_truncation_equivalence(spark):
     p = _rows(extract_main_content(df, engine="pandas"))
     assert a == p
     assert any(r[1] == "__truncated__" for r in a)
+
+
+def test_weight_partition_preserves_content(spark, hostile_docs):
+    from ocr_spark.pipeline.extract import weight_partition
+
+    wp = weight_partition(hostile_docs, 8)
+    assert wp.columns == hostile_docs.columns
+    assert _nested_rows(wp) == _nested_rows(hostile_docs)
+    # heaviest-first within each partition
+    from pyspark.sql import functions as F
+
+    sizes = wp.select(
+        F.spark_partition_id().alias("pid"), F.size("spans").alias("n")
+    ).collect()
+    by_pid: dict = {}
+    for r in sizes:
+        by_pid.setdefault(r.pid, []).append(r.n)
+    for pid, ns in by_pid.items():
+        assert ns == sorted(ns, reverse=True), f"partition {pid} not heaviest-first"

@@ -120,3 +120,32 @@ def test_edit_update(spark):
     # matched row takes the edit; null update fields keep the original;
     # unmatched update token ('zz') is ignored; row count unchanged.
     assert rows == {"a": ("x", "1"), "b": ("EDITED", "2"), "c": ("z", "3")}
+
+
+def test_latest_row(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"token": ["a", "b", "c"], "run_ts": [1, 3, 2], "v": ["x", "y", "z"]})
+    )
+    rows = results.latest_row(df).collect()
+    assert len(rows) == 1 and rows[0].token == "b"
+
+
+def test_read_file_tree_glob(spark, tmp_path):
+    from ocr_spark.sources.read import read_file_tree
+
+    sub = tmp_path / "nested" / "deep"
+    sub.mkdir(parents=True)
+    df = spark.createDataFrame(pd.DataFrame({"a": [1, 2]}))
+    df.write.parquet(str(sub / "keep.parquet"))
+    df.write.json(str(tmp_path / "nested" / "skip.json"))
+    out = read_file_tree(spark, str(tmp_path), glob="*.parquet")
+    assert out.count() == 2
+
+
+def test_read_binary_files(spark, tmp_path):
+    from ocr_spark.sources.read import read_binary_files
+
+    (tmp_path / "x.bin").write_bytes(b"hello")
+    (tmp_path / "y.txt").write_bytes(b"nope")
+    out = read_binary_files(spark, str(tmp_path), glob="*.bin").collect()
+    assert len(out) == 1 and bytes(out[0].content) == b"hello"
