@@ -34,6 +34,7 @@ from ocr_spark.pipeline.extract import (
 )
 from ocr_spark.pipeline.validate import (
     FieldSpec,
+    bhxh_schema,
     run_summary,
     validate_fields,
     validate_sql,
@@ -141,6 +142,87 @@ def _validated_sql() -> str:
         "SELECT *, printf('%.1f%%', confidence * 100) AS confidence_pct "
         "FROM (SELECT * REPLACE (coalesce(amount_num, CAST(-1.0 AS DOUBLE)) "
         f"AS amount_num) FROM ({inner}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BHXH production schema (the reference's own 13-field extraction
+# schema, /root/reference/config.py:1-89) driven end-to-end through
+# the validator over fields derived deterministically from `customer`
+# ---------------------------------------------------------------------------
+
+
+def _bhxh_raw_exprs(cast: str, pad) -> dict[str, str]:
+    """Shared field derivations; ``cast``/``pad`` adapt dialects."""
+    k = "c_custkey"
+    yy = f"({pad(f'1950 + {k} % 50', 4)})"
+    mm = f"({pad(f'{k} % 12 + 1', 2)})"
+    dd = f"({pad(f'{k} % 28 + 1', 2)})"
+    m2 = f"({pad(f'{k} % 12 + 1', 2)})"
+    d2 = f"({pad(f'{k} % 28 + 1', 2)})"
+    return {
+        "so_seri": f"'SER' || {pad(f'{k} % 100000', 5)}",
+        "so_ho_so": f"CASE WHEN {k} % 7 = 0 THEN NULL ELSE 'HS' || {cast(k)} END",
+        "ten_co_so_kcb": f"CASE WHEN {k} % 11 = 0 THEN '' ELSE 'BV ' || c_mktsegment END",
+        "ho_ten_nguoi_benh": "c_name",
+        "ngay_sinh": (
+            f"CASE {cast(f'{k} % 3')} WHEN '0' THEN {yy} || '-' || {mm} || '-' || {dd} "
+            f"WHEN '1' THEN {dd} || '/' || {mm} || '/' || {yy} "
+            f"ELSE 'khoảng ' || {yy} END"
+        ),
+        "ma_so_bhxh": (
+            f"CASE WHEN {k} % 5 = 0 THEN {pad(k, 9)} ELSE {pad(k, 10)} END"
+        ),
+        "gioi_tinh": (
+            f"CASE WHEN {k} % 13 = 0 THEN 'Khác' "
+            f"WHEN {k} % 2 = 0 THEN 'Nam' ELSE 'Nữ' END"
+        ),
+        "don_vi_lam_viec": (
+            f"CASE WHEN {k} % 2 = 0 THEN NULL ELSE 'Cty ' || {cast('c_nationkey')} END"
+        ),
+        "chan_doan": f"'dx-' || {cast(f'{k} % 20')}",
+        "so_ngay_nghi": (
+            f"CASE {cast(f'{k} % 6')} WHEN '0' THEN {cast(f'{k} % 30')} "
+            f"WHEN '1' THEN {cast(f'{k} % 30')} || ',5' "
+            f"WHEN '2' THEN 'N/A' WHEN '3' THEN 'x ngày' "
+            f"ELSE {cast(f'{k} % 30')} END"
+        ),
+        "tu_ngay": f"{d2} || '-' || {m2} || '-2023'",
+        "den_ngay": f"'2023/' || {m2} || '/' || {d2}",
+        "ngay_cap": (
+            f"CASE WHEN {k} % 4 = 0 THEN NULL "
+            f"ELSE '2023-' || {m2} || '-' || {d2} END"
+        ),
+    }
+
+
+def _bhxh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cast = lambda x: f"CAST({x} AS STRING)"
+    pad = lambda x, n: f"lpad(CAST({x} AS STRING), {n}, '0')"
+    raw = _bhxh_raw_exprs(cast, pad)
+    cust = _read(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", *[f"{e} AS {n}" for n, e in raw.items()]
+    )
+    out = validate_fields(cust, bhxh_schema(), keep=["c_custkey"]).drop("warnings")
+    return out.withColumn(
+        "so_ngay_nghi_num", F.coalesce(F.col("so_ngay_nghi_num"), F.lit(-1.0))
+    )
+
+
+def _bhxh_sql() -> str:
+    cast = lambda x: f"CAST({x} AS VARCHAR)"
+    pad = lambda x, n: f"lpad(CAST({x} AS VARCHAR), {n}, '0')"
+    raw = _bhxh_raw_exprs(cast, pad)
+    derived = "SELECT c_custkey, " + ", ".join(
+        f"{e} AS {n}" for n, e in raw.items()
+    ) + " FROM customer"
+    inner = validate_sql(
+        bhxh_schema(), f"({derived})", raw={n: n for n in bhxh_schema()},
+        keep=["c_custkey"],
+    )
+    return (
+        "SELECT * REPLACE (coalesce(so_ngay_nghi_num, CAST(-1.0 AS DOUBLE)) "
+        f"AS so_ngay_nghi_num) FROM ({inner})"
     )
 
 
@@ -431,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").alias("n")),
         # --- validation & normalization (F1-F9, A1)
         "validate_normalize": _validated_spark,
+        "validate_bhxh_schema": _bhxh_spark,
         "run_summary": _run_summary_spark,
         # --- LLM-response parsing (P4/P5)
         "llm_response_parse": _llm_parse_spark,
@@ -479,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
         "media_linking": _media_sql(),
         "span_kind_histogram": _kind_hist_sql(),
         "validate_normalize": _validated_sql(),
+        "validate_bhxh_schema": _bhxh_sql(),
         "run_summary": f"""
           SELECT count(*) AS total_files,
                  CAST(sum(CAST(round(confidence * 100) AS BIGINT)) AS DOUBLE)

@@ -77,6 +77,39 @@ _ARROW_TWIN = {
     doc_metrics: ak.metrics_batch,
 }
 
+# Memory bound for one kernel invocation: Arrow caps batch ROWS
+# (maxRecordsPerBatch), but a row is a whole document — a batch of
+# 512 giant docs (20k spans each) would still be ~10M spans. Batches
+# are re-sliced so one kernel call sees at most this many spans
+# (slicing at row boundaries keeps docs atomic; zero-copy).
+MAX_SPANS_PER_KERNEL_CALL = 262_144
+
+
+def _subslice_batches(batches, max_spans: int):
+    """Yield zero-copy row-slices of each RecordBatch such that every
+    slice holds <= max_spans total spans (single giant docs still go
+    through alone — the kernel is linear in spans, so one doc is the
+    floor)."""
+    import pyarrow.compute as pc
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        lens = pc.fill_null(pc.list_value_length(b.column("spans")), 0).to_numpy(
+            zero_copy_only=False
+        )
+        if lens.sum() <= max_spans:
+            yield b
+            continue
+        start, acc = 0, 0
+        for i, n in enumerate(lens):
+            if acc + n > max_spans and i > start:
+                yield b.slice(start, i - start)
+                start, acc = i, 0
+            acc += int(n)
+        if start < b.num_rows:
+            yield b.slice(start, b.num_rows - start)
+
 
 def _run_kernel(
     df: DataFrame,
@@ -92,9 +125,8 @@ def _run_kernel(
         afn = _ARROW_TWIN[fn]
 
         def apply_arrow(batches):
-            for b in batches:
-                if b.num_rows:
-                    yield afn(b, cfg)
+            for b in _subslice_batches(batches, MAX_SPANS_PER_KERNEL_CALL):
+                yield afn(b, cfg)
 
         return df.mapInArrow(apply_arrow, schema=schema)
 

@@ -1,0 +1,115 @@
+"""Stateful page assembly: the Structured-Streaming re-expression of
+the reference's incremental split-job protocol
+(/root/reference/webapp/jobs.py:139-283).
+
+The reference pushes one page at a time through a cursor and merges
+each result into shared state under a lock until the document is
+complete. Here, pages arrive as a stream in ANY order across ANY
+number of micro-batches; per-doc state (keyed by doc_id, hash-
+partitioned -> uniform state distribution) accumulates pages and the
+completed document is emitted exactly once, pages re-ordered by
+page_number. Duplicate page deliveries are ignored (at-least-once
+upstream -> exactly-once assembly), mirroring finalize's dedup-by-
+token (jobs.py:221-224).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ASSEMBLE_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_pages", IntegerType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+ASSEMBLE_STATE_SCHEMA = StructType(
+    [
+        StructField("page_numbers", ArrayType(IntegerType()), True),
+        StructField("texts", ArrayType(StringType()), True),
+        StructField("done", BooleanType(), True),
+    ]
+)
+
+
+def _assemble(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        nums, texts, done = state.get
+        nums, texts = list(nums), list(texts)
+    else:
+        nums, texts, done = [], [], False
+    if done:
+        return  # late duplicate pages after completion: ignored
+    total = None
+    seen = set(nums)
+    for pdf in pdfs:
+        for r in pdf.itertuples():
+            total = int(r.total_pages)
+            p = int(r.page_number)
+            if p in seen:
+                continue  # duplicate delivery
+            seen.add(p)
+            nums.append(p)
+            texts.append(r.page_text)
+    if total is not None and len(nums) >= total:
+        order = sorted(range(len(nums)), key=lambda i: nums[i])
+        full = " ".join(texts[i] for i in order)
+        state.update(([], [], True))
+        yield pd.DataFrame(
+            {"doc_id": [key[0]], "n_pages": [len(nums)], "text": [full]}
+        )
+    else:
+        state.update((nums, texts, False))
+
+
+def assemble_docs_stream(pages: DataFrame) -> DataFrame:
+    """Streaming (doc_id, page_number, total_pages, page_text) ->
+    completed (doc_id, n_pages, text), one row per doc, exactly once."""
+    keyed = pages.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("page_number").cast("int"),
+        F.col("total_pages").cast("int"),
+        "page_text",
+    )
+    return keyed.groupBy("doc_id").applyInPandasWithState(
+        _assemble,
+        outputStructType=ASSEMBLE_OUT_SCHEMA,
+        stateStructType=ASSEMBLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_assemble_stream(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
+):
+    schema = spark.read.parquet(input_dir).schema
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        assemble_docs_stream(src)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

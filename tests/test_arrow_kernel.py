@@ -117,3 +117,21 @@ def test_weight_partition_preserves_content(spark, hostile_docs):
         by_pid.setdefault(r.pid, []).append(r.n)
     for pid, ns in by_pid.items():
         assert ns == sorted(ns, reverse=True), f"partition {pid} not heaviest-first"
+
+
+def test_subslice_batches_identical_results(spark, hostile_docs):
+    """Memory-bounding sub-slices must not change any output — incl.
+    sliced-ListArray flatten handling inside the kernel."""
+    from unittest.mock import patch
+
+    import ocr_spark.pipeline.extract as px
+
+    full = _nested_rows(extract_documents(hostile_docs, engine="arrow"))
+    with patch.object(px, "MAX_SPANS_PER_KERNEL_CALL", 64):
+        sliced = _nested_rows(extract_documents(hostile_docs, engine="arrow"))
+    assert sliced == full
+
+    flat_full = _rows(classify_spans(hostile_docs, engine="arrow"))
+    with patch.object(px, "MAX_SPANS_PER_KERNEL_CALL", 64):
+        flat_sliced = _rows(classify_spans(hostile_docs, engine="arrow"))
+    assert flat_sliced == flat_full
