@@ -1,0 +1,73 @@
+"""Physical-plan shape assertions: the optimizer must produce the
+plan we designed for, not merely a correct one (SURVEY §4):
+
+- flagship extraction: shuffle-free (no Exchange), scan prunes to the
+  two needed columns;
+- filters reach the parquet scan (PushedFilters);
+- small dimension joins broadcast;
+- dedup aggregates partial (map-side combine) before their shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.dedup import simhash
+from ocr_spark.functions.text import quality_score
+from ocr_spark.pipeline.extract import extract_main_content
+from ocr_spark.sources.synth import synthesize_spans
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_extraction_is_shuffle_free(docs):
+    plan = _plan(extract_main_content(synthesize_spans(docs)))
+    assert "Exchange" not in plan, plan
+    assert "MapInArrow" in plan
+
+
+def test_extraction_scan_prunes_columns(docs):
+    plan = _plan(extract_main_content(synthesize_spans(docs)))
+    # only doc_id + text may be read from parquet
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(docs):
+    df = docs.where(F.col("lang") == "en").select("doc_id")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
+
+
+def test_dimension_join_broadcasts(docs):
+    q = quality_score(docs)
+    dims = docs.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "source")
+    joined = q.join(F.broadcast(dims), "doc_id").groupBy("source").count()
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_simhash_partial_aggregation(docs):
+    plan = _plan(simhash(docs))
+    # one shuffle keyed on doc_id with a partial_ aggregate before it
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_whole_stage_codegen_covers_scalar_path(docs):
+    plan = _plan(quality_score(docs))
+    assert "codegen id" in plan, plan  # codegen'd stages present
+    assert "Exchange" not in plan, plan  # pure per-row exprs: no shuffle
