@@ -515,8 +515,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_normalize": _validated_spark,
         "validate_bhxh_schema": _bhxh_spark,
         "run_summary": _run_summary_spark,
-        # --- LLM-response parsing (P4/P5)
+        # --- LLM-response parsing (P4/P5) + JSON column access
         "llm_response_parse": _llm_parse_spark,
+        "event_props_extract": lambda s, d: _read(s, d, "events").select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        ),
         # --- results-table semantics (J1, J3, J4, R5)
         "results_upsert": _upsert_spark,
         "edit_update": _edit_update_spark,
@@ -572,6 +576,10 @@ def oracle_sql() -> dict[str, str]:
           FROM ({_validated_sql()})
         """,
         "llm_response_parse": _llm_parse_sql(),
+        "event_props_extract": (
+            "SELECT CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"
+        ),
         "results_upsert": _upsert_sql(),
         "edit_update": _edit_update_sql(),
         "split_pages": pg.split_pages_sql(),
