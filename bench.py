@@ -185,7 +185,7 @@ def _hw_parallel_speedup(lo: int, hi: int) -> float:
     return rates[hi] / rates[lo]
 
 
-def run_scaling(levels=(2, 8), copies: int = 128, trials: int = 2) -> None:
+def run_scaling(levels=(2, 8), copies: int = 128, trials: int = 3) -> None:
     """Same job, same input, two parallelism levels -> efficiency.
 
     The input is repartitioned FLAT (text) before span synthesis — the
@@ -210,8 +210,9 @@ def run_scaling(levels=(2, 8), copies: int = 128, trials: int = 2) -> None:
         spans = synthesize_spans(docs)
         job = lambda: _materialize(extract_main_content(spans))
         job()  # warmup: codegen JIT + python worker pool
-        best = min(_timed(job) for _ in range(trials))
-        results[cores] = {"sec": round(best, 3), "docs_per_sec": round(n / best, 1)}
+        times = sorted(_timed(job) for _ in range(trials))
+        med = times[len(times) // 2]  # median: robust to VM noise at BOTH levels
+        results[cores] = {"sec": round(med, 3), "docs_per_sec": round(n / med, 1)}
         spark.stop()
     lo, hi = min(levels), max(levels)
     ratio = hi / lo
@@ -227,8 +228,12 @@ def run_scaling(levels=(2, 8), copies: int = 128, trials: int = 2) -> None:
                 "n_docs": n,
                 "sf": _sf_label(SF_DIR),
                 "hw_ceiling": round(hw / ratio, 3),
+                "efficiency_vs_hw": round(eff / (hw / ratio), 3),
                 "note": "hw_ceiling = this VM's raw CPU scaling efficiency "
-                f"{lo}->{hi} independent processes (hypervisor bound)",
+                f"{lo}->{hi} independent processes, measured in the same "
+                "window (the hypervisor's delivery fluctuates run to run); "
+                "efficiency_vs_hw = engine scaling relative to what the "
+                "hardware actually offered",
             }
         )
     )

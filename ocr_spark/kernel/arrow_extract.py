@@ -121,6 +121,21 @@ def _sanitize_and_flatten(batch: pa.RecordBatch):
     bad |= text_null & not_picture
 
     offset = _np_int(off_arr, -(1 << 31))
+    empty = lens == 0
+
+    # Fast path (the overwhelmingly common case): no malformed spans
+    # and offsets already strictly increasing within each doc ->
+    # reuse the flattened child arrays ZERO-COPY, no sort, no take.
+    if not bad.any() and len(offset):
+        in_order = (offset[1:] > offset[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+        if in_order.all():
+            malformed = np.zeros(n_docs, dtype=bool)
+            if text.null_count:
+                text = pc.fill_null(text, "")
+            if media.null_count:
+                media = pc.fill_null(media, "")
+            return _Flat(doc_idx, kind, text, media, offset), lens, empty, malformed
+
     order = np.lexsort((offset, doc_idx))
     s_doc, s_off = doc_idx[order], offset[order]
     dup = np.zeros(len(order), dtype=bool)
@@ -133,7 +148,6 @@ def _sanitize_and_flatten(batch: pa.RecordBatch):
     malformed = np.zeros(n_docs, dtype=bool)
     if bad_sorted.any():
         np.logical_or.at(malformed, s_doc[bad_sorted], True)
-    empty = lens == 0
 
     keep = ~malformed[s_doc]
     kept_idx = order[keep]
