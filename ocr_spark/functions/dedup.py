@@ -261,14 +261,18 @@ def ngram_jaccard_pairs(docs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2) -
     Candidate generation = equi-join on the shingle (no n^2); the pair
     aggregate shuffles on (doc_a, doc_b).
     """
+    # join on the 60-bit shingle hash, not the string: ~8x smaller
+    # shuffle payload and integer comparisons. Collisions (~1e-18) are
+    # cross-engine identical (same md5 fold), so the oracle always
+    # agrees even in the astronomically unlikely collision case.
     sh = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.expr(f"array_distinct({shingles_expr(w)})")).alias("sh"),
-    )
+    ).select("doc_id", F.expr(md5_long_expr("sh")).alias("h"))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
     )
@@ -353,13 +357,16 @@ def ngram_jaccard_pairs_sql(table: str = "documents", w: int = SHINGLE_W, tau: f
     j = "(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared))"
     return f"""
       WITH sh AS (
-        SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(list_distinct({shingles_sql(w)})) AS sh
-        FROM {table}
+        SELECT doc_id, {md5_long_sql('sh')} AS h FROM (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 unnest(list_distinct({shingles_sql(w)})) AS sh
+          FROM {table}
+        )
       ),
       counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       shared AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
       )
       SELECT doc_a, doc_b, n_shared, ca.n AS n_a, cb.n AS n_b,
