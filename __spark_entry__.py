@@ -27,11 +27,14 @@ from ocr_spark.functions import similarity as sim
 from ocr_spark.functions import text as txt
 from ocr_spark.pipeline import pages as pg
 from ocr_spark.pipeline import results as res
+from ocr_spark.kernel.extract import DEFAULT_CONFIG
 from ocr_spark.pipeline.extract import (
     classify_spans,
     extract_main_content,
     extraction_metrics,
 )
+
+import dataclasses as _dc
 from ocr_spark.pipeline.validate import (
     FieldSpec,
     bhxh_schema,
@@ -433,6 +436,20 @@ _LINK_TOKENS = ("http://", "https://", "www.", "<a ")
 def _classify_sql() -> str:
     """Annotated parity output: kept flag, per-doc block ids, link
     density — the tag-transition state machine expressed relationally."""
+    return f"""
+      WITH {_classify_base_sql()}
+      SELECT doc_id, kind, text, media_ref, "offset",
+             CAST(kept AS INT) AS kept, block_id, link_density
+      FROM blocked
+    """
+
+
+DENSE_MIN_CHARS = 25
+
+
+def _classify_base_sql() -> str:
+    """feat+blocks CTE body shared by classify/dense/block-stats
+    oracles: per-span features, kept flag, per-doc block ids."""
     hits = " + ".join(
         f"((length(text) - length(replace(text, '{t}', ''))) // {len(t)})"
         for t in _LINK_TOKENS
@@ -453,7 +470,7 @@ def _classify_sql() -> str:
     )
     furniture = "kind IN ('page_header', 'page_footer')"
     return f"""
-      WITH spans AS ({synth_spans_sql()}),
+      spans AS ({synth_spans_sql()}),
       feat AS (
         SELECT doc_id, kind, text, media_ref, "offset",
                {ld} AS link_density,
@@ -468,13 +485,43 @@ def _classify_sql() -> str:
                     WHEN cat = 'header' THEN 1 ELSE 0 END AS new_block
         FROM feat
         WINDOW w AS (PARTITION BY doc_id ORDER BY "offset")
+      ),
+      blocked AS (
+        SELECT *,
+               CAST(sum(new_block) OVER (PARTITION BY doc_id ORDER BY "offset"
+                    ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS block_id
+        FROM blocks
       )
-      SELECT doc_id, kind, text, media_ref, "offset",
-             CAST(kept AS INT) AS kept,
-             CAST(sum(new_block) OVER (PARTITION BY doc_id ORDER BY "offset"
-                  ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS block_id,
-             link_density
-      FROM blocks
+    """
+
+
+def _dense_extract_sql(min_chars: int = DENSE_MIN_CHARS) -> str:
+    return f"""
+      WITH {_classify_base_sql()},
+      sums AS (
+        SELECT *,
+               sum(CASE WHEN kept = 1 AND cat IN ('body', 'list')
+                        THEN length(text) ELSE 0 END)
+                 OVER (PARTITION BY doc_id, block_id) AS bsum
+        FROM blocked
+      )
+      SELECT doc_id, kind, text, media_ref, "offset"
+      FROM sums
+      WHERE kept = 1
+        AND NOT (cat IN ('body', 'list') AND bsum < {min_chars})
+    """
+
+
+def _block_stats_sql() -> str:
+    return f"""
+      WITH {_classify_base_sql()}
+      SELECT doc_id, block_id,
+             count(*) AS n_spans,
+             CAST(sum(CASE WHEN kept = 1 THEN length(text) ELSE 0 END) AS BIGINT)
+               AS kept_chars,
+             CAST(sum(kept) AS BIGINT) AS n_kept
+      FROM blocked
+      GROUP BY doc_id, block_id
     """
 
 
@@ -505,6 +552,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_content": lambda s, d: extract_main_content(_span_docs(s, d)),
         "extraction_metrics": lambda s, d: extraction_metrics(_span_docs(s, d)),
         "classify_spans": lambda s, d: classify_spans(_span_docs(s, d)),
+        "extract_dense_blocks": lambda s, d: extract_main_content(
+            _span_docs(s, d),
+            cfg=_dc.replace(DEFAULT_CONFIG, min_block_chars=DENSE_MIN_CHARS),
+        ),
+        "block_density_stats": lambda s, d: classify_spans(_span_docs(s, d))
+        .groupBy("doc_id", "block_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("kept") == 1, F.length("text")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+            F.sum("kept").cast("long").alias("n_kept"),
+        ),
         "media_linking": lambda s, d: extract_main_content(_span_docs(s, d))
         .where(F.col("kind") == "picture")
         .select("doc_id", "offset", "media_ref"),
@@ -563,6 +623,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_main_content": _extract_sql(),
         "extraction_metrics": _metrics_sql(),
         "classify_spans": _classify_sql(),
+        "extract_dense_blocks": _dense_extract_sql(),
+        "block_density_stats": _block_stats_sql(),
         "media_linking": _media_sql(),
         "span_kind_histogram": _kind_hist_sql(),
         "validate_normalize": _validated_sql(),

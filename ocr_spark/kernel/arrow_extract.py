@@ -246,6 +246,13 @@ def _classify(flat: _Flat, cfg: ExtractConfig):
         cat_change[1:] = cat[1:] != cat[:-1]
     new_block = doc_change | cat_change | (cat == _HEADER_CODE)
     block_id = np.cumsum(new_block)
+    # block-density floor (twin of kernel.extract._classify)
+    if cfg.min_block_chars > 0 and n:
+        body_like = (cat == _CAT_CODE["body"]) | (cat == _CAT_CODE["list"])
+        kept_chars = np.where(kept & body_like & ~marker, n_chars, 0.0)
+        block_sums = np.bincount(block_id, weights=kept_chars)
+        sparse = body_like & (block_sums[block_id] < cfg.min_block_chars)
+        kept = (kept & ~sparse) | marker
     first_of_doc = np.zeros(n, dtype=np.int64)
     first_of_doc[doc_change] = block_id[doc_change]
     block_base = np.maximum.accumulate(first_of_doc)

@@ -59,6 +59,12 @@ class ExtractConfig:
     strip_furniture: bool = True
     # Minimum chars for a bare text span to count as content.
     min_text_chars: int = 0
+    # Block-level text-density floor (the DOM-heuristic main-content
+    # scoring pass): after classification, a content BLOCK whose kept
+    # body text totals fewer chars than this is boilerplate fragment
+    # noise and is dropped whole. 0 disables. Headers/media blocks are
+    # exempt (structure, not prose).
+    min_block_chars: int = 0
     # If False: annotate only (kept flag), drop nothing — parity mode
     # for the north-rule span-sequence-equality fixtures.
     strip: bool = True
@@ -189,6 +195,16 @@ def _classify(flat: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     cat_change = cat.ne(cat.shift()).to_numpy()
     new_block = doc_change | cat_change | (cat == "header").to_numpy()
     block_id = np.cumsum(new_block)
+    # block-density floor: body/list blocks whose kept text totals
+    # fewer than min_block_chars are fragment boilerplate -> dropped
+    # whole (block_id is globally monotone here, so bincount segments
+    # blocks exactly)
+    if cfg.min_block_chars > 0 and len(flat):
+        body_like = cat.isin(("body", "list")).to_numpy()
+        kept_chars = np.where(kept & body_like & ~marker, n_chars, 0.0)
+        block_sums = np.bincount(block_id, weights=kept_chars)
+        sparse = body_like & (block_sums[block_id] < cfg.min_block_chars)
+        kept = (kept & ~sparse) | marker
     # block ids restart per doc
     first_of_doc = np.zeros(len(flat), dtype=np.int64)
     first_of_doc[doc_change] = block_id[doc_change]

@@ -135,3 +135,31 @@ def test_subslice_batches_identical_results(spark, hostile_docs):
     with patch.object(px, "MAX_SPANS_PER_KERNEL_CALL", 64):
         flat_sliced = _rows(classify_spans(hostile_docs, engine="arrow"))
     assert flat_sliced == flat_full
+
+
+def test_block_density_filter(spark):
+    """min_block_chars drops sparse body blocks whole; headers/media
+    survive; pandas and arrow agree."""
+    import dataclasses
+
+    import pandas as pd
+
+    from ocr_spark.kernel.extract import DEFAULT_CONFIG
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, min_block_chars=30)
+    spans = [
+        {"kind": "section_header_level_1", "text": "Title", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "tiny", "media_ref": "", "offset": 1},  # sparse block
+        {"kind": "picture", "text": "", "media_ref": "img-1", "offset": 2},
+        {"kind": "text", "text": "this block has plenty of characters in it",
+         "media_ref": "", "offset": 3},
+        {"kind": "text", "text": "x", "media_ref": "", "offset": 4},  # same dense block
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": "d1", "spans": spans}]), schema=DOC_SCHEMA
+    )
+    for engine in ("arrow", "pandas"):
+        out = {r.offset: r.kind for r in extract_main_content(df, cfg=cfg, engine=engine).collect()}
+        assert 0 in out and 2 in out  # header + media exempt
+        assert 1 not in out  # sparse body block dropped whole
+        assert 3 in out and 4 in out  # dense block survives entirely
