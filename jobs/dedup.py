@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""spark-submit entry: end-to-end corpus deduplication.
+
+The standard training-data pipeline composition:
+1. exact pass — hash-groupBy on content, keep the lowest doc_id per
+   distinct text (one uniform-key shuffle);
+2. near-dup pass — MinHash+LSH candidates over the exact survivors,
+   n-gram-Jaccard verification, connected components, keep each
+   cluster's representative;
+3. write the keep-list (doc_id) + print a summary JSON line.
+
+Example:
+  spark-submit --py-files dist/ocr_spark.zip jobs/dedup.py \\
+    --input /data/documents.parquet --output /out/keep_list \\
+    --tau 0.5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    ap.add_argument("--output", required=True, help="keep-list output dir")
+    ap.add_argument("--tau", type=float, default=0.5, help="jaccard threshold")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.dedup import dup_clusters, exact_dedup
+    from ocr_spark.pipeline.session import get_spark
+
+    spark = get_spark(args.master, app_name="ocr_spark_dedup")
+    docs = spark.read.parquet(args.input).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    n_in = docs.count()
+
+    # 1. exact: keep rep_doc_id per distinct text
+    reps = exact_dedup(docs).select(F.col("rep_doc_id").alias("doc_id"))
+    survivors = docs.join(reps, "doc_id")
+    n_exact = survivors.count()
+
+    # 2. near-dup: drop cluster members that are not the representative
+    clusters = dup_clusters(survivors, tau=args.tau)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    keep = survivors.join(losers, "doc_id", "left_anti").select("doc_id")
+    n_keep = keep.count()
+
+    keep.write.mode("overwrite").parquet(args.output)
+    print(
+        json.dumps(
+            {
+                "n_input": n_in,
+                "n_after_exact": n_exact,
+                "n_keep": n_keep,
+                "exact_dups_removed": n_in - n_exact,
+                "near_dups_removed": n_exact - n_keep,
+                "tau": args.tau,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

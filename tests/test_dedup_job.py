@@ -1,0 +1,44 @@
+"""End-to-end corpus dedup job: exact pass + near-dup cluster pass."""
+
+from __future__ import annotations
+
+import json
+import sys
+from unittest.mock import patch
+
+import pandas as pd
+
+
+def test_dedup_job(spark, tmp_path, capsys):
+    words = [f"w{i:02d}" for i in range(40)]
+    base = " ".join(words)
+    near = " ".join(words[:39] + ["CHANGED"])
+    distinct = " ".join(f"z{i:02d}" for i in range(40))
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [base, base, near, distinct, distinct],
+        }
+    )
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "keep")
+    spark.createDataFrame(df).write.parquet(inp)
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import dedup as job
+
+    argv = ["dedup.py", "--input", inp, "--output", out, "--tau", "0.5"]
+    with patch.object(sys, "argv", argv):
+        job.main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # exact: 2 (dup of 1) and 5 (dup of 4) removed; near: 3 clusters
+    # with 1 (jaccard ~0.91) -> removed; keep = {1, 4}
+    assert summary["n_input"] == 5
+    assert summary["n_after_exact"] == 3
+    assert summary["n_keep"] == 2
+
+    from ocr_spark.pipeline.session import get_spark
+
+    s = get_spark("local[4]")
+    keep = sorted(r.doc_id for r in s.read.parquet(out).collect())
+    assert keep == [1, 4]
