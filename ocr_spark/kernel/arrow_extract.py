@@ -161,6 +161,46 @@ def _sanitize_and_flatten(batch: pa.RecordBatch):
     return flat, lens, empty, malformed
 
 
+def _truncate_doc(
+    lens: np.ndarray, is_header: np.ndarray, budget: int, body_cap: float
+) -> np.ndarray:
+    """Vectorized per-doc truncation decisions (twin of the pandas
+    spec's sequential loop, kernel.extract._truncate).
+
+    The running counter cc only ever grows, and body spans contribute
+    only while cc < body_cap — so contribution splits into two phases:
+    (1) everything contributes until the running total crosses
+    body_cap at some span p, (2) after p only headers contribute.
+    With two cumulative sums the per-span cc (the value BEFORE each
+    span) is closed-form, the kept mask is a comparison, and the hard
+    stop (first span with cc + len > budget) is an argmax — no Python
+    per-span loop, so a 20k-span giant costs a handful of numpy ops.
+    """
+    m = len(lens)
+    w = lens + 1  # len + joiner, the reference's accounting
+    all_prefix = np.concatenate(([0], np.cumsum(w)[:-1]))  # cc before j, phase 1
+    # p = first span whose BEFORE-total reaches body_cap
+    crossed = all_prefix >= body_cap
+    if crossed.any():
+        p = int(np.argmax(crossed))
+        hdr_prefix = np.concatenate(
+            ([0], np.cumsum(np.where(is_header, w, 0))[:-1])
+        )
+        cc_before = np.where(
+            np.arange(m) <= p, all_prefix, all_prefix[p] + hdr_prefix - hdr_prefix[p]
+        )
+    else:
+        cc_before = all_prefix  # cap never reached: phase 1 throughout
+    contributes = is_header | (cc_before < body_cap)
+    # hard stop: first span (of any kind) with cc_before + len > budget
+    over_budget = cc_before + lens > budget
+    keep = contributes.copy()
+    if over_budget.any():
+        stop = int(np.argmax(over_budget))
+        keep[stop:] = False
+    return keep
+
+
 def _truncate(flat: _Flat, cfg: ExtractConfig, n_docs: int) -> _Flat:
     """Reference-exact char-budget truncation; only touches the rare
     docs whose serialized length exceeds the budget."""
@@ -182,17 +222,9 @@ def _truncate(flat: _Flat, cfg: ExtractConfig, n_docs: int) -> _Flat:
     markers: list[tuple[int, int]] = []  # (doc, offset)
     for did in np.flatnonzero(over):
         idx = np.flatnonzero(flat.doc_idx == did)
-        cc = 0
-        for j in idx:
-            if cc + tlen[j] > cfg.max_chars:
-                keep[idx[idx >= j]] = False
-                break
-            if is_header[j]:
-                cc += tlen[j] + 1
-            elif cc < body_cap:
-                cc += tlen[j] + 1
-            else:
-                keep[j] = False
+        keep[idx] = _truncate_doc(
+            tlen[idx], is_header[idx], cfg.max_chars, body_cap
+        )
         markers.append((did, int(flat.offset[idx[-1]]) + 1))
     kept = flat.take(np.flatnonzero(keep))
     m_doc = np.array([m[0] for m in markers], dtype=np.int64)

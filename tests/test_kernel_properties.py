@@ -168,3 +168,36 @@ def test_malformed_duplicate_offsets():
     assert (out[out["doc_id"] == "ok"]["kind"] == "text").all()
     a = extract_flat_batch(_to_batch(pdf), DEFAULT_CONFIG).to_pandas()
     assert (a[a["doc_id"] == "bad"]["kind"] == KIND_ERROR).all()
+
+
+def test_truncate_doc_matches_sequential_spec():
+    """The arrow kernel's closed-form truncation must match the pandas
+    spec's sequential loop on randomized (lens, headers) inputs."""
+    import numpy as np
+
+    from ocr_spark.kernel.arrow_extract import _truncate_doc
+
+    rng = np.random.default_rng(123)
+    for trial in range(500):
+        m = int(rng.integers(1, 120))
+        lens = rng.integers(0, 400, size=m).astype(np.int64)
+        is_header = rng.random(m) < 0.15
+        budget = int(rng.integers(200, 4000))
+        body_cap = budget * 0.9
+
+        # sequential spec (kernel.extract._truncate inner loop)
+        keep_ref = np.ones(m, dtype=bool)
+        cc = 0
+        for j in range(m):
+            if cc + lens[j] > budget:
+                keep_ref[j:] = False
+                break
+            if is_header[j]:
+                cc += lens[j] + 1
+            elif cc < body_cap:
+                cc += lens[j] + 1
+            else:
+                keep_ref[j] = False
+
+        got = _truncate_doc(lens, is_header, budget, body_cap)
+        assert (got == keep_ref).all(), (trial, lens.tolist(), is_header.tolist(), budget)
