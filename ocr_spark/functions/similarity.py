@@ -283,3 +283,125 @@ def embedding_near_dups_sql(table: str = "embeddings", tau: float = 0.9) -> str:
       FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE {cos} >= {tau}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (inverted file over nearest-centroid cells)
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+
+
+def _assignments(emb: "DataFrame", n_centroids: int):
+    """(vec_id, embedding, norm, centroid): each vector assigned to its
+    highest-cosine centroid (ties -> lowest centroid id).
+
+    Centroid 'training' is a deterministic stand-in: the first
+    n_centroids vectors serve as cell centers (a real deployment runs
+    k-means|| once offline and broadcasts the centers — the assignment
+    plan below is identical). Assignment is a broadcast join against
+    the tiny centroid set + a per-vector rank-1 window.
+    """
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+        F.expr(_norm_expr("embedding")).alias("norm"),
+    )
+    cents = base.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = F.expr(_dot_expr("embedding", "c_emb")) / (F.col("norm") * F.col("c_norm"))
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id", "embedding", "norm", "centroid", cos.alias("c_cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("vec_id", "embedding", "norm", "centroid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10, n_centroids: int = N_CENTROIDS
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos): IVF ANN — candidates are the
+    query's own cell (nprobe=1); exact cosine re-rank inside the cell.
+
+    At corpus scale the cell assignment is a per-row broadcast compare
+    (no shuffle of the big side beyond the cell-id grouping) and the
+    probe join is centroid-equi — candidate count ~ n/cells, not n.
+    """
+    assigned = _assignments(emb, n_centroids)
+    q = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("centroid").alias("q_centroid"),
+    )
+    cos = F.expr(_dot_expr("q_emb", "embedding")) / (F.col("q_norm") * F.col("norm"))
+    pairs = (
+        F.broadcast(q)
+        .join(
+            assigned,
+            (F.col("centroid") == F.col("q_centroid"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", floor6(F.col("cos_raw")).alias("cos"))
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings", n_queries: int = 5, k: int = 10,
+    n_centroids: int = N_CENTROIDS,
+) -> str:
+    a_cos = f"({_dot_sql('b.embedding', 'c.embedding')} / (b.norm * c.norm))"
+    q_cos = f"({_dot_sql('q.q_emb', 'a.embedding')} / (q.q_norm * a.norm))"
+    return f"""
+      WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+               {_norm_sql('embedding')} AS norm
+        FROM {table}
+      ),
+      cents AS (
+        SELECT vec_id AS centroid, embedding, norm FROM base
+        WHERE vec_id < {n_centroids}
+      ),
+      scored AS (
+        SELECT b.vec_id, b.embedding, b.norm, c.centroid,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {a_cos} DESC, c.centroid ASC) AS r
+        FROM base b CROSS JOIN cents c
+      ),
+      assigned AS (
+        SELECT vec_id, embedding, norm, centroid FROM scored WHERE r = 1
+      ),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+               centroid AS q_centroid
+        FROM assigned WHERE vec_id < {n_queries}
+      ),
+      pairs AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id, {q_cos} AS cos_raw
+        FROM q JOIN assigned a
+          ON a.centroid = q.q_centroid AND a.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id ASC) AS rank,
+               cos_raw
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+             {floor6_sql('cos_raw')} AS cos
+      FROM ranked WHERE rank <= {k}
+    """

@@ -196,3 +196,17 @@ def test_dup_clusters_transitive(spark):
 
 def test_dup_clusters_matches_oracle(docs, con):
     assert_same(dedup.dup_clusters(docs), con, dedup.dup_clusters_sql())
+
+
+def test_ivf_topk(emb, con):
+    assert_same(similarity.ivf_topk(emb), con, similarity.ivf_topk_sql())
+
+
+def test_ivf_returns_cell_neighbors(emb):
+    rows = similarity.ivf_topk(emb, n_queries=3, k=5).collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.cos)
+    for q, cosines in by_q.items():
+        assert cosines == sorted(cosines, reverse=True)
