@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": lambda s, d: ded.minhash_signatures(_read(s, d, "documents")),
         "minhash_lsh_pairs": lambda s, d: ded.minhash_lsh_pairs(_read(s, d, "documents")),
         "simhash": lambda s, d: ded.simhash(_read(s, d, "documents")),
+        "simhash_pairs": lambda s, d: ded.simhash_pairs(_read(s, d, "documents")),
         "ngram_jaccard_pairs": lambda s, d: ded.ngram_jaccard_pairs(_read(s, d, "documents")),
         "dup_clusters": lambda s, d: ded.dup_clusters(_read(s, d, "documents")),
         # --- windowed aggregation + dimensional stats
@@ -656,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": ded.minhash_signatures_sql(),
         "minhash_lsh_pairs": ded.minhash_lsh_pairs_sql(),
         "simhash": ded.simhash_sql(),
+        "simhash_pairs": ded.simhash_pairs_sql(),
         "ngram_jaccard_pairs": ded.ngram_jaccard_pairs_sql(),
         "dup_clusters": ded.dup_clusters_sql(),
         "event_window_counts": _event_windows_sql(),

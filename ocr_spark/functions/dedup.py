@@ -376,3 +376,71 @@ def ngram_jaccard_pairs_sql(table: str = "documents", w: int = SHINGLE_W, tau: f
       JOIN counts cb ON shared.doc_b = cb.doc_id
       WHERE {j} >= {tau}
     """
+
+
+def simhash_pairs(
+    docs: DataFrame, bits: int = SIMHASH_BITS, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-duplicate pairs by simhash —
+    candidates share at least one of four 15-bit fingerprint bands
+    (pigeonhole: any pair within hamming<=3 of a 60-bit print must
+    agree on >=1 band), then exact Hamming verification via
+    bit_count(xor).
+
+    Same scale shape as minhash LSH: per-row banding, uniform-key
+    band bucket join, cheap integer verification."""
+    fp = simhash(docs, bits)
+    band_w = bits // 4
+    mask = (1 << band_w) - 1
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"shiftright(simhash, {i * band_w}) & {mask}" for i in range(4)
+                )
+                + ")"
+            )
+        ).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_pairs_sql(
+    table: str = "documents", bits: int = SIMHASH_BITS, max_hamming: int = 3
+) -> str:
+    band_w = bits // 4
+    mask = (1 << band_w) - 1
+    bands = ", ".join(f"(simhash >> {i * band_w}) & {mask}" for i in range(4))
+    return f"""
+      WITH fp AS ({simhash_sql(table, bits)}),
+      banded AS (
+        SELECT doc_id, simhash, r.i AS band, keys[r.i + 1] AS key
+        FROM (SELECT doc_id, simhash, [{bands}] AS keys FROM fp)
+        CROSS JOIN range(0, 4) r(i)
+      )
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

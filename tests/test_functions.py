@@ -210,3 +210,22 @@ def test_ivf_returns_cell_neighbors(emb):
         by_q.setdefault(r.query_id, []).append(r.cos)
     for q, cosines in by_q.items():
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_simhash_pairs(docs, con):
+    assert_same(dedup.simhash_pairs(docs), con, dedup.simhash_pairs_sql())
+
+
+def test_simhash_pairs_finds_near_identical(spark):
+    import pandas as pd
+
+    words = [f"tok{i:03d}" for i in range(200)]
+    base = " ".join(words)
+    near = " ".join(words[:199] + ["SWAP"])  # 1 of 200 tokens changed
+    far = " ".join(f"oth{i:03d}" for i in range(200))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(df, max_hamming=10).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
