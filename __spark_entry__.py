@@ -15,7 +15,13 @@ so DuckDB can value-check the whole pipeline end-to-end.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make `ocr_spark` importable no matter where the driver loads this
+# file from (importlib from another CWD leaves the repo off sys.path)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

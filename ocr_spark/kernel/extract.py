@@ -169,7 +169,10 @@ def _classify(flat: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     text = flat["text"].fillna("")
     kind = flat["kind"]
     n_chars = text.str.len().to_numpy(dtype=np.float64)
-    n_words = text.str.count(r"\s+").to_numpy(dtype=np.float64) + (n_chars > 0)
+    # ASCII \s on purpose: Java regex (Spark), RE2 (Arrow kernel,
+    # DuckDB oracle) are all ASCII-\s; Python re defaults to unicode
+    # and would silently diverge on e.g. \xa0.
+    n_words = text.str.count(r"(?a)\s+").to_numpy(dtype=np.float64) + (n_chars > 0)
     # link density: anchor-ish token mass over word mass; kind=link is
     # anchor-dense by definition (DOM-heuristic main-content scoring).
     link_hits = np.zeros(len(flat), dtype=np.float64)

@@ -201,3 +201,24 @@ def test_truncate_doc_matches_sequential_spec():
 
         got = _truncate_doc(lens, is_header, budget, body_cap)
         assert (got == keep_ref).all(), (trial, lens.tolist(), is_header.tolist(), budget)
+
+
+def test_unicode_space_agreement():
+    """\\xa0 (NBSP) is NOT ASCII whitespace: the pandas spec, the arrow
+    kernel, and the Spark/DuckDB split semantics must all treat it as a
+    word character (link-density denominators stay aligned)."""
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": "u1", "spans": [
+                {"kind": "link", "text": "www.x.vn\xa0www.y.vn", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "a\xa0b c", "media_ref": "", "offset": 1},
+            ]}
+        ]
+    )
+    p = extract_flat(pdf, DEFAULT_CONFIG)
+    a = extract_flat_batch(_to_batch(pdf), DEFAULT_CONFIG).to_pandas()
+    key = ["doc_id", "offset"]
+    pa_ = a.sort_values(key).reset_index(drop=True)
+    pp_ = p.sort_values(key).reset_index(drop=True)
+    assert pa_["link_density"].tolist() == pp_["link_density"].tolist()
+    assert pa_["kept"].tolist() == pp_["kept"].tolist()
