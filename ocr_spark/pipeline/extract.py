@@ -40,7 +40,6 @@ from ocr_spark.schema import (
     ANNOTATED_SPAN_SCHEMA,
     DOC_METRICS_SCHEMA,
     DOC_SCHEMA,
-    FLAT_SPAN_SCHEMA,
     KIND_ERROR,
 )
 
