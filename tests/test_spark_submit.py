@@ -53,3 +53,28 @@ def test_spark_submit_extract_job(tmp_path):
     assert summary["buckets_done"] == 4
     assert summary["n_docs"] == 500
     assert os.path.isdir(out)
+
+
+@pytest.mark.slow
+def test_spark_submit_dedup_job(tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    zpath = _build_zip(str(tmp_path))
+    out = str(tmp_path / "keep")
+    cmd = [
+        spark_submit,
+        "--master", "local[4]",
+        "--py-files", zpath,
+        os.path.join(REPO, "jobs", "dedup.py"),
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--tau", "0.5",
+    ]
+    env = {**os.environ, "PYTHONPATH": ""}
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
+    assert res.returncode == 0, res.stderr[-3000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["n_input"] == 500
+    assert summary["n_keep"] <= summary["n_after_exact"] <= 500
+    assert os.path.isdir(out)
