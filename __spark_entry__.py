@@ -259,7 +259,7 @@ def _upsert_sql() -> str:
       SELECT CAST(doc_id AS BIGINT) AS token, 2 AS run_ts, md5(upper(text)) AS payload
       FROM documents WHERE doc_id % 3 = 0
     """
-    return res.dedup_last_wins_sql(inner, ["token"])
+    return res.dedup_last_wins_sql(inner, ["token"], tie_break=["payload"])
 
 
 def _edit_update_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

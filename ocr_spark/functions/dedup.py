@@ -279,9 +279,12 @@ def ngram_jaccard_pairs(docs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2) -
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     j = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    # counts is one row per document — at corpus scale that is NOT
+    # broadcastable (an unbounded driver/executor OOM); let AQE pick
+    # the join strategy from the measured size instead.
     return (
-        shared.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .where(j >= tau)
         .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", floor6(j).alias("jaccard"))
     )

@@ -39,13 +39,23 @@ def append_results(old: DataFrame, new: DataFrame) -> DataFrame:
 
 
 def dedup_last_wins(
-    df: DataFrame, keys: list[str], order_col: str = "run_ts"
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "run_ts",
+    tie_break: list[str] | None = None,
 ) -> DataFrame:
-    """J3: keep the newest row per key; ties broken deterministically
-    by the remaining columns' sort order via a stable tie-break on
-    run_ts desc then key order (/root/reference/webapp/jobs.py:221-224
-    drops old rows with the same token before appending)."""
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    """J3: keep the newest row per key (/root/reference/webapp/jobs.py:
+    221-224 drops old rows with the same token before appending).
+
+    Rows with equal (key, order_col) are a total order only with a
+    tie-break; by default every remaining column (sorted by name,
+    ascending) joins the window ORDER BY so the winner is deterministic
+    — the SQL twin must receive the same ``tie_break`` list."""
+    if tie_break is None:
+        tie_break = sorted(c for c in df.columns if c not in keys and c != order_col)
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), *[F.asc(c) for c in tie_break]
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -53,12 +63,20 @@ def dedup_last_wins(
     )
 
 
-def dedup_last_wins_sql(inner: str, keys: list[str], order_col: str = "run_ts") -> str:
+def dedup_last_wins_sql(
+    inner: str,
+    keys: list[str],
+    order_col: str = "run_ts",
+    tie_break: list[str] | None = None,
+) -> str:
     key_list = ", ".join(keys)
+    order = f"{order_col} DESC"
+    if tie_break:
+        order += ", " + ", ".join(f"{c} ASC" for c in tie_break)
     return f"""
       SELECT * EXCLUDE (_rn) FROM (
         SELECT *, row_number() OVER (PARTITION BY {key_list}
-                                     ORDER BY {order_col} DESC) AS _rn
+                                     ORDER BY {order}) AS _rn
         FROM ({inner})
       ) WHERE _rn = 1
     """

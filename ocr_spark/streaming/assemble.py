@@ -67,7 +67,11 @@ def _assemble(
                 continue  # duplicate delivery
             seen.add(p)
             nums.append(p)
-            texts.append(r.page_text)
+            # NULL page_text must not poison the state or the final
+            # join (a None here raises inside applyInPandasWithState
+            # with the bad pages already persisted) — coalesce to ''.
+            t = r.page_text
+            texts.append("" if t is None or (isinstance(t, float) and pd.isna(t)) else t)
     if total is not None and len(nums) >= total:
         order = sorted(range(len(nums)), key=lambda i: nums[i])
         full = " ".join(texts[i] for i in order)

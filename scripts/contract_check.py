@@ -2,7 +2,8 @@
 """Driver-style contract check: run every __spark_entry__.py query
 against its DuckDB oracle and report mismatches.
 
-Usage: python scripts/contract_check.py [/root/testdata/sf0.01]
+Usage: python scripts/contract_check.py [/root/testdata/sf0.01] [query ...]
+(optional trailing args restrict the check to the named queries)
 """
 import importlib.util, math, sys
 import duckdb
@@ -16,10 +17,18 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 def canon(v):
+    # DuckDB-side values come through pandas itertuples as numpy
+    # scalars whose repr changes across numpy versions — unwrap to
+    # plain Python values before comparing.
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if v is None: return (0, "")
     if isinstance(v, float) and math.isnan(v): return (2, "nan")
     return (1, repr(v))
 qs, os_ = m.queries(), m.oracle_sql()
+only = set(sys.argv[2:])
+if only:
+    qs = {k: v for k, v in qs.items() if k in only}
 bad = []
 for name in sorted(qs):
     sdf = qs[name](spark, SF)

@@ -94,6 +94,23 @@ def test_dedup_last_wins(spark):
     assert out == {"a": "a2", "b": "b1", "c": "c3"}
 
 
+def test_dedup_last_wins_tie_break_deterministic(spark):
+    # equal (key, run_ts): the winner is the lexicographically smallest
+    # remaining row, independent of input/partition order
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "token": ["a", "a", "a"],
+                "run_ts": [2, 2, 1],
+                "val": ["zz", "aa", "mm"],
+            }
+        )
+    )
+    for d in (df, df.orderBy(F.desc("val")), df.repartition(5)):
+        out = results.dedup_last_wins(d, ["token"]).collect()
+        assert [(r.token, r.val) for r in out] == [("a", "aa")]
+
+
 def test_append_then_dedup_equals_upsert(spark):
     run1 = spark.createDataFrame(
         pd.DataFrame({"token": ["a", "b"], "run_ts": [1, 1], "val": ["a1", "b1"]})

@@ -43,3 +43,12 @@ def test_assembly_across_batches(spark, tmp_path):
     spark.createDataFrame(b3).write.parquet(inp, mode="append")
     run_assemble_stream(spark, inp, outp, ckpt)
     assert spark.read.parquet(outp).count() == 2
+
+
+def test_null_page_text_does_not_poison_state(spark, tmp_path):
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    b1 = _pages([(7, 1, 2, None), (7, 2, 2, "tail")])
+    spark.createDataFrame(b1).write.parquet(inp, mode="append")
+    run_assemble_stream(spark, inp, outp, ckpt)
+    got = {r.doc_id: (r.n_pages, r.text) for r in spark.read.parquet(outp).collect()}
+    assert got == {7: (2, " tail")}  # NULL coalesced to '', doc completes
