@@ -122,6 +122,20 @@ def _number_cols(c: Column) -> tuple[Column, Column]:
     return value, failed
 
 
+def _num_to_str(v: Column) -> Column:
+    """double -> string matching the reference's ``str(float)`` on the
+    supported domain. Below 1e7 both engines' plain cast already agrees
+    with str(float) (round-1 oracle-proven). At or above 1e7 Spark's
+    cast goes scientific ('1.0E7') while str(float) does not — render
+    fixed-point via %.6f + trailing-zero strip there instead.
+    Documented bound: values needing >6 fractional digits, or >=1e16
+    (where str(float) itself goes scientific), render as their
+    fixed-point form."""
+    fixed = F.regexp_replace(F.format_string("%.6f", v), "0+$", "")
+    fixed = F.when(fixed.endswith("."), F.concat(fixed, F.lit("0"))).otherwise(fixed)
+    return F.when(F.abs(v) < 1e7, v.cast("string")).otherwise(fixed)
+
+
 def _date_cols(c: Column) -> tuple[Column, Column]:
     """(normalized 'YYYY-MM-DD' string, failed) via ordered patterns (F5).
 
@@ -176,7 +190,7 @@ def validate_field_cols(
             )
         )
         # normalized value: float -> str(float) analog; keep raw on failure
-        norm = F.when(is_missing, F.lit(NA)).when(failed, raw).otherwise(value.cast("string"))
+        norm = F.when(is_missing, F.lit(NA)).when(failed, raw).otherwise(_num_to_str(value))
         still_string = is_missing | failed  # float result -> regex/enum see a non-str
     elif spec.type == "date" and spec.format == "iso-date":
         value, failed = _date_cols(raw)
@@ -318,6 +332,16 @@ def _number_sql(raw: str) -> tuple[str, str]:
     return value, f"({value} IS NULL)"
 
 
+def _num_to_str_sql(v: str) -> str:
+    """DuckDB twin of _num_to_str (same branch structure; printf %f is
+    non-scientific in both engines, and exact rounding ties at the 6th
+    decimal are unrepresentable in binary doubles, so the outputs are
+    character-identical)."""
+    fixed = f"regexp_replace(printf('%.6f', {v}), '0+$', '')"
+    fixed = f"CASE WHEN {fixed} LIKE '%.' THEN {fixed} || '0' ELSE {fixed} END"
+    return f"CASE WHEN abs({v}) < 1e7 THEN CAST({v} AS VARCHAR) ELSE {fixed} END"
+
+
 def _date_sql(raw: str) -> tuple[str, str]:
     parts = []
     for pattern, year_first in DATE_PATTERNS:
@@ -350,7 +374,7 @@ def field_sql(name: str, spec: FieldSpec, raw: str) -> dict[str, str]:
         )
         norm = (
             f"CASE WHEN {is_missing} THEN 'N/A' WHEN {failed} THEN {raw} "
-            f"ELSE CAST({value} AS VARCHAR) END"
+            f"ELSE {_num_to_str_sql(value)} END"
         )
         still_string = f"({is_missing} OR {failed})"
     elif spec.type == "date" and spec.format == "iso-date":

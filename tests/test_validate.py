@@ -36,6 +36,11 @@ ROWS = [
     (7, "Eve", "-5", "2-3-2023", "4321", "bad", "w"),
     (8, "Fay", "12.5%", "2023-1-05", "777", "ok", "v"),
     (9, "Gil", "", "", "", "", None),
+    # >= 1e7: Spark's double->string cast would go scientific ('1.0E7')
+    # while the reference's str(float) does not — pins the fixed-point
+    # formatter in BOTH engines.
+    (10, "Hal", "12.345.678,99", "2023-06-01", "1111", "ok", None),
+    (11, "Ian", "10000000", "2023-06-02", "2222", "ok", None),
 ]
 COLS = ["row_id", "name", "amount", "when_at", "code", "status", "note"]
 
@@ -88,6 +93,15 @@ def test_number_normalization(spark_out):
     assert pd.isna(got[6])  # abc -> '' -> fail
     assert got[7] == -5.0
     assert got[8] == 12.5
+    assert got[10] == 12345678.99
+    assert got[11] == 10000000.0
+
+
+def test_large_number_string_is_not_scientific(spark_out):
+    got = dict(zip(spark_out["row_id"], spark_out["amount"]))
+    # str(float) fidelity: no '1.234567899E7' / '1.0E7'
+    assert got[10] == "12345678.99"
+    assert got[11] == "10000000.0"
 
 
 def test_number_failure_keeps_raw_and_warns(spark_out):
