@@ -606,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": lambda s, d: ded.simhash(_read(s, d, "documents")),
         "simhash_pairs": lambda s, d: ded.simhash_pairs(_read(s, d, "documents")),
         "ngram_jaccard_pairs": lambda s, d: ded.ngram_jaccard_pairs(_read(s, d, "documents")),
+        "lsh_verified_pairs": lambda s, d: ded.lsh_verified_pairs(_read(s, d, "documents")),
         "dup_clusters": lambda s, d: ded.dup_clusters(_read(s, d, "documents")),
         # --- windowed aggregation + dimensional stats
         "event_window_counts": _event_windows_spark,
@@ -665,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": ded.simhash_sql(),
         "simhash_pairs": ded.simhash_pairs_sql(),
         "ngram_jaccard_pairs": ded.ngram_jaccard_pairs_sql(),
+        "lsh_verified_pairs": ded.lsh_verified_pairs_sql(),
         "dup_clusters": ded.dup_clusters_sql(),
         "event_window_counts": _event_windows_sql(),
         "doc_stats_by_source": _doc_stats_sql(),

@@ -4,15 +4,20 @@
 The standard training-data pipeline composition:
 1. exact pass — hash-groupBy on content, keep the lowest doc_id per
    distinct text (one uniform-key shuffle);
-2. near-dup pass — MinHash+LSH candidates over the exact survivors,
-   n-gram-Jaccard verification, connected components, keep each
-   cluster's representative;
+2. near-dup pass — MinHash+LSH candidates over the exact survivors
+   (band buckets capped at --max-bucket so boilerplate-identical
+   buckets can't emit B^2 pairs), exact n-gram-Jaccard verification of
+   ONLY the candidates, connected components, keep each cluster's
+   representative;
 3. write the keep-list (doc_id) + print a summary JSON line.
+
+No stage scans an all-corpus pair space — this is the composition the
+dedup module docstring prescribes for production corpora.
 
 Example:
   spark-submit --py-files dist/ocr_spark.zip jobs/dedup.py \\
     --input /data/documents.parquet --output /out/keep_list \\
-    --tau 0.5
+    --tau 0.5 --max-bucket 1000
 """
 
 from __future__ import annotations
@@ -26,6 +31,12 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
     ap.add_argument("--output", required=True, help="keep-list output dir")
     ap.add_argument("--tau", type=float, default=0.5, help="jaccard threshold")
+    ap.add_argument(
+        "--max-bucket",
+        type=int,
+        default=1000,
+        help="drop LSH band buckets larger than this (boilerplate guard); 0 = no cap",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -46,7 +57,9 @@ def main() -> None:
     n_exact = survivors.count()
 
     # 2. near-dup: drop cluster members that are not the representative
-    clusters = dup_clusters(survivors, tau=args.tau)
+    clusters = dup_clusters(
+        survivors, tau=args.tau, max_bucket=args.max_bucket or None
+    )
     losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
     keep = survivors.join(losers, "doc_id", "left_anti").select("doc_id")
     n_keep = keep.count()

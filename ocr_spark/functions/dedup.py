@@ -13,9 +13,14 @@ Scale notes (the 100 TB plan, not the 60k-row plan):
   bucket goes hot (near-identical boilerplate corpora do this).
 - ngram_jaccard explodes distinct shingles; hot shingles (stop-phrase
   boilerplate) are bounded because shingle width-5 keeps selectivity
-  high; the pair-group aggregate is a second shuffle. For a production
-  corpus, run minhash_lsh_pairs first and jaccard-verify only the
-  candidates (candidates << n^2).
+  high; the pair-group aggregate is a second shuffle. It is the
+  correctness baseline: candidate generation is an all-corpus shingle
+  self-join, O(df^2) on hot boilerplate shingles.
+- the production near-dup composition is ``lsh_verified_pairs`` /
+  ``dup_clusters``: minhash-LSH candidates (bucketed, optionally
+  band-bucket-size-capped) -> exact-Jaccard verification restricted to
+  the candidates (candidates << n^2) -> connected components. No stage
+  touches an all-corpus pair space.
 """
 
 from __future__ import annotations
@@ -146,13 +151,22 @@ def minhash_signatures_sql(table: str = "documents", k: int = MINHASH_K, w: int 
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS, w: int = SHINGLE_W
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    w: int = SHINGLE_W,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) near-duplicate candidate pairs: docs sharing at
     least one LSH band bucket, a < b, distinct.
 
     The self-join shuffles on (band, key) — uniform md5 keys, and AQE
-    skew-split handles boilerplate-heavy buckets at scale.
+    skew-split handles boilerplate-heavy buckets at scale. With
+    ``max_bucket`` set, band buckets holding more docs than that are
+    dropped before the join: a boilerplate-identical bucket of B docs
+    would otherwise emit B^2/2 pairs, and its members are still
+    recalled through their other (more selective) bands. The DuckDB
+    twin applies the identical cap.
     """
     rows = k // bands
     sig = _sig_table(docs, k, w)
@@ -165,6 +179,11 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.posexplode(F.expr(f"array({band_keys})")).alias("band", "key")
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bc = F.count("*").over(Window.partitionBy("band", "key"))
+        banded = banded.withColumn("_bc", bc).where(F.col("_bc") <= max_bucket).drop("_bc")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -179,7 +198,11 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_pairs_sql(
-    table: str = "documents", k: int = MINHASH_K, bands: int = LSH_BANDS, w: int = SHINGLE_W
+    table: str = "documents",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    w: int = SHINGLE_W,
+    max_bucket: int | None = None,
 ) -> str:
     rows = k // bands
     h40, sigs = _sigs_sql(k, w)
@@ -187,6 +210,11 @@ def minhash_lsh_pairs_sql(
         f"list_transform(range(0, {bands}), bi -> md5(array_to_string("
         f"list_transform(list_slice(sigs, bi * {rows} + 1, bi * {rows} + {rows}), "
         f"x -> CAST(x AS VARCHAR)), ',')))"
+    )
+    cap = (
+        f"QUALIFY count(*) OVER (PARTITION BY band, key) <= {max_bucket}"
+        if max_bucket is not None
+        else ""
     )
     return f"""
       WITH banded AS (
@@ -196,6 +224,7 @@ def minhash_lsh_pairs_sql(
           FROM (SELECT doc_id, {sigs} AS sigs
                 FROM (SELECT doc_id, {h40} AS hs FROM {table}))
         ) CROSS JOIN range(0, {bands}) r(i)
+        {cap}
       )
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b
@@ -290,17 +319,120 @@ def ngram_jaccard_pairs(docs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2) -
     )
 
 
-def dup_clusters(docs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2) -> DataFrame:
+def jaccard_verify(
+    docs: DataFrame, pairs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2
+) -> DataFrame:
+    """Exact-Jaccard verification restricted to candidate ``pairs``
+    (doc_a, doc_b): same output shape as ngram_jaccard_pairs, but the
+    intersection join is candidate-driven — cost is
+    O(candidates x shingles/doc), never the all-corpus shingle
+    self-join. This is the scale path the module docstring prescribes:
+    LSH proposes, exact Jaccard disposes."""
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.expr(f"array_distinct({shingles_expr(w)})")).alias("sh"),
+    ).select("doc_id", F.expr(md5_long_expr("sh")).alias("h"))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = pairs.select("doc_a", "doc_b")
+    # replicate each candidate pair by doc_a's shingles, then probe
+    # doc_b's shingle set on (doc_b, h): the per-pair intersection
+    # count, with both joins on uniform integer/hash keys.
+    a_sh = cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+    shared = (
+        a_sh.join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    j = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(j >= tau)
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", floor6(j).alias("jaccard"))
+    )
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    w: int = SHINGLE_W,
+    tau: float = 0.2,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Production near-dup pairs: minhash-LSH candidates, exact-Jaccard
+    verified. Both stages are bucketed; nothing scans an n^2 space."""
+    return jaccard_verify(docs, minhash_lsh_pairs(docs, k, bands, w, max_bucket), w, tau)
+
+
+def jaccard_verify_sql(
+    cand_sql: str, table: str = "documents", w: int = SHINGLE_W, tau: float = 0.2
+) -> str:
+    j = "(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared))"
+    return f"""
+      WITH cand AS ({cand_sql}),
+      sh AS (
+        SELECT doc_id, {md5_long_sql('sh')} AS h FROM (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 unnest(list_distinct({shingles_sql(w)})) AS sh
+          FROM {table}
+        )
+      ),
+      counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      shared AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, n_shared, ca.n AS n_a, cb.n AS n_b,
+             {floor6_sql(j)} AS jaccard
+      FROM shared
+      JOIN counts ca ON shared.doc_a = ca.doc_id
+      JOIN counts cb ON shared.doc_b = cb.doc_id
+      WHERE {j} >= {tau}
+    """
+
+
+def lsh_verified_pairs_sql(
+    table: str = "documents",
+    w: int = SHINGLE_W,
+    tau: float = 0.2,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket: int | None = None,
+) -> str:
+    return jaccard_verify_sql(
+        minhash_lsh_pairs_sql(table, k, bands, w, max_bucket), table, w, tau
+    )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    w: int = SHINGLE_W,
+    tau: float = 0.2,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """(doc_id, cluster_rep): connected components over the verified
     near-duplicate pair graph — min-label propagation iterated to a
     fixpoint (the distributed union-find for dedup group selection;
     keep rep = lowest doc_id, drop the rest).
 
-    The driver loop converges in O(component diameter) joins; dup
+    Edges come from ``lsh_verified_pairs`` — minhash-LSH candidates,
+    exact-Jaccard verified — so edge generation never scans the
+    all-corpus shingle pair space (the round-1 scale-killer). The
+    driver loop converges in O(component diameter) joins; dup
     components are tiny in practice, and each iteration is one
     doc_id-keyed shuffle. Only docs that appear in >=1 pair are
     emitted (singletons are trivially their own cluster)."""
-    edges = ngram_jaccard_pairs(docs, w, tau).select("doc_a", "doc_b")
+    edges = lsh_verified_pairs(docs, w, tau, k, bands, max_bucket).select(
+        "doc_a", "doc_b"
+    )
     bidir = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -337,8 +469,15 @@ def dup_clusters(docs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2) -> DataF
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 
-def dup_clusters_sql(table: str = "documents", w: int = SHINGLE_W, tau: float = 0.2) -> str:
-    pairs = ngram_jaccard_pairs_sql(table, w, tau)
+def dup_clusters_sql(
+    table: str = "documents",
+    w: int = SHINGLE_W,
+    tau: float = 0.2,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket: int | None = None,
+) -> str:
+    pairs = lsh_verified_pairs_sql(table, w, tau, k, bands, max_bucket)
     return f"""
       WITH RECURSIVE pairs AS ({pairs}),
       edges AS (

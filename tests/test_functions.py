@@ -178,6 +178,59 @@ def test_embedding_near_dups(emb, con):
     )
 
 
+def test_lsh_verified_pairs_matches_oracle(docs, con):
+    assert_same(dedup.lsh_verified_pairs(docs), con, dedup.lsh_verified_pairs_sql())
+
+
+def test_lsh_bucket_cap(spark, docs, con):
+    import pandas as pd
+
+    # 6 boilerplate-identical docs: uncapped -> 15 pairs; max_bucket=2
+    # drops every band bucket (all 6 collide in all bands) -> 0 pairs
+    t = " ".join(f"tpl{i}" for i in range(30))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(6)), "text": [t] * 6})
+    )
+    assert dedup.minhash_lsh_pairs(df).count() == 15
+    assert dedup.minhash_lsh_pairs(df, max_bucket=2).count() == 0
+    # capped Spark plan still matches the capped oracle on real data
+    assert_same(
+        dedup.minhash_lsh_pairs(docs, max_bucket=3),
+        con,
+        dedup.minhash_lsh_pairs_sql(max_bucket=3),
+    )
+
+
+def test_lsh_candidates_bound_boilerplate_blowup(spark):
+    """The round-1 scale-killer: one hot shingle shared corpus-wide.
+
+    ngram candidate generation pairs every doc with every doc (O(n^2));
+    the LSH path only proposes docs agreeing on a whole signature band,
+    so shared boilerplate alone produces no candidates."""
+    import pandas as pd
+
+    boiler = "all rights reserved contact us today"  # one 5-word-ish shingle zone
+    rows = {
+        "doc_id": list(range(60)),
+        "text": [f"unique{i}a unique{i}b unique{i}c unique{i}d {boiler}" for i in range(60)],
+    }
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    ngram_cands = dedup.ngram_jaccard_pairs(df, tau=0.0).count()
+    lsh_cands = dedup.minhash_lsh_pairs(df).count()
+    assert ngram_cands == 60 * 59 / 2  # every pair shares the hot shingles
+    assert lsh_cands < 60  # LSH: no full-band agreement from boilerplate alone
+    # and the flagship composition produces no spurious clusters
+    assert dedup.dup_clusters(df, tau=0.5).count() == 0
+
+
+def test_dup_clusters_plan_is_lsh_driven(spark, docs):
+    # the edge plan must be the banded bucket join, not the all-corpus
+    # shingle self-join: band keys present, and the distinct candidate
+    # pair stage feeds the verification joins
+    plan = dedup.lsh_verified_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "band" in plan
+
+
 def test_dup_clusters_transitive(spark):
     import pandas as pd
 
