@@ -4,11 +4,14 @@
   (small) query set against the full corpus — one pass, no shuffle on
   the corpus side, per-partition top-k then a tiny global top-k.
 - LSH-bucketed ANN (random hyperplanes): the scale path; vectors are
-  bucketed by a 16-bit sign signature computed per-row in the scan
-  stage, the join is an equi-join on the bucket id, and only in-bucket
-  candidates get an exact cosine. At 10^12 rows the bucket join
-  replaces the O(n * q) cross product with O(candidates).
-- embedding near-dup: same buckets, in-bucket pairs with cosine >= tau.
+  bucketed by an n_planes-bit sign signature computed per-row in the
+  scan stage, the join is an equi-join on the bucket id, and only
+  in-bucket candidates get an exact cosine. At 10^12 rows the bucket
+  join replaces the O(n * q) cross product with O(candidates).
+- embedding near-dup: banded multi-table LSH (n_bands keys of
+  planes_per_band bits); pairs agreeing on >= 1 band get an exact
+  cosine, filtered at tau. Bits scale the bucket space, bands keep
+  recall.
 
 Cross-engine determinism: all dot products / norms are sequential
 left folds over the array (Spark ``aggregate``, DuckDB ``list_reduce``)
@@ -26,10 +29,18 @@ from pyspark.sql import functions as F
 from ocr_spark.functions.text import floor6, floor6_sql
 
 DIM = 64
-# Bucket width: 2^n buckets. 4 keeps buckets populated at test SFs;
-# at production corpus sizes raise it (and/or add multi-table probing)
-# so buckets stay ~O(1000) rows.
+# Single-table bucket width for top-k PROBING (ann_lsh_topk): 2^n
+# buckets. 4 keeps buckets populated at test SFs; parameterized so a
+# production deployment raises it with corpus size.
 N_PLANES = 4
+# Banded signature for PAIR workloads (embedding_near_dups): n_bands
+# independent tables of planes_per_band sign bits each. In-bucket pair
+# cost is n^2 / 2^planes_per_band per band; raise planes_per_band with
+# corpus size (each +1 bit halves in-bucket pairs) — recall survives
+# the narrower buckets because a pair only needs to agree on ONE whole
+# band (the same pigeonhole structure as simhash_pairs / minhash LSH).
+N_BANDS = 4
+PLANES_PER_BAND = 8
 
 
 def hyperplanes(n: int = N_PLANES, dim: int = DIM, seed: int = 7) -> list[list[float]]:
@@ -93,7 +104,7 @@ def _plane_lit_sql(plane: list[float]) -> str:
 
 
 def bucket_expr(vec: str = "embedding", n: int = N_PLANES) -> str:
-    """Spark expr: 16-bit sign-signature LSH bucket id."""
+    """Spark expr: n-bit sign-signature LSH bucket id (2^n buckets)."""
     planes = hyperplanes(n)
     terms = [
         f"CASE WHEN {_dot_expr(vec, _plane_lit_expr(planes[p]))} > 0 THEN {1 << p} ELSE 0 END"
@@ -109,6 +120,42 @@ def bucket_sql(vec: str = "embedding", n: int = N_PLANES) -> str:
         for p in range(n)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def band_keys_expr(
+    vec: str = "embedding",
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> str:
+    """Spark expr: array of n_bands sign-signature keys, one per LSH
+    table, planes_per_band bits each."""
+    planes = hyperplanes(n_bands * planes_per_band)
+    keys = []
+    for b in range(n_bands):
+        terms = [
+            f"CASE WHEN {_dot_expr(vec, _plane_lit_expr(planes[b * planes_per_band + p]))} > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+            for p in range(planes_per_band)
+        ]
+        keys.append("(" + " + ".join(terms) + ")")
+    return "array(" + ", ".join(keys) + ")"
+
+
+def band_keys_sql(
+    vec: str = "embedding",
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> str:
+    planes = hyperplanes(n_bands * planes_per_band)
+    keys = []
+    for b in range(n_bands):
+        terms = [
+            f"CASE WHEN {_dot_sql(vec, _plane_lit_sql(planes[b * planes_per_band + p]))} > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+            for p in range(planes_per_band)
+        ]
+        keys.append("(" + " + ".join(terms) + ")")
+    return "[" + ", ".join(keys) + "]"
 
 
 # ---------------------------------------------------------------------------
@@ -183,14 +230,18 @@ def cosine_topk_sql(table: str = "embeddings", n_queries: int = 5, k: int = 10) 
 # ---------------------------------------------------------------------------
 
 
-def ann_lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+def ann_lsh_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = N_PLANES
+) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket — the join is bucket-equi, not a cross product."""
+    bucket — the join is bucket-equi, not a cross product. ``n_planes``
+    sets the bucket space (2^n buckets): scale it with corpus size so
+    a probed bucket stays ~O(1000) candidates."""
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding"),
         F.expr(_norm_expr("embedding")).alias("norm"),
-        F.expr(bucket_expr()).alias("bucket"),
+        F.expr(bucket_expr(n=n_planes)).alias("bucket"),
     )
     q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -212,13 +263,15 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
     )
 
 
-def ann_lsh_topk_sql(table: str = "embeddings", n_queries: int = 5, k: int = 10) -> str:
+def ann_lsh_topk_sql(
+    table: str = "embeddings", n_queries: int = 5, k: int = 10, n_planes: int = N_PLANES
+) -> str:
     cos = f"({_dot_sql('q.embedding', 'c.embedding')} / (q.norm * c.norm))"
     return f"""
       WITH base AS (
         SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
                {_norm_sql('embedding')} AS norm,
-               {bucket_sql('embedding')} AS bucket
+               {bucket_sql('embedding', n_planes)} AS bucket
         FROM {table}
       ),
       pairs AS (
@@ -244,13 +297,31 @@ def ann_lsh_topk_sql(table: str = "embeddings", n_queries: int = 5, k: int = 10)
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_dups(emb: DataFrame, tau: float = 0.9) -> DataFrame:
-    """(vec_a, vec_b, cos): in-bucket pairs with cosine >= tau."""
+def embedding_near_dups(
+    emb: DataFrame,
+    tau: float = 0.9,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
+    """(vec_a, vec_b, cos): near-duplicate pairs with cosine >= tau.
+
+    Banded multi-table LSH (the round-1 single-table 16-bucket
+    all-pairs was ~n^2/16 at corpus scale): every vector gets n_bands
+    independent sign-signature keys of planes_per_band bits; candidate
+    pairs must agree on at least ONE whole band key, and only
+    candidates get an exact cosine. Per band the in-bucket pair count
+    is ~n^2/2^planes_per_band — each extra bit halves it, so the knob
+    scales to any corpus — while multiple bands preserve recall
+    exactly like simhash/minhash banding. The join shuffles on
+    (band, key): uniform small keys, AQE skew-split for dense
+    clusters."""
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding"),
         F.expr(_norm_expr("embedding")).alias("norm"),
-        F.expr(bucket_expr()).alias("bucket"),
+        F.posexplode(F.expr(band_keys_expr("embedding", n_bands, planes_per_band))).alias(
+            "band", "key"
+        ),
     )
     a = base.alias("a")
     b = base.alias("b")
@@ -258,7 +329,12 @@ def embedding_near_dups(emb: DataFrame, tau: float = 0.9) -> DataFrame:
         F.col("a.norm") * F.col("b.norm")
     )
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -266,21 +342,32 @@ def embedding_near_dups(emb: DataFrame, tau: float = 0.9) -> DataFrame:
         )
         .where(F.col("cos_raw") >= tau)
         .select("vec_a", "vec_b", floor6(F.col("cos_raw")).alias("cos"))
+        .distinct()
     )
 
 
-def embedding_near_dups_sql(table: str = "embeddings", tau: float = 0.9) -> str:
+def embedding_near_dups_sql(
+    table: str = "embeddings",
+    tau: float = 0.9,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> str:
     cos = f"({_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm))"
     return f"""
       WITH base AS (
         SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
                {_norm_sql('embedding')} AS norm,
-               {bucket_sql('embedding')} AS bucket
+               {band_keys_sql('embedding', n_bands, planes_per_band)} AS keys
         FROM {table}
+      ),
+      banded AS (
+        SELECT vec_id, embedding, norm, r.i AS band, keys[r.i + 1] AS key
+        FROM base CROSS JOIN range(0, {n_bands}) r(i)
       )
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
              {floor6_sql(cos)} AS cos
-      FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
       WHERE {cos} >= {tau}
     """
 

@@ -178,6 +178,40 @@ def test_embedding_near_dups(emb, con):
     )
 
 
+def test_near_dup_band_buckets_are_bounded(spark, emb):
+    # the scale property the banding buys: no band bucket concentrates
+    # the corpus, so in-bucket pair work is ~n^2/2^bits per band, and
+    # widening planes_per_band shrinks the candidate space further
+    from pyspark.sql import functions as F
+
+    banded = emb.select(
+        F.posexplode(F.expr(similarity.band_keys_expr("embedding"))).alias(
+            "band", "key"
+        )
+    )
+    n = emb.count()
+    max_bucket = (
+        banded.groupBy("band", "key").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_bucket < n / 2  # 256 buckets/band: nothing hoards the corpus
+
+
+def test_near_dup_banding_recall_and_candidates(spark):
+    # planted near-identical vectors must be recalled through >=1 band
+    import pandas as pd
+
+    base = [(i * 37 % 100) / 50.0 - 1.0 for i in range(similarity.DIM)]
+    near = list(base)
+    near[0] += 0.01  # tiny perturbation -> cosine ~1
+    far = [(i * 61 % 97) / 48.0 - 1.0 for i in range(similarity.DIM)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2, 3], "embedding": [base, near, far]})
+    )
+    pairs = {(r.vec_a, r.vec_b): r.cos for r in similarity.embedding_near_dups(df, tau=0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_lsh_verified_pairs_matches_oracle(docs, con):
     assert_same(dedup.lsh_verified_pairs(docs), con, dedup.lsh_verified_pairs_sql())
 
