@@ -281,6 +281,22 @@ def extract_nested(pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd
     return pd.DataFrame({"doc_id": out_ids, "spans": [groups.get(d, []) for d in out_ids]})
 
 
+def extract_nested_metrics(
+    pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> pd.DataFrame:
+    """Nested output + per-doc metrics in one pass (the pandas spec of
+    arrow_extract.extract_nested_metrics_batch): columns doc_id, spans,
+    n_spans_in, n_spans_out, parse_failed."""
+    _, docs = _flatten(pdf)
+    nested = extract_nested(pdf, cfg)
+    out = nested.merge(docs, on="doc_id", how="left")
+    flat = extract_flat(pdf, cfg)
+    failed_ids = set(flat.loc[flat["kind"] == KIND_ERROR, "doc_id"])
+    out["n_spans_out"] = out["spans"].map(len).astype(np.int64)
+    out["parse_failed"] = out["doc_id"].isin(failed_ids).astype(np.int32)
+    return out[["doc_id", "spans", "n_spans_in", "n_spans_out", "parse_failed"]]
+
+
 def doc_metrics(pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """Per-doc extraction metrics (A4): spans in/out, failures."""
     _, docs = _flatten(pdf)

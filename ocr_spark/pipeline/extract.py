@@ -35,11 +35,13 @@ from ocr_spark.kernel.extract import (
     doc_metrics,
     extract_flat,
     extract_nested,
+    extract_nested_metrics,
 )
 from ocr_spark.schema import (
     ANNOTATED_SPAN_SCHEMA,
     DOC_METRICS_SCHEMA,
     DOC_SCHEMA,
+    DOC_WITH_METRICS_SCHEMA,
     KIND_ERROR,
 )
 
@@ -74,6 +76,7 @@ _ARROW_TWIN = {
     extract_flat: ak.extract_flat_batch,
     extract_nested: ak.extract_nested_batch,
     doc_metrics: ak.metrics_batch,
+    extract_nested_metrics: ak.extract_nested_metrics_batch,
 }
 
 # Memory bound for one kernel invocation: Arrow caps batch ROWS
@@ -188,6 +191,21 @@ def extract_documents(
     """Nested output matching the input contract:
     (doc_id, spans array<struct<kind,text,media_ref,offset>>)."""
     return _run_kernel(df, extract_nested, DOC_SCHEMA, cfg, num_partitions, engine)
+
+
+def extract_documents_with_metrics(
+    df: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Nested output + per-doc metrics from a single kernel execution:
+    (doc_id, spans, n_spans_in, n_spans_out, parse_failed). The
+    checkpointed runner's commit shape — output and lineage metrics
+    cost ONE pass over the corpus."""
+    return _run_kernel(
+        df, extract_nested_metrics, DOC_WITH_METRICS_SCHEMA, cfg, num_partitions, engine
+    )
 
 
 def extraction_metrics(

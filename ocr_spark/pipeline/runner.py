@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.kernel.extract import DEFAULT_CONFIG, ExtractConfig
-from ocr_spark.pipeline.extract import extract_documents, extraction_metrics
+from ocr_spark.pipeline.extract import extract_documents_with_metrics, weight_partition
 
 
 @dataclass(frozen=True)
@@ -49,10 +49,19 @@ class RunConfig:
     n_buckets: int = 16
     buckets_per_commit: int = 4
     kernel: ExtractConfig = DEFAULT_CONFIG
+    # size-aware skew handling: pre-spread docs across this many hash
+    # partitions with heaviest-first ordering before the kernel (LPT
+    # heuristic; see pipeline.extract.weight_partition). None = rely on
+    # the input's partitioning.
+    size_weighted_partitions: int | None = None
 
 
 def _bucket_col(n_buckets: int):
-    return F.pmod(F.hash("doc_id"), F.lit(n_buckets))
+    # hash of the STRING doc_id: the kernel emits doc_id as string, so
+    # casting here makes the bucket computable identically on both the
+    # input side (pre-filter) and the output side (post-kernel
+    # withColumn) — no join needed to re-attach it.
+    return F.pmod(F.hash(F.col("doc_id").cast("string")), F.lit(n_buckets))
 
 
 class ExtractionRun:
@@ -104,37 +113,49 @@ class ExtractionRun:
         os.replace(tmp, path)
 
     # -- T3/T4: process + commit ------------------------------------------
+    def _group_df(self, buckets: list[int]) -> DataFrame:
+        """The commit-group plan: ONE kernel execution, no joins.
+
+        bucket is a pure function of doc_id (pmod(hash, N)), so it is
+        filtered on the input and recomputed on the kernel output with
+        a withColumn — the round-1 version re-attached it via a doc_id
+        join and ran a second kernel pass for metrics, doubling the
+        most expensive stage and adding two shuffles per commit."""
+        subset = (
+            self.docs.withColumn("bucket", _bucket_col(self.cfg.n_buckets))
+            .where(F.col("bucket").isin(buckets))
+            .drop("bucket")
+        )
+        if self.cfg.size_weighted_partitions:
+            subset = weight_partition(subset, self.cfg.size_weighted_partitions)
+        return extract_documents_with_metrics(subset, self.cfg.kernel).withColumn(
+            "bucket", _bucket_col(self.cfg.n_buckets)
+        )
+
     def _process_group(self, buckets: list[int], attempt: int) -> None:
         t0 = time.time()
-        subset = self.docs.withColumn("bucket", _bucket_col(self.cfg.n_buckets)).where(
-            F.col("bucket").isin(buckets)
+        out = self._group_df(buckets)
+        (
+            out.repartition(len(buckets), "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.out)
         )
-        subset = subset.persist()
-        try:
-            out = extract_documents(subset.drop("bucket"), self.cfg.kernel).join(
-                subset.select("doc_id", "bucket"), "doc_id"
+        # per-bucket lineage metrics: a column-pruned, partition-pruned
+        # scan of the files just written — NOT a kernel re-execution.
+        metrics = (
+            self.spark.read.parquet(self.out)
+            .where(F.col("bucket").isin(buckets))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_spans_in").alias("n_spans_in"),
+                F.sum("n_spans_out").alias("n_spans_out"),
+                F.sum("parse_failed").alias("parse_failures"),
             )
-            (
-                out.repartition(len(buckets), "bucket")
-                .write.partitionBy("bucket")
-                .mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(self.out)
-            )
-            metrics = (
-                extraction_metrics(subset.drop("bucket"), self.cfg.kernel)
-                .join(subset.select("doc_id", "bucket"), "doc_id")
-                .groupBy("bucket")
-                .agg(
-                    F.count("*").alias("n_docs"),
-                    F.sum("n_spans_in").alias("n_spans_in"),
-                    F.sum("n_spans_out").alias("n_spans_out"),
-                    F.sum("parse_failed").alias("parse_failures"),
-                )
-                .collect()
-            )
-        finally:
-            subset.unpersist()
+            .collect()
+        )
         by_bucket = {r.bucket: r for r in metrics}
         wall_ms = int((time.time() - t0) * 1000)
         for b in buckets:

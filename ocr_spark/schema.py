@@ -97,3 +97,18 @@ DOC_METRICS_SCHEMA = StructType(
         StructField("warning", StringType(), True),
     ]
 )
+
+# Nested extraction output WITH per-doc metrics carried alongside —
+# the single-kernel-pass shape the checkpointed runner writes (metrics
+# cost 3 ints/doc in parquet; per-bucket lineage aggregates come from
+# a column-pruned scan of the written files, never a second kernel
+# execution).
+DOC_WITH_METRICS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(SPAN_STRUCT), True),
+        StructField("n_spans_in", LongType(), True),
+        StructField("n_spans_out", LongType(), True),
+        StructField("parse_failed", IntegerType(), True),
+    ]
+)

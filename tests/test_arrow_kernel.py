@@ -11,6 +11,7 @@ from ocr_spark.fixtures import generate_corpus
 from ocr_spark.pipeline.extract import (
     classify_spans,
     extract_documents,
+    extract_documents_with_metrics,
     extract_main_content,
     extraction_metrics,
 )
@@ -74,6 +75,25 @@ def test_metrics_equivalence(request, corpus):
     a = _rows(extraction_metrics(df, engine="arrow"))
     p = _rows(extraction_metrics(df, engine="pandas"))
     assert a == p
+
+
+@pytest.mark.parametrize("corpus", ["synth_docs", "hostile_docs"])
+def test_nested_metrics_equivalence(request, corpus):
+    # the runner's single-pass commit shape: arrow == pandas spec, and
+    # it must agree with the two separate kernels it replaces
+    df = request.getfixturevalue(corpus)
+    a = _rows(extract_documents_with_metrics(df, engine="arrow"))
+    p = _rows(extract_documents_with_metrics(df, engine="pandas"))
+    assert a == p
+    combined = {
+        r.doc_id: (r.n_spans_in, r.n_spans_out, r.parse_failed)
+        for r in extract_documents_with_metrics(df).collect()
+    }
+    separate = {
+        r.doc_id: (r.n_spans_in, r.n_spans_out, r.parse_failed)
+        for r in extraction_metrics(df).collect()
+    }
+    assert combined == separate
 
 
 def test_null_spans_row(spark):

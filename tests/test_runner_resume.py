@@ -71,6 +71,15 @@ def test_resume_is_noop_when_done(spark, docs, tmp_path):
     assert recs_before == recs_after
 
 
+def test_commit_group_is_single_pass(spark, docs, tmp_path):
+    """One commit group = exactly one kernel execution (MapInArrow)
+    and no doc_id join — output and metrics come from the same pass."""
+    run = ExtractionRun(spark, docs, str(tmp_path / "out"), RunConfig("rp", n_buckets=8))
+    plan = run._group_df([0, 1])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_lineage_metrics_consistency(spark, docs, tmp_path):
     run = ExtractionRun(spark, docs, str(tmp_path / "out"), RunConfig("r4", n_buckets=4))
     s = run.run()
