@@ -31,6 +31,14 @@ def main() -> None:
         action="store_true",
         help="input is a flat documents table; derive the span table",
     )
+    ap.add_argument(
+        "--size-weighted-partitions",
+        type=int,
+        default=0,
+        help="pre-spread docs across this many hash partitions, heaviest "
+        "docs first, before the kernel (skew guard for giant-doc tails); "
+        "0 = off",
+    )
     ap.add_argument("--master", default=None, help="override master URL")
     args = ap.parse_args()
 
@@ -50,6 +58,7 @@ def main() -> None:
             run_id=args.run_id,
             n_buckets=args.buckets,
             buckets_per_commit=args.buckets_per_commit,
+            size_weighted_partitions=args.size_weighted_partitions or None,
         ),
     )
     summary = run.run()

@@ -139,6 +139,31 @@ def test_weight_partition_preserves_content(spark, hostile_docs):
         assert ns == sorted(ns, reverse=True), f"partition {pid} not heaviest-first"
 
 
+def test_weight_partition_bounds_skew(spark):
+    """Giant-doc tail (FIXTURES.md: ~1% docs at 2k-20k spans): after
+    size-weighted partitioning no partition hoards the span mass, and
+    docs run heaviest-first inside each partition (LPT-style — the
+    straggler starts at t=0, not last)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.pipeline.extract import weight_partition
+
+    rows = generate_corpus(n_docs=400, seed=11, giant_frac=0.02)
+    df = spark.createDataFrame(rows, schema=DOC_SCHEMA)
+    wp = weight_partition(df, 8)
+    pairs = wp.select(
+        F.spark_partition_id().alias("pid"), F.size("spans").alias("w")
+    ).collect()
+    loads: dict[int, int] = {}
+    last_w: dict[int, int] = {}
+    for r in pairs:
+        loads[r.pid] = loads.get(r.pid, 0) + r.w
+        assert r.w <= last_w.get(r.pid, 1 << 60)  # non-increasing per pid
+        last_w[r.pid] = r.w
+    mean = sum(loads.values()) / len(loads)
+    assert max(loads.values()) <= 3 * mean, loads
+
+
 def test_subslice_batches_identical_results(spark, hostile_docs):
     """Memory-bounding sub-slices must not change any output — incl.
     sliced-ListArray flatten handling inside the kernel."""

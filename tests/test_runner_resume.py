@@ -71,6 +71,20 @@ def test_resume_is_noop_when_done(spark, docs, tmp_path):
     assert recs_before == recs_after
 
 
+def test_size_weighted_run_matches_default(spark, docs, tmp_path):
+    ref = ExtractionRun(spark, docs, str(tmp_path / "ref"), RunConfig("sw0", n_buckets=4))
+    ref.run()
+    sw = ExtractionRun(
+        spark, docs, str(tmp_path / "sw"),
+        RunConfig("sw1", n_buckets=4, size_weighted_partitions=8),
+    )
+    s = sw.run()
+    assert s["n_docs"] == 500
+    assert _nested_rows(ref.output().select("doc_id", "spans")) == _nested_rows(
+        sw.output().select("doc_id", "spans")
+    )
+
+
 def test_commit_group_is_single_pass(spark, docs, tmp_path):
     """One commit group = exactly one kernel execution (MapInArrow)
     and no doc_id join — output and metrics come from the same pass."""
