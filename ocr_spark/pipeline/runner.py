@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import asdict, dataclass
 
@@ -173,11 +174,31 @@ class ExtractionRun:
             }
             self._atomic_write(self._record_path(b), json.dumps(rec))
 
+    # -- T6: cancel / cleanup ---------------------------------------------
+    def _abort_path(self) -> str:
+        return f"{self.lineage_dir}/aborted.json"
+
+    def abort(self, reason: str = "") -> None:
+        """T6 run-abort (reference cancel analog,
+        /root/reference/webapp/jobs.py:293-321): mark the run aborted.
+        Committed buckets keep their lineage (idempotent output is
+        already durable); pending buckets stay pending. The next
+        ``run()`` on this run_id clears the marker and resumes."""
+        self._atomic_write(
+            self._abort_path(),
+            json.dumps({"run_id": self.cfg.run_id, "reason": reason}),
+        )
+
+    def is_aborted(self) -> bool:
+        return os.path.exists(self._abort_path())
+
     # -- T2/T5: run with resume -------------------------------------------
     def run(self, fail_after_groups: int | None = None) -> dict:
         """Process all pending buckets. ``fail_after_groups`` is a test
         hook simulating a mid-run crash. Returns the run summary."""
         self.write_manifest()
+        if self.is_aborted():
+            os.remove(self._abort_path())  # resuming an aborted run
         done = self.done_buckets()
         pending = [b for b in range(self.cfg.n_buckets) if b not in done]
         attempt = 1 if not done else 2
@@ -208,3 +229,27 @@ class ExtractionRun:
 
     def output(self) -> DataFrame:
         return self.spark.read.parquet(self.out)
+
+
+def list_runs(output_dir: str) -> list[str]:
+    """run_ids with lineage state under ``output_dir``."""
+    root = f"{output_dir.rstrip('/')}/_lineage"
+    if not os.path.isdir(root):
+        return []
+    return sorted(d for d in os.listdir(root) if os.path.isdir(f"{root}/{d}"))
+
+
+def cleanup_orphan_runs(output_dir: str, keep: set[str] | frozenset[str]) -> list[str]:
+    """T6 orphan GC (reference asset-cleanup analog,
+    /root/reference/webapp/state.py:229-302): delete lineage/checkpoint
+    state for every run_id NOT in ``keep``. The OUTPUT table is never
+    touched — lineage dirs are bookkeeping; output partitions are owned
+    by whichever run last committed them (idempotent overwrite-by-
+    partition). Returns the removed run_ids."""
+    removed = []
+    root = f"{output_dir.rstrip('/')}/_lineage"
+    for run_id in list_runs(output_dir):
+        if run_id not in keep:
+            shutil.rmtree(f"{root}/{run_id}")
+            removed.append(run_id)
+    return removed

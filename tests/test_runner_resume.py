@@ -9,7 +9,12 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from ocr_spark.pipeline.runner import ExtractionRun, RunConfig
+from ocr_spark.pipeline.runner import (
+    ExtractionRun,
+    RunConfig,
+    cleanup_orphan_runs,
+    list_runs,
+)
 from ocr_spark.sources.synth import synthesize_spans
 
 
@@ -92,6 +97,45 @@ def test_commit_group_is_single_pass(spark, docs, tmp_path):
     plan = run._group_df([0, 1])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInArrow") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_abort_then_resume_equals_single_shot(spark, docs, tmp_path):
+    """T6: an aborted run is resumable; output identical to one-shot."""
+    ref = ExtractionRun(spark, docs, str(tmp_path / "ref"), RunConfig("aref", n_buckets=8))
+    ref.run()
+    expected = _nested_rows(ref.output().select("doc_id", "spans"))
+
+    run = ExtractionRun(
+        spark, docs, str(tmp_path / "out"),
+        RunConfig("ab1", n_buckets=8, buckets_per_commit=2),
+    )
+    with pytest.raises(RuntimeError):
+        run.run(fail_after_groups=1)
+    run.abort("operator cancel")
+    assert run.is_aborted()
+    s = run.run()  # resume clears the marker and finishes pending work
+    assert not run.is_aborted()
+    assert s["buckets_done"] == 8
+    assert _nested_rows(run.output().select("doc_id", "spans")) == expected
+
+
+def test_cleanup_orphan_runs(spark, docs, tmp_path):
+    """T6: stale lineage dirs are GC'd; kept runs and output survive."""
+    out = str(tmp_path / "out")
+    keep = ExtractionRun(spark, docs, out, RunConfig("live", n_buckets=4))
+    keep.run()
+    stale = ExtractionRun(
+        spark, docs, out, RunConfig("stale", n_buckets=4, buckets_per_commit=1)
+    )
+    with pytest.raises(RuntimeError):
+        stale.run(fail_after_groups=1)  # orphaned: partial lineage left behind
+    assert set(list_runs(out)) == {"live", "stale"}
+    removed = cleanup_orphan_runs(out, keep={"live"})
+    assert removed == ["stale"]
+    assert list_runs(out) == ["live"]
+    # output table untouched; the kept run still resumes as a no-op
+    assert keep.output().select("doc_id").distinct().count() == 500
+    assert keep.run()["buckets_done"] == 4
 
 
 def test_lineage_metrics_consistency(spark, docs, tmp_path):
