@@ -1,0 +1,126 @@
+"""Results-sink facade (SURVEY.md S11, §7.2(6)): ONE write interface,
+two backends behind a capability check.
+
+- **Iceberg** (when the target is a catalog table and the runtime has
+  the Iceberg Spark extensions): ``df.writeTo(table).partitionedBy(
+  bucket(N, doc_id))`` with ``createOrReplace`` / ``append`` /
+  ``overwritePartitions``. This is the north-rule production sink —
+  atomic snapshot commits, bucketed partition transform, MERGE-grade
+  idempotence.
+- **partitioned parquet** (the sandbox fallback, always available):
+  explicit ``bucket=K/`` partition dirs + dynamic partition overwrite —
+  the same overwrite-by-partition discipline the checkpointed runner
+  relies on, so lineage/resume logic is identical across backends.
+
+The reference has no cluster sink at all (its exports are per-row CSV
+appends, /root/reference/pipeline.py:517-549); both backends here keep
+its append/replace semantics (J1/J2) at table scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.pipeline.sinks import write_results
+
+_MODES = ("overwrite", "append", "replace_partitions")
+
+
+def iceberg_available(spark: SparkSession, catalog: str) -> bool:
+    """True iff ``catalog`` is configured as a Spark catalog AND the
+    Iceberg runtime classes are actually loadable in this JVM."""
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}")
+    except Exception:
+        return False
+    if not impl:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(impl)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+class ResultsWriter:
+    """Write ``(doc_id, ...)`` result tables bucketed on a key.
+
+    Exactly one of ``table`` (Iceberg: ``catalog.namespace.name``) or
+    ``path`` (parquet dir) selects the backend; an Iceberg target on a
+    runtime without the Iceberg jars raises immediately rather than
+    failing mid-write.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str | None = None,
+        table: str | None = None,
+        n_buckets: int = 16,
+        bucket_by: str = "doc_id",
+    ):
+        if (path is None) == (table is None):
+            raise ValueError("pass exactly one of path= or table=")
+        self.spark = spark
+        self.path = path
+        self.table = table
+        self.n_buckets = n_buckets
+        self.bucket_by = bucket_by
+        if table is not None:
+            catalog = table.split(".", 1)[0]
+            if not iceberg_available(spark, catalog):
+                raise RuntimeError(
+                    f"catalog '{catalog}' is not an available Iceberg catalog; "
+                    "pass path= for the partitioned-parquet backend"
+                )
+
+    @property
+    def backend(self) -> str:
+        return "iceberg" if self.table is not None else "parquet"
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        if mode not in _MODES:
+            raise ValueError(f"mode must be one of {_MODES}")
+        if self.table is not None:
+            self._write_iceberg(df, mode)
+        else:
+            self._write_parquet(df, mode)
+
+    # -- Iceberg branch ----------------------------------------------------
+    def _write_iceberg(self, df: DataFrame, mode: str) -> None:
+        from pyspark.sql.functions.partitioning import bucket
+
+        w = df.writeTo(self.table).partitionedBy(
+            bucket(self.n_buckets, F.col(self.bucket_by))
+        )
+        if mode == "overwrite":
+            w.createOrReplace()
+        elif mode == "append":
+            if not self.spark.catalog.tableExists(self.table):
+                w.create()
+            else:
+                df.writeTo(self.table).append()
+        else:  # replace_partitions: idempotent re-commit of the touched buckets
+            if not self.spark.catalog.tableExists(self.table):
+                w.create()
+            else:
+                df.writeTo(self.table).overwritePartitions()
+
+    # -- parquet branch ----------------------------------------------------
+    def _write_parquet(self, df: DataFrame, mode: str) -> None:
+        # dynamic partition overwrite IS replace_partitions on parquet:
+        # only the bucket dirs present in df are replaced.
+        write_mode = "append" if mode == "append" else "overwrite"
+        write_results(
+            df,
+            self.path,
+            mode=write_mode,
+            bucket_by=self.bucket_by,
+            n_buckets=self.n_buckets,
+        )
+
+    def read(self) -> DataFrame:
+        if self.table is not None:
+            return self.spark.table(self.table)
+        return self.spark.read.parquet(self.path)
