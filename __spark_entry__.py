@@ -284,6 +284,33 @@ def _edit_update_sql() -> str:
     return res.edit_update_sql(target, updates, "token", ["f1", "f2"], passthrough=[])
 
 
+def _edit_overwrite_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 reference-faithful mode: a NULL update field CLEARS the value
+    on matched rows (/root/reference/webapp/api.py:536-560 overwrites
+    matched fields wholesale)."""
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.selectExpr(
+        "CAST(doc_id AS BIGINT) AS token", "lang AS f1", "source AS f2"
+    )
+    updates = docs.where("doc_id % 10 = 0").selectExpr(
+        "CAST(doc_id AS BIGINT) AS token",
+        "'EDITED' AS f1",
+        "CAST(NULL AS STRING) AS f2",
+    )
+    return res.edit_update(target, updates, "token", ["f1", "f2"], overwrite_nulls=True)
+
+
+def _edit_overwrite_sql() -> str:
+    target = "SELECT CAST(doc_id AS BIGINT) AS token, lang AS f1, source AS f2 FROM documents"
+    updates = (
+        "SELECT CAST(doc_id AS BIGINT) AS token, 'EDITED' AS f1, "
+        "CAST(NULL AS VARCHAR) AS f2 FROM documents WHERE doc_id % 10 = 0"
+    )
+    return res.edit_update_sql(
+        target, updates, "token", ["f1", "f2"], passthrough=[], overwrite_nulls=True
+    )
+
+
 def _run_summary_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 with float-determinism hardening: a parallel double sum is
     order-dependent, so the average is computed from exact integer
@@ -590,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- results-table semantics (J1, J3, J4, R5)
         "results_upsert": _upsert_spark,
         "edit_update": _edit_update_spark,
+        "edit_update_overwrite": _edit_overwrite_spark,
         # --- page restructuring (R1-R4, P3)
         "split_pages": lambda s, d: pg.split_pages(_read(s, d, "documents")),
         "unique_names": lambda s, d: pg.unique_names(_read(s, d, "documents")),
@@ -653,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "results_upsert": _upsert_sql(),
         "edit_update": _edit_update_sql(),
+        "edit_update_overwrite": _edit_overwrite_sql(),
         "split_pages": pg.split_pages_sql(),
         "unique_names": pg.unique_names_sql(),
         "page_count_probe": pg.page_count_probe_sql(),

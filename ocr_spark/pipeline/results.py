@@ -83,26 +83,57 @@ def dedup_last_wins_sql(
 
 
 def edit_update(
-    target: DataFrame, updates: DataFrame, key: str, fields: list[str]
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    fields: list[str],
+    overwrite_nulls: bool = False,
 ) -> DataFrame:
     """J4: UI-edit merge — matched rows take the update's field values
     (/root/reference/webapp/api.py:536-560). Updates are operator-scale
     small -> broadcast; unmatched update rows are ignored (the
-    reference 404s them)."""
+    reference 404s them).
+
+    ``overwrite_nulls=True`` is the reference-faithful mode: matched
+    fields are overwritten outright, so an explicit NULL in the update
+    CLEARS the field (api.py assigns the edited dict wholesale). The
+    default keeps the coalesce behavior (NULL update = leave as-is),
+    which is the safer merge for partial edit payloads."""
     upd = F.broadcast(
-        updates.select(key, *[F.col(f).alias(f"_u_{f}") for f in fields])
+        updates.select(
+            key,
+            *[F.col(f).alias(f"_u_{f}") for f in fields],
+            F.lit(True).alias("_u_matched"),
+        )
     )
     out = target.join(upd, key, "left")
     for f_name in fields:
-        out = out.withColumn(f_name, F.coalesce(F.col(f"_u_{f_name}"), F.col(f_name)))
-    return out.drop(*[f"_u_{f}" for f in fields])
+        if overwrite_nulls:
+            new_val = F.when(
+                F.col("_u_matched").isNotNull(), F.col(f"_u_{f_name}")
+            ).otherwise(F.col(f_name))
+        else:
+            new_val = F.coalesce(F.col(f"_u_{f_name}"), F.col(f_name))
+        out = out.withColumn(f_name, new_val)
+    return out.drop("_u_matched", *[f"_u_{f}" for f in fields])
 
 
 def edit_update_sql(
-    target: str, updates: str, key: str, fields: list[str], passthrough: list[str]
+    target: str,
+    updates: str,
+    key: str,
+    fields: list[str],
+    passthrough: list[str],
+    overwrite_nulls: bool = False,
 ) -> str:
     cols = [f"t.{key}"] + [f"t.{c}" for c in passthrough]
-    cols += [f"coalesce(u._u_{f}, t.{f}) AS {f}" for f in fields]
+    if overwrite_nulls:
+        cols += [
+            f"CASE WHEN u.{key} IS NOT NULL THEN u._u_{f} ELSE t.{f} END AS {f}"
+            for f in fields
+        ]
+    else:
+        cols += [f"coalesce(u._u_{f}, t.{f}) AS {f}" for f in fields]
     upd_cols = [key] + [f"{f} AS _u_{f}" for f in fields]
     return f"""
       SELECT {', '.join(cols)}

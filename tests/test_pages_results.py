@@ -139,6 +139,22 @@ def test_edit_update(spark):
     assert rows == {"a": ("x", "1"), "b": ("EDITED", "2"), "c": ("z", "3")}
 
 
+def test_edit_update_overwrite_nulls(spark):
+    # reference-faithful overwrite: matched fields take the update
+    # outright, so an explicit NULL clears the old value
+    target = spark.createDataFrame(
+        pd.DataFrame(
+            {"token": ["a", "b", "c"], "f1": ["x", "y", "z"], "f2": ["1", "2", "3"]}
+        )
+    )
+    updates = spark.createDataFrame(
+        pd.DataFrame({"token": ["b", "zz"], "f1": ["EDITED", "nope"], "f2": [None, None]})
+    )
+    out = results.edit_update(target, updates, "token", ["f1", "f2"], overwrite_nulls=True)
+    rows = {r.token: (r.f1, r.f2) for r in out.collect()}
+    assert rows == {"a": ("x", "1"), "b": ("EDITED", None), "c": ("z", "3")}
+
+
 def test_latest_row(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"token": ["a", "b", "c"], "run_ts": [1, 3, 2], "v": ["x", "y", "z"]})
