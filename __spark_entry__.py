@@ -496,10 +496,11 @@ def _classify_base_sql() -> str:
         f"greatest(CAST({n_words} AS DOUBLE), CAST(1.0 AS DOUBLE))) END"
     )
     cat = (
-        "CASE kind WHEN 'section_header_level_1' THEN 'header' "
-        "WHEN 'page_header' THEN 'furniture' WHEN 'page_footer' THEN 'furniture' "
-        "WHEN 'list_item' THEN 'list' WHEN 'picture' THEN 'media' "
-        "WHEN 'caption' THEN 'media' ELSE 'body' END"
+        "CASE WHEN kind = 'section_header_level_1' THEN 'header' "
+        "WHEN kind IN ('page_header', 'page_footer') THEN 'furniture' "
+        "WHEN kind = 'list_item' THEN 'list' "
+        "WHEN kind IN ('picture', 'caption') THEN 'media' "
+        "WHEN kind LIKE 'table\\_%' ESCAPE '\\' THEN 'table' ELSE 'body' END"
     )
     furniture = "kind IN ('page_header', 'page_footer')"
     return f"""

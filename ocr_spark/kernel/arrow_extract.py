@@ -41,6 +41,7 @@ from ocr_spark.schema import (
     KIND_LINK,
     KIND_PICTURE,
     KIND_TRUNCATION_MARKER,
+    TABLE_KINDS,
     TRUNCATION_KEEP_KINDS,
 )
 
@@ -54,9 +55,12 @@ _KIND_LIST = [
     "list_item",
     "picture",
     "caption",
+    *TABLE_KINDS,
 ]
-_CAT_OF_KIND = ["header", "furniture", "furniture", "list", "media", "media"]
-_CATS = ["body", "header", "furniture", "list", "media"]
+_CAT_OF_KIND = ["header", "furniture", "furniture", "list", "media", "media"] + [
+    "table"
+] * len(TABLE_KINDS)
+_CATS = ["body", "header", "furniture", "list", "media", "table"]
 _CAT_CODE = {c: i for i, c in enumerate(_CATS)}
 _KIND_CAT_CODE = np.array(
     [_CAT_CODE[c] for c in _CAT_OF_KIND] + [_CAT_CODE["body"]], dtype=np.int64

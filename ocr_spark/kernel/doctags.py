@@ -22,6 +22,18 @@ Parsing rules (derived from the observed streams):
   other spans get ``media_ref = ""``.
 - ``offset`` = emission order (0-based), which is the document reading
   order — the core ordering invariant (SURVEY.md O2).
+- ``<otsl>...</otsl>`` blocks are docling's serialized table structure
+  (the reference pins ``table_mode: "fast"``,
+  /root/reference/document_loader_api.py:18; its golden output happens
+  to contain no tables, so the token grammar follows docling's public
+  OTSL format). Cells surface as first-class spans — LOSSLESS, not
+  wrapper-stripped: each cell token ``<fcel>`` (full), ``<ecel>``
+  (empty), ``<ched>``/``<rhed>``/``<srow>`` (column/row/section
+  headers), ``<lcel>``/``<ucel>``/``<xcel>`` (merged-cell
+  continuations) becomes a span of kind ``table_<token>`` carrying the
+  cell text, and ``<nl>`` row breaks become ``table_nl`` spans, so the
+  full row/column/merge structure round-trips through the span
+  sequence in reading order.
 """
 
 from __future__ import annotations
@@ -30,7 +42,7 @@ import re
 
 import pandas as pd
 
-_WRAPPER_TAGS = {"doctag", "unordered_list", "ordered_list", "otsl"}
+_WRAPPER_TAGS = {"doctag", "unordered_list", "ordered_list"}
 
 # One content span: <kind><loc..>body</kind>
 _SPAN_RE = re.compile(
@@ -43,25 +55,19 @@ _SPAN_RE = re.compile(
 
 _LOC_RE = re.compile(r"<loc_(\d+)>")
 
+# OTSL table block + its cell tokens (docling's public OTSL grammar).
+_OTSL_RE = re.compile(r"<otsl>(?P<body>.*?)</otsl>", re.DOTALL)
+_OTSL_CELL_RE = re.compile(
+    r"<(?P<tok>fcel|ecel|lcel|ucel|xcel|nl|ched|rhed|srow)>(?P<body>[^<]*)"
+)
 
-def parse_doctags(stream: str) -> list[dict]:
-    """Parse one serialized DocTags stream into ordered span dicts.
 
-    Returns [{kind, text, media_ref, offset}, ...]; tolerant of a
-    truncated tail (unclosed final tag is dropped, matching how the
-    reference previews cut streams mid-tag at 1000 chars —
-    /root/reference/pipeline.py:408).
-    """
-    if not stream:
-        return []
-    # Drop wrapper tags so nested members (e.g. list_item inside
-    # unordered_list) surface as first-class spans.
-    cleaned = stream
+def _parse_plain(segment: str, spans: list[dict], pic_count: int) -> int:
+    """Non-table content: strip wrappers, emit <kind>..</kind> spans.
+    Returns the updated picture counter."""
     for tag in _WRAPPER_TAGS:
-        cleaned = cleaned.replace(f"<{tag}>", "").replace(f"</{tag}>", "")
-    spans: list[dict] = []
-    pic_count = 0
-    for m in _SPAN_RE.finditer(cleaned):
+        segment = segment.replace(f"<{tag}>", "").replace(f"</{tag}>", "")
+    for m in _SPAN_RE.finditer(segment):
         kind = m.group("kind")
         if kind.startswith("loc_"):
             continue
@@ -73,13 +79,45 @@ def parse_doctags(stream: str) -> list[dict]:
         else:
             media_ref = ""
         spans.append(
+            {"kind": kind, "text": body, "media_ref": media_ref, "offset": len(spans)}
+        )
+    return pic_count
+
+
+def _parse_otsl(body: str, spans: list[dict]) -> None:
+    """Table block: one span per cell token, kind = table_<token>;
+    <nl> row breaks become table_nl spans — the row/column/merge
+    structure survives in the ordered sequence."""
+    for m in _OTSL_CELL_RE.finditer(body):
+        spans.append(
             {
-                "kind": kind,
-                "text": body,
-                "media_ref": media_ref,
+                "kind": f"table_{m.group('tok')}",
+                "text": m.group("body").strip(),
+                "media_ref": "",
                 "offset": len(spans),
             }
         )
+
+
+def parse_doctags(stream: str) -> list[dict]:
+    """Parse one serialized DocTags stream into ordered span dicts.
+
+    Returns [{kind, text, media_ref, offset}, ...]; tolerant of a
+    truncated tail (unclosed final tag is dropped, matching how the
+    reference previews cut streams mid-tag at 1000 chars —
+    /root/reference/pipeline.py:408).
+    """
+    if not stream:
+        return []
+    spans: list[dict] = []
+    pic_count = 0
+    pos = 0
+    # interleave plain segments and <otsl> table blocks in reading order
+    for m in _OTSL_RE.finditer(stream):
+        pic_count = _parse_plain(stream[pos : m.start()], spans, pic_count)
+        _parse_otsl(m.group("body"), spans)
+        pos = m.end()
+    _parse_plain(stream[pos:], spans, pic_count)
     return spans
 
 

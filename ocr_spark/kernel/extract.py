@@ -37,6 +37,7 @@ from ocr_spark.schema import (
     KIND_PICTURE,
     KIND_TEXT,
     KIND_TRUNCATION_MARKER,
+    TABLE_KINDS,
     TRUNCATION_KEEP_KINDS,
 )
 
@@ -84,6 +85,9 @@ _KIND_CATEGORY = {
     "list_item": "list",
     "picture": "media",
     "caption": "media",
+    # OTSL table cells flow together as one block and are exempt from
+    # the body-text density floor (structure, not prose)
+    **{k: "table" for k in TABLE_KINDS},
 }
 
 

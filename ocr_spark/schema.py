@@ -32,6 +32,21 @@ KIND_LINK = "link"
 KIND_ERROR = "__error__"
 KIND_TRUNCATION_MARKER = "__truncated__"
 
+# DocTags OTSL table-structure span kinds (lossless table parsing —
+# docling's public OTSL cell tokens, prefixed): cells carry text, nl
+# marks row breaks, lcel/ucel/xcel are merged-cell continuations.
+TABLE_KINDS = (
+    "table_fcel",
+    "table_ecel",
+    "table_ched",
+    "table_rhed",
+    "table_srow",
+    "table_lcel",
+    "table_ucel",
+    "table_xcel",
+    "table_nl",
+)
+
 CONTENT_KINDS = (
     KIND_TEXT,
     KIND_SECTION_HEADER,

@@ -55,6 +55,82 @@ def test_empty_stream():
     assert parse_doctags(None) == []
 
 
+# A table-bearing stream in docling's public OTSL serialization (the
+# reference pins table_mode="fast" but its golden corpus contains no
+# tables, so this fixture exercises the documented grammar).
+OTSL_STREAM = (
+    "<doctag><section_header_level_1><loc_10><loc_10><loc_100><loc_20>Report</section_header_level_1>\n"
+    "<otsl><loc_29><loc_132><loc_468><loc_278>"
+    "<ched>Quarter<ched>Revenue<nl>"
+    "<rhed>Q1<fcel>1,200<nl>"
+    "<rhed>Q2<fcel>1,450<nl>"
+    "<rhed>Total<lcel><nl>"
+    "<ecel><fcel>2,650<nl>"
+    "</otsl>\n"
+    "<text><loc_1><loc_2><loc_3><loc_4>after table</text></doctag>"
+)
+
+
+def test_otsl_table_cells_are_first_class_spans():
+    spans = parse_doctags(OTSL_STREAM)
+    kinds = [s["kind"] for s in spans]
+    assert kinds == [
+        "section_header_level_1",
+        "table_ched", "table_ched", "table_nl",
+        "table_rhed", "table_fcel", "table_nl",
+        "table_rhed", "table_fcel", "table_nl",
+        "table_rhed", "table_lcel", "table_nl",
+        "table_ecel", "table_fcel", "table_nl",
+        "text",
+    ]
+    texts = {i: s["text"] for i, s in enumerate(spans)}
+    assert texts[1] == "Quarter" and texts[2] == "Revenue"
+    assert texts[4] == "Q1" and texts[5] == "1,200"
+    assert texts[14] == "2,650"
+    assert [s["offset"] for s in spans] == list(range(17))
+    # lossless row structure: 5 rows = 5 <nl> markers
+    assert kinds.count("table_nl") == 5
+
+
+def test_otsl_interleaves_with_pictures():
+    s = (
+        "<doctag><picture><loc_1><loc_2><loc_3><loc_4></picture>\n"
+        "<otsl><fcel>only cell<nl></otsl>\n"
+        "<picture><loc_5><loc_6><loc_7><loc_8></picture></doctag>"
+    )
+    spans = parse_doctags(s)
+    assert [s["kind"] for s in spans] == ["picture", "table_fcel", "table_nl", "picture"]
+    assert spans[0]["media_ref"] == "pic-0" and spans[3]["media_ref"] == "pic-1"
+    assert spans[1]["text"] == "only cell"
+
+
+def test_otsl_spans_survive_extraction_kernel(spark):
+    """Table spans flow through classify/strip as their own block
+    category: parity mode round-trips the exact sequence, strip mode
+    keeps the table (structure is exempt from the prose density
+    floor)."""
+    import pandas as pd
+
+    from ocr_spark.pipeline.extract import classify_spans, extract_main_content
+    from ocr_spark.schema import DOC_SCHEMA
+
+    spans = parse_doctags(OTSL_STREAM)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ["t1"], "spans": [spans]}), schema=DOC_SCHEMA)
+    parity = classify_spans(df).orderBy("offset").collect()
+    assert [(r.kind, r.text, r.media_ref, r.offset) for r in parity] == [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans
+    ]
+    # all table cells share one block (the tag-transition machine
+    # groups the table category), distinct from header and body text
+    blocks = {r.kind: r.block_id for r in parity}
+    table_block_ids = {r.block_id for r in parity if r.kind.startswith("table_")}
+    assert len(table_block_ids) == 1
+    assert blocks["section_header_level_1"] not in table_block_ids
+    assert blocks["text"] not in table_block_ids
+    stripped = extract_main_content(df).orderBy("offset").collect()
+    assert [r.kind for r in stripped] == [s["kind"] for s in spans]  # nothing dropped
+
+
 def test_page_header_kind():
     s = "<doctag><page_header><loc_422><loc_13><loc_479><loc_24>Liên số 2</page_header></doctag>"
     spans = parse_doctags(s)
