@@ -115,9 +115,28 @@ def headline_queries(spark, sf_dir: str, span_dir: str | None = None):
         "minhash_lsh_pairs": lambda: ded.minhash_lsh_pairs(docs()),
         "simhash": lambda: ded.simhash(docs()),
         "ngram_jaccard_pairs": lambda: ded.ngram_jaccard_pairs(docs()),
+        "lsh_verified_pairs": lambda: ded.lsh_verified_pairs(docs()),
         "cosine_topk": lambda: sim.cosine_topk(emb()),
         "ann_lsh_topk": lambda: sim.ann_lsh_topk(emb()),
+        "embedding_near_dups": lambda: sim.embedding_near_dups(emb(), tau=0.9),
     }
+
+
+def _prev_bench(repo_dir: str) -> tuple[str, dict] | None:
+    """Latest BENCH_r*.json in the repo — the per-query regression
+    baseline for round-over-round deltas."""
+    import glob
+
+    paths = sorted(glob.glob(f"{repo_dir}/BENCH_r*.json"))
+    if not paths:
+        return None
+    try:
+        with open(paths[-1]) as f:
+            data = json.load(f)
+        # the driver records our JSON line under "parsed"
+        return os.path.basename(paths[-1]), data.get("parsed", data)
+    except Exception:
+        return None
 
 
 def run_bench() -> None:
@@ -156,19 +175,29 @@ def run_bench() -> None:
     total = round(sum(timings.values()), 3)
     extract_docs = n_docs * 16  # amplified corpus size
     docs_per_sec = round(extract_docs / timings["extract_main_content"], 1)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_label(SF_DIR),
-                "extract_docs_per_sec": docs_per_sec,
-                "cpus": CPUS,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "extract_docs_per_sec": docs_per_sec,
+        "cpus": CPUS,
+    }
+    # round-over-round regression deltas vs the last recorded BENCH
+    # (positive pct = slower than last round; queries new this round
+    # have no delta). Timings on this shared VM jitter ~±15%.
+    prev = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
+    if prev:
+        prev_name, prev_json = prev
+        prev_q = prev_json.get("queries", {})
+        out["prev_round"] = prev_name
+        out["delta_pct"] = {
+            name: round(100.0 * (t - prev_q[name]) / prev_q[name], 1)
+            for name, t in timings.items()
+            if name in prev_q and prev_q[name]
+        }
+    print(json.dumps(out))
     spark.stop()
 
 
