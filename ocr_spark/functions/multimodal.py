@@ -21,8 +21,6 @@ media_ref at equal size).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
@@ -107,23 +105,32 @@ def image_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     extraction over the binary column.
 
     The featurizer is the DETERMINISTIC FAKE standing in for a real
-    CNN/CLIP embed: feature[j] = byte j of md5(hex(data)) / 255 (the
-    hex detour keeps the DuckDB oracle expressible — its md5 only
-    hashes VARCHAR). The surrounding machinery — binary Arrow batches,
-    fixed-size vector output, scan-stage execution — is exactly what a
-    real model UDF uses (swap the hash for an ONNX session per batch)."""
+    CNN/CLIP embed: feature[j] = byte j of the blob / 255 (0 beyond the
+    blob's length). It is computed as a true BATCH operation — the
+    whole batch's bytes come out of the Arrow value buffer and one
+    vectorized numpy gather builds the (n, dim) matrix; no per-row
+    Python runs, exactly like the real replacement (a batched ONNX/
+    torch session invoked once per Arrow batch)."""
 
     def featurize(batches):
         for b in batches:
             refs = b.column("media_ref")
             data = b.column("data")
+            if data.null_count:
+                data = pa.compute.fill_null(data, b"")
+            data = data.combine_chunks() if isinstance(data, pa.ChunkedArray) else data
             n = b.num_rows
-            out = np.empty((n, dim), dtype=np.float64)
-            buf = data.to_pylist()  # bytes per row (stub decode)
-            for i, blob in enumerate(buf):
-                hx = (blob if blob is not None else b"").hex()
-                d = hashlib.md5(hx.encode()).digest()
-                out[i] = np.frombuffer(d[:dim], dtype=np.uint8) / 255.0
+            # flat value buffer + offsets: the batch's bytes, zero-copy
+            offs = np.frombuffer(data.buffers()[1], dtype=np.int32)[
+                data.offset : data.offset + n + 1
+            ].astype(np.int64)
+            buf = np.frombuffer(data.buffers()[2] or b"", dtype=np.uint8)
+            lens = np.diff(offs)
+            cols = np.arange(dim, dtype=np.int64)
+            # clamp the gather inside each blob; zero past its end
+            idx = offs[:-1, None] + np.minimum(cols, np.maximum(lens[:, None] - 1, 0))
+            valid = cols < lens[:, None]
+            out = np.where(valid, buf[idx] if len(buf) else 0, 0) / 255.0
             flat = pa.array(out.reshape(-1))
             feats = pa.FixedSizeListArray.from_arrays(flat, dim).cast(
                 pa.list_(pa.float64())
@@ -144,19 +151,19 @@ def image_features_flat(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 
 def image_features_flat_sql(table: str = "documents", dim: int = FEATURE_DIM) -> str:
-    """DuckDB twin of the fake featurizer: data = unhex(md5||md5) so
-    md5(data) is computable from media_ref alone."""
+    """DuckDB twin of the fake featurizer: the synthesized blob is
+    unhex(md5(ref) || md5(ref)), so byte j (j < 16) is the j-th hex
+    pair of md5(media_ref) — computable from media_ref alone."""
     from ocr_spark.sources.synth import synth_spans_sql
 
     return f"""
       WITH spans AS ({synth_spans_sql(table)}),
       media AS (
-        SELECT media_ref,
-               md5(md5(media_ref) || md5(media_ref)) AS data_md5
+        SELECT media_ref, md5(media_ref) AS h
         FROM spans WHERE kind = 'picture'
       )
       SELECT media_ref, CAST(r.i AS INT) AS j,
-             CAST(CAST(('0x' || substr(data_md5, r.i * 2 + 1, 2)) AS INT) AS DOUBLE)
+             CAST(CAST(('0x' || substr(h, (r.i % 16) * 2 + 1, 2)) AS INT) AS DOUBLE)
                / 255.0 AS feature
       FROM media CROSS JOIN range(0, {dim}) r(i)
     """

@@ -71,6 +71,26 @@ def test_features_shape_and_range(media):
         assert all(0.0 <= f <= 1.0 for f in r.features)
 
 
+def test_features_pad_short_and_null_blobs(spark):
+    # blobs shorter than dim (or NULL) zero-pad — the vectorized gather
+    # must not read past a blob's end or crash on empty batches
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": ["a", "b", "c"],
+                "data": [bytes(range(4)), b"", None],
+            }
+        )
+    )
+    rows = {r.media_ref: r.features for r in mm.image_features(df).collect()}
+    assert rows["a"][:4] == [0.0, 1 / 255.0, 2 / 255.0, 3 / 255.0]
+    assert rows["a"][4:] == [0.0] * (mm.FEATURE_DIM - 4)
+    assert rows["b"] == [0.0] * mm.FEATURE_DIM
+    assert rows["c"] == [0.0] * mm.FEATURE_DIM
+
+
 def test_resize_plan(media):
     rows = mm.resize_plan(media, max_side=64).collect()
     for r in rows:
