@@ -649,6 +649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search
         "cosine_topk": lambda s, d: sim.cosine_topk(_read(s, d, "embeddings")),
         "ann_lsh_topk": lambda s, d: sim.ann_lsh_topk(_read(s, d, "embeddings")),
+        "ann_multiprobe_topk": lambda s, d: sim.ann_multiprobe_topk(
+            _read(s, d, "embeddings")
+        ),
         "ivf_topk": lambda s, d: sim.ivf_topk(_read(s, d, "embeddings")),
         "embedding_near_dups": lambda s, d: sim.embedding_near_dups(
             _read(s, d, "embeddings"), tau=0.35
@@ -708,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": mm.image_features_flat_sql(),
         "cosine_topk": sim.cosine_topk_sql(),
         "ann_lsh_topk": sim.ann_lsh_topk_sql(),
+        "ann_multiprobe_topk": sim.ann_multiprobe_topk_sql(),
         "ivf_topk": sim.ivf_topk_sql(),
         "embedding_near_dups": sim.embedding_near_dups_sql(tau=0.35),
     }

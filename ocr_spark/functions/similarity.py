@@ -292,6 +292,83 @@ def ann_lsh_topk_sql(
     """
 
 
+def ann_multiprobe_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket PLUS the
+    n_planes buckets at Hamming distance 1 (one sign bit flipped) —
+    the standard recall repair when n_planes grows with corpus size
+    (wider buckets mean a true neighbor more often lands one bit away;
+    probing neighbors recovers it without shrinking the bucket space).
+    Probe buckets are distinct, so each candidate appears exactly once
+    — no dedup stage. Cost: (n_planes + 1) bucket probes per query,
+    still O(candidates), never O(n)."""
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+        F.expr(_norm_expr("embedding")).alias("norm"),
+        F.expr(bucket_expr(n=n_planes)).alias("bucket"),
+    )
+    probe_arr = "array(bucket, " + ", ".join(
+        f"bucket ^ {1 << p}" for p in range(n_planes)
+    ) + ")"
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.explode(F.expr(probe_arr)).alias("probe"),
+    )
+    cos = F.expr(_dot_expr("q_emb", "embedding")) / (F.col("q_norm") * F.col("norm"))
+    pairs = (
+        F.broadcast(q)
+        .join(base, (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", floor6(F.col("cos_raw")).alias("cos"))
+    )
+
+
+def ann_multiprobe_topk_sql(
+    table: str = "embeddings", n_queries: int = 5, k: int = 10, n_planes: int = N_PLANES
+) -> str:
+    cos = f"({_dot_sql('p.q_emb', 'c.embedding')} / (p.q_norm * c.norm))"
+    probes = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << b})" for b in range(n_planes)
+    ) + "]"
+    return f"""
+      WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+               {_norm_sql('embedding')} AS norm,
+               {bucket_sql('embedding', n_planes)} AS bucket
+        FROM {table}
+      ),
+      probes AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+               unnest({probes}) AS probe
+        FROM base WHERE vec_id < {n_queries}
+      ),
+      pairs AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cos_raw
+        FROM probes p JOIN base c
+          ON c.bucket = p.probe AND c.vec_id <> p.query_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id ASC) AS rank,
+               cos_raw
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+             {floor6_sql('cos_raw')} AS cos
+      FROM ranked WHERE rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # embedding near-duplicate pairs
 # ---------------------------------------------------------------------------

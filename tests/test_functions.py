@@ -170,6 +170,31 @@ def test_ann_recall_vs_exact(emb):
     assert len(approx) > 0
 
 
+def test_ann_multiprobe_topk(emb, con):
+    assert_same(
+        similarity.ann_multiprobe_topk(emb), con, similarity.ann_multiprobe_topk_sql()
+    )
+
+
+def test_multiprobe_recall_dominates_single_probe(emb):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, n_queries=5, k=10).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh_topk(emb, n_queries=5, k=10).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_multiprobe_topk(emb, n_queries=5, k=10).collect()
+    }
+    # probing Hamming-1 buckets can only widen the candidate set, so
+    # recall vs exact must not drop
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) > 0
+
+
 def test_embedding_near_dups(emb, con):
     assert_same(
         similarity.embedding_near_dups(emb, tau=0.5),
