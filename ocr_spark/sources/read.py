@@ -10,6 +10,7 @@ filter into file listing (no data is touched for excluded files).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ocr_spark.schema import DOC_SCHEMA
 
@@ -44,3 +45,29 @@ def read_binary_files(spark: SparkSession, root: str, glob: str | None = None) -
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(root)
+
+
+def validate_uploads(files: DataFrame) -> DataFrame:
+    """S3 upload validation, columnar (the reference rejects non-.pdf
+    names and empty payloads per upload with a 400,
+    /root/reference/webapp/api.py:163-178). At table scale rejection
+    rows become DATA — (…, ok, reject_reason) — so one bad file never
+    aborts a million-file batch (abort_on_error=False discipline), and
+    the magic-bytes check catches mis-named non-PDF payloads the
+    reference's name test misses.
+
+    Input: read_binary_files output. Pure codegen exprs; the content
+    column is only touched for its 5-byte prefix."""
+    name_ok = F.lower(F.col("path")).endswith(".pdf")
+    non_empty = F.coalesce(F.col("length"), F.lit(0)) > 0
+    magic_ok = F.expr("substring(content, 1, 5)") == F.lit(b"%PDF-")
+    reason = (
+        F.when(~name_ok, F.concat(F.lit("File '"), F.col("path"), F.lit("' is not a PDF document.")))
+        .when(~non_empty, F.concat(F.lit("File '"), F.col("path"), F.lit("' is empty.")))
+        .when(~magic_ok, F.concat(F.lit("File '"), F.col("path"), F.lit("' has no PDF magic bytes.")))
+    )
+    return files.select(
+        "*",
+        reason.isNull().alias("ok"),
+        F.coalesce(reason, F.lit("")).alias("reject_reason"),
+    )

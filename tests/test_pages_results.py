@@ -182,3 +182,27 @@ def test_read_binary_files(spark, tmp_path):
     (tmp_path / "y.txt").write_bytes(b"nope")
     out = read_binary_files(spark, str(tmp_path), glob="*.bin").collect()
     assert len(out) == 1 and bytes(out[0].content) == b"hello"
+
+
+def test_validate_uploads(spark, tmp_path):
+    # reference semantics (/root/reference/webapp/api.py:163-178):
+    # non-.pdf name and empty payload reject; plus a magic-bytes check;
+    # rejections are rows, not aborts
+    from ocr_spark.sources.read import read_binary_files, validate_uploads
+
+    (tmp_path / "good.pdf").write_bytes(b"%PDF-1.7 stream")
+    (tmp_path / "notes.txt").write_bytes(b"hi")
+    (tmp_path / "fake.pdf").write_bytes(b"MZexecutable")
+    out = validate_uploads(read_binary_files(spark, str(tmp_path)))
+    got = {r.path.rsplit("/", 1)[-1]: (r.ok, r.reject_reason) for r in out.collect()}
+    assert got["good.pdf"] == (True, "")
+    assert not got["notes.txt"][0] and "not a PDF document" in got["notes.txt"][1]
+    assert not got["fake.pdf"][0] and "magic bytes" in got["fake.pdf"][1]
+    # Spark's binaryFile source drops zero-length files at listing, so
+    # the empty-payload branch (other connectors can deliver it) is
+    # exercised on a constructed frame
+    empty = spark.createDataFrame(
+        [("s3://up/empty.pdf", 0, bytearray(b""))], "path string, length long, content binary"
+    )
+    r = validate_uploads(empty).collect()[0]
+    assert not r.ok and "is empty" in r.reject_reason
