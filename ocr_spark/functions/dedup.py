@@ -433,27 +433,63 @@ def dup_clusters(
     edges = lsh_verified_pairs(docs, w, tau, k, bands, max_bucket).select(
         "doc_a", "doc_b"
     )
+    labels, _ = connected_components(edges)
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Min-label connected components over (doc_a, doc_b) edges ->
+    ((doc_id, label), n_iterations). Only docs appearing in >= 1 edge
+    are emitted.
+
+    Each round combines neighbor-min propagation with POINTER JUMPING
+    (label <- label's label): labels are always vertex ids, so the
+    extra self-join halves remaining path lengths every round and the
+    driver loop converges in O(log diameter) rounds instead of
+    O(diameter) — the property that matters when a dup chain is long
+    (the large-star/small-star regime) while costing one more
+    uniform-key shuffle per round."""
     bidir = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
+    # labels are localCheckpoint'ed each round: iterative self-joins
+    # otherwise double the logical plan every iteration (lineage grows
+    # exponentially -> analyzer/driver heap death long before data
+    # size matters). Checkpointing truncates lineage to the
+    # materialized result; on a cluster use checkpoint() to reliable
+    # storage for executor-loss tolerance.
     labels = (
         bidir.select(F.col("doc_a").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
+    n_iters = 0
     while True:
+        n_iters += 1
         nbr_min = (
             bidir.join(labels, bidir.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label <- labels[label] (labels are vertex ids)
+        parent = stepped.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("_ll")
+        )
         new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
+            stepped.join(parent, "label", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias(
+                    "label"
+                ),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -461,12 +497,11 @@ def dup_clusters(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     bidir.unpersist()
-    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+    return labels, n_iters
 
 
 def dup_clusters_sql(

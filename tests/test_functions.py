@@ -310,6 +310,21 @@ def test_dup_clusters_matches_oracle(docs, con):
     assert_same(dedup.dup_clusters(docs), con, dedup.dup_clusters_sql())
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    import pandas as pd
+
+    n = 64  # path graph 0-1-2-...-63: worst case for plain propagation
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": list(range(n - 1)), "doc_b": list(range(1, n))})
+    )
+    labels, iters = dedup.connected_components(edges)
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}  # one component, min-label root
+    # pointer jumping: O(log n) driver rounds, not O(n) (plain
+    # propagation would need ~63)
+    assert iters <= 10, iters
+
+
 def test_ivf_topk(emb, con):
     assert_same(similarity.ivf_topk(emb), con, similarity.ivf_topk_sql())
 
