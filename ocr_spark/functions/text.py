@@ -59,6 +59,17 @@ def floor6_sql(expr: str) -> str:
     return f"floor(({expr}) * 1000000.0) / 1000000.0"
 
 
+def preview(c: Column, n: int = 1000) -> Column:
+    """P2: first-n-chars preview slice (the reference shows
+    doctags[:1000], /root/reference/pipeline.py:408). A cut may land
+    mid-tag — the DocTags parser tolerates the truncated tail."""
+    return F.substring(c, 1, n)
+
+
+def preview_sql(expr: str, n: int = 1000) -> str:
+    return f"substr({expr}, 1, {n})"
+
+
 # ---------------------------------------------------------------------------
 # token counting
 # ---------------------------------------------------------------------------

@@ -42,6 +42,28 @@ def test_picture_placeholder_media_refs():
     assert spans[0]["text"] == "" and spans[2]["text"] == ""
 
 
+def test_preview_slice_feeds_parser(spark):
+    # P2: the UI preview is doctags[:1000]; a cut mid-tag must still
+    # parse (dropping the unclosed tail); Spark and DuckDB slice alike
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.text import preview, preview_sql
+
+    head = "<doctag>" + "".join(
+        f"<text><loc_1><loc_2><loc_3><loc_4>span number {i:04d}</text>\n"
+        for i in range(30)
+    )
+    cut = spark.range(1).select(preview(F.lit(head)).alias("p")).collect()[0].p
+    cut_sql = duckdb.execute(
+        f"SELECT {preview_sql('?')} AS p", [head]
+    ).fetchone()[0]
+    assert cut == cut_sql and len(cut) == 1000
+    spans = parse_doctags(cut)
+    assert 0 < len(spans) < 30  # truncated tail dropped, head parsed
+    assert all(s["kind"] == "text" for s in spans)
+
+
 def test_truncated_tail_dropped():
     # previews cut streams mid-tag (first_1000_chars slice,
     # /root/reference/pipeline.py:408) — unclosed tail must not crash.

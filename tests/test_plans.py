@@ -13,7 +13,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from ocr_spark.functions.dedup import simhash
+from ocr_spark.functions.dedup import lsh_verified_pairs, simhash
+from ocr_spark.functions.similarity import embedding_near_dups
 from ocr_spark.functions.text import quality_score
 from ocr_spark.pipeline.extract import extract_main_content
 from ocr_spark.sources.synth import synthesize_spans
@@ -65,6 +66,25 @@ def test_simhash_partial_aggregation(docs):
     # one shuffle keyed on doc_id with a partial_ aggregate before it
     assert "hashpartitioning(doc_id" in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_lsh_verified_pairs_aggregates_partially(docs):
+    # the signature build and the intersection count must map-side
+    # combine (partial_min / partial_count) before their shuffles, and
+    # no cartesian product may appear anywhere in the verified path
+    plan = _plan(lsh_verified_pairs(docs))
+    assert "partial_min" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_embedding_near_dups_joins_on_band_key(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(embedding_near_dups(emb))
+    # candidate generation is an equi-join keyed on (band, key) —
+    # never an all-pairs product
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "band" in plan and "key" in plan, plan
 
 
 def test_whole_stage_codegen_covers_scalar_path(docs):
