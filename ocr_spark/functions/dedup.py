@@ -282,13 +282,20 @@ def simhash_sql(table: str = "documents", bits: int = SIMHASH_BITS) -> str:
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(docs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2, max_df: int | None = None
+) -> DataFrame:
     """(doc_a, doc_b, n_shared, n_a, n_b, jaccard): exact Jaccard over
     distinct w-word shingles for pairs sharing >= 1 shingle, filtered
     to jaccard >= tau.
 
-    Candidate generation = equi-join on the shingle (no n^2); the pair
-    aggregate shuffles on (doc_a, doc_b).
+    Candidate generation = equi-join on the shingle (no n^2) — but a
+    shingle shared by df docs emits df^2 join rows, so corpus-wide
+    boilerplate blows up the baseline path. ``max_df`` drops shingles
+    with document frequency above the cap from CANDIDATE GENERATION
+    only (per-doc counts, and hence jaccard denominators, are
+    unchanged); pairs sharing only capped shingles are missed, which
+    is the explicit trade. The production path is lsh_verified_pairs.
     """
     # join on the 60-bit shingle hash, not the string: ~8x smaller
     # shuffle payload and integer comparisons. Collisions (~1e-18) are
@@ -299,7 +306,13 @@ def ngram_jaccard_pairs(docs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2) -
         F.explode(F.expr(f"array_distinct({shingles_expr(w)})")).alias("sh"),
     ).select("doc_id", F.expr(md5_long_expr("sh")).alias("h"))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    cand = sh
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        df_count = F.count("*").over(Window.partitionBy("h"))
+        cand = sh.withColumn("_df", df_count).where(F.col("_df") <= max_df).drop("_df")
+    a, b = cand.alias("a"), cand.alias("b")
     shared = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -530,8 +543,18 @@ def dup_clusters_sql(
     """
 
 
-def ngram_jaccard_pairs_sql(table: str = "documents", w: int = SHINGLE_W, tau: float = 0.2) -> str:
+def ngram_jaccard_pairs_sql(
+    table: str = "documents",
+    w: int = SHINGLE_W,
+    tau: float = 0.2,
+    max_df: int | None = None,
+) -> str:
     j = "(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared))"
+    cap = (
+        f"QUALIFY count(*) OVER (PARTITION BY h) <= {max_df}"
+        if max_df is not None
+        else ""
+    )
     return f"""
       WITH sh AS (
         SELECT doc_id, {md5_long_sql('sh')} AS h FROM (
@@ -541,9 +564,10 @@ def ngram_jaccard_pairs_sql(table: str = "documents", w: int = SHINGLE_W, tau: f
         )
       ),
       counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      cand AS (SELECT doc_id, h FROM sh {cap}),
       shared AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        FROM cand a JOIN cand b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
       )
       SELECT doc_a, doc_b, n_shared, ca.n AS n_a, cb.n AS n_b,

@@ -126,6 +126,41 @@ def test_ngram_jaccard(docs, con):
     assert_same(dedup.ngram_jaccard_pairs(docs), con, dedup.ngram_jaccard_pairs_sql())
 
 
+def test_ngram_max_df_caps_hot_shingles(spark, docs, con):
+    import pandas as pd
+
+    # ten docs share ONLY a boilerplate shingle (df=10); one pair
+    # genuinely overlaps (its shared shingles have df=2). max_df=3
+    # removes the boilerplate pairs from candidate generation without
+    # touching the real pair's jaccard value.
+    words = [f"u{i}" for i in range(10)]
+    boiler = "all rights reserved contact us"
+    texts = [f"{boiler} x{i}a x{i}b x{i}c x{i}d x{i}e x{i}f" for i in range(10)]
+    texts += [" ".join(words), " ".join(words[:9] + ["X"])]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(1, 13)), "text": texts})
+    )
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, tau=0.01).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, tau=0.01, max_df=3).collect()
+    }
+    assert (1, 2) in full and (11, 12) in full
+    assert len(full) >= 45 + 1  # all boiler pairs + the real pair
+    assert (1, 2) not in capped  # hot-shingle pairs gone from candidates
+    assert set(capped) == {(11, 12)}
+    assert capped[(11, 12)] == full[(11, 12)]  # denominators unchanged
+    # capped Spark matches the capped oracle on real data
+    assert_same(
+        dedup.ngram_jaccard_pairs(docs, max_df=3),
+        con,
+        dedup.ngram_jaccard_pairs_sql(max_df=3),
+    )
+
+
 def test_jaccard_identical_docs(spark):
     import pandas as pd
 
