@@ -456,21 +456,106 @@ def embedding_near_dups_sql(
 N_CENTROIDS = 16
 
 
-def _assignments(emb: "DataFrame", n_centroids: int):
+def kmeans_centroids(
+    emb: DataFrame, k: int = N_CENTROIDS, iters: int = 5, dim: int = DIM
+) -> list[list[float]]:
+    """Distributed spherical k-means (Lloyd's) for IVF cell centers —
+    the real 'offline training' step the ivf_topk docstring defers to.
+
+    Deterministic end to end: init = the first k vectors (by vec_id),
+    assignment = argmax cosine against broadcast literal centroids
+    (codegen, no shuffle of the corpus beyond the recenter aggregate),
+    recenter = per-dimension EXACT INTEGER sums (round(x * 1e9)) so the
+    parallel reduction is order-independent — the same centroids come
+    back for any partitioning. Per round: one scan + one
+    (centroid, dim)-keyed aggregate of k*dim rows; centroids
+    (k x dim doubles) ride the driver, which is the right home for
+    them at any corpus size."""
+    unit = "transform(embedding, x -> CAST(x AS DOUBLE) / " + _norm_expr("embedding") + ")"
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), F.expr(unit).alias("u")
+    ).persist()
+    cents = [
+        [float(v) for v in r.u]
+        for r in base.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    try:
+        for _ in range(iters):
+            dots = "array(" + ", ".join(
+                _dot_expr("u", _plane_lit_expr(c)) for c in cents
+            ) + ")"
+            # argmax with lowest-index tie-break
+            assign = (
+                f"CAST(array_position({dots}, array_max({dots})) AS INT) - 1"
+            )
+            agg = (
+                base.select(F.expr(assign).alias("c"), F.posexplode("u").alias("j", "v"))
+                .groupBy("c", "j")
+                .agg(
+                    F.sum(F.round(F.col("v") * 1e9).cast("long")).alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            sums: dict[int, list[float]] = {}
+            counts: dict[int, int] = {}
+            for r in agg:
+                sums.setdefault(r.c, [0.0] * dim)[r.j] = r.s / 1e9
+                counts[r.c] = r.n
+            new_cents = []
+            for ci in range(len(cents)):
+                if ci in sums and counts[ci] > 0:
+                    mean = [s / counts[ci] for s in sums[ci]]
+                    nrm = sum(x * x for x in mean) ** 0.5
+                    new_cents.append([x / nrm for x in mean] if nrm > 0 else cents[ci])
+                else:  # empty cell keeps its center (classic Lloyd's rule)
+                    new_cents.append(cents[ci])
+            cents = new_cents
+    finally:
+        base.unpersist()
+    return cents
+
+
+def kmeans_inertia(emb: DataFrame, cents: list[list[float]]) -> float:
+    """Mean (1 - cosine to the assigned center): the spherical k-means
+    objective, for convergence checks."""
+    unit = "transform(embedding, x -> CAST(x AS DOUBLE) / " + _norm_expr("embedding") + ")"
+    dots = "array(" + ", ".join(_dot_expr("u", _plane_lit_expr(c)) for c in cents) + ")"
+    row = (
+        emb.select(F.expr(unit).alias("u"))
+        .select(F.expr(f"1.0 - array_max({dots})").alias("d"))
+        .agg(F.avg("d"))
+        .collect()[0]
+    )
+    return float(row[0])
+
+
+def _assignments(emb: "DataFrame", n_centroids: int, centroids=None):
     """(vec_id, embedding, norm, centroid): each vector assigned to its
     highest-cosine centroid (ties -> lowest centroid id).
 
-    Centroid 'training' is a deterministic stand-in: the first
-    n_centroids vectors serve as cell centers (a real deployment runs
-    k-means|| once offline and broadcasts the centers — the assignment
-    plan below is identical). Assignment is a broadcast join against
-    the tiny centroid set + a per-vector rank-1 window.
+    With ``centroids`` (trained unit vectors from kmeans_centroids)
+    the assignment is a pure scan-stage argmax expression — no join at
+    all. Without it, the oracle-checkable stand-in applies: the first
+    n_centroids vectors serve as cell centers via a broadcast join +
+    per-vector rank-1 window (the plan a k-means|| deployment uses).
     """
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding"),
         F.expr(_norm_expr("embedding")).alias("norm"),
     )
+    if centroids is not None:
+        unit = (
+            "transform(embedding, x -> CAST(x AS DOUBLE) / "
+            + _norm_expr("embedding")
+            + ")"
+        )
+        dots = "array(" + ", ".join(
+            _dot_expr(f"({unit})", _plane_lit_expr(c)) for c in centroids
+        ) + ")"
+        assign = f"CAST(array_position({dots}, array_max({dots})) AS INT) - 1"
+        return base.withColumn("centroid", F.expr(assign).cast("long"))
     cents = base.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid"),
         F.col("embedding").alias("c_emb"),
@@ -489,16 +574,22 @@ def _assignments(emb: "DataFrame", n_centroids: int):
 
 
 def ivf_topk(
-    emb: DataFrame, n_queries: int = 5, k: int = 10, n_centroids: int = N_CENTROIDS
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = N_CENTROIDS,
+    centroids=None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos): IVF ANN — candidates are the
     query's own cell (nprobe=1); exact cosine re-rank inside the cell.
 
-    At corpus scale the cell assignment is a per-row broadcast compare
+    Pass ``centroids=kmeans_centroids(emb)`` for trained cells (the
+    production path; assignment becomes a scan-stage expression). At
+    corpus scale the cell assignment is a per-row broadcast compare
     (no shuffle of the big side beyond the cell-id grouping) and the
     probe join is centroid-equi — candidate count ~ n/cells, not n.
     """
-    assigned = _assignments(emb, n_centroids)
+    assigned = _assignments(emb, n_centroids, centroids)
     q = assigned.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -325,6 +325,30 @@ def test_dup_clusters_plan_is_lsh_driven(spark, docs):
     assert "band" in plan
 
 
+def test_kmeans_training_and_trained_ivf(emb):
+    # spherical Lloyd's: objective never increases round over round,
+    # and the exact-integer recenter makes training partition-invariant
+    c0 = [
+        [float(v) for v in r.embedding]
+        for r in emb.where("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    import math
+
+    c0 = [[x / math.sqrt(sum(y * y for y in c)) for x in c] for c in c0]
+    i0 = similarity.kmeans_inertia(emb, c0)
+    c3 = similarity.kmeans_centroids(emb, k=8, iters=3)
+    i3 = similarity.kmeans_inertia(emb, c3)
+    assert i3 <= i0 + 1e-12
+    # determinism under repartitioning (exact integer sums)
+    c3b = similarity.kmeans_centroids(emb.repartition(7), k=8, iters=3)
+    assert c3 == c3b
+    # trained IVF probes return full result sets
+    rows = similarity.ivf_topk(emb, n_queries=3, k=5, centroids=c3).collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert -1.0 <= r.cos <= 1.0
+
+
 def test_dup_clusters_transitive(spark):
     import pandas as pd
 
