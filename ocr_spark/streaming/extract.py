@@ -35,13 +35,28 @@ def stream_extract(
     checkpoint_dir: str,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     available_now: bool = True,
+    n_buckets: int | None = None,
 ):
     """Start (and for availableNow: drain) the incremental extraction
-    stream. Returns the StreamingQuery."""
+    stream. Returns the StreamingQuery.
+
+    With ``n_buckets`` the sink lands in the SAME ``bucket=K/`` layout
+    the batch runner writes (bucket = pmod(hash(doc_id), N)), so
+    downstream per-doc joins and partition pruning work identically
+    whether a table was built by the batch runner or the stream;
+    exactly-once still comes from the stream's sink commit log (append
+    across micro-batches — buckets accumulate files, they are not
+    overwritten)."""
     src = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
     out = extract_documents(src, cfg)
+    writer = out.writeStream
+    if n_buckets:
+        out = out.withColumn(
+            "bucket", F.pmod(F.hash(F.col("doc_id").cast("string")), F.lit(n_buckets))
+        )
+        writer = out.writeStream.partitionBy("bucket")
     writer = (
-        out.writeStream.format("parquet")
+        writer.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

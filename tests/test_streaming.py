@@ -52,6 +52,36 @@ def test_stream_extract_idempotent_rerun(spark, tmp_path):
     assert spark.read.parquet(outp).count() == 50
 
 
+def test_stream_extract_bucketed_layout(spark, tmp_path):
+    """Bucketed streaming sink: same bucket=K/ dirs as the batch
+    runner, same bucket function, exactly-once across restarts."""
+    import os
+
+    docs = synthesize_spans(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    first = docs.where("CAST(doc_id AS BIGINT) < 250")
+    second = docs.where("CAST(doc_id AS BIGINT) >= 250")
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    first.write.parquet(inp, mode="append")
+    stream_extract(spark, inp, outp, ckpt, n_buckets=8)
+    second.write.parquet(inp, mode="append")
+    stream_extract(spark, inp, outp, ckpt, n_buckets=8)
+
+    assert {d for d in os.listdir(outp) if d.startswith("bucket=")} == {
+        f"bucket={k}" for k in range(8)
+    }
+    out = spark.read.parquet(outp)
+    assert out.count() == 500
+    assert out.select("doc_id").distinct().count() == 500  # exactly-once
+    # the bucket column matches the batch runner's function -> pruning
+    # and per-doc joins behave identically across the two producers
+    bad = out.where(
+        F.col("bucket") != F.pmod(F.hash(F.col("doc_id").cast("string")), F.lit(8))
+    ).count()
+    assert bad == 0
+
+
 def test_event_counts_batch_streaming_agree(spark, tmp_path):
     """The same event_counts plan over a batch DF vs through a stream
     must agree on watermark-closed windows."""
