@@ -153,6 +153,45 @@ def test_otsl_spans_survive_extraction_kernel(spark):
     assert [r.kind for r in stripped] == [s["kind"] for s in spans]  # nothing dropped
 
 
+def test_otsl_roundtrip_property():
+    """Random tables serialized to OTSL parse back losslessly: every
+    cell token becomes exactly one span carrying its text, rows are
+    delimited by table_nl, and surrounding content keeps its order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cell_tok = st.sampled_from(["fcel", "ched", "rhed", "srow"])
+    empty_tok = st.sampled_from(["ecel", "lcel", "ucel", "xcel"])
+    word = st.text(alphabet="abcdefgh XYZ0123,.", min_size=0, max_size=12).map(str.strip)
+    cell = st.one_of(
+        st.tuples(cell_tok, word),
+        st.tuples(empty_tok, st.just("")),
+    )
+    table = st.lists(st.lists(cell, min_size=1, max_size=5), min_size=1, max_size=4)
+
+    @settings(max_examples=60, deadline=None)
+    @given(table=table)
+    def check(table):
+        body = "".join(
+            "".join(f"<{tok}>{txt}" for tok, txt in row) + "<nl>" for row in table
+        )
+        stream = (
+            "<doctag><text><loc_1><loc_2><loc_3><loc_4>before</text>\n"
+            f"<otsl><loc_1><loc_2><loc_3><loc_4>{body}</otsl>\n"
+            "<text><loc_1><loc_2><loc_3><loc_4>after</text></doctag>"
+        )
+        spans = parse_doctags(stream)
+        expect = [("text", "before")]
+        for row in table:
+            expect += [(f"table_{tok}", txt) for tok, txt in row]
+            expect.append(("table_nl", ""))
+        expect.append(("text", "after"))
+        assert [(s["kind"], s["text"]) for s in spans] == expect
+        assert [s["offset"] for s in spans] == list(range(len(expect)))
+
+    check()
+
+
 def test_page_header_kind():
     s = "<doctag><page_header><loc_422><loc_13><loc_479><loc_24>Liên số 2</page_header></doctag>"
     spans = parse_doctags(s)
