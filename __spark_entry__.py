@@ -30,6 +30,7 @@ from ocr_spark.functions import dedup as ded
 from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import multimodal as mm
 from ocr_spark.functions import similarity as sim
+from ocr_spark.functions import skew as sk
 from ocr_spark.functions import text as txt
 from ocr_spark.pipeline import pages as pg
 from ocr_spark.pipeline import results as res
@@ -640,6 +641,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- windowed aggregation + dimensional stats
         "event_window_counts": _event_windows_spark,
         "doc_stats_by_source": _doc_stats_spark,
+        # skew-safe two-phase aggregation: result == plain GROUP BY
+        # (integer-exact sums), physical plan salted
+        "salted_doc_counts": lambda s, d: sk.salted_agg(
+            _read(s, d, "documents"),
+            ["lang"],
+            {"n_docs": ("count", "doc_id"), "total_chars": ("sum", "n_chars")},
+        ),
         # --- multimodal plumbing (binary media + typed metadata)
         "media_table": lambda s, d: mm.synthesize_media(_read(s, d, "documents"))
         .select("media_ref", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")),
@@ -703,6 +711,11 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": ded.dup_clusters_sql(),
         "event_window_counts": _event_windows_sql(),
         "doc_stats_by_source": _doc_stats_sql(),
+        "salted_doc_counts": (
+            "SELECT lang, count(doc_id) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY lang"
+        ),
         "media_table": (
             "SELECT media_ref, width, height FROM ("
             + mm.synthesize_media_sql()

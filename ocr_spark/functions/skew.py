@@ -1,0 +1,76 @@
+"""Skew handling: salted two-phase aggregation (SURVEY.md §4.3; the
+north rule's explicit salting requirement).
+
+A hot grouping key sends all its rows to one reducer. Salting splits
+each key across ``n_salts`` sub-groups in phase 1 (map-side combine
+still applies, and no reducer sees more than ~1/n_salts of a hot
+key's rows), then phase 2 merges the tiny per-salt partials — the
+classic two-stage rewrite for aggregations whose merge is commutative
+and associative (sum/count/min/max, and avg via sum+count).
+
+The doc-skew analog at the kernel layer is
+``pipeline.extract.weight_partition`` (heaviest-first hash spread);
+join-side skew is AQE's skew-join split. This module covers the third
+case: skewed GROUP BY keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# phase-1 partial, phase-2 merge per supported aggregate
+_MERGEABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """GROUP BY ``keys`` with per-key salting.
+
+    ``aggs`` maps output column -> (fn, input column) with fn in
+    {sum, count, min, max}. The salt is `rand(seed)`-derived — salt
+    ASSIGNMENT does not affect the result for mergeable aggregates
+    (any split merges to the same total), and Spark seeds rand per
+    partition index so task retries recompute identical salts.
+
+    Result is exactly ``df.groupBy(keys).agg(...)``; only the physical
+    shuffle shape changes (two exchanges, the first on keys + salt).
+    """
+    unknown = {fn for fn, _ in aggs.values()} - set(_MERGEABLE)
+    if unknown:
+        raise ValueError(f"non-mergeable aggregate(s): {sorted(unknown)}")
+    salt = F.floor(F.rand(42) * n_salts).cast("int")
+    partials = [
+        _MERGEABLE[fn][0](F.col(col)).alias(f"_p_{name}")
+        for name, (fn, col) in aggs.items()
+    ]
+    merged = [
+        _MERGEABLE[fn][1](F.col(f"_p_{name}")).alias(name)
+        for name, (fn, _col) in aggs.items()
+    ]
+    return (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*partials)
+        .groupBy(*keys)
+        .agg(*merged)
+    )
+
+
+def salted_avg(
+    df: DataFrame, keys: list[str], col: str, n_salts: int = 16
+) -> Column | DataFrame:
+    """Skew-safe average via exact sum+count partials."""
+    out = salted_agg(
+        df, keys, {"_s": ("sum", col), "_n": ("count", col)}, n_salts
+    )
+    return out.select(*keys, (F.col("_s") / F.col("_n")).alias(f"avg_{col}"))
