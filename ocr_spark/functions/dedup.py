@@ -340,13 +340,26 @@ def jaccard_verify(
     intersection join is candidate-driven — cost is
     O(candidates x shingles/doc), never the all-corpus shingle
     self-join. This is the scale path the module docstring prescribes:
-    LSH proposes, exact Jaccard disposes."""
-    sh = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+    LSH proposes, exact Jaccard disposes.
+
+    Shingling itself is also candidate-restricted: docs are semi-joined
+    to the candidate id set BEFORE the shingle explode, so at corpus
+    scale the (expensive) re-shingling pass touches only the tiny
+    fraction of docs that LSH proposed, not the whole table."""
+    cand = pairs.select("doc_a", "doc_b")
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs_c = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).join(cand_ids, "doc_id", "left_semi")
+    sh = docs_c.select(
+        "doc_id",
         F.explode(F.expr(f"array_distinct({shingles_expr(w)})")).alias("sh"),
     ).select("doc_id", F.expr(md5_long_expr("sh")).alias("h"))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cand = pairs.select("doc_a", "doc_b")
     # replicate each candidate pair by doc_a's shingles, then probe
     # doc_b's shingle set on (doc_b, h): the per-pair intersection
     # count, with both joins on uniform integer/hash keys.
@@ -376,8 +389,16 @@ def lsh_verified_pairs(
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Production near-dup pairs: minhash-LSH candidates, exact-Jaccard
-    verified. Both stages are bucketed; nothing scans an n^2 space."""
-    return jaccard_verify(docs, minhash_lsh_pairs(docs, k, bands, w, max_bucket), w, tau)
+    verified. Both stages are bucketed; nothing scans an n^2 space.
+
+    The candidate set is persist()ed: verification consumes it twice
+    (once as the pair list, once as the distinct-id filter that
+    restricts re-shingling), and without the cache each branch would
+    re-run the whole LSH pipeline — candidates are small by
+    construction (that is the point of LSH), so caching them is cheap
+    at any corpus size."""
+    cand = minhash_lsh_pairs(docs, k, bands, w, max_bucket).persist()
+    return jaccard_verify(docs, cand, w, tau)
 
 
 def jaccard_verify_sql(
