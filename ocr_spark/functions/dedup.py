@@ -391,13 +391,16 @@ def lsh_verified_pairs(
     """Production near-dup pairs: minhash-LSH candidates, exact-Jaccard
     verified. Both stages are bucketed; nothing scans an n^2 space.
 
-    The candidate set is persist()ed: verification consumes it twice
+    The candidate set is localCheckpoint()ed (EAGER — the LSH job runs
+    when this function is called): verification consumes it twice
     (once as the pair list, once as the distinct-id filter that
-    restricts re-shingling), and without the cache each branch would
-    re-run the whole LSH pipeline — candidates are small by
-    construction (that is the point of LSH), so caching them is cheap
-    at any corpus size."""
-    cand = minhash_lsh_pairs(docs, k, bands, w, max_bucket).persist()
+    restricts re-shingling), and without materialization each branch
+    would re-run the whole LSH pipeline. Candidates are small by
+    construction (that is the point of LSH), and unlike persist() —
+    whose CacheManager entry nothing here could ever release — the
+    checkpoint's blocks are freed by the ContextCleaner once the
+    result DataFrame is garbage collected."""
+    cand = minhash_lsh_pairs(docs, k, bands, w, max_bucket).localCheckpoint()
     return jaccard_verify(docs, cand, w, tau)
 
 

@@ -127,8 +127,13 @@ def image_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             buf = np.frombuffer(data.buffers()[2] or b"", dtype=np.uint8)
             lens = np.diff(offs)
             cols = np.arange(dim, dtype=np.int64)
-            # clamp the gather inside each blob; zero past its end
+            # clamp the gather inside each blob; zero past its end.
+            # The final clip guards zero-length blobs at the END of the
+            # value buffer: their offset equals len(buf) (no padding
+            # slack guaranteed), and np.where evaluates the gather
+            # eagerly even where `valid` is False.
             idx = offs[:-1, None] + np.minimum(cols, np.maximum(lens[:, None] - 1, 0))
+            idx = np.minimum(idx, max(len(buf) - 1, 0))
             valid = cols < lens[:, None]
             out = np.where(valid, buf[idx] if len(buf) else 0, 0) / 255.0
             flat = pa.array(out.reshape(-1))

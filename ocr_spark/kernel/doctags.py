@@ -84,11 +84,19 @@ def _parse_plain(segment: str, spans: list[dict], pic_count: int) -> int:
     return pic_count
 
 
-def _parse_otsl(body: str, spans: list[dict]) -> None:
+def _parse_otsl(body: str, spans: list[dict], truncated: bool = False) -> None:
     """Table block: one span per cell token, kind = table_<token>;
     <nl> row breaks become table_nl spans — the row/column/merge
-    structure survives in the ordered sequence."""
-    for m in _OTSL_CELL_RE.finditer(body):
+    structure survives in the ordered sequence.
+
+    ``truncated``: the block had no </otsl> (stream cut mid-table,
+    e.g. the 1000-char preview slice). Complete cells are kept and the
+    FINAL cell is dropped — its text may be cut mid-way — mirroring
+    the plain-span rule that the unclosed last element is dropped."""
+    cells = list(_OTSL_CELL_RE.finditer(body))
+    if truncated and cells:
+        cells = cells[:-1]
+    for m in cells:
         spans.append(
             {
                 "kind": f"table_{m.group('tok')}",
@@ -117,7 +125,15 @@ def parse_doctags(stream: str) -> list[dict]:
         pic_count = _parse_plain(stream[pos : m.start()], spans, pic_count)
         _parse_otsl(m.group("body"), spans)
         pos = m.end()
-    _parse_plain(stream[pos:], spans, pic_count)
+    tail = stream[pos:]
+    # a cut mid-table leaves an unclosed <otsl> in the tail: parse the
+    # plain part, then salvage the complete cells of the open block
+    open_otsl = tail.find("<otsl>")
+    if open_otsl >= 0:
+        _parse_plain(tail[:open_otsl], spans, pic_count)
+        _parse_otsl(tail[open_otsl + len("<otsl>") :], spans, truncated=True)
+    else:
+        _parse_plain(tail, spans, pic_count)
     return spans
 
 

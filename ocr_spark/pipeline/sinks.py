@@ -36,18 +36,30 @@ def write_results(
     mode: str = "overwrite",
     bucket_by: str | None = "doc_id",
     n_buckets: int = 16,
+    dynamic: bool = True,
 ) -> None:
     """Partitioned parquet results table. With ``bucket_by``, rows are
     hash-distributed on the key into ``bucket=K/`` partitions — the
     parquet stand-in for Iceberg's ``bucket(N, doc_id)`` transform, so
-    downstream per-doc joins can prune and co-locate."""
+    downstream per-doc joins can prune and co-locate. The bucket hashes
+    the key's STRING form — the same function the checkpointed runner
+    and the streaming sink use, so every producer lands the same doc
+    in the same bucket regardless of the key's native type.
+
+    ``dynamic=True`` (overwrite mode) replaces only the bucket dirs
+    present in ``df`` — the idempotent re-commit discipline;
+    ``dynamic=False`` makes overwrite a FULL table replace (stale
+    buckets dropped), the semantic twin of Iceberg createOrReplace."""
     if bucket_by:
-        out = df.withColumn("bucket", F.pmod(F.hash(bucket_by), F.lit(n_buckets)))
+        out = df.withColumn(
+            "bucket",
+            F.pmod(F.hash(F.col(bucket_by).cast("string")), F.lit(n_buckets)),
+        )
         (
             out.repartition(n_buckets, "bucket")
             .write.partitionBy("bucket")
             .mode(mode)
-            .option("partitionOverwriteMode", "dynamic")
+            .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
             .parquet(path)
         )
     else:

@@ -124,16 +124,18 @@ def _number_cols(c: Column) -> tuple[Column, Column]:
 
 def _num_to_str(v: Column) -> Column:
     """double -> string matching the reference's ``str(float)`` on the
-    supported domain. Below 1e7 both engines' plain cast already agrees
-    with str(float) (round-1 oracle-proven). At or above 1e7 Spark's
-    cast goes scientific ('1.0E7') while str(float) does not — render
-    fixed-point via %.6f + trailing-zero strip there instead.
-    Documented bound: values needing >6 fractional digits, or >=1e16
-    (where str(float) itself goes scientific), render as their
-    fixed-point form."""
+    supported domain. In [1e-3, 1e7) both engines' plain cast agrees
+    with str(float) (round-1 oracle-proven). Outside that range Java's
+    Double.toString goes scientific ('1.0E7', '5.0E-4') while
+    str(float) does not until 1e16/1e-5 — render fixed-point via %.6f
+    + trailing-zero strip there instead. Documented bounds: values
+    needing >6 fractional digits render at 6-digit precision
+    (|v| < 1e-6 becomes '0.0' in BOTH engines), and |v| >= 1e16 stays
+    fixed-point where str(float) itself would go scientific."""
     fixed = F.regexp_replace(F.format_string("%.6f", v), "0+$", "")
     fixed = F.when(fixed.endswith("."), F.concat(fixed, F.lit("0"))).otherwise(fixed)
-    return F.when(F.abs(v) < 1e7, v.cast("string")).otherwise(fixed)
+    plain = (F.abs(v) < 1e7) & ((F.abs(v) >= 1e-3) | (v == 0.0))
+    return F.when(plain, v.cast("string")).otherwise(fixed)
 
 
 def _date_cols(c: Column) -> tuple[Column, Column]:
@@ -339,7 +341,8 @@ def _num_to_str_sql(v: str) -> str:
     character-identical)."""
     fixed = f"regexp_replace(printf('%.6f', {v}), '0+$', '')"
     fixed = f"CASE WHEN {fixed} LIKE '%.' THEN {fixed} || '0' ELSE {fixed} END"
-    return f"CASE WHEN abs({v}) < 1e7 THEN CAST({v} AS VARCHAR) ELSE {fixed} END"
+    plain = f"(abs({v}) < 1e7 AND (abs({v}) >= 1e-3 OR {v} = 0.0))"
+    return f"CASE WHEN {plain} THEN CAST({v} AS VARCHAR) ELSE {fixed} END"
 
 
 def _date_sql(raw: str) -> tuple[str, str]:

@@ -37,10 +37,19 @@ def iceberg_available(spark: SparkSession, catalog: str) -> bool:
     if not impl:
         return False
     try:
-        spark._jvm.java.lang.Class.forName(impl)  # type: ignore[union-attr]
+        # Spark loads --jars/--packages through its MutableURLClassLoader,
+        # which py4j's root classloader (Class.forName's caller) cannot
+        # see — resolve through the JVM thread's context classloader so
+        # the check works on real clusters, not just lib/ jars.
+        jvm = spark._jvm
+        jvm.java.lang.Thread.currentThread().getContextClassLoader().loadClass(impl)  # type: ignore[union-attr]
         return True
     except Exception:
-        return False
+        try:
+            spark._jvm.java.lang.Class.forName(impl)  # type: ignore[union-attr]
+            return True
+        except Exception:
+            return False
 
 
 class ResultsWriter:
@@ -109,8 +118,10 @@ class ResultsWriter:
 
     # -- parquet branch ----------------------------------------------------
     def _write_parquet(self, df: DataFrame, mode: str) -> None:
-        # dynamic partition overwrite IS replace_partitions on parquet:
-        # only the bucket dirs present in df are replaced.
+        # mode semantics must match the Iceberg branch exactly:
+        # overwrite = FULL table replace (static overwrite, stale
+        # buckets dropped — createOrReplace's twin); replace_partitions
+        # = dynamic overwrite of only the buckets present in df.
         write_mode = "append" if mode == "append" else "overwrite"
         write_results(
             df,
@@ -118,6 +129,7 @@ class ResultsWriter:
             mode=write_mode,
             bucket_by=self.bucket_by,
             n_buckets=self.n_buckets,
+            dynamic=(mode == "replace_partitions"),
         )
 
     def read(self) -> DataFrame:

@@ -28,6 +28,10 @@ def canon(v):
 qs, os_ = m.queries(), m.oracle_sql()
 only = set(sys.argv[2:])
 if only:
+    unknown = only - set(qs)
+    if unknown:  # a typo must not report a false all-clear
+        print(f"BAD: unknown query name(s) {sorted(unknown)}", flush=True)
+        sys.exit(2)
     qs = {k: v for k, v in qs.items() if k in only}
 bad = []
 for name in sorted(qs):

@@ -114,6 +114,26 @@ def test_otsl_table_cells_are_first_class_spans():
     assert kinds.count("table_nl") == 5
 
 
+def test_otsl_truncated_mid_table_keeps_complete_cells():
+    # a preview cut inside an open <otsl> block must salvage the
+    # complete cells (dropping only the final, possibly-cut one),
+    # mirroring the plain-span unclosed-tail rule
+    cut = (
+        "<doctag><text><loc_1><loc_2><loc_3><loc_4>before</text>\n"
+        "<otsl><loc_1><loc_2><loc_3><loc_4>"
+        "<ched>Quarter<ched>Revenue<nl><rhed>Q1<fcel>1,20"
+    )
+    spans = parse_doctags(cut)
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("text", "before"),
+        ("table_ched", "Quarter"),
+        ("table_ched", "Revenue"),
+        ("table_nl", ""),
+        ("table_rhed", "Q1"),
+        # final <fcel> dropped: its text may be cut mid-way
+    ]
+
+
 def test_otsl_interleaves_with_pictures():
     s = (
         "<doctag><picture><loc_1><loc_2><loc_3><loc_4></picture>\n"

@@ -318,11 +318,17 @@ def test_lsh_candidates_bound_boilerplate_blowup(spark):
 
 
 def test_dup_clusters_plan_is_lsh_driven(spark, docs):
-    # the edge plan must be the banded bucket join, not the all-corpus
-    # shingle self-join: band keys present, and the distinct candidate
-    # pair stage feeds the verification joins
+    # candidate generation is the banded bucket join...
+    cand_plan = (
+        dedup.minhash_lsh_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "band" in cand_plan
+    # ...and verification consumes the CHECKPOINTED candidates (an RDD
+    # scan, not a re-derivation) with shingling semi-join-restricted to
+    # candidate docs — never an all-corpus shingle self-join
     plan = dedup.lsh_verified_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
-    assert "band" in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert "LeftSemi" in plan, plan
 
 
 def test_kmeans_training_and_trained_ivf(emb):

@@ -89,6 +89,15 @@ def test_features_pad_short_and_null_blobs(spark):
     assert rows["a"][4:] == [0.0] * (mm.FEATURE_DIM - 4)
     assert rows["b"] == [0.0] * mm.FEATURE_DIM
     assert rows["c"] == [0.0] * mm.FEATURE_DIM
+    # a TRAILING empty blob whose offset == len(value buffer) (total
+    # bytes a multiple of 8 -> no Arrow padding slack) must not read
+    # out of bounds in the vectorized gather
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"media_ref": ["x", "y"], "data": [bytes(range(8)), b""]})
+    ).coalesce(1)
+    rows2 = {r.media_ref: r.features for r in mm.image_features(df2).collect()}
+    assert rows2["x"][:8] == [i / 255.0 for i in range(8)]
+    assert rows2["y"] == [0.0] * mm.FEATURE_DIM
 
 
 def test_resize_plan(media):

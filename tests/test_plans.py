@@ -69,11 +69,16 @@ def test_simhash_partial_aggregation(docs):
 
 
 def test_lsh_verified_pairs_aggregates_partially(docs):
-    # the signature build and the intersection count must map-side
-    # combine (partial_min / partial_count) before their shuffles, and
-    # no cartesian product may appear anywhere in the verified path
+    # candidate generation: the minhash signature build must map-side
+    # combine (partial_min) before its doc_id shuffle
+    from ocr_spark.functions.dedup import minhash_lsh_pairs
+
+    cand_plan = _plan(minhash_lsh_pairs(docs))
+    assert "partial_min" in cand_plan, cand_plan
+    # verification (candidates are checkpointed, so this plan is the
+    # verify stage alone): intersection count map-side combines and no
+    # cartesian product appears anywhere
     plan = _plan(lsh_verified_pairs(docs))
-    assert "partial_min" in plan, plan
     assert "partial_count" in plan, plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
 

@@ -41,6 +41,8 @@ ROWS = [
     # formatter in BOTH engines.
     (10, "Hal", "12.345.678,99", "2023-06-01", "1111", "ok", None),
     (11, "Ian", "10000000", "2023-06-02", "2222", "ok", None),
+    # < 1e-3: Java Double.toString would emit '5.0E-4'
+    (12, "Joy", "0.0005", "2023-06-03", "3333", "ok", None),
 ]
 COLS = ["row_id", "name", "amount", "when_at", "code", "status", "note"]
 
@@ -99,9 +101,10 @@ def test_number_normalization(spark_out):
 
 def test_large_number_string_is_not_scientific(spark_out):
     got = dict(zip(spark_out["row_id"], spark_out["amount"]))
-    # str(float) fidelity: no '1.234567899E7' / '1.0E7'
+    # str(float) fidelity: no '1.234567899E7' / '1.0E7' / '5.0E-4'
     assert got[10] == "12345678.99"
     assert got[11] == "10000000.0"
+    assert got[12] == "0.0005"
 
 
 def test_number_failure_keeps_raw_and_warns(spark_out):

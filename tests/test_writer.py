@@ -52,6 +52,17 @@ def test_parquet_backend_append_and_replace(spark, tmp_path):
     assert got.count() == survivors + 1
 
 
+def test_parquet_overwrite_is_full_replace(spark, tmp_path):
+    # mode='overwrite' must match Iceberg createOrReplace: stale
+    # buckets from earlier writes are dropped, not left behind
+    out = str(tmp_path / "t3")
+    w = ResultsWriter(spark, path=out, n_buckets=8)
+    w.write(_df(spark, range(40), "old"))  # populates all 8 buckets
+    w.write(_df(spark, [1], "new"))  # one doc -> one bucket
+    got = w.read().collect()
+    assert len(got) == 1 and got[0].payload == "new1"
+
+
 def test_target_validation(spark, tmp_path):
     with pytest.raises(ValueError):
         ResultsWriter(spark)
