@@ -51,9 +51,11 @@ def main() -> None:
     )
     n_in = docs.count()
 
-    # 1. exact: keep rep_doc_id per distinct text
+    # 1. exact: keep rep_doc_id per distinct text. Survivors feed the
+    # count, the near-dup pass AND the final anti-join — persist so the
+    # exact-dedup shuffle runs once, not three times.
     reps = exact_dedup(docs).select(F.col("rep_doc_id").alias("doc_id"))
-    survivors = docs.join(reps, "doc_id")
+    survivors = docs.join(reps, "doc_id").persist()
     n_exact = survivors.count()
 
     # 2. near-dup: drop cluster members that are not the representative
@@ -65,6 +67,7 @@ def main() -> None:
     n_keep = keep.count()
 
     keep.write.mode("overwrite").parquet(args.output)
+    survivors.unpersist()
     print(
         json.dumps(
             {
