@@ -29,6 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ocr_spark.kernel.extract import (
+    _LINK_TOKENS,
     TRUNCATION_NOTE,
     WARN_EMPTY,
     WARN_MALFORMED,
@@ -44,8 +45,6 @@ from ocr_spark.schema import (
     TABLE_KINDS,
     TRUNCATION_KEEP_KINDS,
 )
-
-_LINK_TOKENS = ("http://", "https://", "www.", "<a ")
 
 # kind -> category (see kernel.extract._KIND_CATEGORY); order fixed
 _KIND_LIST = [
@@ -302,8 +301,29 @@ def _error_docs(lens, empty, malformed):
     return docs, warns
 
 
+def _dup_doc_rows(batch: pa.RecordBatch) -> np.ndarray:
+    """Bool per row: this row's doc_id occurs in more than one row of
+    the batch (an input-contract violation — one row per document)."""
+    enc = batch.column("doc_id").dictionary_encode()
+    idx = _np_int(enc.indices, -1)
+    counts = np.bincount(idx[idx >= 0], minlength=len(enc.dictionary))
+    out = np.zeros(batch.num_rows, dtype=bool)
+    valid = idx >= 0
+    out[valid] = counts[idx[valid]] > 1
+    return out
+
+
 def _run(batch: pa.RecordBatch, cfg: ExtractConfig):
     flat, lens, empty, malformed = _sanitize_and_flatten(batch)
+    # duplicate doc_id rows are malformed (same rule as the pandas
+    # spec): their spans are dropped and every such row becomes an
+    # error row — never a silent merge of two rows' span lists
+    dup = _dup_doc_rows(batch)
+    if dup.any():
+        malformed = malformed | dup
+        keep = ~malformed[flat.doc_idx]
+        if not keep.all():
+            flat = flat.take(np.flatnonzero(keep))
     if cfg.truncate:
         flat = _truncate(flat, cfg, batch.num_rows)
     kept, block_id, link_density = _classify(flat, cfg)
@@ -346,13 +366,16 @@ def extract_flat_batch(
     return pa.RecordBatch.from_arrays(cols, names=names)
 
 
-def extract_nested_batch(
-    batch: pa.RecordBatch, cfg: ExtractConfig = DEFAULT_CONFIG
-) -> pa.RecordBatch:
-    """(doc_id, spans) with extraction applied; error/empty docs come
-    back with spans=[] — one output row per input row, same order."""
-    flat, kept, block_id, link_density, lens, empty, malformed = _run(batch, cfg)
-    n_docs = batch.num_rows
+def _doc_ids_array(batch: pa.RecordBatch) -> pa.Array:
+    doc_ids = batch.column("doc_id")
+    if isinstance(doc_ids, pa.ChunkedArray):  # pragma: no cover
+        doc_ids = doc_ids.combine_chunks()
+    return doc_ids
+
+
+def _nested_spans(flat: _Flat, n_docs: int) -> tuple[pa.ListArray, np.ndarray]:
+    """Flat (doc-sorted) spans -> (list<struct> spans column with one
+    entry per input row, per-row output span counts)."""
     new_lens = np.bincount(flat.doc_idx, minlength=n_docs).astype(np.int64)
     offsets = pa.array(
         np.concatenate([[0], np.cumsum(new_lens)]).astype(np.int32), pa.int32()
@@ -366,12 +389,19 @@ def extract_nested_batch(
         ],
         names=["kind", "text", "media_ref", "offset"],
     )
-    spans_out = pa.ListArray.from_arrays(offsets, values)
-    doc_ids = batch.column("doc_id")
-    if isinstance(doc_ids, pa.ChunkedArray):  # pragma: no cover
-        doc_ids = doc_ids.combine_chunks()
+    return pa.ListArray.from_arrays(offsets, values), new_lens
+
+
+def extract_nested_batch(
+    batch: pa.RecordBatch, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> pa.RecordBatch:
+    """(doc_id, spans) with extraction applied; error/empty docs come
+    back with spans=[] — one output row per input row, same order."""
+    flat, *_ = _run(batch, cfg)
+    spans_out, _new_lens = _nested_spans(flat, batch.num_rows)
     return pa.RecordBatch.from_arrays(
-        [doc_ids.cast(pa.string()), spans_out], names=["doc_id", "spans"]
+        [_doc_ids_array(batch).cast(pa.string()), spans_out],
+        names=["doc_id", "spans"],
     )
 
 
@@ -382,29 +412,12 @@ def extract_nested_metrics_batch(
     metrics from ONE kernel execution — the runner's commit shape (the
     round-1 runner ran the kernel twice: once for output, once for
     metrics; at scale that doubles the most expensive stage)."""
-    flat, kept, block_id, link_density, lens, empty, malformed = _run(batch, cfg)
-    n_docs = batch.num_rows
-    new_lens = np.bincount(flat.doc_idx, minlength=n_docs).astype(np.int64)
-    offsets = pa.array(
-        np.concatenate([[0], np.cumsum(new_lens)]).astype(np.int32), pa.int32()
-    )
-    values = pa.StructArray.from_arrays(
-        [
-            flat.kind.cast(pa.string()),
-            flat.text.cast(pa.string()),
-            flat.media_ref.cast(pa.string()),
-            pa.array(flat.offset, pa.int32()),
-        ],
-        names=["kind", "text", "media_ref", "offset"],
-    )
-    spans_out = pa.ListArray.from_arrays(offsets, values)
-    doc_ids = batch.column("doc_id")
-    if isinstance(doc_ids, pa.ChunkedArray):  # pragma: no cover
-        doc_ids = doc_ids.combine_chunks()
-    failed = (empty | malformed).astype(np.int32)
+    flat, _kept, _bid, _ld, lens, empty, malformed = _run(batch, cfg)
+    spans_out, new_lens = _nested_spans(flat, batch.num_rows)
+    failed = (empty | malformed).astype(np.int32)  # _run folds dup rows in
     return pa.RecordBatch.from_arrays(
         [
-            doc_ids.cast(pa.string()),
+            _doc_ids_array(batch).cast(pa.string()),
             spans_out,
             pa.array(lens, pa.int64()),
             pa.array(new_lens, pa.int64()),

@@ -229,17 +229,28 @@ def extract_flat(pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd.D
     Output columns: doc_id, kind, text, media_ref, offset, kept,
     block_id, link_density. Error rows use kind='__error__', offset=-1,
     text = warning message (errors become data, E1/E2/E4).
+
+    A doc_id appearing in MORE THAN ONE input row violates the input
+    contract (one row per document); all its rows become error rows
+    (one per input row, empty-spans rows keeping the EMPTY warning) —
+    never a silent merge. The arrow kernel applies the identical rule.
+    (The check is batch-local by construction; contract-violating rows
+    split across partitions extract independently in both kernels.)
     """
     flat, docs = _flatten(pdf)
-    err_rows: list[tuple] = []
-    for did in docs.loc[docs["n_spans_in"] == 0, "doc_id"]:
-        err_rows.append((did, KIND_ERROR, WARN_EMPTY, "", -1))
+    dup_ids = set(docs.loc[docs["doc_id"].duplicated(keep=False), "doc_id"])
+    malformed_ids = set(dup_ids)
     if len(flat):
-        malformed = _find_malformed(flat)
-        if len(malformed):
-            flat = flat[~flat["doc_id"].isin(malformed)]
-            for did in malformed:
-                err_rows.append((did, KIND_ERROR, WARN_MALFORMED, "", -1))
+        malformed_ids |= set(_find_malformed(flat))
+    err_rows: list[tuple] = []
+    for did, n_in in zip(docs["doc_id"], docs["n_spans_in"]):
+        if n_in == 0:
+            err_rows.append((did, KIND_ERROR, WARN_EMPTY, "", -1))
+        elif did in malformed_ids:
+            err_rows.append((did, KIND_ERROR, WARN_MALFORMED, "", -1))
+    if len(flat):
+        if malformed_ids:
+            flat = flat[~flat["doc_id"].isin(malformed_ids)]
         flat = flat.sort_values(["doc_id", "offset"], kind="stable", ignore_index=True)
         if cfg.truncate:
             flat = _truncate(flat, cfg)
@@ -262,15 +273,11 @@ def extract_flat(pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd.D
     return flat.reset_index(drop=True)
 
 
-def extract_nested(pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd.DataFrame:
-    """(doc_id, spans) batch -> (doc_id, spans) with extraction applied.
-
-    Reassembly happens inside the batch (docs are batch-local), so the
-    emitted span order is deterministic — no post-shuffle collect_list
-    (SURVEY.md §7.3). Docs that reduce to nothing (or error) come back
-    with spans=[] so rows are never silently dropped.
-    """
-    flat = extract_flat(pdf, cfg)
+def _group_spans(flat: pd.DataFrame, out_ids: list) -> list[list]:
+    """Content rows of an extract_flat result -> one ordered span list
+    per requested doc_id (docs that produced no content get []).
+    Well-defined even for duplicate out_ids: duplicates are always
+    error docs (input-contract violation) and carry no content."""
     content = flat[flat["kind"] != KIND_ERROR]
     records = content[["kind", "text", "media_ref", "offset"]].to_dict("records")
     doc_col = content["doc_id"].to_numpy()
@@ -281,42 +288,80 @@ def extract_nested(pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd
         for end in bounds:
             groups[doc_col[start]] = records[start:end]
             start = end
+    return [groups.get(d, []) for d in out_ids]
+
+
+def extract_nested(pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """(doc_id, spans) batch -> (doc_id, spans) with extraction applied.
+
+    Reassembly happens inside the batch (docs are batch-local), so the
+    emitted span order is deterministic — no post-shuffle collect_list
+    (SURVEY.md §7.3). Docs that reduce to nothing (or error) come back
+    with spans=[] so rows are never silently dropped.
+    """
+    flat = extract_flat(pdf, cfg)
     out_ids = pdf["doc_id"].tolist()
-    return pd.DataFrame({"doc_id": out_ids, "spans": [groups.get(d, []) for d in out_ids]})
+    return pd.DataFrame({"doc_id": out_ids, "spans": _group_spans(flat, out_ids)})
 
 
 def extract_nested_metrics(
     pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
 ) -> pd.DataFrame:
-    """Nested output + per-doc metrics in one pass (the pandas spec of
-    arrow_extract.extract_nested_metrics_batch): columns doc_id, spans,
-    n_spans_in, n_spans_out, parse_failed."""
-    _, docs = _flatten(pdf)
-    nested = extract_nested(pdf, cfg)
-    out = nested.merge(docs, on="doc_id", how="left")
+    """Nested output + per-doc metrics from ONE kernel execution (the
+    pandas spec of arrow_extract.extract_nested_metrics_batch):
+    columns doc_id, spans, n_spans_in, n_spans_out, parse_failed."""
     flat = extract_flat(pdf, cfg)
+    out_ids = pdf["doc_id"].tolist()
+    spans = _group_spans(flat, out_ids)
     failed_ids = set(flat.loc[flat["kind"] == KIND_ERROR, "doc_id"])
-    out["n_spans_out"] = out["spans"].map(len).astype(np.int64)
-    out["parse_failed"] = out["doc_id"].isin(failed_ids).astype(np.int32)
-    return out[["doc_id", "spans", "n_spans_in", "n_spans_out", "parse_failed"]]
+    n_in = [len(s) if s is not None else 0 for s in pdf["spans"]]
+    return pd.DataFrame(
+        {
+            "doc_id": out_ids,
+            "spans": spans,
+            "n_spans_in": np.asarray(n_in, dtype=np.int64),
+            "n_spans_out": np.fromiter(
+                (len(s) for s in spans), dtype=np.int64, count=len(spans)
+            ),
+            "parse_failed": np.asarray(
+                [d in failed_ids for d in out_ids], dtype=np.int32
+            ),
+        }
+    )
 
 
 def doc_metrics(pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd.DataFrame:
-    """Per-doc extraction metrics (A4): spans in/out, failures."""
-    _, docs = _flatten(pdf)
+    """Per-doc extraction metrics (A4): spans in/out, failures.
+
+    Built positionally per INPUT ROW (a doc_id-keyed merge would fan
+    out on duplicate ids, which are error docs by contract)."""
     out = extract_flat(pdf, cfg)
-    errs = out.loc[out["kind"] == KIND_ERROR, ["doc_id", "text"]].rename(
-        columns={"text": "warning"}
+    warn_of = {}
+    for did, w in zip(
+        out.loc[out["kind"] == KIND_ERROR, "doc_id"],
+        out.loc[out["kind"] == KIND_ERROR, "text"],
+    ):
+        warn_of.setdefault(did, w)
+    out_ids = pdf["doc_id"].tolist()
+    spans = _group_spans(out, out_ids)
+    n_in = [len(s) if s is not None else 0 for s in pdf["spans"]]
+    # warning is ROW-specific (matching the arrow kernel): an empty row
+    # of a failed doc reports EMPTY even when a duplicate sibling row
+    # reports MALFORMED
+    warnings = [
+        ""
+        if d not in warn_of
+        else (WARN_EMPTY if n == 0 else WARN_MALFORMED)
+        for d, n in zip(out_ids, n_in)
+    ]
+    return pd.DataFrame(
+        {
+            "doc_id": out_ids,
+            "n_spans_in": np.asarray(n_in, dtype=np.int64),
+            "n_spans_out": np.fromiter(
+                (len(s) for s in spans), dtype=np.int64, count=len(spans)
+            ),
+            "parse_failed": np.asarray([1 if w else 0 for w in warnings], dtype=np.int32),
+            "warning": warnings,
+        }
     )
-    kept = (
-        out[out["kind"] != KIND_ERROR]
-        .groupby("doc_id", sort=False)
-        .size()
-        .rename("n_spans_out")
-        .reset_index()
-    )
-    m = docs.merge(kept, on="doc_id", how="left").merge(errs, on="doc_id", how="left")
-    m["n_spans_out"] = m["n_spans_out"].fillna(0).astype(np.int64)
-    m["parse_failed"] = m["warning"].notna().astype(np.int32)
-    m["warning"] = m["warning"].fillna("")
-    return m[["doc_id", "n_spans_in", "n_spans_out", "parse_failed", "warning"]]

@@ -38,7 +38,12 @@ def normalize_number(raw: pd.Series) -> tuple[pd.Series, pd.Series]:
     - only ',': decimal iff exactly 2 digits follow the last comma,
       else thousands separator
     """
-    cleaned = raw.fillna("").str.replace(r"[^\d.,\-]", "", regex=True)
+    # ASCII (?a) on purpose: the reference's Python \d is unicode (it
+    # would keep e.g. Arabic-Indic digits), but Spark's Java regex and
+    # DuckDB's RE2 are ASCII-\d — all three layers here pin ASCII so
+    # the oracle agrees with both engines; the unicode-digit deviation
+    # from the reference is deliberate and test-pinned.
+    cleaned = raw.fillna("").str.replace(r"(?a)[^\d.,\-]", "", regex=True)
     has_c = cleaned.str.contains(",", regex=False)
     has_d = cleaned.str.contains(".", regex=False)
     last_c = cleaned.str.rfind(",")
@@ -65,12 +70,15 @@ def normalize_number(raw: pd.Series) -> tuple[pd.Series, pd.Series]:
 
 # Date patterns in reference priority order
 # (/root/reference/pipeline.py:261-266); re.search semantics
-# (substring match, not anchored).
+# (substring match, not anchored). [0-9] instead of \d: the class is
+# identical in Python, Java (Spark), and RE2 (DuckDB), so the shared
+# patterns mean the same thing in every engine (Python \d alone would
+# also match unicode digits).
 DATE_PATTERNS = [
-    (r"(\d{4})-(\d{2})-(\d{2})", True),  # ISO, year first
-    (r"(\d{2})/(\d{2})/(\d{4})", False),  # DD/MM/YYYY
-    (r"(\d{2})-(\d{2})-(\d{4})", False),  # DD-MM-YYYY
-    (r"(\d{4})/(\d{2})/(\d{2})", True),  # YYYY/MM/DD
+    (r"([0-9]{4})-([0-9]{2})-([0-9]{2})", True),  # ISO, year first
+    (r"([0-9]{2})/([0-9]{2})/([0-9]{4})", False),  # DD/MM/YYYY
+    (r"([0-9]{2})-([0-9]{2})-([0-9]{4})", False),  # DD-MM-YYYY
+    (r"([0-9]{4})/([0-9]{2})/([0-9]{2})", True),  # YYYY/MM/DD
 ]
 
 
@@ -102,7 +110,9 @@ def validate_regex(value: pd.Series, pattern: str) -> pd.Series:
     N/A values are exempt (/root/reference/pipeline.py:284-288).
     """
     anchored = pattern if pattern.startswith("^") else "^" + pattern
-    miss = ~value.fillna("").str.contains(anchored, regex=True)
+    # (?a): Spark rlike / DuckDB regexp_matches are ASCII; the pandas
+    # oracle must interpret \d/\w/\s in the user's pattern the same way
+    miss = ~value.fillna("").str.contains("(?a)" + anchored, regex=True)
     return miss & (value != NA)
 
 

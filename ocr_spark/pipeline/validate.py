@@ -395,11 +395,12 @@ def field_sql(name: str, spec: FieldSpec, raw: str) -> dict[str, str]:
     if spec.regex is not None:
         anchored = spec.regex if spec.regex.startswith("^") else "^" + spec.regex
         d_anchored = anchored.replace("\\d", "[0-9]").replace("'", "''")
+        msg_regex = spec.regex.replace("'", "''")  # quote-safe in the message literal
         warns.append(
             f"CASE WHEN {still_string} AND ({norm}) <> 'N/A' "
             f"AND NOT regexp_matches(({norm}), '{d_anchored}') THEN "
             f"'{name}: value ''' || ({norm}) || ''' does not match regex pattern "
-            f"''{spec.regex}''' END"
+            f"''{msg_regex}''' END"
         )
     if spec.enum is not None:
         in_list = ", ".join("'" + a.replace("'", "''") + "'" for a in spec.enum)
@@ -432,9 +433,17 @@ def validate_sql(
             cols.append(f"{s['num']} AS {name}_num")
         warn_exprs.extend(s["warns"])
     wlist = "list_filter([" + ", ".join(warn_exprs) + "], w -> w IS NOT NULL)"
+    # The penalty must fold DOUBLES sequentially exactly like Spark's
+    # F.aggregate: bare 0.1/0.05 literals are DECIMAL in DuckDB and
+    # list_sum folds them exactly, which diverges bit-wise from the
+    # double fold at e.g. 8 minor warnings (8*0.05: double gives
+    # 0.4000000000000001 accumulated) — the repr-exact gate would flag
+    # it. CAST literals + list_reduce reproduce the double left fold.
     penalty = (
-        f"list_sum(list_transform({wlist}, w -> CASE WHEN contains(w, 'required field') "
-        f"OR contains(w, 'missing') THEN 0.1 ELSE 0.05 END))"
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({wlist}, w -> CASE WHEN contains(w, 'required field') "
+        f"OR contains(w, 'missing') THEN CAST(0.1 AS DOUBLE) "
+        f"ELSE CAST(0.05 AS DOUBLE) END)), (acc, x) -> acc + x)"
     )
     # DuckDB's array_to_string yields NULL on an empty list; Spark's
     # array_join yields '' — align on ''.

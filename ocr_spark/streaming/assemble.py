@@ -61,7 +61,15 @@ def _assemble(
     seen = set(nums)
     for pdf in pdfs:
         for r in pdf.itertuples():
-            total = int(r.total_pages)
+            # NULL page_number is unplaceable -> drop the row; NULL
+            # total_pages keeps the page but can't complete the doc.
+            # Either would otherwise raise inside applyInPandasWithState
+            # and poison the stream permanently (the checkpoint replays
+            # the same batch on every restart).
+            if pd.isna(r.page_number):
+                continue
+            if not pd.isna(r.total_pages):
+                total = int(r.total_pages)
             p = int(r.page_number)
             if p in seen:
                 continue  # duplicate delivery

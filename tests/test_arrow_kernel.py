@@ -96,6 +96,46 @@ def test_nested_metrics_equivalence(request, corpus):
     assert combined == separate
 
 
+def test_duplicate_doc_id_rows_become_errors(spark):
+    """A doc_id on two input rows of one batch violates the
+    one-row-per-document contract: BOTH kernels turn every such row
+    into an error row (one per input row, spans=[]) instead of the
+    silent merge the pandas spec used to do. (The check is necessarily
+    batch-local — rows split across partitions extract independently
+    in both kernels, which is likewise consistent.)"""
+    import pandas as pd
+
+    from ocr_spark.kernel.extract import WARN_MALFORMED, extract_flat
+
+    span = lambda off: {"kind": "text", "text": f"s{off}", "media_ref": "", "offset": off}
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["dup", "ok", "dup"],
+            "spans": [[span(0), span(1)], [span(0)], [span(2), span(3)]],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=DOC_SCHEMA).coalesce(1)
+    for eng in ("arrow", "pandas"):
+        rows = extract_documents(df, engine=eng).collect()
+        got = [(r.doc_id, len(r.spans)) for r in rows]
+        assert sorted(got) == [("dup", 0), ("dup", 0), ("ok", 1)], (eng, got)
+        m = {
+            (r.doc_id, r.n_spans_in): r.parse_failed
+            for r in extract_documents_with_metrics(df, engine=eng).collect()
+        }
+        assert m == {("dup", 2): 1, ("ok", 1): 0}, (eng, m)
+    # the pandas spec's flat view carries one MALFORMED error row per
+    # duplicate input row
+    flat = extract_flat(pdf)
+    errs = flat[flat["kind"] == "__error__"]
+    assert list(errs["doc_id"]) == ["dup", "dup"]
+    assert set(errs["text"]) == {WARN_MALFORMED}
+    # and both kernels agree row-for-row on the combined shape
+    a = _rows(extract_documents_with_metrics(df, engine="arrow"))
+    p = _rows(extract_documents_with_metrics(df, engine="pandas"))
+    assert a == p
+
+
 def test_null_spans_row(spark):
     df = spark.createDataFrame(
         [("d1", None), ("d2", [])], schema=DOC_SCHEMA

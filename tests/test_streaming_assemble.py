@@ -45,6 +45,18 @@ def test_assembly_across_batches(spark, tmp_path):
     assert spark.read.parquet(outp).count() == 2
 
 
+def test_null_page_number_and_total_do_not_poison_state(spark, tmp_path):
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    # a NULL page_number row is dropped; a NULL total_pages row still
+    # contributes its page; the doc completes once a row carries the
+    # real total
+    b1 = _pages([(9, None, 2, "ghost"), (9, 1, None, "one"), (9, 2, 2, "two")])
+    spark.createDataFrame(b1).write.parquet(inp, mode="append")
+    run_assemble_stream(spark, inp, outp, ckpt)
+    got = {r.doc_id: (r.n_pages, r.text) for r in spark.read.parquet(outp).collect()}
+    assert got == {9: (2, "one two")}
+
+
 def test_null_page_text_does_not_poison_state(spark, tmp_path):
     inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
     b1 = _pages([(7, 1, 2, None), (7, 2, 2, "tail")])

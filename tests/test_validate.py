@@ -84,6 +84,70 @@ def test_spark_matches_duckdb_oracle(spark_out, pdf):
                 assert xx == yy, (c, i, x, y)
 
 
+def test_pandas_normalize_oracle_agrees(spark_out, pdf):
+    """kernel.normalize is documented as the pytest oracle for the SQL
+    exprs — hold it to that: number/date/regex semantics must agree
+    with the Spark output on the shared row table (ASCII digit classes
+    everywhere; the unicode-\\d deviation from the reference's Python
+    is deliberate)."""
+    from ocr_spark.kernel import normalize as nz
+
+    num, num_failed = nz.normalize_number(pdf["amount"])
+    got = dict(zip(spark_out["row_id"], spark_out["amount_num"]))
+    for rid, v in zip(pdf["row_id"], num):
+        missing = pdf.loc[pdf["row_id"] == rid, "amount"].iloc[0] in (None, "", "N/A")
+        if missing:
+            continue  # spark path nulls missing before parsing
+        if pd.isna(v):
+            assert pd.isna(got[rid]), rid
+        else:
+            assert got[rid] == v, rid
+    date, date_failed = nz.normalize_date(pdf["when_at"])
+    got_d = dict(zip(spark_out["row_id"], spark_out["when_at"]))
+    for rid, v, f in zip(pdf["row_id"], date, date_failed):
+        raw = pdf.loc[pdf["row_id"] == rid, "when_at"].iloc[0]
+        if raw in (None, "", "N/A"):
+            continue
+        assert got_d[rid] == v, (rid, got_d[rid], v)
+    # unicode digits are data, not digits (ASCII pin): stripped by the
+    # currency cleaner in BOTH the pandas oracle and the engines
+    v, f = nz.normalize_number(pd.Series(["٣٤, above 5"]))
+    assert v.iloc[0] == 5.0 and not f.iloc[0]
+    assert nz.validate_regex(pd.Series(["１２３", "123"]), r"^\d+$").tolist() == [
+        True,
+        False,
+    ]
+
+
+def test_confidence_bit_exact_at_many_warnings(spark):
+    """The driver gate compares repr-exact doubles: the DuckDB penalty
+    fold must accumulate DOUBLES left-to-right exactly like Spark's
+    aggregate — DECIMAL literals fold exactly and diverge bit-wise at
+    e.g. 8 minor warnings (1.0 - 8*0.05 in doubles != 0.6)."""
+    import duckdb
+
+    schema = {f"f{i}": FieldSpec(type="string", enum=["ok"]) for i in range(9)}
+    # rows with 0..9 enum-violating fields -> 0..9 minor warnings
+    rows = []
+    for n_bad in range(10):
+        rows.append([n_bad] + ["bad" if i < n_bad else "ok" for i in range(9)])
+    pdf = pd.DataFrame(rows, columns=["row_id"] + [f"f{i}" for i in range(9)])
+    spark_conf = {
+        r.row_id: r.confidence
+        for r in validate_fields(spark.createDataFrame(pdf), schema, keep=["row_id"]).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = validate_sql(schema, "t", raw={n: n for n in schema}, keep=["row_id"])
+    oracle_conf = {int(r[0]): float(r[-1]) for r in con.execute(
+        f"SELECT row_id, confidence FROM ({sql})"
+    ).fetchall()}
+    for k in spark_conf:
+        assert repr(spark_conf[k]) == repr(oracle_conf[k]), (
+            k, spark_conf[k], oracle_conf[k]
+        )
+
+
 def test_number_normalization(spark_out):
     got = dict(zip(spark_out["row_id"], spark_out["amount_num"]))
     assert got[0] == 1234.56  # 1.234,56 -> rightmost comma is decimal
