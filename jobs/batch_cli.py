@@ -68,14 +68,16 @@ def main() -> None:
         F.sum("n_spans_in").alias("spans_in"),
         F.sum("n_spans_out").alias("spans_out"),
     ).collect()[0]
+    # sums over zero rows come back NULL -> coalesce so an empty tree
+    # prints a zero-count envelope instead of dying on int(None)
     meta = {
         "schema_version": "v1",
         "engine": "ocr_spark",
         "total_files": int(s.total),
-        "parse_failures": int(s.failures),
-        "n_spans_in": int(s.spans_in),
-        "n_spans_out": int(s.spans_out),
-        "strip_ratio": round(1.0 - s.spans_out / max(s.spans_in, 1), 4),
+        "parse_failures": int(s.failures or 0),
+        "n_spans_in": int(s.spans_in or 0),
+        "n_spans_out": int(s.spans_out or 0),
+        "strip_ratio": round(1.0 - (s.spans_out or 0) / max(s.spans_in or 0, 1), 4),
     }
     write_json_envelope(
         metrics.limit(1000), meta, f"{args.output}/parsing_results.json"

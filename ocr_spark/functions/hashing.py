@@ -42,6 +42,17 @@ def md5_long_expr(expr: str) -> str:
     return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
+def lcg_stream(seed: int):
+    """The repo's ONE deterministic pseudo-random source: a 63-bit LCG
+    whose outputs are baked into SQL as literal constants in both
+    engines (minhash coefficients, LSH hyperplanes). Centralized so
+    the constants can never drift apart between consumers."""
+    x = seed
+    while True:
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        yield x
+
+
 def minhash_perms(k: int, seed: int = 42) -> tuple[list[int], list[int]]:
     """Deterministic (a, b) coefficient lists for k minhash
     permutations h_i(x) = (a_i * (x & MASK_40) + b_i) % MINHASH_PRIME.
@@ -50,9 +61,10 @@ def minhash_perms(k: int, seed: int = 42) -> tuple[list[int], list[int]]:
     either engine. Plain LCG expansion from the seed; no RNG state so
     both engines and any round re-run agree.
     """
-    a, b, x = [], [], seed
+    a, b = [], []
+    rng = lcg_stream(seed)
     for _ in range(k):
-        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        x = next(rng)
         a.append((x >> 20) % ((1 << 20) - 1) + 1)
         b.append(x % MINHASH_PRIME)
     return a, b

@@ -120,8 +120,13 @@ def image_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                 data = pa.compute.fill_null(data, b"")
             data = data.combine_chunks() if isinstance(data, pa.ChunkedArray) else data
             n = b.num_rows
-            # flat value buffer + offsets: the batch's bytes, zero-copy
-            offs = np.frombuffer(data.buffers()[1], dtype=np.int32)[
+            # flat value buffer + offsets: the batch's bytes, zero-copy.
+            # Offset width follows the arrow type — large_binary (e.g.
+            # spark.sql.execution.arrow.useLargeVarTypes=true) ships
+            # int64 offsets, and misreading them as int32 would compute
+            # silently wrong gather indices.
+            off_dtype = np.int64 if pa.types.is_large_binary(data.type) else np.int32
+            offs = np.frombuffer(data.buffers()[1], dtype=off_dtype)[
                 data.offset : data.offset + n + 1
             ].astype(np.int64)
             buf = np.frombuffer(data.buffers()[2] or b"", dtype=np.uint8)

@@ -45,16 +45,15 @@ PLANES_PER_BAND = 8
 
 def hyperplanes(n: int = N_PLANES, dim: int = DIM, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes with exact 3-decimal
-    components in [-0.5, 0.5) — literal-embeddable in both engines."""
-    x = seed
-    planes = []
-    for _ in range(n):
-        row = []
-        for _ in range(dim):
-            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-            row.append(((x >> 17) % 1000) / 1000.0 - 0.5)
-        planes.append(row)
-    return planes
+    components in [-0.5, 0.5) — literal-embeddable in both engines.
+    Drawn from the repo's shared LCG (hashing.lcg_stream)."""
+    from ocr_spark.functions.hashing import lcg_stream
+
+    rng = lcg_stream(seed)
+    return [
+        [((next(rng) >> 17) % 1000) / 1000.0 - 0.5 for _ in range(dim)]
+        for _ in range(n)
+    ]
 
 
 # ---------------------------------------------------------------------------

@@ -82,35 +82,116 @@ def split_pages_sql(table: str = "documents", words_per_page: int = WORDS_PER_PA
     """
 
 
-def unique_names(docs: DataFrame, name_col: str = "source") -> DataFrame:
-    """R4: dedup colliding names with _1, _2, ... suffixes in doc_id
-    order (/root/reference/webapp/pdf_utils.py:26-41: first keeps the
-    bare name, later collisions get suffixes).
+_SUFFIX_RE = r"^(.*)_(\d+)$"
 
-    The window shuffles on the name key — small-cardinality dimension
-    data; at corpus scale names are near-unique so partitions stay flat.
+
+def unique_names(docs: DataFrame, name_col: str = "source") -> DataFrame:
+    """R4: dedup colliding names — the first doc of each name keeps it
+    bare; later duplicates get ``name_k`` suffixes whose numbers SKIP
+    any ``name_i`` that already exists as a real name (the reference's
+    while-candidate-in-existing loop,
+    /root/reference/webapp/pdf_utils.py:26-41 — without the skip,
+    input ['a','a','a_1'] would emit 'a_1' twice). Divergence note:
+    the reference's output depends on sequential upload order; this
+    columnar form is order-canonical (doc_id order) and globally
+    unique by construction.
+
+    Shuffles on the name key — small-cardinality dimension data; at
+    corpus scale names are near-unique so partitions stay flat.
     """
-    w = Window.partitionBy(name_col).orderBy("doc_id")
-    seq = F.row_number().over(w)
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col(name_col).alias("name"),
-        F.when(seq == 1, F.col(name_col))
-        .otherwise(F.concat_ws("_", F.col(name_col), (seq - 1).cast("string")))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col(name_col).alias("name")
+    )
+    named = base.withColumn(
+        "seq", F.row_number().over(Window.partitionBy("name").orderBy("doc_id"))
+    )
+    # suffix numbers already claimed per base by REAL names 'base_i'
+    taken = (
+        base.select(
+            F.regexp_extract("name", _SUFFIX_RE, 1).alias("tbase"),
+            F.regexp_extract("name", _SUFFIX_RE, 2).alias("ti_s"),
+        )
+        .where(F.col("ti_s") != "")
+        .select("tbase", F.col("ti_s").cast("long").alias("ti"))
+        .distinct()
+    )
+    need = (
+        named.where(F.col("seq") >= 2)
+        .groupBy("name")
+        .agg(F.max(F.col("seq") - 1).alias("max_k"))
+    )
+    ntaken = taken.groupBy(F.col("tbase").alias("name")).agg(
+        F.count("*").alias("n_taken")
+    )
+    # k-th free suffix: enumerate 1..(max_k + taken) candidates,
+    # drop the taken ones, rank what survives
+    cands = (
+        need.join(ntaken, "name", "left")
+        .select(
+            "name",
+            F.explode(
+                F.sequence(F.lit(1), F.col("max_k") + F.coalesce("n_taken", F.lit(0)))
+            ).alias("i"),
+        )
+    )
+    free = cands.join(
+        taken,
+        (cands.name == taken.tbase) & (cands.i == taken.ti),
+        "left_anti",
+    )
+    ranked = free.withColumn(
+        "k", F.row_number().over(Window.partitionBy("name").orderBy("i"))
+    ).select(F.col("name").alias("_rname"), F.col("i").alias("_ri"), "k")
+    out = named.join(
+        ranked,
+        (F.col("name") == F.col("_rname")) & (F.col("seq") - 1 == F.col("k")),
+        "left",
+    )
+    return out.select(
+        "doc_id",
+        "name",
+        F.when(F.col("seq") == 1, F.col("name"))
+        .otherwise(F.concat_ws("_", F.col("name"), F.col("_ri").cast("string")))
         .alias("unique_name"),
     )
 
 
 def unique_names_sql(table: str = "documents", name_col: str = "source") -> str:
     return f"""
-      SELECT doc_id, name,
-             CASE WHEN seq = 1 THEN name
-                  ELSE name || '_' || CAST(seq - 1 AS VARCHAR) END AS unique_name
-      FROM (
-        SELECT CAST(doc_id AS BIGINT) AS doc_id, {name_col} AS name,
-               row_number() OVER (PARTITION BY {name_col} ORDER BY doc_id) AS seq
-        FROM {table}
+      WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {name_col} AS name FROM {table}
+      ),
+      named AS (
+        SELECT doc_id, name,
+               row_number() OVER (PARTITION BY name ORDER BY doc_id) AS seq
+        FROM base
+      ),
+      taken AS (
+        SELECT DISTINCT regexp_extract(name, '^(.*)_([0-9]+)$', 1) AS tbase,
+               CAST(regexp_extract(name, '^(.*)_([0-9]+)$', 2) AS BIGINT) AS ti
+        FROM base WHERE regexp_matches(name, '^(.*)_([0-9]+)$')
+      ),
+      need AS (
+        SELECT name, max(seq - 1) AS max_k FROM named WHERE seq >= 2 GROUP BY name
+      ),
+      cands AS (
+        SELECT need.name, unnest(range(1, max_k + coalesce(t.cnt, 0) + 1)) AS i
+        FROM need LEFT JOIN (SELECT tbase, count(*) AS cnt FROM taken GROUP BY 1) t
+          ON need.name = t.tbase
+      ),
+      free AS (
+        SELECT c.name, c.i FROM cands c
+        ANTI JOIN taken ON c.name = taken.tbase AND c.i = taken.ti
+      ),
+      ranked AS (
+        SELECT name, i, row_number() OVER (PARTITION BY name ORDER BY i) AS k
+        FROM free
       )
+      SELECT n.doc_id, n.name,
+             CASE WHEN n.seq = 1 THEN n.name
+                  ELSE n.name || '_' || CAST(r.i AS VARCHAR) END AS unique_name
+      FROM named n
+      LEFT JOIN ranked r ON n.name = r.name AND n.seq - 1 = r.k
     """
 
 

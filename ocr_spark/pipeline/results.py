@@ -98,9 +98,23 @@ def edit_update(
     fields are overwritten outright, so an explicit NULL in the update
     CLEARS the field (api.py assigns the edited dict wholesale). The
     default keeps the coalesce behavior (NULL update = leave as-is),
-    which is the safer merge for partial edit payloads."""
+    which is the safer merge for partial edit payloads.
+
+    Multiple update rows for one key collapse to a single
+    deterministic winner (lexicographically smallest field tuple)
+    BEFORE the join — a left join against duplicate keys would
+    otherwise duplicate target rows and break the dedup-by-token
+    invariant. The SQL twin applies the identical rule."""
+    # NULLS LAST matches DuckDB's ASC default, so both engines pick
+    # the same winner when duplicate updates carry NULL fields
+    w = Window.partitionBy(key).orderBy(*[F.asc_nulls_last(f) for f in fields])
+    upd_unique = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     upd = F.broadcast(
-        updates.select(
+        upd_unique.select(
             key,
             *[F.col(f).alias(f"_u_{f}") for f in fields],
             F.lit(True).alias("_u_matched"),
@@ -135,10 +149,13 @@ def edit_update_sql(
     else:
         cols += [f"coalesce(u._u_{f}, t.{f}) AS {f}" for f in fields]
     upd_cols = [key] + [f"{f} AS _u_{f}" for f in fields]
+    order = ", ".join(f"{f} ASC" for f in fields)
     return f"""
       SELECT {', '.join(cols)}
       FROM ({target}) t
-      LEFT JOIN (SELECT {', '.join(upd_cols)} FROM ({updates})) u
+      LEFT JOIN (SELECT {', '.join(upd_cols)} FROM ({updates})
+                 QUALIFY row_number() OVER (PARTITION BY {key}
+                                            ORDER BY {order}) = 1) u
         ON t.{key} = u.{key}
     """
 

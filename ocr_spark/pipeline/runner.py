@@ -40,8 +40,19 @@ from dataclasses import asdict, dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import IntegerType, StructField, StructType
+
 from ocr_spark.kernel.extract import DEFAULT_CONFIG, ExtractConfig
 from ocr_spark.pipeline.extract import extract_documents_with_metrics, weight_partition
+from ocr_spark.schema import DOC_WITH_METRICS_SCHEMA
+
+# what the runner's parquet table holds: kernel output + the bucket
+# partition column. Passed explicitly to the metrics read so a commit
+# group that wrote ZERO rows (possible when n_buckets >> corpus) still
+# reads back as an empty frame instead of failing schema inference.
+OUTPUT_SCHEMA = StructType(
+    DOC_WITH_METRICS_SCHEMA.fields + [StructField("bucket", IntegerType(), True)]
+)
 
 
 @dataclass(frozen=True)
@@ -82,8 +93,23 @@ class ExtractionRun:
 
     # -- T1: manifest ------------------------------------------------------
     def write_manifest(self) -> None:
+        """Write the run snapshot — or, on resume, VERIFY the current
+        config against it: done-bucket records are only valid under the
+        manifest's bucket function and kernel config, so resuming with
+        e.g. a different n_buckets would skip buckets that now hold
+        different docs and silently corrupt the table."""
         path = f"{self.lineage_dir}/manifest.json"
         if os.path.exists(path):
+            with open(path) as f:
+                stored = json.load(f)
+            current = {"n_buckets": self.cfg.n_buckets, "kernel": asdict(self.cfg.kernel)}
+            recorded = {"n_buckets": stored.get("n_buckets"), "kernel": stored.get("kernel")}
+            if current != recorded:
+                raise ValueError(
+                    f"run '{self.cfg.run_id}' was created with {recorded}; "
+                    f"resuming with {current} would corrupt the output — "
+                    "use a new run_id (or cleanup_orphan_runs) to reprocess"
+                )
             return  # resume: manifest is immutable per run_id
         manifest = {
             "run_id": self.cfg.run_id,
@@ -146,7 +172,7 @@ class ExtractionRun:
         # per-bucket lineage metrics: a column-pruned, partition-pruned
         # scan of the files just written — NOT a kernel re-execution.
         metrics = (
-            self.spark.read.parquet(self.out)
+            self.spark.read.schema(OUTPUT_SCHEMA).parquet(self.out)
             .where(F.col("bucket").isin(buckets))
             .groupBy("bucket")
             .agg(

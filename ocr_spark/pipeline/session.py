@@ -29,8 +29,12 @@ def get_spark(
     # shuffle partitions ~ 2x cores in local mode; a real cluster run
     # would size this to 2-3x total executor cores (or rely on AQE).
     if shuffle_partitions is None:
+        # master may be local[N], local[*], local[N,maxFailures], or
+        # local-cluster[n,cores,mem] — the first bracketed number is
+        # the parallelism hint; anything unparseable falls back to cpus
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = 2 * (cpus if n == "*" else int(n))
+        n = n.split(",")[0].strip()
+        shuffle_partitions = 2 * (int(n) if n.isdigit() else cpus)
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)

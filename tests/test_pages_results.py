@@ -67,6 +67,27 @@ def test_unique_names_suffixing(spark):
     assert out == {1: "a.pdf", 3: "a.pdf_1", 2: "b.pdf"}
 
 
+def test_unique_names_skip_taken_suffixes(spark):
+    # suffix numbers skip names that really exist: ['a','a','a_1','a']
+    # must NOT emit 'a_1' twice (the reference's while-loop rule)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "source": ["a", "a", "a_1", "a"]})
+    )
+    out = {r.doc_id: r.unique_name for r in pages.unique_names(df).collect()}
+    assert out == {1: "a", 3: "a_1", 2: "a_2", 4: "a_3"}
+    assert len(set(out.values())) == 4  # globally unique
+    # the DuckDB twin applies the identical skip rule
+    import duckdb
+
+    con2 = duckdb.connect()
+    con2.register("t", pd.DataFrame({"doc_id": [1, 2, 3, 4], "source": ["a", "a", "a_1", "a"]}))
+    want = {
+        int(r[0]): r[2]
+        for r in con2.execute(pages.unique_names_sql(table="t")).fetchall()
+    }
+    assert want == out
+
+
 def test_page_count_probe(docs, con):
     assert_same(pages.page_count_probe(docs), con, pages.page_count_probe_sql())
 
@@ -137,6 +158,21 @@ def test_edit_update(spark):
     # matched row takes the edit; null update fields keep the original;
     # unmatched update token ('zz') is ignored; row count unchanged.
     assert rows == {"a": ("x", "1"), "b": ("EDITED", "2"), "c": ("z", "3")}
+
+
+def test_edit_update_duplicate_update_keys_do_not_fan_out(spark):
+    # two updates for one token collapse to one deterministic winner
+    # (lexicographically smallest) instead of duplicating target rows
+    target = spark.createDataFrame(
+        pd.DataFrame({"token": ["a", "b"], "f1": ["x", "y"], "f2": ["1", "2"]})
+    )
+    updates = spark.createDataFrame(
+        pd.DataFrame({"token": ["b", "b"], "f1": ["ZED", "ALPHA"], "f2": ["9", "8"]})
+    )
+    out = results.edit_update(target, updates, "token", ["f1", "f2"]).collect()
+    assert len(out) == 2
+    rows = {r.token: (r.f1, r.f2) for r in out}
+    assert rows == {"a": ("x", "1"), "b": ("ALPHA", "8")}
 
 
 def test_edit_update_overwrite_nulls(spark):

@@ -99,6 +99,39 @@ def test_commit_group_is_single_pass(spark, docs, tmp_path):
     assert "Join" not in plan, plan
 
 
+def test_resume_rejects_config_mismatch(spark, docs, tmp_path):
+    """Resuming a run_id with a different bucket function would skip
+    buckets that now hold different docs — must fail fast instead."""
+    run = ExtractionRun(
+        spark, docs, str(tmp_path / "out"),
+        RunConfig("cm1", n_buckets=8, buckets_per_commit=4),
+    )
+    with pytest.raises(RuntimeError):
+        run.run(fail_after_groups=1)
+    bad = ExtractionRun(
+        spark, docs, str(tmp_path / "out"), RunConfig("cm1", n_buckets=16)
+    )
+    with pytest.raises(ValueError, match="corrupt"):
+        bad.run()
+    # same config resumes fine
+    assert run.run()["buckets_done"] == 8
+
+
+def test_empty_commit_groups_do_not_crash(spark, docs, tmp_path):
+    """n_buckets >> corpus: groups whose buckets hold zero docs must
+    commit cleanly (explicit read schema — no parquet inference over
+    zero files)."""
+    few = docs.limit(3)
+    run = ExtractionRun(
+        spark, few, str(tmp_path / "out"),
+        RunConfig("e1", n_buckets=32, buckets_per_commit=4),
+    )
+    s = run.run()
+    assert s["buckets_done"] == 32
+    assert s["n_docs"] == 3
+    assert run.output().select("doc_id").distinct().count() == 3
+
+
 def test_abort_then_resume_equals_single_shot(spark, docs, tmp_path):
     """T6: an aborted run is resumable; output identical to one-shot."""
     ref = ExtractionRun(spark, docs, str(tmp_path / "ref"), RunConfig("aref", n_buckets=8))
