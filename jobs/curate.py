@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""spark-submit entry: the COMPLETE training-data curation pipeline,
+end to end — the composition a 100 TB corpus actually runs:
+
+1. extract   — interleaved span table -> boilerplate-stripped main
+               content (single-pass Arrow kernel, per-doc metrics);
+2. filter    — deterministic quality score + language-ID gates over
+               the extracted text (pure codegen, scan-stage);
+3. dedup     — exact (content hash) then near-dup (minhash-LSH
+               candidates, exact-Jaccard verify, connected
+               components) over the survivors;
+4. write     — curated (doc_id, text) table in the bucketed layout +
+               one JSON summary line with per-stage counts.
+
+Every stage is an already-oracle-checked operator; this job is the
+glue. Scale shape: one kernel pass, scan-stage filters, candidate-
+driven dedup joins — no stage touches an n^2 space and the only
+corpus-wide shuffles are the dedup aggregates.
+
+Example:
+  spark-submit --py-files dist/ocr_spark.zip jobs/curate.py \\
+    --input /data/spans.parquet --output /out/curated \\
+    --min-quality 0.3 --langs en,vi --tau 0.5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="span table parquet (doc_id, spans)")
+    ap.add_argument("--output", required=True, help="curated table output dir")
+    ap.add_argument(
+        "--synthesize",
+        action="store_true",
+        help="input is a flat documents table; derive the span table",
+    )
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument(
+        "--langs", default="", help="comma-separated allowed lang_pred values; empty = all"
+    )
+    ap.add_argument("--tau", type=float, default=0.5, help="near-dup jaccard threshold")
+    ap.add_argument("--max-bucket", type=int, default=1000, help="LSH band bucket cap; 0 = off")
+    ap.add_argument("--n-buckets", type=int, default=16, help="output bucket count")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.dedup import dup_clusters, exact_dedup
+    from ocr_spark.functions.text import lang_id, quality_score
+    from ocr_spark.pipeline.extract import extract_main_content
+    from ocr_spark.pipeline.session import get_spark
+    from ocr_spark.pipeline.writer import ResultsWriter
+    from ocr_spark.sources.synth import synthesize_spans
+
+    spark = get_spark(args.master, app_name="ocr_spark_curate")
+    docs = spark.read.parquet(args.input)
+    if args.synthesize:
+        docs = synthesize_spans(docs)
+
+    # 1. extract: stripped span stream -> one text per doc (order-safe:
+    # spans are emitted in reading order by the kernel, and the
+    # concat_ws(sort_array) re-asserts it deterministically)
+    spans = extract_main_content(docs)
+    text = (
+        spans.where(F.col("text") != "")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("offset"), F.col("text")))
+                    ),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+    ).persist()
+    n_extracted = text.count()
+
+    # 2. quality + language gates (doc_id in text.* operators is
+    # BIGINT-cast; keep a string join key alongside)
+    corpus = text.select(F.col("doc_id").cast("long").alias("doc_id"), "text").persist()
+    q = quality_score(corpus).select("doc_id", "quality")
+    gated = corpus.join(q, "doc_id").where(F.col("quality") >= args.min_quality)
+    langs = [s.strip() for s in args.langs.split(",") if s.strip()]
+    if langs:
+        lid = lang_id(corpus).select("doc_id", "lang_pred")
+        gated = gated.join(lid, "doc_id").where(F.col("lang_pred").isin(langs))
+    gated = gated.select("doc_id", "text").persist()
+    n_gated = gated.count()
+
+    # 3. dedup: exact content hash, then LSH-verified near-dups
+    reps = exact_dedup(gated).select(F.col("rep_doc_id").alias("doc_id"))
+    survivors = gated.join(reps, "doc_id").persist()
+    n_exact = survivors.count()
+    clusters = dup_clusters(survivors, tau=args.tau, max_bucket=args.max_bucket or None)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    curated = survivors.join(losers, "doc_id", "left_anti")
+    n_curated = curated.count()
+
+    # 4. curated table in the standard bucketed layout
+    ResultsWriter(spark, path=args.output, n_buckets=args.n_buckets).write(curated)
+
+    print(
+        json.dumps(
+            {
+                "n_extracted": n_extracted,
+                "n_after_quality_lang": n_gated,
+                "n_after_exact_dedup": n_exact,
+                "n_curated": n_curated,
+                "dropped_quality_lang": n_extracted - n_gated,
+                "dropped_exact": n_gated - n_exact,
+                "dropped_near_dup": n_exact - n_curated,
+                "min_quality": args.min_quality,
+                "langs": langs,
+                "tau": args.tau,
+            }
+        )
+    )
+    for df in (text, corpus, gated, survivors):
+        df.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""End-to-end curation pipeline job: extract -> quality/lang gates ->
+exact + near dedup -> curated bucketed table + summary."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from unittest.mock import patch
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _run(spark, tmp_path, extra_args=()):
+    import jobs.curate as job
+
+    out = str(tmp_path / "curated")
+    argv = [
+        "curate.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--synthesize",
+        "--output", out,
+        "--tau", "0.5",
+        *extra_args,
+    ]
+    printed = []
+    with patch.object(sys, "argv", argv), patch.object(
+        SparkSession, "stop", lambda self: None
+    ), patch("builtins.print", lambda s: printed.append(s)):
+        job.main()
+    return out, json.loads(printed[-1])
+
+
+def test_curate_pipeline_end_to_end(spark, tmp_path):
+    out, s = _run(spark, tmp_path, ("--min-quality", "0.2"))
+    # monotone funnel with every stage accounted for
+    assert s["n_extracted"] >= s["n_after_quality_lang"] >= s["n_after_exact_dedup"] >= s["n_curated"] > 0
+    assert s["dropped_quality_lang"] + s["dropped_exact"] + s["dropped_near_dup"] == (
+        s["n_extracted"] - s["n_curated"]
+    )
+    # curated table: bucketed layout, unique doc_ids, non-empty text
+    assert any(d.startswith("bucket=") for d in os.listdir(out))
+    t = spark.read.parquet(out)
+    assert t.count() == s["n_curated"]
+    assert t.select("doc_id").distinct().count() == s["n_curated"]
+    assert t.where(F.length("text") == 0).count() == 0
+
+
+def test_curate_lang_gate(spark, tmp_path):
+    _, s_all = _run(spark, tmp_path / "a", ("--min-quality", "0.0"))
+    _, s_en = _run(spark, tmp_path / "b", ("--min-quality", "0.0", "--langs", "en"))
+    assert s_en["n_after_quality_lang"] <= s_all["n_after_quality_lang"]
+    assert s_en["langs"] == ["en"]
