@@ -64,6 +64,10 @@ def normalize_number(raw: pd.Series) -> tuple[pd.Series, pd.Series]:
     out = out.where(~only_c_dec, cleaned.str.replace(",", ".", regex=False))
     out = out.where(~only_c_thou, cleaned.str.replace(",", "", regex=False))
     value = pd.to_numeric(out, errors="coerce")
+    # |v| >= 1e15 is a parse failure across all three layers (see
+    # pipeline.validate._number_cols: Java cannot render shortest-repr
+    # digits beyond that magnitude, so the engines pin a shared bound)
+    value = value.where(value.abs() < 1e15)
     failed = value.isna()
     return value.astype(np.float64), failed
 

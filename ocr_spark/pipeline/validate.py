@@ -116,6 +116,14 @@ def _number_cols(c: Column) -> tuple[Column, Column]:
         .otherwise(cleaned)
     )
     value = norm.try_cast("double")
+    # |v| >= 1e15 is treated as a parse failure (invalid-number
+    # warning, raw kept): beyond that magnitude Java's Double.toString
+    # emits non-shortest digits that no string op can reconcile with
+    # DuckDB/Python's shortest repr (e.g. ...781600 vs ...782000), and
+    # quadrillion+ amounts in an OCR'd monetary field are garbage
+    # anyway. Documented deviation from the reference (which would
+    # stringify them scientifically).
+    value = F.when(F.abs(value) < 1e15, value)
     # Python float('') / float('-') / float('1.2.3') raise; try_cast
     # nulls on the same inputs. float of '' from empty cleaned -> fail.
     failed = value.isNull()
@@ -123,19 +131,40 @@ def _number_cols(c: Column) -> tuple[Column, Column]:
 
 
 def _num_to_str(v: Column) -> Column:
-    """double -> string matching the reference's ``str(float)`` on the
-    supported domain. In [1e-3, 1e7) both engines' plain cast agrees
-    with str(float) (round-1 oracle-proven). Outside that range Java's
-    Double.toString goes scientific ('1.0E7', '5.0E-4') while
-    str(float) does not until 1e16/1e-5 — render fixed-point via %.6f
-    + trailing-zero strip there instead. Documented bounds: values
-    needing >6 fractional digits render at 6-digit precision
-    (|v| < 1e-6 becomes '0.0' in BOTH engines), and |v| >= 1e16 stays
-    fixed-point where str(float) itself would go scientific."""
-    fixed = F.regexp_replace(F.format_string("%.6f", v), "0+$", "")
-    fixed = F.when(fixed.endswith("."), F.concat(fixed, F.lit("0"))).otherwise(fixed)
-    plain = (F.abs(v) < 1e7) & ((F.abs(v) >= 1e-3) | (v == 0.0))
-    return F.when(plain, v.cast("string")).otherwise(fixed)
+    """double -> string matching the reference's ``str(float)``:
+    always the SHORTEST round-trip digits, always fixed-point.
+
+    Both engines' double->string casts emit the shortest-repr digits
+    but disagree on when to go scientific (Java outside [1e-3, 1e7),
+    DuckDB outside [1e-4, 1e15]) — and printf('%.6f') is NOT a fix
+    (Java pads the shortest repr with zeros while C prints the exact
+    binary expansion: 772947859593.35 -> '...350000' vs '...349976').
+    So each engine DE-SCIENTIFICS its own cast string with pure string
+    ops: split mantissa/exponent, shift the decimal point, strip
+    trailing zeros — identical results because the underlying digits
+    are the same shortest repr. Deviation from str(float): values
+    outside [1e-4, 1e16) render fixed-point where Python itself would
+    go scientific (documented, cross-engine identical)."""
+    s = v.cast("string")
+    zeros = F.lit("0" * 400)  # > max double exponent (308)
+    m = F.substring_index(s, "E", 1)
+    e = F.substring_index(s, "E", -1).cast("int")
+    digits = F.regexp_replace(m, r"[\-.]", "")
+    pos = e + F.lit(1)
+    dlen = F.length(digits)
+    fixed_int = F.concat(digits, F.substring(zeros, F.lit(1), pos - dlen), F.lit(".0"))
+    split = F.concat(
+        F.substring(digits, F.lit(1), pos),
+        F.lit("."),
+        F.substring(digits, pos + F.lit(1), F.lit(400)),
+    )
+    body = F.when(e < 0, F.concat(F.lit("0."), F.substring(zeros, F.lit(1), -e - 1), digits)).otherwise(
+        F.when(dlen <= pos, fixed_int).otherwise(split)
+    )
+    body = F.regexp_replace(body, "0+$", "")
+    body = F.when(body.endswith("."), F.concat(body, F.lit("0"))).otherwise(body)
+    desci = F.concat(F.when(s.startswith("-"), F.lit("-")).otherwise(F.lit("")), body)
+    return F.when(s.contains("E"), desci).otherwise(s)
 
 
 def _date_cols(c: Column) -> tuple[Column, Column]:
@@ -330,19 +359,30 @@ def _number_sql(raw: str) -> tuple[str, str]:
         f"WHEN {only_c_thou} THEN replace({cleaned}, ',', '') "
         f"ELSE {cleaned} END"
     )
-    value = f"try_cast({norm} AS DOUBLE)"
+    value = f"(CASE WHEN abs(try_cast({norm} AS DOUBLE)) < 1e15 THEN try_cast({norm} AS DOUBLE) END)"
     return value, f"({value} IS NULL)"
 
 
 def _num_to_str_sql(v: str) -> str:
-    """DuckDB twin of _num_to_str (same branch structure; printf %f is
-    non-scientific in both engines, and exact rounding ties at the 6th
-    decimal are unrepresentable in binary doubles, so the outputs are
-    character-identical)."""
-    fixed = f"regexp_replace(printf('%.6f', {v}), '0+$', '')"
-    fixed = f"CASE WHEN {fixed} LIKE '%.' THEN {fixed} || '0' ELSE {fixed} END"
-    plain = f"(abs({v}) < 1e7 AND (abs({v}) >= 1e-3 OR {v} = 0.0))"
-    return f"CASE WHEN {plain} THEN CAST({v} AS VARCHAR) ELSE {fixed} END"
+    """DuckDB twin of _num_to_str: de-scientific DuckDB's own cast
+    string ('5e-05', '1.5e+16') with the same point-shift + strip —
+    the shortest-repr digits agree across engines, so the fixed-point
+    renderings are character-identical."""
+    s = f"CAST({v} AS VARCHAR)"
+    m = f"split_part({s}, 'e', 1)"
+    e = f"CAST(split_part({s}, 'e', 2) AS INT)"
+    digits = f"regexp_replace({m}, '[-.]', '', 'g')"
+    pos = f"({e} + 1)"
+    dlen = f"length({digits})"
+    body = (
+        f"CASE WHEN {e} < 0 THEN '0.' || repeat('0', -{e} - 1) || {digits} "
+        f"WHEN {dlen} <= {pos} THEN {digits} || repeat('0', {pos} - {dlen}) || '.0' "
+        f"ELSE substr({digits}, 1, {pos}) || '.' || substr({digits}, {pos} + 1) END"
+    )
+    body = f"regexp_replace({body}, '0+$', '')"
+    body = f"CASE WHEN {body} LIKE '%.' THEN {body} || '0' ELSE {body} END"
+    desci = f"(CASE WHEN {s} LIKE '-%' THEN '-' ELSE '' END) || {body}"
+    return f"CASE WHEN contains({s}, 'e') THEN {desci} ELSE {s} END"
 
 
 def _date_sql(raw: str) -> tuple[str, str]:

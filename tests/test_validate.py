@@ -84,6 +84,57 @@ def test_spark_matches_duckdb_oracle(spark_out, pdf):
                 assert xx == yy, (c, i, x, y)
 
 
+def test_cross_engine_fuzz_number_and_date(spark):
+    """Seeded fuzz: 400 adversarial number/date strings through the
+    full validator in BOTH engines, compared repr-exact — the same
+    comparison the driver gate uses. Catches locale-rule, regex-
+    dialect, and float-formatting divergences the hand tables miss."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260817)
+    num_chars = "0123456789.,-$ €%abc٠"
+    date_chars = "0123456789-/ ."
+    rows = []
+    for i in range(400):
+        n = "".join(rng.choice(num_chars) for _ in range(rng.randint(0, 14)))
+        d = "".join(rng.choice(date_chars) for _ in range(rng.randint(0, 14)))
+        if i % 7 == 0:
+            d = f"{rng.randint(1000,9999)}-{rng.randint(10,99)}-{rng.randint(10,99)}"
+        if i % 11 == 0:
+            n = f"{rng.randint(0, 10**rng.randint(1, 12))},{rng.randint(10,99)}"
+        rows.append((i, n or None, d or None))
+    pdf = pd.DataFrame(rows, columns=["row_id", "amount", "when_at"]).astype(
+        {"amount": "object", "when_at": "object"}
+    )
+    schema = {
+        "amount": FieldSpec(type="number", required=True),
+        "when_at": FieldSpec(type="date", format="iso-date", required=True),
+    }
+    got = (
+        validate_fields(spark.createDataFrame(pdf), schema, keep=["row_id"])
+        .drop("warnings")
+        .orderBy("row_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        validate_sql(schema, "t", raw={n: n for n in schema}, keep=["row_id"])
+        + " ORDER BY row_id"
+    ).df()
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        for i, (x, y) in enumerate(zip(got[c].tolist(), want[c].tolist())):
+            xn = x is None or (isinstance(x, float) and pd.isna(x))
+            yn = y is None or (isinstance(y, float) and pd.isna(y))
+            if xn or yn:
+                assert xn and yn, (c, i, x, y)
+            else:
+                assert repr(x) == repr(y), (c, i, x, y, pdf.iloc[i].tolist())
+
+
 def test_pandas_normalize_oracle_agrees(spark_out, pdf):
     """kernel.normalize is documented as the pytest oracle for the SQL
     exprs — hold it to that: number/date/regex semantics must agree
