@@ -488,8 +488,10 @@ def _classify_base_sql() -> str:
         f"((length(text) - length(replace(text, '{t}', ''))) // {len(t)})"
         for t in _LINK_TOKENS
     )
+    from ocr_spark.schema import WS
+
     n_words = (
-        "(len(regexp_extract_all(text, '\\s+')) + CASE WHEN length(text) > 0 THEN 1 ELSE 0 END)"
+        f"(len(regexp_extract_all(text, '{WS}+')) + CASE WHEN length(text) > 0 THEN 1 ELSE 0 END)"
     )
     ld = (
         f"CASE WHEN kind = 'link' THEN CAST(1.0 AS DOUBLE) "

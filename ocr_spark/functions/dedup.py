@@ -36,6 +36,7 @@ from ocr_spark.functions.hashing import (
     minhash_perms,
 )
 from ocr_spark.functions.text import floor6, floor6_sql
+from ocr_spark.schema import WS
 
 SHINGLE_W = 5
 MINHASH_K = 16
@@ -53,19 +54,19 @@ def shingles_expr(w: int = SHINGLE_W) -> str:
     """Spark SQL expr: text -> array of w-word shingles (whole text as
     a single shingle when shorter)."""
     return (
-        f"CASE WHEN size(split(text, '\\\\s+')) < {w} "
-        f"THEN array(concat_ws(' ', split(text, '\\\\s+'))) "
-        f"ELSE transform(sequence(0, size(split(text, '\\\\s+')) - {w}), "
-        f"i -> concat_ws(' ', slice(split(text, '\\\\s+'), i + 1, {w}))) END"
+        f"CASE WHEN size(split(text, '{WS}+')) < {w} "
+        f"THEN array(concat_ws(' ', split(text, '{WS}+'))) "
+        f"ELSE transform(sequence(0, size(split(text, '{WS}+')) - {w}), "
+        f"i -> concat_ws(' ', slice(split(text, '{WS}+'), i + 1, {w}))) END"
     )
 
 
 def shingles_sql(w: int = SHINGLE_W) -> str:
     return (
-        f"CASE WHEN len(regexp_split_to_array(text, '\\s+')) < {w} "
-        f"THEN [array_to_string(regexp_split_to_array(text, '\\s+'), ' ')] "
-        f"ELSE list_transform(range(0, len(regexp_split_to_array(text, '\\s+')) - {w} + 1), "
-        f"i -> array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), i + 1, i + {w}), ' ')) END"
+        f"CASE WHEN len(regexp_split_to_array(text, '{WS}+')) < {w} "
+        f"THEN [array_to_string(regexp_split_to_array(text, '{WS}+'), ' ')] "
+        f"ELSE list_transform(range(0, len(regexp_split_to_array(text, '{WS}+')) - {w} + 1), "
+        f"i -> array_to_string(list_slice(regexp_split_to_array(text, '{WS}+'), i + 1, i + {w}), ' ')) END"
     )
 
 
@@ -248,7 +249,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     result is bit-identical to the DuckDB oracle."""
     wh = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.expr("split(text, '\\\\s+')")).alias("w"),
+        F.explode(F.expr(f"split(text, '{WS}+')")).alias("w"),
     ).select("doc_id", F.expr(md5_long_expr("w")).alias("h"))
     aggs = [
         F.sum(F.expr(f"CAST((h >> {b}) & 1 AS INT) * 2 - 1")).alias(f"b{b}")
@@ -263,7 +264,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 def simhash_sql(table: str = "documents", bits: int = SIMHASH_BITS) -> str:
-    hs = f"list_transform(regexp_split_to_array(text, '\\s+'), w -> {md5_long_sql('w')})"
+    hs = f"list_transform(regexp_split_to_array(text, '{WS}+'), w -> {md5_long_sql('w')})"
     bitsum = "list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1))"
     fp = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "

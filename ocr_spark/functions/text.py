@@ -13,10 +13,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.functions.hashing import md5_long_expr, md5_long_sql
+from ocr_spark.schema import NON_ALNUM_WS, WS
 
 # BPE-ish word/symbol tokenizer: alnum runs or single non-space symbols.
-TOKEN_RE = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"
-PUNCT_RE = "[^a-zA-Z0-9\\s]"
+TOKEN_RE = "[a-zA-Z0-9]+|" + NON_ALNUM_WS
+PUNCT_RE = NON_ALNUM_WS
 
 # Small per-language stopword lists for the n-gram/stopword heuristic.
 STOPWORDS: dict[str, list[str]] = {
@@ -46,7 +47,7 @@ def _lit_array_expr(items: list[str]) -> str:
 
 
 def words_col(text: str = "text") -> Column:
-    return F.split(F.col(text), r"\s+")
+    return F.split(F.col(text), WS + "+")
 
 
 def floor6(c: Column) -> Column:
@@ -88,7 +89,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
 def token_counts_sql(table: str = "documents") -> str:
     return f"""
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
-             CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tokens_ws,
+             CAST(len(regexp_split_to_array(text, '{WS}+')) AS INT) AS n_tokens_ws,
              CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS n_tokens_re
       FROM {table}
     """
@@ -102,7 +103,7 @@ def token_counts_sql(table: str = "documents") -> str:
 def _stop_hits_expr(lang: str) -> str:
     lst = _lit_array_expr(STOPWORDS[lang])
     return (
-        f"size(filter(split(text, '\\\\s+'), w -> array_contains({lst}, lower(w))))"
+        f"size(filter(split(text, '{WS}+'), w -> array_contains({lst}, lower(w))))"
     )
 
 
@@ -127,7 +128,7 @@ def lang_id_sql(table: str = "documents") -> str:
     def hits(lang: str) -> str:
         lst = _lit_list_sql(STOPWORDS[lang])
         return (
-            f"len(list_filter(regexp_split_to_array(text, '\\s+'), "
+            f"len(list_filter(regexp_split_to_array(text, '{WS}+'), "
             f"w -> list_contains({lst}, lower(w))))"
         )
 
@@ -160,11 +161,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
     base = docs.selectExpr(
         "CAST(doc_id AS BIGINT) AS doc_id",
         "length(text) AS n_chars_obs",
-        "size(split(text, '\\\\s+')) AS n_words",
-        f"size(filter(split(text, '\\\\s+'), w -> array_contains({stops}, lower(w)))) AS stop_hits",
-        # Spark SQL string literals process backslash escapes -> double
-        # them so the regex engine still sees \s (DuckDB literals don't).
-        f"regexp_count(text, '{PUNCT_RE.replace(chr(92), chr(92) * 2)}') AS punct_hits",
+        f"size(split(text, '{WS}+')) AS n_words",
+        f"size(filter(split(text, '{WS}+'), w -> array_contains({stops}, lower(w)))) AS stop_hits",
+        f"regexp_count(text, '{PUNCT_RE}') AS punct_hits",
     )
     stop_ratio = F.col("stop_hits") / F.greatest(F.col("n_words"), F.lit(1))
     punct_ratio = F.col("punct_hits") / F.greatest(F.col("n_chars_obs"), F.lit(1))
@@ -204,8 +203,8 @@ def quality_score_sql(table: str = "documents") -> str:
       FROM (
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CAST(length(text) AS INT) AS n_chars_obs,
-               CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_words,
-               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+               CAST(len(regexp_split_to_array(text, '{WS}+')) AS INT) AS n_words,
+               CAST(len(list_filter(regexp_split_to_array(text, '{WS}+'),
                     w -> list_contains({stops}, lower(w)))) AS DOUBLE) AS stop_hits,
                CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE) AS punct_hits
         FROM {table}
@@ -225,7 +224,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     order (both engines fold left-to-right -> identical)."""
     h = f"{md5_long_expr('w')} % {FP_MOD40}"
     fp = (
-        f"aggregate(transform(split(text, '\\\\s+'), w -> {h}), "
+        f"aggregate(transform(split(text, '{WS}+'), w -> {h}), "
         f"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {FP_MOD56})"
     )
     return docs.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", f"{fp} AS fp")
@@ -237,7 +236,7 @@ def fingerprint_sql(table: str = "documents") -> str:
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
              list_reduce(
                list_prepend(CAST(0 AS BIGINT),
-                 list_transform(regexp_split_to_array(text, '\\s+'), w -> {h})),
+                 list_transform(regexp_split_to_array(text, '{WS}+'), w -> {h})),
                (acc, x) -> (acc * 31 + x) % {FP_MOD56}) AS fp
       FROM {table}
     """

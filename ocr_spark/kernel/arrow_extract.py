@@ -17,9 +17,10 @@ per-element Python regex and dict construction, which also saturates
 memory bandwidth and destroys multi-core scaling. The Arrow kernel is
 ~an order of magnitude faster per core and scales with cores.
 
-Caveat vs the pandas spec: RE2's \\s is ASCII whitespace, Python re's
-\\s includes unicode spaces. Corpus texts tokenize on ASCII
-whitespace, and the fixture-parity tests pin equality.
+Whitespace note: every tokenizing regex uses the shared explicit
+class schema.WS — RE2's \\s excludes vertical tab while Java's and
+Python's (?a) include it, so \\s itself is never written in paired
+regexes. Fixture-parity and differential tests pin equality.
 """
 
 from __future__ import annotations
@@ -37,6 +38,7 @@ from ocr_spark.kernel.extract import (
     ExtractConfig,
 )
 from ocr_spark.schema import (
+    WS,
     FURNITURE_KINDS,
     KIND_ERROR,
     KIND_LINK,
@@ -248,7 +250,7 @@ def _classify(flat: _Flat, cfg: ExtractConfig):
     """-> (kept int32, block_id int32, link_density float64)."""
     n = len(flat)
     n_chars = _np_int(pc.utf8_length(flat.text), 0).astype(np.float64)
-    n_words = _np_int(pc.count_substring_regex(flat.text, r"\s+"), 0).astype(
+    n_words = _np_int(pc.count_substring_regex(flat.text, WS + "+"), 0).astype(
         np.float64
     ) + (n_chars > 0)
     link_hits = np.zeros(n, dtype=np.float64)

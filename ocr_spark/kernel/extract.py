@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 
 from ocr_spark.schema import (
+    WS,
     FURNITURE_KINDS,
     KIND_ERROR,
     KIND_LINK,
@@ -173,10 +174,9 @@ def _classify(flat: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     text = flat["text"].fillna("")
     kind = flat["kind"]
     n_chars = text.str.len().to_numpy(dtype=np.float64)
-    # ASCII \s on purpose: Java regex (Spark), RE2 (Arrow kernel,
-    # DuckDB oracle) are all ASCII-\s; Python re defaults to unicode
-    # and would silently diverge on e.g. \xa0.
-    n_words = text.str.count(r"(?a)\s+").to_numpy(dtype=np.float64) + (n_chars > 0)
+    # the shared explicit whitespace class (schema.WS): Python's
+    # unicode \s and RE2's no-\x0b \s both diverge from it
+    n_words = text.str.count(WS + "+").to_numpy(dtype=np.float64) + (n_chars > 0)
     # link density: anchor-ish token mass over word mass; kind=link is
     # anchor-dense by definition (DOM-heuristic main-content scoring).
     link_hits = np.zeros(len(flat), dtype=np.float64)

@@ -17,6 +17,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# The ONE whitespace definition shared by every tokenizing regex in
+# the repo. \s is a dialect trap: Java (Spark) and Python (?a) include
+# vertical tab \x0b, RE2 (DuckDB, pyarrow.compute) does NOT — so any
+# paired regex written with \s silently diverges on \x0b. The class is
+# spelled with RAW control characters, which mean the same thing in
+# all three regex dialects and survive every string-literal escaping
+# layer unchanged.
+WS_CHARS = " \t\n\r\f\x0b"
+WS = "[" + WS_CHARS + "]"
+NON_ALNUM_WS = "[^a-zA-Z0-9" + WS_CHARS + "]"
+
 # Span kinds observed in the reference DocTags streams.
 KIND_TEXT = "text"
 KIND_SECTION_HEADER = "section_header_level_1"

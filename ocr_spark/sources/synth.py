@@ -24,6 +24,8 @@ Rule (shared by both emitters — keep in lockstep):
 """
 
 from pyspark.sql import Column, DataFrame
+
+from ocr_spark.schema import WS
 from pyspark.sql import functions as F
 
 WORDS_PER_SPAN = 6
@@ -72,7 +74,7 @@ def synthesize_spans(docs: DataFrame, nested: bool = True) -> DataFrame:
     """
     out = (
         docs.select("doc_id", "text")
-        .withColumn("words", F.split(F.col("text"), r"\s+"))
+        .withColumn("words", F.split(F.col("text"), WS + "+"))
         .withColumn("nchunks", F.expr("(size(words)+%d) div %d" % (w - 1, w)))
         .select(
             F.col("doc_id").cast("string").alias("doc_id"),
@@ -106,7 +108,7 @@ def synth_spans_sql(doc_table: str = "documents") -> str:
              CAST(i AS INT) AS "offset"
       FROM (
         SELECT doc_id, words, unnest(range(0, (len(words)+{w - 1})//{w})) AS i
-        FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words
+        FROM (SELECT doc_id, regexp_split_to_array(text, '{WS}+') AS words
               FROM {doc_table})
       )
     """

@@ -47,6 +47,28 @@ def test_token_counts(docs, con):
     assert_same(text.token_counts(docs), con, text.token_counts_sql())
 
 
+def test_whitespace_class_identical_across_engines(spark, con):
+    """\\s is a dialect trap (Java/Python include \\x0b, RE2 does not);
+    every tokenizing regex uses the shared explicit class instead —
+    pin the dialects' agreement on hostile whitespace."""
+    import pandas as pd
+
+    hostile = "a\x0bb c\td\fe\rf\ng  h"
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [hostile]}))
+    con.register("t_ws_df", pd.DataFrame({"doc_id": [1], "text": [hostile]}))
+    con.execute("CREATE OR REPLACE VIEW t_ws AS SELECT * FROM t_ws_df")
+    for build, sql in (
+        (text.token_counts, text.token_counts_sql("t_ws")),
+        (text.quality_score, text.quality_score_sql("t_ws")),
+        (text.fingerprint, text.fingerprint_sql("t_ws")),
+        (dedup.simhash, dedup.simhash_sql("t_ws")),
+        (dedup.ngram_jaccard_pairs, dedup.ngram_jaccard_pairs_sql("t_ws")),
+    ):
+        assert_same(build(df), con, sql)
+    # every separator splits: 8 word tokens in all engines
+    assert text.token_counts(df).collect()[0].n_tokens_ws == 8
+
+
 def test_lang_id(docs, con):
     assert_same(text.lang_id(docs), con, text.lang_id_sql())
 
