@@ -69,6 +69,39 @@ def test_whitespace_class_identical_across_engines(spark, con):
     assert text.token_counts(df).collect()[0].n_tokens_ws == 8
 
 
+def test_text_operator_fuzz_across_engines(spark, con):
+    """Seeded fuzz: 200 hostile strings (mixed unicode, control chars,
+    quotes, long runs) through every text/dedup twin — the dialect-trap
+    net that caught the \\x0b divergence, generalized."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(424242)
+    alphabet = (
+        "abc XYZ 012 .,;:!?'\"()[]{}<>|/\\@#$%^&*-_=+~`"
+        "\t\n\r\f\x0b\xa0éüßñ漢字平仮名عربي🎉"
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(200)
+    ]
+    pdf = pd.DataFrame({"doc_id": list(range(200)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    con.register("t_fuzz_df", pdf)
+    con.execute("CREATE OR REPLACE VIEW t_fuzz AS SELECT * FROM t_fuzz_df")
+    for build, sql in (
+        (text.token_counts, text.token_counts_sql("t_fuzz")),
+        (text.lang_id, text.lang_id_sql("t_fuzz")),
+        (text.quality_score, text.quality_score_sql("t_fuzz")),
+        (text.fingerprint, text.fingerprint_sql("t_fuzz")),
+        (dedup.exact_dedup, dedup.exact_dedup_sql("t_fuzz")),
+        (dedup.simhash, dedup.simhash_sql("t_fuzz")),
+        (dedup.minhash_signatures, dedup.minhash_signatures_sql("t_fuzz")),
+    ):
+        assert_same(build(df), con, sql)
+
+
 def test_lang_id(docs, con):
     assert_same(text.lang_id(docs), con, text.lang_id_sql())
 
