@@ -65,8 +65,13 @@ def main() -> None:
     # 1. extract: stripped span stream -> one text per doc (order-safe:
     # spans are emitted in reading order by the kernel, and the
     # concat_ws(sort_array) re-asserts it deterministically)
+    # The text/dedup operators key on a BIGINT doc_id internally, but
+    # real corpora carry arbitrary string ids ('sha1:...', 'doc-17') —
+    # casting those to long would NULL every key and silently empty
+    # the pipeline, so a deterministic xxhash64 surrogate id drives
+    # the operator joins while the ORIGINAL id rides to the output.
     spans = extract_main_content(docs)
-    text = (
+    corpus = (
         spans.where(F.col("text") != "")
         .groupBy("doc_id")
         .agg(
@@ -80,28 +85,36 @@ def main() -> None:
                 ),
             ).alias("text")
         )
-    ).persist()
-    n_extracted = text.count()
+        .select(
+            F.col("doc_id").alias("orig_doc_id"),
+            F.xxhash64(F.col("doc_id").cast("string")).alias("doc_id"),
+            "text",
+        )
+        .persist()
+    )
+    n_extracted = corpus.count()
 
-    # 2. quality + language gates (doc_id in text.* operators is
-    # BIGINT-cast; keep a string join key alongside)
-    corpus = text.select(F.col("doc_id").cast("long").alias("doc_id"), "text").persist()
+    # 2. quality + language gates
     q = quality_score(corpus).select("doc_id", "quality")
     gated = corpus.join(q, "doc_id").where(F.col("quality") >= args.min_quality)
     langs = [s.strip() for s in args.langs.split(",") if s.strip()]
     if langs:
         lid = lang_id(corpus).select("doc_id", "lang_pred")
         gated = gated.join(lid, "doc_id").where(F.col("lang_pred").isin(langs))
-    gated = gated.select("doc_id", "text").persist()
+    gated = gated.select("orig_doc_id", "doc_id", "text").persist()
     n_gated = gated.count()
 
-    # 3. dedup: exact content hash, then LSH-verified near-dups
+    # 3. dedup: exact content hash, then LSH-verified near-dups (the
+    # kept representative per dup group is the minimum surrogate hash
+    # — arbitrary but deterministic)
     reps = exact_dedup(gated).select(F.col("rep_doc_id").alias("doc_id"))
     survivors = gated.join(reps, "doc_id").persist()
     n_exact = survivors.count()
     clusters = dup_clusters(survivors, tau=args.tau, max_bucket=args.max_bucket or None)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
-    curated = survivors.join(losers, "doc_id", "left_anti")
+    curated = survivors.join(losers, "doc_id", "left_anti").select(
+        F.col("orig_doc_id").alias("doc_id"), "text"
+    )
     n_curated = curated.count()
 
     # 4. curated table in the standard bucketed layout
@@ -123,7 +136,7 @@ def main() -> None:
             }
         )
     )
-    for df in (text, corpus, gated, survivors):
+    for df in (corpus, gated, survivors):
         df.unpersist()
     spark.stop()
 

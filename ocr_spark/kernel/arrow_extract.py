@@ -304,14 +304,15 @@ def _error_docs(lens, empty, malformed):
 
 
 def _dup_doc_rows(batch: pa.RecordBatch) -> np.ndarray:
-    """Bool per row: this row's doc_id occurs in more than one row of
-    the batch (an input-contract violation — one row per document)."""
+    """Bool per row: this row's doc_id violates the input contract —
+    NULL, or occurring in more than one row of the batch (one row per
+    document). The pandas spec applies the identical rule."""
     enc = batch.column("doc_id").dictionary_encode()
     idx = _np_int(enc.indices, -1)
     counts = np.bincount(idx[idx >= 0], minlength=len(enc.dictionary))
-    out = np.zeros(batch.num_rows, dtype=bool)
+    out = idx < 0  # NULL doc_id
     valid = idx >= 0
-    out[valid] = counts[idx[valid]] > 1
+    out[valid] |= counts[idx[valid]] > 1
     return out
 
 
@@ -341,9 +342,7 @@ def extract_flat_batch(
 ) -> pa.RecordBatch:
     """ANNOTATED_SPAN_SCHEMA output incl. __error__ rows."""
     flat, kept, block_id, link_density, lens, empty, malformed = _run(batch, cfg)
-    doc_ids = batch.column("doc_id")
-    if isinstance(doc_ids, pa.ChunkedArray):  # pragma: no cover
-        doc_ids = doc_ids.combine_chunks()
+    doc_ids = _doc_ids_array(batch)
     err_docs, err_warns = _error_docs(lens, empty, malformed)
     out_doc = pa.concat_arrays(
         [
@@ -372,6 +371,11 @@ def _doc_ids_array(batch: pa.RecordBatch) -> pa.Array:
     doc_ids = batch.column("doc_id")
     if isinstance(doc_ids, pa.ChunkedArray):  # pragma: no cover
         doc_ids = doc_ids.combine_chunks()
+    # NULL ids violate the contract; their rows are already error rows
+    # (_dup_doc_rows) and the non-nullable output schema renders the
+    # id as '' in both kernels
+    if doc_ids.null_count:
+        doc_ids = pc.fill_null(doc_ids.cast(pa.string()), "")
     return doc_ids
 
 
@@ -437,9 +441,7 @@ def metrics_batch(
     kept_counts = np.bincount(flat.doc_idx, minlength=batch.num_rows).astype(np.int64)
     failed = (empty_m | malformed_m).astype(np.int32)
     warn = np.where(empty_m, WARN_EMPTY, np.where(malformed_m, WARN_MALFORMED, ""))
-    doc_ids = batch.column("doc_id")
-    if isinstance(doc_ids, pa.ChunkedArray):  # pragma: no cover
-        doc_ids = doc_ids.combine_chunks()
+    doc_ids = _doc_ids_array(batch)
     return pa.RecordBatch.from_arrays(
         [
             doc_ids.cast(pa.string()),

@@ -92,6 +92,13 @@ _KIND_CATEGORY = {
 }
 
 
+def _render_id(d):
+    """NULL doc_id (contract violation, row already an error) renders
+    as '' — the output schema's doc_id is non-nullable, matching the
+    arrow kernel's fill_null."""
+    return "" if d is None or (isinstance(d, float) and pd.isna(d)) else d
+
+
 def _flatten(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Explode (doc_id, spans[list-of-dict]) into a flat span frame.
 
@@ -245,12 +252,15 @@ def extract_flat(pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd.D
     err_rows: list[tuple] = []
     for did, n_in in zip(docs["doc_id"], docs["n_spans_in"]):
         if n_in == 0:
-            err_rows.append((did, KIND_ERROR, WARN_EMPTY, "", -1))
-        elif did in malformed_ids:
-            err_rows.append((did, KIND_ERROR, WARN_MALFORMED, "", -1))
+            err_rows.append((_render_id(did), KIND_ERROR, WARN_EMPTY, "", -1))
+        elif (did is None or pd.isna(did)) or did in malformed_ids:
+            # NULL doc_id is a contract violation like a duplicate —
+            # same rule in the arrow kernel (_dup_doc_rows)
+            err_rows.append((_render_id(did), KIND_ERROR, WARN_MALFORMED, "", -1))
     if len(flat):
         if malformed_ids:
             flat = flat[~flat["doc_id"].isin(malformed_ids)]
+        flat = flat[~flat["doc_id"].isna()]
         flat = flat.sort_values(["doc_id", "offset"], kind="stable", ignore_index=True)
         if cfg.truncate:
             flat = _truncate(flat, cfg)
@@ -301,7 +311,12 @@ def extract_nested(pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd
     """
     flat = extract_flat(pdf, cfg)
     out_ids = pdf["doc_id"].tolist()
-    return pd.DataFrame({"doc_id": out_ids, "spans": _group_spans(flat, out_ids)})
+    return pd.DataFrame(
+        {
+            "doc_id": [_render_id(d) for d in out_ids],
+            "spans": _group_spans(flat, out_ids),
+        }
+    )
 
 
 def extract_nested_metrics(
@@ -317,14 +332,18 @@ def extract_nested_metrics(
     n_in = [len(s) if s is not None else 0 for s in pdf["spans"]]
     return pd.DataFrame(
         {
-            "doc_id": out_ids,
+            "doc_id": [_render_id(d) for d in out_ids],
             "spans": spans,
             "n_spans_in": np.asarray(n_in, dtype=np.int64),
             "n_spans_out": np.fromiter(
                 (len(s) for s in spans), dtype=np.int64, count=len(spans)
             ),
             "parse_failed": np.asarray(
-                [d in failed_ids for d in out_ids], dtype=np.int32
+                [
+                    (d is None or pd.isna(d) or d in failed_ids)
+                    for d in out_ids
+                ],
+                dtype=np.int32,
             ),
         }
     )
@@ -349,14 +368,14 @@ def doc_metrics(pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd.Da
     # of a failed doc reports EMPTY even when a duplicate sibling row
     # reports MALFORMED
     warnings = [
-        ""
-        if d not in warn_of
-        else (WARN_EMPTY if n == 0 else WARN_MALFORMED)
+        (WARN_EMPTY if n == 0 else WARN_MALFORMED)
+        if (d is None or pd.isna(d) or d in warn_of)
+        else ""
         for d, n in zip(out_ids, n_in)
     ]
     return pd.DataFrame(
         {
-            "doc_id": out_ids,
+            "doc_id": [_render_id(d) for d in out_ids],
             "n_spans_in": np.asarray(n_in, dtype=np.int64),
             "n_spans_out": np.fromiter(
                 (len(s) for s in spans), dtype=np.int64, count=len(spans)

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ocr_spark.schema import WS
+
 WORDS_PER_PAGE = 40
 SPLIT_FALLBACK_NOTE = "SPLIT_FAILED: processed as single page"
 
@@ -25,8 +27,8 @@ SPLIT_FALLBACK_NOTE = "SPLIT_FAILED: processed as single page"
 def _pages_expr(words_per_page: int) -> str:
     w = words_per_page
     return (
-        f"transform(sequence(0, (size(split(text, '\\\\s+')) + {w - 1}) div {w} - 1), "
-        f"i -> concat_ws(' ', slice(split(text, '\\\\s+'), i * {w} + 1, {w})))"
+        f"transform(sequence(0, (size(split(text, '{WS}+')) + {w - 1}) div {w} - 1), "
+        f"i -> concat_ws(' ', slice(split(text, '{WS}+'), i * {w} + 1, {w})))"
     )
 
 
@@ -38,7 +40,7 @@ def split_pages(docs: DataFrame, words_per_page: int = WORDS_PER_PAGE) -> DataFr
     dropped (/root/reference/webapp/state.py:440-449).
     """
     pages = _pages_expr(words_per_page)
-    split_ok = F.expr("size(split(text, '\\\\s+')) > 0") & (F.trim(F.col("text")) != "")
+    split_ok = F.expr(f"size(split(text, '{WS}+')) > 0") & (F.trim(F.col("text")) != "")
     with_pages = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.when(split_ok, F.expr(pages)).otherwise(F.array(F.col("text"))).alias("pages"),
@@ -61,11 +63,11 @@ def split_pages(docs: DataFrame, words_per_page: int = WORDS_PER_PAGE) -> DataFr
 def split_pages_sql(table: str = "documents", words_per_page: int = WORDS_PER_PAGE) -> str:
     w = words_per_page
     pages = (
-        f"list_transform(range(0, (len(regexp_split_to_array(text, '\\s+')) + {w - 1}) // {w}), "
-        f"i -> array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), "
+        f"list_transform(range(0, (len(regexp_split_to_array(text, '{WS}+')) + {w - 1}) // {w}), "
+        f"i -> array_to_string(list_slice(regexp_split_to_array(text, '{WS}+'), "
         f"i * {w} + 1, i * {w} + {w}), ' '))"
     )
-    split_ok = f"(len(regexp_split_to_array(text, '\\s+')) > 0 AND trim(text) <> '')"
+    split_ok = f"(len(regexp_split_to_array(text, '{WS}+')) > 0 AND trim(text) <> '')"
     # parallel unnests zip in DuckDB: page_number rides along page_text
     return f"""
       SELECT doc_id,
@@ -82,7 +84,10 @@ def split_pages_sql(table: str = "documents", words_per_page: int = WORDS_PER_PA
     """
 
 
-_SUFFIX_RE = r"^(.*)_(\d+)$"
+# only CANONICAL suffix renderings claim a number: 'report_1' claims 1
+# but 'report_01' does not (the reference compares full strings, so a
+# zero-padded real name never collides with a generated 'base_1')
+_SUFFIX_RE = r"^(.*)_([1-9][0-9]*)$"
 
 
 def unique_names(docs: DataFrame, name_col: str = "source") -> DataFrame:
@@ -167,9 +172,9 @@ def unique_names_sql(table: str = "documents", name_col: str = "source") -> str:
         FROM base
       ),
       taken AS (
-        SELECT DISTINCT regexp_extract(name, '^(.*)_([0-9]+)$', 1) AS tbase,
-               CAST(regexp_extract(name, '^(.*)_([0-9]+)$', 2) AS BIGINT) AS ti
-        FROM base WHERE regexp_matches(name, '^(.*)_([0-9]+)$')
+        SELECT DISTINCT regexp_extract(name, '^(.*)_([1-9][0-9]*)$', 1) AS tbase,
+               CAST(regexp_extract(name, '^(.*)_([1-9][0-9]*)$', 2) AS BIGINT) AS ti
+        FROM base WHERE regexp_matches(name, '^(.*)_([1-9][0-9]*)$')
       ),
       need AS (
         SELECT name, max(seq - 1) AS max_k FROM named WHERE seq >= 2 GROUP BY name

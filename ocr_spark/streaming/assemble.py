@@ -42,6 +42,11 @@ ASSEMBLE_STATE_SCHEMA = StructType(
     [
         StructField("page_numbers", ArrayType(IntegerType()), True),
         StructField("texts", ArrayType(StringType()), True),
+        # the doc's page count PERSISTS in state: producers may stamp
+        # total_pages on only one page's row, and the completing batch
+        # may carry NULL totals — deriving total per-batch would strand
+        # a complete doc forever
+        StructField("total_pages", IntegerType(), True),
         StructField("done", BooleanType(), True),
     ]
 )
@@ -51,13 +56,13 @@ def _assemble(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     if state.exists:
-        nums, texts, done = state.get
+        nums, texts, total, done = state.get
         nums, texts = list(nums), list(texts)
+        total = None if total is None or pd.isna(total) else int(total)
     else:
-        nums, texts, done = [], [], False
+        nums, texts, total, done = [], [], None, False
     if done:
         return  # late duplicate pages after completion: ignored
-    total = None
     seen = set(nums)
     for pdf in pdfs:
         for r in pdf.itertuples():
@@ -83,12 +88,12 @@ def _assemble(
     if total is not None and len(nums) >= total:
         order = sorted(range(len(nums)), key=lambda i: nums[i])
         full = " ".join(texts[i] for i in order)
-        state.update(([], [], True))
+        state.update(([], [], total, True))
         yield pd.DataFrame(
             {"doc_id": [key[0]], "n_pages": [len(nums)], "text": [full]}
         )
     else:
-        state.update((nums, texts, False))
+        state.update((nums, texts, total, False))
 
 
 def assemble_docs_stream(pages: DataFrame) -> DataFrame:

@@ -136,6 +136,26 @@ def test_duplicate_doc_id_rows_become_errors(spark):
     assert a == p
 
 
+def test_null_doc_id_rows_become_errors(spark):
+    """A NULL doc_id violates the input contract like a duplicate:
+    both kernels error the row (spans dropped, parse_failed) instead
+    of the previous split behavior (pandas grouped NaNs as duplicates,
+    arrow extracted them normally)."""
+    import pandas as pd
+
+    span = lambda off: {"kind": "text", "text": f"s{off}", "media_ref": "", "offset": off}
+    pdf = pd.DataFrame(
+        {"doc_id": [None, "ok"], "spans": [[span(0), span(1)], [span(0)]]}
+    )
+    df = spark.createDataFrame(pdf, schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>").coalesce(1)
+    for eng in ("arrow", "pandas"):
+        m = {r.doc_id: (r.n_spans_out, r.parse_failed) for r in
+             extract_documents_with_metrics(df, engine=eng).collect()}
+        # the non-nullable output schema renders the NULL id as ''
+        assert m[""] == (0, 1), (eng, m)
+        assert m["ok"] == (1, 0), (eng, m)
+
+
 def test_null_spans_row(spark):
     df = spark.createDataFrame(
         [("d1", None), ("d2", [])], schema=DOC_SCHEMA

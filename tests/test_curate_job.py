@@ -47,6 +47,39 @@ def test_curate_pipeline_end_to_end(spark, tmp_path):
     assert t.where(F.length("text") == 0).count() == 0
 
 
+def test_curate_handles_non_numeric_doc_ids(spark, tmp_path):
+    """Production ids like 'sha1:...' must flow through every stage —
+    a long-cast would NULL the keys and silently empty the corpus."""
+    import pandas as pd
+
+    from ocr_spark.schema import DOC_SCHEMA
+
+    span = lambda i, t: {"kind": "text", "text": t, "media_ref": "", "offset": i}
+    words = " ".join(f"w{i} the a of and to in is" for i in range(6))
+    rows = pd.DataFrame(
+        {
+            "doc_id": [f"sha1:{i:04x}" for i in range(8)],
+            "spans": [[span(0, words), span(1, f"unique tail {i}")] for i in range(8)],
+        }
+    )
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema=DOC_SCHEMA).write.parquet(inp)
+    import jobs.curate as job
+
+    out = str(tmp_path / "curated")
+    argv = ["curate.py", "--input", inp, "--output", out, "--min-quality", "0.0", "--tau", "0.9"]
+    printed = []
+    with patch.object(sys, "argv", argv), patch.object(
+        SparkSession, "stop", lambda self: None
+    ), patch("builtins.print", lambda s: printed.append(s)):
+        job.main()
+    s = json.loads(printed[-1])
+    assert s["n_extracted"] == 8 and s["n_curated"] > 0
+    t = spark.read.parquet(out)
+    ids = {r.doc_id for r in t.select("doc_id").collect()}
+    assert ids <= {f"sha1:{i:04x}" for i in range(8)} and len(ids) == s["n_curated"]
+
+
 def test_curate_lang_gate(spark, tmp_path):
     _, s_all = _run(spark, tmp_path / "a", ("--min-quality", "0.0"))
     _, s_en = _run(spark, tmp_path / "b", ("--min-quality", "0.0", "--langs", "en"))

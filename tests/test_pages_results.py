@@ -76,6 +76,14 @@ def test_unique_names_skip_taken_suffixes(spark):
     out = {r.doc_id: r.unique_name for r in pages.unique_names(df).collect()}
     assert out == {1: "a", 3: "a_1", 2: "a_2", 4: "a_3"}
     assert len(set(out.values())) == 4  # globally unique
+    # a zero-padded real name does NOT claim the canonical suffix: the
+    # reference compares full strings, so 'report_01' never collides
+    # with a generated 'report_1'
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "source": ["report_01", "report", "report"]})
+    )
+    out2 = {r.doc_id: r.unique_name for r in pages.unique_names(df2).collect()}
+    assert out2 == {1: "report_01", 2: "report", 3: "report_1"}
     # the DuckDB twin applies the identical skip rule
     import duckdb
 

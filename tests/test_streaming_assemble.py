@@ -57,6 +57,19 @@ def test_null_page_number_and_total_do_not_poison_state(spark, tmp_path):
     assert got == {9: (2, "one two")}
 
 
+def test_total_pages_persists_in_state(spark, tmp_path):
+    # producers may stamp total_pages on only one page's row; the doc
+    # must still complete when the FINISHING batch carries NULL totals
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(_pages([(5, 1, 2, "one")])).write.parquet(inp, mode="append")
+    run_assemble_stream(spark, inp, outp, ckpt)
+    assert spark.read.parquet(outp).count() == 0  # incomplete
+    spark.createDataFrame(_pages([(5, 2, None, "two")])).write.parquet(inp, mode="append")
+    run_assemble_stream(spark, inp, outp, ckpt)
+    got = {r.doc_id: (r.n_pages, r.text) for r in spark.read.parquet(outp).collect()}
+    assert got == {5: (2, "one two")}
+
+
 def test_null_page_text_does_not_poison_state(spark, tmp_path):
     inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
     b1 = _pages([(7, 1, 2, None), (7, 2, 2, "tail")])
