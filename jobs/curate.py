@@ -64,12 +64,11 @@ def main() -> None:
 
     # 1. extract: stripped span stream -> one text per doc (order-safe:
     # spans are emitted in reading order by the kernel, and the
-    # concat_ws(sort_array) re-asserts it deterministically)
-    # The text/dedup operators key on a BIGINT doc_id internally, but
-    # real corpora carry arbitrary string ids ('sha1:...', 'doc-17') —
-    # casting those to long would NULL every key and silently empty
-    # the pipeline, so a deterministic xxhash64 surrogate id drives
-    # the operator joins while the ORIGINAL id rides to the output.
+    # concat_ws(sort_array) re-asserts it deterministically).
+    # doc_id stays the ORIGINAL id throughout: the operator layer is
+    # id-type-agnostic (int or string ids group/join natively), so the
+    # previous xxhash64 surrogate — and its silent 64-bit birthday
+    # collision risk at corpus scale — is gone.
     spans = extract_main_content(docs)
     corpus = (
         spans.where(F.col("text") != "")
@@ -85,11 +84,6 @@ def main() -> None:
                 ),
             ).alias("text")
         )
-        .select(
-            F.col("doc_id").alias("orig_doc_id"),
-            F.xxhash64(F.col("doc_id").cast("string")).alias("doc_id"),
-            "text",
-        )
         .persist()
     )
     n_extracted = corpus.count()
@@ -101,20 +95,18 @@ def main() -> None:
     if langs:
         lid = lang_id(corpus).select("doc_id", "lang_pred")
         gated = gated.join(lid, "doc_id").where(F.col("lang_pred").isin(langs))
-    gated = gated.select("orig_doc_id", "doc_id", "text").persist()
+    gated = gated.select("doc_id", "text").persist()
     n_gated = gated.count()
 
     # 3. dedup: exact content hash, then LSH-verified near-dups (the
-    # kept representative per dup group is the minimum surrogate hash
-    # — arbitrary but deterministic)
+    # kept representative per dup group is the minimum doc_id by the
+    # id type's natural order — arbitrary but deterministic)
     reps = exact_dedup(gated).select(F.col("rep_doc_id").alias("doc_id"))
     survivors = gated.join(reps, "doc_id").persist()
     n_exact = survivors.count()
     clusters = dup_clusters(survivors, tau=args.tau, max_bucket=args.max_bucket or None)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
-    curated = survivors.join(losers, "doc_id", "left_anti").select(
-        F.col("orig_doc_id").alias("doc_id"), "text"
-    )
+    curated = survivors.join(losers, "doc_id", "left_anti").select("doc_id", "text")
     n_curated = curated.count()
 
     # 4. curated table in the standard bucketed layout

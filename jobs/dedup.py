@@ -46,9 +46,10 @@ def main() -> None:
     from ocr_spark.pipeline.session import get_spark
 
     spark = get_spark(args.master, app_name="ocr_spark_dedup")
-    docs = spark.read.parquet(args.input).select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
-    )
+    # doc_id rides through AS-IS: the operator layer is id-type-agnostic
+    # (int or string 'sha1:...' both work). The old cast("long") here
+    # NULLed every string id and silently emptied the keep-list.
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
     n_in = docs.count()
 
     # 1. exact: keep rep_doc_id per distinct text. Survivors feed the

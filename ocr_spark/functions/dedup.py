@@ -4,6 +4,15 @@ Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band ->
 bucket-join), SimHash, and n-gram Jaccard — each as a Spark DataFrame
 plan plus a bit-identical DuckDB SQL twin.
 
+``doc_id`` is ID-TYPE-AGNOSTIC throughout: operators group/join on the
+column exactly as supplied (int, string 'sha1:...', anything hashable
+and orderable) and emit it unchanged. Real corpora key on string
+file paths/tokens (/root/reference/webapp/jobs.py:221-224); an
+internal long-cast would silently NULL such ids and empty the corpus
+— never cast ids here. Representative selection (``min(doc_id)``,
+``a.doc_id < b.doc_id``) uses the column's natural ordering, so reps
+are deterministic for any id type.
+
 Scale notes (the 100 TB plan, not the 60k-row plan):
 - exact_dedup is one hash-aggregate: map-side partial agg + one
   shuffle on the 60-bit text hash; no skew (hash keys are uniform).
@@ -79,7 +88,7 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     """Group by content hash: (text_md5, n_docs, rep_doc_id) with the
     lowest doc_id as the keeper. One shuffle, uniform keys."""
     return (
-        docs.select(F.md5("text").alias("text_md5"), F.col("doc_id").cast("long"))
+        docs.select(F.md5("text").alias("text_md5"), "doc_id")
         .groupBy("text_md5")
         .agg(
             F.count("*").alias("n_docs"),
@@ -113,7 +122,7 @@ def _sig_table(docs: DataFrame, k: int, w: int) -> DataFrame:
     doc_ids."""
     a, b = minhash_perms(k)
     sh = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         F.explode(F.expr(shingles_expr(w))).alias("s"),
     ).select("doc_id", F.expr(f"{md5_long_expr('s')} % {MOD40}").alias("h"))
     aggs = [
@@ -248,7 +257,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     uniform doc_ids, and integer sums are order-independent so the
     result is bit-identical to the DuckDB oracle."""
     wh = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         F.explode(F.expr(f"split(text, '{WS}+')")).alias("w"),
     ).select("doc_id", F.expr(md5_long_expr("w")).alias("h"))
     aggs = [
@@ -303,7 +312,7 @@ def ngram_jaccard_pairs(
     # cross-engine identical (same md5 fold), so the oracle always
     # agrees even in the astronomically unlikely collision case.
     sh = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         F.explode(F.expr(f"array_distinct({shingles_expr(w)})")).alias("sh"),
     ).select("doc_id", F.expr(md5_long_expr("sh")).alias("h"))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -353,9 +362,7 @@ def jaccard_verify(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    docs_c = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
-    ).join(cand_ids, "doc_id", "left_semi")
+    docs_c = docs.select("doc_id", "text").join(cand_ids, "doc_id", "left_semi")
     sh = docs_c.select(
         "doc_id",
         F.explode(F.expr(f"array_distinct({shingles_expr(w)})")).alias("sh"),

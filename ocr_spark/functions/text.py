@@ -5,6 +5,11 @@ All operators are narrow per-row column expressions (no shuffle, no
 UDF): at 100 TB they run inside the parquet scan stage with full
 whole-stage codegen, and the scan only reads (doc_id, text) thanks to
 column pruning. Each has a DuckDB SQL twin for the correctness gate.
+
+``doc_id`` is ID-TYPE-AGNOSTIC: it passes through unchanged whatever
+its type (int, string 'sha1:...'); no operator casts it. Real corpora
+key on string file paths/tokens — a long-cast would silently NULL
+those ids.
 """
 
 from __future__ import annotations
@@ -80,7 +85,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens_ws, n_tokens_re): whitespace tokens and
     BPE-ish regex tokens."""
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         F.size(words_col()).alias("n_tokens_ws"),
         F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).alias("n_tokens_re"),
     )
@@ -118,7 +123,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         f" END"
     )
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         F.expr(pred).alias("lang_pred"),
         F.expr(f"array_max({hits})").alias("stop_hits"),
     )
@@ -159,7 +164,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """
     stops = _lit_array_expr(_ALL_STOPS)
     base = docs.selectExpr(
-        "CAST(doc_id AS BIGINT) AS doc_id",
+        "doc_id",
         "length(text) AS n_chars_obs",
         f"size(split(text, '{WS}+')) AS n_words",
         f"size(filter(split(text, '{WS}+'), w -> array_contains({stops}, lower(w)))) AS stop_hits",
@@ -227,7 +232,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         f"aggregate(transform(split(text, '{WS}+'), w -> {h}), "
         f"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {FP_MOD56})"
     )
-    return docs.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", f"{fp} AS fp")
+    return docs.selectExpr("doc_id", f"{fp} AS fp")
 
 
 def fingerprint_sql(table: str = "documents") -> str:

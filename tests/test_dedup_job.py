@@ -46,6 +46,37 @@ def test_dedup_job(spark, tmp_path, capsys):
     assert keep == [1, 4]
 
 
+def test_dedup_job_string_ids(spark, tmp_path, capsys):
+    """'sha1:...' ids must survive the whole job — the round-2 long
+    cast NULLed them and printed a silently-empty keep-list."""
+    words = [f"w{i:02d}" for i in range(40)]
+    base = " ".join(words)
+    near = " ".join(words[:39] + ["CHANGED"])
+    distinct = " ".join(f"z{i:02d}" for i in range(40))
+    ids = [f"sha1:{i:040x}" for i in range(1, 6)]
+    df = pd.DataFrame({"doc_id": ids, "text": [base, base, near, distinct, distinct]})
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "keep")
+    spark.createDataFrame(df).write.parquet(inp)
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import dedup as job
+
+    argv = ["dedup.py", "--input", inp, "--output", out, "--tau", "0.5"]
+    with patch.object(sys, "argv", argv), patch.object(SparkSession, "stop", lambda self: None):
+        job.main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_input"] == 5
+    assert summary["n_after_exact"] == 3
+    assert summary["n_keep"] == 2
+
+    from ocr_spark.pipeline.session import get_spark
+
+    s = get_spark("local[4]")
+    keep = sorted(r.doc_id for r in s.read.parquet(out).collect())
+    assert keep == [ids[0], ids[3]]
+
+
 def test_batch_cli_job(spark, tmp_path, capsys):
     import shutil
 

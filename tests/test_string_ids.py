@@ -1,0 +1,109 @@
+"""ID-type-agnosticism: every dedup/text operator must accept string
+doc_ids ('sha1:...') natively and emit them unchanged.
+
+The reference keys everything by string file_path/file_token
+(/root/reference/webapp/jobs.py:221-224) — string ids are the normal
+production case. Round 2 cast doc_id to long inside the operators,
+which NULLed every string id and silently emptied results; these tests
+pin the fix (no cast anywhere in the operator layer)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.dedup import (
+    dup_clusters,
+    exact_dedup,
+    lsh_verified_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from ocr_spark.functions.text import fingerprint, lang_id, quality_score, token_counts
+
+WORDS = " ".join(f"w{i:02d}" for i in range(40))
+NEAR = " ".join([f"w{i:02d}" for i in range(39)] + ["CHANGED"])
+DISTINCT = " ".join(f"z{i:02d}" for i in range(40))
+
+
+def _sid(i: int) -> str:
+    return f"sha1:{i:040x}"
+
+
+@pytest.fixture(scope="module")
+def sdocs(spark):
+    df = pd.DataFrame(
+        {
+            "doc_id": [_sid(i) for i in range(1, 6)],
+            "text": [WORDS, WORDS, NEAR, DISTINCT, DISTINCT],
+        }
+    )
+    return spark.createDataFrame(df).persist()
+
+
+def test_exact_dedup_string_ids(sdocs):
+    rows = exact_dedup(sdocs).collect()
+    # 3 distinct texts; rep = lexicographic-min id of each group
+    got = {r.text_md5: (r.n_docs, r.rep_doc_id) for r in rows}
+    assert len(got) == 3
+    reps = sorted(r.rep_doc_id for r in rows)
+    assert reps == [_sid(1), _sid(3), _sid(4)]
+    assert {r.n_docs for r in rows} == {2, 1, 2}
+
+
+def test_minhash_lsh_pairs_string_ids(sdocs):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(sdocs).collect()}
+    # identical texts always share every band; ids ride through intact
+    assert (_sid(1), _sid(2)) in pairs
+    assert (_sid(4), _sid(5)) in pairs
+    assert all(a.startswith("sha1:") and b.startswith("sha1:") for a, b in pairs)
+
+
+def test_lsh_verified_and_clusters_string_ids(sdocs):
+    ver = lsh_verified_pairs(sdocs, tau=0.5).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in ver}
+    assert (_sid(1), _sid(2)) in pairs and (_sid(4), _sid(5)) in pairs
+    cl = dup_clusters(sdocs, tau=0.5).collect()
+    labels = {r.doc_id: r.cluster_rep for r in cl}
+    assert labels[_sid(1)] == labels[_sid(2)] == _sid(1)
+    assert labels[_sid(4)] == labels[_sid(5)] == _sid(4)
+
+
+def test_simhash_and_pairs_string_ids(sdocs):
+    fp = {r.doc_id: r.simhash for r in simhash(sdocs).collect()}
+    assert set(fp) == {_sid(i) for i in range(1, 6)}
+    assert fp[_sid(1)] == fp[_sid(2)]
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_pairs(sdocs).collect()}
+    assert (_sid(1), _sid(2)) in pairs
+
+
+def test_ngram_jaccard_string_ids(sdocs):
+    rows = ngram_jaccard_pairs(sdocs, tau=0.5).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    assert pairs[(_sid(1), _sid(2))] == 1.0
+    assert pairs[(_sid(4), _sid(5))] == 1.0
+    assert 0.5 < pairs[(_sid(1), _sid(3))] < 1.0
+
+
+def test_text_operators_string_ids(sdocs):
+    n = sdocs.count()
+    for op in (token_counts, lang_id, quality_score, fingerprint):
+        out = op(sdocs)
+        assert out.schema["doc_id"].dataType.simpleString() == "string", op.__name__
+        rows = out.collect()
+        assert len(rows) == n, op.__name__
+        assert {r.doc_id for r in rows} == {_sid(i) for i in range(1, 6)}, op.__name__
+
+
+def test_int_ids_still_work(spark):
+    """The contract corpus is int-id — the agnostic layer must not have
+    changed int behavior (oracle twins cast BIGINT, a no-op there)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [WORDS, WORDS, DISTINCT]})
+    )
+    rows = exact_dedup(df).collect()
+    assert sorted(r.rep_doc_id for r in rows) == [1, 3]
+    assert token_counts(df).schema["doc_id"].dataType.simpleString() == "bigint"
