@@ -293,7 +293,7 @@ def simhash_sql(table: str = "documents", bits: int = SIMHASH_BITS) -> str:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2, max_df: int | None = None
+    docs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2, max_df: int | None = 1000
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared, n_a, n_b, jaccard): exact Jaccard over
     distinct w-word shingles for pairs sharing >= 1 shingle, filtered
@@ -301,11 +301,16 @@ def ngram_jaccard_pairs(
 
     Candidate generation = equi-join on the shingle (no n^2) — but a
     shingle shared by df docs emits df^2 join rows, so corpus-wide
-    boilerplate blows up the baseline path. ``max_df`` drops shingles
+    boilerplate blows up the baseline path. ``max_df`` (DEFAULT ON,
+    1000 — matching the job-level --max-bucket default) drops shingles
     with document frequency above the cap from CANDIDATE GENERATION
     only (per-doc counts, and hence jaccard denominators, are
-    unchanged); pairs sharing only capped shingles are missed, which
-    is the explicit trade. The production path is lsh_verified_pairs.
+    unchanged); pairs sharing ONLY capped shingles are missed, which
+    is the explicit trade that bounds any one shingle's join fan-out
+    to max_df^2. Pass ``max_df=None`` for the exact uncapped baseline
+    (test-scale only: a boilerplate shingle in df docs emits df^2 join
+    rows). The production near-dup path is lsh_verified_pairs. The
+    DuckDB twin applies the identical cap.
     """
     # join on the 60-bit shingle hash, not the string: ~8x smaller
     # shuffle payload and integer comparisons. Collisions (~1e-18) are
@@ -482,18 +487,34 @@ def dup_clusters(
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 
-def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
+def connected_components(
+    edges: DataFrame, algorithm: str = "label-jump"
+) -> tuple[DataFrame, int]:
     """Min-label connected components over (doc_a, doc_b) edges ->
     ((doc_id, label), n_iterations). Only docs appearing in >= 1 edge
-    are emitted.
+    are emitted. Label = the component's minimum vertex id.
 
-    Each round combines neighbor-min propagation with POINTER JUMPING
-    (label <- label's label): labels are always vertex ids, so the
-    extra self-join halves remaining path lengths every round and the
-    driver loop converges in O(log diameter) rounds instead of
-    O(diameter) — the property that matters when a dup chain is long
-    (the large-star/small-star regime) while costing one more
-    uniform-key shuffle per round."""
+    ``algorithm``:
+    - ``"label-jump"`` (default): neighbor-min propagation + POINTER
+      JUMPING (label <- label's label) each round: labels are always
+      vertex ids, so the extra self-join halves remaining path lengths
+      every round and the driver loop converges in O(log diameter)
+      rounds instead of O(diameter). Per-round cost is proportional to
+      the (fixed) edge set.
+    - ``"two-phase"``: the alternating LARGE-STAR / SMALL-STAR edge
+      rewrite (Kiveris et al., "Connected Components in MapReduce and
+      Beyond", SoCC'14): each round shrinks the edge set toward a star
+      forest whose centers are the component minima. Preferable on
+      graphs with massive components: the edge set itself contracts
+      every round (label-jump re-joins the full edge set each round),
+      at the price of two shuffle rounds per iteration.
+
+    Both converge to identical labels (property-tested against each
+    other on chain/random graphs)."""
+    if algorithm == "two-phase":
+        return _cc_two_phase(edges)
+    if algorithm != "label-jump":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     bidir = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -549,6 +570,80 @@ def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
     return labels, n_iters
 
 
+def _star_mins(bidir: DataFrame) -> DataFrame:
+    """(src, m): per node, min of its closed neighborhood — one
+    map-side-combined aggregate on uniform vertex keys."""
+    return (
+        bidir.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least(F.col("src"), F.col("mn")).alias("m"))
+    )
+
+
+def _cc_two_phase(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components.
+
+    large-star(v): connect every strictly-LARGER neighbor u > v to
+    m = min(N(v) ∪ {v}).  small-star(v): connect every neighbor
+    u <= v, and v itself, to m.  Alternating the two rewrites
+    preserves connectivity and monotonically contracts each component
+    toward a star centered on its minimum vertex (Kiveris et al.,
+    SoCC'14, Algorithm "Alternating"); at the fixpoint every edge is
+    (u, component_min), so labels fall out of one final aggregate.
+
+    Scale shape: both phases are groupBy-min + one equi-join on
+    uniform vertex keys, and the EDGE SET SHRINKS each round (dup
+    graphs contract to stars almost immediately), so late rounds are
+    nearly free. Per-round localCheckpoint truncates the iterative
+    lineage exactly like the label-jump path."""
+    # undirected edge set, kept as directed pairs both ways
+    cur = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_iters = 0
+    while True:
+        n_iters += 1
+        bidir = cur.union(cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # large-star: (u, m) for u in N(v), u > v
+        ls = (
+            bidir.join(_star_mins(bidir), "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        bidir2 = ls.union(ls.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # small-star: (u, m) for u in N(v), u <= v, plus (v, m)
+        mins2 = _star_mins(bidir2)
+        ss = (
+            bidir2.join(mins2, "src")
+            .where(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(mins2.select(F.col("src"), F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when the edge set is stable (star forest reached):
+        # both sides are distinct sets, so equal counts + empty
+        # difference <=> set equality; the subtract is tiny once the
+        # graph is near-stars.
+        if ss.count() == cur.count() and ss.subtract(cur).isEmpty():
+            cur = ss
+            break
+        cur = ss
+    # star forest: every vertex's label is the min over its closed
+    # neighborhood (center for leaves; itself for centers)
+    bidir = cur.union(cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = _star_mins(bidir).select(
+        F.col("src").alias("doc_id"), F.col("m").alias("label")
+    )
+    return labels, n_iters
+
+
 def dup_clusters_sql(
     table: str = "documents",
     w: int = SHINGLE_W,
@@ -579,7 +674,7 @@ def ngram_jaccard_pairs_sql(
     table: str = "documents",
     w: int = SHINGLE_W,
     tau: float = 0.2,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> str:
     j = "(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared))"
     cap = (

@@ -73,7 +73,16 @@ def _bucket_col(n_buckets: int):
     # casting here makes the bucket computable identically on both the
     # input side (pre-filter) and the output side (post-kernel
     # withColumn) — no join needed to re-attach it.
-    return F.pmod(F.hash(F.col("doc_id").cast("string")), F.lit(n_buckets))
+    # coalesce(…, ''): the kernel renders a NULL doc_id (contract
+    # violation -> error row) as '' — without the coalesce the input
+    # side buckets NULL by hash(NULL)=42 while the output side buckets
+    # the same row by hash(''), a DIFFERENT bucket outside the commit
+    # group; the dynamic-partition overwrite would then replace that
+    # foreign bucket wholesale, clobbering committed data.
+    return F.pmod(
+        F.hash(F.coalesce(F.col("doc_id").cast("string"), F.lit(""))),
+        F.lit(n_buckets),
+    )
 
 
 class ExtractionRun:
@@ -155,8 +164,16 @@ class ExtractionRun:
         )
         if self.cfg.size_weighted_partitions:
             subset = weight_partition(subset, self.cfg.size_weighted_partitions)
-        return extract_documents_with_metrics(subset, self.cfg.kernel).withColumn(
-            "bucket", _bucket_col(self.cfg.n_buckets)
+        # the trailing where() is defense in depth: bucket is the same
+        # pure function on both sides, so it filters nothing — but if a
+        # future kernel change ever rewrote an id, the dynamic-partition
+        # overwrite would otherwise replace a bucket OUTSIDE this commit
+        # group and clobber committed data. Dropping such a row instead
+        # leaves its true bucket pending for a later (correct) commit.
+        return (
+            extract_documents_with_metrics(subset, self.cfg.kernel)
+            .withColumn("bucket", _bucket_col(self.cfg.n_buckets))
+            .where(F.col("bucket").isin(buckets))
         )
 
     def _process_group(self, buckets: list[int], attempt: int) -> None:

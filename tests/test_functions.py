@@ -216,6 +216,28 @@ def test_ngram_max_df_caps_hot_shingles(spark, docs, con):
     )
 
 
+def test_ngram_default_cap_bounds_boilerplate_fanout(spark):
+    """VERDICT r2 #4: max_df defaults ON (1000). A corpus-wide
+    boilerplate shingle (df=1100 > cap) must be dropped from candidate
+    generation — bounding the join to ~0 rows instead of df^2/2
+    (~600k) — while genuine pairs (df=2 shingles) still surface."""
+    import pandas as pd
+
+    boiler = "all rights reserved contact us"  # one shared 5-shingle
+    n = 1100
+    texts = [f"{boiler}" for _ in range(n)]  # identical 5-word docs
+    texts += ["p1 p2 p3 p4 p5 p6", "p1 p2 p3 p4 p5 p7"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(n + 2)), "text": texts})
+    )
+    rows = dedup.ngram_jaccard_pairs(df, tau=0.01).collect()
+    # boiler pairs (would be n*(n-1)/2 = 604450) are all capped away
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(n, n + 1)}
+    # uncapped baseline on a small slice still finds boiler pairs
+    small = df.where("doc_id < 5")
+    assert dedup.ngram_jaccard_pairs(small, tau=0.01, max_df=None).count() == 10
+
+
 def test_jaccard_identical_docs(spark):
     import pandas as pd
 
@@ -443,6 +465,66 @@ def test_connected_components_chain_converges_logarithmically(spark):
     # pointer jumping: O(log n) driver rounds, not O(n) (plain
     # propagation would need ~63)
     assert iters <= 10, iters
+
+
+def test_connected_components_1k_chain_log_bound(spark):
+    """VERDICT r2 #8: a 1000-doc dup chain (diameter 999) must
+    converge in <= ceil(log2(diameter)) + 1 driver rounds."""
+    import math
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, iters = dedup.connected_components(edges)
+    assert iters <= math.ceil(math.log2(n - 1)) + 1, iters  # <= 11
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_two_phase_cc_matches_label_jump(spark):
+    """Large-star/small-star alternation: identical labels to the
+    default algorithm on pathological and random graphs."""
+    import random
+
+    cases = []
+    # long chain (the large-star/small-star regime)
+    cases.append([(i, i + 1) for i in range(199)])
+    # star + chain + isolated pair mix
+    cases.append([(0, i) for i in range(1, 20)] + [(50, 51), (51, 52), (90, 91)])
+    # seeded random graphs, with shuffled/reversed edge orientations
+    rng = random.Random(7)
+    for _ in range(3):
+        e = [
+            (rng.randrange(120), rng.randrange(120))
+            for _ in range(150)
+        ]
+        cases.append([(a, b) for a, b in e if a != b])
+    for ei, es in enumerate(cases):
+        edges = spark.createDataFrame(es, "doc_a long, doc_b long")
+        want = {
+            r.doc_id: r.label
+            for r in dedup.connected_components(edges)[0].collect()
+        }
+        labels, iters = dedup.connected_components(edges, algorithm="two-phase")
+        got = {r.doc_id: r.label for r in labels.collect()}
+        assert got == want, (ei, iters)
+
+
+def test_two_phase_cc_string_ids(spark):
+    edges = spark.createDataFrame(
+        [("sha1:b", "sha1:c"), ("sha1:a", "sha1:b"), ("sha1:x", "sha1:y")],
+        "doc_a string, doc_b string",
+    )
+    labels, _ = dedup.connected_components(edges, algorithm="two-phase")
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == {
+        "sha1:a": "sha1:a",
+        "sha1:b": "sha1:a",
+        "sha1:c": "sha1:a",
+        "sha1:x": "sha1:x",
+        "sha1:y": "sha1:x",
+    }
 
 
 def test_ivf_topk(emb, con):

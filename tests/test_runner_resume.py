@@ -179,3 +179,50 @@ def test_lineage_metrics_consistency(spark, docs, tmp_path):
     assert s["n_spans_out"] == n_spans_out
     assert s["n_spans_in"] >= s["n_spans_out"]
     assert os.path.exists(f"{tmp_path}/out/_lineage/r4/manifest.json")
+
+
+def test_null_doc_id_row_stays_in_its_commit_group(spark, docs, tmp_path):
+    """A NULL doc_id row must bucket IDENTICALLY on the input side
+    (pre-kernel filter) and the output side (post-kernel recompute,
+    where the kernel has rendered the id as ''). With the old
+    hash(NULL)=42 input-side bucketing, the row migrated to a foreign
+    bucket at write time and the dynamic-partition overwrite clobbered
+    that bucket's previously committed data."""
+    from ocr_spark.pipeline.runner import _bucket_col
+
+    nullable_doc = (
+        "doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    null_row = spark.createDataFrame(
+        [(None, [{"kind": "text", "text": "orphan", "media_ref": "", "offset": 0}])],
+        schema=nullable_doc,
+    )
+    corpus = docs.select("doc_id", "spans").unionByName(null_row)
+
+    # both sides must agree: input-side bucket of the NULL row equals
+    # the bucket of the kernel's rendered '' id
+    n_buckets = 8
+    got = corpus.where(F.col("doc_id").isNull()).select(
+        _bucket_col(n_buckets).alias("b")
+    ).collect()
+    want = spark.createDataFrame([("",)], schema="doc_id string").select(
+        _bucket_col(n_buckets).alias("b")
+    ).collect()
+    assert got[0].b == want[0].b
+
+    run = ExtractionRun(
+        spark, corpus, str(tmp_path / "out"),
+        RunConfig("rnull", n_buckets=n_buckets, buckets_per_commit=2),
+    )
+    s = run.run()
+    out = run.output()
+    # the NULL-id row surfaces as exactly one ''-id error row, nothing lost
+    assert s["n_docs"] == 501
+    assert out.count() == 501
+    err = out.where(F.col("doc_id") == "").collect()
+    assert len(err) == 1 and err[0].parse_failed == 1
+    assert err[0].bucket == want[0].b  # written inside its own group
+    # and every real doc committed exactly once (no clobbered buckets)
+    assert out.where(F.col("doc_id") != "").select("doc_id").distinct().count() == 500
+    assert s["parse_failures"] == 1
