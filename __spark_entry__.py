@@ -30,6 +30,9 @@ from ocr_spark.functions import dedup as ded
 from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import multimodal as mm
 from ocr_spark.functions import similarity as sim
+from ocr_spark.functions.ivf_centroids import (
+    TRAINED_CENTROIDS_SF001 as _IVF_CENTS,
+)
 from ocr_spark.functions import skew as sk
 from ocr_spark.functions import text as txt
 from ocr_spark.pipeline import pages as pg
@@ -663,6 +666,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "embeddings")
         ),
         "ivf_topk": lambda s, d: sim.ivf_topk(_read(s, d, "embeddings")),
+        # trained path: baked kmeans_centroids literals (the offline
+        # codebook an IVF deployment ships); assignment is a pure
+        # scan-stage argmax, no join
+        "ivf_topk_trained": lambda s, d: sim.ivf_topk(
+            _read(s, d, "embeddings"), centroids=_IVF_CENTS
+        ),
         "embedding_near_dups": lambda s, d: sim.embedding_near_dups(
             _read(s, d, "embeddings"), tau=0.35
         ),
@@ -728,5 +737,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": sim.ann_lsh_topk_sql(),
         "ann_multiprobe_topk": sim.ann_multiprobe_topk_sql(),
         "ivf_topk": sim.ivf_topk_sql(),
+        "ivf_topk_trained": sim.ivf_topk_trained_sql(_IVF_CENTS),
         "embedding_near_dups": sim.embedding_near_dups_sql(tau=0.35),
     }

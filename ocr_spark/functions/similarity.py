@@ -659,3 +659,58 @@ def ivf_topk_sql(
              {floor6_sql('cos_raw')} AS cos
       FROM ranked WHERE rank <= {k}
     """
+
+
+def ivf_topk_trained_sql(
+    centroids: list[list[float]],
+    table: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of ``ivf_topk(emb, centroids=...)`` — the TRAINED
+    path: cell assignment is a scan-stage argmax of cosine against the
+    literal centroid arrays (unit vectors), exactly mirroring the Spark
+    expression (normalize first, THEN fold the dot product — the fold
+    over x_i/norm * c_i must be arithmetic-identical across engines for
+    the argmax, and hence the cell population, to agree)."""
+    dim = len(centroids[0])
+    unit = (
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) / {_norm_sql('embedding', dim)})"
+    )
+    dots = "[" + ", ".join(
+        _dot_sql("u", _plane_lit_sql(c), dim) for c in centroids
+    ) + "]"
+    q_cos = f"({_dot_sql('q.q_emb', 'a.embedding', dim)} / (q.q_norm * a.norm))"
+    return f"""
+      WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+               {_norm_sql('embedding', dim)} AS norm, {unit} AS u
+        FROM {table}
+      ),
+      assigned AS (
+        SELECT vec_id, embedding, norm,
+               CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
+        FROM (SELECT vec_id, embedding, norm, {dots} AS dots FROM base)
+      ),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+               centroid AS q_centroid
+        FROM assigned WHERE vec_id < {n_queries}
+      ),
+      pairs AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id, {q_cos} AS cos_raw
+        FROM q JOIN assigned a
+          ON a.centroid = q.q_centroid AND a.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id ASC) AS rank,
+               cos_raw
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+             {floor6_sql('cos_raw')} AS cos
+      FROM ranked WHERE rank <= {k}
+    """

@@ -96,3 +96,17 @@ def test_whole_stage_codegen_covers_scalar_path(docs):
     plan = _plan(quality_score(docs))
     assert "codegen id" in plan, plan  # codegen'd stages present
     assert "Exchange" not in plan, plan  # pure per-row exprs: no shuffle
+
+
+def test_trained_ivf_assignment_is_scan_stage(spark):
+    """The trained-centroid cell assignment must be a pure scan-stage
+    argmax expression — no join anywhere in the assignment subtree
+    (the untrained stand-in uses a broadcast join; the trained path,
+    the one a production IVF index runs, must not)."""
+    from ocr_spark.functions.ivf_centroids import TRAINED_CENTROIDS_SF001
+    from ocr_spark.functions.similarity import _assignments
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(_assignments(emb, 16, TRAINED_CENTROIDS_SF001))
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
