@@ -190,44 +190,70 @@ def _date_cols(c: Column) -> tuple[Column, Column]:
     return result, result.isNull()
 
 
-def validate_field_cols(
-    name: str, spec: FieldSpec, raw: Column
-) -> tuple[Column, Column | None, Column]:
-    """Build (normalized_string, numeric_double | None, warnings_array)
-    for one field — the columnar twin of validate_field
-    (/root/reference/pipeline.py:196-296).
+def field_value_col(spec: FieldSpec, raw: Column) -> Column | None:
+    """The EXPENSIVE per-field intermediate (parsed double for number
+    fields, ISO date string for date fields), or None for plain string
+    fields. Computed in its own projection stage by validate_fields so
+    downstream expressions reference it as a plain attribute — see the
+    staging note on validate_fields."""
+    if spec.type == "number":
+        value, _ = _number_cols(raw)
+        return value
+    if spec.type == "date" and spec.format == "iso-date":
+        value, _ = _date_cols(raw)
+        return value
+    return None
+
+
+def field_norm_col(spec: FieldSpec, raw: Column, value: Column | None) -> Column:
+    """Pre-nullable-override normalized string for one field.
 
     ``normalized_string`` matches the reference's normalized_value
     stringified: numbers that parse render via double->string cast;
-    failures keep the raw string; missing -> "N/A" (or NULL when the
-    raw is NULL and the field is nullable, pipeline.py:328-329).
-    """
+    failures keep the raw string; missing -> "N/A"
+    (/root/reference/pipeline.py:196-296)."""
     is_missing = raw.isNull() | (raw == "") | (raw == NA)
-    warn_missing = F.when(
-        is_missing & F.lit(spec.required and not spec.nullable),
-        F.lit(f"{name}: required field is missing or N/A"),
-    )
-
-    num_value: Column | None = None
-    warns: list[Column] = [warn_missing]
-
     if spec.type == "number":
-        value, failed = _number_cols(raw)
-        num_value = F.when(~is_missing, value)
+        assert value is not None
+        return (
+            F.when(is_missing, F.lit(NA))
+            .when(value.isNull(), raw)
+            .otherwise(_num_to_str(value))
+        )
+    if spec.type == "date" and spec.format == "iso-date":
+        assert value is not None
+        return F.when(is_missing, F.lit(NA)).otherwise(F.coalesce(value, raw))
+    return F.when(is_missing, F.lit(NA)).otherwise(raw)
+
+
+def field_warn_cols(
+    name: str, spec: FieldSpec, raw: Column, value: Column | None, norm: Column
+) -> Column:
+    """warnings array for one field (F4/F6/F7 + required-missing),
+    referencing the PRE-override ``norm`` (pipeline.py:196-296)."""
+    is_missing = raw.isNull() | (raw == "") | (raw == NA)
+    warns: list[Column] = [
+        F.when(
+            is_missing & F.lit(spec.required and not spec.nullable),
+            F.lit(f"{name}: required field is missing or N/A"),
+        )
+    ]
+    still_string: Column = F.lit(True)
+    if spec.type == "number":
+        assert value is not None
+        failed = value.isNull()
         warns.append(
             F.when(
                 ~is_missing & failed,
                 F.concat(F.lit(f"{name}: invalid number format '"), raw, F.lit("'")),
             )
         )
-        # normalized value: float -> str(float) analog; keep raw on failure
-        norm = F.when(is_missing, F.lit(NA)).when(failed, raw).otherwise(_num_to_str(value))
         still_string = is_missing | failed  # float result -> regex/enum see a non-str
     elif spec.type == "date" and spec.format == "iso-date":
-        value, failed = _date_cols(raw)
+        assert value is not None
         warns.append(
             F.when(
-                ~is_missing & failed,
+                ~is_missing & value.isNull(),
                 F.concat(
                     F.lit(f"{name}: could not normalize date '"),
                     raw,
@@ -235,12 +261,6 @@ def validate_field_cols(
                 ),
             )
         )
-        norm = F.when(is_missing, F.lit(NA)).otherwise(F.coalesce(value, raw))
-        still_string = F.lit(True)
-    else:
-        norm = F.when(is_missing, F.lit(NA)).otherwise(raw)
-        still_string = F.lit(True)
-
     if spec.regex is not None:
         anchored = spec.regex if spec.regex.startswith("^") else "^" + spec.regex
         warns.append(
@@ -267,14 +287,25 @@ def validate_field_cols(
                 ),
             )
         )
+    return F.filter(F.array(*warns), lambda w: w.isNotNull())
 
-    # nullable + raw NULL -> stays NULL (validate_and_normalize's
-    # elif is_nullable branch, pipeline.py:328-329)
+
+def validate_field_cols(
+    name: str, spec: FieldSpec, raw: Column
+) -> tuple[Column, Column | None, Column]:
+    """Single-expression form of (normalized, numeric, warnings) for one
+    field — the columnar twin of validate_field
+    (/root/reference/pipeline.py:196-296). Prefer validate_fields for
+    whole-frame validation: it stages the same components across
+    projections so the expensive parse expression evaluates once."""
+    is_missing = raw.isNull() | (raw == "") | (raw == NA)
+    value = field_value_col(spec, raw)
+    norm = field_norm_col(spec, raw, value)
+    warns = field_warn_cols(name, spec, raw, value, norm)
+    num_value = F.when(~is_missing, value) if spec.type == "number" else None
     if spec.nullable:
         norm = F.when(raw.isNull(), F.lit(None).cast("string")).otherwise(norm)
-
-    warnings_arr = F.filter(F.array(*warns), lambda w: w.isNotNull())
-    return norm, num_value, warnings_arr
+    return norm, num_value, warns
 
 
 def validate_fields(
@@ -292,16 +323,50 @@ def validate_fields(
     join), ``n_warnings``, and ``confidence`` (A1).
     """
     keep_cols = [F.col(c) for c in (keep or [])]
+    # STAGED EVALUATION (the whole point of this function vs mapping
+    # validate_field_cols over columns): the parsed value feeds the
+    # normalized string, the numeric output, and ~10 sub-expressions of
+    # the de-scientific formatter — and Spark re-evaluates a CASE-WHEN
+    # subtree at EVERY reference (codegen subexpression elimination
+    # skips conditional branches). Inlined, the regex-heavy parse ran
+    # ~10x per row (measured 6.8 s -> 1.1 s at sf0.1 for the bench
+    # schema). Computing value (stage 1) and the pre-override norm
+    # (stage 2) as real columns makes every later use an attribute
+    # reference; CollapseProject keeps the stages separate precisely
+    # because the producer expressions are non-cheap and
+    # multi-referenced, and all three projections still fuse into ONE
+    # whole-stage-codegen pass (no shuffle, no materialization).
+    vals: dict[str, Column | None] = {}
+    stage1: list[Column] = [F.col(c) for c in df.columns]
+    for name, spec in schema.items():
+        v = field_value_col(spec, F.col(prefix + name))
+        vals[name] = v
+        if v is not None:
+            stage1.append(v.alias(f"__v_{name}"))
+    s1 = df.select(*stage1)
+
+    stage2 = [F.col(c) for c in s1.columns]
+    for name, spec in schema.items():
+        raw = F.col(prefix + name)
+        v = F.col(f"__v_{name}") if vals[name] is not None else None
+        stage2.append(field_norm_col(spec, raw, v).alias(f"__n_{name}"))
+    s2 = s1.select(*stage2)
+
     out_cols: list[Column] = []
     warn_arrays: list[Column] = []
     for name, spec in schema.items():
         raw = F.col(prefix + name)
-        norm, num, warns = validate_field_cols(name, spec, raw)
+        v = F.col(f"__v_{name}") if vals[name] is not None else None
+        norm = F.col(f"__n_{name}")
+        is_missing = raw.isNull() | (raw == "") | (raw == NA)
+        warn_arrays.append(field_warn_cols(name, spec, raw, v, norm))
+        if spec.nullable:
+            norm = F.when(raw.isNull(), F.lit(None).cast("string")).otherwise(norm)
         out_cols.append(norm.alias(name))
-        if num is not None:
-            out_cols.append(num.alias(name + "_num"))
-        warn_arrays.append(warns)
+        if spec.type == "number":
+            out_cols.append(F.when(~is_missing, v).alias(name + "_num"))
     all_warnings = F.flatten(F.array(*warn_arrays))
+    df = s2
     # A1: -0.1 for 'required field'/'missing' warnings, else -0.05;
     # clamp [0,1] (pipeline.py:336-349)
     penalty = F.aggregate(
