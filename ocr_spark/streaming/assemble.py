@@ -16,11 +16,14 @@ token (jobs.py:221-224).
 from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
+from functools import partial
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ocr_spark.streaming.state_config import drain_query, state_confs
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -53,8 +56,15 @@ ASSEMBLE_STATE_SCHEMA = StructType(
 
 
 def _assemble(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterable[pd.DataFrame]:
+    if ttl_ms is not None and state.hasTimedOut:
+        # TTL eviction: an incomplete doc whose pages stopped arriving
+        # — drop the partial state (bounded-state trade: a page landing
+        # after eviction restarts the doc from scratch)
+        state.remove()
+        return
     if state.exists:
         nums, texts, total, done = state.get
         nums, texts = list(nums), list(texts)
@@ -89,44 +99,72 @@ def _assemble(
         order = sorted(range(len(nums)), key=lambda i: nums[i])
         full = " ".join(texts[i] for i in order)
         state.update(([], [], total, True))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {"doc_id": [key[0]], "n_pages": [len(nums)], "text": [full]}
         )
     else:
         state.update((nums, texts, total, False))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
 
 
-def assemble_docs_stream(pages: DataFrame) -> DataFrame:
+def assemble_docs_stream(
+    pages: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming (doc_id, page_number, total_pages, page_text) ->
-    completed (doc_id, n_pages, text), one row per doc, exactly once."""
+    completed (doc_id, n_pages, text), one row per doc, exactly once.
+
+    ``state_ttl_ms``: evict per-doc state untouched for that long
+    (processing-time timeout) — bounds state for never-completing docs
+    at the price of restarting a doc whose pages resume after the TTL.
+    """
     keyed = pages.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("page_number").cast("int"),
         F.col("total_pages").cast("int"),
         "page_text",
     )
+    fn = _assemble
+    timeout = GroupStateTimeout.NoTimeout
+    if state_ttl_ms is not None:
+        fn = partial(_assemble, ttl_ms=state_ttl_ms)
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return keyed.groupBy("doc_id").applyInPandasWithState(
-        _assemble,
+        fn,
         outputStructType=ASSEMBLE_OUT_SCHEMA,
         stateStructType=ASSEMBLE_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
 def run_assemble_stream(
-    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_store_provider: str | None = None,
+    state_ttl_ms: int | None = None,
 ):
+    """availableNow drain of the page assembler.
+
+    ``state_store_provider``: "rocksdb" (or a provider class name) for
+    the disk-backed store — the production choice for unbounded doc_id
+    spaces; None keeps the session default. ``state_ttl_ms``: see
+    assemble_docs_stream."""
     schema = spark.read.parquet(input_dir).schema
     src = spark.readStream.schema(schema).parquet(input_dir)
-    q = (
-        assemble_docs_stream(src)
-        .writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_confs(spark, state_store_provider):
+        q = (
+            assemble_docs_stream(src, state_ttl_ms)
+            .writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    drain_query(q, ttl_active=state_ttl_ms is not None)
     return q

@@ -8,21 +8,25 @@ so state is evenly spread across executors and lookups are local to
 the hash partition. Within a batch, the lowest doc_id wins
 (deterministic, mirroring exact_dedup's representative choice).
 
-At production scale the state store is RocksDB-backed
-(``spark.sql.streaming.stateStore.providerClass``) and the watermark-
-less state grows with distinct-content count — for an unbounded
-corpus you bound it with a TTL timeout (state.setTimeoutDuration) or
-periodic snapshot-compaction into a bloom-filter broadcast.
+At production scale pass ``state_store_provider="rocksdb"`` (disk-
+backed store — the watermark-less state grows with distinct-content
+count) and bound state growth with ``state_ttl_ms`` (a content hash
+unseen for that long is forgotten; a later duplicate re-emits — the
+explicit bounded-state trade) or periodic snapshot-compaction into a
+bloom-filter broadcast.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
+from functools import partial
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ocr_spark.streaming.state_config import drain_query, state_confs
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -41,9 +45,15 @@ DEDUP_STATE_SCHEMA = StructType([StructField("seen", LongType(), True)])
 
 
 def _first_seen(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterable[pd.DataFrame]:
+    if ttl_ms is not None and state.hasTimedOut:
+        state.remove()  # TTL: forget the hash; a later dup re-emits
+        return
     if state.exists:
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # seen again: refresh TTL
         return  # content hash already emitted in an earlier batch
     best = None
     for pdf in pdfs:
@@ -52,41 +62,65 @@ def _first_seen(
         if best is None or row["doc_id"] < best["doc_id"]:
             best = row
     state.update((1,))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
     yield pd.DataFrame(
         {"text_md5": [key[0]], "doc_id": [best["doc_id"]], "text": [best["text"]]}
     )
 
 
-def distinct_docs_stream(docs: DataFrame) -> DataFrame:
-    """Streaming DataFrame -> first-seen distinct docs by content hash."""
+def distinct_docs_stream(
+    docs: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
+    """Streaming DataFrame -> first-seen distinct docs by content hash.
+
+    ``state_ttl_ms``: forget a content hash untouched for that long
+    (processing-time timeout; each new sighting refreshes it) — bounds
+    state on an unbounded corpus at the price of re-emitting a dup
+    that arrives after the TTL."""
     keyed = docs.select(
         F.md5("text").alias("text_md5"),
         F.col("doc_id").cast("long").alias("doc_id"),
         "text",
     )
+    fn = _first_seen
+    timeout = GroupStateTimeout.NoTimeout
+    if state_ttl_ms is not None:
+        fn = partial(_first_seen, ttl_ms=state_ttl_ms)
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return keyed.groupBy("text_md5").applyInPandasWithState(
-        _first_seen,
+        fn,
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
 def run_distinct_stream(
-    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_store_provider: str | None = None,
+    state_ttl_ms: int | None = None,
 ):
-    """availableNow drain of the stateful dedup over document files."""
+    """availableNow drain of the stateful dedup over document files.
+
+    ``state_store_provider``: "rocksdb" (or a provider class name);
+    None keeps the session default. ``state_ttl_ms``: see
+    distinct_docs_stream."""
     schema = spark.read.parquet(input_dir).schema
     src = spark.readStream.schema(schema).parquet(input_dir)
-    out = distinct_docs_stream(src)
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    out = distinct_docs_stream(src, state_ttl_ms)
+    with state_confs(spark, state_store_provider):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    drain_query(q, ttl_active=state_ttl_ms is not None)
     return q
