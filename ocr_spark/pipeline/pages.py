@@ -88,52 +88,72 @@ def split_pages_sql(table: str = "documents", words_per_page: int = WORDS_PER_PA
 # but 'report_01' does not (the reference compares full strings, so a
 # zero-padded real name never collides with a generated 'base_1')
 _SUFFIX_RE = r"^(.*)_([1-9][0-9]*)$"
+# Path.stem / Path.suffix split: extension = from the LAST '.' iff it
+# is neither the name's first character nor its last
+_EXT_RE = r"^(.+)(\.[^.]+)$"
 
 
 def unique_names(docs: DataFrame, name_col: str = "source") -> DataFrame:
     """R4: dedup colliding names — the first doc of each name keeps it
-    bare; later duplicates get ``name_k`` suffixes whose numbers SKIP
-    any ``name_i`` that already exists as a real name (the reference's
-    while-candidate-in-existing loop,
-    /root/reference/webapp/pdf_utils.py:26-41 — without the skip,
-    input ['a','a','a_1'] would emit 'a_1' twice). Divergence note:
-    the reference's output depends on sequential upload order; this
-    columnar form is order-canonical (doc_id order) and globally
-    unique by construction.
+    bare; later duplicates get counter suffixes inserted BEFORE the
+    extension (``report.pdf`` -> ``report_1.pdf``), exactly like the
+    reference's ``f"{stem}_{counter}{suffix}"`` while-loop
+    (/root/reference/webapp/pdf_utils.py:26-41), and the counters SKIP
+    any candidate that already exists as a real name (without the
+    skip, input ['a','a','a_1'] would emit 'a_1' twice). The
+    stem/extension split mirrors ``Path.stem``/``Path.suffix``: the
+    extension is the part from the last '.' provided it is neither the
+    first nor the last character ('.bashrc' and 'a.' have none).
+    Divergence note: the reference's output depends on sequential
+    upload order; this columnar form is order-canonical (doc_id order)
+    and globally unique by construction.
 
     Shuffles on the name key — small-cardinality dimension data; at
     corpus scale names are near-unique so partitions stay flat.
     """
+    ext = F.regexp_extract("name", _EXT_RE, 2)
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.col(name_col).alias("name")
+    ).select(
+        "doc_id",
+        "name",
+        F.when(ext != "", F.regexp_extract("name", _EXT_RE, 1))
+        .otherwise(F.col("name"))
+        .alias("stem"),
+        ext.alias("ext"),
     )
     named = base.withColumn(
         "seq", F.row_number().over(Window.partitionBy("name").orderBy("doc_id"))
     )
-    # suffix numbers already claimed per base by REAL names 'base_i'
+    # counter i is claimed for (stem S, ext E) by any REAL name whose
+    # own stem is 'S_i' with the same extension (full-string collision
+    # with the would-be candidate 'S_i' + E)
     taken = (
         base.select(
-            F.regexp_extract("name", _SUFFIX_RE, 1).alias("tbase"),
-            F.regexp_extract("name", _SUFFIX_RE, 2).alias("ti_s"),
+            F.regexp_extract("stem", _SUFFIX_RE, 1).alias("tbase"),
+            F.regexp_extract("stem", _SUFFIX_RE, 2).alias("ti_s"),
+            F.col("ext").alias("text"),
         )
         .where(F.col("ti_s") != "")
-        .select("tbase", F.col("ti_s").cast("long").alias("ti"))
+        .select("tbase", "text", F.col("ti_s").cast("long").alias("ti"))
         .distinct()
     )
     need = (
         named.where(F.col("seq") >= 2)
-        .groupBy("name")
+        .groupBy("name", "stem", "ext")
         .agg(F.max(F.col("seq") - 1).alias("max_k"))
     )
-    ntaken = taken.groupBy(F.col("tbase").alias("name")).agg(
-        F.count("*").alias("n_taken")
-    )
+    ntaken = taken.groupBy(
+        F.col("tbase").alias("stem"), F.col("text").alias("ext")
+    ).agg(F.count("*").alias("n_taken"))
     # k-th free suffix: enumerate 1..(max_k + taken) candidates,
     # drop the taken ones, rank what survives
     cands = (
-        need.join(ntaken, "name", "left")
+        need.join(ntaken, ["stem", "ext"], "left")
         .select(
             "name",
+            "stem",
+            "ext",
             F.explode(
                 F.sequence(F.lit(1), F.col("max_k") + F.coalesce("n_taken", F.lit(0)))
             ).alias("i"),
@@ -141,7 +161,7 @@ def unique_names(docs: DataFrame, name_col: str = "source") -> DataFrame:
     )
     free = cands.join(
         taken,
-        (cands.name == taken.tbase) & (cands.i == taken.ti),
+        (cands.stem == taken.tbase) & (cands.ext == taken.text) & (cands.i == taken.ti),
         "left_anti",
     )
     ranked = free.withColumn(
@@ -156,7 +176,9 @@ def unique_names(docs: DataFrame, name_col: str = "source") -> DataFrame:
         "doc_id",
         "name",
         F.when(F.col("seq") == 1, F.col("name"))
-        .otherwise(F.concat_ws("_", F.col("name"), F.col("_ri").cast("string")))
+        .otherwise(
+            F.concat(F.col("stem"), F.lit("_"), F.col("_ri").cast("string"), F.col("ext"))
+        )
         .alias("unique_name"),
     )
 
@@ -164,29 +186,40 @@ def unique_names(docs: DataFrame, name_col: str = "source") -> DataFrame:
 def unique_names_sql(table: str = "documents", name_col: str = "source") -> str:
     return f"""
       WITH base AS (
-        SELECT CAST(doc_id AS BIGINT) AS doc_id, {name_col} AS name FROM {table}
+        SELECT doc_id, name,
+               CASE WHEN regexp_extract(name, '^(.+)(\\.[^.]+)$', 2) <> ''
+                    THEN regexp_extract(name, '^(.+)(\\.[^.]+)$', 1)
+                    ELSE name END AS stem,
+               regexp_extract(name, '^(.+)(\\.[^.]+)$', 2) AS ext
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, {name_col} AS name
+              FROM {table})
       ),
       named AS (
-        SELECT doc_id, name,
+        SELECT doc_id, name, stem, ext,
                row_number() OVER (PARTITION BY name ORDER BY doc_id) AS seq
         FROM base
       ),
       taken AS (
-        SELECT DISTINCT regexp_extract(name, '^(.*)_([1-9][0-9]*)$', 1) AS tbase,
-               CAST(regexp_extract(name, '^(.*)_([1-9][0-9]*)$', 2) AS BIGINT) AS ti
-        FROM base WHERE regexp_matches(name, '^(.*)_([1-9][0-9]*)$')
+        SELECT DISTINCT regexp_extract(stem, '^(.*)_([1-9][0-9]*)$', 1) AS tbase,
+               ext AS text,
+               CAST(regexp_extract(stem, '^(.*)_([1-9][0-9]*)$', 2) AS BIGINT) AS ti
+        FROM base WHERE regexp_matches(stem, '^(.*)_([1-9][0-9]*)$')
       ),
       need AS (
-        SELECT name, max(seq - 1) AS max_k FROM named WHERE seq >= 2 GROUP BY name
+        SELECT name, stem, ext, max(seq - 1) AS max_k
+        FROM named WHERE seq >= 2 GROUP BY 1, 2, 3
       ),
       cands AS (
-        SELECT need.name, unnest(range(1, max_k + coalesce(t.cnt, 0) + 1)) AS i
-        FROM need LEFT JOIN (SELECT tbase, count(*) AS cnt FROM taken GROUP BY 1) t
-          ON need.name = t.tbase
+        SELECT need.name, need.stem, need.ext,
+               unnest(range(1, max_k + coalesce(t.cnt, 0) + 1)) AS i
+        FROM need LEFT JOIN (SELECT tbase, text, count(*) AS cnt
+                             FROM taken GROUP BY 1, 2) t
+          ON need.stem = t.tbase AND need.ext = t.text
       ),
       free AS (
         SELECT c.name, c.i FROM cands c
-        ANTI JOIN taken ON c.name = taken.tbase AND c.i = taken.ti
+        ANTI JOIN taken
+          ON c.stem = taken.tbase AND c.ext = taken.text AND c.i = taken.ti
       ),
       ranked AS (
         SELECT name, i, row_number() OVER (PARTITION BY name ORDER BY i) AS k
@@ -194,7 +227,8 @@ def unique_names_sql(table: str = "documents", name_col: str = "source") -> str:
       )
       SELECT n.doc_id, n.name,
              CASE WHEN n.seq = 1 THEN n.name
-                  ELSE n.name || '_' || CAST(r.i AS VARCHAR) END AS unique_name
+                  ELSE n.stem || '_' || CAST(r.i AS VARCHAR) || n.ext END
+               AS unique_name
       FROM named n
       LEFT JOIN ranked r ON n.name = r.name AND n.seq - 1 = r.k
     """

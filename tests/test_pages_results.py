@@ -60,11 +60,58 @@ def test_unique_names(docs, con):
 
 
 def test_unique_names_suffixing(spark):
+    # the counter goes BEFORE the extension, like the reference's
+    # f"{stem}_{counter}{suffix}" (webapp/pdf_utils.py:33-37)
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [3, 1, 2], "source": ["a.pdf", "a.pdf", "b.pdf"]})
     )
     out = {r.doc_id: r.unique_name for r in pages.unique_names(df).collect()}
-    assert out == {1: "a.pdf", 3: "a.pdf_1", 2: "b.pdf"}
+    assert out == {1: "a.pdf", 3: "a_1.pdf", 2: "b.pdf"}
+
+
+def test_unique_names_extension_edge_cases(spark):
+    # Path.stem/.suffix split: dotfiles and trailing dots have NO
+    # extension; multi-dot names split at the last dot; a real
+    # 'a_1.pdf' claims counter 1 for 'a.pdf' (full-string collision)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+                "source": [
+                    ".bashrc", ".bashrc",          # dotfile: suffix after
+                    "x.tar.gz", "x.tar.gz",        # split at last dot
+                    "a.pdf", "a.pdf", "a_1.pdf",   # taken-suffix skip
+                    "a.pdf",
+                ],
+            }
+        )
+    )
+    out = {r.doc_id: r.unique_name for r in pages.unique_names(df).collect()}
+    assert out == {
+        1: ".bashrc", 2: ".bashrc_1",
+        3: "x.tar.gz", 4: "x.tar_1.gz",
+        5: "a.pdf", 7: "a_1.pdf", 6: "a_2.pdf", 8: "a_3.pdf",
+    }
+    assert len(set(out.values())) == 8
+    # the DuckDB twin agrees exactly
+    import duckdb
+
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+                "source": [".bashrc", ".bashrc", "x.tar.gz", "x.tar.gz",
+                           "a.pdf", "a.pdf", "a_1.pdf", "a.pdf"],
+            }
+        ),
+    )
+    want = {
+        int(r[0]): r[2]
+        for r in con.execute(pages.unique_names_sql(table="t")).fetchall()
+    }
+    assert want == out
 
 
 def test_unique_names_skip_taken_suffixes(spark):
