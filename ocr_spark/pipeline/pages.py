@@ -42,7 +42,7 @@ def split_pages(docs: DataFrame, words_per_page: int = WORDS_PER_PAGE) -> DataFr
     pages = _pages_expr(words_per_page)
     split_ok = F.expr(f"size(split(text, '{WS}+')) > 0") & (F.trim(F.col("text")) != "")
     with_pages = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         F.when(split_ok, F.expr(pages)).otherwise(F.array(F.col("text"))).alias("pages"),
         F.when(split_ok, F.lit("")).otherwise(F.lit(SPLIT_FALLBACK_NOTE)).alias("split_note"),
     )
@@ -113,7 +113,7 @@ def unique_names(docs: DataFrame, name_col: str = "source") -> DataFrame:
     """
     ext = F.regexp_extract("name", _EXT_RE, 2)
     base = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), F.col(name_col).alias("name")
+        "doc_id", F.col(name_col).alias("name")
     ).select(
         "doc_id",
         "name",

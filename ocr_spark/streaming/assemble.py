@@ -28,19 +28,22 @@ from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     IntegerType,
-    LongType,
     StringType,
     StructField,
     StructType,
 )
 
-ASSEMBLE_OUT_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType(), False),
-        StructField("n_pages", IntegerType(), True),
-        StructField("text", StringType(), True),
-    ]
-)
+def _out_schema(id_type) -> StructType:
+    """Output schema parameterized on the corpus's doc_id type —
+    id-type-agnostic like the batch operators (a long cast would NULL
+    string ids and collapse every doc into one NULL state group)."""
+    return StructType(
+        [
+            StructField("doc_id", id_type, False),
+            StructField("n_pages", IntegerType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
 ASSEMBLE_STATE_SCHEMA = StructType(
     [
         StructField("page_numbers", ArrayType(IntegerType()), True),
@@ -121,7 +124,7 @@ def assemble_docs_stream(
     at the price of restarting a doc whose pages resume after the TTL.
     """
     keyed = pages.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         F.col("page_number").cast("int"),
         F.col("total_pages").cast("int"),
         "page_text",
@@ -133,7 +136,7 @@ def assemble_docs_stream(
         timeout = GroupStateTimeout.ProcessingTimeTimeout
     return keyed.groupBy("doc_id").applyInPandasWithState(
         fn,
-        outputStructType=ASSEMBLE_OUT_SCHEMA,
+        outputStructType=_out_schema(pages.schema["doc_id"].dataType),
         stateStructType=ASSEMBLE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,

@@ -34,13 +34,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
-DEDUP_OUT_SCHEMA = StructType(
-    [
-        StructField("text_md5", StringType(), False),
-        StructField("doc_id", LongType(), True),
-        StructField("text", StringType(), True),
-    ]
-)
+def _out_schema(id_type) -> StructType:
+    """Output schema parameterized on the corpus's doc_id type —
+    id-type-agnostic like the batch operators (a long cast would NULL
+    every string id in the emitted keep rows)."""
+    return StructType(
+        [
+            StructField("text_md5", StringType(), False),
+            StructField("doc_id", id_type, True),
+            StructField("text", StringType(), True),
+        ]
+    )
 DEDUP_STATE_SCHEMA = StructType([StructField("seen", LongType(), True)])
 
 
@@ -80,7 +84,7 @@ def distinct_docs_stream(
     that arrives after the TTL."""
     keyed = docs.select(
         F.md5("text").alias("text_md5"),
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         "text",
     )
     fn = _first_seen
@@ -90,7 +94,7 @@ def distinct_docs_stream(
         timeout = GroupStateTimeout.ProcessingTimeTimeout
     return keyed.groupBy("text_md5").applyInPandasWithState(
         fn,
-        outputStructType=DEDUP_OUT_SCHEMA,
+        outputStructType=_out_schema(docs.schema["doc_id"].dataType),
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,

@@ -107,3 +107,50 @@ def test_int_ids_still_work(spark):
     rows = exact_dedup(df).collect()
     assert sorted(r.rep_doc_id for r in rows) == [1, 3]
     assert token_counts(df).schema["doc_id"].dataType.simpleString() == "bigint"
+
+
+def test_pages_operators_string_ids(spark):
+    from ocr_spark.pipeline.pages import page_count_probe, split_pages, unique_names
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [_sid(1), _sid(2)],
+                "text": [WORDS, ""],
+                "source": ["a.pdf", "a.pdf"],
+            }
+        )
+    )
+    sp = split_pages(df)
+    assert sp.schema["doc_id"].dataType.simpleString() == "string"
+    assert {r.doc_id for r in sp.collect()} == {_sid(1), _sid(2)}
+    probe = {r.doc_id: r.pages_detected for r in page_count_probe(df).collect()}
+    assert set(probe) == {_sid(1), _sid(2)}
+    un = {r.doc_id: r.unique_name for r in unique_names(df).collect()}
+    assert un == {_sid(1): "a.pdf", _sid(2): "a_1.pdf"}
+
+
+def test_streaming_dedup_string_ids(spark, tmp_path):
+    from ocr_spark.streaming.dedup import run_distinct_stream
+
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    df = pd.DataFrame(
+        {"doc_id": [_sid(2), _sid(1), _sid(3)], "text": ["x", "x", "y"]}
+    )
+    spark.createDataFrame(df).write.parquet(inp)
+    run_distinct_stream(spark, inp, outp, ckpt)
+    got = {r.doc_id for r in spark.read.parquet(outp).collect()}
+    assert got == {_sid(1), _sid(3)}  # lowest string id wins for 'x'
+
+
+def test_streaming_assemble_string_ids(spark, tmp_path):
+    from ocr_spark.streaming.assemble import run_assemble_stream
+
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(
+        [(_sid(7), 2, 2, "two"), (_sid(7), 1, 2, "one")],
+        "doc_id string, page_number long, total_pages long, page_text string",
+    ).write.parquet(inp)
+    run_assemble_stream(spark, inp, outp, ckpt)
+    got = {r.doc_id: (r.n_pages, r.text) for r in spark.read.parquet(outp).collect()}
+    assert got == {_sid(7): (2, "one two")}
