@@ -66,6 +66,23 @@ def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthesize_spans(_read(spark, sf_dir, "documents"))
 
 
+def _string_id_docs(docs: DataFrame) -> DataFrame:
+    """The int contract corpus re-keyed on 'sha1:<n>' string ids —
+    exercises the id-type-agnostic dedup layer end-to-end (string
+    grouping, string min-rep selection, string '<' pair ordering)."""
+    return docs.withColumn(
+        "doc_id", F.concat(F.lit("sha1:"), F.col("doc_id").cast("string"))
+    )
+
+
+# DuckDB twin of _string_id_docs: both engines compare/min strings by
+# binary collation, so 'sha1:10' < 'sha1:2' identically on both sides.
+_STRID_TABLE = (
+    "(SELECT 'sha1:' || CAST(doc_id AS VARCHAR) AS doc_id, text"
+    " FROM documents) strdocs"
+)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -643,6 +660,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": lambda s, d: ded.ngram_jaccard_pairs(_read(s, d, "documents")),
         "lsh_verified_pairs": lambda s, d: ded.lsh_verified_pairs(_read(s, d, "documents")),
         "dup_clusters": lambda s, d: ded.dup_clusters(_read(s, d, "documents")),
+        # string-id variants: same operators over 'sha1:<n>' ids —
+        # oracle proof that the id-type-agnostic layer groups/joins/
+        # min-reps natively on strings (real corpora key on string
+        # file paths/tokens, /root/reference/webapp/jobs.py:221-224)
+        "exact_dedup_string_ids": lambda s, d: ded.exact_dedup(
+            _string_id_docs(_read(s, d, "documents"))
+        ),
+        "lsh_verified_pairs_string_ids": lambda s, d: ded.lsh_verified_pairs(
+            _string_id_docs(_read(s, d, "documents"))
+        ),
+        "dup_clusters_string_ids": lambda s, d: ded.dup_clusters(
+            _string_id_docs(_read(s, d, "documents"))
+        ),
         # --- windowed aggregation + dimensional stats
         "event_window_counts": _event_windows_spark,
         "doc_stats_by_source": _doc_stats_spark,
@@ -720,6 +750,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": ded.ngram_jaccard_pairs_sql(),
         "lsh_verified_pairs": ded.lsh_verified_pairs_sql(),
         "dup_clusters": ded.dup_clusters_sql(),
+        "exact_dedup_string_ids": ded.exact_dedup_sql(_STRID_TABLE, id_sql="doc_id"),
+        "lsh_verified_pairs_string_ids": ded.lsh_verified_pairs_sql(
+            _STRID_TABLE, id_sql="doc_id"
+        ),
+        "dup_clusters_string_ids": ded.dup_clusters_sql(
+            _STRID_TABLE, id_sql="doc_id"
+        ),
         "event_window_counts": _event_windows_sql(),
         "doc_stats_by_source": _doc_stats_sql(),
         "salted_doc_counts": (

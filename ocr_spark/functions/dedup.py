@@ -97,10 +97,15 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def exact_dedup_sql(table: str = "documents") -> str:
+def exact_dedup_sql(
+    table: str = "documents", id_sql: str = "CAST(doc_id AS BIGINT)"
+) -> str:
+    """``id_sql`` renders the id with the type Spark reads it as —
+    BIGINT for the int contract corpus, plain ``doc_id`` for string-id
+    corpora (the operator itself is id-type-agnostic)."""
     return f"""
       SELECT md5(text) AS text_md5, count(*) AS n_docs,
-             min(CAST(doc_id AS BIGINT)) AS rep_doc_id
+             min({id_sql}) AS rep_doc_id
       FROM {table} GROUP BY 1
     """
 
@@ -213,6 +218,7 @@ def minhash_lsh_pairs_sql(
     bands: int = LSH_BANDS,
     w: int = SHINGLE_W,
     max_bucket: int | None = None,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
 ) -> str:
     rows = k // bands
     h40, sigs = _sigs_sql(k, w)
@@ -230,7 +236,7 @@ def minhash_lsh_pairs_sql(
       WITH banded AS (
         SELECT doc_id, r.i AS band, keys[r.i + 1] AS key
         FROM (
-          SELECT CAST(doc_id AS BIGINT) AS doc_id, {band_keys} AS keys
+          SELECT {id_sql} AS doc_id, {band_keys} AS keys
           FROM (SELECT doc_id, {sigs} AS sigs
                 FROM (SELECT doc_id, {h40} AS hs FROM {table}))
         ) CROSS JOIN range(0, {bands}) r(i)
@@ -425,14 +431,18 @@ def lsh_verified_pairs(
 
 
 def jaccard_verify_sql(
-    cand_sql: str, table: str = "documents", w: int = SHINGLE_W, tau: float = 0.2
+    cand_sql: str,
+    table: str = "documents",
+    w: int = SHINGLE_W,
+    tau: float = 0.2,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
 ) -> str:
     j = "(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared))"
     return f"""
       WITH cand AS ({cand_sql}),
       sh AS (
         SELECT doc_id, {md5_long_sql('sh')} AS h FROM (
-          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          SELECT {id_sql} AS doc_id,
                  unnest(list_distinct({shingles_sql(w)})) AS sh
           FROM {table}
         )
@@ -461,9 +471,14 @@ def lsh_verified_pairs_sql(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     max_bucket: int | None = None,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
 ) -> str:
     return jaccard_verify_sql(
-        minhash_lsh_pairs_sql(table, k, bands, w, max_bucket), table, w, tau
+        minhash_lsh_pairs_sql(table, k, bands, w, max_bucket, id_sql),
+        table,
+        w,
+        tau,
+        id_sql,
     )
 
 
@@ -658,8 +673,9 @@ def dup_clusters_sql(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     max_bucket: int | None = None,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
 ) -> str:
-    pairs = lsh_verified_pairs_sql(table, w, tau, k, bands, max_bucket)
+    pairs = lsh_verified_pairs_sql(table, w, tau, k, bands, max_bucket, id_sql)
     return f"""
       WITH RECURSIVE pairs AS ({pairs}),
       edges AS (
