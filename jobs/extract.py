@@ -8,9 +8,15 @@ writes partitioned parquet + per-bucket lineage. Re-invoking with the
 same --run-id resumes: only uncommitted buckets are processed.
 
 Example:
-  spark-submit --py-files dist/ocr_spark.zip jobs/extract.py \\
-    --input /data/documents.parquet --synthesize \\
+  spark-submit --driver-memory 16g --py-files dist/ocr_spark.zip \\
+    jobs/extract.py --input /data/documents.parquet --synthesize \\
     --output /out/extracted --run-id run-001 --buckets 64
+
+(--driver-memory matters in LOCAL mode, where executors share the
+driver JVM: the session factory's spark.driver.memory setting cannot
+resize a JVM spark-submit already started, and the 1 g default OOMs
+on multi-million-doc inputs. On a real cluster size executor memory
+instead.)
 """
 
 from __future__ import annotations
