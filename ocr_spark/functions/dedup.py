@@ -618,6 +618,16 @@ def _cc_two_phase(edges: DataFrame) -> tuple[DataFrame, int]:
     graphs contract to stars almost immediately), so late rounds are
     nearly free. Per-round localCheckpoint truncates the iterative
     lineage exactly like the label-jump path."""
+    # the full vertex set BEFORE dropping self-loops: a vertex whose
+    # only edge is (v, v) must still be emitted as its own singleton
+    # (label-jump emits it from the unfiltered bidir set, and the
+    # docstring promises identical labels from both algorithms)
+    verts = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
     # undirected edge set, kept as directed pairs both ways
     cur = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -663,7 +673,12 @@ def _cc_two_phase(edges: DataFrame) -> tuple[DataFrame, int]:
     labels = _star_mins(bidir).select(
         F.col("src").alias("doc_id"), F.col("m").alias("label")
     )
-    return labels, n_iters
+    # vertices that only had self-loop edges never entered cur; they
+    # are their own components
+    singletons = verts.join(labels, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    return labels.unionByName(singletons), n_iters
 
 
 def dup_clusters_sql(

@@ -18,24 +18,30 @@ from pyspark.sql import SparkSession
 ARROW_MAX_RECORDS = 512
 
 
-def _default_local_dir() -> str | None:
+def _default_local_dir(master: str) -> str | None:
     """Shuffle/spill/checkpoint block-file directory.
 
-    Local mode on this sandbox writes shuffle files to the root disk,
+    LOCAL mode on this sandbox writes shuffle files to the root disk,
     where noisy-neighbor I/O makes identical queries swing 2-4x
     run-to-run; RAM-backed /dev/shm removes that jitter (measured:
     simhash at sf0.1 went 1.8-4.9 s disk -> a stable 0.95 s tmpfs).
-    On a real cluster the equivalent is pointing spark.local.dir /
-    yarn.nodemanager.local-dirs at the executors' local NVMe — this
-    default only applies where /dev/shm exists and is writable.
-    Override with OCR_SPARK_LOCAL_DIR (or extra_conf) — e.g. back to
-    disk if a huge local-mode shuffle could not fit in RAM."""
-    env = os.environ.get("OCR_SPARK_LOCAL_DIR")
-    if env:
-        return env
+    Applied ONLY for local[...] masters: on a real cluster
+    spark.local.dir governs the EXECUTORS, where the right answer is
+    the cluster's own local-NVMe dirs, never a driver-side guess — and
+    a tmpfs default there would turn any shuffle larger than RAM into
+    'No space left on device' instead of a disk spill. The same
+    trade exists in local mode: set OCR_SPARK_LOCAL_DIR to a disk path
+    (or to the empty string for Spark's default) when a local-mode
+    shuffle may exceed free tmpfs space; extra_conf always wins."""
+    if "OCR_SPARK_LOCAL_DIR" in os.environ:
+        return os.environ["OCR_SPARK_LOCAL_DIR"] or None
+    if not master.startswith("local"):
+        return None
     shm = "/dev/shm/ocr_spark_local"
     try:
         os.makedirs(shm, exist_ok=True)
+        if not os.access(shm, os.W_OK):
+            return None
         return shm
     except OSError:
         return None
@@ -70,10 +76,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # zero-input (timeout wake-up) batches only publish progress
+        # this often; the default 10 s makes every TTL-armed
+        # availableNow drain poll blind for tens of seconds
+        .config("spark.sql.streaming.noDataProgressEventInterval", "1000")
     )
-    local_dir = _default_local_dir()
-    if local_dir:
-        b = b.config("spark.local.dir", local_dir)
+    if not (extra_conf and "spark.local.dir" in extra_conf):
+        local_dir = _default_local_dir(master)
+        if local_dir:
+            b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

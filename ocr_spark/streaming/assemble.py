@@ -16,14 +16,13 @@ token (jobs.py:221-224).
 from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
-from functools import partial
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 
-from ocr_spark.streaming.state_config import drain_query, state_confs
+from ocr_spark.streaming.state_config import arm_ttl, drain_query, state_confs
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -75,7 +74,14 @@ def _assemble(
     else:
         nums, texts, total, done = [], [], None, False
     if done:
-        return  # late duplicate pages after completion: ignored
+        # late duplicate pages after completion: ignored. The TTL must
+        # be RE-ARMED even here — GroupState clears a key's timeout on
+        # every function invocation, so returning without setting it
+        # would cancel the eviction and keep the completed doc's state
+        # forever (exactly the unbounded growth the TTL exists to stop).
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        return
     seen = set(nums)
     for pdf in pdfs:
         for r in pdf.itertuples():
@@ -123,17 +129,19 @@ def assemble_docs_stream(
     (processing-time timeout) — bounds state for never-completing docs
     at the price of restarting a doc whose pages resume after the TTL.
     """
-    keyed = pages.select(
+    # NULL doc_id pages are unassemblable (no doc to complete) and the
+    # output field is non-nullable — a NULL key group would fail the
+    # batch with its pages already persisted in state, and the
+    # checkpoint would replay the poison batch forever. Filter them in
+    # the plan (scan-stage, zero Python cost), mirroring the NULL
+    # page_number drop below.
+    keyed = pages.where(F.col("doc_id").isNotNull()).select(
         "doc_id",
         F.col("page_number").cast("int"),
         F.col("total_pages").cast("int"),
         "page_text",
     )
-    fn = _assemble
-    timeout = GroupStateTimeout.NoTimeout
-    if state_ttl_ms is not None:
-        fn = partial(_assemble, ttl_ms=state_ttl_ms)
-        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    fn, timeout = arm_ttl(_assemble, state_ttl_ms)
     return keyed.groupBy("doc_id").applyInPandasWithState(
         fn,
         outputStructType=_out_schema(pages.schema["doc_id"].dataType),

@@ -19,14 +19,13 @@ bloom-filter broadcast.
 from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
-from functools import partial
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 
-from ocr_spark.streaming.state_config import drain_query, state_confs
+from ocr_spark.streaming.state_config import arm_ttl, drain_query, state_confs
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -40,7 +39,11 @@ def _out_schema(id_type) -> StructType:
     every string id in the emitted keep rows)."""
     return StructType(
         [
-            StructField("text_md5", StringType(), False),
+            # nullable: a NULL-text doc hashes to a NULL key (md5(NULL)
+            # = NULL in both engines) and that group is still emitted —
+            # a non-nullable field here would fail the batch and poison
+            # the checkpoint instead
+            StructField("text_md5", StringType(), True),
             StructField("doc_id", id_type, True),
             StructField("text", StringType(), True),
         ]
@@ -60,16 +63,35 @@ def _first_seen(
             state.setTimeoutDuration(ttl_ms)  # seen again: refresh TTL
         return  # content hash already emitted in an earlier batch
     best = None
+    fallback = None  # first row seen, if every doc_id is NULL
     for pdf in pdfs:
-        i = pdf["doc_id"].idxmin()
-        row = pdf.loc[i]
+        if fallback is None and len(pdf):
+            fallback = pdf.iloc[0]
+        # min over NON-NULL ids, mirroring SQL min(doc_id) (NULLs are
+        # skipped; the rep is NULL only when all ids are). idxmin on a
+        # mixed None/str column raises TypeError and an all-None group
+        # returns nan -> loc KeyError — either would fail the batch and
+        # the checkpoint would replay it forever.
+        ids = pdf["doc_id"].dropna()
+        if ids.empty:
+            continue
+        row = pdf.loc[ids.idxmin()]
         if best is None or row["doc_id"] < best["doc_id"]:
             best = row
+    if best is None:
+        best = fallback
     state.update((1,))
     if ttl_ms is not None:
         state.setTimeoutDuration(ttl_ms)
+    if best is None:
+        return  # empty group (possible on timeout-only invocations)
+    doc_id = best["doc_id"]
     yield pd.DataFrame(
-        {"text_md5": [key[0]], "doc_id": [best["doc_id"]], "text": [best["text"]]}
+        {
+            "text_md5": [key[0]],
+            "doc_id": [None if pd.isna(doc_id) else doc_id],
+            "text": [best["text"]],
+        }
     )
 
 
@@ -87,11 +109,7 @@ def distinct_docs_stream(
         "doc_id",
         "text",
     )
-    fn = _first_seen
-    timeout = GroupStateTimeout.NoTimeout
-    if state_ttl_ms is not None:
-        fn = partial(_first_seen, ttl_ms=state_ttl_ms)
-        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    fn, timeout = arm_ttl(_first_seen, state_ttl_ms)
     return keyed.groupBy("text_md5").applyInPandasWithState(
         fn,
         outputStructType=_out_schema(docs.schema["doc_id"].dataType),

@@ -19,8 +19,10 @@ suppression of arbitrarily-late duplicates for bounded state.
 from __future__ import annotations
 
 from contextlib import contextmanager
+from functools import partial
 
 from pyspark.sql import SparkSession
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -53,6 +55,50 @@ def state_confs(spark: SparkSession, provider: str | None):
             spark.conf.set(_PROVIDER_CONF, old)
 
 
+def arm_ttl(fn, ttl_ms: int | None):
+    """(state function, timeoutConf) for an optional processing-time
+    TTL — the one shared arming protocol for every stateful stream, so
+    a timeout-contract fix lands once instead of drifting per stream."""
+    if ttl_ms is None:
+        return fn, GroupStateTimeout.NoTimeout
+    return partial(fn, ttl_ms=ttl_ms), GroupStateTimeout.ProcessingTimeTimeout
+
+
+def _zero_batch_step(prev, progress):
+    """One step of the drain-termination rule -> (done, new_prev).
+
+    Done = two DISTINCT completed zero-input batches whose sources'
+    end offsets did not move between them. One zero-input batch alone
+    is not proof the backlog is drained: a mid-drain batch that read
+    only EMPTY files reports numInputRows == 0 while the file-log
+    offset still advanced — its successor batch then shows different
+    end offsets and the drain continues. (FileStreamSource reports no
+    usable 'latestOffset' — it renders as the string "None" — so
+    offset-vs-latest comparison cannot detect catch-up here.)
+
+    ``prev`` is the (batchId, endOffsets) of the last distinct
+    zero-input batch seen, or None."""
+    if progress is None or progress.get("numInputRows", 0) != 0:
+        return False, prev
+    ends = tuple(str(s.get("endOffset")) for s in (progress.get("sources") or []))
+    bid = progress.get("batchId")
+    if prev is not None and bid != prev[0] and ends == prev[1]:
+        return True, prev
+    if prev is None or bid != prev[0]:
+        prev = (bid, ends)
+    return False, prev
+
+
+def _is_stop_interrupt(exc: Exception) -> bool:
+    """Our own stop() interrupting an in-flight wake-up batch renders
+    as an interrupt/cancellation — anything else is a real failure."""
+    msg = str(exc)
+    return any(
+        t in msg
+        for t in ("InterruptedException", "interrupted", "cancelled", "SparkContext was shut down")
+    )
+
+
 def drain_query(q, ttl_active: bool) -> None:
     """Block until an availableNow drain finishes.
 
@@ -61,18 +107,23 @@ def drain_query(q, ttl_active: bool) -> None:
     NEVER self-terminates — FlatMapGroupsWithState keeps requesting
     wake-up batches while any timeout is registered, so availableNow
     busy-loops empty batches (and processAllAvailable never settles).
-    The drain therefore polls progress and stops the query at the
-    first completed ZERO-input batch: all available data has been
-    consumed by then, and expired timeouts fired inside these same
-    batches."""
+    The drain therefore polls progress and stops the query once two
+    distinct completed batches read zero input without the source
+    offsets moving (``_zero_batch_step``): a mid-drain batch that
+    merely read only empty files must not end the drain while backlog
+    remains, and expired timeouts fired inside these same wake-up
+    batches. (Zero-input progress events are throttled by
+    spark.sql.streaming.noDataProgressEventInterval — the session
+    factory lowers it so this poll settles in seconds.)"""
     import time
 
     if not ttl_active:
         q.awaitTermination()
         return
+    prev = None
     while q.isActive:
-        p = q.lastProgress
-        if p is not None and p.get("numInputRows", 0) == 0:
+        done, prev = _zero_batch_step(prev, q.lastProgress)
+        if done:
             break
         time.sleep(0.2)
     exc = q.exception()
@@ -81,7 +132,6 @@ def drain_query(q, ttl_active: bool) -> None:
     q.stop()
     try:
         q.awaitTermination()
-    except Exception:
-        # our own stop() can interrupt an in-flight wake-up batch;
-        # the drain itself already completed
-        pass
+    except Exception as e:  # re-raise real failures, swallow our stop
+        if not _is_stop_interrupt(e):
+            raise

@@ -511,6 +511,21 @@ def test_two_phase_cc_matches_label_jump(spark):
         assert got == want, (ei, iters)
 
 
+def test_two_phase_cc_self_loop_only_vertex(spark):
+    """A vertex whose only edge is (v, v) is its own singleton
+    component under BOTH algorithms — two-phase must not drop it when
+    it strips self-loops from the working edge set."""
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2)], "doc_a long, doc_b long"
+    )
+    want = {
+        r.doc_id: r.label for r in dedup.connected_components(edges)[0].collect()
+    }
+    labels, _ = dedup.connected_components(edges, algorithm="two-phase")
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == want == {1: 1, 2: 1, 5: 5}
+
+
 def test_two_phase_cc_string_ids(spark):
     edges = spark.createDataFrame(
         [("sha1:b", "sha1:c"), ("sha1:a", "sha1:b"), ("sha1:x", "sha1:y")],

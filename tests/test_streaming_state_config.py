@@ -80,3 +80,94 @@ def test_distinct_without_ttl_suppresses_late_dups(spark, tmp_path):
     _write_docs(spark, [(9, "dup-me")], inp)
     run_distinct_stream(spark, inp, outp, ckpt)
     assert [r.doc_id for r in spark.read.parquet(outp).collect()] == [1]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing state functions."""
+
+    def __init__(self, value=None):
+        self._value = value
+        self.hasTimedOut = False
+        self.timeout_calls = []
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_calls.append(ms)
+
+
+def test_assemble_done_path_rearms_ttl():
+    """GroupState clears a key's timeout on every invocation, so the
+    late-duplicate early-return must re-arm it — otherwise one late
+    page makes a completed doc's state immortal."""
+    import pandas as pd
+
+    from ocr_spark.streaming.assemble import _assemble
+
+    state = _FakeState()
+    page = pd.DataFrame(
+        {"doc_id": [7], "page_number": [1], "total_pages": [1], "page_text": ["x"]}
+    )
+    out = list(_assemble((7,), iter([page]), state, ttl_ms=60000))
+    assert len(out) == 1 and state._value[3] is True
+    assert state.timeout_calls == [60000]
+
+    # late duplicate after completion: no output, but the TTL must be
+    # re-armed by this invocation too
+    out2 = list(_assemble((7,), iter([page]), state, ttl_ms=60000))
+    assert out2 == []
+    assert state.timeout_calls == [60000, 60000]
+
+
+def test_first_seen_seen_again_rearms_ttl():
+    import pandas as pd
+
+    from ocr_spark.streaming.dedup import _first_seen
+
+    state = _FakeState()
+    batch = pd.DataFrame({"doc_id": [3, 1], "text": ["t", "t"]})
+    out = list(_first_seen(("md5",), iter([batch]), state, ttl_ms=5000))
+    assert len(out) == 1 and out[0]["doc_id"][0] == 1
+    assert state.timeout_calls == [5000]
+    out2 = list(_first_seen(("md5",), iter([batch]), state, ttl_ms=5000))
+    assert out2 == [] and state.timeout_calls == [5000, 5000]
+
+
+def test_zero_batch_step_drain_rule():
+    from ocr_spark.streaming.state_config import _zero_batch_step
+
+    def prog(bid, rows, off):
+        return {
+            "batchId": bid,
+            "numInputRows": rows,
+            "sources": [{"endOffset": f"{{'logOffset': {off}}}"}],
+        }
+
+    # data batch: never done
+    done, prev = _zero_batch_step(None, prog(0, 5, 1))
+    assert not done and prev is None
+    # first zero-input batch: remembered, not yet done
+    done, prev = _zero_batch_step(prev, prog(1, 0, 2))
+    assert not done and prev == (1, ("{'logOffset': 2}",))
+    # same progress entry re-polled: no-op
+    done, prev = _zero_batch_step(prev, prog(1, 0, 2))
+    assert not done
+    # mid-drain zero-input batch that still ADVANCED the offset (an
+    # empty-files batch with backlog remaining): drain must continue
+    done, prev = _zero_batch_step(prev, prog(2, 0, 3))
+    assert not done and prev == (2, ("{'logOffset': 3}",))
+    # second distinct zero-input batch with unmoved offsets: done
+    done, prev = _zero_batch_step(prev, prog(3, 0, 3))
+    assert done
