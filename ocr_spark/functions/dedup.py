@@ -489,6 +489,7 @@ def dup_clusters(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     max_bucket: int | None = None,
+    algorithm: str = "label-jump",
 ) -> DataFrame:
     """(doc_id, cluster_rep): connected components over the verified
     near-duplicate pair graph — min-label propagation iterated to a
@@ -501,11 +502,16 @@ def dup_clusters(
     driver loop converges in O(component diameter) joins; dup
     components are tiny in practice, and each iteration is one
     doc_id-keyed shuffle. Only docs that appear in >=1 pair are
-    emitted (singletons are trivially their own cluster)."""
+    emitted (singletons are trivially their own cluster).
+
+    ``algorithm`` is passed through to ``connected_components``:
+    "label-jump" (default) or "two-phase" (large-star/small-star —
+    pick it when components can be massive; both produce identical
+    labels)."""
     edges = lsh_verified_pairs(docs, w, tau, k, bands, max_bucket).select(
         "doc_a", "doc_b"
     )
-    labels, _ = connected_components(edges)
+    labels, _ = connected_components(edges, algorithm)
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 

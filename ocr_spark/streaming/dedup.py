@@ -80,11 +80,13 @@ def _first_seen(
             best = row
     if best is None:
         best = fallback
+    if best is None:
+        # defensively: an invocation with no rows must not mark the
+        # hash seen (that would suppress a future real first sighting)
+        return
     state.update((1,))
     if ttl_ms is not None:
         state.setTimeoutDuration(ttl_ms)
-    if best is None:
-        return  # empty group (possible on timeout-only invocations)
     doc_id = best["doc_id"]
     yield pd.DataFrame(
         {
