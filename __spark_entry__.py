@@ -33,6 +33,7 @@ from ocr_spark.functions import similarity as sim
 from ocr_spark.functions.ivf_centroids import (
     TRAINED_CENTROIDS_SF001 as _IVF_CENTS,
 )
+from ocr_spark.functions import sessionize as sess
 from ocr_spark.functions import skew as sk
 from ocr_spark.functions import text as txt
 from ocr_spark.pipeline import pages as pg
@@ -675,6 +676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- windowed aggregation + dimensional stats
         "event_window_counts": _event_windows_spark,
+        # gap-based sessionization (native session_window; the same
+        # expression is the streaming operator under a watermark)
+        "event_sessions": lambda s, d: sess.sessionize(_read(s, d, "events")),
         "doc_stats_by_source": _doc_stats_spark,
         # skew-safe two-phase aggregation: result == plain GROUP BY
         # (integer-exact sums), physical plan salted
@@ -758,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
             _STRID_TABLE, id_sql="doc_id"
         ),
         "event_window_counts": _event_windows_sql(),
+        "event_sessions": sess.sessionize_sql(),
         "doc_stats_by_source": _doc_stats_sql(),
         "salted_doc_counts": (
             "SELECT lang, count(doc_id) AS n_docs, "
