@@ -33,6 +33,7 @@ from ocr_spark.functions import similarity as sim
 from ocr_spark.functions.ivf_centroids import (
     TRAINED_CENTROIDS_SF001 as _IVF_CENTS,
 )
+from ocr_spark.functions import olap
 from ocr_spark.functions import sessionize as sess
 from ocr_spark.functions import skew as sk
 from ocr_spark.functions import text as txt
@@ -680,6 +681,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expression is the streaming operator under a watermark)
         "event_sessions": lambda s, d: sess.sessionize(_read(s, d, "events")),
         "doc_stats_by_source": _doc_stats_spark,
+        # --- OLAP breadth: hierarchy rollup in one Expand+agg pass,
+        # exact nearest-rank percentiles (sketch-swappable at scale),
+        # WindowGroupLimit top-k per group
+        "rollup_doc_stats": lambda s, d: olap.rollup_doc_stats(
+            _read(s, d, "documents")
+        ),
+        "percentile_chars": lambda s, d: olap.percentile_chars(
+            _read(s, d, "documents")
+        ),
+        "topk_per_group": lambda s, d: olap.topk_per_group(
+            _read(s, d, "documents")
+        ),
         # skew-safe two-phase aggregation: result == plain GROUP BY
         # (integer-exact sums), physical plan salted
         "salted_doc_counts": lambda s, d: sk.salted_agg(
@@ -764,6 +777,9 @@ def oracle_sql() -> dict[str, str]:
         "event_window_counts": _event_windows_sql(),
         "event_sessions": sess.sessionize_sql(),
         "doc_stats_by_source": _doc_stats_sql(),
+        "rollup_doc_stats": olap.rollup_doc_stats_sql(),
+        "percentile_chars": olap.percentile_chars_sql(),
+        "topk_per_group": olap.topk_per_group_sql(),
         "salted_doc_counts": (
             "SELECT lang, count(doc_id) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS total_chars "

@@ -1,0 +1,137 @@
+"""OLAP breadth operators: rollup cubes, exact percentiles, top-k per
+group.
+
+The reference surfaces corpus statistics one flat GROUP BY at a time
+(run summaries, /root/reference/webapp/results.py:40-60; per-job file
+counts, webapp/jobs.py:171-199). At 100 TB an analyst wants the whole
+hierarchy in one pass (per-(source,lang), per-source, grand total),
+distribution quantiles, and "the k largest documents per source" —
+the three staple OLAP shapes this module adds, each as a single
+declarative plan Catalyst can optimize end-to-end.
+
+Scale notes:
+- ``rollup_doc_stats``: Spark's ``rollup`` expands grouping sets
+  inside ONE hash aggregate (Expand + partial agg -> one shuffle on
+  the grouping-set key) — not one job per level. Sums are exact
+  integers, so parallel order cannot perturb values.
+- ``percentile_chars``: exact percentiles need the per-group value
+  multiset; Spark's ``percentile`` aggregate does a partial
+  (map-side) collect then merges — one shuffle keyed by group. Fine
+  when groups are few and values-per-group fit an executor (chars
+  histogram per lang); at 100 TB with huge groups switch to
+  ``approx_percentile`` (t-digest sketch, bounded memory) — same
+  call shape, documented here as the scale valve.
+- ``topk_per_group``: rank-truncating window. Spark pushes a
+  per-partition top-k (WindowGroupLimit, Spark 3.5+) below the
+  shuffle, so each map task ships only k rows per group — the
+  100 TB-safe shape for "largest docs per source".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PCTS = (0.5, 0.9, 0.99)
+DEFAULT_K = 5
+
+
+def rollup_doc_stats(docs: DataFrame) -> DataFrame:
+    """(source, lang, gid, n_docs, total_chars) over
+    ROLLUP(source, lang): per-(source,lang) rows (gid=0), per-source
+    subtotals (gid=1), grand total (gid=3). ``gid`` is the grouping-id
+    bit vector — it disambiguates rollup NULLs from (hypothetical)
+    data NULLs, so the output is unambiguous without string
+    sentinels."""
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select("source", "lang", "gid", "n_docs", "total_chars")
+    )
+
+
+def rollup_doc_stats_sql(table: str = "documents") -> str:
+    """DuckDB twin: GROUP BY ROLLUP with the same GROUPING() bit
+    order (first listed column = most significant bit, both
+    engines)."""
+    return f"""
+      SELECT source, lang,
+             CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM {table}
+      GROUP BY ROLLUP (source, lang)
+    """
+
+
+def percentile_chars(docs: DataFrame, pcts: tuple = PCTS) -> DataFrame:
+    """Per-lang exact nearest-rank percentiles of document length:
+    (lang, n_docs, p50_chars, p90_chars, p99_chars).
+
+    Nearest-rank (value at index ceil(p*n) in the sorted multiset) is
+    used instead of linear interpolation deliberately: the result is
+    an exact BIGINT drawn from the data, so the cross-engine contract
+    cannot be perturbed by last-ulp float interpolation differences.
+    Spark side: ``percentile_approx`` with accuracy >= group size is
+    EXACT and returns this same nearest-rank element — one partial
+    aggregate, one shuffle on lang."""
+    aggs = [F.count("*").alias("n_docs")]
+    for p in pcts:
+        aggs.append(
+            F.percentile_approx("n_chars", F.lit(p), F.lit(1_000_000))
+            .cast("long")
+            .alias(f"p{int(p * 100)}_chars")
+        )
+    return docs.groupBy("lang").agg(*aggs)
+
+
+def percentile_chars_sql(
+    table: str = "documents", pcts: tuple = PCTS
+) -> str:
+    """DuckDB twin: quantile_disc picks the same nearest-rank element
+    (the discrete quantile definition both engines share for exact
+    data)."""
+    cols = ", ".join(
+        f"CAST(quantile_disc(n_chars, {p}) AS BIGINT) AS p{int(p * 100)}_chars"
+        for p in pcts
+    )
+    return f"""
+      SELECT lang, count(*) AS n_docs, {cols}
+      FROM {table}
+      GROUP BY lang
+    """
+
+
+def topk_per_group(docs: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """The k largest documents per source: (source, rnk, doc_id,
+    n_chars), ties broken by doc_id ascending so the result is fully
+    deterministic. row_number + rank-filter compiles to
+    WindowGroupLimit: each map task pre-truncates to its local top-k
+    before the shuffle."""
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("source", F.col("rnk").cast("long").alias("rnk"), "doc_id", "n_chars")
+    )
+
+
+def topk_per_group_sql(table: str = "documents", k: int = DEFAULT_K) -> str:
+    return f"""
+      SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars
+      FROM (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                 PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+               ) AS rnk
+        FROM {table}
+      )
+      WHERE rnk <= {k}
+    """

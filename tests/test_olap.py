@@ -1,0 +1,96 @@
+"""OLAP breadth operators: semantics + the physical plans we designed
+for (rollup = ONE Expand+aggregate pass, top-k = WindowGroupLimit
+map-side truncation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.functions.olap import (
+    percentile_chars,
+    rollup_doc_stats,
+    topk_per_group,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_rollup_levels_are_consistent(docs):
+    rows = rollup_doc_stats(docs).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    # grand total (gid=3) == sum of per-source subtotals (gid=1)
+    # == sum of leaf rows (gid=0)
+    [total] = by_gid[3]
+    assert total.n_docs == sum(r.n_docs for r in by_gid[1])
+    assert total.n_docs == sum(r.n_docs for r in by_gid[0])
+    assert total.total_chars == sum(r.total_chars for r in by_gid[0])
+    # subtotal rows carry NULL lang, leaf rows don't
+    assert all(r.lang is None for r in by_gid[1])
+    assert all(r.lang is not None for r in by_gid[0])
+
+
+def test_rollup_is_one_aggregation_pass(docs):
+    # "simple" mode lists each operator once (formatted repeats them
+    # in the detail section), so occurrence counts are meaningful
+    plan = _plan(rollup_doc_stats(docs), "simple")
+    # one Expand feeding a partial+final hash aggregate — not a job
+    # per grouping level
+    assert plan.count("Expand") == 1, plan
+    assert "partial_count" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_percentiles_bracket_the_distribution(docs):
+    rows = percentile_chars(docs).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r.p50_chars <= r.p90_chars <= r.p99_chars
+        assert r.n_docs > 0
+
+
+def test_percentile_is_single_shuffle(docs):
+    plan = _plan(percentile_chars(docs), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_percentile_approx" in plan, plan
+
+
+def test_topk_per_group_semantics(docs):
+    k = 3
+    out = topk_per_group(docs, k=k).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r.source, []).append(r)
+    full = {
+        (r.source, r.doc_id): r.n_chars
+        for r in docs.select("source", "doc_id", "n_chars").collect()
+    }
+    for src, rows in per_src.items():
+        assert len(rows) <= k
+        assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+        # every returned doc is >= every non-returned doc of that source
+        returned = {r.doc_id for r in rows}
+        floor = min(r.n_chars for r in rows)
+        others = [
+            v for (s, d), v in full.items() if s == src and d not in returned
+        ]
+        assert all(v <= floor for v in others)
+
+
+def test_topk_plan_truncates_before_shuffle(docs):
+    plan = _plan(topk_per_group(docs))
+    # Spark 3.5+ pushes the rank filter below the exchange as
+    # WindowGroupLimit: each map task ships only its local top-k
+    assert "WindowGroupLimit" in plan, plan
