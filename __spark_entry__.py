@@ -36,6 +36,7 @@ from ocr_spark.functions.ivf_centroids import (
 from ocr_spark.functions import olap
 from ocr_spark.functions import sessionize as sess
 from ocr_spark.functions import skew as sk
+from ocr_spark.functions import timeseries as tsr
 from ocr_spark.functions import text as txt
 from ocr_spark.pipeline import pages as pg
 from ocr_spark.pipeline import results as res
@@ -680,6 +681,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gap-based sessionization (native session_window; the same
         # expression is the streaming operator under a watermark)
         "event_sessions": lambda s, d: sess.sessionize(_read(s, d, "events")),
+        # as-of join (Spark has no native one): union+single-window
+        # merge shape, no pair blowup — see timeseries.py scale notes
+        "asof_purchase_click": lambda s, d: tsr.asof_join_events(
+            _read(s, d, "events")
+        ),
+        "running_user_stats": lambda s, d: tsr.running_user_stats(
+            _read(s, d, "events")
+        ),
         "doc_stats_by_source": _doc_stats_spark,
         # --- OLAP breadth: hierarchy rollup in one Expand+agg pass,
         # exact nearest-rank percentiles (sketch-swappable at scale),
@@ -776,6 +785,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_window_counts": _event_windows_sql(),
         "event_sessions": sess.sessionize_sql(),
+        "asof_purchase_click": tsr.asof_join_events_sql(),
+        "running_user_stats": tsr.running_user_stats_sql(),
         "doc_stats_by_source": _doc_stats_sql(),
         "rollup_doc_stats": olap.rollup_doc_stats_sql(),
         "percentile_chars": olap.percentile_chars_sql(),

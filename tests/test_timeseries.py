@@ -1,0 +1,113 @@
+"""As-of join + running aggregates: crafted edge semantics and the
+no-pair-blowup plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from ocr_spark.functions.timeseries import (
+    asof_join_events,
+    running_user_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "simple") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, t, v)
+            for i, (s, u, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_asof_matches_most_recent_prior(spark):
+    ev = _ev(
+        spark,
+        [
+            (0, 1, "click", 0.0),     # id 0
+            (10, 1, "click", 0.0),    # id 1  <- most recent prior
+            (20, 1, "purchase", 5.0), # id 2
+            (30, 1, "click", 0.0),    # id 3 (after; must not match)
+        ],
+    )
+    [row] = asof_join_events(ev).collect()
+    assert row.event_id == 2
+    assert row.matched_event_id == 1
+    assert row.lag_us == 10_000_000
+
+
+def test_asof_tie_is_inclusive(spark):
+    # a click at EXACTLY the purchase timestamp matches (as-of <=)
+    ev = _ev(spark, [(20, 1, "click", 0.0), (20, 1, "purchase", 5.0)])
+    [row] = asof_join_events(ev).collect()
+    assert row.matched_event_id == 0
+    assert row.lag_us == 0
+
+
+def test_asof_unmatched_left_keeps_row(spark):
+    ev = _ev(
+        spark,
+        [
+            (10, 1, "purchase", 5.0),  # user 1 has no click at all
+            (5, 2, "purchase", 5.0),   # user 2's click is later only
+            (9, 2, "click", 0.0),
+        ],
+    )
+    rows = {r.user_id: r for r in asof_join_events(ev).collect()}
+    assert len(rows) == 2
+    assert rows[1].matched_event_id == -1 and rows[1].lag_us == -1
+    assert rows[2].matched_event_id == -1 and rows[2].matched_ts == ""
+
+
+def test_asof_does_not_cross_users(spark):
+    ev = _ev(
+        spark,
+        [
+            (0, 1, "click", 0.0),
+            (20, 2, "purchase", 5.0),  # other user's click must not match
+        ],
+    )
+    [row] = asof_join_events(ev).collect()
+    assert row.matched_event_id == -1
+
+
+def test_asof_plan_has_one_shuffle_and_no_join(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(asof_join_events(ev))
+    # union + window carry: exactly one Exchange (on user_id), and no
+    # join operator anywhere — the |L|x|R| range-join blowup shape is
+    # structurally impossible
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_running_stats_accumulate(spark):
+    ev = _ev(
+        spark,
+        [
+            (0, 1, "view", 1.0),
+            (10, 1, "view", 2.5),
+            (25, 1, "view", 0.25),
+        ],
+    )
+    rows = sorted(running_user_stats(ev).collect(), key=lambda r: r.running_n)
+    assert [r.running_n for r in rows] == [1, 2, 3]
+    assert [r.running_cents for r in rows] == [100, 350, 375]
+    assert [r.gap_us for r in rows] == [-1, 10_000_000, 15_000_000]
+
+
+def test_running_stats_single_shuffle(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(running_user_stats(ev))
+    assert plan.count("Exchange") == 1, plan
