@@ -44,15 +44,23 @@ def sessionize(
     key: str = "user_id",
     ts: str = "ts",
     value: str = "value",
+    watermark: str | None = None,
 ) -> DataFrame:
     """(user_id, session_start, n_events, sum_value_cents,
     duration_us): one row per session — maximal runs of a key's events
-    with < ``gap`` between consecutive events."""
+    with < ``gap`` between consecutive events.
+
+    With ``watermark`` set the SAME plan runs under Structured
+    Streaming (MergingSessionsExec keyed state; append mode emits a
+    session once the watermark passes its close) — see
+    ocr_spark.streaming.sessions.stream_sessions."""
     ev = events.select(
         F.col(key).cast("long").alias("user_id"),
         F.col(ts).cast("timestamp").alias("ts"),
         F.col(value).alias("value"),
     )
+    if watermark is not None:
+        ev = ev.withWatermark("ts", watermark)
     return (
         ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
