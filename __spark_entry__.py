@@ -384,6 +384,44 @@ def _event_windows_sql() -> str:
     """
 
 
+def _sales_by_region_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: fact (orders) x broadcast dims (customer ->
+    nation -> region), aggregated per region/orderstatus. The dims
+    are broadcast explicitly — at 100 TB the fact side never
+    shuffles for the join, only for the final small-key aggregate.
+    Money is summed as exact integer cents."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _read(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = _read(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_price_cents"
+            ),
+        )
+    )
+
+
+def _sales_by_region_sql() -> str:
+    return """
+      SELECT r.r_name, o.o_orderstatus,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_price_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    """
+
+
 def _doc_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-join the per-doc quality scores back onto document
     dimensions and aggregate by (source, lang)."""
@@ -690,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "events")
         ),
         "doc_stats_by_source": _doc_stats_spark,
+        # star-schema fact x broadcast-dim-chain join
+        "sales_by_region": _sales_by_region_spark,
         # --- OLAP breadth: hierarchy rollup in one Expand+agg pass,
         # exact nearest-rank percentiles (sketch-swappable at scale),
         # WindowGroupLimit top-k per group
@@ -788,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_click": tsr.asof_join_events_sql(),
         "running_user_stats": tsr.running_user_stats_sql(),
         "doc_stats_by_source": _doc_stats_sql(),
+        "sales_by_region": _sales_by_region_sql(),
         "rollup_doc_stats": olap.rollup_doc_stats_sql(),
         "percentile_chars": olap.percentile_chars_sql(),
         "topk_per_group": olap.topk_per_group_sql(),

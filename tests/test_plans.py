@@ -110,3 +110,24 @@ def test_trained_ivf_assignment_is_scan_stage(spark):
     plan = _plan(_assignments(emb, 16, TRAINED_CENTROIDS_SF001))
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_star_join_broadcasts_every_dim(spark):
+    """sales_by_region: the fact side must never shuffle for the
+    joins — every dimension hop (customer -> nation -> region) is a
+    BroadcastHashJoin; the only Exchange is the final small-key
+    aggregate's."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    df = entry._sales_by_region_spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
