@@ -84,7 +84,7 @@ def percentile_chars(docs: DataFrame, pcts: tuple = PCTS) -> DataFrame:
         aggs.append(
             F.percentile_approx("n_chars", F.lit(p), F.lit(1_000_000))
             .cast("long")
-            .alias(f"p{int(p * 100)}_chars")
+            .alias(f"p{round(p * 100)}_chars")
         )
     return docs.groupBy("lang").agg(*aggs)
 
@@ -96,7 +96,7 @@ def percentile_chars_sql(
     (the discrete quantile definition both engines share for exact
     data)."""
     cols = ", ".join(
-        f"CAST(quantile_disc(n_chars, {p}) AS BIGINT) AS p{int(p * 100)}_chars"
+        f"CAST(quantile_disc(n_chars, {p}) AS BIGINT) AS p{round(p * 100)}_chars"
         for p in pcts
     )
     return f"""

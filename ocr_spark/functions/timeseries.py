@@ -22,7 +22,11 @@ Scale design — why union+window, not a range join:
 Tie semantics: a right row at exactly the left row's timestamp
 MATCHES (as-of <=), pinned by sorting right rows before left rows at
 equal timestamps — identical to DuckDB's ``ASOF JOIN ... ON l.ts >=
-r.ts`` inclusive bound, which the oracle twin uses.
+r.ts`` inclusive bound, which the oracle twin uses. Among RIGHT rows
+sharing a (user, ts), the greatest event_id wins — enforced by the
+window sort order here and by a pre-join max-dedup in the SQL twin
+(raw ASOF picks an arbitrary tied row), so both engines are
+deterministic and identical.
 """
 
 from __future__ import annotations
@@ -56,10 +60,12 @@ def asof_join_events(
         "ts", F.lit(0).alias("is_left"),
         F.struct("event_id", "ts").alias("r"),
     )
-    # right rows sort before left rows at equal ts => inclusive as-of
+    # right rows sort before left rows at equal ts => inclusive
+    # as-of; among tied right rows the greatest event_id sorts last,
+    # so last(r) picks it deterministically
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_left")
+        .orderBy("ts", "is_left", F.col("r.event_id").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = left.unionByName(right).withColumn(
@@ -95,7 +101,9 @@ def asof_join_events_sql(
                AS lag_us
       FROM (SELECT * FROM {table} WHERE event_type = '{left_type}') l
       ASOF LEFT JOIN
-           (SELECT * FROM {table} WHERE event_type = '{right_type}') r
+           (SELECT user_id, ts, max(event_id) AS event_id
+            FROM {table} WHERE event_type = '{right_type}'
+            GROUP BY user_id, ts) r
         ON l.user_id = r.user_id AND l.ts >= r.ts
     """
 
@@ -111,12 +119,14 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+    # event_id tie-break: two events of one user at the same ts must
+    # get the same running assignment in both engines
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wl = Window.partitionBy("user_id").orderBy("ts")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "user_id",
         "event_id",
@@ -140,7 +150,7 @@ def running_user_stats_sql(table: str = "events") -> str:
                epoch_us(ts) - epoch_us(lag(ts) OVER w_ord), -1
              ) AS BIGINT) AS gap_us
       FROM {table}
-      WINDOW w_run AS (PARTITION BY user_id ORDER BY ts
+      WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING),
-             w_ord AS (PARTITION BY user_id ORDER BY ts)
+             w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)
     """

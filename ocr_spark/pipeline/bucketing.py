@@ -67,6 +67,8 @@ def colocated_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join two same-bucketed tables on their bucket key. With equal
-    bucket counts Catalyst plans this shuffle-free; the caller can
-    plan-assert with ``"Exchange" not in df.explain()``."""
+    bucket counts Catalyst plans this shuffle-free; plan-assert with
+    ``"Exchange" not in ocr_spark.plans.plan_str(df, "simple")``
+    (``df.explain()`` prints and returns None — it can't back an
+    assertion)."""
     return spark.table(left).join(spark.table(right), key, how)

@@ -11,10 +11,7 @@ from ocr_spark.pipeline.bucketing import colocated_join, write_bucketed
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _plan(df, mode: str = "simple") -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
+from ocr_spark.plans import plan_str as _plan
 
 
 @pytest.fixture()
@@ -33,7 +30,7 @@ def test_colocated_join_is_shuffle_free(spark, tmp_path, no_broadcast):
     write_bucketed(dims, "b_dims", "doc_id", 8, path=str(tmp_path / "d"))
     try:
         joined = colocated_join(spark, "b_stats", "b_dims", "doc_id")
-        plan = _plan(joined)
+        plan = _plan(joined, "simple")
         assert "SortMergeJoin" in plan, plan
         assert "Exchange" not in plan, plan  # both sides pre-bucketed
         assert "Bucketed: true" in _plan(joined, "formatted")
@@ -64,7 +61,7 @@ def test_mismatched_bucket_counts_fall_back_to_shuffle(
         path=str(tmp_path / "b"),
     )
     try:
-        plan = _plan(colocated_join(spark, "b_a", "b_b", "doc_id"))
+        plan = _plan(colocated_join(spark, "b_a", "b_b", "doc_id"), "simple")
         assert "Exchange" in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS b_a")

@@ -15,10 +15,7 @@ from ocr_spark.functions.olap import (
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _plan(df, mode: str = "formatted") -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
+from ocr_spark.plans import plan_str as _plan
 
 
 @pytest.fixture(scope="module")

@@ -22,10 +22,7 @@ from ocr_spark.sources.synth import synthesize_spans
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _plan(df, mode: str = "formatted") -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
+from ocr_spark.plans import plan_str as _plan
 
 
 @pytest.fixture(scope="module")
@@ -117,17 +114,10 @@ def test_star_join_broadcasts_every_dim(spark):
     joins — every dimension hop (customer -> nation -> region) is a
     BroadcastHashJoin; the only Exchange is the final small-key
     aggregate's."""
-    import importlib.util
+    import __spark_entry__ as entry
 
-    spec = importlib.util.spec_from_file_location(
-        "spark_entry", "/root/repo/__spark_entry__.py"
-    )
-    entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entry)
     df = entry._sales_by_region_spark(spark, SF_DIR)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "simple"
-    )
+    plan = _plan(df, "simple")
     assert plan.count("BroadcastHashJoin") == 3, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -15,10 +15,7 @@ from ocr_spark.functions.timeseries import (
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _plan(df, mode: str = "simple") -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
+from ocr_spark.plans import plan_str as _plan
 
 
 def _ev(spark, rows):
@@ -55,6 +52,21 @@ def test_asof_tie_is_inclusive(spark):
     assert row.lag_us == 0
 
 
+def test_asof_tied_right_rows_pick_max_event_id(spark):
+    # two clicks at the same (user, ts): the greatest event_id wins,
+    # deterministically, matching the SQL twin's pre-join max-dedup
+    ev = _ev(
+        spark,
+        [
+            (10, 1, "click", 0.0),     # id 0
+            (10, 1, "click", 0.0),     # id 1  <- tied, higher id wins
+            (20, 1, "purchase", 5.0),  # id 2
+        ],
+    )
+    [row] = asof_join_events(ev).collect()
+    assert row.matched_event_id == 1
+
+
 def test_asof_unmatched_left_keeps_row(spark):
     ev = _ev(
         spark,
@@ -84,7 +96,7 @@ def test_asof_does_not_cross_users(spark):
 
 def test_asof_plan_has_one_shuffle_and_no_join(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    plan = _plan(asof_join_events(ev))
+    plan = _plan(asof_join_events(ev), "simple")
     # union + window carry: exactly one Exchange (on user_id), and no
     # join operator anywhere — the |L|x|R| range-join blowup shape is
     # structurally impossible
@@ -107,7 +119,17 @@ def test_running_stats_accumulate(spark):
     assert [r.gap_us for r in rows] == [-1, 10_000_000, 15_000_000]
 
 
+def test_running_stats_tied_ts_assignment_is_deterministic(spark):
+    # two events of one user at the same ts order by event_id, so the
+    # running values land on specific rows in both engines
+    ev = _ev(spark, [(10, 1, "view", 1.0), (10, 1, "view", 2.0)])
+    rows = {r.event_id: r for r in running_user_stats(ev).collect()}
+    assert rows[0].running_n == 1 and rows[0].running_cents == 100
+    assert rows[1].running_n == 2 and rows[1].running_cents == 300
+    assert rows[0].gap_us == -1 and rows[1].gap_us == 0
+
+
 def test_running_stats_single_shuffle(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    plan = _plan(running_user_stats(ev))
+    plan = _plan(running_user_stats(ev), "simple")
     assert plan.count("Exchange") == 1, plan
