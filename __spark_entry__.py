@@ -727,6 +727,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_user_stats": lambda s, d: tsr.running_user_stats(
             _read(s, d, "events")
         ),
+        # exact distinct per group (the oracle-able twin of the HLL
+        # sketch path in functions/sketches.py, which tests pin for
+        # shard-merge losslessness + bounded error)
+        "distinct_users_by_type": lambda s, d: _read(s, d, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users")),
         "doc_stats_by_source": _doc_stats_spark,
         # star-schema fact x broadcast-dim-chain join
         "sales_by_region": _sales_by_region_spark,
@@ -827,6 +833,10 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": sess.sessionize_sql(),
         "asof_purchase_click": tsr.asof_join_events_sql(),
         "running_user_stats": tsr.running_user_stats_sql(),
+        "distinct_users_by_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
         "doc_stats_by_source": _doc_stats_sql(),
         "sales_by_region": _sales_by_region_sql(),
         "rollup_doc_stats": olap.rollup_doc_stats_sql(),

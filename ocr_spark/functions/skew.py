@@ -66,6 +66,36 @@ def salted_agg(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (skewed) left side into
+    ``n_salts`` sub-keys, replicate the right side once per salt, and
+    join on (keys + salt) — no reducer sees more than ~1/n_salts of a
+    hot key's rows. Result is exactly ``left.join(right, on, how)``.
+
+    Use when the right side is too big to broadcast but cheap to
+    replicate K times, and the left's key histogram is too skewed for
+    a plain shuffle join. (With AQE on, prefer letting
+    OptimizeSkewedJoin split at runtime; salting is the static answer
+    for AQE-off clusters or pre-committed partitioning.)
+
+    Only inner/left joins: replication would duplicate unmatched
+    right rows under right/full semantics."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.floor(F.rand(42) * n_salts).cast("int")
+    l = left.withColumn("_salt", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, [*on, "_salt"], how).drop("_salt")
+
+
 def salted_avg(
     df: DataFrame, keys: list[str], col: str, n_salts: int = 16
 ) -> Column | DataFrame:
