@@ -64,6 +64,37 @@ def test_percentile_is_single_shuffle(docs):
     assert "partial_percentile_approx" in plan, plan
 
 
+def test_percentile_nearest_rank_fuzz_across_engines(spark):
+    """The exactness claim behind percentile_chars: exact-mode
+    percentile_approx picks the SAME nearest-rank element as DuckDB's
+    quantile_disc for arbitrary group sizes (1..~60), duplicates
+    included. Fuzzed across 40 random groups x 3 percentiles."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from ocr_spark.functions.olap import percentile_chars, percentile_chars_sql
+
+    rng = random.Random(8675309)
+    rows = []
+    for g in range(40):
+        size = rng.choice([1, 2, 3, rng.randint(4, 60)])
+        for i in range(size):
+            # narrow value range forces duplicate values inside groups
+            rows.append((g * 1000 + i, f"g{g}", rng.randint(0, 20)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "n_chars"])
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("pct_fuzz_df", pdf)
+    con.execute("CREATE OR REPLACE VIEW pct_fuzz AS SELECT * FROM pct_fuzz_df")
+    got = sorted(map(tuple, percentile_chars(df).collect()))
+    want = sorted(
+        map(tuple, con.execute(percentile_chars_sql("pct_fuzz")).fetchall())
+    )
+    assert got == want
+
+
 def test_topk_per_group_semantics(docs):
     k = 3
     out = topk_per_group(docs, k=k).collect()
