@@ -54,11 +54,15 @@ def sessionize(
     Streaming (MergingSessionsExec keyed state; append mode emits a
     session once the watermark passes its close) — see
     ocr_spark.streaming.sessions.stream_sessions."""
+    # NULL-ts rows are excluded EXPLICITLY (session_window silently
+    # drops them; the DuckDB twin's gaps-and-islands form would not —
+    # the shared in-plan filter makes the exclusion a contract, not an
+    # engine accident)
     ev = events.select(
         F.col(key).cast("long").alias("user_id"),
         F.col(ts).cast("timestamp").alias("ts"),
         F.col(value).alias("value"),
-    )
+    ).where(F.col("ts").isNotNull())
     if watermark is not None:
         ev = ev.withWatermark("ts", watermark)
     return (
@@ -92,6 +96,7 @@ def sessionize_sql(table: str = "events", gap: str = DEFAULT_GAP) -> str:
                       OR ts - lag(ts) OVER w > INTERVAL '{gap}'
                     THEN 1 ELSE 0 END AS new_sess
         FROM {table}
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
       ),
       numbered AS (

@@ -45,17 +45,25 @@ def asof_join_events(
     matched_event_id, matched_ts, lag_us). Unmatched lefts keep the
     row with -1 sentinels (LEFT as-of semantics; exact-integer
     sentinels keep the cross-engine compare NaN-free)."""
+    # NULL-ts events have no place on a timeline: excluded in-plan,
+    # and identically in the SQL twin (engines otherwise disagree —
+    # Spark windows sort NULLs first, DuckDB ASOF matches them)
     ev = events.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),
         F.col("ts").cast("timestamp").alias("ts"),
         "event_type",
-    )
+    ).where(F.col("ts").isNotNull())
     left = ev.where(F.col("event_type") == left_type).select(
         "user_id", "event_id", "ts", F.lit(1).alias("is_left"),
         F.lit(None).cast("struct<event_id:long,ts:timestamp>").alias("r"),
     )
-    right = ev.where(F.col("event_type") == right_type).select(
+    # a NULL-user right row can never equality-match in SQL — drop it
+    # here too so the window's NULL-key partition can't carry it to a
+    # NULL-user left row (those stay unmatched, like the twin)
+    right = ev.where(
+        F.col("event_type") == right_type
+    ).where(F.col("user_id").isNotNull()).select(
         "user_id", F.lit(None).cast("long").alias("event_id"),
         "ts", F.lit(0).alias("is_left"),
         F.struct("event_id", "ts").alias("r"),
@@ -99,10 +107,13 @@ def asof_join_events_sql(
              coalesce(strftime(r.ts, '%Y-%m-%d %H:%M:%S'), '') AS matched_ts,
              CAST(coalesce(epoch_us(l.ts) - epoch_us(r.ts), -1) AS BIGINT)
                AS lag_us
-      FROM (SELECT * FROM {table} WHERE event_type = '{left_type}') l
+      FROM (SELECT * FROM {table}
+            WHERE event_type = '{left_type}' AND ts IS NOT NULL) l
       ASOF LEFT JOIN
            (SELECT user_id, ts, max(event_id) AS event_id
-            FROM {table} WHERE event_type = '{right_type}'
+            FROM {table}
+            WHERE event_type = '{right_type}' AND ts IS NOT NULL
+              AND user_id IS NOT NULL
             GROUP BY user_id, ts) r
         ON l.user_id = r.user_id AND l.ts >= r.ts
     """
@@ -113,12 +124,15 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     event_id, running_n, running_cents, gap_us). One shuffle on
     user_id, one per-partition sort, all exact integers (value sums
     as cents, gaps as microseconds; first event's gap is -1)."""
+    # NULL-ts rows excluded (see asof_join_events): engines order
+    # NULLs differently inside windows, so a shared timeline rule is
+    # the only deterministic contract
     ev = events.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),
         F.col("ts").cast("timestamp").alias("ts"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
+    ).where(F.col("ts").isNotNull())
     # event_id tie-break: two events of one user at the same ts must
     # get the same running assignment in both engines
     w = (
@@ -150,6 +164,7 @@ def running_user_stats_sql(table: str = "events") -> str:
                epoch_us(ts) - epoch_us(lag(ts) OVER w_ord), -1
              ) AS BIGINT) AS gap_us
       FROM {table}
+      WHERE ts IS NOT NULL
       WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING),
              w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)

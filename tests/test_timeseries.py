@@ -94,6 +94,29 @@ def test_asof_does_not_cross_users(spark):
     assert row.matched_event_id == -1
 
 
+def test_null_ts_rows_are_excluded_and_null_user_never_matches(spark):
+    """The pinned NULL contract: NULL-ts events vanish from every
+    event-time operator (both engines), and a NULL-user purchase is
+    never attributed to a NULL-user click (SQL equality semantics)."""
+    ev = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 3, 1, 0), 1, "click", 1.0),
+            (1, None, 1, "purchase", 2.0),                      # NULL ts
+            (2, dt.datetime(2024, 3, 1, 1), None, "click", 3.0),
+            (3, dt.datetime(2024, 3, 1, 2), None, "purchase", 4.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    asof = asof_join_events(ev).collect()
+    # the NULL-ts purchase is gone; the NULL-user purchase stays but
+    # cannot match the NULL-user click
+    assert {r.event_id for r in asof} == {3}
+    [r] = asof
+    assert r.matched_event_id == -1
+    run = running_user_stats(ev).collect()
+    assert {r.event_id for r in run} == {0, 2, 3}
+
+
 def test_asof_plan_has_one_shuffle_and_no_join(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     plan = _plan(asof_join_events(ev), "simple")

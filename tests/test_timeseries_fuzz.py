@@ -33,7 +33,17 @@ def _random_events(rng: random.Random, n: int) -> pd.DataFrame:
     base = dt.datetime(2024, 3, 1)
     rows = []
     for i in range(n):
-        user = rng.randint(1, 4)
+        # ~5% NULL timestamps and NULL users: the contract is that
+        # NULL-ts rows are excluded identically in both engines, and
+        # NULL-user rows group together (never equality-match in asof)
+        if rng.random() < 0.05:
+            rows.append(
+                (i, None, rng.randint(1, 4),
+                 rng.choice(["click", "purchase", "view"]),
+                 round(rng.uniform(0, 100), 2), "{}")
+            )
+            continue
+        user = rng.randint(1, 4) if rng.random() > 0.05 else None
         # coarse offsets force (user, ts) collisions across types
         offset = rng.choice(
             [
