@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""spark-submit entry: corpus + event-log analytics rollup.
+
+The reporting face of the engine: one submission computes the
+dashboard tables a 100 TB corpus owner refreshes daily, each written
+as parquet under --output/<name>:
+
+- doc_rollup       : ROLLUP(source, lang) counts/chars (one
+                     Expand+agg pass, functions/olap.py)
+- doc_percentiles  : per-lang p50/p90/p99 document length
+- top_docs         : k largest docs per source (WindowGroupLimit)
+- sessions         : gap-based event sessions (session_window)
+- attribution      : purchases as-of joined to the latest prior click
+- distinct_users   : per-event-type distinct users — EXACT with
+                     --exact-distinct, else HLL sketch estimates
+                     (fixed-size shuffle, functions/sketches.py)
+
+Every table is a single declarative plan (no collect loops); the job
+prints one JSON summary line with row counts.
+
+Example:
+  spark-submit --py-files dist/ocr_spark.zip jobs/analytics.py \\
+    --docs /data/documents.parquet --events /data/events.parquet \\
+    --output /out/analytics --top-k 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="documents parquet")
+    ap.add_argument("--events", required=True, help="events parquet")
+    ap.add_argument("--output", required=True, help="output root dir")
+    ap.add_argument("--top-k", type=int, default=5)
+    ap.add_argument("--session-gap", default="8 hours")
+    ap.add_argument(
+        "--exact-distinct",
+        action="store_true",
+        help="exact COUNT(DISTINCT) instead of HLL estimates",
+    )
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.olap import (
+        percentile_chars,
+        rollup_doc_stats,
+        topk_per_group,
+    )
+    from ocr_spark.functions.sessionize import sessionize
+    from ocr_spark.functions.sketches import approx_distinct
+    from ocr_spark.functions.timeseries import asof_join_events
+    from ocr_spark.pipeline.session import get_spark
+
+    spark = get_spark(args.master, app_name="ocr_spark_analytics")
+    docs = spark.read.parquet(args.docs)
+    events = spark.read.parquet(args.events)
+
+    if args.exact_distinct:
+        distinct = events.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_users")
+        )
+    else:
+        distinct = approx_distinct(events, ["event_type"], "user_id")
+
+    tables = {
+        "doc_rollup": rollup_doc_stats(docs),
+        "doc_percentiles": percentile_chars(docs),
+        "top_docs": topk_per_group(docs, k=args.top_k),
+        "sessions": sessionize(events, gap=args.session_gap),
+        "attribution": asof_join_events(events),
+        "distinct_users": distinct,
+    }
+    counts = {}
+    for name, df in tables.items():
+        out = f"{args.output}/{name}"
+        df.write.mode("overwrite").parquet(out)
+        # count from the written files: no second computation
+        counts[name] = spark.read.parquet(out).count()
+
+    print(json.dumps({"job": "analytics", "rows": counts}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

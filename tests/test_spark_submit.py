@@ -78,3 +78,36 @@ def test_spark_submit_dedup_job(tmp_path):
     assert summary["n_input"] == 500
     assert summary["n_keep"] <= summary["n_after_exact"] <= 500
     assert os.path.isdir(out)
+
+
+@pytest.mark.slow
+def test_spark_submit_analytics_job(tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    zpath = _build_zip(str(tmp_path))
+    out = str(tmp_path / "analytics")
+    cmd = [
+        spark_submit,
+        "--master", "local[4]",
+        "--py-files", zpath,
+        os.path.join(REPO, "jobs", "analytics.py"),
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--events", "/root/testdata/sf0.001/events.parquet",
+        "--output", out,
+        "--top-k", "3",
+        "--exact-distinct",
+    ]
+    env = {**os.environ, "PYTHONPATH": ""}
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
+    assert res.returncode == 0, res.stderr[-3000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    rows = summary["rows"]
+    assert set(rows) == {
+        "doc_rollup", "doc_percentiles", "top_docs", "sessions",
+        "attribution", "distinct_users",
+    }
+    assert all(n > 0 for n in rows.values()), rows
+    # every table landed as readable parquet
+    for name in rows:
+        assert os.path.isdir(os.path.join(out, name))
