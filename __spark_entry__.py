@@ -36,6 +36,7 @@ from ocr_spark.functions.ivf_centroids import (
 from ocr_spark.functions import olap
 from ocr_spark.functions import sessionize as sess
 from ocr_spark.functions import skew as sk
+from ocr_spark.functions.sketches import exact_distinct as sk_exact_distinct
 from ocr_spark.functions import timeseries as tsr
 from ocr_spark.functions import text as txt
 from ocr_spark.pipeline import pages as pg
@@ -730,9 +731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact distinct per group (the oracle-able twin of the HLL
         # sketch path in functions/sketches.py, which tests pin for
         # shard-merge losslessness + bounded error)
-        "distinct_users_by_type": lambda s, d: _read(s, d, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n_users")),
+        "distinct_users_by_type": lambda s, d: sk_exact_distinct(
+            _read(s, d, "events"), ["event_type"], "user_id"
+        ),
         "doc_stats_by_source": _doc_stats_spark,
         # star-schema fact x broadcast-dim-chain join
         "sales_by_region": _sales_by_region_spark,

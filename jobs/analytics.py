@@ -45,15 +45,13 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
     from ocr_spark.functions.olap import (
         percentile_chars,
         rollup_doc_stats,
         topk_per_group,
     )
     from ocr_spark.functions.sessionize import sessionize
-    from ocr_spark.functions.sketches import approx_distinct
+    from ocr_spark.functions.sketches import approx_distinct, exact_distinct
     from ocr_spark.functions.timeseries import asof_join_events
     from ocr_spark.pipeline.session import get_spark
 
@@ -61,19 +59,24 @@ def main() -> None:
     docs = spark.read.parquet(args.docs)
     events = spark.read.parquet(args.events)
 
+    # same output column either way: the published table's schema must
+    # not depend on which counting method a given run used
     if args.exact_distinct:
-        distinct = events.groupBy("event_type").agg(
-            F.countDistinct("user_id").alias("n_users")
-        )
+        distinct = exact_distinct(events, ["event_type"], "user_id")
     else:
-        distinct = approx_distinct(events, ["event_type"], "user_id")
+        distinct = approx_distinct(
+            events, ["event_type"], "user_id", out="n_users"
+        )
 
+    # formatted=False: published tables carry typed timestamps and
+    # real NULLs (the ''/-1 stringified shape exists only for the
+    # cross-engine contract compare)
     tables = {
         "doc_rollup": rollup_doc_stats(docs),
         "doc_percentiles": percentile_chars(docs),
         "top_docs": topk_per_group(docs, k=args.top_k),
-        "sessions": sessionize(events, gap=args.session_gap),
-        "attribution": asof_join_events(events),
+        "sessions": sessionize(events, gap=args.session_gap, formatted=False),
+        "attribution": asof_join_events(events, formatted=False),
         "distinct_users": distinct,
     }
     counts = {}

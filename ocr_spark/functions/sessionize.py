@@ -45,10 +45,15 @@ def sessionize(
     ts: str = "ts",
     value: str = "value",
     watermark: str | None = None,
+    formatted: bool = True,
 ) -> DataFrame:
     """(user_id, session_start, n_events, sum_value_cents,
     duration_us): one row per session — maximal runs of a key's events
     with < ``gap`` between consecutive events.
+
+    ``formatted=True`` stringifies session_start for the cross-engine
+    contract compare; pass ``formatted=False`` when writing the table
+    so consumers keep the typed timestamp (jobs/analytics.py does).
 
     With ``watermark`` set the SAME plan runs under Structured
     Streaming (MergingSessionsExec keyed state; append mode emits a
@@ -78,7 +83,11 @@ def sessionize(
         )
         .select(
             "user_id",
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            (
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                if formatted
+                else F.col("w.start")
+            ).alias("session_start"),
             "n_events",
             "sum_value_cents",
             "duration_us",

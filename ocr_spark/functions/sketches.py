@@ -21,16 +21,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-LG_K = 12  # DataSketches default; ~1.6% rse, 8 KB per sketch
+LG_K = 12  # DataSketches default; ~1.6% rse, ~2^lg_k = 4 KB per
+           # sketch (HLL_8 layout: one byte per register)
+
+
+def exact_distinct(
+    df: DataFrame, keys: list[str], col: str, out: str = "n_users"
+) -> DataFrame:
+    """Per-group EXACT distinct count — the oracle-able twin of
+    ``approx_distinct`` (shuffles the distinct values; fine while
+    per-group cardinality fits a reducer, swap for the sketch past
+    that)."""
+    return df.groupBy(*keys).agg(F.countDistinct(col).alias(out))
 
 
 def approx_distinct(
-    df: DataFrame, keys: list[str], col: str, rsd: float = 0.05
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    rsd: float = 0.05,
+    out: str | None = None,
 ) -> DataFrame:
     """Per-group approximate distinct count (HLL++), one shuffle of
-    fixed-size sketch partials — never of the distinct values."""
+    fixed-size sketch partials — never of the distinct values.
+    ``out`` names the count column (default ``approx_distinct_<col>``);
+    pass the same name as the exact twin's to keep a published table's
+    schema stable across exact/approx runs."""
     return df.groupBy(*keys).agg(
-        F.approx_count_distinct(col, rsd).alias(f"approx_distinct_{col}")
+        F.approx_count_distinct(col, rsd).alias(
+            out or f"approx_distinct_{col}"
+        )
     )
 
 

@@ -88,12 +88,19 @@ def salted_join(
     right rows under right/full semantics."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    # a user column named _salt must survive ("result is exactly the
+    # plain join"): pick a helper name no input carries
+    sc = "_salt"
+    while sc in left.columns or sc in right.columns:
+        sc += "_"
     salt = F.floor(F.rand(42) * n_salts).cast("int")
-    l = left.withColumn("_salt", salt)
+    l = left.withColumn(sc, salt)
     r = right.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        sc, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    return l.join(r, [*on, "_salt"], how).drop("_salt")
+    return l.join(r, [*on, sc], how).drop(sc)
 
 
 def salted_avg(

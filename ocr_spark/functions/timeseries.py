@@ -39,12 +39,19 @@ def asof_join_events(
     events: DataFrame,
     left_type: str = "purchase",
     right_type: str = "click",
+    formatted: bool = True,
 ) -> DataFrame:
     """Attribute each ``left_type`` event to the most recent <=-prior
     ``right_type`` event of the same user: (user_id, event_id, ts,
     matched_event_id, matched_ts, lag_us). Unmatched lefts keep the
-    row with -1 sentinels (LEFT as-of semantics; exact-integer
-    sentinels keep the cross-engine compare NaN-free)."""
+    row (LEFT as-of semantics).
+
+    ``formatted=True`` (the contract-query shape) stringifies
+    timestamps and replaces NULLs with ''/-1 sentinels so the
+    cross-engine text compare is NaN-free; pass ``formatted=False``
+    when WRITING the result (jobs/analytics.py does) — consumers get
+    typed timestamps (predicate pushdown on time ranges works) and
+    real NULLs for unmatched rows."""
     # NULL-ts events have no place on a timeline: excluded in-plan,
     # and identically in the SQL twin (engines otherwise disagree —
     # Spark windows sort NULLs first, DuckDB ASOF matches them)
@@ -79,7 +86,18 @@ def asof_join_events(
     u = left.unionByName(right).withColumn(
         "m", F.last("r", ignorenulls=True).over(w)
     )
-    return u.where(F.col("is_left") == 1).select(
+    matched = u.where(F.col("is_left") == 1)
+    lag = F.unix_micros("ts") - F.unix_micros("m.ts")
+    if not formatted:
+        return matched.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("m.event_id").alias("matched_event_id"),
+            F.col("m.ts").alias("matched_ts"),
+            lag.alias("lag_us"),
+        )
+    return matched.select(
         "user_id",
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
@@ -87,9 +105,7 @@ def asof_join_events(
         F.coalesce(
             F.date_format("m.ts", "yyyy-MM-dd HH:mm:ss"), F.lit("")
         ).alias("matched_ts"),
-        F.coalesce(
-            F.unix_micros("ts") - F.unix_micros("m.ts"), F.lit(-1)
-        ).alias("lag_us"),
+        F.coalesce(lag, F.lit(-1)).alias("lag_us"),
     )
 
 

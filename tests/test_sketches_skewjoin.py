@@ -106,6 +106,25 @@ def test_salted_left_join_keeps_unmatched_left(spark):
     assert out.where("flag IS NULL").count() == docs.count() - n_en
 
 
+def test_salted_join_preserves_user_salt_column(spark):
+    """A real input column named _salt must survive — the helper
+    column picks a non-colliding name."""
+    left = spark.createDataFrame(
+        [(1, "k1", "keepme")], "id long, k string, _salt string"
+    )
+    right = spark.createDataFrame([("k1", 7)], "k string, v long")
+    out = salted_join(left, right, ["k"], n_salts=4)
+    assert "_salt" in out.columns
+    [row] = out.collect()
+    assert row._salt == "keepme" and row.v == 7
+
+
+def test_salted_join_rejects_bad_n_salts(spark):
+    docs = spark.createDataFrame([(1, "a")], "id long, k string")
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(docs, docs, ["k"], n_salts=0)
+
+
 def test_salted_join_rejects_right_joins(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with pytest.raises(ValueError, match="inner/left"):

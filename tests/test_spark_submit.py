@@ -96,7 +96,8 @@ def test_spark_submit_analytics_job(tmp_path):
         "--events", "/root/testdata/sf0.001/events.parquet",
         "--output", out,
         "--top-k", "3",
-        "--exact-distinct",
+        # NO --exact-distinct: exercise the default (HLL) branch —
+        # the one a flagless submission runs
     ]
     env = {**os.environ, "PYTHONPATH": ""}
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
@@ -111,3 +112,19 @@ def test_spark_submit_analytics_job(tmp_path):
     # every table landed as readable parquet
     for name in rows:
         assert os.path.isdir(os.path.join(out, name))
+    # published schemas are the typed/stable contract: n_users
+    # regardless of counting method, real timestamps (not the
+    # contract-compare string shape)
+    import pyarrow.parquet as pq
+
+    def _schema(name):
+        d = os.path.join(out, name)
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        return pq.read_schema(os.path.join(d, f))
+
+    assert "n_users" in _schema("distinct_users").names
+    att = _schema("attribution")
+    assert str(att.field("ts").type).startswith("timestamp")
+    assert str(att.field("matched_ts").type).startswith("timestamp")
+    sess = _schema("sessions")
+    assert str(sess.field("session_start").type).startswith("timestamp")

@@ -68,14 +68,26 @@ def _random_events(rng: random.Random, n: int) -> pd.DataFrame:
     )
 
 
+def _sort_key(row):
+    # rows can carry None in nullable columns (NULL-user groups);
+    # plain sorted() would TypeError comparing None with a value
+    return tuple((v is None, repr(v)) for v in row)
+
+
 def _assert_same(spark_df, con, sql):
     cols = sorted(spark_df.columns)
-    got = sorted(map(tuple, spark_df.select(*cols).collect()))
+    got = sorted(map(tuple, spark_df.select(*cols).collect()), key=_sort_key)
     odf = con.execute(sql).df()
     assert sorted(odf.columns) == cols
     want = sorted(
-        tuple(None if (isinstance(v, float) and math.isnan(v)) else v for v in r)
-        for r in odf[cols].itertuples(index=False, name=None)
+        (
+            tuple(
+                None if (isinstance(v, float) and math.isnan(v)) else v
+                for v in r
+            )
+            for r in odf[cols].itertuples(index=False, name=None)
+        ),
+        key=_sort_key,
     )
     assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
     for g, w in zip(got, want):
