@@ -34,6 +34,7 @@ from ocr_spark.functions.ivf_centroids import (
     TRAINED_CENTROIDS_SF001 as _IVF_CENTS,
 )
 from ocr_spark.functions import olap
+from ocr_spark.functions import sampling as smp
 from ocr_spark.functions import sessionize as sess
 from ocr_spark.functions import skew as sk
 from ocr_spark.functions.sketches import exact_distinct as sk_exact_distinct
@@ -778,6 +779,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": lambda s, d: sim.embedding_near_dups(
             _read(s, d, "embeddings"), tau=0.35
         ),
+        # --- deterministic sampling (training-data surface): content-
+        # hash bucketing, not sample() — row-stable under task retry /
+        # repartition / resume; row-level oracle check of every
+        # assignment
+        "dataset_split_assign": lambda s, d: smp.dataset_split(
+            _read(s, d, "documents")
+        ).select("doc_id", "split"),
+        "stratified_sample": lambda s, d: smp.stratified_sample(
+            _read(s, d, "documents"),
+            "lang",
+            {"en": 0.5, "de": 0.2, "fr": 0.1},
+        ).select("doc_id", "lang"),
     }
 
 
@@ -860,4 +873,16 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": sim.ivf_topk_sql(),
         "ivf_topk_trained": sim.ivf_topk_trained_sql(_IVF_CENTS),
         "embedding_near_dups": sim.embedding_near_dups_sql(tau=0.35),
+        "dataset_split_assign": (
+            "SELECT doc_id, split FROM ("
+            + smp.dataset_split_sql("documents")
+            + ")"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM ("
+            + smp.stratified_sample_sql(
+                "documents", "lang", {"en": 0.5, "de": 0.2, "fr": 0.1}
+            )
+            + ")"
+        ),
     }

@@ -1,0 +1,171 @@
+"""Deterministic sampling & dataset splitting for training corpora.
+
+A 100 TB curation pipeline cannot use ``DataFrame.sample()`` for its
+train/val/test split or its stratified downsample: Spark's sampler is
+seeded PER PARTITION, so task retries, AQE re-coalescing, or a
+different input file layout silently change which rows are selected —
+a resume then mixes two different samples. The portable fix (the one
+every large-scale dataset pipeline ships) is CONTENT-HASH bucketing:
+``bucket = H(salt || id) % 10_000`` and compare against per-split
+thresholds. The assignment is then a property of the ROW, not of the
+execution: stable under retries, repartitioning, resume, and even
+re-ingestion of the same corpus.
+
+Both operators are pure scan-stage column expressions (md5 + compare,
+whole-stage codegen, zero shuffle, no UDF) using the repo's portable
+60-bit md5 fold (`hashing.md5_long`) so the DuckDB oracle twins agree
+bit-for-bit.
+
+Reference analog: the reference processes whole uploaded corpora with
+no sampling stage (/root/reference/pipeline.py:533 sequential loop) —
+these operators are part of the beyond-reference training-data
+surface (SURVEY.md §2 "LLM-data-pipeline operators").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.hashing import md5_long, md5_long_sql
+
+# Hash-bucket resolution: 10k buckets → split fractions are exact to
+# 0.01%. One bucket column serves both operators.
+N_BUCKETS = 10_000
+
+DEFAULT_WEIGHTS: dict[str, float] = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer bucket thresholds, insertion-ordered.
+
+    The LAST split absorbs rounding residue so every bucket lands in
+    exactly one split (sum of weights must be ~1).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    for i, (name, w) in enumerate(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for split '{name}'")
+        cum += w
+        hi = N_BUCKETS if i == len(weights) - 1 else int(round(cum * N_BUCKETS))
+        out.append((name, hi))
+    return out
+
+
+def _bucket_col(id_col: str, salt: str):
+    # salt || ':' || id — the salt namespaces the assignment so two
+    # different splits of the same corpus are independent; casting the
+    # id to string keeps the operator id-type-agnostic (int or
+    # 'sha1:...' ids both work — no silent long-cast NULLs).
+    return md5_long(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    ) % N_BUCKETS
+
+
+def _bucket_sql(id_col: str, salt: str) -> str:
+    s = salt.replace("'", "''")
+    keyed = f"'{s}:' || CAST({id_col} AS VARCHAR)"
+    return f"{md5_long_sql(keyed)} % {N_BUCKETS}"
+
+
+def dataset_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split:v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default).
+
+    Adds a ``split`` column; nothing else changes. Pure codegen — at
+    scale this is free inside whatever stage reads the rows, and the
+    same (salt, id) always lands in the same split on any cluster.
+    """
+    ths = _thresholds(DEFAULT_WEIGHTS if weights is None else weights)
+    b = _bucket_col(id_col, salt)
+    col = None
+    for name, hi in ths[:-1]:
+        cond = b < F.lit(hi)
+        col = F.when(cond, name) if col is None else col.when(cond, name)
+    last = ths[-1][0]
+    split = F.lit(last) if col is None else col.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def dataset_split_sql(
+    source: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split:v1",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`dataset_split` (returns a full SELECT)."""
+    ths = _thresholds(DEFAULT_WEIGHTS if weights is None else weights)
+    b = _bucket_sql(id_col, salt)
+    if len(ths) == 1:
+        case = f"'{ths[0][0]}'"
+    else:
+        arms = " ".join(
+            f"WHEN {b} < {hi} THEN '{name}'" for name, hi in ths[:-1]
+        )
+        case = f"CASE {arms} ELSE '{ths[-1][0]}' END"
+    return f"SELECT *, {case} AS split FROM {source}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float] | float,
+    salt: str = "sample:v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsample.
+
+    ``fractions`` is either one fraction for every stratum or a
+    {stratum_value: fraction} map (unlisted strata are dropped —
+    matching ``sampleBy`` semantics). Selection is by content hash,
+    so it is exactly reproducible and resume-safe; rows keep their
+    original columns.
+
+    Scale shape: a codegen filter in the scan stage — no shuffle, no
+    driver-side state, and the per-stratum thresholds are literals
+    folded into the predicate (strata cardinality is assumed
+    operator-scale, e.g. language or source labels).
+    """
+    b = _bucket_col(id_col, salt)
+    if isinstance(fractions, dict):
+        pred = None
+        for value, frac in fractions.items():
+            hi = int(round(frac * N_BUCKETS))
+            cond = (F.col(strata_col) == F.lit(value)) & (b < F.lit(hi))
+            pred = cond if pred is None else (pred | cond)
+        if pred is None:
+            raise ValueError("fractions map must be non-empty")
+    else:
+        pred = b < F.lit(int(round(float(fractions) * N_BUCKETS)))
+    return df.where(pred)
+
+
+def stratified_sample_sql(
+    source: str,
+    strata_col: str,
+    fractions: dict[str, float] | float,
+    salt: str = "sample:v1",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample`."""
+    b = _bucket_sql(id_col, salt)
+    if isinstance(fractions, dict):
+        parts = [
+            f"({strata_col} = '{str(v).replace(chr(39), chr(39) * 2)}'"
+            f" AND {b} < {int(round(f * N_BUCKETS))})"
+            for v, f in fractions.items()
+        ]
+        pred = " OR ".join(parts)
+    else:
+        pred = f"{b} < {int(round(float(fractions) * N_BUCKETS))}"
+    return f"SELECT * FROM {source} WHERE {pred}"

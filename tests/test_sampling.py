@@ -1,0 +1,142 @@
+"""Deterministic sampling/splitting: semantics, execution-stability
+(the whole point vs ``sample()``), cross-engine twins, plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ocr_spark.functions.sampling import (
+    dataset_split,
+    dataset_split_sql,
+    stratified_sample,
+    stratified_sample_sql,
+)
+from ocr_spark.plans import plan_str as _plan
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_split_partition_invariant(docs):
+    """The assignment must be a property of the row: any repartition /
+    coalesce (standing in for retries, AQE re-planning, resume) yields
+    the identical split per doc."""
+    base = dict(
+        dataset_split(docs).select("doc_id", "split").collect()
+    )
+    shuffled = dict(
+        dataset_split(docs.repartition(7, "lang"))
+        .select("doc_id", "split")
+        .collect()
+    )
+    assert base == shuffled and len(base) == docs.count()
+
+
+def test_split_fractions_and_exhaustiveness(docs):
+    rows = dataset_split(docs).groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in rows}
+    n = sum(by.values())
+    assert set(by) == {"train", "val", "test"}
+    assert n == docs.count()
+    # 10k-bucket hash split at n=500: generous tolerance, fixed seed
+    assert abs(by["train"] / n - 0.9) < 0.06
+    assert abs(by["val"] / n - 0.05) < 0.04
+    assert abs(by["test"] / n - 0.05) < 0.04
+
+
+def test_split_salt_namespaces_assignment(docs):
+    a = dict(dataset_split(docs, salt="v1").select("doc_id", "split").collect())
+    b = dict(dataset_split(docs, salt="v2").select("doc_id", "split").collect())
+    assert a != b  # different salts → independent splits
+    # but each is internally deterministic
+    a2 = dict(dataset_split(docs, salt="v1").select("doc_id", "split").collect())
+    assert a == a2
+
+
+def test_split_weight_validation(docs):
+    with pytest.raises(ValueError):
+        dataset_split(docs, weights={"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError):
+        dataset_split(docs, weights={})
+
+
+def test_split_string_ids_supported(docs):
+    """'sha1:<n>' ids split without any long-cast NULL trap."""
+    from pyspark.sql import functions as F
+
+    sdocs = docs.withColumn(
+        "doc_id", F.concat(F.lit("sha1:"), F.col("doc_id").cast("string"))
+    )
+    rows = dataset_split(sdocs).where(F.col("split").isNull()).count()
+    assert rows == 0
+
+
+def test_split_is_scan_stage_only(docs):
+    """Zero Exchange: assignment runs inside the scan stage."""
+    plan = _plan(dataset_split(docs).select("doc_id", "split"), "simple")
+    assert "Exchange" not in plan
+
+
+def test_split_matches_duckdb_twin(docs):
+    spark_rows = sorted(
+        map(tuple, dataset_split(docs).select("doc_id", "split").collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    sql = "SELECT doc_id, split FROM (" + dataset_split_sql("documents") + ")"
+    oracle = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert spark_rows == oracle
+
+
+def test_stratified_sample_semantics(docs):
+    out = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.2}).collect()
+    langs = {r["lang"] for r in out}
+    assert langs <= {"en", "de"}  # unlisted strata dropped
+    # sampled set is a subset of the stratum populations
+    n_en = docs.where("lang = 'en'").count()
+    got_en = sum(1 for r in out if r["lang"] == "en")
+    assert 0 < got_en < n_en
+
+
+def test_stratified_sample_uniform_fraction(docs):
+    n = docs.count()
+    got = stratified_sample(docs, "lang", 0.3).count()
+    assert abs(got / n - 0.3) < 0.08
+
+
+def test_stratified_sample_matches_duckdb_twin(docs):
+    fr = {"en": 0.5, "de": 0.2, "fr": 0.1}
+    spark_rows = sorted(
+        map(
+            tuple,
+            stratified_sample(docs, "lang", fr).select("doc_id", "lang").collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    sql = (
+        "SELECT doc_id, lang FROM ("
+        + stratified_sample_sql("documents", "lang", fr)
+        + ")"
+    )
+    oracle = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert spark_rows == oracle
+
+
+def test_sample_disjoint_from_different_salt_split(docs):
+    """sample + split compose: sampling for eval inside the 'val' split
+    only touches val rows (the practical composition a pipeline runs)."""
+    split = dataset_split(docs)
+    val_sample = stratified_sample(
+        split.where("split = 'val'"), "lang", 0.5, salt="eval:v1"
+    )
+    assert val_sample.where("split != 'val'").count() == 0
