@@ -34,6 +34,7 @@ from ocr_spark.functions.ivf_centroids import (
     TRAINED_CENTROIDS_SF001 as _IVF_CENTS,
 )
 from ocr_spark.functions import olap
+from ocr_spark.functions import rangejoin as rj
 from ocr_spark.functions import sampling as smp
 from ocr_spark.functions import sessionize as sess
 from ocr_spark.functions import skew as sk
@@ -791,6 +792,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang",
             {"en": 0.5, "de": 0.2, "fr": 0.1},
         ).select("doc_id", "lang"),
+        # banded interval join (points-in-window attribution): time-
+        # banded equi-join + exact recheck — must equal the oracle's
+        # naive non-equi join row-for-row with no nested-loop plan
+        "interval_attribution": lambda s, d: rj.attribution_join_events(
+            _read(s, d, "events")
+        ),
     }
 
 
@@ -885,4 +892,5 @@ def oracle_sql() -> dict[str, str]:
             )
             + ")"
         ),
+        "interval_attribution": rj.attribution_join_events_sql(),
     }
