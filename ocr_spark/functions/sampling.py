@@ -160,8 +160,17 @@ def stratified_sample_sql(
     """DuckDB twin of :func:`stratified_sample`."""
     b = _bucket_sql(id_col, salt)
     if isinstance(fractions, dict):
+        def _sql_lit(v) -> str:
+            # mirror the Spark side's TYPED literal (F.lit): numbers
+            # stay numbers, strings are quoted/escaped
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            return "'" + str(v).replace("'", "''") + "'"
+
         parts = [
-            f"({strata_col} = '{str(v).replace(chr(39), chr(39) * 2)}'"
+            f"({strata_col} = {_sql_lit(v)}"
             f" AND {b} < {int(round(f * N_BUCKETS))})"
             for v, f in fractions.items()
         ]
