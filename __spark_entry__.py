@@ -36,6 +36,7 @@ from ocr_spark.functions.ivf_centroids import (
 from ocr_spark.functions import olap
 from ocr_spark.functions import rangejoin as rj
 from ocr_spark.functions import sampling as smp
+from ocr_spark.functions import tfidf as tfi
 from ocr_spark.functions import sessionize as sess
 from ocr_spark.functions import skew as sk
 from ocr_spark.functions.sketches import exact_distinct as sk_exact_distinct
@@ -798,6 +799,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_attribution": lambda s, d: rj.attribution_join_events(
             _read(s, d, "events")
         ),
+        # tf-idf top terms (rational idf — exact cross-engine; the
+        # ln() variant stays off the hash-compared path by design)
+        "tfidf_top_terms": lambda s, d: tfi.tfidf_top_terms(
+            _read(s, d, "documents")
+        ),
     }
 
 
@@ -893,4 +899,5 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "interval_attribution": rj.attribution_join_events_sql(),
+        "tfidf_top_terms": tfi.tfidf_top_terms_sql(),
     }

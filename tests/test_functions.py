@@ -8,7 +8,7 @@ import math
 import duckdb
 import pytest
 
-from ocr_spark.functions import dedup, similarity, text
+from ocr_spark.functions import dedup, similarity, text, tfidf
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -98,6 +98,7 @@ def test_text_operator_fuzz_across_engines(spark, con):
         (dedup.exact_dedup, dedup.exact_dedup_sql("t_fuzz")),
         (dedup.simhash, dedup.simhash_sql("t_fuzz")),
         (dedup.minhash_signatures, dedup.minhash_signatures_sql("t_fuzz")),
+        (tfidf.tfidf_top_terms, tfidf.tfidf_top_terms_sql("t_fuzz")),
     ):
         assert_same(build(df), con, sql)
 
