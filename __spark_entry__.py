@@ -804,6 +804,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": lambda s, d: tfi.tfidf_top_terms(
             _read(s, d, "documents")
         ),
+        # per-domain cap (training-mix balancing): deterministic
+        # hash-ranked survivors, WindowGroupLimit truncation
+        "cap_per_source": lambda s, d: smp.cap_per_group(
+            _read(s, d, "documents"), "source", 10
+        ).select("doc_id", "source"),
+        # incremental-ingest novelty gate: a re-crawl batch (every
+        # doc re-ingested, every 5th modified) anti-joined against
+        # the corpus — only the modified fifth is novel
+        "novel_docs": lambda s, d: ded.novel_docs(
+            _read(s, d, "documents").withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text")),
+            ),
+            _read(s, d, "documents"),
+        ).select("doc_id", "source"),
     }
 
 
@@ -900,4 +917,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "interval_attribution": rj.attribution_join_events_sql(),
         "tfidf_top_terms": tfi.tfidf_top_terms_sql(),
+        "cap_per_source": (
+            "SELECT doc_id, source FROM ("
+            + smp.cap_per_group_sql("documents", "source", 10)
+            + ")"
+        ),
+        "novel_docs": (
+            "SELECT doc_id, source FROM ("
+            + ded.novel_docs_sql(
+                "(SELECT * REPLACE (CASE WHEN doc_id % 5 = 0"
+                " THEN text || ' v2' ELSE text END AS text) FROM documents)",
+                "documents",
+            )
+            + ")"
+        ),
     }

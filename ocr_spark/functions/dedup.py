@@ -816,3 +816,40 @@ def simhash_pairs_sql(
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# incremental novelty (anti-join against an existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def novel_docs(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Rows of ``new_docs`` whose exact text content is absent from
+    ``corpus`` — the incremental-ingest gate (only novel documents
+    proceed to the expensive near-dup / extraction stages; re-crawls
+    and re-uploads short-circuit here).
+
+    Shape: LEFT ANTI join on md5(text) — one shuffle on a uniform
+    hash key, nothing materialized from the corpus side but the key
+    column (column pruning reaches the corpus scan). NULL-text rows
+    are never "novel" duplicates of each other: they pass through iff
+    the corpus has no NULL-text row, matching SQL NOT-EXISTS-on-md5
+    semantics via a null-safe key compare.
+    """
+    new_keyed = new_docs.withColumn("_k", F.md5("text"))
+    seen = corpus.select(F.md5("text").alias("_k")).distinct()
+    return new_keyed.join(
+        seen, new_keyed["_k"].eqNullSafe(seen["_k"]), "left_anti"
+    ).drop("_k")
+
+
+def novel_docs_sql(new_table: str, corpus_table: str) -> str:
+    """DuckDB twin of :func:`novel_docs` (NOT EXISTS on the same key;
+    ``IS NOT DISTINCT FROM`` mirrors the null-safe compare)."""
+    return f"""
+      SELECT n.* FROM {new_table} n
+      WHERE NOT EXISTS (
+        SELECT 1 FROM {corpus_table} c
+        WHERE md5(c.text) IS NOT DISTINCT FROM md5(n.text)
+      )
+    """

@@ -24,7 +24,7 @@ surface (SURVEY.md §2 "LLM-data-pipeline operators").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.functions.hashing import md5_long, md5_long_sql
@@ -148,6 +148,63 @@ def stratified_sample(
     else:
         pred = b < F.lit(int(round(float(fractions) * N_BUCKETS)))
     return df.where(pred)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    salt: str = "cap:v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the domain-balancing
+    staple (no single source/domain may dominate the training mix).
+
+    Which rows survive is decided by ranking on the content hash
+    (ties broken by the id string), so the per-group selection is a
+    uniform-but-deterministic subset: stable under retries and
+    resume, and adding NEW rows to a group only perturbs the
+    selection near the cap boundary rather than reshuffling it.
+
+    Scale shape: one shuffle on ``group_col`` for the rank window.
+    Spark's WindowGroupLimit pushes the ``rank <= cap`` truncation
+    map-side, so a mega-domain never materializes past ~cap rows per
+    input partition before the exchange.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    # full 60-bit hash (not the 10k-bucket fold) so hash ties — and
+    # the alphabetical id tie-break behind them — are negligible
+    h = md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(id_col).cast("string").asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def cap_per_group_sql(
+    source: str,
+    group_col: str,
+    cap: int,
+    salt: str = "cap:v1",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`cap_per_group`."""
+    esc = salt.replace("'", "''")
+    h = md5_long_sql(f"'{esc}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+      SELECT * EXCLUDE (_rk) FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY {group_col}
+          ORDER BY {h} ASC, CAST({id_col} AS VARCHAR) ASC
+        ) AS _rk
+        FROM {source}
+      ) WHERE _rk <= {cap}
+    """
 
 
 def stratified_sample_sql(

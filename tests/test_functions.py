@@ -574,3 +574,49 @@ def test_simhash_pairs_finds_near_identical(spark):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(df, max_hamming=10).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs
+
+
+def test_novel_docs_semantics(spark):
+    """Re-ingest with a modified fifth: only modified rows are novel;
+    NULL-text rows are dropped when the corpus also has a NULL text."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, None)], "doc_id long, text string"
+    )
+    got = sorted(r.doc_id for r in dedup.novel_docs(new, corpus).collect())
+    assert got == [11]  # 'alpha' seen; NULL matched null-safely
+    # corpus without NULL text: the NULL-text new row IS novel
+    got2 = sorted(
+        r.doc_id
+        for r in dedup.novel_docs(new, corpus.where(F.col("text").isNotNull())).collect()
+    )
+    assert got2 == [11, 12]
+
+
+def test_novel_docs_matches_duckdb_twin(docs, con):
+    from pyspark.sql import functions as F
+
+    new = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    got = sorted(
+        map(tuple, dedup.novel_docs(new, docs).select("doc_id", "source").collect())
+    )
+    sql = (
+        "SELECT doc_id, source FROM ("
+        + dedup.novel_docs_sql(
+            "(SELECT * REPLACE (CASE WHEN doc_id % 5 = 0 THEN text || ' v2'"
+            " ELSE text END AS text) FROM documents)",
+            "documents",
+        )
+        + ")"
+    )
+    oracle = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == oracle and len(got) == 100  # exactly the modified fifth

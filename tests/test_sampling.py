@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from ocr_spark.functions.sampling import (
     dataset_split,
@@ -140,3 +141,53 @@ def test_sample_disjoint_from_different_salt_split(docs):
         split.where("split = 'val'"), "lang", 0.5, salt="eval:v1"
     )
     assert val_sample.where("split != 'val'").count() == 0
+
+
+def test_cap_per_group_semantics(docs):
+    from ocr_spark.functions.sampling import cap_per_group
+
+    capped = cap_per_group(docs, "source", 10)
+    sizes = {r["source"]: r["n"] for r in
+             capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    orig = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in sizes.items():
+        assert n == min(10, orig[src])
+    # deterministic: same survivors under a different partitioning
+    a = sorted(r["doc_id"] for r in capped.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in cap_per_group(docs.repartition(13), "source", 10)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        cap_per_group(docs, "source", 0)
+
+
+def test_cap_per_group_matches_duckdb_twin(docs):
+    from ocr_spark.functions.sampling import cap_per_group, cap_per_group_sql
+
+    got = sorted(
+        map(tuple, cap_per_group(docs, "source", 7).select("doc_id", "source").collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    sql = (
+        "SELECT doc_id, source FROM ("
+        + cap_per_group_sql("documents", "source", 7)
+        + ")"
+    )
+    oracle = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == oracle and len(got) > 0
+
+
+def test_cap_per_group_truncates_map_side(docs):
+    from ocr_spark.functions.sampling import cap_per_group
+    from ocr_spark.plans import plan_str
+
+    plan = plan_str(cap_per_group(docs, "source", 10), "simple")
+    assert "WindowGroupLimit" in plan
