@@ -4,13 +4,22 @@ end to end — the composition a 100 TB corpus actually runs:
 
 1. extract   — interleaved span table -> boilerplate-stripped main
                content (single-pass Arrow kernel, per-doc metrics);
-2. filter    — deterministic quality score + language-ID gates over
+2. novelty   — optional (--against): anti-join the batch against an
+               already-curated corpus so re-crawls short-circuit
+               before the expensive stages;
+3. filter    — deterministic quality score + language-ID gates over
                the extracted text (pure codegen, scan-stage);
-3. dedup     — exact (content hash) then near-dup (minhash-LSH
+4. dedup     — exact (content hash) then near-dup (minhash-LSH
                candidates, exact-Jaccard verify, connected
                components) over the survivors;
-4. write     — curated (doc_id, text) table in the bucketed layout +
-               one JSON summary line with per-stage counts.
+5. balance   — optional (--cap-per-source): at most N survivors per
+               source domain, hash-ranked so the selection is
+               retry/resume-stable;
+6. split     — optional (--split): deterministic hash-bucketed
+               train/val/test assignment column;
+7. write     — curated (doc_id, text[, source, split]) table in the
+               bucketed layout + one JSON summary line with
+               per-stage counts.
 
 Every stage is an already-oracle-checked operator; this job is the
 glue. Scale shape: one kernel pass, scan-stage filters, candidate-
@@ -43,6 +52,25 @@ def main() -> None:
         "--langs", default="", help="comma-separated allowed lang_pred values; empty = all"
     )
     ap.add_argument("--tau", type=float, default=0.5, help="near-dup jaccard threshold")
+    ap.add_argument(
+        "--against",
+        default=None,
+        help="previously curated corpus (parquet with a text column); "
+        "only documents whose text is absent from it proceed",
+    )
+    ap.add_argument(
+        "--cap-per-source",
+        type=int,
+        default=0,
+        help="max curated docs per source domain (needs --synthesize "
+        "input with a source column); 0 = off",
+    )
+    ap.add_argument(
+        "--split",
+        default="",
+        help="comma list name=weight (e.g. train=0.9,val=0.05,test=0.05) "
+        "to add a deterministic hash split column; empty = off",
+    )
     ap.add_argument("--max-bucket", type=int, default=1000, help="LSH band bucket cap; 0 = off")
     ap.add_argument("--n-buckets", type=int, default=16, help="output bucket count")
     ap.add_argument("--master", default=None)
@@ -50,7 +78,8 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from ocr_spark.functions.dedup import dup_clusters, exact_dedup
+    from ocr_spark.functions.dedup import dup_clusters, exact_dedup, novel_docs
+    from ocr_spark.functions.sampling import cap_per_group, dataset_split
     from ocr_spark.functions.text import lang_id, quality_score
     from ocr_spark.pipeline.extract import extract_main_content
     from ocr_spark.pipeline.session import get_spark
@@ -88,6 +117,12 @@ def main() -> None:
     )
     n_extracted = corpus.count()
 
+    # 1.5 novelty gate: only docs absent from the existing corpus
+    if args.against:
+        existing = spark.read.parquet(args.against).select("text")
+        corpus = novel_docs(corpus, existing).persist()
+    n_novel = corpus.count() if args.against else n_extracted
+
     # 2. quality + language gates
     q = quality_score(corpus).select("doc_id", "quality")
     gated = corpus.join(q, "doc_id").where(F.col("quality") >= args.min_quality)
@@ -109,22 +144,51 @@ def main() -> None:
     curated = survivors.join(losers, "doc_id", "left_anti").select("doc_id", "text")
     n_curated = curated.count()
 
-    # 4. curated table in the standard bucketed layout
+    # 5. optional per-source cap (domain balancing). The source column
+    # lives on the flat input table; joined back by doc_id and kept in
+    # the output so downstream mixes can weight by it.
+    n_capped = n_curated
+    if args.cap_per_source > 0:
+        src = spark.read.parquet(args.input)
+        if "source" not in src.columns:
+            raise SystemExit("--cap-per-source needs an input with a source column")
+        curated = cap_per_group(
+            curated.join(src.select("doc_id", "source"), "doc_id"),
+            "source",
+            args.cap_per_source,
+        )
+        n_capped = curated.count()
+
+    # 6. optional deterministic split column
+    if args.split:
+        weights = {}
+        for part in args.split.split(","):
+            name, _, w = part.partition("=")
+            weights[name.strip()] = float(w)
+        curated = dataset_split(curated, weights)
+
+    # 7. curated table in the standard bucketed layout
     ResultsWriter(spark, path=args.output, n_buckets=args.n_buckets).write(curated)
 
     print(
         json.dumps(
             {
                 "n_extracted": n_extracted,
+                "n_novel": n_novel,
                 "n_after_quality_lang": n_gated,
                 "n_after_exact_dedup": n_exact,
                 "n_curated": n_curated,
-                "dropped_quality_lang": n_extracted - n_gated,
+                "n_after_cap": n_capped,
+                "dropped_not_novel": n_extracted - n_novel,
+                "dropped_quality_lang": n_novel - n_gated,
                 "dropped_exact": n_gated - n_exact,
                 "dropped_near_dup": n_exact - n_curated,
+                "dropped_cap": n_curated - n_capped,
                 "min_quality": args.min_quality,
                 "langs": langs,
                 "tau": args.tau,
+                "cap_per_source": args.cap_per_source,
+                "split": args.split,
             }
         )
     )

@@ -85,3 +85,54 @@ def test_curate_lang_gate(spark, tmp_path):
     _, s_en = _run(spark, tmp_path / "b", ("--min-quality", "0.0", "--langs", "en"))
     assert s_en["n_after_quality_lang"] <= s_all["n_after_quality_lang"]
     assert s_en["langs"] == ["en"]
+
+
+def test_curate_cap_and_split_stages(spark, tmp_path):
+    out, s = _run(
+        spark,
+        tmp_path,
+        (
+            "--min-quality", "0.0",
+            "--cap-per-source", "3",
+            "--split", "train=0.8,val=0.1,test=0.1",
+        ),
+    )
+    assert s["n_after_cap"] <= s["n_curated"]
+    assert s["dropped_cap"] == s["n_curated"] - s["n_after_cap"]
+    t = spark.read.parquet(out)
+    assert set(t.columns) >= {"doc_id", "text", "source", "split"}
+    assert t.count() == s["n_after_cap"]
+    sizes = [r["n"] for r in t.groupBy("source").agg(F.count("*").alias("n")).collect()]
+    assert sizes and max(sizes) <= 3
+    assert {r["split"] for r in t.select("split").distinct().collect()} <= {
+        "train", "val", "test",
+    }
+
+
+def test_curate_novelty_gate_short_circuits_rerun(spark, tmp_path):
+    """Curating the same batch twice with --against the first output
+    drops everything at the novelty gate."""
+    out1, s1 = _run(spark, tmp_path, ("--min-quality", "0.0"))
+    out2 = str(tmp_path / "curated2")
+    import jobs.curate as job
+
+    argv = [
+        "curate.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--synthesize",
+        "--output", out2,
+        "--against", out1,
+        "--min-quality", "0.0",
+    ]
+    printed = []
+    with patch.object(sys, "argv", argv), patch.object(
+        SparkSession, "stop", lambda self: None
+    ), patch("builtins.print", lambda s: printed.append(s)):
+        job.main()
+    s2 = json.loads(printed[-1])
+    # the first run's curated texts are all dups now. Exact-dup losers
+    # share text byte-for-byte with their curated representative, so
+    # they are (correctly) not novel either; only near-dup losers —
+    # similar but not identical text — survive the gate.
+    assert s2["n_novel"] == s1["dropped_near_dup"]
+    assert s2["dropped_not_novel"] == s2["n_extracted"] - s1["dropped_near_dup"]
