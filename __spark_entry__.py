@@ -746,6 +746,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_doc_stats": lambda s, d: olap.rollup_doc_stats(
             _read(s, d, "documents")
         ),
+        "cube_doc_stats": lambda s, d: olap.cube_doc_stats(
+            _read(s, d, "documents")
+        ),
+        # cross-tab with PINNED pivot vocabulary (no distinct-collect
+        # discovery job; schema stays data-independent)
+        "pivot_lang_by_source": lambda s, d: olap.pivot_lang_by_source(
+            _read(s, d, "documents")
+        ),
         "percentile_chars": lambda s, d: olap.percentile_chars(
             _read(s, d, "documents")
         ),
@@ -884,6 +892,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_by_source": _doc_stats_sql(),
         "sales_by_region": _sales_by_region_sql(),
         "rollup_doc_stats": olap.rollup_doc_stats_sql(),
+        "cube_doc_stats": olap.cube_doc_stats_sql(),
+        "pivot_lang_by_source": olap.pivot_lang_by_source_sql(),
         "percentile_chars": olap.percentile_chars_sql(),
         "topk_per_group": olap.topk_per_group_sql(),
         "salted_doc_counts": (

@@ -135,3 +135,65 @@ def topk_per_group_sql(table: str = "documents", k: int = DEFAULT_K) -> str:
       )
       WHERE rnk <= {k}
     """
+
+
+def cube_doc_stats(docs: DataFrame) -> DataFrame:
+    """(source, lang, gid, n_docs, total_chars) over CUBE(source,
+    lang): all four grouping sets — per-(source,lang), per-source,
+    per-lang, grand total — in ONE Expand+aggregate pass (one shuffle
+    on the grouping-set key), completing the rollup family. ``gid``
+    disambiguates cube NULLs from data NULLs exactly as in
+    :func:`rollup_doc_stats`."""
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select("source", "lang", "gid", "n_docs", "total_chars")
+    )
+
+
+def cube_doc_stats_sql(table: str = "documents") -> str:
+    return f"""
+      SELECT source, lang,
+             CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM {table}
+      GROUP BY CUBE (source, lang)
+    """
+
+
+def pivot_lang_by_source(docs: DataFrame, langs: tuple = ()) -> DataFrame:
+    """Cross-tab: one row per source, one count column per language —
+    (source, n_<lang>...). The pivot VALUES are pinned explicitly
+    (sorted ``langs``): at scale, letting Spark discover them costs an
+    extra distinct-collect job AND makes the output schema
+    data-dependent — a pinned vocabulary keeps the plan one
+    aggregate pass and the schema stable for downstream consumers.
+    Unpinned languages land in nothing (standard pivot semantics);
+    absent (source, lang) cells are 0, not NULL, so the table is
+    dense."""
+    langs = tuple(langs) or ("de", "en", "es", "fr", "zh")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", list(langs))
+        .agg(F.count(F.lit(1)))  # '*' is not legal inside a pivot agg
+    )
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(l), F.lit(0)).cast("long").alias(f"n_{l}") for l in langs],
+    )
+
+
+def pivot_lang_by_source_sql(table: str = "documents", langs: tuple = ()) -> str:
+    """DuckDB twin: explicit conditional aggregation (the portable
+    spelling of PIVOT — identical cells, stable column order)."""
+    langs = tuple(langs) or ("de", "en", "es", "fr", "zh")
+    cells = ", ".join(
+        f"CAST(count(*) FILTER (WHERE lang = '{l}') AS BIGINT) AS n_{l}"
+        for l in langs
+    )
+    return f"SELECT source, {cells} FROM {table} GROUP BY source"

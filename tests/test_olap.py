@@ -122,3 +122,63 @@ def test_topk_plan_truncates_before_shuffle(docs):
     # Spark 3.5+ pushes the rank filter below the exchange as
     # WindowGroupLimit: each map task ships only its local top-k
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_cube_levels_are_consistent(docs):
+    from ocr_spark.functions.olap import cube_doc_stats
+
+    rows = cube_doc_stats(docs).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    total = sum(r.n_docs for r in by_gid[0])
+    # every marginal reproduces the same grand total
+    assert sum(r.n_docs for r in by_gid[1]) == total  # per-source
+    assert sum(r.n_docs for r in by_gid[2]) == total  # per-lang
+    assert by_gid[3][0].n_docs == total               # grand
+    # per-lang marginals agree with the base cells
+    base_by_lang = {}
+    for r in by_gid[0]:
+        base_by_lang[r.lang] = base_by_lang.get(r.lang, 0) + r.n_docs
+    assert {r.lang: r.n_docs for r in by_gid[2]} == base_by_lang
+
+
+def test_cube_is_one_aggregation_pass(docs):
+    from ocr_spark.functions.olap import cube_doc_stats
+
+    plan = _plan(cube_doc_stats(docs), "simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_pivot_cells_and_density(docs):
+    from ocr_spark.functions.olap import pivot_lang_by_source
+
+    out = pivot_lang_by_source(docs).collect()
+    flat = {
+        (r["source"], r["lang"]): r["n"]
+        for r in docs.groupBy("source", "lang")
+        .agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n"))
+        .collect()
+    }
+    for r in out:
+        for lang in ("de", "en", "es", "fr", "zh"):
+            assert r[f"n_{lang}"] == flat.get((r["source"], lang), 0)
+    # dense: no NULL cells
+    assert all(v is not None for r in out for v in r)
+
+
+def test_pivot_plan_shape(docs):
+    """Pinned pivot values are baked into the pivotfirst aggregate (no
+    eager distinct-collect discovery job), the standard two-stage
+    pivot plan (cell counts on (source,lang), then pivotfirst on
+    source — both with map-side partials), and the scan reads only
+    the two grouping columns."""
+    from ocr_spark.functions.olap import pivot_lang_by_source
+
+    plan = _plan(pivot_lang_by_source(docs), "simple")
+    assert "pivotfirst(lang" in plan and "de, en, es, fr, zh" in plan
+    assert plan.count("Exchange") == 2
+    assert "partial_pivotfirst" in plan and "partial_count" in plan
+    assert "ReadSchema: struct<lang:string,source:string>" in plan
