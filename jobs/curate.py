@@ -120,8 +120,15 @@ def main() -> None:
     # 1.5 novelty gate: only docs absent from the existing corpus
     if args.against:
         existing = spark.read.parquet(args.against).select("text")
+        extracted = corpus
         corpus = novel_docs(corpus, existing).persist()
-    n_novel = corpus.count() if args.against else n_extracted
+        n_novel = corpus.count()
+        # the novelty output is materialized now — release the (much
+        # larger) full extraction cache instead of carrying it through
+        # dedup and the write
+        extracted.unpersist()
+    else:
+        n_novel = n_extracted
 
     # 2. quality + language gates
     q = quality_score(corpus).select("doc_id", "quality")
@@ -152,10 +159,21 @@ def main() -> None:
         src = spark.read.parquet(args.input)
         if "source" not in src.columns:
             raise SystemExit("--cap-per-source needs an input with a source column")
+        # two silent-corruption guards on the lookup side:
+        # - cast src's doc_id to curated's id type (the synthesize
+        #   path carries STRING ids; joining string to int64 coerces
+        #   both to DOUBLE and ids >= 2^53 collide silently);
+        # - collapse duplicate doc_id rows (min(source) — arbitrary
+        #   but deterministic) so a per-span or re-ingested input
+        #   can't fan curated rows out k-fold and cap spans, not docs.
+        id_type = dict(curated.dtypes)["doc_id"]
+        src = (
+            src.select(F.col("doc_id").cast(id_type).alias("doc_id"), "source")
+            .groupBy("doc_id")
+            .agg(F.min("source").alias("source"))
+        )
         curated = cap_per_group(
-            curated.join(src.select("doc_id", "source"), "doc_id"),
-            "source",
-            args.cap_per_source,
+            curated.join(src, "doc_id"), "source", args.cap_per_source
         )
         n_capped = curated.count()
 

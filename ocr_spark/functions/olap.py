@@ -29,6 +29,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -176,7 +178,7 @@ def pivot_lang_by_source(docs: DataFrame, langs: tuple = ()) -> DataFrame:
     Unpinned languages land in nothing (standard pivot semantics);
     absent (source, lang) cells are 0, not NULL, so the table is
     dense."""
-    langs = tuple(langs) or ("de", "en", "es", "fr", "zh")
+    langs = _validated_pivot_values(langs)
     out = (
         docs.groupBy("source")
         .pivot("lang", list(langs))
@@ -188,10 +190,24 @@ def pivot_lang_by_source(docs: DataFrame, langs: tuple = ()) -> DataFrame:
     )
 
 
+def _validated_pivot_values(langs: tuple) -> tuple:
+    """Pivot values become OUTPUT COLUMN NAMES (n_<value>) on both
+    engines — quotes/spaces/hyphens cannot be escaped consistently in
+    an identifier, so reject anything outside [A-Za-z0-9_] up front
+    instead of silently producing twins that cannot be compared."""
+    langs = tuple(langs) or ("de", "en", "es", "fr", "zh")
+    for l in langs:
+        if not re.fullmatch(r"[A-Za-z0-9_]+", str(l)):
+            raise ValueError(
+                f"pivot value {l!r} is not identifier-safe ([A-Za-z0-9_]+)"
+            )
+    return langs
+
+
 def pivot_lang_by_source_sql(table: str = "documents", langs: tuple = ()) -> str:
     """DuckDB twin: explicit conditional aggregation (the portable
     spelling of PIVOT — identical cells, stable column order)."""
-    langs = tuple(langs) or ("de", "en", "es", "fr", "zh")
+    langs = _validated_pivot_values(langs)
     cells = ", ".join(
         f"CAST(count(*) FILTER (WHERE lang = '{l}') AS BIGINT) AS n_{l}"
         for l in langs

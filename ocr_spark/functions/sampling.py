@@ -62,15 +62,20 @@ def _bucket_col(id_col: str, salt: str):
     # salt || ':' || id — the salt namespaces the assignment so two
     # different splits of the same corpus are independent; casting the
     # id to string keeps the operator id-type-agnostic (int or
-    # 'sha1:...' ids both work — no silent long-cast NULLs).
+    # 'sha1:...' ids both work — no silent long-cast NULLs). NULL ids
+    # hash as '' so they get one REAL deterministic bucket instead of
+    # a NULL bucket silently falling through every threshold compare.
     return md5_long(
-        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        F.concat(
+            F.lit(salt + ":"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
     ) % N_BUCKETS
 
 
 def _bucket_sql(id_col: str, salt: str) -> str:
     s = salt.replace("'", "''")
-    keyed = f"'{s}:' || CAST({id_col} AS VARCHAR)"
+    keyed = f"'{s}:' || coalesce(CAST({id_col} AS VARCHAR), '')"
     return f"{md5_long_sql(keyed)} % {N_BUCKETS}"
 
 
@@ -170,14 +175,22 @@ def cap_per_group(
     Spark's WindowGroupLimit pushes the ``rank <= cap`` truncation
     map-side, so a mega-domain never materializes past ~cap rows per
     input partition before the exchange.
+
+    NULL ids: hashed as '' (null-safe), and both engines pin NULLS
+    FIRST on the id tie-break so the twins agree. Full determinism
+    requires ids to be unique within a group — multiple NULL-id rows
+    share one sort key, and which of THEM survives at the cap
+    boundary is partition-order-dependent (same caveat as any keyed
+    operator fed key-less rows).
     """
     if cap < 1:
         raise ValueError("cap must be >= 1")
     # full 60-bit hash (not the 10k-bucket fold) so hash ties — and
     # the alphabetical id tie-break behind them — are negligible
-    h = md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    h = md5_long(F.concat(F.lit(salt + ":"), id_str))
     w = Window.partitionBy(group_col).orderBy(
-        h.asc(), F.col(id_col).cast("string").asc()
+        h.asc(), F.col(id_col).cast("string").asc_nulls_first()
     )
     return (
         df.withColumn("_rk", F.row_number().over(w))
@@ -193,14 +206,15 @@ def cap_per_group_sql(
     salt: str = "cap:v1",
     id_col: str = "doc_id",
 ) -> str:
-    """DuckDB twin of :func:`cap_per_group`."""
+    """DuckDB twin of :func:`cap_per_group` (NULL ids hashed as '',
+    NULLS FIRST pinned to match Spark's asc_nulls_first)."""
     esc = salt.replace("'", "''")
-    h = md5_long_sql(f"'{esc}:' || CAST({id_col} AS VARCHAR)")
+    h = md5_long_sql(f"'{esc}:' || coalesce(CAST({id_col} AS VARCHAR), '')")
     return f"""
       SELECT * EXCLUDE (_rk) FROM (
         SELECT *, row_number() OVER (
           PARTITION BY {group_col}
-          ORDER BY {h} ASC, CAST({id_col} AS VARCHAR) ASC
+          ORDER BY {h} ASC, CAST({id_col} AS VARCHAR) ASC NULLS FIRST
         ) AS _rk
         FROM {source}
       ) WHERE _rk <= {cap}

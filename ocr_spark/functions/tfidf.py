@@ -44,9 +44,14 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import floor6, floor6_sql
 
-# lower-cased alnum runs; the ASCII-range twin of text.py's TOKEN_RE
-# word class (DuckDB and Spark agree on this class byte-for-byte)
-TERM_RE = "[a-z0-9]+"
+# alnum runs extracted from the RAW text, lower-cased AFTERWARDS:
+# tokens matched by this class are pure ASCII, and ASCII-only
+# lowercase is locale- and engine-independent. lower() BEFORE
+# extraction is a dialect trap — Java's full case mapping can create
+# or remove ASCII letters ('İ' → 'i'+combining dot splits runs
+# differently than DuckDB's simple mapping, and a Turkish-locale JVM
+# lowercases 'I' to dotless ı), silently diverging the twins.
+TERM_RE = "[a-zA-Z0-9]+"
 
 
 def tfidf_top_terms(
@@ -72,9 +77,12 @@ def tfidf_top_terms(
         .select(
             "doc_id",
             F.explode(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TERM_RE), 0)
+                F.regexp_extract_all(F.col("text"), F.lit(TERM_RE), 0)
             ).alias("term"),
         )
+        # generators can't nest inside expressions — lowercase (ASCII-
+        # only by construction of TERM_RE) in a follow-up projection
+        .select("doc_id", F.lower(F.col("term")).alias("term"))
         .where(F.length("term") >= min_term_len)
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -111,7 +119,7 @@ def tfidf_top_terms_sql(
     score = floor6_sql("tf * ((n_docs + 1.0) / (df + 1.0))")
     return f"""
       WITH terms AS (
-        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TERM_RE}')) AS term
+        SELECT doc_id, lower(unnest(regexp_extract_all(text, '{TERM_RE}'))) AS term
         FROM {table} WHERE text IS NOT NULL
       ), tf AS (
         SELECT doc_id, term, count(*) AS tf FROM terms

@@ -81,6 +81,7 @@ def test_text_operator_fuzz_across_engines(spark, con):
     alphabet = (
         "abc XYZ 012 .,;:!?'\"()[]{}<>|/\\@#$%^&*-_=+~`"
         "\t\n\r\f\x0b\xa0éüßñ漢字平仮名عربي🎉"
+        "İIı\u212a"  # case-mapping traps: dotted/dotless I, Kelvin sign
     )
     texts = [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))

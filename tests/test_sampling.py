@@ -191,3 +191,65 @@ def test_cap_per_group_truncates_map_side(docs):
 
     plan = plan_str(cap_per_group(docs, "source", 10), "simple")
     assert "WindowGroupLimit" in plan
+
+
+def test_null_ids_cross_engine(spark):
+    """NULL ids: split/sample hash them as '' (one real deterministic
+    bucket, no silent fall-through), and cap's rank order pins NULLS
+    FIRST on both engines."""
+    import pandas as pd
+
+    from ocr_spark.functions.sampling import (
+        cap_per_group,
+        cap_per_group_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1.0, 2.0, None, 3.0, None, 4.0, 5.0, 6.0],
+            "grp": ["a"] * 8,
+            "lang": ["en"] * 8,
+        }
+    )
+    df = spark.createDataFrame(pdf.astype({"doc_id": "Int64"}))
+    con = duckdb.connect()
+    con.register("t_null_df", pdf)
+    con.execute(
+        "CREATE OR REPLACE VIEW t_null AS"
+        " SELECT CAST(doc_id AS BIGINT) AS doc_id, grp, lang FROM t_null_df"
+    )
+    nullsafe = lambda rows: sorted(rows, key=lambda t: [(v is None, v) for v in t])
+    # split: NULL ids land in exactly one split, same one both engines
+    got = nullsafe(
+        (r["doc_id"], r["split"])
+        for r in dataset_split(df).select("doc_id", "split").collect()
+    )
+    want = nullsafe(
+        map(
+            tuple,
+            con.execute(
+                "SELECT doc_id, split FROM ("
+                + dataset_split_sql("t_null")
+                + ")"
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # cap at the boundary that forces NULL-vs-non-NULL ordering to
+    # matter (the two NULL rows share a key; with cap=7 > #NULLs the
+    # survivor SET is still deterministic)
+    got = nullsafe(
+        (r["doc_id"],)
+        for r in cap_per_group(df, "grp", 7).select("doc_id").collect()
+    )
+    want = nullsafe(
+        map(
+            tuple,
+            con.execute(
+                "SELECT doc_id FROM ("
+                + cap_per_group_sql("t_null", "grp", 7)
+                + ")"
+            ).fetchall(),
+        )
+    )
+    assert got == want
