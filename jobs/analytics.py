@@ -7,6 +7,9 @@ as parquet under --output/<name>:
 
 - doc_rollup       : ROLLUP(source, lang) counts/chars (one
                      Expand+agg pass, functions/olap.py)
+- doc_cube         : CUBE(source, lang) — adds the per-lang marginal
+- lang_by_source   : dense cross-tab, one count column per language
+                     (pinned pivot vocabulary)
 - doc_percentiles  : per-lang p50/p90/p99 document length
 - top_docs         : k largest docs per source (WindowGroupLimit)
 - sessions         : gap-based event sessions (session_window)
@@ -46,7 +49,9 @@ def main() -> None:
     args = ap.parse_args()
 
     from ocr_spark.functions.olap import (
+        cube_doc_stats,
         percentile_chars,
+        pivot_lang_by_source,
         rollup_doc_stats,
         topk_per_group,
     )
@@ -73,6 +78,8 @@ def main() -> None:
     # cross-engine contract compare)
     tables = {
         "doc_rollup": rollup_doc_stats(docs),
+        "doc_cube": cube_doc_stats(docs),
+        "lang_by_source": pivot_lang_by_source(docs),
         "doc_percentiles": percentile_chars(docs),
         "top_docs": topk_per_group(docs, k=args.top_k),
         "sessions": sessionize(events, gap=args.session_gap, formatted=False),
