@@ -754,6 +754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_lang_by_source": lambda s, d: olap.pivot_lang_by_source(
             _read(s, d, "documents")
         ),
+        "unpivot_lang_counts": lambda s, d: olap.unpivot_lang_counts(
+            _read(s, d, "documents")
+        ),
         "percentile_chars": lambda s, d: olap.percentile_chars(
             _read(s, d, "documents")
         ),
@@ -894,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_doc_stats": olap.rollup_doc_stats_sql(),
         "cube_doc_stats": olap.cube_doc_stats_sql(),
         "pivot_lang_by_source": olap.pivot_lang_by_source_sql(),
+        "unpivot_lang_counts": olap.unpivot_lang_counts_sql(),
         "percentile_chars": olap.percentile_chars_sql(),
         "topk_per_group": olap.topk_per_group_sql(),
         "salted_doc_counts": (

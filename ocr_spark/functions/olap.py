@@ -213,3 +213,41 @@ def pivot_lang_by_source_sql(table: str = "documents", langs: tuple = ()) -> str
         for l in langs
     )
     return f"SELECT source, {cells} FROM {table} GROUP BY source"
+
+
+def unpivot_lang_counts(docs: DataFrame, langs: tuple = ()) -> DataFrame:
+    """Melt the :func:`pivot_lang_by_source` cross-tab back to long
+    form — (source, lang, n_docs), dense (zero cells kept). The
+    round-trip partner every wide reporting table needs when a
+    downstream consumer wants tidy rows; narrow-side name mapping
+    (n_<lang> → <lang>) is applied identically in the twin.
+
+    Scale shape: ``unpivot`` is a zero-shuffle Expand over the wide
+    table — the only shuffle in this plan is the pivot's own
+    aggregate underneath."""
+    langs = _validated_pivot_values(langs)
+    wide = pivot_lang_by_source(docs, langs)
+    return (
+        wide.unpivot(
+            ["source"],
+            [f"n_{l}" for l in langs],
+            "lang",
+            "n_docs",
+        )
+        .withColumn("lang", F.expr("substring(lang, 3)"))
+        .select("source", "lang", "n_docs")
+    )
+
+
+def unpivot_lang_counts_sql(table: str = "documents", langs: tuple = ()) -> str:
+    """DuckDB twin: UNPIVOT ... INCLUDE NULLS over the same pivoted
+    subquery (cells are 0-filled, so nothing is actually NULL)."""
+    langs = _validated_pivot_values(langs)
+    cols = ", ".join(f"n_{l}" for l in langs)
+    return f"""
+      SELECT source, substring(lang, 3) AS lang, n_docs
+      FROM (
+        UNPIVOT ({pivot_lang_by_source_sql(table, langs)})
+        ON {cols} INTO NAME lang VALUE n_docs
+      )
+    """

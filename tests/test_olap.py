@@ -182,3 +182,23 @@ def test_pivot_plan_shape(docs):
     assert plan.count("Exchange") == 2
     assert "partial_pivotfirst" in plan and "partial_count" in plan
     assert "ReadSchema: struct<lang:string,source:string>" in plan
+
+
+def test_unpivot_roundtrip_and_density(docs):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.olap import unpivot_lang_counts
+
+    out = unpivot_lang_counts(docs)
+    rows = out.collect()
+    # dense long form: every (source, pinned-lang) cell present
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources * 5
+    assert all(r["n_docs"] >= 0 for r in rows)
+    # melt inverts the pivot: totals reconcile with the base table
+    assert (
+        out.agg(F.sum("n_docs")).collect()[0][0]
+        == docs.where(F.col("lang").isin("de", "en", "es", "fr", "zh")).count()
+    )
+    # lang names un-prefixed
+    assert {r["lang"] for r in rows} == {"de", "en", "es", "fr", "zh"}
