@@ -757,6 +757,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lang_counts": lambda s, d: olap.unpivot_lang_counts(
             _read(s, d, "documents")
         ),
+        # fixed-width length histogram (explicit bounds — data-driven
+        # edges cost a full extra pass and chase outliers)
+        "chars_histogram": lambda s, d: olap.chars_histogram(
+            _read(s, d, "documents"), lo=0, hi=600, n_bins=12
+        ),
         "percentile_chars": lambda s, d: olap.percentile_chars(
             _read(s, d, "documents")
         ),
@@ -898,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_doc_stats": olap.cube_doc_stats_sql(),
         "pivot_lang_by_source": olap.pivot_lang_by_source_sql(),
         "unpivot_lang_counts": olap.unpivot_lang_counts_sql(),
+        "chars_histogram": olap.chars_histogram_sql(lo=0, hi=600, n_bins=12),
         "percentile_chars": olap.percentile_chars_sql(),
         "topk_per_group": olap.topk_per_group_sql(),
         "salted_doc_counts": (

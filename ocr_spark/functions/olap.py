@@ -251,3 +251,59 @@ def unpivot_lang_counts_sql(table: str = "documents", langs: tuple = ()) -> str:
         ON {cols} INTO NAME lang VALUE n_docs
       )
     """
+
+
+def chars_histogram(
+    docs: DataFrame, lo: int = 0, hi: int = 5_000, n_bins: int = 10
+) -> DataFrame:
+    """Fixed-width histogram of document length: (bin, n_docs,
+    min_chars, max_chars), bins 1..n_bins over [lo, hi) plus the
+    standard width_bucket overflow bins (0 = below lo, n_bins+1 =
+    at/above hi). Explicit bounds are deliberate: data-driven bounds
+    cost an extra full pass AND make the bin edges (the published
+    schema of the chart) depend on outliers. One partial-aggregated
+    shuffle on the bin id; all-integer output, engine-exact.
+
+    The bin arithmetic is spelled out (integer floor form) rather
+    than delegated to a width_bucket builtin: DuckDB has none, and
+    running the IDENTICAL expression in both engines is the contract
+    discipline anyway.
+    """
+    if n_bins < 1 or hi <= lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    v = F.col("n_chars")
+    interior = 1 + F.floor((v - lo) * n_bins / (hi - lo))
+    b = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(n_bins + 1))
+        .otherwise(interior)
+    )
+    return (
+        docs.where(F.col("n_chars").isNotNull())
+        .groupBy(b.cast("long").alias("bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+def chars_histogram_sql(
+    table: str = "documents", lo: int = 0, hi: int = 5_000, n_bins: int = 10
+) -> str:
+    """DuckDB twin — the identical integer floor-bin expression."""
+    bin_expr = (
+        f"CASE WHEN n_chars < {lo} THEN 0 "
+        f"WHEN n_chars >= {hi} THEN {n_bins + 1} "
+        f"ELSE 1 + CAST(floor((n_chars - {lo}) * {n_bins} / ({hi} - {lo})) AS BIGINT) END"
+    )
+    return f"""
+      SELECT CAST({bin_expr} AS BIGINT) AS bin,
+             count(*) AS n_docs,
+             CAST(min(n_chars) AS BIGINT) AS min_chars,
+             CAST(max(n_chars) AS BIGINT) AS max_chars
+      FROM {table}
+      WHERE n_chars IS NOT NULL
+      GROUP BY 1
+    """

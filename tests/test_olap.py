@@ -202,3 +202,41 @@ def test_unpivot_roundtrip_and_density(docs):
     )
     # lang names un-prefixed
     assert {r["lang"] for r in rows} == {"de", "en", "es", "fr", "zh"}
+
+
+def test_chars_histogram_bins(docs):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.olap import chars_histogram
+
+    out = {r["bin"]: r for r in chars_histogram(docs, 0, 600, 12).collect()}
+    n = docs.count()
+    assert sum(r["n_docs"] for r in out.values()) == n
+    width = 600 // 12
+    for b, r in out.items():
+        if 1 <= b <= 12:  # interior bins respect their edges
+            assert r["min_chars"] >= (b - 1) * width
+            assert r["max_chars"] < b * width
+    # overflow bins carry anything outside [lo, hi)
+    lo_cnt = docs.where(F.col("n_chars") < 0).count()
+    hi_cnt = docs.where(F.col("n_chars") >= 600).count()
+    assert out.get(0, None) is None if lo_cnt == 0 else out[0]["n_docs"] == lo_cnt
+    assert (13 not in out) if hi_cnt == 0 else out[13]["n_docs"] == hi_cnt
+    with pytest.raises(ValueError):
+        chars_histogram(docs, 10, 10, 5)
+
+
+def test_chars_histogram_matches_duckdb_twin(docs):
+    import duckdb
+
+    from ocr_spark.functions.olap import chars_histogram, chars_histogram_sql
+
+    got = sorted(map(tuple, chars_histogram(docs, 0, 600, 12).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(
+        map(tuple, con.execute(chars_histogram_sql("documents", 0, 600, 12)).fetchall())
+    )
+    assert got == want and len(got) >= 5
