@@ -34,6 +34,7 @@ from ocr_spark.functions.ivf_centroids import (
     TRAINED_CENTROIDS_SF001 as _IVF_CENTS,
 )
 from ocr_spark.functions import olap
+from ocr_spark.functions import funnel as fn
 from ocr_spark.functions import rangejoin as rj
 from ocr_spark.functions import sampling as smp
 from ocr_spark.functions import tfidf as tfi
@@ -815,6 +816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_attribution": lambda s, d: rj.attribution_join_events(
             _read(s, d, "events")
         ),
+        # ordered-step conversion funnel: chained running minima
+        # (greedy earliest completion), NOT a k-way self-join
+        "event_funnel": lambda s, d: fn.funnel_counts(_read(s, d, "events")),
         # tf-idf top terms (rational idf — exact cross-engine; the
         # ln() variant stays off the hash-compared path by design)
         "tfidf_top_terms": lambda s, d: tfi.tfidf_top_terms(
@@ -936,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "interval_attribution": rj.attribution_join_events_sql(),
+        "event_funnel": fn.funnel_counts_sql(),
         "tfidf_top_terms": tfi.tfidf_top_terms_sql(),
         "cap_per_source": (
             "SELECT doc_id, source FROM ("
