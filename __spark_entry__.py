@@ -819,6 +819,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ordered-step conversion funnel: chained running minima
         # (greedy earliest completion), NOT a k-way self-join
         "event_funnel": lambda s, d: fn.funnel_counts(_read(s, d, "events")),
+        # weekly cohort retention: whole-partition window anchor, no
+        # join back, one distinct-agg shuffle
+        "retention_cohorts": lambda s, d: fn.retention_cohorts(
+            _read(s, d, "events")
+        ),
         # tf-idf top terms (rational idf — exact cross-engine; the
         # ln() variant stays off the hash-compared path by design)
         "tfidf_top_terms": lambda s, d: tfi.tfidf_top_terms(
@@ -941,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "interval_attribution": rj.attribution_join_events_sql(),
         "event_funnel": fn.funnel_counts_sql(),
+        "retention_cohorts": fn.retention_cohorts_sql(),
         "tfidf_top_terms": tfi.tfidf_top_terms_sql(),
         "cap_per_source": (
             "SELECT doc_id, source FROM ("

@@ -138,3 +138,60 @@ def funnel_counts_sql(
         for k, s in enumerate(steps, start=1)
     ]
     return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: (cohort, week_offset, n_users) —
+    users grouped by the ISO week (Monday-start, rendered as a date
+    string so both engines compare identically) of their FIRST event,
+    counted distinct in each later week they were active.
+
+    Shape: one full-partition window min per user for the cohort
+    anchor (no join back), integer day-diff arithmetic for the
+    offset, then one distinct-aggregate shuffle — no self-join, no
+    per-cohort jobs. Offsets are floor(days/7) from the anchor DAY,
+    so they are exact integers in both engines.
+    """
+    ev = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    ).where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id")  # whole-partition frame
+    anchored = ev.withColumn(
+        "cohort_day", F.to_date(F.date_trunc("week", F.min("ts").over(w)))
+    )
+    return (
+        anchored.select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            (
+                F.floor(F.datediff(F.to_date("ts"), F.col("cohort_day")) / 7)
+            ).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def retention_cohorts_sql(table: str = "events") -> str:
+    """DuckDB twin (date_trunc('week') is ISO Monday-start in both
+    engines; identical floor(days/7) offset arithmetic)."""
+    return f"""
+      WITH ev AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(ts AS TIMESTAMP) AS ts
+        FROM {table}
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      ), anchored AS (
+        SELECT user_id, ts,
+               CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+                    AS DATE) AS cohort_day
+        FROM ev
+      )
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+             CAST(floor(date_diff('day', cohort_day, CAST(ts AS DATE)) / 7)
+                  AS BIGINT) AS week_offset,
+             count(DISTINCT user_id) AS n_users
+      FROM anchored
+      GROUP BY 1, 2
+    """

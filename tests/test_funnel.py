@@ -109,3 +109,44 @@ def test_matches_duckdb_twin(events):
 def test_validates_steps(events):
     with pytest.raises(ValueError):
         funnel_counts(events, steps=("signup",))
+
+
+def test_retention_semantics(spark):
+    from ocr_spark.functions.funnel import retention_cohorts
+
+    # u1 first event Wed Mar 6 → cohort Mon Mar 4; active weeks 0 and 2
+    # u2 first event Mon Mar 4 → same cohort; active week 0 only
+    # u3 first event Mar 12 → cohort Mon Mar 11; active week 0
+    rows = [
+        (1, dt.datetime(2024, 3, 6)), (1, dt.datetime(2024, 3, 19)),
+        (2, dt.datetime(2024, 3, 4)),
+        (3, dt.datetime(2024, 3, 12)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert out == {
+        ("2024-03-04", 0): 2,
+        ("2024-03-04", 2): 1,
+        ("2024-03-11", 0): 1,
+    }
+
+
+def test_retention_matches_duckdb_twin(events):
+    from ocr_spark.functions.funnel import retention_cohorts, retention_cohorts_sql
+
+    got = sorted(map(tuple, retention_cohorts(events).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    want = sorted(map(tuple, con.execute(retention_cohorts_sql()).fetchall()))
+    assert got == want and len(got) >= 4
+
+
+def test_retention_no_join_single_distinct_agg(events):
+    from ocr_spark.functions.funnel import retention_cohorts
+
+    plan = _plan(retention_cohorts(events), "simple")
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
