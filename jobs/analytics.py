@@ -14,6 +14,9 @@ as parquet under --output/<name>:
 - top_docs         : k largest docs per source (WindowGroupLimit)
 - sessions         : gap-based event sessions (session_window)
 - attribution      : purchases as-of joined to the latest prior click
+- funnel           : ordered-step conversion funnel (chained
+                     running minima, no self-join)
+- retention        : weekly cohort retention matrix
 - distinct_users   : per-event-type distinct users — EXACT with
                      --exact-distinct, else HLL sketch estimates
                      (fixed-size shuffle, functions/sketches.py)
@@ -55,6 +58,7 @@ def main() -> None:
         rollup_doc_stats,
         topk_per_group,
     )
+    from ocr_spark.functions.funnel import funnel_counts, retention_cohorts
     from ocr_spark.functions.sessionize import sessionize
     from ocr_spark.functions.sketches import approx_distinct, exact_distinct
     from ocr_spark.functions.timeseries import asof_join_events
@@ -84,6 +88,8 @@ def main() -> None:
         "top_docs": topk_per_group(docs, k=args.top_k),
         "sessions": sessionize(events, gap=args.session_gap, formatted=False),
         "attribution": asof_join_events(events, formatted=False),
+        "funnel": funnel_counts(events),
+        "retention": retention_cohorts(events),
         "distinct_users": distinct,
     }
     counts = {}

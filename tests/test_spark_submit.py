@@ -106,7 +106,8 @@ def test_spark_submit_analytics_job(tmp_path):
     rows = summary["rows"]
     assert set(rows) == {
         "doc_rollup", "doc_cube", "lang_by_source", "doc_percentiles",
-        "top_docs", "sessions", "attribution", "distinct_users",
+        "top_docs", "sessions", "attribution", "funnel", "retention",
+        "distinct_users",
     }
     assert all(n > 0 for n in rows.values()), rows
     # every table landed as readable parquet
