@@ -43,6 +43,8 @@ from ocr_spark.functions import skew as sk
 from ocr_spark.functions.sketches import exact_distinct as sk_exact_distinct
 from ocr_spark.functions import timeseries as tsr
 from ocr_spark.functions import text as txt
+from ocr_spark.functions import scrub as scr
+from ocr_spark.functions import contamination as cnt
 from ocr_spark.pipeline import pages as pg
 from ocr_spark.pipeline import results as res
 from ocr_spark.kernel.extract import DEFAULT_CONFIG
@@ -649,6 +651,11 @@ def _kind_hist_sql() -> str:
 # ---------------------------------------------------------------------------
 
 
+# Deterministic PII injection used by the pii_scrub contract query
+# (identical literal in the Spark expression and the SQL twin).
+_PII_INJ = " contact: user7@example.com or 10.0.0.1 or +1 (555) 123-4567"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- extraction core (S5-replacement, P1/P7, O2, R6, A4, J6)
@@ -846,6 +853,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             _read(s, d, "documents"),
         ).select("doc_id", "source"),
+        # PII redaction: staged email -> IPv4 -> phone scrub; corpus
+        # text carries no PII, so every 7th doc gets a deterministic
+        # injection (mirrored in the twin) to make the check real
+        "pii_scrub": lambda s, d: scr.pii_scrub(
+            _read(s, d, "documents").withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(_PII_INJ)),
+                ).otherwise(F.col("text")),
+            )
+        ),
+        # within-doc repetition removal (C4-style first-occurrence
+        # line dedup); words re-shaped onto lines so dups occur
+        "line_dedup": lambda s, d: scr.line_dedup(
+            _read(s, d, "documents").withColumn(
+                "text", F.translate(F.col("text"), " ", "\n")
+            )
+        ),
+        # Gopher quality-rule panel (word count, mean length, symbol /
+        # bullet / ellipsis ratios, stop-hit floor) -> keep flag
+        "gopher_rules": lambda s, d: scr.gopher_rules(_read(s, d, "documents")),
+        # benchmark decontamination: 8-gram overlap vs the doc_id%29
+        # "benchmark" slice, benchmark hash set broadcast
+        "contamination_overlap": lambda s, d: cnt.contamination(
+            _read(s, d, "documents"),
+            _read(s, d, "documents").where(F.col("doc_id") % 29 == 0),
+            w=8,
+            min_overlap=2,
+        ),
     }
 
 
@@ -961,5 +998,20 @@ def oracle_sql() -> dict[str, str]:
                 "documents",
             )
             + ")"
+        ),
+        "pii_scrub": scr.pii_scrub_sql(
+            "(SELECT * REPLACE (CASE WHEN doc_id % 7 = 0"
+            f" THEN text || '{_PII_INJ}' ELSE text END AS text) FROM documents)"
+        ),
+        "line_dedup": scr.line_dedup_sql(
+            "(SELECT * REPLACE (translate(text, ' ', chr(10)) AS text)"
+            " FROM documents)"
+        ),
+        "gopher_rules": scr.gopher_rules_sql(),
+        "contamination_overlap": cnt.contamination_sql(
+            "documents",
+            "(SELECT * FROM documents WHERE doc_id % 29 = 0)",
+            w=8,
+            min_overlap=2,
         ),
     }

@@ -8,7 +8,7 @@ import math
 import duckdb
 import pytest
 
-from ocr_spark.functions import dedup, similarity, text, tfidf
+from ocr_spark.functions import dedup, scrub, similarity, text, tfidf
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -100,6 +100,9 @@ def test_text_operator_fuzz_across_engines(spark, con):
         (dedup.simhash, dedup.simhash_sql("t_fuzz")),
         (dedup.minhash_signatures, dedup.minhash_signatures_sql("t_fuzz")),
         (tfidf.tfidf_top_terms, tfidf.tfidf_top_terms_sql("t_fuzz")),
+        (scrub.pii_scrub, scrub.pii_scrub_sql("t_fuzz")),
+        (scrub.line_dedup, scrub.line_dedup_sql("t_fuzz")),
+        (scrub.gopher_rules, scrub.gopher_rules_sql("t_fuzz")),
     ):
         assert_same(build(df), con, sql)
 

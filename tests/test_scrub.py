@@ -1,0 +1,218 @@
+"""Scrub + contamination operators: cross-engine equality, unit
+semantics (staged PII counting, first-occurrence line order, Gopher
+rule thresholds), and plan shape (scan-stage, no stray shuffles)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import contamination as cnt
+from ocr_spark.functions import scrub
+from ocr_spark.plans import plan_str
+from tests.test_functions import assert_same
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    return c
+
+
+def _df(spark, texts):
+    pdf = pd.DataFrame({"doc_id": list(range(1, len(texts) + 1)), "text": texts})
+    return spark.createDataFrame(pdf, schema="doc_id long, text string")
+
+
+def _register(con, spark_df, name):
+    pdf = spark_df.toPandas()
+    con.register(f"{name}_pdf", pdf)
+    con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM {name}_pdf")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_known_strings(spark):
+    out = scrub.pii_scrub(
+        _df(
+            spark,
+            [
+                "write a.b+c@ex-ample.co.uk now",
+                "host 192.168.0.1 and 10.0.0.255.9 tail",
+                "call +1 (555) 123-4567 or 0123456789 end",
+                "no pii here",
+                None,
+            ],
+        )
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].clean_text == "write <EMAIL> now"
+    assert (rows[1].n_emails, rows[1].n_ipv4, rows[1].n_phones) == (1, 0, 0)
+    # leftmost IP claims 10.0.0.255; trailing .9 survives
+    assert rows[2].clean_text == "host <IP> and <IP>.9 tail"
+    assert rows[2].n_ipv4 == 2
+    assert rows[3].clean_text == "call <PHONE> or <PHONE> end"
+    assert rows[3].n_phones == 2
+    assert rows[4].clean_text == "no pii here"
+    assert rows[5].clean_text is None
+
+
+def test_pii_counting_is_staged(spark):
+    # the email's digit run must NOT also count as a phone, and an IP
+    # must be claimed before the looser phone pattern can eat it
+    out = scrub.pii_scrub(_df(spark, ["a12345678@x.co and 10.20.30.40"])).collect()[0]
+    assert out.clean_text == "<EMAIL> and <IP>"
+    assert (out.n_emails, out.n_ipv4, out.n_phones) == (1, 1, 0)
+
+
+def test_pii_scrub_cross_engine(spark, docs, con):
+    # corpus text carries no PII — inject deterministically, same
+    # expression both engines (the contract-query shape)
+    inj = " contact: user7@example.com or 10.0.0.1 or +1 (555) 123-4567"
+    sdf = scrub.pii_scrub(
+        docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(inj))
+            ).otherwise(F.col("text")),
+        )
+    )
+    sql = scrub.pii_scrub_sql(
+        f"(SELECT * REPLACE (CASE WHEN doc_id % 7 = 0 THEN text || '{inj}'"
+        " ELSE text END AS text) FROM documents)"
+    )
+    assert_same(sdf, con, sql)
+
+
+# ---------------------------------------------------------------------------
+# line dedup
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_keeps_first_occurrence_order(spark):
+    out = scrub.line_dedup(_df(spark, ["b\na\nb\nc\na", "", "solo"])).collect()
+    rows = {r.doc_id: r for r in out}
+    assert rows[1].clean_text == "b\na\nc"
+    assert (rows[1].n_lines, rows[1].n_unique_lines) == (5, 3)
+    assert rows[1].dup_line_ratio == pytest.approx(0.4)
+    assert rows[2].clean_text == "" and rows[2].n_lines == 1
+    assert rows[3].clean_text == "solo" and rows[3].dup_line_ratio == 0.0
+
+
+def test_line_dedup_cross_engine(spark, docs, con):
+    # corpus is single-line — re-shape words onto lines (identical
+    # translate in both engines) so duplicates actually occur
+    sdf = scrub.line_dedup(
+        docs.withColumn("text", F.translate(F.col("text"), " ", "\n"))
+    )
+    sql = scrub.line_dedup_sql(
+        "(SELECT * REPLACE (translate(text, ' ', chr(10)) AS text) FROM documents)"
+    )
+    assert_same(sdf, con, sql)
+    # duplicates genuinely exist (docs repeat vocabulary words)
+    assert sdf.where(F.col("dup_line_ratio") > 0).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_thresholds(spark):
+    good = "the quick brown fox and that other fox have fun with all of " * 6
+    out = scrub.gopher_rules(
+        _df(
+            spark,
+            [
+                good,  # passes everything
+                "short text the of and that",  # too few words
+                "- a\n- b\n- c",  # bullet-dominated + too few words
+                None,
+            ],
+        )
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    assert rows[1].keep is True and rows[1].n_stop_hits >= 2
+    assert rows[2].keep is False and rows[2].n_words < scrub.MIN_WORDS
+    assert rows[3].keep is False and rows[3].bullet_ratio == 1.0
+    assert rows[4].keep is False and rows[4].n_words is None
+
+
+def test_gopher_ascii_lowercase_only(spark):
+    # 'The' counts via ASCII translate; 'THE' too; Turkish dotted
+    # capital İ must NOT be case-folded (the lower() dialect trap)
+    out = scrub.gopher_rules(_df(spark, ["The THE İthe be to of"])).collect()[0]
+    # {the(The/THE), be, to, of} hit; 'İthe' stays 'İthe' (not folded)
+    assert out.n_stop_hits == 4
+
+
+def test_gopher_rules_cross_engine(spark, docs, con):
+    assert_same(scrub.gopher_rules(docs), con, scrub.gopher_rules_sql())
+
+
+def test_scrub_operators_are_shuffle_free(docs):
+    for op in (scrub.pii_scrub, scrub.line_dedup, scrub.gopher_rules):
+        plan = plan_str(op(docs), mode="simple")
+        assert "Exchange" not in plan, (op.__name__, plan)
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_flags_overlap(spark):
+    docs = _df(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta",  # = benchmark doc
+            "alpha beta gamma delta other words here",  # partial overlap
+            "completely different text with no shared grams",
+        ],
+    )
+    bench = _df(spark, ["alpha beta gamma delta epsilon zeta"])
+    out = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in cnt.contamination(docs, bench, w=3, min_overlap=2).collect()
+    }
+    assert out[1] == (4, True)  # all 4 distinct 3-grams shared
+    assert out[2] == (2, True)  # 'alpha beta gamma','beta gamma delta'
+    assert 3 not in out  # zero-overlap docs are not emitted
+
+
+def test_contamination_cross_engine(spark, docs, con):
+    sdf = cnt.contamination(
+        docs, docs.where(F.col("doc_id") % 29 == 0), w=8, min_overlap=2
+    )
+    sql = cnt.contamination_sql(
+        "documents", "(SELECT * FROM documents WHERE doc_id % 29 = 0)", w=8, min_overlap=2
+    )
+    assert_same(sdf, con, sql)
+    assert sdf.count() > 0  # corpus has dup docs -> non-trivial result
+
+
+def test_contamination_plan_broadcasts_benchmark(spark, docs):
+    plan = plan_str(
+        cnt.contamination(docs, docs.where(F.col("doc_id") % 29 == 0)), mode="simple"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # shuffles: benchmark-side distinct + final per-doc count — the
+    # corpus-side scan itself never shuffles
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan_str(
+        cnt.contamination(docs, docs.limit(5)), mode="formatted"
+    )
