@@ -875,6 +875,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher quality-rule panel (word count, mean length, symbol /
         # bullet / ellipsis ratios, stop-hit floor) -> keep flag
         "gopher_rules": lambda s, d: scr.gopher_rules(_read(s, d, "documents")),
+        # token-budget shard packing: greedy per-source offset packing
+        # (deterministic window running sum; budget 500 ws-tokens)
+        "pack_shards": lambda s, d: smp.pack_shards(
+            _read(s, d, "documents"), budget_tokens=500
+        ),
         # benchmark decontamination: 8-gram overlap vs the doc_id%29
         # "benchmark" slice, benchmark hash set broadcast
         "contamination_overlap": lambda s, d: cnt.contamination(
@@ -1008,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents)"
         ),
         "gopher_rules": scr.gopher_rules_sql(),
+        "pack_shards": smp.pack_shards_sql("documents", budget_tokens=500),
         "contamination_overlap": cnt.contamination_sql(
             "documents",
             "(SELECT * FROM documents WHERE doc_id % 29 = 0)",

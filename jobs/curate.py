@@ -71,6 +71,31 @@ def main() -> None:
         help="comma list name=weight (e.g. train=0.9,val=0.05,test=0.05) "
         "to add a deterministic hash split column; empty = off",
     )
+    ap.add_argument(
+        "--pii-scrub",
+        action="store_true",
+        help="redact emails/IPv4s/phones (staged, <EMAIL>/<IP>/<PHONE> "
+        "tokens) before any content-hash stage",
+    )
+    ap.add_argument(
+        "--line-dedup",
+        action="store_true",
+        help="drop repeated lines within each document (C4-style, "
+        "first occurrence kept) before any content-hash stage",
+    )
+    ap.add_argument(
+        "--gopher",
+        action="store_true",
+        help="apply the Gopher quality-rule panel as an additional gate",
+    )
+    ap.add_argument(
+        "--benchmark",
+        default=None,
+        help="benchmark/eval parquet (text column); documents sharing "
+        ">= --contam-overlap distinct --contam-w-grams with it are dropped",
+    )
+    ap.add_argument("--contam-w", type=int, default=13, help="decontamination n-gram width")
+    ap.add_argument("--contam-overlap", type=int, default=2, help="overlap threshold")
     ap.add_argument("--max-bucket", type=int, default=1000, help="LSH band bucket cap; 0 = off")
     ap.add_argument("--n-buckets", type=int, default=16, help="output bucket count")
     ap.add_argument("--master", default=None)
@@ -80,6 +105,8 @@ def main() -> None:
 
     from ocr_spark.functions.dedup import dup_clusters, exact_dedup, novel_docs
     from ocr_spark.functions.sampling import cap_per_group, dataset_split
+    from ocr_spark.functions.contamination import contamination
+    from ocr_spark.functions.scrub import gopher_rules, line_dedup, pii_scrub
     from ocr_spark.functions.text import lang_id, quality_score
     from ocr_spark.pipeline.extract import extract_main_content
     from ocr_spark.pipeline.session import get_spark
@@ -130,6 +157,37 @@ def main() -> None:
     else:
         n_novel = n_extracted
 
+    # 1.6 scrubbing BEFORE any content-hash stage, so the text that is
+    # deduped, split, and written is the scrubbed text (scrubbing after
+    # dedup would let two docs differing only in redacted PII survive
+    # as "distinct")
+    if args.line_dedup or args.pii_scrub:
+        scrubbed = corpus
+        if args.line_dedup:
+            scrubbed = line_dedup(scrubbed).select(
+                "doc_id", F.col("clean_text").alias("text")
+            )
+        if args.pii_scrub:
+            scrubbed = pii_scrub(scrubbed).select(
+                "doc_id", F.col("clean_text").alias("text")
+            )
+        corpus = scrubbed
+
+    # 1.7 benchmark decontamination: drop docs overlapping the eval
+    # set (broadcast benchmark shingle hashes; see functions/contamination)
+    n_decontam = n_novel
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark).select("text")
+        flagged = (
+            contamination(
+                corpus, bench, w=args.contam_w, min_overlap=args.contam_overlap
+            )
+            .where(F.col("contaminated"))
+            .select("doc_id")
+        )
+        corpus = corpus.join(flagged, "doc_id", "left_anti").persist()
+        n_decontam = corpus.count()
+
     # 2. quality + language gates
     q = quality_score(corpus).select("doc_id", "quality")
     gated = corpus.join(q, "doc_id").where(F.col("quality") >= args.min_quality)
@@ -137,6 +195,9 @@ def main() -> None:
     if langs:
         lid = lang_id(corpus).select("doc_id", "lang_pred")
         gated = gated.join(lid, "doc_id").where(F.col("lang_pred").isin(langs))
+    if args.gopher:
+        g = gopher_rules(corpus).select("doc_id", "keep")
+        gated = gated.join(g, "doc_id").where(F.col("keep")).drop("keep")
     gated = gated.select("doc_id", "text").persist()
     n_gated = gated.count()
 
@@ -193,12 +254,14 @@ def main() -> None:
             {
                 "n_extracted": n_extracted,
                 "n_novel": n_novel,
+                "n_after_decontam": n_decontam,
+                "dropped_contaminated": n_novel - n_decontam,
                 "n_after_quality_lang": n_gated,
                 "n_after_exact_dedup": n_exact,
                 "n_curated": n_curated,
                 "n_after_cap": n_capped,
                 "dropped_not_novel": n_extracted - n_novel,
-                "dropped_quality_lang": n_novel - n_gated,
+                "dropped_quality_lang": n_decontam - n_gated,
                 "dropped_exact": n_gated - n_exact,
                 "dropped_near_dup": n_exact - n_curated,
                 "dropped_cap": n_curated - n_capped,
@@ -207,6 +270,9 @@ def main() -> None:
                 "tau": args.tau,
                 "cap_per_source": args.cap_per_source,
                 "split": args.split,
+                "pii_scrub": args.pii_scrub,
+                "line_dedup": args.line_dedup,
+                "gopher": args.gopher,
             }
         )
     )

@@ -249,3 +249,79 @@ def stratified_sample_sql(
     else:
         pred = f"{b} < {int(round(float(fractions) * N_BUCKETS))}"
     return f"SELECT * FROM {source} WHERE {pred}"
+
+
+# ---------------------------------------------------------------------------
+# token-budget shard packing
+# ---------------------------------------------------------------------------
+
+
+def pack_shards(
+    docs: DataFrame, budget_tokens: int = 100_000, group_col: str = "source"
+) -> DataFrame:
+    """(doc_id, <group_col>, n_tokens, shard_id): greedily pack
+    documents into shards of ~``budget_tokens`` whitespace tokens.
+
+    The training-data sharding step: downstream loaders want
+    bounded-size shards, not one giant file per source. Packing is
+    PARTITION-SCOPED (one window per ``group_col`` value) — a single
+    global running sum would serialize the whole corpus through one
+    reducer, so at 100 TB you shard within an existing grouping
+    (source/domain/split) and the shuffle stays uniform on that key.
+
+    Assignment is deterministic and execution-independent: docs are
+    ordered by their id's string form (NULLS FIRST, ties by
+    n_tokens — tied rows are interchangeable, so running sums are
+    permutation-invariant), and a doc's shard is
+    ``floor(tokens_before_it / budget)``; a shard may overrun the
+    budget by at most one document (standard offset packing).
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    from ocr_spark.schema import WS
+
+    n_tok = F.coalesce(F.size(F.split(F.col("text"), WS + "+")), F.lit(0))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("doc_id").cast("string").asc_nulls_first(), F.col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", group_col, n_tok.alias("n_tokens"))
+        .withColumn("_run", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            group_col,
+            "n_tokens",
+            F.expr(f"(_run - n_tokens) div {int(budget_tokens)}").alias("shard_id"),
+        )
+    )
+
+
+def pack_shards_sql(
+    table: str = "documents",
+    budget_tokens: int = 100_000,
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`pack_shards` (ROWS frame + NULLS FIRST
+    pinned; ``//`` mirrors Spark's integer ``div``)."""
+    from ocr_spark.schema import WS
+
+    return f"""
+      SELECT doc_id, {group_col}, n_tokens,
+             CAST((_run - n_tokens) // {int(budget_tokens)} AS BIGINT) AS shard_id
+      FROM (
+        SELECT doc_id, {group_col}, n_tokens,
+               sum(n_tokens) OVER (
+                 PARTITION BY {group_col}
+                 ORDER BY CAST(doc_id AS VARCHAR) ASC NULLS FIRST,
+                          n_tokens ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _run
+        FROM (
+          SELECT doc_id, {group_col},
+                 coalesce(CAST(len(regexp_split_to_array(text, '{WS}+')) AS INT), 0)
+                   AS n_tokens
+          FROM {table}
+        )
+      )
+    """

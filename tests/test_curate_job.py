@@ -136,3 +136,82 @@ def test_curate_novelty_gate_short_circuits_rerun(spark, tmp_path):
     # similar but not identical text — survive the gate.
     assert s2["n_novel"] == s1["dropped_near_dup"]
     assert s2["dropped_not_novel"] == s2["n_extracted"] - s1["dropped_near_dup"]
+
+
+def test_curate_scrub_stages(spark, tmp_path):
+    """--line-dedup / --pii-scrub rewrite text BEFORE dedup; --gopher
+    gates. Scrubbed text must be what the output table carries."""
+    import pandas as pd
+
+    # two docs identical except for the PII — scrubbing must collapse
+    # them into ONE curated doc (the whole point of scrub-before-dedup).
+    # ids 1 and 18 are congruent mod 17, so the span synthesizer drops
+    # the SAME furniture chunks from both and the extracted texts
+    # differ only in the email.
+    body = " ".join(f"word{i} the of and to be that have with" for i in range(8))
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 18, 3],
+            "text": [
+                body + " mail alice@example.com",
+                body + " mail bob@example.com",
+                "tiny doc",  # fails the Gopher word-count floor
+            ],
+        }
+    )
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema="doc_id long, text string").write.parquet(inp)
+
+    import jobs.curate as job
+
+    out = str(tmp_path / "curated")
+    argv = [
+        "curate.py", "--input", inp, "--synthesize", "--output", out,
+        "--min-quality", "0.0", "--pii-scrub", "--gopher",
+    ]
+    printed = []
+    with patch.object(sys, "argv", argv), patch.object(
+        SparkSession, "stop", lambda self: None
+    ), patch("builtins.print", lambda s: printed.append(s)):
+        job.main()
+    s = json.loads(printed[-1])
+    t = spark.read.parquet(out)
+    texts = [r.text for r in t.collect()]
+    assert len(texts) == 1, (s, texts)  # PII-only difference deduped away
+    assert "<EMAIL>" in texts[0] and "@example.com" not in texts[0]
+    assert s["pii_scrub"] is True and s["gopher"] is True
+
+
+def test_curate_benchmark_decontamination(spark, tmp_path):
+    """--benchmark drops docs sharing w-grams with the eval set."""
+    import pandas as pd
+
+    body = " ".join(f"word{i} the of and to be that have with" for i in range(8))
+    # no 5-gram shared with body (different filler AND different frame)
+    other = " ".join(f"tok{i} zig zag foo bar baz qux quux" for i in range(8))
+    inp, bench = str(tmp_path / "in"), str(tmp_path / "bench")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [body, other]}),
+        schema="doc_id long, text string",
+    ).write.parquet(inp)
+    # benchmark = doc 1's text verbatim (the classic eval-leak case)
+    spark.createDataFrame(
+        pd.DataFrame({"text": [body]}), schema="text string"
+    ).write.parquet(bench)
+
+    import jobs.curate as job
+
+    out = str(tmp_path / "curated")
+    argv = [
+        "curate.py", "--input", inp, "--synthesize", "--output", out,
+        "--min-quality", "0.0", "--benchmark", bench, "--contam-w", "5",
+    ]
+    printed = []
+    with patch.object(sys, "argv", argv), patch.object(
+        SparkSession, "stop", lambda self: None
+    ), patch("builtins.print", lambda s: printed.append(s)):
+        job.main()
+    s = json.loads(printed[-1])
+    assert s["dropped_contaminated"] == 1, s
+    kept = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert kept == ["2"]  # synthesize path casts ids to string
