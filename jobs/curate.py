@@ -144,40 +144,52 @@ def main() -> None:
     )
     n_extracted = corpus.count()
 
-    # 1.5 novelty gate: only docs absent from the existing corpus
-    if args.against:
-        existing = spark.read.parquet(args.against).select("text")
-        extracted = corpus
-        corpus = novel_docs(corpus, existing).persist()
-        n_novel = corpus.count()
-        # the novelty output is materialized now — release the (much
-        # larger) full extraction cache instead of carrying it through
-        # dedup and the write
-        extracted.unpersist()
-    else:
-        n_novel = n_extracted
-
-    # 1.6 scrubbing BEFORE any content-hash stage, so the text that is
-    # deduped, split, and written is the scrubbed text (scrubbing after
-    # dedup would let two docs differing only in redacted PII survive
-    # as "distinct")
-    if args.line_dedup or args.pii_scrub:
-        scrubbed = corpus
+    # 1.4 scrubbing FIRST — before every content-hash stage (novelty
+    # gate md5, exact/near dedup, decontamination shingles). Scrubbing
+    # later would (a) let two docs differing only in redacted PII
+    # survive dedup as "distinct", and (b) break --against re-runs:
+    # the stored curated table carries SCRUBBED text, so the novelty
+    # md5 must be computed over scrubbed text too or every re-crawled
+    # PII-bearing doc would pass as novel and be written again.
+    def _scrub(frame):
         if args.line_dedup:
-            scrubbed = line_dedup(scrubbed).select(
+            frame = line_dedup(frame).select(
                 "doc_id", F.col("clean_text").alias("text")
             )
         if args.pii_scrub:
-            scrubbed = pii_scrub(scrubbed).select(
+            frame = pii_scrub(frame).select(
                 "doc_id", F.col("clean_text").alias("text")
             )
-        corpus = scrubbed
+        return frame
+
+    if args.line_dedup or args.pii_scrub:
+        extracted_raw = corpus
+        corpus = _scrub(corpus).persist()
+        corpus.count()
+        # scrubbed corpus is materialized — drop the raw extraction
+        # cache instead of pinning both copies for the whole job
+        extracted_raw.unpersist()
+
+    # 1.5 novelty gate: only docs absent from the existing corpus
+    if args.against:
+        existing = spark.read.parquet(args.against).select("text")
+        pre_novelty = corpus
+        corpus = novel_docs(corpus, existing).persist()
+        n_novel = corpus.count()
+        pre_novelty.unpersist()
+    else:
+        n_novel = n_extracted
 
     # 1.7 benchmark decontamination: drop docs overlapping the eval
-    # set (broadcast benchmark shingle hashes; see functions/contamination)
+    # set (broadcast benchmark shingle hashes + short-item containment;
+    # see functions/contamination). The benchmark text is scrubbed
+    # IDENTICALLY to the corpus — otherwise w-grams spanning a redacted
+    # email/phone could never match and the leak would survive.
     n_decontam = n_novel
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark).select("text")
+        if args.line_dedup or args.pii_scrub:
+            bench = _scrub(bench.withColumn("doc_id", F.lit(0))).select("text")
         flagged = (
             contamination(
                 corpus, bench, w=args.contam_w, min_overlap=args.contam_overlap
@@ -185,8 +197,10 @@ def main() -> None:
             .where(F.col("contaminated"))
             .select("doc_id")
         )
+        pre_decontam = corpus
         corpus = corpus.join(flagged, "doc_id", "left_anti").persist()
         n_decontam = corpus.count()
+        pre_decontam.unpersist()
 
     # 2. quality + language gates
     q = quality_score(corpus).select("doc_id", "quality")

@@ -11,13 +11,23 @@ Scale shape (the only one that survives 100 TB):
   is uniform (no hot shingle key) and fixed-width;
 - the benchmark side is tiny by definition (an eval set, not a
   corpus): its distinct hash set is BROADCAST, so the corpus-side scan
-  never shuffles — the only Exchange is the final per-doc count
-  aggregation, with map-side partials.
+  never shuffles — the only corpus-wide Exchange is the final per-doc
+  count aggregation, with map-side partials.
 
-Emits only documents with at least one overlapping shingle (the
-removal worklist); ``contaminated`` flags those at/over
-``min_overlap``. Hash collisions (2^-60 per pair) can only ADD a
-spurious overlap; the DuckDB twin hashes identically, so the gate
+Benchmark items SHORTER than w words can't be caught by w-gram
+equality (the doc side only emits w-grams; a 10-word eval question
+embedded in a 500-word doc would never match a 13-gram). Those items
+are checked by exact substring containment against a broadcast of the
+short texts — a BroadcastNestedLoopJoin, which is normally a
+forbidden plan shape but is the honest one here: the short-item list
+is a handful of rows, so the "nested loop" is a per-row scan-stage
+substring test, not an all-pairs blowup.
+
+Emits only documents with at least one overlapping shingle or one
+contained short item (the removal worklist); ``contaminated`` flags
+shingle counts at/over ``min_overlap`` — containment of a full short
+item is always flagged. Hash collisions (2^-60 per pair) can only ADD
+a spurious overlap; the DuckDB twin hashes identically, so the gate
 compares like for like.
 """
 
@@ -28,9 +38,14 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions.dedup import shingles_expr, shingles_sql
 from ocr_spark.functions.hashing import md5_long_expr, md5_long_sql
+from ocr_spark.schema import WS
 
 CONTAM_W = 13  # the standard decontamination n-gram width
 MIN_OVERLAP = 2
+
+
+def _n_words(col: str = "text") -> str:
+    return f"size(split({col}, '{WS}+'))"
 
 
 def contamination(
@@ -39,30 +54,73 @@ def contamination(
     w: int = CONTAM_W,
     min_overlap: int = MIN_OVERLAP,
     broadcast_benchmark: bool = True,
+    short_item_containment: bool = True,
 ) -> DataFrame:
-    """(doc_id, n_overlap, contaminated) for every doc in ``docs``
-    sharing >=1 distinct w-gram with ``benchmark``.
+    """(doc_id, n_overlap, n_contained, contaminated) for every doc in
+    ``docs`` sharing >=1 distinct w-gram with ``benchmark`` or fully
+    containing a benchmark item shorter than w words.
+
+    ``n_overlap`` counts distinct shared w-grams; ``n_contained``
+    counts distinct short benchmark items appearing verbatim.
+    ``contaminated`` = n_overlap >= min_overlap OR n_contained >= 1.
 
     Pass ``broadcast_benchmark=False`` only if the benchmark side is
     genuinely too large to broadcast (rare); the join then falls back
     to a shuffle on the uniform 60-bit hash key.
+    ``short_item_containment=False`` restores pure w-gram semantics
+    (short benchmark items are then silently uncheckable — only safe
+    when every item has >= w words).
     """
     dsh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(shingles_expr(w)))).alias("sh"),
     ).select("doc_id", F.expr(md5_long_expr("sh")).alias("h"))
     bsh = (
-        benchmark.select(F.explode(F.expr(shingles_expr(w))).alias("sh"))
+        benchmark.where(F.expr(f"{_n_words()} >= {w}"))
+        .select(F.explode(F.expr(shingles_expr(w))).alias("sh"))
         .select(F.expr(md5_long_expr("sh")).alias("h"))
         .distinct()
     )
     if broadcast_benchmark:
         bsh = F.broadcast(bsh)
-    return (
-        dsh.join(bsh, "h")
+    sh_hits = dsh.join(bsh, "h").groupBy("doc_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    if not short_item_containment:
+        return sh_hits.select(
+            "doc_id",
+            "n_overlap",
+            F.lit(0).alias("n_contained"),
+            (F.col("n_overlap") >= min_overlap).alias("contaminated"),
+        )
+    shorts = (
+        benchmark.where(
+            F.col("text").isNotNull()
+            & (F.col("text") != "")
+            & F.expr(f"{_n_words()} < {w}")
+        )
+        .select(F.col("text").alias("b_text"))
+        .distinct()
+    )
+    # one row per (doc row, short item) pair by construction (shorts
+    # is distinct), so count(*) == count(distinct b_text) — and skips
+    # the extra dedup Exchange a count_distinct would add
+    ct_hits = (
+        docs.join(F.broadcast(shorts), F.expr("contains(text, b_text)"))
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
-        .withColumn("contaminated", F.col("n_overlap") >= min_overlap)
+        .agg(F.count("*").alias("n_contained"))
+    )
+    return (
+        sh_hits.join(ct_hits, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.coalesce("n_contained", F.lit(0)).alias("n_contained"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("n_overlap") >= min_overlap) | (F.col("n_contained") >= 1),
+        )
     )
 
 
@@ -71,11 +129,11 @@ def contamination_sql(
     bench_table: str = "documents",
     w: int = CONTAM_W,
     min_overlap: int = MIN_OVERLAP,
+    short_item_containment: bool = True,
 ) -> str:
-    return f"""
-      SELECT dsh.doc_id AS doc_id,
-             count(*) AS n_overlap,
-             count(*) >= {min_overlap} AS contaminated
+    nw = f"len(regexp_split_to_array(text, '{WS}+'))"
+    sh_hits = f"""
+      SELECT dsh.doc_id AS doc_id, count(*) AS n_overlap
       FROM (
         SELECT doc_id, {md5_long_sql('sh')} AS h
         FROM (SELECT doc_id, unnest(list_distinct({shingles_sql(w)})) AS sh
@@ -83,7 +141,31 @@ def contamination_sql(
       ) dsh
       JOIN (
         SELECT DISTINCT {md5_long_sql('sh')} AS h
-        FROM (SELECT unnest({shingles_sql(w)}) AS sh FROM {bench_table})
+        FROM (SELECT unnest({shingles_sql(w)}) AS sh
+              FROM {bench_table} WHERE {nw} >= {w})
       ) bsh USING (h)
       GROUP BY dsh.doc_id
+    """
+    if not short_item_containment:
+        return f"""
+          SELECT doc_id, n_overlap, 0 AS n_contained,
+                 n_overlap >= {min_overlap} AS contaminated
+          FROM ({sh_hits})
+        """
+    ct_hits = f"""
+      SELECT d.doc_id AS doc_id, count(*) AS n_contained
+      FROM {table} d
+      JOIN (SELECT DISTINCT text AS b_text FROM {bench_table}
+            WHERE text IS NOT NULL AND text != '' AND {nw} < {w}) b
+        ON contains(d.text, b.b_text)
+      GROUP BY d.doc_id
+    """
+    return f"""
+      SELECT coalesce(s.doc_id, c.doc_id) AS doc_id,
+             coalesce(s.n_overlap, 0) AS n_overlap,
+             coalesce(c.n_contained, 0) AS n_contained,
+             coalesce(s.n_overlap, 0) >= {min_overlap}
+               OR coalesce(c.n_contained, 0) >= 1 AS contaminated
+      FROM ({sh_hits}) s
+      FULL OUTER JOIN ({ct_hits}) c ON s.doc_id = c.doc_id
     """

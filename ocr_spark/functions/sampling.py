@@ -278,9 +278,14 @@ def pack_shards(
     """
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
-    from ocr_spark.schema import WS
+    from ocr_spark.functions.text import words_col
 
-    n_tok = F.coalesce(F.size(F.split(F.col("text"), WS + "+")), F.lit(0))
+    # NON-EMPTY tokens only: split() yields '' for leading/trailing
+    # whitespace and for empty text — counting those would let a pile
+    # of empty docs consume real shard capacity.
+    n_tok = F.coalesce(
+        F.size(F.filter(words_col(), lambda x: x != F.lit(""))), F.lit(0)
+    )
     w = (
         Window.partitionBy(group_col)
         .orderBy(F.col("doc_id").cast("string").asc_nulls_first(), F.col("n_tokens"))
@@ -319,7 +324,8 @@ def pack_shards_sql(
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _run
         FROM (
           SELECT doc_id, {group_col},
-                 coalesce(CAST(len(regexp_split_to_array(text, '{WS}+')) AS INT), 0)
+                 coalesce(CAST(len(list_filter(
+                   regexp_split_to_array(text, '{WS}+'), x -> x != '')) AS INT), 0)
                    AS n_tokens
           FROM {table}
         )

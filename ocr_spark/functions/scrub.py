@@ -41,9 +41,21 @@ from ocr_spark.schema import WS
 # RE2: explicit classes, no lookaround (RE2 has none), no shorthand.
 EMAIL_RE = "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
 IPV4_RE = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
-# Conservative phone shape: leading digit (optional +), >=6 middle
-# chars of digits/space/()-., trailing digit.
-PHONE_RE = "\\+?[0-9][0-9()\\-\\. ]{6,}[0-9]"
+# Phone shapes, deliberately CONSERVATIVE: an over-broad pattern (any
+# 8+ run of digits/dots/dashes) would redact ISO dates, large
+# integers, and decimals corpus-wide — destroying training text the
+# scrubber was meant to protect. Two forms:
+#   international: leading '+' then 2-5 separated/parenthesized
+#                  digit groups ('+1 (555) 123-4567', '+49301820')
+#   local:         3-3-4 separated groups ('555-123-4567',
+#                  '(555) 123 4567') — a YYYY-MM-DD date can't match
+#                  (its last group has 2 digits, the form needs 4)
+# Bare digit runs ('12345678'), dates ('2026-08-17'), versions
+# ('1.2.3') and decimals ('3.14159265') do NOT match either form.
+PHONE_RE = (
+    "\\+[0-9]{1,3}[\\-\\. ]?\\(?[0-9]{1,4}\\)?([\\-\\. ]?\\(?[0-9]{2,4}\\)?){1,4}"
+    "|\\(?[0-9]{3}\\)?[\\-\\. ][0-9]{3}[\\-\\. ][0-9]{4}"
+)
 
 EMAIL_TOKEN, IP_TOKEN, PHONE_TOKEN = "<EMAIL>", "<IP>", "<PHONE>"
 
@@ -185,7 +197,9 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         "size(filter(_ls, l -> substring(l, 1, 1) = '-' "
         "OR substring(l, 1, 1) = '*' OR substring(l, 1, 1) = '•'))"
     )
-    n_ellip = F.expr("size(filter(_ls, l -> right(l, 3) = '...'))")
+    n_ellip = F.expr(
+        "size(filter(_ls, l -> right(l, 3) = '...' OR right(l, 1) = '…'))"
+    )
     stop_hits = None
     for w in GOPHER_STOPS:
         term = F.when(F.array_contains(F.col("_wl"), w), 1).otherwise(0)
@@ -243,7 +257,8 @@ def gopher_rules_sql(table: str = "documents") -> str:
                          OR substr(l, 1, 1) = '*' OR substr(l, 1, 1) = '•')) AS DOUBLE) / len(_ls)
                END AS bullet_ratio,
                CASE WHEN len(_ls) = 0 THEN NULL
-                    ELSE CAST(len(list_filter(_ls, l -> right(l, 3) = '...')) AS DOUBLE) / len(_ls)
+                    ELSE CAST(len(list_filter(_ls, l -> right(l, 3) = '...'
+                         OR right(l, 1) = '…')) AS DOUBLE) / len(_ls)
                END AS ellipsis_ratio,
                CAST({stops} AS INT) AS n_stop_hits
         FROM (

@@ -215,3 +215,42 @@ def test_curate_benchmark_decontamination(spark, tmp_path):
     assert s["dropped_contaminated"] == 1, s
     kept = [r.doc_id for r in spark.read.parquet(out).collect()]
     assert kept == ["2"]  # synthesize path casts ids to string
+
+
+def test_curate_scrub_runs_before_novelty_gate(spark, tmp_path):
+    """Re-crawling PII-bearing docs with --against a scrubbed curated
+    table must short-circuit at the novelty gate: the gate's md5 is
+    computed over SCRUBBED text, matching what the table stores."""
+    import pandas as pd
+
+    body = " ".join(f"word{i} the of and to be that have with" for i in range(8))
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 18],
+            "text": [body + " mail alice@example.com", body + " mail bob@example.com"],
+        }
+    )
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema="doc_id long, text string").write.parquet(inp)
+
+    import jobs.curate as job
+
+    def run(out, extra):
+        argv = [
+            "curate.py", "--input", inp, "--synthesize", "--output", out,
+            "--min-quality", "0.0", "--pii-scrub", *extra,
+        ]
+        printed = []
+        with patch.object(sys, "argv", argv), patch.object(
+            SparkSession, "stop", lambda self: None
+        ), patch("builtins.print", lambda s: printed.append(s)):
+            job.main()
+        return json.loads(printed[-1])
+
+    out1 = str(tmp_path / "c1")
+    s1 = run(out1, ())
+    assert s1["n_curated"] == 1  # the PII-only pair collapsed
+    # identical re-crawl: every doc's scrubbed text is already curated
+    s2 = run(str(tmp_path / "c2"), ("--against", out1))
+    assert s2["n_novel"] == 0, s2
+    assert s2["dropped_not_novel"] == 2

@@ -52,7 +52,7 @@ def test_pii_scrub_known_strings(spark):
             [
                 "write a.b+c@ex-ample.co.uk now",
                 "host 192.168.0.1 and 10.0.0.255.9 tail",
-                "call +1 (555) 123-4567 or 0123456789 end",
+                "call +1 (555) 123-4567 or 555-123-4567 end",
                 "no pii here",
                 None,
             ],
@@ -68,6 +68,25 @@ def test_pii_scrub_known_strings(spark):
     assert rows[3].n_phones == 2
     assert rows[4].clean_text == "no pii here"
     assert rows[5].clean_text is None
+
+
+def test_pii_phone_pattern_spares_numbers_and_dates(spark):
+    # an over-broad phone pattern would redact dates/ints/decimals
+    # corpus-wide — pin the conservative shape
+    keep = [
+        "released 2026-08-17",
+        "population 12345678",
+        "pi = 3.14159265",
+        "v1.2.3 build 20260817",
+        "ref 08-17",
+    ]
+    out = scrub.pii_scrub(_df(spark, keep)).collect()
+    for r in sorted(out, key=lambda r: r.doc_id):
+        assert r.clean_text == keep[r.doc_id - 1] and r.n_phones == 0, r
+    hits = scrub.pii_scrub(
+        _df(spark, ["+49 30 901820", "(555) 123 4567", "+12345678901"])
+    ).collect()
+    assert all(r.n_phones >= 1 and "<PHONE>" in r.clean_text for r in hits)
 
 
 def test_pii_counting_is_staged(spark):
@@ -193,6 +212,28 @@ def test_contamination_flags_overlap(spark):
     assert 3 not in out  # zero-overlap docs are not emitted
 
 
+def test_contamination_short_benchmark_items(spark):
+    # a benchmark item SHORTER than w words can never match a w-gram —
+    # it must be caught by exact substring containment instead
+    docs = _df(
+        spark,
+        [
+            "prefix words then the short eval question verbatim and a tail",
+            "nothing relevant in this one at all honestly",
+        ],
+    )
+    bench = _df(spark, ["the short eval question verbatim"])  # 5 words < w=13
+    out = {r.doc_id: r for r in cnt.contamination(docs, bench, w=13).collect()}
+    assert out[1].n_contained == 1 and out[1].contaminated is True
+    assert out[1].n_overlap == 0
+    assert 2 not in out
+    # opting out restores pure w-gram semantics: the leak is invisible
+    assert (
+        cnt.contamination(docs, bench, w=13, short_item_containment=False).count()
+        == 0
+    )
+
+
 def test_contamination_cross_engine(spark, docs, con):
     sdf = cnt.contamination(
         docs, docs.where(F.col("doc_id") % 29 == 0), w=8, min_overlap=2
@@ -205,14 +246,24 @@ def test_contamination_cross_engine(spark, docs, con):
 
 
 def test_contamination_plan_broadcasts_benchmark(spark, docs):
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    # pure w-gram mode: broadcast shingle join, no nested loop, and
+    # only two shuffles (benchmark-side distinct + final per-doc
+    # count) — the corpus-side scan itself never shuffles
     plan = plan_str(
-        cnt.contamination(docs, docs.where(F.col("doc_id") % 29 == 0)), mode="simple"
+        cnt.contamination(docs, bench, short_item_containment=False), mode="simple"
     )
     assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
-    # shuffles: benchmark-side distinct + final per-doc count — the
-    # corpus-side scan itself never shuffles
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+    # with the short-item leg: the ONLY nested loop is the containment
+    # check against the tiny broadcast short-item list, and the final
+    # full-outer merge reuses both legs' count partitioning (no extra
+    # Exchange: 2 above + shorts distinct + containment count = 4)
+    plan = plan_str(cnt.contamination(docs, bench), mode="simple")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 4, plan
     assert "partial_count" in plan_str(
         cnt.contamination(docs, docs.limit(5)), mode="formatted"
     )
