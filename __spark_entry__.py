@@ -880,6 +880,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": lambda s, d: smp.pack_shards(
             _read(s, d, "documents"), budget_tokens=500
         ),
+        # GLOBAL shard packing: distributed prefix sum (range
+        # partition -> local windows -> operator-scale offset collect)
+        "pack_shards_global": lambda s, d: smp.pack_shards_global(
+            _read(s, d, "documents"), budget_tokens=700, partitions=8
+        ),
         # benchmark decontamination: 8-gram overlap vs the doc_id%29
         # "benchmark" slice, benchmark hash set broadcast
         "contamination_overlap": lambda s, d: cnt.contamination(
@@ -1014,6 +1019,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gopher_rules": scr.gopher_rules_sql(),
         "pack_shards": smp.pack_shards_sql("documents", budget_tokens=500),
+        "pack_shards_global": smp.pack_shards_global_sql(
+            "documents", budget_tokens=700
+        ),
         "contamination_overlap": cnt.contamination_sql(
             "documents",
             "(SELECT * FROM documents WHERE doc_id % 29 = 0)",

@@ -331,3 +331,105 @@ def pack_shards_sql(
         )
       )
     """
+
+
+def pack_shards_global(
+    docs: DataFrame, budget_tokens: int = 100_000, partitions: int = 64
+) -> DataFrame:
+    """(doc_id, n_tokens, shard_id): :func:`pack_shards` without a
+    group column — ONE packing sequence over the whole corpus.
+
+    A naive global running sum is a single-reducer window (the whole
+    corpus through one task). This is the scale shape instead — the
+    classic distributed prefix sum:
+
+    1. range-partition by the packing order (id-string), so partitions
+       hold disjoint, ordered key ranges;
+    2. per-partition running sums (parallel windows);
+    3. per-partition TOTALS to the driver (``partitions`` rows — an
+       operator-scale collect), cumulative offsets back as literals;
+    4. global running sum = local sum + own partition's offset.
+
+    The result is partition-count-invariant: the global prefix sum
+    depends only on the total order (id-string ASC NULLS FIRST, ties
+    by n_tokens — tied rows are interchangeable), not on where the
+    range boundaries land. Verified against a single-window DuckDB
+    twin (:func:`pack_shards_global_sql`).
+
+    The returned frame reads from a persisted intermediate (the
+    range-partitioned local sums — persisted so the offset collect
+    and the output share one identical partitioning); unpersist via
+    ``spark.catalog.clearCache()`` after the result is written.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    from ocr_spark.functions.text import words_col
+
+    n_tok = F.coalesce(
+        F.size(F.filter(words_col(), lambda x: x != F.lit(""))), F.lit(0)
+    )
+    key = F.col("doc_id").cast("string")
+    base = (
+        docs.select("doc_id", n_tok.alias("n_tokens"))
+        .repartitionByRange(partitions, key.asc_nulls_first(), F.col("n_tokens"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(key.asc_nulls_first(), F.col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_run", F.sum("n_tokens").over(w)).persist()
+    # operator-scale collect: one (pid, total) row per partition
+    totals = {
+        r._pid: r.total
+        for r in local.groupBy("_pid").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    offset, offsets = 0, {}
+    for pid in sorted(totals):
+        offsets[pid] = offset
+        offset += totals[pid]
+    off_expr = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+            ),
+            F.col("_pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    # integer div, not float division: a corpus-wide running sum can
+    # pass 2^53 where double division would round
+    return local.withColumn("_off", off_expr).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(_run - n_tokens + _off) div {int(budget_tokens)}").alias("shard_id"),
+    )
+
+
+def pack_shards_global_sql(
+    table: str = "documents", budget_tokens: int = 100_000
+) -> str:
+    """DuckDB twin of :func:`pack_shards_global` — the single global
+    window the distributed version reconstructs."""
+    from ocr_spark.schema import WS
+
+    return f"""
+      SELECT doc_id, n_tokens,
+             CAST((_run - n_tokens) // {int(budget_tokens)} AS BIGINT) AS shard_id
+      FROM (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (
+                 ORDER BY CAST(doc_id AS VARCHAR) ASC NULLS FIRST,
+                          n_tokens ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _run
+        FROM (
+          SELECT doc_id,
+                 coalesce(CAST(len(list_filter(
+                   regexp_split_to_array(text, '{WS}+'), x -> x != '')) AS INT), 0)
+                   AS n_tokens
+          FROM {table}
+        )
+      )
+    """

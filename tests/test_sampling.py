@@ -314,3 +314,33 @@ def test_pack_shards_null_text_and_budget_validation(spark):
     assert (row.n_tokens, row.shard_id) == (0, 0)  # NULL text = 0 tokens
     with pytest.raises(ValueError):
         pack_shards(df, 0)
+
+
+def test_pack_shards_global_distributed_prefix_sum(spark, docs):
+    """The range-partition + local-window + offset reconstruction must
+    equal a single global running sum — at ANY partition count."""
+    from ocr_spark.functions.sampling import (
+        pack_shards_global,
+        pack_shards_global_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = sorted(map(tuple, con.execute(pack_shards_global_sql("documents", 700)).fetchall()))
+    for nparts in (1, 5, 64):
+        got = sorted(
+            map(tuple, pack_shards_global(docs, 700, partitions=nparts).collect())
+        )
+        assert got == want, f"partition-count {nparts} diverged"
+    spark.catalog.clearCache()
+    # packing is genuinely global: one sequence, many shards
+    assert max(r[2] for r in want) > 5
+    # shard sizes: every shard except the last holds >= budget-minus-
+    # one-doc tokens (greedy offset packing never leaves a gap)
+    import collections
+
+    sizes = collections.Counter()
+    for _, n, s in want:
+        sizes[s] += n
+    full = [sizes[s] for s in sorted(sizes)[:-1]]
+    assert all(sz >= 700 - max(n for _, n, _ in want) + 1 for sz in full)
