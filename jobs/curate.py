@@ -96,6 +96,13 @@ def main() -> None:
     )
     ap.add_argument("--contam-w", type=int, default=13, help="decontamination n-gram width")
     ap.add_argument("--contam-overlap", type=int, default=2, help="overlap threshold")
+    ap.add_argument(
+        "--shard-budget",
+        type=int,
+        default=0,
+        help="add a shard_id column packing ~N whitespace tokens per "
+        "shard (global distributed prefix sum); 0 = off",
+    )
     ap.add_argument("--max-bucket", type=int, default=1000, help="LSH band bucket cap; 0 = off")
     ap.add_argument("--n-buckets", type=int, default=16, help="output bucket count")
     ap.add_argument("--master", default=None)
@@ -104,7 +111,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from ocr_spark.functions.dedup import dup_clusters, exact_dedup, novel_docs
-    from ocr_spark.functions.sampling import cap_per_group, dataset_split
+    from ocr_spark.functions.sampling import (
+        cap_per_group,
+        dataset_split,
+        pack_shards_global,
+    )
     from ocr_spark.functions.contamination import contamination
     from ocr_spark.functions.scrub import gopher_rules, line_dedup, pii_scrub
     from ocr_spark.functions.text import lang_id, quality_score
@@ -260,6 +271,14 @@ def main() -> None:
             weights[name.strip()] = float(w)
         curated = dataset_split(curated, weights)
 
+    # 6.5 optional global shard assignment for training loaders
+    # (distributed prefix sum — see sampling.pack_shards_global)
+    if args.shard_budget > 0:
+        shards = pack_shards_global(
+            curated, budget_tokens=args.shard_budget
+        ).select("doc_id", "shard_id")
+        curated = curated.join(shards, "doc_id")
+
     # 7. curated table in the standard bucketed layout
     ResultsWriter(spark, path=args.output, n_buckets=args.n_buckets).write(curated)
 
@@ -287,6 +306,7 @@ def main() -> None:
                 "pii_scrub": args.pii_scrub,
                 "line_dedup": args.line_dedup,
                 "gopher": args.gopher,
+                "shard_budget": args.shard_budget,
             }
         )
     )

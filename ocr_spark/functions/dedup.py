@@ -61,22 +61,36 @@ MOD40 = MASK_40 + 1
 
 def shingles_expr(w: int = SHINGLE_W) -> str:
     """Spark SQL expr: text -> array of w-word shingles (whole text as
-    a single shingle when shorter)."""
-    return (
-        f"CASE WHEN size(split(text, '{WS}+')) < {w} "
-        f"THEN array(concat_ws(' ', split(text, '{WS}+'))) "
-        f"ELSE transform(sequence(0, size(split(text, '{WS}+')) - {w}), "
-        f"i -> concat_ws(' ', slice(split(text, '{WS}+'), i + 1, {w}))) END"
+    a single shingle when shorter).
+
+    The single-element ``transform(array(split(...)), ws -> ...)``
+    wrapper is a LET binding: common-subexpression elimination does
+    not hoist out of lambda bodies, so the naive form re-splits the
+    whole text once PER SHINGLE (~n regex splits per doc — measured
+    3-4x the cost of the shingling itself at sf0.1). Binding the
+    words array once per row makes every per-shingle step a cheap
+    array slice. Semantics are unchanged (NULL/short-text cases
+    verified by the fuzz net and the dedup-family contract queries).
+    """
+    body = (
+        f"CASE WHEN size(ws) < {w} "
+        f"THEN array(concat_ws(' ', ws)) "
+        f"ELSE transform(sequence(0, size(ws) - {w}), "
+        f"i -> concat_ws(' ', slice(ws, i + 1, {w}))) END"
     )
+    return f"element_at(transform(array(split(text, '{WS}+')), ws -> {body}), 1)"
 
 
 def shingles_sql(w: int = SHINGLE_W) -> str:
-    return (
-        f"CASE WHEN len(regexp_split_to_array(text, '{WS}+')) < {w} "
-        f"THEN [array_to_string(regexp_split_to_array(text, '{WS}+'), ' ')] "
-        f"ELSE list_transform(range(0, len(regexp_split_to_array(text, '{WS}+')) - {w} + 1), "
-        f"i -> array_to_string(list_slice(regexp_split_to_array(text, '{WS}+'), i + 1, i + {w}), ' ')) END"
+    """DuckDB twin of :func:`shingles_expr` (same LET-via-lambda
+    binding so both engines split once per row)."""
+    body = (
+        f"CASE WHEN len(ws) < {w} "
+        f"THEN [array_to_string(ws, ' ')] "
+        f"ELSE list_transform(range(0, len(ws) - {w} + 1), "
+        f"i -> array_to_string(list_slice(ws, i + 1, i + {w}), ' ')) END"
     )
+    return f"list_transform([regexp_split_to_array(text, '{WS}+')], ws -> {body})[1]"
 
 
 # ---------------------------------------------------------------------------

@@ -95,12 +95,16 @@ def test_curate_cap_and_split_stages(spark, tmp_path):
             "--min-quality", "0.0",
             "--cap-per-source", "3",
             "--split", "train=0.8,val=0.1,test=0.1",
+            "--shard-budget", "300",
         ),
     )
     assert s["n_after_cap"] <= s["n_curated"]
     assert s["dropped_cap"] == s["n_curated"] - s["n_after_cap"]
     t = spark.read.parquet(out)
-    assert set(t.columns) >= {"doc_id", "text", "source", "split"}
+    assert set(t.columns) >= {"doc_id", "text", "source", "split", "shard_id"}
+    # shard ids form a contiguous 0..max range (global packing)
+    shard_ids = sorted({r.shard_id for r in t.select("shard_id").collect()})
+    assert shard_ids == list(range(len(shard_ids))) and len(shard_ids) > 1
     assert t.count() == s["n_after_cap"]
     sizes = [r["n"] for r in t.groupBy("source").agg(F.count("*").alias("n")).collect()]
     assert sizes and max(sizes) <= 3
