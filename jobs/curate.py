@@ -4,22 +4,32 @@ end to end — the composition a 100 TB corpus actually runs:
 
 1. extract   — interleaved span table -> boilerplate-stripped main
                content (single-pass Arrow kernel, per-doc metrics);
-2. novelty   — optional (--against): anti-join the batch against an
+2. scrub     — optional (--line-dedup / --pii-scrub): within-doc
+               repeated-line removal and staged PII redaction,
+               BEFORE every content-hash stage so the novelty gate,
+               dedup, and the written table all see scrubbed text;
+3. novelty   — optional (--against): anti-join the batch against an
                already-curated corpus so re-crawls short-circuit
                before the expensive stages;
-3. filter    — deterministic quality score + language-ID gates over
-               the extracted text (pure codegen, scan-stage);
-4. dedup     — exact (content hash) then near-dup (minhash-LSH
+4. decontam  — optional (--benchmark): drop docs overlapping the
+               eval set by w-grams or containing sub-w-word items
+               verbatim (benchmark scrubbed identically);
+5. filter    — deterministic quality score + language-ID gates over
+               the extracted text (pure codegen, scan-stage), plus
+               the optional --gopher rule panel;
+6. dedup     — exact (content hash) then near-dup (minhash-LSH
                candidates, exact-Jaccard verify, connected
                components) over the survivors;
-5. balance   — optional (--cap-per-source): at most N survivors per
+7. balance   — optional (--cap-per-source): at most N survivors per
                source domain, hash-ranked so the selection is
                retry/resume-stable;
-6. split     — optional (--split): deterministic hash-bucketed
-               train/val/test assignment column;
-7. write     — curated (doc_id, text[, source, split]) table in the
-               bucketed layout + one JSON summary line with
-               per-stage counts.
+8. split     — optional (--split): deterministic hash-bucketed
+               train/val/test assignment column; optional
+               (--shard-budget): global token-budget shard ids via
+               the distributed prefix sum;
+9. write     — curated (doc_id, text[, source, split, shard_id])
+               table in the bucketed layout + one JSON summary line
+               with per-stage counts.
 
 Every stage is an already-oracle-checked operator; this job is the
 glue. Scale shape: one kernel pass, scan-stage filters, candidate-
