@@ -880,6 +880,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": lambda s, d: smp.pack_shards(
             _read(s, d, "documents"), budget_tokens=500
         ),
+        # Gopher duplicate-n-gram repetition signals (scan-stage)
+        "repetition_signals": lambda s, d: scr.repetition_signals(
+            _read(s, d, "documents")
+        ),
         # GLOBAL shard packing: distributed prefix sum (range
         # partition -> local windows -> operator-scale offset collect)
         "pack_shards_global": lambda s, d: smp.pack_shards_global(
@@ -1018,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents)"
         ),
         "gopher_rules": scr.gopher_rules_sql(),
+        "repetition_signals": scr.repetition_signals_sql(),
         "pack_shards": smp.pack_shards_sql("documents", budget_tokens=500),
         "pack_shards_global": smp.pack_shards_global_sql(
             "documents", budget_tokens=700

@@ -271,3 +271,64 @@ def gopher_rules_sql(table: str = "documents") -> str:
         )
       )
     """
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher duplicate-n-gram fractions)
+# ---------------------------------------------------------------------------
+
+REP_NS = (2, 3, 4)
+
+
+def repetition_signals(docs: DataFrame, ns: tuple[int, ...] = REP_NS) -> DataFrame:
+    """(doc_id, dup_{n}gram_frac ...): fraction of n-gram OCCURRENCES
+    that are repeats of an earlier n-gram — the Gopher repetition
+    signals (Rae et al. 2021 Table A1, "duplicate n-grams").
+
+    ``1 - distinct/total`` per n; NULL when the doc has fewer than n
+    words (no n-grams to judge). Distinct/total are O(len) hash work
+    per row — unlike the paper's top-n-gram-frequency signal, which
+    needs a per-element count (quadratic per doc) and is deliberately
+    omitted. Zero shuffle: the words array is bound once in a staged
+    projection, each n-gram pass is array slicing in the scan stage.
+    """
+    words = f"filter(split(text, '{WS}+'), w -> w != '')"
+    stage1 = docs.select("doc_id", F.expr(words).alias("_w"))
+    cols = [F.col("doc_id")]
+    for n in ns:
+        grams = (
+            f"transform(sequence(0, size(_w) - {n}), "
+            f"i -> concat_ws(' ', slice(_w, i + 1, {n})))"
+        )
+        frac = (
+            f"CASE WHEN size(_w) >= {n} THEN "
+            f"1.0 - CAST(size(array_distinct({grams})) AS DOUBLE)"
+            f" / (size(_w) - {n} + 1) ELSE NULL END"
+        )
+        cols.append(F.expr(frac).alias(f"dup_{n}gram_frac"))
+    return stage1.select(*cols)
+
+
+def repetition_signals_sql(
+    table: str = "documents", ns: tuple[int, ...] = REP_NS
+) -> str:
+    exprs = []
+    for n in ns:
+        grams = (
+            f"list_transform(range(0, len(_w) - {n} + 1), "
+            f"i -> array_to_string(list_slice(_w, i + 1, i + {n}), ' '))"
+        )
+        exprs.append(
+            f"CASE WHEN len(_w) >= {n} THEN "
+            f"1.0 - CAST(len(list_distinct({grams})) AS DOUBLE)"
+            f" / (len(_w) - {n} + 1) ELSE NULL END AS dup_{n}gram_frac"
+        )
+    cols = ", ".join(exprs)
+    return f"""
+      SELECT doc_id, {cols}
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{WS}+'), w -> w != '') AS _w
+        FROM {table}
+      )
+    """

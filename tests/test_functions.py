@@ -103,6 +103,7 @@ def test_text_operator_fuzz_across_engines(spark, con):
         (scrub.pii_scrub, scrub.pii_scrub_sql("t_fuzz")),
         (scrub.line_dedup, scrub.line_dedup_sql("t_fuzz")),
         (scrub.gopher_rules, scrub.gopher_rules_sql("t_fuzz")),
+        (scrub.repetition_signals, scrub.repetition_signals_sql("t_fuzz")),
     ):
         assert_same(build(df), con, sql)
 

@@ -267,3 +267,36 @@ def test_contamination_plan_broadcasts_benchmark(spark, docs):
     assert "partial_count" in plan_str(
         cnt.contamination(docs, docs.limit(5)), mode="formatted"
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_signals_semantics(spark):
+    out = scrub.repetition_signals(
+        _df(
+            spark,
+            [
+                "a b a b a b",      # 2-grams: ab ba ab ba ab -> 2/5 distinct
+                "x y z",            # no repeats
+                "w w w w",          # all 2-grams identical
+                "one",              # shorter than every n
+                None,
+            ],
+        )
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    assert rows[1].dup_2gram_frac == pytest.approx(1 - 2 / 5)
+    assert rows[2].dup_2gram_frac == 0.0 and rows[2].dup_3gram_frac == 0.0
+    assert rows[3].dup_2gram_frac == pytest.approx(1 - 1 / 3)
+    assert rows[3].dup_4gram_frac == 0.0  # single 4-gram, no repeat
+    assert rows[4].dup_2gram_frac is None
+    assert rows[5].dup_2gram_frac is None
+
+
+def test_repetition_signals_cross_engine(spark, docs, con):
+    assert_same(scrub.repetition_signals(docs), con, scrub.repetition_signals_sql())
+    plan = plan_str(scrub.repetition_signals(docs), mode="simple")
+    assert "Exchange" not in plan, plan
