@@ -45,6 +45,7 @@ from ocr_spark.functions import timeseries as tsr
 from ocr_spark.functions import text as txt
 from ocr_spark.functions import scrub as scr
 from ocr_spark.functions import contamination as cnt
+from ocr_spark.functions import graph as gph
 from ocr_spark.pipeline import pages as pg
 from ocr_spark.pipeline import results as res
 from ocr_spark.kernel.extract import DEFAULT_CONFIG
@@ -897,6 +898,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             w=8,
             min_overlap=2,
         ),
+        # link-graph PageRank (crawl-frontier / source-authority
+        # ranking): exact fixed-point integer power iteration — the
+        # deterministic edge synthesis below is mirrored in the twin
+        "pagerank": lambda s, d: gph.pagerank(
+            _read(s, d, "documents").select(
+                (F.col("doc_id") % 97).alias("src"),
+                ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+            ),
+            iters=3,
+        ),
+        # corpus vocabulary heavy hitters (tokenizer-training pass):
+        # one token shuffle + TakeOrderedAndProject top-k
+        "vocab_topk": lambda s, d: txt.vocab_topk(
+            _read(s, d, "documents"), k=200
+        ),
+        # quality-weighted deterministic Bernoulli sampling: keep
+        # probability = length-derived quality proxy, content-hash
+        # decision (retry/resume-stable)
+        "weighted_sample": lambda s, d: smp.weighted_sample(
+            _read(s, d, "documents"),
+            F.least(F.col("n_chars"), F.lit(400)) / F.lit(400.0),
+        ).select("doc_id", "n_chars"),
     }
 
 
@@ -1032,5 +1055,16 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT * FROM documents WHERE doc_id % 29 = 0)",
             w=8,
             min_overlap=2,
+        ),
+        "pagerank": gph.pagerank_sql(
+            "(SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst"
+            " FROM documents)",
+            iters=3,
+        ),
+        "vocab_topk": txt.vocab_topk_sql("documents", k=200),
+        "weighted_sample": (
+            "SELECT doc_id, n_chars FROM ("
+            + smp.weighted_sample_sql("documents", "least(n_chars, 400) / 400.0")
+            + ")"
         ),
     }

@@ -1,0 +1,174 @@
+"""Link-graph PageRank for crawl/corpus prioritization.
+
+A web-scale curation pipeline ranks domains/pages by link authority
+to decide crawl frontier priority and per-source training-mix weight.
+This module implements power-iteration PageRank as a DataFrame loop —
+the one genuinely iterative algorithm in the repo besides k-means
+(`ivf_centroids.py`) and connected components (`dedup.py`), and it
+follows the same two disciplines those two established:
+
+1. **Exact integer arithmetic.** Ranks are fixed-point BIGINTs at
+   scale ``SCALE = 10^12``. Every step is integer multiply / integer
+   div / integer sum, so the result is independent of partition
+   count, task scheduling, and engine (float sums are
+   order-dependent; integer sums are not). The DuckDB oracle twin is
+   the same recurrence unrolled into chained CTEs — bit-equal.
+2. **Bounded lineage.** Each iteration ends in ``localCheckpoint()``
+   (eager), so the plan never accretes k joins deep and a lost
+   executor replays at most one iteration.
+
+Recurrence (d = 85/100 damping, all ops integer):
+
+    r0(v)   = SCALE div N
+    out(u)  = multi-edge out-degree
+    c(e)    = r(src(e)) div out(src(e))          per edge
+    in(v)   = sum of c(e) over in-edges           exact BIGINT sum
+    dang    = sum of r(u) over out-degree-0 nodes (operator-scale
+              scalar: ONE bigint collected per iteration)
+    r'(v)   = (15*SCALE) div (100*N)
+              + (85 * (in(v) + dang div N)) div 100
+
+Scale shape per iteration: one hash join ranks⋈edges on src (edges
+carry their out-degree from a one-time prep join, so the loop body is
+join + partial-agg sum on dst + left join back onto the node set —
+two shuffles on uniform integer/string keys). At 100 TB the edge
+table should be bucketed by src so the per-iteration join is
+co-located; ranks are tiny relative to edges (one row per node).
+
+Node ids are ID-TYPE-AGNOSTIC (int or string — no casts, the same
+contract as the dedup layer).
+
+Reference analog: none — the reference is a single-corpus OCR app.
+This is part of the beyond-reference training-data surface
+(SURVEY.md §2 "LLM-data-pipeline operators").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+D_NUM, D_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, rank): fixed-point PageRank after ``iters`` power
+    iterations over ``edges(src, dst)``. Multi-edges count with
+    multiplicity; nodes = distinct(src) ∪ distinct(dst); nodes with
+    no out-edges contribute their mass uniformly (dangling
+    redistribution).
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    edges = edges.select("src", "dst")
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # N is a single scalar — the same operator-scale driver traffic
+    # as the k-means centroid collect (similarity.py).
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+
+    # one-time prep: out-degree stitched onto every edge so the loop
+    # body never recomputes it
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("out"))
+    edges_w = edges.join(outdeg, "src").localCheckpoint()
+    # static dangling node set (out-degree 0 = never appears as src)
+    dangling_nodes = nodes.join(
+        edges.select("src").distinct(),
+        nodes["node"] == F.col("src"),
+        "left_anti",
+    ).localCheckpoint()
+
+    teleport = (D_DEN - D_NUM) * SCALE // (D_DEN * n_nodes)
+
+    ranks = nodes.withColumn("rank", F.lit(SCALE // n_nodes).cast("long"))
+    for _ in range(iters):
+        dang = (
+            dangling_nodes.join(ranks, "node")
+            .agg(F.sum("rank").alias("m"))
+            .collect()[0]["m"]
+            or 0
+        )
+        contribs = (
+            edges_w.join(ranks, edges_w["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div out").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({D_NUM} * (coalesce(in_sum, CAST(0 AS BIGINT))"
+                        f" + {dang // n_nodes})) div {D_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_sql(edges_source: str, iters: int = 3) -> str:
+    """DuckDB twin of :func:`pagerank`: the identical integer
+    recurrence unrolled into ``iters`` chained CTEs.
+
+    ``edges_source`` must be a parenthesized subquery or table name
+    yielding (src, dst). DuckDB's sum(BIGINT) returns HUGEINT, so
+    every sum is cast back to BIGINT before further integer math —
+    values are bounded by SCALE so the cast is lossless.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    tele = (
+        f"(({D_DEN - D_NUM} * {SCALE}) // ({D_DEN} * (SELECT n FROM nn)))"
+    )
+    ctes = [
+        f"e AS (SELECT src, dst FROM {edges_source})",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS out FROM e GROUP BY src)",
+        # NOT EXISTS, not NOT IN: a NULL src in the edge list must not
+        # empty the dangling set (left_anti parity with the Spark side)
+        "dangset AS (SELECT node FROM nodes WHERE NOT EXISTS"
+        " (SELECT 1 FROM e WHERE e.src = nodes.node))",
+        f"r0 AS (SELECT node, CAST({SCALE} // (SELECT n FROM nn) AS BIGINT)"
+        " AS rank FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        cur = f"r{i}"
+        dang = (
+            f"d{i} AS (SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS m"
+            f" FROM {prev} r JOIN dangset USING (node))"
+        )
+        ins = (
+            f"i{i} AS (SELECT e.dst AS node,"
+            f" CAST(sum(r.rank // o.out) AS BIGINT) AS in_sum"
+            f" FROM e JOIN {prev} r ON e.src = r.node"
+            f" JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        step = (
+            f"{cur} AS (SELECT nodes.node, CAST({tele}"
+            f" + ({D_NUM} * (coalesce(i.in_sum, CAST(0 AS BIGINT))"
+            f" + (SELECT m FROM d{i}) // (SELECT n FROM nn)))"
+            f" // {D_DEN} AS BIGINT) AS rank"
+            f" FROM nodes LEFT JOIN i{i} i ON nodes.node = i.node)"
+        )
+        ctes += [dang, ins, step]
+        prev = cur
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM {prev}"

@@ -251,6 +251,58 @@ def stratified_sample_sql(
     return f"SELECT * FROM {source} WHERE {pred}"
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight,
+    salt: str = "wsample:v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli keep with row-specific
+    probability — quality-weighted downsampling (keep high-quality
+    docs with higher probability than boilerplate).
+
+    ``weight`` is a Column (or column name) whose value is the keep
+    probability; it is clamped to [0, 1]. A row survives iff its
+    content-hash bucket falls below ``floor(clamp(w) * N_BUCKETS)``,
+    so the decision is a property of (salt, id, weight): stable under
+    retries, repartitioning, and resume — the same guarantee as
+    :func:`dataset_split`, extended to non-uniform probabilities.
+
+    Scale shape: a codegen filter in the scan stage — no shuffle, no
+    UDF, no driver state. The weight is typically derived from the
+    quality-score family (functions/text.py) in the same stage, so
+    at 100 TB the sample decision is free inside the scan.
+
+    Cross-engine exactness: the threshold is computed as
+    ``floor(w * 10000)`` on IEEE doubles — multiply and floor are
+    exact-rounded, deterministic operations, so both engines compare
+    the SAME integer threshold as long as the weight expression
+    itself is IEEE-identical (keep it to +,-,*,/ over column values,
+    association mirrored — see NOTES_BUILD on the tf-idf trap).
+    """
+    b = _bucket_col(id_col, salt)
+    w = F.col(weight) if isinstance(weight, str) else weight
+    p = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    thr = F.floor(p * F.lit(float(N_BUCKETS))).cast("long")
+    return df.where(b < thr)
+
+
+def weighted_sample_sql(
+    source: str,
+    weight_expr: str,
+    salt: str = "wsample:v1",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample`; ``weight_expr`` must be
+    the dialect-shared rendering of the Spark weight column."""
+    b = _bucket_sql(id_col, salt)
+    p = f"least(greatest(CAST(({weight_expr}) AS DOUBLE), 0.0), 1.0)"
+    return (
+        f"SELECT * FROM {source} "
+        f"WHERE {b} < CAST(floor({p} * {float(N_BUCKETS)!r}) AS BIGINT)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # token-budget shard packing
 # ---------------------------------------------------------------------------

@@ -245,3 +245,47 @@ def fingerprint_sql(table: str = "documents") -> str:
                (acc, x) -> (acc * 31 + x) % {FP_MOD56}) AS fp
       FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """(token, n): the k most frequent whitespace tokens corpus-wide —
+    the vocabulary-building / heavy-hitter pass every tokenizer
+    training run starts with.
+
+    Deterministic at the boundary: ties at rank k are broken by token
+    ASC, so the returned set is execution-independent.
+
+    Scale shape: explode -> ONE shuffle on token with map-side partial
+    counts (Zipf skew on stop-tokens is absorbed by the partial agg —
+    each input partition emits at most one ('the', n) row), then a
+    global top-k via TakeOrderedAndProject (per-partition heaps, only
+    k rows per partition reach the driver-side merge — no full sort,
+    no single-reducer ORDER BY). At 100 TB the only full-corpus cost
+    is the token-count exchange, which is unavoidable for exact
+    counts; swap in a count-min sketch if approximate counts suffice.
+    """
+    return (
+        docs.select(F.explode(words_col()).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def vocab_topk_sql(table: str = "documents", k: int = 100) -> str:
+    return f"""
+      SELECT token, n FROM (
+        SELECT token, count(*) AS n FROM (
+          SELECT unnest(regexp_split_to_array(text, '{WS}+')) AS token
+          FROM {table}
+        ) WHERE token <> ''
+        GROUP BY token
+      ) ORDER BY n DESC, token ASC LIMIT {k}
+    """

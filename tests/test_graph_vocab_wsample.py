@@ -1,0 +1,199 @@
+"""New training-data operators: integer PageRank (functions/graph.py),
+vocabulary heavy hitters (text.vocab_topk), quality-weighted
+deterministic sampling (sampling.weighted_sample). Each checked for
+semantics, execution-stability, and cross-engine twin equality."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text
+from ocr_spark.functions.graph import SCALE, pagerank, pagerank_sql
+from ocr_spark.functions.sampling import weighted_sample, weighted_sample_sql
+from ocr_spark.plans import plan_str as _plan
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# the contract-query edge synthesis: dense-ish node space, multi-edges
+# possible, fully deterministic, identical in both dialects
+EDGE_SQL = "(SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst" \
+           " FROM documents)"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def edges(docs):
+    return docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    )
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    return c
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_py(edge_list, iters):
+    """Independent pure-python simulation of the integer recurrence."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    n = len(nodes)
+    out = {}
+    for u, _ in edge_list:
+        out[u] = out.get(u, 0) + 1
+    tele = 15 * SCALE // (100 * n)
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in out)
+        ins = {v: 0 for v in nodes}
+        for u, v in edge_list:
+            ins[v] += r[u] // out[u]
+        r = {
+            v: tele + (85 * (ins[v] + dang // n)) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_python_sim(spark):
+    el = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (1, 2)]  # multi-edge 1->2
+    df = spark.createDataFrame(el, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=4).collect()}
+    assert got == _pagerank_py(el, 4)
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # node 3 has no out-edges; its mass must come back via the
+    # dangling term, not vanish: with redistribution node 1 and 2
+    # keep receiving > teleport-only rank
+    el = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(el, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    sim = _pagerank_py(el, 3)
+    assert got == sim
+    tele = 15 * SCALE // (100 * 3)
+    assert got[1] > tele  # strictly above teleport floor -> dangling fed it
+
+
+def test_pagerank_zero_iters_is_uniform(spark):
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=0).collect()}
+    assert got == {1: SCALE // 2, 2: SCALE // 2}
+
+
+def test_pagerank_partition_invariant(edges):
+    a = sorted(map(tuple, pagerank(edges, iters=2).collect()))
+    b = sorted(map(tuple, pagerank(edges.repartition(13), iters=2).collect()))
+    assert a == b
+
+
+def test_pagerank_string_node_ids(spark):
+    el = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(el, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=2).collect()}
+    assert got == _pagerank_py(el, 2)
+
+
+def test_pagerank_matches_duckdb_twin(edges, con):
+    got = sorted(map(tuple, pagerank(edges, iters=3).collect()))
+    want = sorted(map(tuple, con.execute(pagerank_sql(EDGE_SQL, 3)).fetchall()))
+    assert got == want
+
+
+def test_pagerank_plan_no_nested_loop(edges):
+    p = _plan(pagerank(edges, iters=1), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# vocab_topk
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_topk_hand_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a  c"), (3, "")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in text.vocab_topk(df, k=2).collect()]
+    assert got == [("a", 3), ("b", 2)]  # '' tokens excluded, c cut at k
+
+
+def test_vocab_topk_tie_break_is_token_asc(spark):
+    df = spark.createDataFrame(
+        [(1, "z y x"), (2, "z y x")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in text.vocab_topk(df, k=2).collect()]
+    assert got == [("x", 2), ("y", 2)]  # all tie at 2 -> token ASC wins
+
+
+def test_vocab_topk_matches_duckdb_twin(docs, con):
+    got = sorted(map(tuple, text.vocab_topk(docs, k=50).collect()))
+    want = sorted(
+        map(tuple, con.execute(text.vocab_topk_sql("documents", 50)).fetchall())
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+def _w():
+    return F.least(F.col("n_chars"), F.lit(400)) / F.lit(400.0)
+
+
+_W_SQL = "least(n_chars, 400) / 400.0"
+
+
+def test_weighted_sample_clamp_extremes(docs):
+    n = docs.count()
+    assert weighted_sample(docs, F.lit(1.0)).count() == n  # p=1 keeps all
+    assert weighted_sample(docs, F.lit(0.0)).count() == 0  # p=0 drops all
+    assert weighted_sample(docs, F.lit(-3.0)).count() == 0  # clamped
+    assert weighted_sample(docs, F.lit(7.0)).count() == n  # clamped
+
+
+def test_weighted_sample_partition_invariant(docs):
+    a = sorted(r["doc_id"] for r in weighted_sample(docs, _w()).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(docs.repartition(11, "lang"), _w()).collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_weighted_sample_rate_tracks_mean_weight(docs):
+    kept = weighted_sample(docs, _w()).count()
+    mean_p = docs.select(
+        F.avg(F.least(F.col("n_chars"), F.lit(400)) / F.lit(400.0))
+    ).collect()[0][0]
+    assert abs(kept / docs.count() - mean_p) < 0.08
+
+
+def test_weighted_sample_matches_duckdb_twin(docs, con):
+    got = sorted(r["doc_id"] for r in weighted_sample(docs, _w()).collect())
+    sql = weighted_sample_sql("documents", _W_SQL)
+    want = sorted(r[0] for r in con.execute(
+        f"SELECT doc_id FROM ({sql})").fetchall())
+    assert got == want
+
+
+def test_weighted_sample_plan_is_scan_stage(docs):
+    p = _plan(weighted_sample(docs, _w()), "simple")
+    assert "Exchange" not in p  # pure codegen filter, zero shuffle
