@@ -806,6 +806,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": lambda s, d: sim.embedding_near_dups(
             _read(s, d, "embeddings"), tau=0.35
         ),
+        # semantic-dedup group selection: connected components over
+        # the verified embedding near-dup graph (shared union-find)
+        "embedding_dup_clusters": lambda s, d: sim.embedding_dup_clusters(
+            _read(s, d, "embeddings"), tau=0.35
+        ),
         # --- deterministic sampling (training-data surface): content-
         # hash bucketing, not sample() — row-stable under task retry /
         # repartition / resume; row-level oracle check of every
@@ -1006,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": sim.ivf_topk_sql(),
         "ivf_topk_trained": sim.ivf_topk_trained_sql(_IVF_CENTS),
         "embedding_near_dups": sim.embedding_near_dups_sql(tau=0.35),
+        "embedding_dup_clusters": sim.embedding_dup_clusters_sql(tau=0.35),
         "dataset_split_assign": (
             "SELECT doc_id, split FROM ("
             + smp.dataset_split_sql("documents")

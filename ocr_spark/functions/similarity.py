@@ -448,6 +448,68 @@ def embedding_near_dups_sql(
     """
 
 
+def embedding_dup_clusters(
+    emb: DataFrame,
+    tau: float = 0.9,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    algorithm: str = "label-jump",
+) -> DataFrame:
+    """(vec_id, cluster_rep): connected components over the verified
+    embedding near-duplicate graph — semantic dedup GROUP selection
+    (keep rep = lowest vec_id per cluster, drop the rest).
+
+    The composition mirrors the text-side ``dedup.dup_clusters``:
+    edge generation is the banded-LSH + cosine-verify operator
+    (``embedding_near_dups`` — candidate-driven, never all-pairs),
+    and the component pass is the shared distributed union-find
+    (``dedup.connected_components``: label-jump pointer jumping by
+    default, large-star/small-star available for massive components).
+    Only vectors appearing in >= 1 near-dup pair are emitted —
+    singletons are trivially their own cluster.
+
+    Scale shape: near-dup join cost is bounded by band-bucket sizes
+    (each +1 plane per band halves in-bucket pairs); the CC loop is
+    O(log diameter) doc-keyed shuffles over the (tiny) dup-pair edge
+    set, localCheckpoint'ed per round.
+    """
+    from ocr_spark.functions.dedup import connected_components
+
+    edges = embedding_near_dups(emb, tau, n_bands, planes_per_band).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels, _ = connected_components(edges, algorithm)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"), F.col("label").alias("cluster_rep")
+    )
+
+
+def embedding_dup_clusters_sql(
+    table: str = "embeddings",
+    tau: float = 0.9,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> str:
+    """DuckDB twin: the near-dup pair SQL + a recursive-CTE reachability
+    min-label (same shape as dedup.dup_clusters_sql)."""
+    pairs = embedding_near_dups_sql(table, tau, n_bands, planes_per_band)
+    return f"""
+      WITH RECURSIVE pairs AS ({pairs}),
+      edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst FROM pairs
+      ),
+      verts AS (SELECT DISTINCT src AS vec_id FROM edges),
+      reach(vec_id, r) AS (
+        SELECT vec_id, vec_id FROM verts
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON reach.vec_id = e.dst
+      )
+      SELECT vec_id, min(r) AS cluster_rep FROM reach GROUP BY vec_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # IVF-style ANN (inverted file over nearest-centroid cells)
 # ---------------------------------------------------------------------------
