@@ -20,6 +20,11 @@ as parquet under --output/<name>:
 - distinct_users   : per-event-type distinct users — EXACT with
                      --exact-distinct, else HLL sketch estimates
                      (fixed-size shuffle, functions/sketches.py)
+- vocab            : corpus-wide top --vocab-k whitespace tokens
+                     (heavy hitters, TakeOrderedAndProject)
+- source_rank      : PageRank over the doc->source reference graph
+                     synthesized from (doc_id, source) co-citation —
+                     exact integer power iteration (functions/graph.py)
 
 Every table is a single declarative plan (no collect loops); the job
 prints one JSON summary line with row counts.
@@ -35,6 +40,8 @@ from __future__ import annotations
 import argparse
 import json
 
+from pyspark.sql import functions as F
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -42,6 +49,8 @@ def main() -> None:
     ap.add_argument("--events", required=True, help="events parquet")
     ap.add_argument("--output", required=True, help="output root dir")
     ap.add_argument("--top-k", type=int, default=5)
+    ap.add_argument("--vocab-k", type=int, default=200)
+    ap.add_argument("--pagerank-iters", type=int, default=3)
     ap.add_argument("--session-gap", default="8 hours")
     ap.add_argument(
         "--exact-distinct",
@@ -59,6 +68,8 @@ def main() -> None:
         topk_per_group,
     )
     from ocr_spark.functions.funnel import funnel_counts, retention_cohorts
+    from ocr_spark.functions.graph import pagerank
+    from ocr_spark.functions.text import vocab_topk
     from ocr_spark.functions.sessionize import sessionize
     from ocr_spark.functions.sketches import approx_distinct, exact_distinct
     from ocr_spark.functions.timeseries import asof_join_events
@@ -91,6 +102,17 @@ def main() -> None:
         "funnel": funnel_counts(events),
         "retention": retention_cohorts(events),
         "distinct_users": distinct,
+        "vocab": vocab_topk(docs, k=args.vocab_k),
+        # source-authority ranking: bipartite doc->source edges give
+        # sources rank mass proportional to (damped) document count —
+        # the slot a real link graph would plug into
+        "source_rank": pagerank(
+            docs.select(
+                F.col("doc_id").cast("string").alias("src"),
+                F.concat(F.lit("source:"), F.col("source")).alias("dst"),
+            ),
+            iters=args.pagerank_iters,
+        ),
     }
     counts = {}
     for name, df in tables.items():
