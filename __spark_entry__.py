@@ -890,6 +890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": lambda s, d: scr.repetition_signals(
             _read(s, d, "documents")
         ),
+        # cross-doc repeated-passage mining: strided 40-char hashed
+        # windows, per-doc distinct BEFORE explode, one count shuffle
+        "repeated_passages": lambda s, d: scr.repeated_passages(
+            _read(s, d, "documents")
+        ),
         # GLOBAL shard packing: distributed prefix sum (range
         # partition -> local windows -> operator-scale offset collect)
         "pack_shards_global": lambda s, d: smp.pack_shards_global(
@@ -1052,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gopher_rules": scr.gopher_rules_sql(),
         "repetition_signals": scr.repetition_signals_sql(),
+        "repeated_passages": scr.repeated_passages_sql(),
         "pack_shards": smp.pack_shards_sql("documents", budget_tokens=500),
         "pack_shards_global": smp.pack_shards_global_sql(
             "documents", budget_tokens=700

@@ -332,3 +332,75 @@ def repetition_signals_sql(
         FROM {table}
       )
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated-passage mining
+# ---------------------------------------------------------------------------
+
+PASSAGE_W = 40  # window width (chars)
+PASSAGE_STRIDE = 10  # window stride (chars)
+
+
+def repeated_passages(
+    docs: DataFrame,
+    w_chars: int = PASSAGE_W,
+    stride: int = PASSAGE_STRIDE,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(h, n_docs): hashed ``w_chars``-character windows (sampled
+    every ``stride`` chars) that appear in >= ``min_docs`` DISTINCT
+    documents — the boilerplate/template-passage discovery pass
+    (cookie banners, nav chrome, license blurbs) that text-level
+    near-dup ops miss because the surrounding document differs.
+
+    Scale shape: windows are hashed and per-doc ``array_distinct``ed
+    BEFORE the explode (same discipline as contamination.py — a doc
+    can never inflate a passage's doc-count, and no corpus-wide
+    distinct shuffle), then ONE count shuffle on the 60-bit hash.
+    Output rows are only the repeated hashes — recovering the actual
+    passage text is a candidate-driven join-back against this (small)
+    hash set, never a corpus-wide carry of window strings through the
+    shuffle. Window count per doc is len/stride, so the exploded row
+    volume is ~len/stride per doc — stride is the cost knob.
+    """
+    if w_chars < 1 or stride < 1:
+        raise ValueError("w_chars and stride must be >= 1")
+    from ocr_spark.functions.hashing import md5_long_expr
+
+    h = md5_long_expr(f"substring(text, p, {w_chars})")
+    wins = (
+        f"CASE WHEN length(text) >= {w_chars} THEN array_distinct("
+        f"transform(sequence(1, length(text) - {w_chars} + 1, {stride}),"
+        f" p -> {h})) ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    return (
+        docs.selectExpr(f"explode({wins}) AS h")
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def repeated_passages_sql(
+    table: str = "documents",
+    w_chars: int = PASSAGE_W,
+    stride: int = PASSAGE_STRIDE,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin (range() is exclusive-stop where Spark sequence()
+    is inclusive — hence the +2)."""
+    from ocr_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(f"substr(text, p, {w_chars})")
+    return f"""
+      SELECT h, count(*) AS n_docs FROM (
+        SELECT unnest(list_distinct(
+          CASE WHEN length(text) >= {w_chars}
+          THEN list_transform(
+                 range(1, length(text) - {w_chars} + 2, {stride}),
+                 p -> {h})
+          ELSE [] END)) AS h
+        FROM {table}
+      ) GROUP BY h HAVING count(*) >= {min_docs}
+    """

@@ -300,3 +300,63 @@ def test_repetition_signals_cross_engine(spark, docs, con):
     assert_same(scrub.repetition_signals(docs), con, scrub.repetition_signals_sql())
     plan = plan_str(scrub.repetition_signals(docs), mode="simple")
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# repeated_passages
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_passages_finds_shared_boilerplate(spark):
+    from ocr_spark.functions.scrub import repeated_passages
+
+    banner = "ACCEPT ALL COOKIES TO CONTINUE READING THIS SITE!"  # 49 chars
+    rows = [
+        (1, banner + " unique tail one aaaaaaaaaaaaaaaaaaaaaaaaa"),
+        (2, banner + " other tail entirely zzzzzzzzzzzzzzzzzzzzz"),
+        (3, "no shared content here at all qqqqqqqqqqqqqqqqqqq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_passages(df, w_chars=40, stride=10).collect()
+    assert len(out) > 0  # the banner windows repeat across docs 1+2
+    assert all(r["n_docs"] == 2 for r in out)
+
+
+def test_repeated_passages_within_doc_repeat_not_counted(spark):
+    from ocr_spark.functions.scrub import repeated_passages
+
+    # one doc repeating its own 40-char block many times must NOT
+    # reach min_docs=2: per-doc distinct collapses it to one vote
+    block = "B" * 40
+    df = spark.createDataFrame(
+        [(1, block * 10)], "doc_id long, text string"
+    )
+    assert repeated_passages(df, w_chars=40, stride=10).count() == 0
+
+
+def test_repeated_passages_short_docs_yield_no_windows(spark):
+    from ocr_spark.functions.scrub import repeated_passages
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "short")], "doc_id long, text string"
+    )
+    assert repeated_passages(df, w_chars=40).count() == 0
+
+
+def test_repeated_passages_matches_duckdb_twin(spark):
+    import duckdb
+
+    from ocr_spark.functions.scrub import (
+        repeated_passages,
+        repeated_passages_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(map(tuple, repeated_passages(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(repeated_passages_sql()).fetchall()))
+    assert got == want and len(got) > 0
