@@ -8,7 +8,9 @@ the one genuinely iterative algorithm in the repo besides k-means
 follows the same two disciplines those two established:
 
 1. **Exact integer arithmetic.** Ranks are fixed-point BIGINTs at
-   scale ``SCALE = 10^12``. Every step is integer multiply / integer
+   scale ``rank_scale(N) = max(10^12, N * 10^6)`` — the scale grows
+   with the node count so every node always holds >= 10^6 rank units
+   (see :func:`rank_scale`). Every step is integer multiply / integer
    div / integer sum, so the result is independent of partition
    count, task scheduling, and engine (float sums are
    order-dependent; integer sums are not). The DuckDB oracle twin is
@@ -17,15 +19,15 @@ follows the same two disciplines those two established:
    (eager), so the plan never accretes k joins deep and a lost
    executor replays at most one iteration.
 
-Recurrence (d = 85/100 damping, all ops integer):
+Recurrence (d = 85/100 damping, S = rank_scale(N), all ops integer):
 
-    r0(v)   = SCALE div N
+    r0(v)   = S div N
     out(u)  = multi-edge out-degree
     c(e)    = r(src(e)) div out(src(e))          per edge
     in(v)   = sum of c(e) over in-edges           exact BIGINT sum
     dang    = sum of r(u) over out-degree-0 nodes (operator-scale
               scalar: ONE bigint collected per iteration)
-    r'(v)   = (15*SCALE) div (100*N)
+    r'(v)   = (15*S) div (100*N)
               + (85 * (in(v) + dang div N)) div 100
 
 Scale shape per iteration: one hash join ranks⋈edges on src (edges
@@ -48,8 +50,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SCALE = 10**12
+SCALE = 10**12  # fixed-point floor (small graphs)
+PER_NODE_SCALE = 10**6  # fixed-point units GUARANTEED per node
 D_NUM, D_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def rank_scale(n_nodes: int) -> int:
+    """Fixed-point scale for an ``n_nodes`` graph.
+
+    A constant scale dies at web scale: with 10^10 nodes a 10^12
+    scale gives each node ~100 rank units, so any out-degree above
+    ~100 truncates ``rank div out`` to zero and authority collapses
+    to teleport noise. Scaling with N keeps >= PER_NODE_SCALE units
+    per node — contributions stay non-zero up to out-degree ~10^6,
+    and per-edge truncation error stays ~1e-6 of a node's rank.
+    Overflow bound: the recurrence computes 85 * scale, so BIGINT
+    holds up to n_nodes ~ 1e11 (scale 1e17) — raise PER_NODE_SCALE
+    awareness before going beyond.
+    """
+    return max(SCALE, n_nodes * PER_NODE_SCALE)
 
 
 def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
@@ -86,9 +105,10 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
         "left_anti",
     ).localCheckpoint()
 
-    teleport = (D_DEN - D_NUM) * SCALE // (D_DEN * n_nodes)
+    scale = rank_scale(n_nodes)
+    teleport = (D_DEN - D_NUM) * scale // (D_DEN * n_nodes)
 
-    ranks = nodes.withColumn("rank", F.lit(SCALE // n_nodes).cast("long"))
+    ranks = nodes.withColumn("rank", F.lit(scale // n_nodes).cast("long"))
     for _ in range(iters):
         dang = (
             dangling_nodes.join(ranks, "node")
@@ -133,8 +153,11 @@ def pagerank_sql(edges_source: str, iters: int = 3) -> str:
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    scale = (
+        f"greatest({SCALE}, (SELECT n FROM nn) * {PER_NODE_SCALE})"
+    )
     tele = (
-        f"(({D_DEN - D_NUM} * {SCALE}) // ({D_DEN} * (SELECT n FROM nn)))"
+        f"(({D_DEN - D_NUM} * {scale}) // ({D_DEN} * (SELECT n FROM nn)))"
     )
     ctes = [
         f"e AS (SELECT src, dst FROM {edges_source})",
@@ -146,7 +169,7 @@ def pagerank_sql(edges_source: str, iters: int = 3) -> str:
         # empty the dangling set (left_anti parity with the Spark side)
         "dangset AS (SELECT node FROM nodes WHERE NOT EXISTS"
         " (SELECT 1 FROM e WHERE e.src = nodes.node))",
-        f"r0 AS (SELECT node, CAST({SCALE} // (SELECT n FROM nn) AS BIGINT)"
+        f"r0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT)"
         " AS rank FROM nodes)",
     ]
     prev = "r0"

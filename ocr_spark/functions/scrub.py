@@ -339,40 +339,55 @@ def repetition_signals_sql(
 # ---------------------------------------------------------------------------
 
 PASSAGE_W = 40  # window width (chars)
-PASSAGE_STRIDE = 10  # window stride (chars)
+PASSAGE_GAP = 10  # expected anchor spacing (chars): 1-in-GAP positions
+PASSAGE_ANCHOR_W = 8  # anchor gram width (chars)
 
 
 def repeated_passages(
     docs: DataFrame,
     w_chars: int = PASSAGE_W,
-    stride: int = PASSAGE_STRIDE,
+    gap: int = PASSAGE_GAP,
     min_docs: int = 2,
 ) -> DataFrame:
-    """(h, n_docs): hashed ``w_chars``-character windows (sampled
-    every ``stride`` chars) that appear in >= ``min_docs`` DISTINCT
+    """(h, n_docs): hashed ``w_chars``-character windows, anchored at
+    CONTENT-DEFINED positions, that appear in >= ``min_docs`` DISTINCT
     documents — the boilerplate/template-passage discovery pass
     (cookie banners, nav chrome, license blurbs) that text-level
     near-dup ops miss because the surrounding document differs.
 
-    Scale shape: windows are hashed and per-doc ``array_distinct``ed
-    BEFORE the explode (same discipline as contamination.py — a doc
-    can never inflate a passage's doc-count, and no corpus-wide
-    distinct shuffle), then ONE count shuffle on the 60-bit hash.
-    Output rows are only the repeated hashes — recovering the actual
-    passage text is a candidate-driven join-back against this (small)
-    hash set, never a corpus-wide carry of window strings through the
-    shuffle. Window count per doc is len/stride, so the exploded row
-    volume is ~len/stride per doc — stride is the cost knob.
+    Anchoring is content-defined (winnowing-style), NOT fixed-stride:
+    a position p is an anchor iff ``hash(text[p : p+ANCHOR_W]) % gap
+    == 0`` — a property of the local bytes, so a shared passage
+    produces the SAME anchors in every document regardless of where
+    the passage starts (a fixed stride only matches passages whose
+    offsets agree modulo the stride, i.e. misses ~(gap-1)/gap of real
+    shared boilerplate). Expected anchor density is 1 per ``gap``
+    chars; a shared passage needs ~w_chars + gap chars of length to
+    be detected with high probability.
+
+    Scale shape: anchor selection hashes an ANCHOR_W-gram at every
+    position (O(len) short-gram hashes per doc — the honest price of
+    alignment-free chunking; ``gap`` controls only the downstream
+    window count), full windows are hashed only at anchors, and the
+    per-doc hash list is ``array_distinct``ed BEFORE the explode
+    (same discipline as contamination.py — a doc can never inflate a
+    passage's doc-count, and no corpus-wide distinct shuffle), then
+    ONE count shuffle on the 60-bit hash. Output rows are only the
+    repeated hashes — recovering the passage text is a candidate-
+    driven join-back against this (small) hash set, never a corpus-
+    wide carry of window strings through the shuffle.
     """
-    if w_chars < 1 or stride < 1:
-        raise ValueError("w_chars and stride must be >= 1")
+    if w_chars < 1 or gap < 1:
+        raise ValueError("w_chars and gap must be >= 1")
     from ocr_spark.functions.hashing import md5_long_expr
 
+    a = md5_long_expr(f"substring(text, p, {PASSAGE_ANCHOR_W})")
     h = md5_long_expr(f"substring(text, p, {w_chars})")
     wins = (
         f"CASE WHEN length(text) >= {w_chars} THEN array_distinct("
-        f"transform(sequence(1, length(text) - {w_chars} + 1, {stride}),"
-        f" p -> {h})) ELSE CAST(array() AS ARRAY<BIGINT>) END"
+        f"transform(filter(sequence(1, length(text) - {w_chars} + 1),"
+        f" p -> {a} % {gap} = 0), p -> {h}))"
+        f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
     return (
         docs.selectExpr(f"explode({wins}) AS h")
@@ -385,20 +400,23 @@ def repeated_passages(
 def repeated_passages_sql(
     table: str = "documents",
     w_chars: int = PASSAGE_W,
-    stride: int = PASSAGE_STRIDE,
+    gap: int = PASSAGE_GAP,
     min_docs: int = 2,
 ) -> str:
     """DuckDB twin (range() is exclusive-stop where Spark sequence()
-    is inclusive — hence the +2)."""
+    is inclusive — hence the +2; both hashes are non-negative so bare
+    % agrees across engines)."""
     from ocr_spark.functions.hashing import md5_long_sql
 
+    a = md5_long_sql(f"substr(text, p, {PASSAGE_ANCHOR_W})")
     h = md5_long_sql(f"substr(text, p, {w_chars})")
     return f"""
       SELECT h, count(*) AS n_docs FROM (
         SELECT unnest(list_distinct(
           CASE WHEN length(text) >= {w_chars}
           THEN list_transform(
-                 range(1, length(text) - {w_chars} + 2, {stride}),
+                 list_filter(range(1, length(text) - {w_chars} + 2),
+                             p -> {a} % {gap} = 0),
                  p -> {h})
           ELSE [] END)) AS h
         FROM {table}

@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ocr_spark.functions import text
-from ocr_spark.functions.graph import SCALE, pagerank, pagerank_sql
+from ocr_spark.functions.graph import SCALE, pagerank, pagerank_sql, rank_scale
 from ocr_spark.functions.sampling import weighted_sample, weighted_sample_sql
 from ocr_spark.plans import plan_str as _plan
 
@@ -53,11 +53,12 @@ def _pagerank_py(edge_list, iters):
     """Independent pure-python simulation of the integer recurrence."""
     nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
     n = len(nodes)
+    scale = rank_scale(n)
     out = {}
     for u, _ in edge_list:
         out[u] = out.get(u, 0) + 1
-    tele = 15 * SCALE // (100 * n)
-    r = {v: SCALE // n for v in nodes}
+    tele = 15 * scale // (100 * n)
+    r = {v: scale // n for v in nodes}
     for _ in range(iters):
         dang = sum(r[v] for v in nodes if v not in out)
         ins = {v: 0 for v in nodes}
@@ -113,6 +114,18 @@ def test_pagerank_matches_duckdb_twin(edges, con):
     got = sorted(map(tuple, pagerank(edges, iters=3).collect()))
     want = sorted(map(tuple, con.execute(pagerank_sql(EDGE_SQL, 3)).fetchall()))
     assert got == want
+
+
+def test_pagerank_scale_grows_with_node_count(spark):
+    # web-scale precision guard: above 10^6 nodes the fixed-point
+    # scale must grow so each node keeps >= 10^6 rank units (a fixed
+    # 10^12 scale would truncate hub contributions to zero at real
+    # graph sizes). 1.1M-node ring, iters=0 -> uniform scale//n.
+    n = 1_100_000
+    ring = spark.range(n).selectExpr("id AS src", f"(id + 1) % {n} AS dst")
+    assert rank_scale(n) == n * 10**6  # adaptive regime
+    one = pagerank(ring, iters=0).where(F.col("node") == 0).collect()
+    assert one[0]["rank"] == rank_scale(n) // n  # == 10**6 exactly
 
 
 def test_pagerank_plan_no_nested_loop(edges):

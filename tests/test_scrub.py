@@ -310,16 +310,42 @@ def test_repetition_signals_cross_engine(spark, docs, con):
 def test_repeated_passages_finds_shared_boilerplate(spark):
     from ocr_spark.functions.scrub import repeated_passages
 
-    banner = "ACCEPT ALL COOKIES TO CONTINUE READING THIS SITE!"  # 49 chars
+    banner = (
+        "ACCEPT ALL COOKIES TO CONTINUE READING THIS SITE! "
+        "BY CLICKING YOU AGREE TO OUR TERMS OF SERVICE."
+    )  # 96 chars -> dozens of candidate anchors inside the banner
     rows = [
         (1, banner + " unique tail one aaaaaaaaaaaaaaaaaaaaaaaaa"),
         (2, banner + " other tail entirely zzzzzzzzzzzzzzzzzzzzz"),
         (3, "no shared content here at all qqqqqqqqqqqqqqqqqqq"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = repeated_passages(df, w_chars=40, stride=10).collect()
+    out = repeated_passages(df, w_chars=40, gap=10).collect()
     assert len(out) > 0  # the banner windows repeat across docs 1+2
     assert all(r["n_docs"] == 2 for r in out)
+
+
+def test_repeated_passages_detects_misaligned_copies(spark):
+    from ocr_spark.functions.scrub import repeated_passages
+
+    # THE case fixed-stride windowing misses: the shared passage
+    # starts at different offsets in each doc (prefixes of different
+    # lengths, none congruent mod gap). Content-defined anchors are a
+    # property of the passage bytes, so detection must survive any
+    # alignment shift.
+    banner = (
+        "ACCEPT ALL COOKIES TO CONTINUE READING THIS SITE! "
+        "BY CLICKING YOU AGREE TO OUR TERMS OF SERVICE."
+    )
+    rows = [
+        (1, banner + " tail aaaaaaaaaaaa"),
+        (2, "xyz " + banner + " tail bbbbbbbbbbbb"),  # shifted by 4
+        (3, "intro of length seventeen " + banner),  # shifted by 26
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_passages(df, w_chars=40, gap=10).collect()
+    assert len(out) > 0
+    assert any(r["n_docs"] == 3 for r in out)  # seen in ALL three docs
 
 
 def test_repeated_passages_within_doc_repeat_not_counted(spark):
@@ -327,11 +353,11 @@ def test_repeated_passages_within_doc_repeat_not_counted(spark):
 
     # one doc repeating its own 40-char block many times must NOT
     # reach min_docs=2: per-doc distinct collapses it to one vote
-    block = "B" * 40
+    block = "THIS EXACT BLOCK OF FORTY CHARACTERS!!!!"
     df = spark.createDataFrame(
         [(1, block * 10)], "doc_id long, text string"
     )
-    assert repeated_passages(df, w_chars=40, stride=10).count() == 0
+    assert repeated_passages(df, w_chars=40, gap=10).count() == 0
 
 
 def test_repeated_passages_short_docs_yield_no_windows(spark):
