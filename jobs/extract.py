@@ -45,6 +45,14 @@ def main() -> None:
         "docs first, before the kernel (skew guard for giant-doc tails); "
         "0 = off",
     )
+    ap.add_argument(
+        "--stage-input",
+        action="store_true",
+        help="materialize the input as bucket-partitioned parquet once, "
+        "so each commit group partition-prunes to its buckets instead "
+        "of re-scanning the full input (G commit groups = G full scans "
+        "without it; total I/O 2x the corpus with it)",
+    )
     ap.add_argument("--master", default=None, help="override master URL")
     args = ap.parse_args()
 
@@ -65,6 +73,7 @@ def main() -> None:
             n_buckets=args.buckets,
             buckets_per_commit=args.buckets_per_commit,
             size_weighted_partitions=args.size_weighted_partitions or None,
+            stage_input=args.stage_input,
         ),
     )
     summary = run.run()

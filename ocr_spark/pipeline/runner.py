@@ -10,7 +10,11 @@ per-page cursor). A run:
 2. processes pending buckets in groups; each group is one Spark job
    that writes ``bucket=<k>/`` parquet partitions (overwrite-by-
    partition discipline -> idempotent re-runs; the Iceberg analog is
-   a MERGE/replacePartitions commit) — T3/T4;
+   a MERGE/replacePartitions commit) — T3/T4. With
+   ``RunConfig.stage_input`` the input is first materialized ONCE as
+   bucket-partitioned parquet so each group partition-prunes to its
+   buckets instead of re-scanning the full input (G groups = G full
+   corpus scans otherwise — the dominant I/O term at 100 TB);
 3. after each group commits, writes one lineage record per bucket:
    (run_id, bucket, status, attempt, n_docs, n_spans_in, n_spans_out,
    parse_failures, wall_ms) as a single JSON file per bucket — the
@@ -66,6 +70,16 @@ class RunConfig:
     # heuristic; see pipeline.extract.weight_partition). None = rely on
     # the input's partitioning.
     size_weighted_partitions: int | None = None
+    # stage the input ONCE as bucket-partitioned parquet before the
+    # commit loop. Without staging every commit group re-scans the
+    # FULL input and filters to its buckets (the bucket is a derived
+    # hash — no pushdown can prune it), so a run with G commit groups
+    # reads the corpus G times: at 100 TB with G=16 that is 1.6 PB of
+    # scan for 100 TB of work. Staging costs one extra full
+    # write+shuffle, after which each group's read partition-prunes to
+    # exactly its buckets — total I/O 2x the corpus instead of Gx.
+    # Leave False only when the run fits in one or two commit groups.
+    stage_input: bool = False
 
 
 def _bucket_col(n_buckets: int):
@@ -148,6 +162,43 @@ class ExtractionRun:
             f.write(content)
         os.replace(tmp, path)
 
+    # -- input staging (opt-in, see RunConfig.stage_input) ------------------
+    def _staging_dir(self) -> str:
+        # underscore prefix: Spark's file listing skips _-prefixed
+        # paths, so the staging tree inside the output dir is invisible
+        # to the metrics read and to output()
+        return f"{self.out}/_staging/{self.cfg.run_id}"
+
+    def _stage_marker(self) -> str:
+        return f"{self.lineage_dir}/staged.json"
+
+    def _staged_docs(self) -> DataFrame:
+        """Materialize the input as bucket-partitioned parquet once per
+        run (resume skips it via the marker — same discipline as the
+        bucket lineage records: the write is only trusted after the
+        atomic marker write that follows it)."""
+        stg = self._staging_dir()
+        if not os.path.exists(self._stage_marker()):
+            t0 = time.time()
+            (
+                self.docs.withColumn("bucket", _bucket_col(self.cfg.n_buckets))
+                .repartition(self.cfg.n_buckets, "bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(stg)
+            )
+            self._atomic_write(
+                self._stage_marker(),
+                json.dumps(
+                    {
+                        "run_id": self.cfg.run_id,
+                        "n_buckets": self.cfg.n_buckets,
+                        "wall_ms": int((time.time() - t0) * 1000),
+                    }
+                ),
+            )
+        return self.spark.read.parquet(stg)
+
     # -- T3/T4: process + commit ------------------------------------------
     def _group_df(self, buckets: list[int]) -> DataFrame:
         """The commit-group plan: ONE kernel execution, no joins.
@@ -156,12 +207,18 @@ class ExtractionRun:
         filtered on the input and recomputed on the kernel output with
         a withColumn — the round-1 version re-attached it via a doc_id
         join and ran a second kernel pass for metrics, doubling the
-        most expensive stage and adding two shuffles per commit."""
-        subset = (
-            self.docs.withColumn("bucket", _bucket_col(self.cfg.n_buckets))
-            .where(F.col("bucket").isin(buckets))
-            .drop("bucket")
+        most expensive stage and adding two shuffles per commit.
+
+        With ``stage_input`` the filter lands on a PARTITION column of
+        the staged table (PartitionFilters in the scan — only the
+        group's bucket directories are read); without it the filter is
+        a full-scan predicate on the derived hash."""
+        src = (
+            self._staged_docs()
+            if self.cfg.stage_input
+            else self.docs.withColumn("bucket", _bucket_col(self.cfg.n_buckets))
         )
+        subset = src.where(F.col("bucket").isin(buckets)).drop("bucket")
         if self.cfg.size_weighted_partitions:
             subset = weight_partition(subset, self.cfg.size_weighted_partitions)
         # the trailing where() is defense in depth: bucket is the same
@@ -253,6 +310,12 @@ class ExtractionRun:
             if fail_after_groups is not None and gi >= fail_after_groups:
                 raise RuntimeError(f"simulated crash before group {gi}")
             self._process_group(group, attempt)
+        # run complete: the staged copy is scratch space — GC it (and
+        # its marker, so a hypothetical later re-stage starts clean)
+        if self.cfg.stage_input and len(self.done_buckets()) == self.cfg.n_buckets:
+            shutil.rmtree(self._staging_dir(), ignore_errors=True)
+            if os.path.exists(self._stage_marker()):
+                os.remove(self._stage_marker())
         return self.summary()
 
     def summary(self) -> dict:
@@ -291,8 +354,12 @@ def cleanup_orphan_runs(output_dir: str, keep: set[str] | frozenset[str]) -> lis
     partition). Returns the removed run_ids."""
     removed = []
     root = f"{output_dir.rstrip('/')}/_lineage"
+    stg_root = f"{output_dir.rstrip('/')}/_staging"
     for run_id in list_runs(output_dir):
         if run_id not in keep:
             shutil.rmtree(f"{root}/{run_id}")
+            # a crashed staged run leaves its bucket-partitioned input
+            # copy behind — scratch space, GC'd with the lineage
+            shutil.rmtree(f"{stg_root}/{run_id}", ignore_errors=True)
             removed.append(run_id)
     return removed

@@ -226,3 +226,85 @@ def test_null_doc_id_row_stays_in_its_commit_group(spark, docs, tmp_path):
     # and every real doc committed exactly once (no clobbered buckets)
     assert out.where(F.col("doc_id") != "").select("doc_id").distinct().count() == 500
     assert s["parse_failures"] == 1
+
+
+# ---------------------------------------------------------------------------
+# staged bucketed input (stage_input=True)
+# ---------------------------------------------------------------------------
+
+
+def _rows(spark, path):
+    df = spark.read.parquet(path)
+    return sorted(
+        (r.doc_id, r.bucket, len(r.spans or [])) for r in df.collect()
+    )
+
+
+def test_staged_run_matches_unstaged(spark, docs, tmp_path):
+    ref = ExtractionRun(
+        spark, docs, str(tmp_path / "ref"), RunConfig("su0", n_buckets=8)
+    )
+    ref.run()
+    st = ExtractionRun(
+        spark,
+        docs,
+        str(tmp_path / "st"),
+        RunConfig("su1", n_buckets=8, buckets_per_commit=2, stage_input=True),
+    )
+    st.run()
+    assert _rows(spark, str(tmp_path / "ref")) == _rows(spark, str(tmp_path / "st"))
+    # staging scratch is GC'd after completion (marker included)
+    assert not os.path.exists(str(tmp_path / "st" / "_staging" / "su1"))
+    assert not os.path.exists(f"{st.lineage_dir}/staged.json")
+
+
+def test_staged_group_scan_partition_prunes(spark, docs, tmp_path):
+    from ocr_spark.plans import plan_str
+
+    run = ExtractionRun(
+        spark,
+        docs,
+        str(tmp_path / "out"),
+        RunConfig("sp1", n_buckets=8, buckets_per_commit=2, stage_input=True),
+    )
+    run.write_manifest()
+    plan = plan_str(run._group_df([0, 1]), "formatted")
+    # the group filter must land on the staged PARTITION column, not a
+    # recomputed full-scan hash predicate
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    # staging is written exactly once; a second group reuses it
+    marker = f"{run.lineage_dir}/staged.json"
+    assert os.path.exists(marker)
+    before = json.load(open(marker))
+    run._group_df([2, 3]).count()
+    assert json.load(open(marker)) == before
+
+
+def test_staged_crash_and_resume_equals_single_shot(spark, docs, tmp_path):
+    ref = ExtractionRun(
+        spark, docs, str(tmp_path / "ref"), RunConfig("sc0", n_buckets=8)
+    )
+    ref.run()
+    out = str(tmp_path / "out")
+    cfg = RunConfig("sc1", n_buckets=8, buckets_per_commit=2, stage_input=True)
+    broken = ExtractionRun(spark, docs, out, cfg)
+    with pytest.raises(RuntimeError):
+        broken.run(fail_after_groups=2)
+    # staging survives the crash (resume must not pay it twice)
+    assert os.path.exists(f"{out}/_staging/sc1")
+    resumed = ExtractionRun(spark, docs, out, cfg)
+    summary = resumed.run()
+    assert summary["buckets_done"] == 8
+    assert _rows(spark, str(tmp_path / "ref")) == _rows(spark, out)
+
+
+def test_cleanup_orphan_runs_removes_stale_staging(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    cfg = RunConfig("stale-st", n_buckets=4, buckets_per_commit=1, stage_input=True)
+    broken = ExtractionRun(spark, docs, out, cfg)
+    with pytest.raises(RuntimeError):
+        broken.run(fail_after_groups=1)
+    assert os.path.exists(f"{out}/_staging/stale-st")
+    removed = cleanup_orphan_runs(out, keep=frozenset())
+    assert "stale-st" in removed
+    assert not os.path.exists(f"{out}/_staging/stale-st")
