@@ -104,6 +104,14 @@ def test_text_operator_fuzz_across_engines(spark, con):
         (scrub.line_dedup, scrub.line_dedup_sql("t_fuzz")),
         (scrub.gopher_rules, scrub.gopher_rules_sql("t_fuzz")),
         (scrub.repetition_signals, scrub.repetition_signals_sql("t_fuzz")),
+        (text.vocab_topk, text.vocab_topk_sql("t_fuzz")),
+        # repeated_passages with small w/gap so the 0-60-char fuzz
+        # strings actually produce windows (unicode substr/length
+        # semantics are the trap under test)
+        (
+            lambda d: scrub.repeated_passages(d, w_chars=6, gap=3),
+            scrub.repeated_passages_sql("t_fuzz", w_chars=6, gap=3),
+        ),
     ):
         assert_same(build(df), con, sql)
 
