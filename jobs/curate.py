@@ -23,6 +23,11 @@ end to end — the composition a 100 TB corpus actually runs:
 7. balance   — optional (--cap-per-source): at most N survivors per
                source domain, hash-ranked so the selection is
                retry/resume-stable;
+7.5 sample   — optional (--quality-sample F): keep each survivor
+               with probability clamp(quality * F) — deterministic
+               content-hash Bernoulli, so high-quality docs are
+               over-represented in the final mix and the selection
+               is retry/resume-stable;
 8. split     — optional (--split): deterministic hash-bucketed
                train/val/test assignment column; optional
                (--shard-budget): global token-budget shard ids via
@@ -107,6 +112,14 @@ def main() -> None:
     ap.add_argument("--contam-w", type=int, default=13, help="decontamination n-gram width")
     ap.add_argument("--contam-overlap", type=int, default=2, help="overlap threshold")
     ap.add_argument(
+        "--quality-sample",
+        type=float,
+        default=0.0,
+        help="keep each curated doc with probability "
+        "min(1, quality * F) — deterministic quality-weighted "
+        "downsampling after dedup/cap; 0 = off",
+    )
+    ap.add_argument(
         "--shard-budget",
         type=int,
         default=0,
@@ -125,6 +138,7 @@ def main() -> None:
         cap_per_group,
         dataset_split,
         pack_shards_global,
+        weighted_sample,
     )
     from ocr_spark.functions.contamination import contamination
     from ocr_spark.functions.scrub import gopher_rules, line_dedup, pii_scrub
@@ -273,6 +287,22 @@ def main() -> None:
         )
         n_capped = curated.count()
 
+    # 5.5 optional quality-weighted downsampling: AFTER dedup/cap (a
+    # sampled-out doc must not resurrect its near-duplicates, and cap
+    # quotas should fill before thinning), keep probability
+    # min(1, quality * F) on the FINAL curated text (scan-stage
+    # re-derivation — cheaper than carrying the column through joins)
+    n_sampled = n_capped
+    if args.quality_sample > 0:
+        qw = quality_score(curated.select("doc_id", "text")).select(
+            "doc_id", "quality"
+        )
+        curated = weighted_sample(
+            curated.join(qw, "doc_id"),
+            F.least(F.col("quality") * F.lit(args.quality_sample), F.lit(1.0)),
+        ).drop("quality")
+        n_sampled = curated.count()
+
     # 6. optional deterministic split column
     if args.split:
         weights = {}
@@ -303,11 +333,13 @@ def main() -> None:
                 "n_after_exact_dedup": n_exact,
                 "n_curated": n_curated,
                 "n_after_cap": n_capped,
+                "n_after_quality_sample": n_sampled,
                 "dropped_not_novel": n_extracted - n_novel,
                 "dropped_quality_lang": n_decontam - n_gated,
                 "dropped_exact": n_gated - n_exact,
                 "dropped_near_dup": n_exact - n_curated,
                 "dropped_cap": n_curated - n_capped,
+                "dropped_quality_sample": n_capped - n_sampled,
                 "min_quality": args.min_quality,
                 "langs": langs,
                 "tau": args.tau,
@@ -316,6 +348,7 @@ def main() -> None:
                 "pii_scrub": args.pii_scrub,
                 "line_dedup": args.line_dedup,
                 "gopher": args.gopher,
+                "quality_sample": args.quality_sample,
                 "shard_budget": args.shard_budget,
             }
         )

@@ -258,3 +258,26 @@ def test_curate_scrub_runs_before_novelty_gate(spark, tmp_path):
     s2 = run(str(tmp_path / "c2"), ("--against", out1))
     assert s2["n_novel"] == 0, s2
     assert s2["dropped_not_novel"] == 2
+
+
+def test_curate_quality_sample_stage(spark, tmp_path):
+    # factor large enough that high-quality docs are certain keeps
+    # (p clamps to 1) while some low-quality docs drop; funnel stays
+    # exact and the stage is deterministic across reruns
+    out1, s1 = _run(spark, tmp_path / "a", ("--quality-sample", "1.5"))
+    assert 0 < s1["n_after_quality_sample"] <= s1["n_after_cap"]
+    assert (
+        s1["dropped_quality_sample"]
+        == s1["n_after_cap"] - s1["n_after_quality_sample"]
+    )
+    out2, s2 = _run(spark, tmp_path / "b", ("--quality-sample", "1.5"))
+    assert s2["n_after_quality_sample"] == s1["n_after_quality_sample"]
+    a = sorted(r.doc_id for r in spark.read.parquet(out1).collect())
+    b = sorted(r.doc_id for r in spark.read.parquet(out2).collect())
+    assert a == b  # content-hash decision -> identical selection
+
+
+def test_curate_quality_sample_off_by_default(spark, tmp_path):
+    _, s = _run(spark, tmp_path)
+    assert s["dropped_quality_sample"] == 0
+    assert s["n_after_quality_sample"] == s["n_after_cap"]
