@@ -890,8 +890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": lambda s, d: scr.repetition_signals(
             _read(s, d, "documents")
         ),
-        # cross-doc repeated-passage mining: strided 40-char hashed
-        # windows, per-doc distinct BEFORE explode, one count shuffle
+        # cross-doc repeated-passage mining: content-defined anchored
+        # 40-char hashed windows (alignment-free), per-doc distinct
+        # BEFORE explode, one count shuffle
         "repeated_passages": lambda s, d: scr.repeated_passages(
             _read(s, d, "documents")
         ),

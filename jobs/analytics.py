@@ -106,12 +106,14 @@ def main() -> None:
         # source-authority ranking: bipartite doc->source edges give
         # sources rank mass proportional to (damped) document count —
         # the slot a real link graph would plug into
-        # coalesce: a NULL source would make a NULL dst node whose
-        # received mass neither delivers nor redistributes (the join
-        # back onto nodes can't match NULL) — bucket it explicitly
+        # coalesce BOTH endpoints: a NULL node (from NULL source or
+        # NULL doc_id) can never be matched by the rank joins, so its
+        # mass neither delivers nor redistributes — bucket explicitly
         "source_rank": pagerank(
             docs.select(
-                F.col("doc_id").cast("string").alias("src"),
+                F.coalesce(F.col("doc_id").cast("string"), F.lit("")).alias(
+                    "src"
+                ),
                 F.concat(
                     F.lit("source:"), F.coalesce(F.col("source"), F.lit("unknown"))
                 ).alias("dst"),

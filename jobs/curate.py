@@ -258,8 +258,16 @@ def main() -> None:
     n_exact = survivors.count()
     clusters = dup_clusters(survivors, tau=args.tau, max_bucket=args.max_bucket or None)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
-    curated = survivors.join(losers, "doc_id", "left_anti").select("doc_id", "text")
-    n_curated = curated.count()
+    # persist: every later stage (cap join, quality-sample SELF-join,
+    # split, shard join, write) re-reads this frame, and its lineage
+    # contains the costliest stage in the job (LSH + verify + CC)
+    curated = (
+        survivors.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "text")
+        .persist()
+    )
+    curated_base = curated  # later stages reassign `curated`; keep the
+    n_curated = curated.count()  # cached handle for the final unpersist
 
     # 5. optional per-source cap (domain balancing). The source column
     # lives on the flat input table; joined back by doc_id and kept in
@@ -297,9 +305,11 @@ def main() -> None:
         qw = quality_score(curated.select("doc_id", "text")).select(
             "doc_id", "quality"
         )
+        # weighted_sample clamps to [0, 1] internally — pass the bare
+        # product so the clamp rule lives in exactly one place
         curated = weighted_sample(
             curated.join(qw, "doc_id"),
-            F.least(F.col("quality") * F.lit(args.quality_sample), F.lit(1.0)),
+            F.col("quality") * F.lit(args.quality_sample),
         ).drop("quality")
         n_sampled = curated.count()
 
@@ -353,7 +363,7 @@ def main() -> None:
             }
         )
     )
-    for df in (corpus, gated, survivors):
+    for df in (corpus, gated, survivors, curated_base):
         df.unpersist()
     spark.stop()
 

@@ -149,7 +149,8 @@ def pagerank_sql(edges_source: str, iters: int = 3) -> str:
     ``edges_source`` must be a parenthesized subquery or table name
     yielding (src, dst). DuckDB's sum(BIGINT) returns HUGEINT, so
     every sum is cast back to BIGINT before further integer math —
-    values are bounded by SCALE so the cast is lossless.
+    values are bounded by rank_scale(N) (<= ~1e17 within the
+    documented n_nodes ~ 1e11 bound), so the cast is lossless.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")

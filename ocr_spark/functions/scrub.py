@@ -341,6 +341,7 @@ def repetition_signals_sql(
 PASSAGE_W = 40  # window width (chars)
 PASSAGE_GAP = 10  # expected anchor spacing (chars): 1-in-GAP positions
 PASSAGE_ANCHOR_W = 8  # anchor gram width (chars)
+PASSAGE_MAX_CHARS = 1_000_000  # per-doc scan cap (memory bound)
 
 
 def repeated_passages(
@@ -348,6 +349,7 @@ def repeated_passages(
     w_chars: int = PASSAGE_W,
     gap: int = PASSAGE_GAP,
     min_docs: int = 2,
+    max_chars: int | None = PASSAGE_MAX_CHARS,
 ) -> DataFrame:
     """(h, n_docs): hashed ``w_chars``-character windows, anchored at
     CONTENT-DEFINED positions, that appear in >= ``min_docs`` DISTINCT
@@ -376,16 +378,25 @@ def repeated_passages(
     repeated hashes — recovering the passage text is a candidate-
     driven join-back against this (small) hash set, never a corpus-
     wide carry of window strings through the shuffle.
+
+    Memory bound: the candidate-position array materializes ONE
+    element per character before the anchor filter, so an unbounded
+    outlier doc would build an outlier-sized array in a single row's
+    scan-stage intermediate. ``max_chars`` caps the scanned prefix
+    (default 1M chars ≈ 8 MB of positions) — boilerplate repeats in
+    the head of a document; mining past the first 1M chars of a
+    pathological doc adds nothing. None = unbounded (test corpora).
     """
     if w_chars < 1 or gap < 1:
         raise ValueError("w_chars and gap must be >= 1")
     from ocr_spark.functions.hashing import md5_long_expr
 
-    a = md5_long_expr(f"substring(text, p, {PASSAGE_ANCHOR_W})")
-    h = md5_long_expr(f"substring(text, p, {w_chars})")
+    t = f"substring(text, 1, {max_chars})" if max_chars else "text"
+    a = md5_long_expr(f"substring({t}, p, {PASSAGE_ANCHOR_W})")
+    h = md5_long_expr(f"substring({t}, p, {w_chars})")
     wins = (
-        f"CASE WHEN length(text) >= {w_chars} THEN array_distinct("
-        f"transform(filter(sequence(1, length(text) - {w_chars} + 1),"
+        f"CASE WHEN length({t}) >= {w_chars} THEN array_distinct("
+        f"transform(filter(sequence(1, length({t}) - {w_chars} + 1),"
         f" p -> {a} % {gap} = 0), p -> {h}))"
         f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
@@ -402,20 +413,22 @@ def repeated_passages_sql(
     w_chars: int = PASSAGE_W,
     gap: int = PASSAGE_GAP,
     min_docs: int = 2,
+    max_chars: int | None = PASSAGE_MAX_CHARS,
 ) -> str:
     """DuckDB twin (range() is exclusive-stop where Spark sequence()
     is inclusive — hence the +2; both hashes are non-negative so bare
     % agrees across engines)."""
     from ocr_spark.functions.hashing import md5_long_sql
 
-    a = md5_long_sql(f"substr(text, p, {PASSAGE_ANCHOR_W})")
-    h = md5_long_sql(f"substr(text, p, {w_chars})")
+    t = f"substr(text, 1, {max_chars})" if max_chars else "text"
+    a = md5_long_sql(f"substr({t}, p, {PASSAGE_ANCHOR_W})")
+    h = md5_long_sql(f"substr({t}, p, {w_chars})")
     return f"""
       SELECT h, count(*) AS n_docs FROM (
         SELECT unnest(list_distinct(
-          CASE WHEN length(text) >= {w_chars}
+          CASE WHEN length({t}) >= {w_chars}
           THEN list_transform(
-                 list_filter(range(1, length(text) - {w_chars} + 2),
+                 list_filter(range(1, length({t}) - {w_chars} + 2),
                              p -> {a} % {gap} = 0),
                  p -> {h})
           ELSE [] END)) AS h

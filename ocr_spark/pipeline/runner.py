@@ -197,7 +197,15 @@ class ExtractionRun:
                     }
                 ),
             )
-        return self.spark.read.parquet(stg)
+        # explicit schema (input schema + bucket partition col): an
+        # EMPTY corpus stages as _SUCCESS-only with no parquet footers,
+        # and inference would then throw on every resume (marker
+        # already written) — same class as the OUTPUT_SCHEMA fix for
+        # zero-row commit groups above
+        staged_schema = StructType(
+            self.docs.schema.fields + [StructField("bucket", IntegerType(), True)]
+        )
+        return self.spark.read.schema(staged_schema).parquet(stg)
 
     # -- T3/T4: process + commit ------------------------------------------
     def _group_df(self, buckets: list[int]) -> DataFrame:

@@ -308,3 +308,25 @@ def test_cleanup_orphan_runs_removes_stale_staging(spark, docs, tmp_path):
     removed = cleanup_orphan_runs(out, keep=frozenset())
     assert "stale-st" in removed
     assert not os.path.exists(f"{out}/_staging/stale-st")
+
+
+def test_staged_run_survives_empty_corpus(spark, docs, tmp_path):
+    # an EMPTY input stages as _SUCCESS-only parquet; the staged read
+    # must use the explicit schema (inference would throw and, with
+    # the marker already written, wedge every resume)
+    empty = docs.where("1 = 0")
+    run = ExtractionRun(
+        spark,
+        empty,
+        str(tmp_path / "out"),
+        RunConfig("se1", n_buckets=4, buckets_per_commit=2, stage_input=True),
+    )
+    summary = run.run()
+    assert summary["buckets_done"] == 4 and summary["n_docs"] == 0
+    # and resume stays a no-op, not a crash
+    assert ExtractionRun(
+        spark,
+        empty,
+        str(tmp_path / "out"),
+        RunConfig("se1", n_buckets=4, buckets_per_commit=2, stage_input=True),
+    ).run()["n_docs"] == 0
