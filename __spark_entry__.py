@@ -40,6 +40,8 @@ from ocr_spark.functions import sampling as smp
 from ocr_spark.functions import tfidf as tfi
 from ocr_spark.functions import sessionize as sess
 from ocr_spark.functions import skew as sk
+from ocr_spark.functions.sketches import cms_build as sk_cms_build
+from ocr_spark.functions.sketches import cms_build_sql as sk_cms_build_sql
 from ocr_spark.functions.sketches import exact_distinct as sk_exact_distinct
 from ocr_spark.functions import timeseries as tsr
 from ocr_spark.functions import text as txt
@@ -63,6 +65,7 @@ from ocr_spark.pipeline.validate import (
     validate_fields,
     validate_sql,
 )
+from ocr_spark.schema import WS as _WS
 from ocr_spark.sources.synth import synth_spans_sql, synthesize_spans
 
 STRIPPED_KINDS = ("page_header", "page_footer", "link")
@@ -931,6 +934,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "documents"),
             F.least(F.col("n_chars"), F.lit(400)) / F.lit(400.0),
         ).select("doc_id", "n_chars"),
+        # count-min sketch over the token stream: fixed depth*width
+        # cell table (the mergeable approximate-frequency artifact);
+        # deterministic salted-md5 cells, so the sketch itself is the
+        # oracle-checked object
+        "cms_token_sketch": lambda s, d: sk_cms_build(
+            _read(s, d, "documents")
+            .select(F.explode(txt.words_col()).alias("token"))
+            .where(F.col("token") != ""),
+            "token",
+        ),
     }
 
 
@@ -1079,5 +1092,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM ("
             + smp.weighted_sample_sql("documents", "least(n_chars, 400) / 400.0")
             + ")"
+        ),
+        "cms_token_sketch": sk_cms_build_sql(
+            "(SELECT v FROM (SELECT unnest(regexp_split_to_array(text,"
+            f" '{_WS}+')) AS v FROM documents) WHERE v <> '')"
         ),
     }

@@ -75,3 +75,112 @@ def merge_sketches(sketches: DataFrame, keys: list[str]) -> DataFrame:
             F.hll_sketch_estimate("merged").alias("distinct_estimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (approximate frequencies, mergeable)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # hash rows; error probability decays as (1/2)^depth-ish
+CMS_WIDTH = 1024  # cells per row; over-estimate ~ n_items / width
+
+# The exact top-k (text.vocab_topk) shuffles every distinct token;
+# the CMS shuffles a FIXED depth*width cell table no matter how large
+# the vocabulary is, and sketches built per shard/day merge by cell
+# addition into exactly the single-pass sketch. Estimates are
+# one-sided: estimate >= true count, over by at most the collision
+# mass in the sketch cell. Hashing is the repo's portable salted md5
+# fold, so the sketch TABLE itself is deterministic and cross-engine
+# oracle-checkable (unlike probabilistic-seed implementations).
+
+
+def _cms_cells(col_expr, depth: int, width: int, salt: str):
+    from ocr_spark.functions.hashing import md5_long
+
+    v = F.coalesce(col_expr.cast("string"), F.lit(""))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (md5_long(F.concat(F.lit(f"{salt}:{i}:"), v)) % width).alias(
+                    "cell"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms:v1",
+) -> DataFrame:
+    """(row, cell, n): the count-min sketch table of ``col`` — one
+    scan (each value expands to ``depth`` cells in-plan), one shuffle
+    of at most depth*width groups with map-side partials."""
+    return (
+        df.select(F.explode(_cms_cells(F.col(col), depth, width, salt)).alias("c"))
+        .select("c.row", "c.cell")
+        .groupBy("row", "cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge shard sketch tables by cell addition — equals the
+    single-pass sketch EXACTLY (counter addition is associative)."""
+    return sketches.groupBy("row", "cell").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    df: DataFrame,
+    col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms:v1",
+) -> DataFrame:
+    """(value, estimate): point-query estimates for the distinct
+    values of ``df.col`` — min over the value's ``depth`` cells
+    (absent cell = 0). Broadcast-friendly: the sketch is at most
+    depth*width rows."""
+    hashed = (
+        df.select(F.col(col).alias("value"))
+        .distinct()
+        .select(
+            "value",
+            F.explode(_cms_cells(F.col("value"), depth, width, salt)).alias("c"),
+        )
+        .select("value", "c.row", "c.cell")
+    )
+    return (
+        hashed.join(F.broadcast(sketch), ["row", "cell"], "left")
+        .fillna(0, ["n"])
+        .groupBy("value")
+        .agg(F.min("n").alias("estimate"))
+    )
+
+
+def cms_build_sql(
+    values_source: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms:v1",
+) -> str:
+    """DuckDB twin of :func:`cms_build`; ``values_source`` must yield
+    one column named ``v``."""
+    from ocr_spark.functions.hashing import md5_long_sql
+
+    s = salt.replace("'", "''")
+    h = md5_long_sql(
+        f"'{s}:' || CAST(r.i AS VARCHAR) || ':' || coalesce(CAST(v AS VARCHAR), '')"
+    )
+    return f"""
+      SELECT row, cell, count(*) AS n FROM (
+        SELECT r.i AS row, {h} % {width} AS cell
+        FROM {values_source} CROSS JOIN range(0, {depth}) r(i)
+      ) GROUP BY row, cell
+    """

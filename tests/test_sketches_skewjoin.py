@@ -129,3 +129,83 @@ def test_salted_join_rejects_right_joins(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(docs, docs, ["doc_id"], how="right")
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _tokens(spark):
+    from ocr_spark.functions.text import words_col
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return docs.select(F.explode(words_col()).alias("token")).where(
+        F.col("token") != ""
+    )
+
+
+def test_cms_build_matches_duckdb_twin(spark):
+    import duckdb
+
+    from ocr_spark.functions.sketches import cms_build, cms_build_sql
+    from ocr_spark.schema import WS
+
+    got = sorted(map(tuple, cms_build(_tokens(spark), "token").collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    )
+    src = (
+        "(SELECT v FROM (SELECT unnest(regexp_split_to_array(text,"
+        f" '{WS}+')) AS v FROM documents) WHERE v <> '')"
+    )
+    want = sorted(map(tuple, con.execute(cms_build_sql(src)).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_cms_shard_merge_equals_single_pass(spark):
+    from ocr_spark.functions.sketches import cms_build, cms_merge
+
+    toks = _tokens(spark).withColumn(
+        "shard", (F.md5(F.col("token")).substr(1, 2) > F.lit("7f")).cast("int")
+    )
+    single = sorted(map(tuple, cms_build(toks, "token").collect()))
+    shards = [
+        cms_build(toks.where(F.col("shard") == i), "token") for i in (0, 1)
+    ]
+    merged = sorted(map(tuple, cms_merge(shards[0].unionAll(shards[1])).collect()))
+    assert merged == single  # counter addition is lossless
+
+
+def test_cms_estimates_are_one_sided(spark):
+    from ocr_spark.functions.sketches import cms_build, cms_estimate
+
+    toks = _tokens(spark)
+    sketch = cms_build(toks, "token")
+    exact = toks.groupBy("token").agg(F.count("*").alias("true_n"))
+    joined = (
+        cms_estimate(sketch, toks, "token")
+        .join(exact, F.col("value") == F.col("token"))
+        .select("true_n", "estimate")
+        .collect()
+    )
+    assert len(joined) > 0
+    assert all(r.estimate >= r.true_n for r in joined)  # never under
+    # with depth=4 x width=1024 cells vs a small vocab, most
+    # estimates should be exact (collision mass is sparse)
+    exact_frac = sum(1 for r in joined if r.estimate == r.true_n) / len(joined)
+    assert exact_frac > 0.8
+
+
+def test_cms_null_values_hash_as_empty(spark):
+    from ocr_spark.functions.sketches import cms_build
+
+    a = cms_build(
+        spark.createDataFrame([(None,), ("x",)], "v string"), "v"
+    ).collect()
+    b = cms_build(
+        spark.createDataFrame([("",), ("x",)], "v string"), "v"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
