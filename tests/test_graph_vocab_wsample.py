@@ -270,3 +270,23 @@ def test_embedding_dup_clusters_rep_is_min_member(emb):
         by_rep.setdefault(r["cluster_rep"], []).append(r["vec_id"])
     for rep, members in by_rep.items():
         assert rep == min(members)  # label = component minimum, rep in members
+
+
+def test_vocab_topk_plan_shape(docs):
+    # global top-k must be TakeOrderedAndProject (per-partition heaps),
+    # never a full Sort; the token count keeps its map-side partial
+    p = _plan(text.vocab_topk(docs, k=10), "formatted")
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p or "partial count" in p.lower()
+
+
+def test_cms_build_plan_shape(docs):
+    from ocr_spark.functions.sketches import cms_build
+    from ocr_spark.functions.text import words_col
+
+    toks = docs.select(F.explode(words_col()).alias("token")).where(
+        F.col("token") != ""
+    )
+    p = _plan(cms_build(toks, "token"), "simple")
+    # one hash-agg exchange over the (row, cell) table — nothing else
+    assert p.count("Exchange") == 1
