@@ -922,6 +922,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             iters=3,
         ),
+        # seeded (TrustRank-style) PageRank: teleport + dangling mass
+        # flow only to the trusted seed set
+        "personalized_pagerank": lambda s, d: gph.personalized_pagerank(
+            _read(s, d, "documents").select(
+                (F.col("doc_id") % 97).alias("src"),
+                ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+            ),
+            seeds=[0, 1, 2],
+            iters=3,
+        ),
         # corpus vocabulary heavy hitters (tokenizer-training pass):
         # one token shuffle + TakeOrderedAndProject top-k
         "vocab_topk": lambda s, d: txt.vocab_topk(
@@ -1085,6 +1095,12 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": gph.pagerank_sql(
             "(SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst"
             " FROM documents)",
+            iters=3,
+        ),
+        "personalized_pagerank": gph.personalized_pagerank_sql(
+            "(SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst"
+            " FROM documents)",
+            seeds=[0, 1, 2],
             iters=3,
         ),
         "vocab_topk": txt.vocab_topk_sql("documents", k=200),

@@ -196,3 +196,152 @@ def pagerank_sql(edges_source: str, iters: int = 3) -> str:
         ctes += [dang, ins, step]
         prev = cur
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM {prev}"
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: list, iters: int = 3
+) -> DataFrame:
+    """(node, rank): topic-sensitive PageRank — the teleport mass (and
+    dangling mass) goes ONLY to the ``seeds`` instead of uniformly to
+    every node, so rank measures proximity to a trusted set. The
+    curation use: seed with known-good domains, rank the crawl
+    frontier by authority FLOW from them (TrustRank-style).
+
+    Same integer recurrence as :func:`pagerank` with the teleport
+    reshaped (S = rank_scale(N), k = |seeds ∩ nodes|, all ops
+    integer):
+
+        r0(v)      = S div N
+        tele(v)    = (15*S) div (100*k)   if v in seeds else 0
+        r'(v)      = tele(v)
+                     + (85 * (in(v) + (dang div k if v in seeds
+                                       else 0))) div 100
+
+    Seeds are passed as literal values (operator-scale — a seed set
+    is hundreds of domains, not a table); values must match the node
+    id type. Seeds absent from the graph are ignored.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    edges = edges.select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    n_seeds = nodes.where(F.col("node").isin(seeds)).count()
+    if n_seeds == 0:
+        raise ValueError("no seed is present in the graph")
+
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("out"))
+    edges_w = edges.join(outdeg, "src").localCheckpoint()
+    dangling_nodes = nodes.join(
+        edges.select("src").distinct(),
+        nodes["node"] == F.col("src"),
+        "left_anti",
+    ).localCheckpoint()
+
+    scale = rank_scale(n_nodes)
+    tele_seed = (D_DEN - D_NUM) * scale // (D_DEN * n_seeds)
+
+    def _lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(int(v))
+
+    pred = "node IN (" + ", ".join(_lit(v) for v in seeds) + ")"
+
+    ranks = nodes.withColumn("rank", F.lit(scale // n_nodes).cast("long"))
+    for _ in range(iters):
+        dang = (
+            dangling_nodes.join(ranks, "node")
+            .agg(F.sum("rank").alias("m"))
+            .collect()[0]["m"]
+            or 0
+        )
+        contribs = (
+            edges_w.join(ranks, edges_w["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div out").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .selectExpr(
+                "node",
+                f"CAST(CASE WHEN {pred} THEN {tele_seed} ELSE 0 END"
+                f" + ({D_NUM} * (coalesce(in_sum, CAST(0 AS BIGINT))"
+                f" + CASE WHEN {pred} THEN {dang // n_seeds} ELSE 0 END))"
+                f" div {D_DEN} AS BIGINT) AS rank",
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def personalized_pagerank_sql(
+    edges_source: str, seeds: list, iters: int = 3
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank` (seed-count k is
+    computed in-query: seeds absent from the graph are ignored, same
+    as the Spark side)."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+
+    def _lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(int(v))
+
+    seed_list = ", ".join(_lit(v) for v in seeds)
+    scale = f"greatest({SCALE}, (SELECT n FROM nn) * {PER_NODE_SCALE})"
+    tele = (
+        f"(({D_DEN - D_NUM} * {scale}) // ({D_DEN} * (SELECT k FROM sk)))"
+    )
+    ctes = [
+        f"e AS (SELECT src, dst FROM {edges_source})",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"sk AS (SELECT count(*) AS k FROM nodes WHERE node IN ({seed_list}))",
+        "outdeg AS (SELECT src, count(*) AS out FROM e GROUP BY src)",
+        "dangset AS (SELECT node FROM nodes WHERE NOT EXISTS"
+        " (SELECT 1 FROM e WHERE e.src = nodes.node))",
+        f"r0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT)"
+        " AS rank FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        cur = f"r{i}"
+        ctes.append(
+            f"d{i} AS (SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS m"
+            f" FROM {prev} r JOIN dangset USING (node))"
+        )
+        ctes.append(
+            f"i{i} AS (SELECT e.dst AS node,"
+            f" CAST(sum(r.rank // o.out) AS BIGINT) AS in_sum"
+            f" FROM e JOIN {prev} r ON e.src = r.node"
+            f" JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"{cur} AS (SELECT nodes.node, CAST("
+            f"CASE WHEN nodes.node IN ({seed_list}) THEN {tele} ELSE 0 END"
+            f" + ({D_NUM} * (coalesce(i.in_sum, CAST(0 AS BIGINT))"
+            f" + CASE WHEN nodes.node IN ({seed_list})"
+            f" THEN (SELECT m FROM d{i}) // (SELECT k FROM sk)"
+            f" ELSE 0 END)) // {D_DEN} AS BIGINT) AS rank"
+            f" FROM nodes LEFT JOIN i{i} i ON nodes.node = i.node)"
+        )
+        prev = cur
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM {prev}"

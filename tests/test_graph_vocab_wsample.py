@@ -290,3 +290,89 @@ def test_cms_build_plan_shape(docs):
     p = _plan(cms_build(toks, "token"), "simple")
     # one hash-agg exchange over the (row, cell) table — nothing else
     assert p.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# personalized (seeded) PageRank
+# ---------------------------------------------------------------------------
+
+
+def _ppr_py(edge_list, seeds, iters):
+    from ocr_spark.functions.graph import rank_scale
+
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    n = len(nodes)
+    scale = rank_scale(n)
+    k = sum(1 for v in nodes if v in set(seeds))
+    out = {}
+    for u, _ in edge_list:
+        out[u] = out.get(u, 0) + 1
+    tele = 15 * scale // (100 * k)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in out)
+        ins = {v: 0 for v in nodes}
+        for u, v in edge_list:
+            ins[v] += r[u] // out[u]
+        r = {
+            v: (tele if v in set(seeds) else 0)
+            + (85 * (ins[v] + (dang // k if v in set(seeds) else 0))) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_python_sim(spark):
+    from ocr_spark.functions.graph import personalized_pagerank
+
+    el = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (5, 1)]
+    df = spark.createDataFrame(el, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds=[1], iters=3).collect()
+    }
+    assert got == _ppr_py(el, [1], 3)
+    # authority flows FROM the seed: its direct successor outranks a
+    # node the seed cannot reach except via teleport-free hops
+    assert got[2] > got[5]
+
+
+def test_personalized_pagerank_matches_duckdb_twin(edges, con):
+    from ocr_spark.functions.graph import (
+        personalized_pagerank,
+        personalized_pagerank_sql,
+    )
+
+    seeds = [0, 1, 2]
+    got = sorted(
+        map(tuple, personalized_pagerank(edges, seeds=seeds, iters=3).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(personalized_pagerank_sql(EDGE_SQL, seeds, 3)).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_personalized_pagerank_absent_seeds_raise(spark):
+    from ocr_spark.functions.graph import personalized_pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, seeds=[99], iters=1)
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, seeds=[], iters=1)
+
+
+def test_personalized_pagerank_string_seeds(spark):
+    from ocr_spark.functions.graph import personalized_pagerank
+
+    el = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(el, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds=["a"], iters=2).collect()
+    }
+    assert got == _ppr_py(el, ["a"], 2)
