@@ -19,7 +19,11 @@ follows the same two disciplines those two established:
    (eager), so the plan never accretes k joins deep and a lost
    executor replays at most one iteration.
 
-Recurrence (d = 85/100 damping, S = rank_scale(N), all ops integer):
+Both variants share ONE recurrence; the seeded (personalized) form
+just restricts where teleport and dangling mass land. With S =
+rank_scale(N), T = the teleport target set (all nodes for the
+uniform variant, the seed set for the personalized one), k = |T|,
+all ops integer:
 
     r0(v)   = S div N
     out(u)  = multi-edge out-degree
@@ -27,8 +31,8 @@ Recurrence (d = 85/100 damping, S = rank_scale(N), all ops integer):
     in(v)   = sum of c(e) over in-edges           exact BIGINT sum
     dang    = sum of r(u) over out-degree-0 nodes (operator-scale
               scalar: ONE bigint collected per iteration)
-    r'(v)   = (15*S) div (100*N)
-              + (85 * (in(v) + dang div N)) div 100
+    r'(v)   = [v in T] * (15*S) div (100*k)
+              + (85 * (in(v) + [v in T] * (dang div k))) div 100
 
 Scale shape per iteration: one hash join ranks⋈edges on src (edges
 carry their out-degree from a one-time prep join, so the loop body is
@@ -71,15 +75,29 @@ def rank_scale(n_nodes: int) -> int:
     return max(SCALE, n_nodes * PER_NODE_SCALE)
 
 
-def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
-    """(node, rank): fixed-point PageRank after ``iters`` power
-    iterations over ``edges(src, dst)``. Multi-edges count with
-    multiplicity; nodes = distinct(src) ∪ distinct(dst); nodes with
-    no out-edges contribute their mass uniformly (dangling
-    redistribution).
-    """
+def _lit_spark(v) -> str:
+    """Spark SQL literal (backslash is an ESCAPE character in Spark's
+    string literals — unlike DuckDB — so it must be doubled too)."""
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return str(int(v))
+
+
+def _lit_sql(v) -> str:
+    """DuckDB literal (single-quote doubling; backslash is literal)."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(int(v))
+
+
+def _power_iteration(
+    edges: DataFrame, iters: int, seeds: list | None
+) -> DataFrame:
+    """Shared driver for both variants (seeds=None = uniform)."""
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    if seeds is not None and not seeds:
+        raise ValueError("seeds must be non-empty")
     edges = edges.select("src", "dst")
 
     nodes = (
@@ -94,6 +112,15 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))
 
+    if seeds is None:
+        pred = None
+        k = n_nodes
+    else:
+        pred = "node IN (" + ", ".join(_lit_spark(v) for v in seeds) + ")"
+        k = nodes.where(F.expr(pred)).count()
+        if k == 0:
+            raise ValueError("no seed is present in the graph")
+
     # one-time prep: out-degree stitched onto every edge so the loop
     # body never recomputes it
     outdeg = edges.groupBy("src").agg(F.count("*").alias("out"))
@@ -106,7 +133,21 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     ).localCheckpoint()
 
     scale = rank_scale(n_nodes)
-    teleport = (D_DEN - D_NUM) * scale // (D_DEN * n_nodes)
+    teleport = (D_DEN - D_NUM) * scale // (D_DEN * k)
+
+    def _rank_expr(dang_share: int) -> str:
+        in_term = "coalesce(in_sum, CAST(0 AS BIGINT))"
+        if pred is None:
+            return (
+                f"CAST({teleport} + ({D_NUM} * ({in_term} + {dang_share}))"
+                f" div {D_DEN} AS BIGINT)"
+            )
+        return (
+            f"CAST(CASE WHEN {pred} THEN {teleport} ELSE 0 END"
+            f" + ({D_NUM} * ({in_term}"
+            f" + CASE WHEN {pred} THEN {dang_share} ELSE 0 END))"
+            f" div {D_DEN} AS BIGINT)"
+        )
 
     ranks = nodes.withColumn("rank", F.lit(scale // n_nodes).cast("long"))
     for _ in range(iters):
@@ -127,39 +168,48 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
         )
         ranks = (
             nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({D_NUM} * (coalesce(in_sum, CAST(0 AS BIGINT))"
-                        f" + {dang // n_nodes})) div {D_DEN}"
-                    )
-                ).cast("long").alias("rank"),
-            )
+            .selectExpr("node", _rank_expr(dang // k) + " AS rank")
             .localCheckpoint()
         )
     return ranks
 
 
-def pagerank_sql(edges_source: str, iters: int = 3) -> str:
-    """DuckDB twin of :func:`pagerank`: the identical integer
-    recurrence unrolled into ``iters`` chained CTEs.
-
-    ``edges_source`` must be a parenthesized subquery or table name
-    yielding (src, dst). DuckDB's sum(BIGINT) returns HUGEINT, so
-    every sum is cast back to BIGINT before further integer math —
-    values are bounded by rank_scale(N) (<= ~1e17 within the
-    documented n_nodes ~ 1e11 bound), so the cast is lossless.
+def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, rank): fixed-point PageRank after ``iters`` power
+    iterations over ``edges(src, dst)``. Multi-edges count with
+    multiplicity; nodes = distinct(src) ∪ distinct(dst); nodes with
+    no out-edges contribute their mass uniformly (dangling
+    redistribution).
     """
+    return _power_iteration(edges, iters, None)
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: list, iters: int = 3
+) -> DataFrame:
+    """(node, rank): topic-sensitive PageRank — the teleport mass (and
+    dangling mass) goes ONLY to the ``seeds`` instead of uniformly to
+    every node, so rank measures proximity to a trusted set. The
+    curation use: seed with known-good domains, rank the crawl
+    frontier by authority FLOW from them (TrustRank-style).
+
+    Seeds are passed as literal values (operator-scale — a seed set
+    is hundreds of domains, not a table); values must match the node
+    id type. Seeds absent from the graph are ignored; if NONE is
+    present the operator raises (a k=0 teleport is undefined).
+    """
+    return _power_iteration(edges, iters, seeds)
+
+
+def _pagerank_sql_impl(
+    edges_source: str, iters: int, seeds: list | None
+) -> str:
+    """Shared CTE generator (seeds=None = uniform twin)."""
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    scale = (
-        f"greatest({SCALE}, (SELECT n FROM nn) * {PER_NODE_SCALE})"
-    )
-    tele = (
-        f"(({D_DEN - D_NUM} * {scale}) // ({D_DEN} * (SELECT n FROM nn)))"
-    )
+    if seeds is not None and not seeds:
+        raise ValueError("seeds must be non-empty")
+    scale = f"greatest({SCALE}, (SELECT n FROM nn) * {PER_NODE_SCALE})"
     ctes = [
         f"e AS (SELECT src, dst FROM {edges_source})",
         "nodes AS (SELECT DISTINCT node FROM"
@@ -173,175 +223,72 @@ def pagerank_sql(edges_source: str, iters: int = 3) -> str:
         f"r0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT)"
         " AS rank FROM nodes)",
     ]
+    if seeds is None:
+        pred = None
+        k = "(SELECT n FROM nn)"
+    else:
+        seed_list = ", ".join(_lit_sql(v) for v in seeds)
+        pred = f"nodes.node IN ({seed_list})"
+        # error() mirrors the Spark side's ValueError when no seed is
+        # in the graph — without it the k=0 teleport would surface as
+        # an unexplained division-by-zero
+        ctes.append(
+            "sk AS (SELECT CASE WHEN count(*) = 0 THEN"
+            " CAST(error('no seed is present in the graph') AS BIGINT)"
+            f" ELSE count(*) END AS k FROM nodes WHERE node IN ({seed_list}))"
+        )
+        k = "(SELECT k FROM sk)"
+    tele = f"(({D_DEN - D_NUM} * {scale}) // ({D_DEN} * {k}))"
+
     prev = "r0"
     for i in range(1, iters + 1):
         cur = f"r{i}"
-        dang = (
+        ctes.append(
             f"d{i} AS (SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS m"
             f" FROM {prev} r JOIN dangset USING (node))"
         )
-        ins = (
+        ctes.append(
             f"i{i} AS (SELECT e.dst AS node,"
             f" CAST(sum(r.rank // o.out) AS BIGINT) AS in_sum"
             f" FROM e JOIN {prev} r ON e.src = r.node"
             f" JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
         )
-        step = (
-            f"{cur} AS (SELECT nodes.node, CAST({tele}"
-            f" + ({D_NUM} * (coalesce(i.in_sum, CAST(0 AS BIGINT))"
-            f" + (SELECT m FROM d{i}) // (SELECT n FROM nn)))"
-            f" // {D_DEN} AS BIGINT) AS rank"
+        in_term = "coalesce(i.in_sum, CAST(0 AS BIGINT))"
+        dang_share = f"(SELECT m FROM d{i}) // {k}"
+        if pred is None:
+            body = f"{tele} + ({D_NUM} * ({in_term} + {dang_share})) // {D_DEN}"
+        else:
+            body = (
+                f"CASE WHEN {pred} THEN {tele} ELSE 0 END"
+                f" + ({D_NUM} * ({in_term}"
+                f" + CASE WHEN {pred} THEN {dang_share} ELSE 0 END))"
+                f" // {D_DEN}"
+            )
+        ctes.append(
+            f"{cur} AS (SELECT nodes.node, CAST({body} AS BIGINT) AS rank"
             f" FROM nodes LEFT JOIN i{i} i ON nodes.node = i.node)"
         )
-        ctes += [dang, ins, step]
         prev = cur
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM {prev}"
 
 
-def personalized_pagerank(
-    edges: DataFrame, seeds: list, iters: int = 3
-) -> DataFrame:
-    """(node, rank): topic-sensitive PageRank — the teleport mass (and
-    dangling mass) goes ONLY to the ``seeds`` instead of uniformly to
-    every node, so rank measures proximity to a trusted set. The
-    curation use: seed with known-good domains, rank the crawl
-    frontier by authority FLOW from them (TrustRank-style).
+def pagerank_sql(edges_source: str, iters: int = 3) -> str:
+    """DuckDB twin of :func:`pagerank`: the identical integer
+    recurrence unrolled into ``iters`` chained CTEs.
 
-    Same integer recurrence as :func:`pagerank` with the teleport
-    reshaped (S = rank_scale(N), k = |seeds ∩ nodes|, all ops
-    integer):
-
-        r0(v)      = S div N
-        tele(v)    = (15*S) div (100*k)   if v in seeds else 0
-        r'(v)      = tele(v)
-                     + (85 * (in(v) + (dang div k if v in seeds
-                                       else 0))) div 100
-
-    Seeds are passed as literal values (operator-scale — a seed set
-    is hundreds of domains, not a table); values must match the node
-    id type. Seeds absent from the graph are ignored.
+    ``edges_source`` must be a parenthesized subquery or table name
+    yielding (src, dst). DuckDB's sum(BIGINT) returns HUGEINT, so
+    every sum is cast back to BIGINT before further integer math —
+    values are bounded by rank_scale(N) (<= ~1e17 within the
+    documented n_nodes ~ 1e11 bound), so the cast is lossless.
     """
-    if iters < 0:
-        raise ValueError("iters must be >= 0")
-    if not seeds:
-        raise ValueError("seeds must be non-empty")
-    edges = edges.select("src", "dst")
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0).cast("long"))
-    n_seeds = nodes.where(F.col("node").isin(seeds)).count()
-    if n_seeds == 0:
-        raise ValueError("no seed is present in the graph")
-
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("out"))
-    edges_w = edges.join(outdeg, "src").localCheckpoint()
-    dangling_nodes = nodes.join(
-        edges.select("src").distinct(),
-        nodes["node"] == F.col("src"),
-        "left_anti",
-    ).localCheckpoint()
-
-    scale = rank_scale(n_nodes)
-    tele_seed = (D_DEN - D_NUM) * scale // (D_DEN * n_seeds)
-
-    def _lit(v) -> str:
-        if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
-        return str(int(v))
-
-    pred = "node IN (" + ", ".join(_lit(v) for v in seeds) + ")"
-
-    ranks = nodes.withColumn("rank", F.lit(scale // n_nodes).cast("long"))
-    for _ in range(iters):
-        dang = (
-            dangling_nodes.join(ranks, "node")
-            .agg(F.sum("rank").alias("m"))
-            .collect()[0]["m"]
-            or 0
-        )
-        contribs = (
-            edges_w.join(ranks, edges_w["src"] == ranks["node"])
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank div out").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .selectExpr(
-                "node",
-                f"CAST(CASE WHEN {pred} THEN {tele_seed} ELSE 0 END"
-                f" + ({D_NUM} * (coalesce(in_sum, CAST(0 AS BIGINT))"
-                f" + CASE WHEN {pred} THEN {dang // n_seeds} ELSE 0 END))"
-                f" div {D_DEN} AS BIGINT) AS rank",
-            )
-            .localCheckpoint()
-        )
-    return ranks
+    return _pagerank_sql_impl(edges_source, iters, None)
 
 
 def personalized_pagerank_sql(
     edges_source: str, seeds: list, iters: int = 3
 ) -> str:
     """DuckDB twin of :func:`personalized_pagerank` (seed-count k is
-    computed in-query: seeds absent from the graph are ignored, same
-    as the Spark side)."""
-    if iters < 0:
-        raise ValueError("iters must be >= 0")
-    if not seeds:
-        raise ValueError("seeds must be non-empty")
-
-    def _lit(v) -> str:
-        if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
-        return str(int(v))
-
-    seed_list = ", ".join(_lit(v) for v in seeds)
-    scale = f"greatest({SCALE}, (SELECT n FROM nn) * {PER_NODE_SCALE})"
-    tele = (
-        f"(({D_DEN - D_NUM} * {scale}) // ({D_DEN} * (SELECT k FROM sk)))"
-    )
-    ctes = [
-        f"e AS (SELECT src, dst FROM {edges_source})",
-        "nodes AS (SELECT DISTINCT node FROM"
-        " (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
-        "nn AS (SELECT count(*) AS n FROM nodes)",
-        f"sk AS (SELECT count(*) AS k FROM nodes WHERE node IN ({seed_list}))",
-        "outdeg AS (SELECT src, count(*) AS out FROM e GROUP BY src)",
-        "dangset AS (SELECT node FROM nodes WHERE NOT EXISTS"
-        " (SELECT 1 FROM e WHERE e.src = nodes.node))",
-        f"r0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT)"
-        " AS rank FROM nodes)",
-    ]
-    prev = "r0"
-    for i in range(1, iters + 1):
-        cur = f"r{i}"
-        ctes.append(
-            f"d{i} AS (SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS m"
-            f" FROM {prev} r JOIN dangset USING (node))"
-        )
-        ctes.append(
-            f"i{i} AS (SELECT e.dst AS node,"
-            f" CAST(sum(r.rank // o.out) AS BIGINT) AS in_sum"
-            f" FROM e JOIN {prev} r ON e.src = r.node"
-            f" JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
-        )
-        ctes.append(
-            f"{cur} AS (SELECT nodes.node, CAST("
-            f"CASE WHEN nodes.node IN ({seed_list}) THEN {tele} ELSE 0 END"
-            f" + ({D_NUM} * (coalesce(i.in_sum, CAST(0 AS BIGINT))"
-            f" + CASE WHEN nodes.node IN ({seed_list})"
-            f" THEN (SELECT m FROM d{i}) // (SELECT k FROM sk)"
-            f" ELSE 0 END)) // {D_DEN} AS BIGINT) AS rank"
-            f" FROM nodes LEFT JOIN i{i} i ON nodes.node = i.node)"
-        )
-        prev = cur
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM {prev}"
+    computed in-query; if NO seed is present the query raises via
+    DuckDB's error(), matching the Spark side's ValueError)."""
+    return _pagerank_sql_impl(edges_source, iters, seeds)

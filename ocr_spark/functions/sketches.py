@@ -131,7 +131,14 @@ def cms_build(
 
 def cms_merge(sketches: DataFrame) -> DataFrame:
     """Merge shard sketch tables by cell addition — equals the
-    single-pass sketch EXACTLY (counter addition is associative)."""
+    single-pass sketch EXACTLY (counter addition is associative).
+
+    CALLER CONTRACT: every input sketch must have been built with the
+    SAME (depth, width, salt). The cell table carries no parameter
+    metadata (unlike HLL, where DataSketches embeds lg_k in the
+    binary and the union validates it), so merging incompatible
+    sketches returns a well-formed but meaningless table with no
+    error. Persist the parameters next to persisted sketches."""
     return sketches.groupBy("row", "cell").agg(F.sum("n").alias("n"))
 
 

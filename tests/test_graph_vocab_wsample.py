@@ -376,3 +376,32 @@ def test_personalized_pagerank_string_seeds(spark):
         for r in personalized_pagerank(df, seeds=["a"], iters=2).collect()
     }
     assert got == _ppr_py(el, ["a"], 2)
+
+
+def test_personalized_pagerank_hostile_string_seeds(spark, con):
+    # backslash is an ESCAPE character in Spark SQL string literals
+    # but literal in DuckDB — both the Spark seed predicate and the
+    # twin must treat these node ids identically
+    from ocr_spark.functions.graph import (
+        personalized_pagerank,
+        personalized_pagerank_sql,
+    )
+
+    el = [("a\\", "o'b"), ("o'b", "c"), ("c", "a\\")]
+    df = spark.createDataFrame(el, "src string, dst string")
+    seeds = ["a\\", "o'b", "missing"]
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds=seeds, iters=2).collect()
+    }
+    assert got == _ppr_py(el, seeds, 2)
+    con.execute("CREATE OR REPLACE TABLE hostile_edges AS SELECT * FROM "
+                "(VALUES ('a\\', 'o''b'), ('o''b', 'c'), ('c', 'a\\'))"
+                " t(src, dst)")
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            personalized_pagerank_sql("hostile_edges", seeds, 2)
+        ).fetchall()
+    }
+    assert got == want

@@ -139,7 +139,7 @@ def test_salted_join_rejects_right_joins(spark):
 def _tokens(spark):
     from ocr_spark.functions.text import words_col
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     return docs.select(F.explode(words_col()).alias("token")).where(
         F.col("token") != ""
     )
@@ -154,8 +154,7 @@ def test_cms_build_matches_duckdb_twin(spark):
     got = sorted(map(tuple, cms_build(_tokens(spark), "token").collect()))
     con = duckdb.connect()
     con.execute(
-        "CREATE VIEW documents AS SELECT * FROM"
-        " '/root/testdata/sf0.001/documents.parquet'"
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
     )
     src = (
         "(SELECT v FROM (SELECT unnest(regexp_split_to_array(text,"
