@@ -48,6 +48,7 @@ from ocr_spark.functions import text as txt
 from ocr_spark.functions import scrub as scr
 from ocr_spark.functions import contamination as cnt
 from ocr_spark.functions import graph as gph
+from ocr_spark.functions import lm
 from ocr_spark.pipeline import pages as pg
 from ocr_spark.pipeline import results as res
 from ocr_spark.kernel.extract import DEFAULT_CONFIG
@@ -944,6 +945,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "documents"),
             F.least(F.col("n_chars"), F.lit(400)) / F.lit(400.0),
         ).select("doc_id", "n_chars"),
+        # bigram LM fluency score (perplexity-filter analog): exact
+        # integer conditional-probability sums, self-LM over the corpus
+        "lm_fluency": lambda s, d: lm.bigram_lm_score(
+            _read(s, d, "documents")
+        ),
         # count-min sketch over the token stream: fixed depth*width
         # cell table (the mergeable approximate-frequency artifact);
         # deterministic salted-md5 cells, so the sketch itself is the
@@ -1109,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
             + smp.weighted_sample_sql("documents", "least(n_chars, 400) / 400.0")
             + ")"
         ),
+        "lm_fluency": lm.bigram_lm_score_sql("documents"),
         "cms_token_sketch": sk_cms_build_sql(
             "(SELECT v FROM (SELECT unnest(regexp_split_to_array(text,"
             f" '{_WS}+')) AS v FROM documents) WHERE v <> '')"

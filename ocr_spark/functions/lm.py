@@ -1,0 +1,153 @@
+"""Bigram language-model fluency scoring — the perplexity-filter
+analog (CCNet-style: score each document by how well a corpus LM
+predicts it; gibberish, OCR noise, and keyword-stuffed spam score
+low even when length/symbol heuristics pass).
+
+No libm on the hash-compared path: instead of log-probabilities the
+score is the EXACT integer sum of scaled conditional probabilities
+
+    p_scaled(w2 | w1) = (10^6 * count(w1,w2)) // count(w1, *)
+
+summed over a doc's bigrams — integer multiply / integer divide /
+integer sum, so the result is partition-, engine-, and association-
+independent (the same discipline as the tf-idf rational idf and the
+PageRank fixed point). Downstream gates threshold the mean
+``sum_scaled / n_bigrams`` however they like; the stored columns stay
+integers.
+
+Scale shape: ONE corpus scan builds the bigram and prefix-unigram
+count tables (explode + map-side partial counts, one shuffle each);
+scoring joins each doc bigram to its two counts on uniform 60-bit
+hash keys — broadcastable when the LM is a capped vocabulary, shuffle
+hash join otherwise. Bigrams are hashed (never carried as strings)
+through the joins; the pair key uses the \\x1f unit separator so
+('a b','c') and ('a','b c') cannot collide.
+
+Self-scoring (lm over the same corpus) needs no smoothing — every
+scored bigram exists in the counts. Cross-scoring (score batch B
+against corpus A) hits unseen bigrams: they contribute 0, the honest
+"LM has never seen this transition" signal (add-one smoothing would
+need a vocabulary-size constant; keep the operator deterministic and
+simple).
+
+Reference analog: none — beyond-reference training-data surface
+(SURVEY.md §2 "LLM-data-pipeline operators").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.hashing import md5_long_expr, md5_long_sql
+from ocr_spark.schema import WS
+
+P_SCALE = 1_000_000  # probability fixed-point units
+# pair key separator: chr(31) (unit separator) exists identically in
+# both dialects and cannot appear in whitespace-split tokens, so
+# ('a b','c') and ('a','b c') cannot collide
+SEP_EXPR = "chr(31)"
+
+
+def _words_expr() -> str:
+    # non-empty whitespace tokens (the shared WS class; empty tokens
+    # from leading/trailing/double whitespace carry no LM signal)
+    return f"filter(split(text, '{WS}+'), x -> x != '')"
+
+
+def _bigrams_expr() -> str:
+    # LET-binding via single-element transform: split once per row
+    # (CSE does not hoist out of lambda bodies — the shingles lesson)
+    h1 = md5_long_expr("element_at(w, i)")
+    pair = f"concat(element_at(w, i), {SEP_EXPR}, element_at(w, i + 1))"
+    h12 = md5_long_expr(pair)
+    return (
+        f"flatten(transform(array({_words_expr()}), w -> "
+        f"CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+        f"i -> struct({h1} AS h1, {h12} AS h12)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<h1: BIGINT, h12: BIGINT>>) END))"
+    )
+
+
+def bigram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None) -> DataFrame:
+    """(doc_id, n_bigrams, sum_scaled): per-doc fluency score against
+    the bigram LM built from ``lm_docs`` (default: ``docs`` itself —
+    the self-LM fluency signal). ``sum_scaled`` is the exact integer
+    sum of ``(10^6 * c(w1,w2)) // c(w1,*)`` over the doc's bigrams;
+    divide by ``n_bigrams`` for the mean conditional probability.
+    Docs with < 2 words emit (0, 0) — no transitions to judge."""
+    lm_src = docs if lm_docs is None else lm_docs
+    lm_pairs = lm_src.selectExpr(f"explode({_bigrams_expr()}) AS b").select(
+        "b.h1", "b.h12"
+    )
+    bi_counts = lm_pairs.groupBy("h12").agg(F.count("*").alias("c_bi"))
+    uni_counts = lm_pairs.groupBy("h1").agg(F.count("*").alias("c_uni"))
+
+    doc_pairs = docs.selectExpr(
+        "doc_id", f"explode_outer({_bigrams_expr()}) AS b"
+    ).select("doc_id", "b.h1", "b.h12")
+    scored = (
+        doc_pairs.join(bi_counts, "h12", "left")
+        .join(uni_counts, "h1", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("h12").alias("n_bigrams"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN c_uni IS NULL OR c_bi IS NULL THEN 0 "
+                    f"ELSE ({P_SCALE} * c_bi) div c_uni END"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("sum_scaled"),
+        )
+    )
+    return scored
+
+
+def bigram_lm_score_sql(table: str = "documents", lm_table: str | None = None) -> str:
+    """DuckDB twin of :func:`bigram_lm_score` (1-based list indexing
+    matches element_at; range() exclusive stop mirrors sequence()'s
+    inclusive stop via len(w) unchanged: range(1, len) = 1..len-1)."""
+    lm = lm_table or table
+    w = f"list_filter(regexp_split_to_array(text, '{WS}+'), x -> x != '')"
+    h1 = md5_long_sql("w[i]")
+    h12 = md5_long_sql(f"w[i] || {SEP_EXPR} || w[i + 1]")
+    def pairs(src: str) -> str:
+        return (
+            "SELECT doc_id, unnest(pairs) AS b FROM ("
+            "SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
+            "list_transform(range(1, len(w)), i -> "
+            f"{{'h1': {h1}, 'h12': {h12}}}) "
+            "ELSE [] END AS pairs FROM "
+            f"(SELECT doc_id, {w} AS w FROM {src}))"
+        )
+
+    return f"""
+      WITH lm_pairs AS (
+        SELECT b.h1 AS h1, b.h12 AS h12 FROM ({pairs(lm)})
+      ),
+      bi AS (SELECT h12, count(*) AS c_bi FROM lm_pairs GROUP BY h12),
+      uni AS (SELECT h1, count(*) AS c_uni FROM lm_pairs GROUP BY h1),
+      doc_pairs AS (
+        SELECT d.doc_id, p.b.h1 AS h1, p.b.h12 AS h12
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM {table}) d
+        LEFT JOIN (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, b
+          FROM ({pairs(table)})
+        ) p ON d.doc_id = p.doc_id
+      )
+      SELECT doc_id,
+             CAST(count(h12) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(sum(
+               CASE WHEN c_uni IS NULL OR c_bi IS NULL THEN 0
+                    ELSE ({P_SCALE} * c_bi) // c_uni END), 0) AS BIGINT)
+               AS sum_scaled
+      FROM doc_pairs
+      LEFT JOIN bi USING (h12)
+      LEFT JOIN uni USING (h1)
+      GROUP BY doc_id
+    """

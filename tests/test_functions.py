@@ -8,7 +8,7 @@ import math
 import duckdb
 import pytest
 
-from ocr_spark.functions import dedup, scrub, similarity, text, tfidf
+from ocr_spark.functions import dedup, lm, scrub, similarity, text, tfidf
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -105,6 +105,7 @@ def test_text_operator_fuzz_across_engines(spark, con):
         (scrub.gopher_rules, scrub.gopher_rules_sql("t_fuzz")),
         (scrub.repetition_signals, scrub.repetition_signals_sql("t_fuzz")),
         (text.vocab_topk, text.vocab_topk_sql("t_fuzz")),
+        (lm.bigram_lm_score, lm.bigram_lm_score_sql("t_fuzz")),
         # repeated_passages with small w/gap so the 0-60-char fuzz
         # strings actually produce windows (unicode substr/length
         # semantics are the trap under test)

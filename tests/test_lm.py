@@ -1,0 +1,92 @@
+"""Bigram LM fluency scoring: exact-integer semantics, hand-checked
+probabilities, cross-LM unseen handling, DuckDB twin equality."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ocr_spark.functions.lm import (
+    P_SCALE,
+    bigram_lm_score,
+    bigram_lm_score_sql,
+)
+from ocr_spark.plans import plan_str as _plan
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_lm_score_hand_check(spark):
+    # corpus: one doc "a b a b" -> bigrams ab, ba, ab
+    # c(a,b)=2, c(b,a)=1; prefix counts c(a,*)=2, c(b,*)=1
+    # score = (1e6*2)//2 + (1e6*1)//1 + (1e6*2)//2 = 3e6, n=3
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    row = bigram_lm_score(df).collect()[0]
+    assert (row.n_bigrams, row.sum_scaled) == (3, 3 * P_SCALE)
+
+
+def test_lm_rare_transition_scores_lower(spark):
+    # shared prefix 'the': 'the cat' is the common transition, 'the
+    # zzz' the rare one -> the common doc outscores the rare doc
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "the cat"), (3, "the zzz")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.sum_scaled for r in bigram_lm_score(df).collect()}
+    assert got[1] == got[2] == (P_SCALE * 2) // 3
+    assert got[3] == P_SCALE // 3
+    assert got[1] > got[3]
+
+
+def test_lm_cross_scoring_unseen_bigrams_are_zero(spark):
+    lm = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "totally novel words"), (11, "x y")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_scaled)
+        for r in bigram_lm_score(batch, lm_docs=lm).collect()
+    }
+    assert got[10] == (2, 0)  # LM never saw these transitions
+    assert got[11] == (1, P_SCALE)  # c(x,y)=2 over c(x,*)=2 -> 1.0
+
+
+def test_lm_short_and_empty_docs_emit_zero_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, None), (4, "two words")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_scaled)
+        for r in bigram_lm_score(df).collect()
+    }
+    assert got[1] == (0, 0) and got[2] == (0, 0) and got[3] == (0, 0)
+    assert got[4] == (1, P_SCALE)
+    assert len(got) == 4  # every doc emitted, none dropped
+
+
+def test_lm_matches_duckdb_twin(docs):
+    got = sorted(map(tuple, bigram_lm_score(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(bigram_lm_score_sql()).fetchall()))
+    assert got == want and len(got) == 500
+
+
+def test_lm_partition_invariant(docs):
+    a = sorted(map(tuple, bigram_lm_score(docs).collect()))
+    b = sorted(map(tuple, bigram_lm_score(docs.repartition(13)).collect()))
+    assert a == b
+
+
+def test_lm_plan_no_nested_loop(docs):
+    p = _plan(bigram_lm_score(docs), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
