@@ -16,7 +16,10 @@ end to end — the composition a 100 TB corpus actually runs:
                verbatim (benchmark scrubbed identically);
 5. filter    — deterministic quality score + language-ID gates over
                the extracted text (pure codegen, scan-stage), plus
-               the optional --gopher rule panel;
+               the optional --gopher rule panel and the optional
+               --min-lm-fluency gate (bigram self-LM mean scaled
+               conditional probability — the perplexity-filter
+               analog, exact integer arithmetic);
 6. dedup     — exact (content hash) then near-dup (minhash-LSH
                candidates, exact-Jaccard verify, connected
                components) over the survivors;
@@ -104,6 +107,15 @@ def main() -> None:
         help="apply the Gopher quality-rule panel as an additional gate",
     )
     ap.add_argument(
+        "--min-lm-fluency",
+        type=int,
+        default=0,
+        help="drop docs whose bigram self-LM mean scaled conditional "
+        "probability (sum_scaled div n_bigrams, 1e6 = certain) falls "
+        "below this; docs with < 2 words have no transitions and are "
+        "dropped too; 0 = off",
+    )
+    ap.add_argument(
         "--benchmark",
         default=None,
         help="benchmark/eval parquet (text column); documents sharing "
@@ -142,6 +154,7 @@ def main() -> None:
     )
     from ocr_spark.functions.contamination import contamination
     from ocr_spark.functions.scrub import gopher_rules, line_dedup, pii_scrub
+    from ocr_spark.functions.lm import bigram_lm_score
     from ocr_spark.functions.text import lang_id, quality_score
     from ocr_spark.pipeline.extract import extract_main_content
     from ocr_spark.pipeline.session import get_spark
@@ -247,6 +260,22 @@ def main() -> None:
     if args.gopher:
         g = gopher_rules(corpus).select("doc_id", "keep")
         gated = gated.join(g, "doc_id").where(F.col("keep")).drop("keep")
+    if args.min_lm_fluency > 0:
+        # self-LM over the scrubbed corpus; mean = integer div so the
+        # gate is exact (greatest(n,1): 0-transition docs score 0 and
+        # fail any positive threshold — single-word docs carry no
+        # fluency evidence)
+        flu = bigram_lm_score(corpus).select(
+            "doc_id",
+            F.expr(
+                "sum_scaled div greatest(n_bigrams, CAST(1 AS BIGINT))"
+            ).alias("_flu"),
+        )
+        gated = (
+            gated.join(flu, "doc_id")
+            .where(F.col("_flu") >= args.min_lm_fluency)
+            .drop("_flu")
+        )
     gated = gated.select("doc_id", "text").persist()
     n_gated = gated.count()
 
@@ -358,6 +387,7 @@ def main() -> None:
                 "pii_scrub": args.pii_scrub,
                 "line_dedup": args.line_dedup,
                 "gopher": args.gopher,
+                "min_lm_fluency": args.min_lm_fluency,
                 "quality_sample": args.quality_sample,
                 "shard_budget": args.shard_budget,
             }

@@ -281,3 +281,16 @@ def test_curate_quality_sample_off_by_default(spark, tmp_path):
     _, s = _run(spark, tmp_path)
     assert s["dropped_quality_sample"] == 0
     assert s["n_after_quality_sample"] == s["n_after_cap"]
+
+
+def test_curate_lm_fluency_gate(spark, tmp_path):
+    # threshold 1 keeps any doc with at least one corpus-seen
+    # transition (self-LM: all of them) — only <2-word docs drop;
+    # an absurd threshold (above 1e6 = certain) drops everything
+    _, s_lo = _run(spark, tmp_path / "lo", ("--min-lm-fluency", "1"))
+    assert s_lo["n_after_quality_lang"] > 0
+    _, s_hi = _run(
+        spark, tmp_path / "hi", ("--min-lm-fluency", str(2_000_000))
+    )
+    assert s_hi["n_after_quality_lang"] == 0
+    assert s_hi["min_lm_fluency"] == 2_000_000
