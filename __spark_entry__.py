@@ -40,6 +40,10 @@ from ocr_spark.functions import sampling as smp
 from ocr_spark.functions import tfidf as tfi
 from ocr_spark.functions import sessionize as sess
 from ocr_spark.functions import skew as sk
+from ocr_spark.functions.sketches import bloom_build as sk_bloom_build
+from ocr_spark.functions.sketches import bloom_build_sql as sk_bloom_build_sql
+from ocr_spark.functions.sketches import bloom_contains as sk_bloom_contains
+from ocr_spark.functions.sketches import bloom_contains_sql as sk_bloom_contains_sql
 from ocr_spark.functions.sketches import cms_build as sk_cms_build
 from ocr_spark.functions.sketches import cms_build_sql as sk_cms_build_sql
 from ocr_spark.functions.sketches import exact_distinct as sk_exact_distinct
@@ -960,6 +964,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("token") != ""),
             "token",
         ),
+        # Bloom filter over yesterday's ingested doc ids: the set bit
+        # positions ARE the filter (mergeable by bit-OR across shards)
+        "bloom_docid_bits": lambda s, d: sk_bloom_build(
+            _read(s, d, "documents").where(F.col("doc_id") % 2 == 0),
+            "doc_id",
+        ),
+        # incremental-ingest membership: probe today's full id batch
+        # against the filter — inserted ids always true, absent ids
+        # true only on (deterministic) bit collisions
+        "bloom_membership": lambda s, d: sk_bloom_contains(
+            sk_bloom_build(
+                _read(s, d, "documents").where(F.col("doc_id") % 2 == 0),
+                "doc_id",
+            ),
+            _read(s, d, "documents"),
+            "doc_id",
+        ).select(F.col("value").alias("doc_id"), "maybe_present"),
     }
 
 
@@ -1119,5 +1140,16 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_sketch": sk_cms_build_sql(
             "(SELECT v FROM (SELECT unnest(regexp_split_to_array(text,"
             f" '{_WS}+')) AS v FROM documents) WHERE v <> '')"
+        ),
+        "bloom_docid_bits": sk_bloom_build_sql(
+            "(SELECT doc_id AS v FROM documents WHERE doc_id % 2 = 0)"
+        ),
+        "bloom_membership": (
+            "SELECT value AS doc_id, maybe_present FROM ("
+            + sk_bloom_contains_sql(
+                "(SELECT doc_id AS v FROM documents WHERE doc_id % 2 = 0)",
+                "(SELECT doc_id AS v FROM documents)",
+            )
+            + ")"
         ),
     }

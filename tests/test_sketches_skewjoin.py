@@ -208,3 +208,101 @@ def test_cms_null_values_hash_as_empty(spark):
         spark.createDataFrame([("",), ("x",)], "v string"), "v"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_twin_parity(spark):
+    import duckdb
+
+    from ocr_spark.functions.sketches import (
+        bloom_build,
+        bloom_build_sql,
+        bloom_contains,
+        bloom_contains_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    inserted = docs.where(F.col("doc_id") % 2 == 0)
+    bloom = bloom_build(inserted, "doc_id")
+    probed = {
+        r.value: r.maybe_present
+        for r in bloom_contains(bloom, docs, "doc_id").collect()
+    }
+    # every inserted value must be reported present (one-sided)
+    assert all(probed[i] for i in probed if i % 2 == 0)
+    # the filter is not saturated: some absent value reports absent
+    assert any(not probed[i] for i in probed if i % 2 == 1)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    build_src = "(SELECT doc_id AS v FROM documents WHERE doc_id % 2 = 0)"
+    probe_src = "(SELECT doc_id AS v FROM documents)"
+    got_bits = sorted(r.bit for r in bloom.collect())
+    want_bits = sorted(
+        r[0] for r in con.execute(bloom_build_sql(build_src)).fetchall()
+    )
+    assert got_bits == want_bits and len(got_bits) > 0
+    want_probe = dict(
+        con.execute(bloom_contains_sql(build_src, probe_src)).fetchall()
+    )
+    assert probed == want_probe
+
+
+def test_bloom_fp_rate_within_theory(spark):
+    from ocr_spark.functions.sketches import bloom_build, bloom_contains
+
+    m, k, n = 1 << 12, 4, 1000
+    inserted = spark.range(n).selectExpr("concat('in:', id) AS v")
+    absent = spark.range(n).selectExpr("concat('out:', id) AS v")
+    bloom = bloom_build(inserted, "v", m_bits=m, k=k)
+    fp = (
+        bloom_contains(bloom, absent, "v", m_bits=m, k=k)
+        .where("maybe_present")
+        .count()
+    )
+    import math
+
+    theory = (1 - math.exp(-k * n / m)) ** k  # ~0.024 here
+    assert fp / n < 3 * theory
+
+
+def test_bloom_shard_merge_equals_single_pass(spark):
+    from ocr_spark.functions.sketches import bloom_build, bloom_merge
+
+    toks = _tokens(spark)
+    single = sorted(r.bit for r in bloom_build(toks, "token").collect())
+    shards = [
+        bloom_build(
+            toks.where(
+                (F.md5(F.col("token")).substr(1, 2) > F.lit("7f")) == bool(i)
+            ),
+            "token",
+        )
+        for i in (0, 1)
+    ]
+    merged = sorted(
+        r.bit for r in bloom_merge(shards[0].unionAll(shards[1])).collect()
+    )
+    assert merged == single  # bit-OR (set union) is lossless
+
+
+def test_bloom_null_probe_value_is_matchable(spark):
+    from ocr_spark.functions.sketches import bloom_build, bloom_contains
+
+    # NULL hashes as '' on both build and probe sides, and the probe
+    # result keeps the NULL row (no NULL-key join dropout)
+    bloom = bloom_build(spark.createDataFrame([(None,), ("x",)], "v string"), "v")
+    got = {
+        r.value: r.maybe_present
+        for r in bloom_contains(
+            bloom, spark.createDataFrame([(None,), ("y",)], "v string"), "v"
+        ).collect()
+    }
+    assert got[None] is True
+    assert "y" in got
