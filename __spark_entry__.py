@@ -811,6 +811,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_trained": lambda s, d: sim.ivf_topk(
             _read(s, d, "embeddings"), centroids=_IVF_CENTS
         ),
+        # semantic domain balancing: cap each trained k-means cell
+        # (scan-stage argmax assignment + one rank-window shuffle)
+        "cluster_balanced_sample": lambda s, d: sim.cluster_balanced_sample(
+            _read(s, d, "embeddings"), centroids=_IVF_CENTS, cap=20
+        ),
         "embedding_near_dups": lambda s, d: sim.embedding_near_dups(
             _read(s, d, "embeddings"), tau=0.35
         ),
@@ -1066,6 +1071,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_multiprobe_topk": sim.ann_multiprobe_topk_sql(),
         "ivf_topk": sim.ivf_topk_sql(),
         "ivf_topk_trained": sim.ivf_topk_trained_sql(_IVF_CENTS),
+        "cluster_balanced_sample": sim.cluster_balanced_sample_sql(
+            _IVF_CENTS, cap=20
+        ),
         "embedding_near_dups": sim.embedding_near_dups_sql(tau=0.35),
         "embedding_dup_clusters": sim.embedding_dup_clusters_sql(tau=0.35),
         "dataset_split_assign": (

@@ -776,3 +776,68 @@ def ivf_topk_trained_sql(
              {floor6_sql('cos_raw')} AS cos
       FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced sampling (domain balancing over embedding space)
+# ---------------------------------------------------------------------------
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    cap: int,
+    salt: str = "clustercap:v1",
+) -> DataFrame:
+    """(vec_id, centroid): keep at most ``cap`` vectors per k-means
+    cell — semantic domain balancing (no single content cluster may
+    dominate the training mix), the embedding-space analog of
+    ``sampling.cap_per_group`` over a source/domain column.
+
+    Cell assignment is the TRAINED scan-stage argmax (no join; pass
+    ``kmeans_centroids(emb)`` output), so the only shuffle is the
+    cap's rank window on ``centroid`` — and Spark's WindowGroupLimit
+    truncates each cell map-side at ~cap rows per input partition
+    before the exchange. Which vectors survive is the same
+    deterministic content-hash rule as ``cap_per_group``: stable
+    under retries/resume, boundary-local under inserts.
+    """
+    from ocr_spark.functions.sampling import cap_per_group
+
+    assigned = _assignments(emb, len(centroids), centroids).select(
+        "vec_id", "centroid"
+    )
+    return cap_per_group(
+        assigned, "centroid", cap, salt=salt, id_col="vec_id"
+    ).select("vec_id", "centroid")
+
+
+def cluster_balanced_sample_sql(
+    centroids: list[list[float]],
+    table: str = "embeddings",
+    cap: int = 10,
+    salt: str = "clustercap:v1",
+) -> str:
+    """DuckDB twin of :func:`cluster_balanced_sample` — same literal
+    centroids, same normalize-then-fold argmax as
+    :func:`ivf_topk_trained_sql`, same cap window as
+    ``sampling.cap_per_group_sql``."""
+    from ocr_spark.functions.sampling import cap_per_group_sql
+
+    dim = len(centroids[0])
+    unit = (
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) / {_norm_sql('embedding', dim)})"
+    )
+    dots = "[" + ", ".join(
+        _dot_sql("u", _plane_lit_sql(c), dim) for c in centroids
+    ) + "]"
+    assigned = f"""(
+      SELECT vec_id,
+             CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
+      FROM (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, {dots} AS dots
+        FROM (SELECT vec_id, {unit} AS u FROM {table})
+      )
+    )"""
+    return cap_per_group_sql(assigned, "centroid", cap, salt=salt, id_col="vec_id")

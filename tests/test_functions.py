@@ -571,6 +571,60 @@ def test_ivf_returns_cell_neighbors(emb):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_cluster_balanced_sample_caps_every_cell(emb):
+    from __spark_entry__ import _IVF_CENTS
+
+    out = similarity.cluster_balanced_sample(emb, _IVF_CENTS, cap=5)
+    sizes = {
+        r["centroid"]: r["n"]
+        for r in out.groupBy("centroid").count().withColumnRenamed("count", "n").collect()
+    }
+    full = similarity._assignments(emb, len(_IVF_CENTS), _IVF_CENTS)
+    orig = {
+        r["centroid"]: r["n"]
+        for r in full.groupBy("centroid").count().withColumnRenamed("count", "n").collect()
+    }
+    assert sizes, "no cells survived"
+    for cell, n in sizes.items():
+        assert n == min(5, orig[cell]), (cell, n, orig[cell])
+    # deterministic survivors under a different partitioning (retry/resume)
+    a = sorted(r["vec_id"] for r in out.select("vec_id").collect())
+    b = sorted(
+        r["vec_id"]
+        for r in similarity.cluster_balanced_sample(
+            emb.repartition(7), _IVF_CENTS, cap=5
+        ).select("vec_id").collect()
+    )
+    assert a == b
+
+
+def test_cluster_balanced_sample_matches_oracle(emb, con):
+    from __spark_entry__ import _IVF_CENTS
+
+    assert_same(
+        similarity.cluster_balanced_sample(emb, _IVF_CENTS, cap=7).select(
+            "vec_id", "centroid"
+        ),
+        con,
+        "SELECT vec_id, centroid FROM ("
+        + similarity.cluster_balanced_sample_sql(_IVF_CENTS, cap=7)
+        + ")",
+    )
+
+
+def test_cluster_balanced_sample_plan_shape(emb):
+    """Trained argmax assignment is scan-stage (no join anywhere), and
+    the cap truncates map-side before the one rank-window exchange."""
+    from __spark_entry__ import _IVF_CENTS
+    from ocr_spark.plans import plan_str
+
+    df = similarity.cluster_balanced_sample(emb, _IVF_CENTS, cap=5)
+    plan = plan_str(df, "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_simhash_pairs(docs, con):
     assert_same(dedup.simhash_pairs(docs), con, dedup.simhash_pairs_sql())
 
