@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions import dedup as ded
 from ocr_spark.functions import llm_parse as lp
+from ocr_spark.functions import interleave as ilv
 from ocr_spark.functions import multimodal as mm
 from ocr_spark.functions import similarity as sim
 from ocr_spark.functions.ivf_centroids import (
@@ -690,6 +691,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_kind_histogram": lambda s, d: extract_main_content(_span_docs(s, d))
         .groupBy("kind")
         .agg(F.count("*").alias("n")),
+        # interleaved-structure gate + corpus-frequency boilerplate strip
+        "interleave_stats": lambda s, d: ilv.interleave_stats(_span_docs(s, d)),
+        "strip_frequent_spans": lambda s, d: ilv.strip_frequent_spans(
+            _span_docs(s, d)
+        ),
         # --- validation & normalization (F1-F9, A1)
         "validate_normalize": _validated_spark,
         "validate_bhxh_schema": _bhxh_spark,
@@ -998,6 +1004,8 @@ def oracle_sql() -> dict[str, str]:
         "block_density_stats": _block_stats_sql(),
         "media_linking": _media_sql(),
         "span_kind_histogram": _kind_hist_sql(),
+        "interleave_stats": ilv.interleave_stats_sql(synth_spans_sql()),
+        "strip_frequent_spans": ilv.strip_frequent_spans_sql(synth_spans_sql()),
         "validate_normalize": _validated_sql(),
         "validate_bhxh_schema": _bhxh_sql(),
         "run_summary": f"""

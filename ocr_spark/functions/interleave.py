@@ -1,0 +1,335 @@
+"""Interleaved-corpus structure operators over the nested span table
+(doc_id string, spans array<struct<kind,text,media_ref,offset>>) —
+the BASELINE.json ``input_hint`` shape.
+
+Two families:
+
+1. ``interleave_stats`` / the ``keep`` gate — per-document structural
+   metrics of the text<->media interleaving (media fraction, longest
+   consecutive media run, text mass) and the OBELICS-style document
+   filter built on them. A multimodal training corpus is curated on
+   exactly these axes: image-farm pages (all media, no prose) and
+   gallery runs (dozens of consecutive images) are dropped before any
+   expensive stage. Reference analog: the webapp accepts/filters
+   uploads per document before OCR (/root/reference/webapp/jobs.py);
+   this is the interleaved-corpus generalization of that gate.
+
+2. ``strip_frequent_spans`` — corpus-frequency boilerplate removal:
+   a text span whose exact content recurs in >= min_docs distinct
+   documents is navigation/footer/cookie boilerplate, not prose, and
+   is dropped from every document. This is the data-driven complement
+   to the kernel's *heuristic* strip (kind-based page_header/footer
+   classification, ocr_spark/kernel/extract.py): the kernel catches
+   what the layout labels, corpus statistics catch what it misses.
+
+Scale shapes (the part that must survive 100 TB):
+
+- ``interleave_stats`` is ZERO-shuffle: the spans already arrive
+  nested one-row-per-document, so every metric — including the
+  longest-media-run fold — is a scan-stage array expression
+  (whole-stage codegen, no explode, no window, no Python).
+- ``strip_frequent_spans`` shuffles 60-bit md5 hashes, never span
+  text: per-doc dedup BEFORE the document-frequency aggregation
+  (array_distinct on the hash array, so a nav bar repeated inside one
+  page counts once), two-phase partial count on uniform keys, and the
+  frequent-key set (tiny by construction — only keys crossing the
+  min_docs threshold) comes back as a left-anti equi-join that AQE
+  broadcasts. No self-join, no text-carrying shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.hashing import md5_long_expr, md5_long_sql
+
+# Gate defaults: drop image-farm docs (media fraction above half),
+# gallery runs (>3 consecutive media spans), and docs with no real
+# prose mass (<2 text spans).
+MAX_MEDIA_FRAC = 0.5
+MAX_MEDIA_RUN = 3
+MIN_TEXT_SPANS = 2
+
+# A span is "media" when it carries a media_ref; kind strings vary by
+# upstream parser (picture/image/figure), the ref column does not.
+_IS_MEDIA = "(s.media_ref IS NOT NULL AND s.media_ref <> '')"
+_IS_TEXT = f"(NOT {_IS_MEDIA} AND s.text IS NOT NULL AND length(s.text) > 0)"
+
+
+def _run_fold_sql() -> str:
+    """Longest consecutive media run, offset order, as one array fold."""
+    sorted_spans = (
+        "array_sort(spans, (a, b) -> CASE WHEN a.offset < b.offset THEN -1 "
+        "WHEN a.offset > b.offset THEN 1 ELSE 0 END)"
+    )
+    return f"""
+      aggregate(
+        {sorted_spans},
+        struct(CAST(0 AS INT) AS cur, CAST(0 AS INT) AS best),
+        (acc, s) -> CASE WHEN {_IS_MEDIA}
+            THEN struct(acc.cur + 1 AS cur,
+                        greatest(acc.best, acc.cur + 1) AS best)
+            ELSE struct(CAST(0 AS INT) AS cur, acc.best AS best) END,
+        acc -> acc.best)
+    """
+
+
+def interleave_stats(
+    docs: DataFrame,
+    max_media_frac: float = MAX_MEDIA_FRAC,
+    max_media_run: int = MAX_MEDIA_RUN,
+    min_text_spans: int = MIN_TEXT_SPANS,
+) -> DataFrame:
+    """(doc_id, n_spans, n_media, n_text, n_text_chars, media_frac,
+    max_media_run, keep) — one row per document, scan-stage only.
+
+    ``media_frac`` = media spans / all spans (NULL for an empty span
+    array); ``max_media_run`` = longest consecutive run of media spans
+    in offset order; ``keep`` is the curation gate over the three
+    thresholds. Span order inside the array is not trusted — the run
+    fold sorts by ``offset`` first (resume/rewrite may reorder arrays).
+    """
+    run_fold = _run_fold_sql()
+    out = docs.select(
+        "doc_id",
+        F.expr("size(spans)").cast("int").alias("n_spans"),
+        F.expr(f"size(filter(spans, s -> {_IS_MEDIA}))")
+        .cast("int")
+        .alias("n_media"),
+        F.expr(f"size(filter(spans, s -> {_IS_TEXT}))")
+        .cast("int")
+        .alias("n_text"),
+        F.expr(
+            "aggregate(spans, CAST(0 AS BIGINT), "
+            f"(acc, s) -> acc + CASE WHEN {_IS_MEDIA} THEN 0 "
+            "ELSE coalesce(length(s.text), 0) END)"
+        ).alias("n_text_chars"),
+        F.expr(run_fold).cast("int").alias("max_media_run"),
+    ).withColumn(
+        "media_frac",
+        F.col("n_media").cast("double") / F.nullif(F.col("n_spans"), F.lit(0)),
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_media",
+        "n_text",
+        "n_text_chars",
+        "media_frac",
+        "max_media_run",
+        (
+            (F.col("n_text") >= min_text_spans)
+            & (F.col("max_media_run") <= max_media_run)
+            & ((F.col("n_media") == 0) | (F.col("media_frac") <= max_media_frac))
+        ).alias("keep"),
+    )
+
+
+def interleave_stats_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    max_media_frac: float = MAX_MEDIA_FRAC,
+    max_media_run: int = MAX_MEDIA_RUN,
+    min_text_spans: int = MIN_TEXT_SPANS,
+) -> str:
+    """DuckDB twin over a FLAT span source (doc_id, kind, text,
+    media_ref, "offset"; ``spans_sql`` is any SELECT producing it) —
+    the oracle unnests where Spark folds, so agreement checks the
+    array fold against an independent gaps-and-islands window
+    formulation, not a copy of it. Divergence note: a document whose
+    span array is empty or NULL has no flat rows, so it is absent
+    here but present (n_spans 0/NULL, keep false) on the Spark side;
+    the contract corpus contains no such documents."""
+    is_media = "(media_ref IS NOT NULL AND media_ref <> '')"
+    is_text = f"(NOT {is_media} AND text IS NOT NULL AND length(text) > 0)"
+    return f"""
+      WITH src AS ({spans_sql}),
+      flagged AS (
+        SELECT doc_id, {is_media} AS is_media, {is_text} AS is_text,
+               CASE WHEN {is_media} THEN 0 ELSE coalesce(length(text), 0) END AS tchars,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset")
+                 - ROW_NUMBER() OVER (PARTITION BY doc_id, {is_media} ORDER BY "offset")
+                 AS island
+        FROM src
+      ),
+      runs AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS run_len
+        FROM flagged WHERE is_media GROUP BY doc_id, island
+      ),
+      per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_spans,
+               CAST(sum(CASE WHEN is_media THEN 1 ELSE 0 END) AS INT) AS n_media,
+               CAST(sum(CASE WHEN is_text THEN 1 ELSE 0 END) AS INT) AS n_text,
+               CAST(sum(tchars) AS BIGINT) AS n_text_chars
+        FROM flagged GROUP BY doc_id
+      )
+      SELECT d.doc_id, d.n_spans, d.n_media, d.n_text, d.n_text_chars,
+             CAST(d.n_media AS DOUBLE) / nullif(d.n_spans, 0) AS media_frac,
+             coalesce(r.max_run, 0) AS max_media_run,
+             (d.n_text >= {min_text_spans}
+              AND coalesce(r.max_run, 0) <= {max_media_run}
+              AND (d.n_media = 0
+                   OR CAST(d.n_media AS DOUBLE) / nullif(d.n_spans, 0)
+                      <= {max_media_frac})) AS keep
+      FROM per_doc d
+      LEFT JOIN (SELECT doc_id, CAST(max(run_len) AS INT) AS max_run
+                 FROM runs GROUP BY doc_id) r USING (doc_id)
+    """
+
+
+def interleave_gate(
+    docs: DataFrame,
+    max_media_frac: float = MAX_MEDIA_FRAC,
+    max_media_run: int = MAX_MEDIA_RUN,
+    min_text_spans: int = MIN_TEXT_SPANS,
+) -> DataFrame:
+    """Filter the nested table to documents passing the structural
+    gate — same ``keep`` rule as :func:`interleave_stats`, expressed
+    as one scan-stage predicate on ``spans`` so the curation job can
+    drop image farms / galleries / prose-free docs BEFORE the kernel
+    pass, with zero shuffle and no column added or removed. Parity
+    with ``interleave_stats().keep`` is pinned by a test, not shared
+    plumbing: the stats path derives keep from its already-computed
+    metric columns, this path inlines the same arithmetic.
+    """
+    n_spans = "size(spans)"
+    n_media = f"size(filter(spans, s -> {_IS_MEDIA}))"
+    n_text = f"size(filter(spans, s -> {_IS_TEXT}))"
+    keep = (
+        f"({n_text} >= {min_text_spans}) "
+        f"AND (({_run_fold_sql()}) <= {max_media_run}) "
+        f"AND ({n_media} = 0 OR CAST({n_media} AS DOUBLE) / "
+        f"nullif({n_spans}, 0) <= {max_media_frac})"
+    )
+    return docs.where(F.expr(keep))
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency boilerplate strip
+# ---------------------------------------------------------------------------
+
+MIN_DOCS = 3  # a text recurring in >= this many distinct docs is boilerplate
+MIN_CHARS = 8  # shorter spans are too collision-prone to strip on
+
+
+def strip_frequent_spans(
+    docs: DataFrame,
+    min_docs: int = MIN_DOCS,
+    min_chars: int = MIN_CHARS,
+) -> DataFrame:
+    """Flat cleaned spans (doc_id, kind, text, media_ref, offset):
+    text spans whose exact content appears in >= ``min_docs`` distinct
+    documents are removed from every document; media spans and short
+    texts (< ``min_chars`` chars, too collision-prone) are never
+    candidates.
+
+    Plan: per-doc distinct 60-bit hashes (array expressions, scan
+    stage) -> explode -> one partial-aggregated count on the hash ->
+    threshold filter -> left-anti equi-join back on the hash (NULL key
+    for non-candidates, which an equi-join never matches, so they
+    always survive). Only hashes shuffle; the frequent set is tiny and
+    AQE broadcasts the anti-join.
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would strip every span)")
+    is_media = "(s.media_ref IS NOT NULL AND s.media_ref <> '')"
+    cand = (
+        f"(NOT {is_media} AND s.text IS NOT NULL "
+        f"AND length(s.text) >= {min_chars})"
+    )
+    key_of = md5_long_expr("s.text")
+    # one hash array per doc, deduped per doc BEFORE the df count
+    per_doc_keys = docs.select(
+        F.expr(
+            f"array_distinct(transform(filter(spans, s -> {cand}), "
+            f"s -> {key_of}))"
+        ).alias("keys")
+    )
+    frequent = (
+        per_doc_keys.select(F.explode("keys").alias("tkey"))
+        .groupBy("tkey")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("tkey")
+    )
+    flat = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+        F.expr(f"CASE WHEN {cand} THEN {key_of} ELSE NULL END").alias("tkey"),
+    )
+    return flat.join(frequent, "tkey", "left_anti").drop("tkey")
+
+
+def strip_frequent_flat(
+    flat: DataFrame,
+    min_docs: int = MIN_DOCS,
+    min_chars: int = MIN_CHARS,
+) -> DataFrame:
+    """`strip_frequent_spans` over an ALREADY-FLAT span stream
+    (doc_id, kind, text, media_ref, offset, *extra) — the shape
+    `extract_main_content` emits — so the curation job can strip
+    corpus-frequency boilerplate the kernel's kind-heuristics missed
+    without re-nesting. Extra columns pass through untouched; the
+    input must not carry a ``_tkey`` column.
+
+    Same rule as the nested variant: document frequency counts each
+    (doc, text) once (distinct on the hash pair, hashes only — no
+    text-carrying shuffle), media spans and short texts never strip.
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would strip every span)")
+    if "_tkey" in flat.columns:
+        raise ValueError("input already has a _tkey column")
+    is_media = "(media_ref IS NOT NULL AND media_ref <> '')"
+    cand = (
+        f"(NOT {is_media} AND text IS NOT NULL "
+        f"AND length(text) >= {min_chars})"
+    )
+    keyed = flat.withColumn(
+        "_tkey",
+        F.expr(f"CASE WHEN {cand} THEN {md5_long_expr('text')} ELSE NULL END"),
+    )
+    frequent = (
+        keyed.where(F.col("_tkey").isNotNull())
+        .select("doc_id", "_tkey")
+        .distinct()
+        .groupBy("_tkey")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("_tkey")
+    )
+    return keyed.join(frequent, "_tkey", "left_anti").drop("_tkey")
+
+
+def strip_frequent_spans_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    min_docs: int = MIN_DOCS,
+    min_chars: int = MIN_CHARS,
+) -> str:
+    """DuckDB twin over the same flat span source. Same hash, same
+    per-doc-distinct df rule, same NULL-key-survives semantics."""
+    is_media = "(media_ref IS NOT NULL AND media_ref <> '')"
+    cand = f"(NOT {is_media} AND text IS NOT NULL AND length(text) >= {min_chars})"
+    key = md5_long_sql("text")
+    return f"""
+      WITH src AS ({spans_sql}),
+      keyed AS (
+        SELECT doc_id, kind, text, media_ref, "offset",
+               CASE WHEN {cand} THEN {key} ELSE NULL END AS tkey
+        FROM src
+      ),
+      frequent AS (
+        SELECT tkey FROM (
+          SELECT tkey, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, tkey FROM keyed WHERE tkey IS NOT NULL)
+          GROUP BY tkey
+        ) WHERE df >= {min_docs}
+      )
+      SELECT doc_id, kind, text, media_ref, "offset"
+      FROM keyed
+      WHERE tkey IS NULL OR tkey NOT IN (SELECT tkey FROM frequent)
+    """

@@ -1,0 +1,216 @@
+"""Interleaved-structure stats/gate + corpus-frequency boilerplate
+strip: semantics on hand-built corpora, DuckDB-twin parity, plan
+shapes (stats must be scan-stage-only; strip must shuffle hashes, not
+text, with no nested-loop join)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.interleave import (
+    interleave_gate,
+    interleave_stats,
+    interleave_stats_sql,
+    strip_frequent_flat,
+    strip_frequent_spans,
+    strip_frequent_spans_sql,
+)
+from ocr_spark.plans import plan_str
+from ocr_spark.sources.synth import synth_spans_sql, synthesize_spans
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_NESTED_SCHEMA = (
+    "doc_id string, spans array<struct<"
+    "kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def _doc(doc_id, spans):
+    """spans = [(kind, text, media_ref, offset), ...]"""
+    return (doc_id, [tuple(s) for s in spans])
+
+
+@pytest.fixture(scope="module")
+def nested(spark):
+    return synthesize_spans(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    return c
+
+
+# ---------------------------------------------------------------------------
+# interleave_stats
+# ---------------------------------------------------------------------------
+
+
+def test_interleave_stats_semantics(spark):
+    t = lambda i: ("text", f"prose number {i}", "", i)
+    m = lambda i: ("picture", "", f"img-{i}", i)
+    rows = [
+        # healthy doc: 4 text, 2 media, runs of 1
+        _doc("ok", [t(0), m(1), t(2), m(3), t(4), t(5)]),
+        # gallery: 4 consecutive media spans -> dropped by max_media_run
+        _doc("gallery", [t(0), m(1), m(2), m(3), m(4), t(5), t(6), t(7), t(8)]),
+        # image farm: media_frac 3/4 -> dropped
+        _doc("farm", [t(0), m(1), m(2), t(3), m(4), t(5)][:4] + [m(6), m(7)]),
+        # no prose: one text span -> dropped by min_text_spans
+        _doc("thin", [t(0), m(1)]),
+        # text-only doc: n_media = 0 branch must keep it
+        _doc("plain", [t(0), t(1), t(2)]),
+        # order scramble: run fold must sort by offset (2,3,4 media)
+        _doc("scrambled", [m(3), t(0), m(2), t(1), m(4), t(5), t(6)]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    out = {r["doc_id"]: r.asDict() for r in interleave_stats(df).collect()}
+    assert out["ok"]["keep"] and out["ok"]["max_media_run"] == 1
+    assert out["ok"]["n_media"] == 2 and out["ok"]["n_text"] == 4
+    assert not out["gallery"]["keep"] and out["gallery"]["max_media_run"] == 4
+    assert not out["farm"]["keep"] and out["farm"]["media_frac"] > 0.5
+    assert not out["thin"]["keep"] and out["thin"]["n_text"] == 1
+    assert out["plain"]["keep"] and out["plain"]["n_media"] == 0
+    assert out["scrambled"]["max_media_run"] == 3
+    assert out["ok"]["n_text_chars"] == sum(
+        len(s[1]) for s in rows[0][1] if s[0] == "text"
+    )
+
+
+def test_interleave_stats_empty_and_null_spans_spark_side(spark):
+    """Divergence pinned in the twin's docstring: empty/NULL span
+    arrays still yield a Spark row (never silently dropped), with
+    keep falsy — the flat-SQL oracle cannot represent these docs."""
+    df = spark.createDataFrame(
+        [("empty", []), ("nul", None)], _NESTED_SCHEMA
+    )
+    out = {r["doc_id"]: r.asDict() for r in interleave_stats(df).collect()}
+    assert set(out) == {"empty", "nul"}
+    assert out["empty"]["n_spans"] == 0 and not out["empty"]["keep"]
+    assert not out["nul"]["keep"]
+
+
+def test_interleave_stats_matches_oracle(nested, con):
+    got = sorted(map(tuple, interleave_stats(nested).collect()))
+    want = sorted(
+        map(tuple, con.execute(interleave_stats_sql(synth_spans_sql())).fetchall())
+    )
+    assert len(got) == 500
+    assert got == want
+
+
+def test_interleave_stats_is_scan_stage_only(nested):
+    plan = plan_str(interleave_stats(nested), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_interleave_gate_matches_stats_keep(nested):
+    """The gate's inlined predicate and the stats path's column-derived
+    keep are separate code paths — pin their equivalence on the real
+    synthetic corpus (plus: the gate preserves the input schema)."""
+    want = sorted(
+        r["doc_id"]
+        for r in interleave_stats(nested).where("keep").select("doc_id").collect()
+    )
+    gated = interleave_gate(nested)
+    assert gated.columns == nested.columns
+    got = sorted(r["doc_id"] for r in gated.select("doc_id").collect())
+    assert got == want
+    assert 0 < len(got) < nested.count()
+
+
+def test_interleave_gate_is_scan_stage_only(nested):
+    plan = plan_str(interleave_gate(nested), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# strip_frequent_spans
+# ---------------------------------------------------------------------------
+
+
+def test_strip_semantics(spark):
+    boiler = "subscribe to our newsletter"
+    rows = [
+        _doc("a", [("text", boiler, "", 0), ("text", "unique prose a", "", 1),
+                   # repeated INSIDE one doc: per-doc distinct -> df still 3
+                   ("text", boiler, "", 2)]),
+        _doc("b", [("text", boiler, "", 0), ("text", "unique prose b", "", 1)]),
+        _doc("c", [("text", boiler, "", 0), ("picture", "", "img-c", 1),
+                   # short span below min_chars: never stripped
+                   ("text", "hi", "", 2)]),
+        _doc("d", [("text", "unique prose d", "", 0)]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    out = strip_frequent_spans(df, min_docs=3).collect()
+    texts = sorted((r["doc_id"], r["text"]) for r in out)
+    assert (("a", boiler) not in texts) and (("b", boiler) not in texts)
+    assert texts == [
+        ("a", "unique prose a"),
+        ("b", "unique prose b"),
+        ("c", ""),  # media span survives untouched
+        ("c", "hi"),
+        ("d", "unique prose d"),
+    ]
+    # min_docs=4 would spare it (df is per-DISTINCT-doc: 3, not 4),
+    # so all 4 boiler ROWS survive (doc a carries it twice)
+    spared = strip_frequent_spans(df, min_docs=4)
+    assert spared.where(F.col("text") == boiler).count() == 4
+    with pytest.raises(ValueError):
+        strip_frequent_spans(df, min_docs=1)
+
+
+def test_strip_matches_oracle(nested, con):
+    got = sorted(map(tuple, strip_frequent_spans(nested).collect()))
+    want = sorted(
+        map(
+            tuple,
+            con.execute(strip_frequent_spans_sql(synth_spans_sql())).fetchall(),
+        )
+    )
+    assert got == want
+    # the corpus genuinely exercises removal
+    n_all = nested.selectExpr("sum(size(spans)) AS n").collect()[0]["n"]
+    assert 0 < len(got) < n_all
+
+
+def test_strip_flat_matches_nested(nested, spark):
+    """The flat variant over the exploded stream must strip exactly
+    the rows the nested variant strips, and pass extra columns
+    through untouched."""
+    flat = nested.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    want = sorted(map(tuple, strip_frequent_spans(nested).collect()))
+    extra = flat.withColumn("extra", F.lit("x"))
+    out = strip_frequent_flat(extra)
+    assert out.columns == ["doc_id", "kind", "text", "media_ref", "offset", "extra"]
+    got = sorted(map(tuple, out.drop("extra").collect()))
+    assert got == want
+    with pytest.raises(ValueError):
+        strip_frequent_flat(flat, min_docs=1)
+    with pytest.raises(ValueError):
+        strip_frequent_flat(flat.withColumn("_tkey", F.lit(1)))
+
+
+def test_strip_plan_shuffles_hashes_not_text(nested):
+    df = strip_frequent_spans(nested)
+    plan = plan_str(df, "simple")
+    assert "partial_count" in plan, plan  # two-phase df aggregation
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    # the df-count exchange carries only the 60-bit key, never span text
+    fmt = plan_str(df, "formatted")
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", fmt):
+        assert "text" not in m.group(1), m.group(0)
