@@ -2,8 +2,17 @@
 """spark-submit entry: the COMPLETE training-data curation pipeline,
 end to end — the composition a 100 TB corpus actually runs:
 
+0.5 structure — optional (--interleave-gate): drop image-farm /
+               gallery-run / prose-free documents on the NESTED span
+               table (scan-stage array folds, zero shuffle) before
+               the kernel ever runs;
 1. extract   — interleaved span table -> boilerplate-stripped main
                content (single-pass Arrow kernel, per-doc metrics);
+1.2 freqstrip — optional (--strip-boilerplate N): remove text spans
+               whose exact content recurs in >= N distinct documents
+               (corpus-frequency complement to the kernel's
+               kind-heuristic strip; hash-only shuffles) before the
+               per-doc text is assembled;
 2. scrub     — optional (--line-dedup / --pii-scrub): within-doc
                repeated-line removal and staged PII redaction,
                BEFORE every content-hash stage so the novelty gate,
@@ -138,6 +147,19 @@ def main() -> None:
         help="add a shard_id column packing ~N whitespace tokens per "
         "shard (global distributed prefix sum); 0 = off",
     )
+    ap.add_argument(
+        "--interleave-gate",
+        action="store_true",
+        help="drop image-farm/gallery/prose-free docs on the nested "
+        "span table before extraction (zero-shuffle structural gate)",
+    )
+    ap.add_argument(
+        "--strip-boilerplate",
+        type=int,
+        default=0,
+        help="remove text spans recurring in >= N distinct docs "
+        "before text assembly (0 = off)",
+    )
     ap.add_argument("--max-bucket", type=int, default=1000, help="LSH band bucket cap; 0 = off")
     ap.add_argument("--n-buckets", type=int, default=16, help="output bucket count")
     ap.add_argument("--master", default=None)
@@ -166,6 +188,17 @@ def main() -> None:
     if args.synthesize:
         docs = synthesize_spans(docs)
 
+    # 0.5 structural gate on the NESTED table — before the kernel, so
+    # image farms and gallery runs never pay for extraction. The two
+    # counts cost one extra scan each, only when the gate is on.
+    n_input = n_structural = None
+    if args.interleave_gate:
+        from ocr_spark.functions.interleave import interleave_gate
+
+        n_input = docs.count()
+        docs = interleave_gate(docs)
+        n_structural = docs.count()
+
     # 1. extract: stripped span stream -> one text per doc (order-safe:
     # spans are emitted in reading order by the kernel, and the
     # concat_ws(sort_array) re-asserts it deterministically).
@@ -174,6 +207,14 @@ def main() -> None:
     # previous xxhash64 surrogate — and its silent 64-bit birthday
     # collision risk at corpus scale — is gone.
     spans = extract_main_content(docs)
+    # 1.2 corpus-frequency boilerplate strip on the flat stream — the
+    # data-driven complement to the kernel's kind-heuristic strip;
+    # runs BEFORE text assembly so nav/footer text the layout failed
+    # to label never reaches the content hashes or the quality gates.
+    if args.strip_boilerplate > 0:
+        from ocr_spark.functions.interleave import strip_frequent_flat
+
+        spans = strip_frequent_flat(spans, min_docs=args.strip_boilerplate)
     corpus = (
         spans.where(F.col("text") != "")
         .groupBy("doc_id")
@@ -364,6 +405,11 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "n_input": n_input,
+                "n_after_interleave_gate": n_structural,
+                "dropped_structural": (
+                    n_input - n_structural if n_input is not None else None
+                ),
                 "n_extracted": n_extracted,
                 "n_novel": n_novel,
                 "n_after_decontam": n_decontam,
@@ -388,6 +434,8 @@ def main() -> None:
                 "line_dedup": args.line_dedup,
                 "gopher": args.gopher,
                 "min_lm_fluency": args.min_lm_fluency,
+                "interleave_gate": args.interleave_gate,
+                "strip_boilerplate": args.strip_boilerplate,
                 "quality_sample": args.quality_sample,
                 "shard_budget": args.shard_budget,
             }

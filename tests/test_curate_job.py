@@ -80,6 +80,33 @@ def test_curate_handles_non_numeric_doc_ids(spark, tmp_path):
     assert ids <= {f"sha1:{i:04x}" for i in range(8)} and len(ids) == s["n_curated"]
 
 
+def test_curate_interleave_gate_and_boilerplate_strip(spark, tmp_path):
+    """Stage 0.5 (structural gate on the nested table) and stage 1.2
+    (corpus-frequency span strip) both shrink the funnel, and the
+    funnel identity still balances from the extraction base."""
+    _, s_off = _run(spark, tmp_path / "off", ("--min-quality", "0.0"))
+    assert s_off["n_input"] is None and s_off["dropped_structural"] is None
+    out, s = _run(
+        spark,
+        tmp_path / "on",
+        ("--min-quality", "0.0", "--interleave-gate", "--strip-boilerplate", "3"),
+    )
+    assert s["n_input"] == 500  # sf0.001 documents table
+    assert 0 < s["n_after_interleave_gate"] < s["n_input"]
+    assert s["dropped_structural"] == s["n_input"] - s["n_after_interleave_gate"]
+    # gated extraction base can't exceed the surviving doc count
+    assert s["n_extracted"] <= s["n_after_interleave_gate"]
+    assert s["interleave_gate"] is True and s["strip_boilerplate"] == 3
+    # frequency strip removes repeated synthetic boilerplate -> fewer
+    # or equal docs (all-boilerplate docs lose every span) and the
+    # funnel identity still holds
+    assert s["dropped_quality_lang"] + s["dropped_exact"] + s["dropped_near_dup"] == (
+        s["n_extracted"] - s["n_curated"]
+    )
+    t = spark.read.parquet(out)
+    assert t.count() == s["n_curated"] > 0
+
+
 def test_curate_lang_gate(spark, tmp_path):
     _, s_all = _run(spark, tmp_path / "a", ("--min-quality", "0.0"))
     _, s_en = _run(spark, tmp_path / "b", ("--min-quality", "0.0", "--langs", "en"))
