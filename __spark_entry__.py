@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ocr_spark.functions import dedup as ded
 from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import interleave as ilv
+from ocr_spark.functions.chunking import chunk_documents, chunk_documents_sql
 from ocr_spark.functions import multimodal as mm
 from ocr_spark.functions import similarity as sim
 from ocr_spark.functions.ivf_centroids import (
@@ -719,6 +720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: txt.lang_id(_read(s, d, "documents")),
         "quality_score": lambda s, d: txt.quality_score(_read(s, d, "documents")),
         "fingerprint": lambda s, d: txt.fingerprint(_read(s, d, "documents")),
+        "chunk_docs": lambda s, d: chunk_documents(
+            _read(s, d, "documents"), max_tokens=64, overlap=16
+        ),
         # --- dedup family
         "exact_dedup": lambda s, d: ded.exact_dedup(_read(s, d, "documents")),
         "minhash_signatures": lambda s, d: ded.minhash_signatures(_read(s, d, "documents")),
@@ -1031,6 +1035,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": txt.lang_id_sql(),
         "quality_score": txt.quality_score_sql(),
         "fingerprint": txt.fingerprint_sql(),
+        "chunk_docs": chunk_documents_sql(max_tokens=64, overlap=16),
         "exact_dedup": ded.exact_dedup_sql(),
         "minhash_signatures": ded.minhash_signatures_sql(),
         "minhash_lsh_pairs": ded.minhash_lsh_pairs_sql(),
