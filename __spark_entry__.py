@@ -30,6 +30,7 @@ from ocr_spark.functions import dedup as ded
 from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import interleave as ilv
 from ocr_spark.functions.chunking import chunk_documents, chunk_documents_sql
+from ocr_spark.functions.unicode_norm import normalize_nfc, normalize_nfc_sql
 from ocr_spark.functions import multimodal as mm
 from ocr_spark.functions import similarity as sim
 from ocr_spark.functions.ivf_centroids import (
@@ -723,6 +724,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": lambda s, d: chunk_documents(
             _read(s, d, "documents"), max_tokens=64, overlap=16
         ),
+        # NFC normalization over a deterministically DE-composed copy
+        # (replace a -> a + combining acute) so the UDF genuinely
+        # recomposes at contract scale instead of passing through.
+        # NOTE: the acute is built with Python chr(769) — Spark SQL's
+        # chr() is ASCII-modulo-256, not a Unicode codepoint.
+        "normalize_nfc": lambda s, d: normalize_nfc(
+            _read(s, d, "documents").select(
+                "doc_id",
+                F.replace(
+                    F.col("text"), F.lit("a"), F.lit("a" + chr(769))
+                ).alias("text"),
+            )
+        ),
         # --- dedup family
         "exact_dedup": lambda s, d: ded.exact_dedup(_read(s, d, "documents")),
         "minhash_signatures": lambda s, d: ded.minhash_signatures(_read(s, d, "documents")),
@@ -1036,6 +1050,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": txt.quality_score_sql(),
         "fingerprint": txt.fingerprint_sql(),
         "chunk_docs": chunk_documents_sql(max_tokens=64, overlap=16),
+        "normalize_nfc": normalize_nfc_sql(
+            "(SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS text "
+            "FROM documents) src"
+        ),
         "exact_dedup": ded.exact_dedup_sql(),
         "minhash_signatures": ded.minhash_signatures_sql(),
         "minhash_lsh_pairs": ded.minhash_lsh_pairs_sql(),
