@@ -13,7 +13,9 @@ end to end — the composition a 100 TB corpus actually runs:
                (corpus-frequency complement to the kernel's
                kind-heuristic strip; hash-only shuffles) before the
                per-doc text is assembled;
-2. scrub     — optional (--line-dedup / --pii-scrub): within-doc
+2. scrub     — optional (--nfc / --line-dedup / --pii-scrub):
+               Unicode NFC normalization (first — later hashes and
+               regexes must see canonical bytes), within-doc
                repeated-line removal and staged PII redaction,
                BEFORE every content-hash stage so the novelty gate,
                dedup, and the written table all see scrubbed text;
@@ -99,6 +101,12 @@ def main() -> None:
         "to add a deterministic hash split column; empty = off",
     )
     ap.add_argument(
+        "--nfc",
+        action="store_true",
+        help="Unicode-NFC normalize extracted text before any "
+        "content-hash stage (decomposed spellings must dedup equal)",
+    )
+    ap.add_argument(
         "--pii-scrub",
         action="store_true",
         help="redact emails/IPv4s/phones (staged, <EMAIL>/<IP>/<PHONE> "
@@ -176,6 +184,7 @@ def main() -> None:
     )
     from ocr_spark.functions.contamination import contamination
     from ocr_spark.functions.scrub import gopher_rules, line_dedup, pii_scrub
+    from ocr_spark.functions.unicode_norm import normalize_nfc
     from ocr_spark.functions.lm import bigram_lm_score
     from ocr_spark.functions.text import lang_id, quality_score
     from ocr_spark.pipeline.extract import extract_main_content
@@ -241,6 +250,11 @@ def main() -> None:
     # md5 must be computed over scrubbed text too or every re-crawled
     # PII-bearing doc would pass as novel and be written again.
     def _scrub(frame):
+        if args.nfc:
+            # FIRST: the line-dedup hash and PII regexes must see
+            # canonical bytes, and two spellings of one doc must
+            # reach every later hash identical
+            frame = normalize_nfc(frame).drop("changed")
         if args.line_dedup:
             frame = line_dedup(frame).select(
                 "doc_id", F.col("clean_text").alias("text")
@@ -251,7 +265,7 @@ def main() -> None:
             )
         return frame
 
-    if args.line_dedup or args.pii_scrub:
+    if args.nfc or args.line_dedup or args.pii_scrub:
         extracted_raw = corpus
         corpus = _scrub(corpus).persist()
         corpus.count()
@@ -277,7 +291,7 @@ def main() -> None:
     n_decontam = n_novel
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark).select("text")
-        if args.line_dedup or args.pii_scrub:
+        if args.nfc or args.line_dedup or args.pii_scrub:
             bench = _scrub(bench.withColumn("doc_id", F.lit(0))).select("text")
         flagged = (
             contamination(
@@ -432,6 +446,7 @@ def main() -> None:
                 "split": args.split,
                 "pii_scrub": args.pii_scrub,
                 "line_dedup": args.line_dedup,
+                "nfc": args.nfc,
                 "gopher": args.gopher,
                 "min_lm_fluency": args.min_lm_fluency,
                 "interleave_gate": args.interleave_gate,

@@ -107,6 +107,43 @@ def test_curate_interleave_gate_and_boilerplate_strip(spark, tmp_path):
     assert t.count() == s["n_curated"] > 0
 
 
+def test_curate_nfc_stage_makes_decomposed_docs_dedup(spark, tmp_path):
+    """With --nfc, a composed and a decomposed spelling of the same
+    text are one document after exact dedup; without it they survive
+    as two. (Strings built with chr() so no tool can pre-normalize
+    the source file.)"""
+    import pandas as pd
+
+    from ocr_spark.schema import DOC_SCHEMA
+
+    base = "the quick brown fox caf" + chr(0xE9) + " jumps over it all day"
+    decomposed = base.replace(chr(0xE9), "e" + chr(0x301))
+    span = lambda t: [{"kind": "text", "text": t, "media_ref": "", "offset": 0},
+                      {"kind": "text", "text": "tail words here", "media_ref": "", "offset": 1}]
+    rows = pd.DataFrame(
+        {"doc_id": [1, 2], "spans": [span(base), span(decomposed)]}
+    )
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema=DOC_SCHEMA).write.parquet(inp)
+    import jobs.curate as job
+
+    def run(extra):
+        out = str(tmp_path / ("out" + str(len(extra))))
+        argv = ["curate.py", "--input", inp, "--output", out,
+                "--min-quality", "0.0", "--tau", "0.99", *extra]
+        printed = []
+        with patch.object(sys, "argv", argv), patch.object(
+            SparkSession, "stop", lambda self: None
+        ), patch("builtins.print", lambda s: printed.append(s)):
+            job.main()
+        return json.loads(printed[-1])
+
+    s_off = run(())
+    s_on = run(("--nfc",))
+    assert s_off["n_after_exact_dedup"] == 2 and s_off["nfc"] is False
+    assert s_on["n_after_exact_dedup"] == 1 and s_on["nfc"] is True
+
+
 def test_curate_lang_gate(spark, tmp_path):
     _, s_all = _run(spark, tmp_path / "a", ("--min-quality", "0.0"))
     _, s_en = _run(spark, tmp_path / "b", ("--min-quality", "0.0", "--langs", "en"))
