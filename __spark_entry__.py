@@ -31,6 +31,7 @@ from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import interleave as ilv
 from ocr_spark.functions.chunking import chunk_documents, chunk_documents_sql
 from ocr_spark.functions.unicode_norm import normalize_nfc, normalize_nfc_sql
+from ocr_spark.functions.quantize import quantize_flat, quantize_flat_sql
 from ocr_spark.functions import multimodal as mm
 from ocr_spark.functions import similarity as sim
 from ocr_spark.functions.ivf_centroids import (
@@ -829,6 +830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "embeddings")
         ),
         "ivf_topk": lambda s, d: sim.ivf_topk(_read(s, d, "embeddings")),
+        "quantize_embeddings": lambda s, d: quantize_flat(
+            _read(s, d, "embeddings")
+        ),
         # trained path: baked kmeans_centroids literals (the offline
         # codebook an IVF deployment ships); assignment is a pure
         # scan-stage argmax, no join
@@ -1101,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": sim.ann_lsh_topk_sql(),
         "ann_multiprobe_topk": sim.ann_multiprobe_topk_sql(),
         "ivf_topk": sim.ivf_topk_sql(),
+        "quantize_embeddings": quantize_flat_sql(),
         "ivf_topk_trained": sim.ivf_topk_trained_sql(_IVF_CENTS),
         "cluster_balanced_sample": sim.cluster_balanced_sample_sql(
             _IVF_CENTS, cap=20
