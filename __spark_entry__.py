@@ -31,7 +31,12 @@ from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import interleave as ilv
 from ocr_spark.functions.chunking import chunk_documents, chunk_documents_sql
 from ocr_spark.functions.unicode_norm import normalize_nfc, normalize_nfc_sql
-from ocr_spark.functions.quantize import quantize_flat, quantize_flat_sql
+from ocr_spark.functions.quantize import (
+    ann_quantized_topk,
+    ann_quantized_topk_sql,
+    quantize_flat,
+    quantize_flat_sql,
+)
 from ocr_spark.functions import multimodal as mm
 from ocr_spark.functions import similarity as sim
 from ocr_spark.functions.ivf_centroids import (
@@ -833,6 +838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": lambda s, d: quantize_flat(
             _read(s, d, "embeddings")
         ),
+        "ann_quantized_topk": lambda s, d: ann_quantized_topk(
+            _read(s, d, "embeddings")
+        ),
         # trained path: baked kmeans_centroids literals (the offline
         # codebook an IVF deployment ships); assignment is a pure
         # scan-stage argmax, no join
@@ -1106,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_multiprobe_topk": sim.ann_multiprobe_topk_sql(),
         "ivf_topk": sim.ivf_topk_sql(),
         "quantize_embeddings": quantize_flat_sql(),
+        "ann_quantized_topk": ann_quantized_topk_sql(),
         "ivf_topk_trained": sim.ivf_topk_trained_sql(_IVF_CENTS),
         "cluster_balanced_sample": sim.cluster_balanced_sample_sql(
             _IVF_CENTS, cap=20

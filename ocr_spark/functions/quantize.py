@@ -19,8 +19,10 @@ here so both engines hash-compare the same logical values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import floor6
 
 Q_MAX = 127
 
@@ -90,3 +92,119 @@ def quantize_flat(emb: DataFrame, vec: str = "embedding") -> DataFrame:
     return q.select(
         "vec_id", "scale", F.posexplode("qvec").alias("pos", "qval")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 ANN search path
+# ---------------------------------------------------------------------------
+
+_INT_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def ann_quantized_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10, vec: str = "embedding"
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos): exact top-k cosine over the
+    INT8-quantized vectors — the search an int8 SIMD ANN kernel runs.
+    Scales cancel in cosine, so ranking needs only the integer dot
+    products and integer squared norms (exact BIGINT sums — the float
+    work is two sqrt + one divide per pair, engine-identical), which
+    is why int8 quantization costs recall only through the rounding
+    of the components, not through the scoring math.
+
+    Same join/window shape as ``similarity.cosine_topk`` (broadcast
+    tiny query side, window top-k, neighbor-asc tie-break); zero-norm
+    vectors are excluded from both sides (cosine undefined).
+    """
+    nsq = _INT_DOT.format(a="qvec", b="qvec")
+    base = (
+        quantize_embeddings(emb, vec)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "qvec",
+            F.expr(nsq).alias("nsq"),
+        )
+        .where(F.col("nsq") > 0)
+    )
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    cos = F.expr(
+        "CAST(" + _INT_DOT.format(a="q_qvec", b="qvec") + " AS DOUBLE)"
+        " / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(nsq AS DOUBLE)))"
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(base, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            floor6(F.col("cos_raw")).alias("cos"),
+        )
+    )
+
+
+def ann_quantized_topk_sql(
+    table: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 10,
+    vec: str = "embedding",
+) -> str:
+    """DuckDB twin: identical quantization, exact integer dots via
+    list_dot_product (values < 2^53, so its DOUBLE result is exact),
+    and the same cos formula / tie-break."""
+    scale = (
+        f"coalesce(list_max(list_transform({vec}, "
+        f"x -> abs(CAST(x AS DOUBLE)))), 0.0) / {Q_MAX}.0"
+    )
+    qvec = (
+        f"list_transform({vec}, x -> CASE WHEN ({scale}) = 0 THEN 0 ELSE "
+        f"CAST(least({Q_MAX}.0, greatest(-{Q_MAX}.0, "
+        f"floor(CAST(x AS DOUBLE) / ({scale}) + 0.5))) AS BIGINT) END)"
+    )
+    return f"""
+      WITH q8 AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, {qvec} AS qvec FROM {table}
+      ),
+      base AS (
+        SELECT vec_id, qvec,
+               CAST(list_dot_product(qvec, qvec) AS BIGINT) AS nsq
+        FROM q8
+      ),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(CAST(list_dot_product(q.qvec, c.qvec) AS BIGINT) AS DOUBLE)
+                 / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+                 AS cos_raw
+        FROM base q JOIN base c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {n_queries} AND q.nsq > 0 AND c.nsq > 0
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id ASC) AS rank,
+               cos_raw
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+             floor(cos_raw * 1000000.0) / 1000000.0 AS cos
+      FROM ranked WHERE rank <= {k}
+    """

@@ -8,6 +8,8 @@ import duckdb
 from pyspark.sql import functions as F
 
 from ocr_spark.functions.quantize import (
+    ann_quantized_topk,
+    ann_quantized_topk_sql,
     dequantize,
     quantize_embeddings,
     quantize_flat,
@@ -77,6 +79,32 @@ def test_degenerate_vectors(spark):
     assert rows[3].qvec == [64, -127]  # 0.5/ (1/127) = 63.5 -> floor(64.0)
     back = {r.vec_id: r.embedding for r in dequantize(quantize_embeddings(df)).collect()}
     assert back[3][1] == -1.0
+
+
+def test_ann_quantized_matches_oracle_and_dequantized_ranking(spark):
+    """The int8 search path: (a) engine parity with the DuckDB twin,
+    (b) identical ranking to exact cosine over the DEQUANTIZED vectors
+    (scales cancel, so integer scoring is not an extra approximation)."""
+    emb = _emb(spark).select("vec_id", "embedding")
+    got = sorted(map(tuple, ann_quantized_topk(emb).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(ann_quantized_topk_sql()).fetchall()))
+    assert got == want and len(got) == 50
+    deq = cosine_topk(dequantize(quantize_embeddings(emb)), n_queries=5, k=10)
+    pairs_int = {(r[0], r[1], r[2]) for r in got}
+    pairs_deq = {
+        (r.query_id, r.neighbor_id, r.rank) for r in deq.collect()
+    }
+    assert pairs_int == pairs_deq
+
+
+def test_ann_quantized_plan_broadcasts_query_side(spark):
+    plan = plan_str(ann_quantized_topk(_emb(spark)), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
 
 
 def test_plan_zero_shuffle(spark):
