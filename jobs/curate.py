@@ -161,12 +161,22 @@ def main() -> None:
         help="drop image-farm/gallery/prose-free docs on the nested "
         "span table before extraction (zero-shuffle structural gate)",
     )
+    def _strip_n(v: str) -> int:
+        n = int(v)
+        if n < 0 or n == 1:
+            # fail at parse time, not mid-job after the gate scans ran
+            raise argparse.ArgumentTypeError(
+                "--strip-boilerplate must be 0 (off) or >= 2 "
+                "(1 would strip every candidate span)"
+            )
+        return n
+
     ap.add_argument(
         "--strip-boilerplate",
-        type=int,
+        type=_strip_n,
         default=0,
         help="remove text spans recurring in >= N distinct docs "
-        "before text assembly (0 = off)",
+        "before text assembly (0 = off, else >= 2)",
     )
     ap.add_argument("--max-bucket", type=int, default=1000, help="LSH band bucket cap; 0 = off")
     ap.add_argument("--n-buckets", type=int, default=16, help="output bucket count")
@@ -220,10 +230,15 @@ def main() -> None:
     # data-driven complement to the kernel's kind-heuristic strip;
     # runs BEFORE text assembly so nav/footer text the layout failed
     # to label never reaches the content hashes or the quality gates.
+    raw_spans = None
     if args.strip_boilerplate > 0:
         from ocr_spark.functions.interleave import strip_frequent_flat
 
-        spans = strip_frequent_flat(spans, min_docs=args.strip_boilerplate)
+        # persist: the strip consumes spans TWICE (frequency count +
+        # anti-join probe) — without the cache the Arrow kernel, the
+        # job's dominant stage, would execute twice
+        raw_spans = spans.persist()
+        spans = strip_frequent_flat(raw_spans, min_docs=args.strip_boilerplate)
     corpus = (
         spans.where(F.col("text") != "")
         .groupBy("doc_id")
@@ -241,6 +256,9 @@ def main() -> None:
         .persist()
     )
     n_extracted = corpus.count()
+    if raw_spans is not None:
+        # corpus is materialized; drop the kernel-output cache
+        raw_spans.unpersist()
 
     # 1.4 scrubbing FIRST — before every content-hash stage (novelty
     # gate md5, exact/near dedup, decontamination shingles). Scrubbing

@@ -29,12 +29,13 @@ Scale shapes (the part that must survive 100 TB):
   longest-media-run fold — is a scan-stage array expression
   (whole-stage codegen, no explode, no window, no Python).
 - ``strip_frequent_spans`` shuffles 60-bit md5 hashes, never span
-  text: per-doc dedup BEFORE the document-frequency aggregation
-  (array_distinct on the hash array, so a nav bar repeated inside one
-  page counts once), two-phase partial count on uniform keys, and the
-  frequent-key set (tiny by construction — only keys crossing the
-  min_docs threshold) comes back as a left-anti equi-join that AQE
-  broadcasts. No self-join, no text-carrying shuffle.
+  text: distinct (doc_id, hash) BEFORE the document-frequency
+  aggregation (a nav bar repeated inside one document counts once,
+  even across multiple nested rows of one doc_id), two-phase partial
+  count on uniform keys, and the frequent-key set (tiny by
+  construction — only keys crossing the min_docs threshold) comes
+  back as a left-anti equi-join that AQE broadcasts. No self-join,
+  no text-carrying shuffle.
 """
 
 from __future__ import annotations
@@ -58,10 +59,17 @@ _IS_TEXT = f"(NOT {_IS_MEDIA} AND s.text IS NOT NULL AND length(s.text) > 0)"
 
 
 def _run_fold_sql() -> str:
-    """Longest consecutive media run, offset order, as one array fold."""
+    """Longest consecutive media run as one array fold, ordered by
+    (offset, is_media) — the media tie-break makes the FLAG SEQUENCE
+    deterministic under duplicate offsets (remaining ties are between
+    same-flag spans, which cannot change any run length)."""
+    media_a = "(a.media_ref IS NOT NULL AND a.media_ref <> '')"
+    media_b = "(b.media_ref IS NOT NULL AND b.media_ref <> '')"
     sorted_spans = (
         "array_sort(spans, (a, b) -> CASE WHEN a.offset < b.offset THEN -1 "
-        "WHEN a.offset > b.offset THEN 1 ELSE 0 END)"
+        "WHEN a.offset > b.offset THEN 1 ELSE "
+        f"(CASE WHEN {media_a} THEN 1 ELSE 0 END) - "
+        f"(CASE WHEN {media_b} THEN 1 ELSE 0 END) END)"
     )
     return f"""
       aggregate(
@@ -88,7 +96,8 @@ def interleave_stats(
     array); ``max_media_run`` = longest consecutive run of media spans
     in offset order; ``keep`` is the curation gate over the three
     thresholds. Span order inside the array is not trusted — the run
-    fold sorts by ``offset`` first (resume/rewrite may reorder arrays).
+    fold sorts by (``offset``, is_media) first (resume/rewrite may
+    reorder arrays; the media tie-break pins duplicate offsets).
     """
     run_fold = _run_fold_sql()
     out = docs.select(
@@ -136,25 +145,37 @@ def interleave_stats_sql(
     media_ref, "offset"; ``spans_sql`` is any SELECT producing it) —
     the oracle unnests where Spark folds, so agreement checks the
     array fold against an independent gaps-and-islands window
-    formulation, not a copy of it. Divergence note: a document whose
-    span array is empty or NULL has no flat rows, so it is absent
-    here but present (n_spans 0/NULL, keep false) on the Spark side;
-    the contract corpus contains no such documents."""
+    formulation, not a copy of it: the run fold is a single-BIGINT
+    state encoding cur*1e9+best over the ordered flag list (vs Spark's
+    struct fold over the sorted array). Ordering is (offset,
+    is_media) on both sides — remaining ties are same-flag and cannot
+    change a run length. Divergence note: a document whose span array
+    is empty or NULL has no flat rows, so it is absent here but
+    present (n_spans 0/NULL, keep false) on the Spark side; the
+    contract corpus contains no such documents."""
     is_media = "(media_ref IS NOT NULL AND media_ref <> '')"
     is_text = f"(NOT {is_media} AND text IS NOT NULL AND length(text) > 0)"
+    enc = 1_000_000_000
     return f"""
       WITH src AS ({spans_sql}),
       flagged AS (
         SELECT doc_id, {is_media} AS is_media, {is_text} AS is_text,
                CASE WHEN {is_media} THEN 0 ELSE coalesce(length(text), 0) END AS tchars,
-               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset")
-                 - ROW_NUMBER() OVER (PARTITION BY doc_id, {is_media} ORDER BY "offset")
-                 AS island
+               "offset"
         FROM src
       ),
       runs AS (
-        SELECT doc_id, CAST(count(*) AS INT) AS run_len
-        FROM flagged WHERE is_media GROUP BY doc_id, island
+        SELECT doc_id,
+               CAST(list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list(CAST(CASE WHEN is_media THEN 1 ELSE 0 END AS BIGINT)
+                        ORDER BY "offset", is_media)),
+                 (acc, f) -> CASE WHEN f = 1
+                   THEN ((acc // {enc}) + 1) * {enc}
+                        + greatest(acc % {enc}, (acc // {enc}) + 1)
+                   ELSE acc % {enc} END
+               ) % {enc} AS INT) AS max_run
+        FROM flagged GROUP BY doc_id
       ),
       per_doc AS (
         SELECT doc_id,
@@ -173,8 +194,7 @@ def interleave_stats_sql(
                    OR CAST(d.n_media AS DOUBLE) / nullif(d.n_spans, 0)
                       <= {max_media_frac})) AS keep
       FROM per_doc d
-      LEFT JOIN (SELECT doc_id, CAST(max(run_len) AS INT) AS max_run
-                 FROM runs GROUP BY doc_id) r USING (doc_id)
+      LEFT JOIN runs r USING (doc_id)
     """
 
 
@@ -224,44 +244,28 @@ def strip_frequent_spans(
     texts (< ``min_chars`` chars, too collision-prone) are never
     candidates.
 
-    Plan: per-doc distinct 60-bit hashes (array expressions, scan
-    stage) -> explode -> one partial-aggregated count on the hash ->
-    threshold filter -> left-anti equi-join back on the hash (NULL key
-    for non-candidates, which an equi-join never matches, so they
-    always survive). Only hashes shuffle; the frequent set is tiny and
-    AQE broadcasts the anti-join.
+    Plan: explode -> distinct (doc_id, 60-bit hash) pairs -> one
+    partial-aggregated count on the hash -> threshold filter ->
+    left-anti equi-join back on the hash (NULL key for
+    non-candidates, which an equi-join never matches, so they always
+    survive). Only hashes shuffle; the frequent set is tiny and AQE
+    broadcasts the anti-join. Document frequency is per DISTINCT
+    doc_id, so a doc_id split across several nested rows still counts
+    once.
     """
-    if min_docs < 2:
-        raise ValueError("min_docs must be >= 2 (1 would strip every span)")
-    is_media = "(s.media_ref IS NOT NULL AND s.media_ref <> '')"
-    cand = (
-        f"(NOT {is_media} AND s.text IS NOT NULL "
-        f"AND length(s.text) >= {min_chars})"
-    )
-    key_of = md5_long_expr("s.text")
-    # one hash array per doc, deduped per doc BEFORE the df count
-    per_doc_keys = docs.select(
-        F.expr(
-            f"array_distinct(transform(filter(spans, s -> {cand}), "
-            f"s -> {key_of}))"
-        ).alias("keys")
-    )
-    frequent = (
-        per_doc_keys.select(F.explode("keys").alias("tkey"))
-        .groupBy("tkey")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") >= min_docs)
-        .select("tkey")
-    )
+    # delegate to the flat variant so the two can never diverge: the
+    # document-frequency rule is distinct-(doc_id, key) there, which —
+    # unlike a per-ROW array_distinct — also counts correctly when the
+    # same doc_id spans multiple nested rows (sharded unions, re-nested
+    # tables). The nested output shape is flat anyway.
     flat = docs.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id",
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
-        F.expr(f"CASE WHEN {cand} THEN {key_of} ELSE NULL END").alias("tkey"),
     )
-    return flat.join(frequent, "tkey", "left_anti").drop("tkey")
+    return strip_frequent_flat(flat, min_docs=min_docs, min_chars=min_chars)
 
 
 def strip_frequent_flat(

@@ -40,6 +40,12 @@ def normalize_nfc(docs: DataFrame, col: str = "text") -> DataFrame:
     (false for NULL input; NULL text stays NULL)."""
     if "_nfc_tmp" in docs.columns:
         raise ValueError("input already has a _nfc_tmp column")
+    if "changed" in docs.columns:
+        # withColumn would silently overwrite it while the SQL twin
+        # emits a duplicate column — refuse instead of diverging
+        raise ValueError(
+            "input already has a 'changed' column; rename or drop it first"
+        )
     # materialize the UDF result under one name so the plan carries a
     # single ArrowEvalPython node (plan-asserted), not one per use
     return (

@@ -8,6 +8,8 @@ import os
 import sys
 from unittest.mock import patch
 
+import pytest
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -105,6 +107,19 @@ def test_curate_interleave_gate_and_boilerplate_strip(spark, tmp_path):
     )
     t = spark.read.parquet(out)
     assert t.count() == s["n_curated"] > 0
+
+
+def test_curate_strip_boilerplate_one_rejected_at_parse_time(spark, tmp_path):
+    """--strip-boilerplate 1 must die in argparse (exit 2), not
+    mid-job after the gate scans already ran."""
+    import jobs.curate as job
+
+    argv = ["curate.py", "--input", "x", "--output", "y",
+            "--strip-boilerplate", "1"]
+    with patch.object(sys, "argv", argv):
+        with pytest.raises(SystemExit) as e:
+            job.main()
+    assert e.value.code == 2
 
 
 def test_curate_nfc_stage_makes_decomposed_docs_dedup(spark, tmp_path):

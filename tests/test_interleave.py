@@ -166,6 +166,59 @@ def test_strip_semantics(spark):
         strip_frequent_spans(df, min_docs=1)
 
 
+def test_strip_df_counts_distinct_docs_across_nested_rows(spark):
+    """A doc_id split over several nested rows (sharded union shape)
+    counts ONCE toward document frequency — the per-row array dedup
+    alone would over-count and strip prose."""
+    boiler = "subscribe to our newsletter"
+    rows = [
+        _doc("a", [("text", boiler, "", 0)]),
+        _doc("a", [("text", boiler, "", 1)]),  # same doc, second shard
+        _doc("b", [("text", boiler, "", 0), ("text", "keep me here", "", 1)]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    # distinct docs carrying boiler = 2, so min_docs=3 must spare it
+    out = strip_frequent_spans(df, min_docs=3)
+    assert out.where(F.col("text") == boiler).count() == 3
+    # and min_docs=2 strips all three occurrences
+    out2 = strip_frequent_spans(df, min_docs=2)
+    assert out2.where(F.col("text") == boiler).count() == 0
+    assert out2.count() == 1
+
+
+def test_run_fold_deterministic_under_tied_offsets(spark, con):
+    """Duplicate offsets (resume/rewrite artifacts): the (offset,
+    is_media) tie-break must give one deterministic max_media_run in
+    BOTH engines — including fully-identical duplicate media spans,
+    which break a gaps-and-islands formulation."""
+    rows = [
+        # media+text tied at offset 1: text sorts first -> runs 1,1
+        _doc("tie", [("text", "aa", "", 0), ("picture", "", "m1", 1),
+                     ("text", "bb", "", 1), ("picture", "", "m2", 2)]),
+        # two IDENTICAL media spans tied at one offset -> run 2
+        _doc("dup", [("text", "aa", "", 0), ("picture", "", "mm", 1),
+                     ("picture", "", "mm", 1), ("text", "bb", "", 2)]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = {r["doc_id"]: r["max_media_run"] for r in interleave_stats(df).collect()}
+    assert got == {"tie": 2, "dup": 2}
+    # oracle agreement on the same corpus via a literal flat source
+    flat_rows = ", ".join(
+        f"('{d}', '{k}', '{t}', '{m}', {o})"
+        for d, spans in rows
+        for (k, t, m, o) in spans
+    )
+    src = (
+        "SELECT * FROM (VALUES " + flat_rows + ") "
+        "AS v(doc_id, kind, text, media_ref, \"offset\")"
+    )
+    want = {
+        r[0]: r[6]
+        for r in con.execute(interleave_stats_sql(src)).fetchall()
+    }
+    assert want == got
+
+
 def test_strip_matches_oracle(nested, con):
     got = sorted(map(tuple, strip_frequent_spans(nested).collect()))
     want = sorted(

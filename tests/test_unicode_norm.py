@@ -79,6 +79,10 @@ def test_column_passthrough_and_guard(spark):
     assert out.columns == ["doc_id", "text", "source", "changed"]
     with pytest.raises(ValueError):
         normalize_nfc(df.withColumn("_nfc_tmp", F.lit(1)))
+    # a pre-existing 'changed' column would be silently overwritten on
+    # the Spark side but duplicated by the SQL twin — must refuse
+    with pytest.raises(ValueError):
+        normalize_nfc(out)
 
 
 def test_matches_oracle_on_corpus(spark):
