@@ -727,6 +727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: txt.lang_id(_read(s, d, "documents")),
         "quality_score": lambda s, d: txt.quality_score(_read(s, d, "documents")),
         "fingerprint": lambda s, d: txt.fingerprint(_read(s, d, "documents")),
+        "temperature_mix": lambda s, d: smp.temperature_mix(
+            _read(s, d, "documents"), budget_frac=0.5
+        ),
         "chunk_docs": lambda s, d: chunk_documents(
             _read(s, d, "documents"), max_tokens=64, overlap=16
         ),
@@ -1061,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": txt.lang_id_sql(),
         "quality_score": txt.quality_score_sql(),
         "fingerprint": txt.fingerprint_sql(),
+        "temperature_mix": smp.temperature_mix_sql(budget_frac=0.5),
         "chunk_docs": chunk_documents_sql(max_tokens=64, overlap=16),
         "normalize_nfc": normalize_nfc_sql(
             "(SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS text "

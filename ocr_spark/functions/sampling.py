@@ -485,3 +485,141 @@ def pack_shards_global_sql(
         )
       )
     """
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source mixing
+# ---------------------------------------------------------------------------
+
+# sqrt(n) is scaled by 2^20 and floored to an INTEGER weight so the
+# cross-source weight sum is an exact BIGINT — a float sum's value
+# depends on accumulation order and could flip threshold compares
+# between engines / runs.
+W_SCALE = 1 << 20
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget_frac: float,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    salt: str = "tmix:v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source rebalancing: sample the corpus down to
+    ~``budget_frac`` of its rows with per-source rates proportional to
+    ``n_s^alpha / n_s`` — the standard training-mix move (alpha < 1
+    up-weights small sources relative to their share; alpha = 1 is
+    uniform sampling, alpha = 0 equalizes source totals). Expected
+    kept rows from source s: ``budget_frac * N * w_s / sum(w)`` with
+    ``w_s = n_s^alpha`` (capped at n_s by the p <= 1 clamp; the cap
+    shifts the realized total slightly below budget when a small
+    source saturates — by design, it cannot be over-sampled).
+
+    Determinism/parity: per-source weights are ``floor(n^alpha *
+    2^20)`` integers (exact BIGINT sum — float sums are accumulation-
+    order-dependent), the keep rule is the same content-hash Bernoulli
+    as :func:`weighted_sample`, and ``alpha = 0.5`` renders as
+    ``sqrt`` (exact-rounded in both engines). Other alphas use
+    ``power`` — engine libm may differ in the last ulp, which can
+    flip a doc exactly at a threshold boundary; the contract pins 0.5.
+
+    NULL sources group under '' (documented merge with a genuinely
+    empty-string source). Scale shape: one count shuffle over sources,
+    a broadcast scalar total, one join of the tiny per-source rate
+    table back on the source key (AQE broadcasts it; salt heavy
+    domains upstream if the source key itself is shuffle-skewed), and
+    the scan-stage hash filter.
+    """
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError("budget_frac must be in (0, 1]")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    for helper in ("_src_key", "_p_keep"):
+        if helper in df.columns:
+            raise ValueError(f"input already has a {helper} column")
+    w_expr = (
+        f"sqrt(CAST(n AS DOUBLE))" if alpha == 0.5
+        else f"power(CAST(n AS DOUBLE), {alpha!r})"
+    )
+    keyed = df.withColumn(
+        "_src_key", F.coalesce(F.col(source_col).cast("string"), F.lit(""))
+    )
+    counts = (
+        keyed.groupBy("_src_key")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "iw",
+            F.expr(f"CAST(floor({w_expr} * {float(W_SCALE)!r}) AS BIGINT)"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("iw").alias("sum_iw"), F.sum("n").alias("n_total")
+    )
+    # fixed association: ((iw * frac) * n_total) / (sum_iw * n) — the
+    # SQL twin must render the same tree for bit-identical doubles
+    rate = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "_src_key",
+            F.expr(
+                f"least(1.0d, ((CAST(iw AS DOUBLE) * {budget_frac!r}d) "
+                "* CAST(n_total AS DOUBLE)) "
+                "/ (CAST(sum_iw AS DOUBLE) * CAST(n AS DOUBLE)))"
+            ).alias("_p_keep"),
+        )
+    )
+    b = _bucket_col(id_col, salt)
+    thr = F.floor(F.col("_p_keep") * F.lit(float(N_BUCKETS))).cast("long")
+    return (
+        keyed.join(rate, "_src_key")
+        .where(b < thr)
+        .drop("_src_key", "_p_keep")
+    )
+
+
+def temperature_mix_sql(
+    table: str = "documents",
+    budget_frac: float = 0.5,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    salt: str = "tmix:v1",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`temperature_mix` — same integer weights,
+    same association tree, same hash threshold."""
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError("budget_frac must be in (0, 1]")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    w_expr = (
+        "sqrt(CAST(n AS DOUBLE))" if alpha == 0.5
+        else f"power(CAST(n AS DOUBLE), {alpha!r})"
+    )
+    b = _bucket_sql(id_col, salt)
+    return f"""
+      WITH keyed AS (
+        SELECT *, coalesce(CAST({source_col} AS VARCHAR), '') AS _src_key
+        FROM {table}
+      ),
+      counts AS (
+        SELECT _src_key, count(*) AS n,
+               CAST(floor({w_expr} * {float(W_SCALE)!r}) AS BIGINT) AS iw
+        FROM keyed GROUP BY _src_key
+      ),
+      tot AS (
+        SELECT CAST(sum(iw) AS BIGINT) AS sum_iw,
+               CAST(sum(n) AS BIGINT) AS n_total
+        FROM counts
+      ),
+      rate AS (
+        SELECT _src_key,
+               least(1.0, ((CAST(iw AS DOUBLE) * {budget_frac!r}) *
+                 CAST(n_total AS DOUBLE)) /
+                 (CAST(sum_iw AS DOUBLE) * CAST(n AS DOUBLE))) AS _p_keep
+        FROM counts, tot
+      )
+      SELECT * EXCLUDE (_src_key, _p_keep)
+      FROM keyed JOIN rate USING (_src_key)
+      WHERE {b} < CAST(floor(_p_keep * {float(N_BUCKETS)!r}) AS BIGINT)
+    """
