@@ -36,7 +36,9 @@ end to end — the composition a 100 TB corpus actually runs:
                components) over the survivors;
 7. balance   — optional (--cap-per-source): at most N survivors per
                source domain, hash-ranked so the selection is
-               retry/resume-stable;
+               retry/resume-stable; optional (--temperature-mix F):
+               n^0.5 source rebalancing toward ~F of the survivors
+               (small sources up-weighted), applied after the cap;
 7.5 sample   — optional (--quality-sample F): keep each survivor
                with probability clamp(quality * F) — deterministic
                content-hash Bernoulli, so high-quality docs are
@@ -141,6 +143,14 @@ def main() -> None:
     ap.add_argument("--contam-w", type=int, default=13, help="decontamination n-gram width")
     ap.add_argument("--contam-overlap", type=int, default=2, help="overlap threshold")
     ap.add_argument(
+        "--temperature-mix",
+        type=float,
+        default=0.0,
+        help="sample survivors to ~F of their count with per-source "
+        "rates proportional to n^0.5 / n (small sources up-weighted); "
+        "0 = off",
+    )
+    ap.add_argument(
         "--quality-sample",
         type=float,
         default=0.0,
@@ -190,6 +200,7 @@ def main() -> None:
         cap_per_group,
         dataset_split,
         pack_shards_global,
+        temperature_mix,
         weighted_sample,
     )
     from ocr_spark.functions.contamination import contamination
@@ -371,14 +382,19 @@ def main() -> None:
     curated_base = curated  # later stages reassign `curated`; keep the
     n_curated = curated.count()  # cached handle for the final unpersist
 
-    # 5. optional per-source cap (domain balancing). The source column
-    # lives on the flat input table; joined back by doc_id and kept in
-    # the output so downstream mixes can weight by it.
-    n_capped = n_curated
-    if args.cap_per_source > 0:
+    # 5. optional per-source balancing (hard cap and/or temperature
+    # mix). The source column lives on the flat input table; joined
+    # back by doc_id and kept in the output so downstream mixes can
+    # weight by it.
+    def _with_source(frame):
+        if "source" in frame.columns:
+            return frame
         src = spark.read.parquet(args.input)
         if "source" not in src.columns:
-            raise SystemExit("--cap-per-source needs an input with a source column")
+            raise SystemExit(
+                "--cap-per-source/--temperature-mix need an input "
+                "with a source column"
+            )
         # two silent-corruption guards on the lookup side:
         # - cast src's doc_id to curated's id type (the synthesize
         #   path carries STRING ids; joining string to int64 coerces
@@ -386,23 +402,37 @@ def main() -> None:
         # - collapse duplicate doc_id rows (min(source) — arbitrary
         #   but deterministic) so a per-span or re-ingested input
         #   can't fan curated rows out k-fold and cap spans, not docs.
-        id_type = dict(curated.dtypes)["doc_id"]
+        id_type = dict(frame.dtypes)["doc_id"]
         src = (
             src.select(F.col("doc_id").cast(id_type).alias("doc_id"), "source")
             .groupBy("doc_id")
             .agg(F.min("source").alias("source"))
         )
+        return frame.join(src, "doc_id")
+
+    n_capped = n_curated
+    if args.cap_per_source > 0:
         curated = cap_per_group(
-            curated.join(src, "doc_id"), "source", args.cap_per_source
+            _with_source(curated), "source", args.cap_per_source
         )
         n_capped = curated.count()
+
+    # 5.2 optional temperature mix: n^0.5 source rebalancing AFTER the
+    # hard cap (the cap bounds pathological domains; the mix then
+    # shapes the survivors toward the target budget)
+    n_mixed = n_capped
+    if args.temperature_mix > 0:
+        curated = temperature_mix(
+            _with_source(curated), budget_frac=args.temperature_mix
+        )
+        n_mixed = curated.count()
 
     # 5.5 optional quality-weighted downsampling: AFTER dedup/cap (a
     # sampled-out doc must not resurrect its near-duplicates, and cap
     # quotas should fill before thinning), keep probability
     # min(1, quality * F) on the FINAL curated text (scan-stage
     # re-derivation — cheaper than carrying the column through joins)
-    n_sampled = n_capped
+    n_sampled = n_mixed
     if args.quality_sample > 0:
         qw = quality_score(curated.select("doc_id", "text")).select(
             "doc_id", "quality"
@@ -450,13 +480,16 @@ def main() -> None:
                 "n_after_exact_dedup": n_exact,
                 "n_curated": n_curated,
                 "n_after_cap": n_capped,
+                "n_after_temperature_mix": n_mixed,
+                "dropped_temperature_mix": n_capped - n_mixed,
+                "temperature_mix": args.temperature_mix,
                 "n_after_quality_sample": n_sampled,
                 "dropped_not_novel": n_extracted - n_novel,
                 "dropped_quality_lang": n_decontam - n_gated,
                 "dropped_exact": n_gated - n_exact,
                 "dropped_near_dup": n_exact - n_curated,
                 "dropped_cap": n_curated - n_capped,
-                "dropped_quality_sample": n_capped - n_sampled,
+                "dropped_quality_sample": n_mixed - n_sampled,
                 "min_quality": args.min_quality,
                 "langs": langs,
                 "tau": args.tau,

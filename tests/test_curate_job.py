@@ -109,6 +109,22 @@ def test_curate_interleave_gate_and_boilerplate_strip(spark, tmp_path):
     assert t.count() == s["n_curated"] > 0
 
 
+def test_curate_temperature_mix_stage(spark, tmp_path):
+    out, s = _run(
+        spark,
+        tmp_path,
+        ("--min-quality", "0.0", "--temperature-mix", "0.5"),
+    )
+    assert s["temperature_mix"] == 0.5
+    assert 0 < s["n_after_temperature_mix"] < s["n_after_cap"]
+    assert s["dropped_temperature_mix"] == (
+        s["n_after_cap"] - s["n_after_temperature_mix"]
+    )
+    t = spark.read.parquet(out)
+    assert t.count() == s["n_after_temperature_mix"]
+    assert "source" in t.columns  # the mix joins the source column in
+
+
 def test_curate_strip_boilerplate_one_rejected_at_parse_time(spark, tmp_path):
     """--strip-boilerplate 1 must die in argparse (exit 2), not
     mid-job after the gate scans already ran."""
