@@ -124,6 +124,28 @@ def test_interleave_gate_matches_stats_keep(nested):
     assert 0 < len(got) < nested.count()
 
 
+def test_interleave_gate_is_streaming_compatible(spark, tmp_path, nested):
+    """The gate is a stateless scan filter, so it must run unchanged
+    under Structured Streaming — streamed output == batch output."""
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    nested.write.parquet(inp)
+    src = spark.readStream.schema(nested.schema).parquet(inp)
+    q = (
+        interleave_gate(src)
+        .select("doc_id")
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.doc_id for r in spark.read.parquet(outp).collect())
+    want = sorted(r.doc_id for r in interleave_gate(nested).select("doc_id").collect())
+    assert got == want and len(got) > 0
+
+
 def test_interleave_gate_is_scan_stage_only(nested):
     plan = plan_str(interleave_gate(nested), "simple")
     assert "Exchange" not in plan, plan
