@@ -31,6 +31,7 @@ from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import interleave as ilv
 from ocr_spark.functions.chunking import chunk_documents, chunk_documents_sql
 from ocr_spark.functions.unicode_norm import normalize_nfc, normalize_nfc_sql
+from ocr_spark.functions import urls as curl
 from ocr_spark.functions.quantize import (
     ann_quantized_topk,
     ann_quantized_topk_sql,
@@ -727,6 +728,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: txt.lang_id(_read(s, d, "documents")),
         "quality_score": lambda s, d: txt.quality_score(_read(s, d, "documents")),
         "fingerprint": lambda s, d: txt.fingerprint(_read(s, d, "documents")),
+        # URL canonicalization over deterministically synthesized
+        # crawl URLs (host case noise, default port, tracking params,
+        # fragment — every rule active at contract scale)
+        "canonical_urls": lambda s, d: curl.canonicalize_urls(
+            _read(s, d, "documents").select(
+                "doc_id",
+                F.expr(
+                    "concat('HTTPS://WWW.', upper(source), '.Example.COM:443"
+                    "/p/', CAST(doc_id AS STRING), '/?utm_source=x&id=', "
+                    "CAST(doc_id AS STRING), '#frag')"
+                ).alias("url"),
+            )
+        ),
         "temperature_mix": lambda s, d: smp.temperature_mix(
             _read(s, d, "documents"), budget_frac=0.5
         ),
@@ -1064,6 +1078,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": txt.lang_id_sql(),
         "quality_score": txt.quality_score_sql(),
         "fingerprint": txt.fingerprint_sql(),
+        "canonical_urls": curl.canonicalize_urls_sql(
+            "SELECT doc_id, concat('HTTPS://WWW.', upper(source), "
+            "'.Example.COM:443/p/', CAST(doc_id AS VARCHAR), "
+            "'/?utm_source=x&id=', CAST(doc_id AS VARCHAR), '#frag') AS url "
+            "FROM documents"
+        ),
         "temperature_mix": smp.temperature_mix_sql(budget_frac=0.5),
         "chunk_docs": chunk_documents_sql(max_tokens=64, overlap=16),
         "normalize_nfc": normalize_nfc_sql(

@@ -1,0 +1,133 @@
+"""URL canonicalization — the dedup-key normalizer for crawled
+corpora: the same page arrives as ``HTTP://Example.com:80/a/?utm_
+source=feed#top`` and ``http://example.com/a`` and must collapse to
+one key before any URL-level dedup or per-host balancing.
+
+Canonical form (applied in this order):
+  1. scheme and host lowercased (ONLY those — path/query are
+     case-significant per RFC 3986);
+  2. fragment stripped;
+  3. tracking query params removed (utm_*, fbclid, gclid); an emptied
+     query drops its '?';
+  4. default port stripped (:80 for http, :443 for https);
+  5. trailing slashes collapsed off the path ('' and '/' both render
+     as '/').
+Rows without a '://' scheme separator are not URLs: canon_url and
+host come back NULL (never a half-normalized guess).
+
+``host`` additionally exposes the approximate registrable domain
+(last two dot-labels — a deliberate public-suffix-list-free
+heuristic, documented divergence for multi-label suffixes like
+.co.uk).
+
+Engine portability: every step is regexp_extract / regexp_replace /
+split + higher-order filter with patterns that stay inside the
+Java-and-RE2 shared dialect — NO lookarounds (RE2 has none), no \\s
+(the schema.WS trap), no backreferences. Zero shuffle: all scan-stage
+string expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRACKING = "^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+_SCHEME = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def _canon_exprs_spark(col: str) -> dict[str, str]:
+    scheme = f"lower(regexp_extract({col}, '{_SCHEME}', 1))"
+    rest = f"regexp_replace({col}, '{_SCHEME}', '')"
+    hostport = f"lower(regexp_extract({rest}, '^([^/?#]*)', 1))"
+    pqf = f"regexp_replace({rest}, '^[^/?#]*', '')"
+    pq = f"regexp_replace({pqf}, '#.*$', '')"
+    rawpath = f"regexp_extract({pq}, '^([^?]*)', 1)"
+    rawq = f"regexp_extract({pq}, '[?](.*)$', 1)"
+    query = (
+        f"array_join(filter(split({rawq}, '&'), "
+        f"p -> p NOT RLIKE '{TRACKING}'), '&')"
+    )
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END"
+    )
+    path = (
+        f"CASE WHEN regexp_replace({rawpath}, '/+$', '') = '' THEN '/' "
+        f"ELSE regexp_replace({rawpath}, '/+$', '') END"
+    )
+    canon = (
+        f"CASE WHEN {scheme} = '' THEN NULL ELSE "
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {query} = '' THEN '' ELSE concat('?', {query}) END) END"
+    )
+    bare_host = f"regexp_replace({host}, ':[0-9]+$', '')"
+    reg_dom = (
+        f"CASE WHEN {scheme} = '' THEN NULL "
+        f"WHEN {bare_host} RLIKE '[^.]+[.][^.]+$' "
+        f"THEN regexp_extract({bare_host}, '([^.]+[.][^.]+)$', 1) "
+        f"ELSE {bare_host} END"
+    )
+    return {"canon_url": canon, "host": reg_dom}
+
+
+def _canon_exprs_duckdb(col: str) -> dict[str, str]:
+    scheme = f"lower(regexp_extract({col}, '{_SCHEME}', 1))"
+    rest = f"regexp_replace({col}, '{_SCHEME}', '')"
+    hostport = f"lower(regexp_extract({rest}, '^([^/?#]*)', 1))"
+    pqf = f"regexp_replace({rest}, '^[^/?#]*', '')"
+    pq = f"regexp_replace({pqf}, '#.*$', '')"
+    rawpath = f"regexp_extract({pq}, '^([^?]*)', 1)"
+    rawq = f"regexp_extract({pq}, '[?](.*)$', 1)"
+    # coalesce: DuckDB's array_to_string returns NULL for an EMPTY
+    # list (Spark's array_join returns ''), and its concat() skips
+    # NULL args instead of propagating — both would leak a lone '?'
+    query = (
+        f"coalesce(array_to_string(list_filter(string_split({rawq}, '&'), "
+        f"p -> NOT regexp_matches(p, '{TRACKING}')), '&'), '')"
+    )
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END"
+    )
+    path = (
+        f"CASE WHEN regexp_replace({rawpath}, '/+$', '') = '' THEN '/' "
+        f"ELSE regexp_replace({rawpath}, '/+$', '') END"
+    )
+    canon = (
+        f"CASE WHEN coalesce({scheme}, '') = '' THEN NULL ELSE "
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {query} = '' THEN '' ELSE concat('?', {query}) END) END"
+    )
+    bare_host = f"regexp_replace({host}, ':[0-9]+$', '')"
+    reg_dom = (
+        f"CASE WHEN coalesce({scheme}, '') = '' THEN NULL "
+        f"WHEN regexp_matches({bare_host}, '[^.]+[.][^.]+$') "
+        f"THEN regexp_extract({bare_host}, '([^.]+[.][^.]+)$', 1) "
+        f"ELSE {bare_host} END"
+    )
+    return {"canon_url": canon, "host": reg_dom}
+
+
+def canonicalize_urls(df: DataFrame, col: str = "url") -> DataFrame:
+    """Append ``canon_url`` and ``host`` (approximate registrable
+    domain) for the URL column; non-URL rows (no ``scheme://``) get
+    NULLs. Scan-stage string expressions only — zero shuffle."""
+    for helper in ("canon_url", "host"):
+        if helper in df.columns:
+            raise ValueError(f"input already has a {helper} column")
+    ex = _canon_exprs_spark(col)
+    return df.withColumn("canon_url", F.expr(ex["canon_url"])).withColumn(
+        "host", F.expr(ex["host"])
+    )
+
+
+def canonicalize_urls_sql(source: str, col: str = "url") -> str:
+    """DuckDB twin over any SELECT producing the same columns."""
+    ex = _canon_exprs_duckdb(col)
+    return (
+        f"SELECT *, {ex['canon_url']} AS canon_url, {ex['host']} AS host "
+        f"FROM ({source}) src"
+    )
