@@ -32,6 +32,7 @@ from ocr_spark.functions import interleave as ilv
 from ocr_spark.functions.chunking import chunk_documents, chunk_documents_sql
 from ocr_spark.functions.unicode_norm import normalize_nfc, normalize_nfc_sql
 from ocr_spark.functions import urls as curl
+from ocr_spark.functions.zorder import zorder_codes, zorder_codes_sql
 from ocr_spark.functions.quantize import (
     ann_quantized_topk,
     ann_quantized_topk_sql,
@@ -728,6 +729,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: txt.lang_id(_read(s, d, "documents")),
         "quality_score": lambda s, d: txt.quality_score(_read(s, d, "documents")),
         "fingerprint": lambda s, d: txt.fingerprint(_read(s, d, "documents")),
+        "zorder_codes": lambda s, d: zorder_codes(
+            _read(s, d, "documents").select("doc_id", "n_chars"),
+            "doc_id",
+            "n_chars",
+        ),
         # URL canonicalization over deterministically synthesized
         # crawl URLs (host case noise, default port, tracking params,
         # fragment — every rule active at contract scale)
@@ -1078,6 +1084,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": txt.lang_id_sql(),
         "quality_score": txt.quality_score_sql(),
         "fingerprint": txt.fingerprint_sql(),
+        "zorder_codes": zorder_codes_sql(
+            "SELECT doc_id, n_chars FROM documents", "doc_id", "n_chars"
+        ),
         "canonical_urls": curl.canonicalize_urls_sql(
             "SELECT doc_id, concat('HTTPS://WWW.', upper(source), "
             "'.Example.COM:443/p/', CAST(doc_id AS VARCHAR), "

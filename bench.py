@@ -72,6 +72,9 @@ def headline_queries(spark, sf_dir: str, span_dir: str | None = None):
     from ocr_spark.functions import similarity as sim
     from ocr_spark.functions import text as txt
     from ocr_spark.pipeline import pages as pg
+    from ocr_spark.functions import interleave as ilv
+    from ocr_spark.functions import quantize as qz
+    from ocr_spark.functions.chunking import chunk_documents
     from ocr_spark.pipeline.extract import extract_main_content, extraction_metrics
     from ocr_spark.pipeline.validate import validate_fields
     from ocr_spark.sources.synth import synthesize_spans
@@ -119,6 +122,10 @@ def headline_queries(spark, sf_dir: str, span_dir: str | None = None):
         "cosine_topk": lambda: sim.cosine_topk(emb()),
         "ann_lsh_topk": lambda: sim.ann_lsh_topk(emb()),
         "embedding_near_dups": lambda: sim.embedding_near_dups(emb(), tau=0.9),
+        # round-3 session-6 additions
+        "chunk_docs": lambda: chunk_documents(docs(), max_tokens=64, overlap=16),
+        "strip_frequent_spans": lambda: ilv.strip_frequent_spans(spans()),
+        "ann_quantized_topk": lambda: qz.ann_quantized_topk(emb()),
     }
 
 

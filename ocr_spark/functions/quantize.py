@@ -39,17 +39,20 @@ def quantize_embeddings(emb: DataFrame, vec: str = "embedding") -> DataFrame:
     Empty or all-zero vectors get scale 0 and an all-zero qvec (the
     dequantized vector is the zero vector, cosine-undefined exactly
     like the input)."""
-    scale = _scale_expr(vec)
-    q = (
-        f"transform({vec}, x -> CASE WHEN ({scale}) = 0 THEN 0 ELSE "
-        f"CAST(least({Q_MAX}.0, greatest(-{Q_MAX}.0, "
-        f"floor(CAST(x AS DOUBLE) / ({scale}) + 0.5d))) AS INT) END)"
-    )
-    return emb.select(
+    # scale is materialized as a COLUMN first: inlining its array_max
+    # aggregate inside the transform lambda would re-evaluate it per
+    # ELEMENT — O(dim^2) per row (measured 3.6 s vs 0.6 s at sf0.1)
+    scaled = emb.select(
         "vec_id",
-        F.expr(scale).alias("scale"),
-        F.expr(q).alias("qvec"),
+        F.expr(_scale_expr(vec)).alias("scale"),
+        F.col(vec).alias("_v"),
     )
+    q = (
+        f"transform(_v, x -> CASE WHEN scale = 0 THEN 0 ELSE "
+        f"CAST(least({Q_MAX}.0, greatest(-{Q_MAX}.0, "
+        f"floor(CAST(x AS DOUBLE) / scale + 0.5d))) AS INT) END)"
+    )
+    return scaled.select("vec_id", "scale", F.expr(q).alias("qvec"))
 
 
 def dequantize(qemb: DataFrame) -> DataFrame:
@@ -118,6 +121,14 @@ def ann_quantized_topk(
     Same join/window shape as ``similarity.cosine_topk`` (broadcast
     tiny query side, window top-k, neighbor-asc tie-break); zero-norm
     vectors are excluded from both sides (cosine undefined).
+
+    The quantized index (vec_id, qvec, nsq) is materialized ONCE via
+    localCheckpoint before the search: left lazy, Spark collapses the
+    quantization projection into the nested-loop join and recomputes
+    the per-vector transform for every (query, candidate) PAIR —
+    measured 4x slower at sf0.1. Building the int8 index once and
+    searching it many times is also the production shape (that is the
+    entire point of quantizing).
     """
     nsq = _INT_DOT.format(a="qvec", b="qvec")
     base = (
@@ -128,6 +139,7 @@ def ann_quantized_topk(
             F.expr(nsq).alias("nsq"),
         )
         .where(F.col("nsq") > 0)
+        .localCheckpoint()
     )
     q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -176,13 +188,18 @@ def ann_quantized_topk_sql(
         f"x -> abs(CAST(x AS DOUBLE)))), 0.0) / {Q_MAX}.0"
     )
     qvec = (
-        f"list_transform({vec}, x -> CASE WHEN ({scale}) = 0 THEN 0 ELSE "
+        f"list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE "
         f"CAST(least({Q_MAX}.0, greatest(-{Q_MAX}.0, "
-        f"floor(CAST(x AS DOUBLE) / ({scale}) + 0.5))) AS BIGINT) END)"
+        f"floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT) END)"
     )
     return f"""
-      WITH q8 AS (
-        SELECT CAST(vec_id AS BIGINT) AS vec_id, {qvec} AS qvec FROM {table}
+      WITH scaled AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, {scale} AS scale,
+               {vec} AS v
+        FROM {table}
+      ),
+      q8 AS (
+        SELECT vec_id, {qvec} AS qvec FROM scaled
       ),
       base AS (
         SELECT vec_id, qvec,
