@@ -931,6 +931,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             _read(s, d, "documents"),
         ).select("doc_id", "source"),
+        # incremental NEAR-dup against the persisted MinHash band
+        # index (the recurring-ingest artifact): odd-id batch checked
+        # against the even-id corpus index; n_match/k estimates
+        # Jaccard without ever rescanning corpus text
+        "incremental_dedup": lambda s, d: ded.dedup_against_index(
+            _read(s, d, "documents").where("doc_id % 2 = 1"),
+            ded.minhash_band_index(
+                _read(s, d, "documents").where("doc_id % 2 = 0")
+            ),
+        ),
         # PII redaction: staged email -> IPv4 -> phone scrub; corpus
         # text carries no PII, so every 7th doc gets a deterministic
         # injection (mirrored in the twin) to make the check real
@@ -1183,6 +1193,10 @@ def oracle_sql() -> dict[str, str]:
                 "documents",
             )
             + ")"
+        ),
+        "incremental_dedup": ded.dedup_against_index_sql(
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
         ),
         "pii_scrub": scr.pii_scrub_sql(
             "(SELECT * REPLACE (CASE WHEN doc_id % 7 = 0"

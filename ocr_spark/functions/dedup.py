@@ -867,3 +867,149 @@ def novel_docs_sql(new_table: str, corpus_table: str) -> str:
         WHERE md5(c.text) IS NOT DISTINCT FROM md5(n.text)
       )
     """
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup: persisted MinHash band index + batch join
+# ---------------------------------------------------------------------------
+#
+# The recurring-ingest shape at 100 TB: the corpus LSH index
+# (band, key, doc_id, sigs) is a maintained artifact — built once,
+# merged per ingest (merge_band_index), stored bucketed by (band, key)
+# — and each new crawl batch near-dup-checks against it WITHOUT
+# rescanning or re-shingling corpus text. Batch-side cost is
+# O(batch), index-side cost is one bucket-pruned equi-join; history
+# is never reprocessed. novel_docs() above is the exact-dup analog;
+# this is the near-dup one.
+
+
+def minhash_band_index(
+    docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS, w: int = SHINGLE_W
+) -> DataFrame:
+    """(band, key, doc_id, sigs): the persistable MinHash-LSH index of
+    a corpus. ``key`` is the md5 band-bucket key (identical math to
+    :func:`minhash_lsh_pairs`); ``sigs`` carries the full k-component
+    signature so later batch joins can ESTIMATE Jaccard from signature
+    agreement without ever touching corpus text again. One shuffle
+    (the doc_id signature aggregate); at scale the output is written
+    bucketed by (band, key) so batch joins prune to touched buckets.
+    """
+    rows = k // bands
+    sig = _sig_table(docs, k, w)
+    band_keys = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(s{b * rows + r} AS STRING)" for r in range(rows))
+        + "))"
+        for b in range(bands)
+    )
+    sigs_arr = F.array(*[F.col(f"s{i}") for i in range(k)])
+    return sig.select(
+        "doc_id",
+        sigs_arr.alias("sigs"),
+        F.posexplode(F.expr(f"array({band_keys})")).alias("band", "key"),
+    ).select("band", "key", "doc_id", "sigs")
+
+
+def merge_band_index(idx_a: DataFrame, idx_b: DataFrame) -> DataFrame:
+    """Union two band indexes (e.g. yesterday's artifact + today's
+    batch) into one, idempotent on re-merge: distinct on
+    (band, key, doc_id). ``sigs`` is functionally determined by
+    doc_id, so dropDuplicates keeping any row is deterministic."""
+    return idx_a.unionByName(idx_b).dropDuplicates(["band", "key", "doc_id"])
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    w: int = SHINGLE_W,
+    min_match: int | None = None,
+) -> DataFrame:
+    """(new_doc_id, corpus_doc_id, n_match): batch documents that
+    near-duplicate an already-indexed corpus document. ``n_match`` is
+    the number of agreeing signature components (of k) — n_match/k is
+    the standard unbiased Jaccard estimate, and as an exact integer it
+    survives hash comparison across engines. Default threshold k//2
+    (estimated Jaccard >= 0.5).
+
+    Scale shape: shingle/sign the BATCH only, equi-join its band rows
+    to the index on (band, key) — uniform md5 keys, AQE-skew-safe,
+    bucket-pruned when the index is stored bucketed — then one
+    pair-group aggregate. Corpus text is never read. A batch doc
+    colliding with the same corpus doc in several bands dedups in the
+    aggregate (n_match is per-pair constant, so max == the value).
+    """
+    if min_match is None:
+        min_match = k // 2
+    batch_idx = minhash_band_index(batch, k, bands, w)
+    pairs = (
+        batch_idx.alias("n")
+        .join(
+            index.alias("c"),
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.key") == F.col("c.key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+            F.expr(
+                "size(filter(zip_with(n.sigs, c.sigs, (x, y) -> x = y), v -> v))"
+            ).alias("n_match"),
+        )
+    )
+    return (
+        pairs.where(F.col("n_match") >= min_match)
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(F.max("n_match").alias("n_match"))
+    )
+
+
+def _band_index_sql(
+    table_expr: str, k: int, bands: int, w: int, id_sql: str
+) -> str:
+    """DuckDB twin of :func:`minhash_band_index` over ``table_expr``
+    (a table name or parenthesized subquery)."""
+    rows = k // bands
+    h40, sigs = _sigs_sql(k, w)
+    band_keys = (
+        f"list_transform(range(0, {bands}), bi -> md5(array_to_string("
+        f"list_transform(list_slice(sigs, bi * {rows} + 1, bi * {rows} + {rows}), "
+        f"x -> CAST(x AS VARCHAR)), ',')))"
+    )
+    return f"""
+        SELECT doc_id, sigs, r.i AS band, keys[r.i + 1] AS key
+        FROM (
+          SELECT doc_id, sigs, {band_keys} AS keys
+          FROM (SELECT {id_sql} AS doc_id, {sigs} AS sigs
+                FROM (SELECT doc_id, {h40} AS hs FROM {table_expr}))
+        ) CROSS JOIN range(0, {bands}) r(i)
+    """
+
+
+def dedup_against_index_sql(
+    batch_expr: str,
+    corpus_expr: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    w: int = SHINGLE_W,
+    min_match: int | None = None,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+) -> str:
+    """DuckDB twin of :func:`dedup_against_index` with the index built
+    inline from ``corpus_expr`` (the oracle cannot persist artifacts;
+    the math is identical)."""
+    if min_match is None:
+        min_match = k // 2
+    return f"""
+      WITH nb AS ({_band_index_sql(batch_expr, k, bands, w, id_sql)}),
+      cb AS ({_band_index_sql(corpus_expr, k, bands, w, id_sql)}),
+      hits AS (
+        SELECT nb.doc_id AS new_doc_id, cb.doc_id AS corpus_doc_id,
+               CAST(len(list_filter(range(1, {k} + 1),
+                    i -> nb.sigs[i] = cb.sigs[i])) AS INT) AS n_match
+        FROM nb JOIN cb ON nb.band = cb.band AND nb.key = cb.key
+      )
+      SELECT new_doc_id, corpus_doc_id, max(n_match) AS n_match
+      FROM hits WHERE n_match >= {min_match}
+      GROUP BY 1, 2
+    """
