@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.functions import dedup as ded
+from ocr_spark.functions import dsir
 from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import interleave as ilv
 from ocr_spark.functions.chunking import chunk_documents, chunk_documents_sql
@@ -941,6 +942,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _read(s, d, "documents").where("doc_id % 2 = 0")
             ),
         ),
+        # DSIR-style importance weights toward the English-language
+        # target domain: fixed-point hashed-bigram probability
+        # difference (positive = more target-like than background)
+        "dsir_weights": lambda s, d: dsir.dsir_weights(
+            _read(s, d, "documents"),
+            _read(s, d, "documents").where("lang = 'en'"),
+        ),
         # PII redaction: staged email -> IPv4 -> phone scrub; corpus
         # text carries no PII, so every 7th doc gets a deterministic
         # injection (mirrored in the twin) to make the check real
@@ -1197,6 +1205,9 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": ded.dedup_against_index_sql(
             "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        ),
+        "dsir_weights": dsir.dsir_weights_sql(
+            "documents", "(SELECT * FROM documents WHERE lang = 'en')"
         ),
         "pii_scrub": scr.pii_scrub_sql(
             "(SELECT * REPLACE (CASE WHEN doc_id % 7 = 0"

@@ -1,0 +1,165 @@
+"""DSIR-style importance weighting for domain-targeted data selection.
+
+Data Selection via Importance Resampling (Xie et al., 2023, public)
+scores raw-corpus documents by how much more likely their hashed
+n-gram features are under a TARGET domain distribution than under the
+RAW corpus distribution, then keeps high-importance documents — the
+standard recipe for skewing a 100 TB crawl toward a curated domain
+(e.g. "more like Wikipedia") without training a classifier.
+
+This implementation keeps the published shape — hashed bigram
+features bucketed into a FIXED feature space, two bag-of-features
+count tables, per-document sum of per-feature affinities — but swaps
+the log-likelihood ratio for an integer fixed-point difference of
+scaled probabilities:
+
+    contribution(f) = (10^6 * c_target(f)) // total_target
+                    - (10^6 * c_raw(f))    // total_raw
+
+summed over every bigram occurrence in the document. Like the LM
+fluency score (lm.py) and the tf-idf rational idf, the result is an
+exact integer — partition-, association-, and engine-independent — so
+the artifact survives hash comparison against the DuckDB twin. The
+log-ratio and the probability difference agree on sign per feature
+(both positive iff p_target > p_raw) and serve the same selection
+purpose; this is documented as a deterministic variant, not a claim
+of numerical equivalence to the paper.
+
+Scale shape: the feature space is FIXED at ``n_buckets`` (default
+8192), so both count tables are bounded, broadcastable artifacts no
+matter the corpus size — the same property that makes the count-min
+sketch maintainable (sketches.py). Building them is one explode +
+map-side partial count each; scoring is two broadcast-or-hash joins
+on uniform bucket ids plus one per-doc aggregate. Bigrams are hashed
+before any shuffle; text never leaves the scan stage.
+
+Reference analog: none — beyond-reference training-data surface
+(SURVEY.md §2 "LLM-data-pipeline operators").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.hashing import md5_long_expr, md5_long_sql
+from ocr_spark.functions.lm import P_SCALE, SEP_EXPR
+from ocr_spark.schema import WS
+
+N_BUCKETS = 8192
+
+
+def _feats_expr(n_buckets: int) -> str:
+    """Spark SQL expr: text -> array of hashed-bigram feature buckets
+    (one element per bigram OCCURRENCE — multiplicity is signal, as in
+    the paper's bag-of-ngrams). LET-binding via single-element
+    transform so the text splits once per row."""
+    words = f"filter(split(text, '{WS}+'), x -> x != '')"
+    pair = f"concat(element_at(w, i), {SEP_EXPR}, element_at(w, i + 1))"
+    bucket = f"{md5_long_expr(pair)} % {n_buckets}"
+    return (
+        f"flatten(transform(array({words}), w -> "
+        f"CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+        f"i -> {bucket}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END))"
+    )
+
+
+def _feat_counts(src: DataFrame, n_buckets: int, cname: str) -> DataFrame:
+    return (
+        src.selectExpr(f"explode({_feats_expr(n_buckets)}) AS f")
+        .groupBy("f")
+        .agg(F.count("*").alias(cname))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    raw: DataFrame | None = None,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_feats, score_scaled): fixed-point importance score of
+    each ``docs`` row toward the ``target`` domain, against the ``raw``
+    background distribution (default: ``docs`` itself). Positive means
+    the document's hashed-bigram profile is closer to the target than
+    to the background; rank or threshold on ``score_scaled`` (or on
+    the mean ``score_scaled / n_feats``) to select. Docs with < 2
+    words score (0, 0) — no features to judge."""
+    raw_src = docs if raw is None else raw
+    tc = _feat_counts(target, n_buckets, "c_t")
+    rc = _feat_counts(raw_src, n_buckets, "c_r")
+    tt = tc.agg(F.sum("c_t").alias("t_tot"))
+    rt = rc.agg(F.sum("c_r").alias("r_tot"))
+
+    doc_feats = docs.selectExpr(
+        "doc_id", f"explode_outer({_feats_expr(n_buckets)}) AS f"
+    )
+    contrib = F.expr(
+        f"CASE WHEN c_t IS NULL OR t_tot IS NULL THEN 0 "
+        f"ELSE ({P_SCALE} * c_t) div t_tot END - "
+        f"CASE WHEN c_r IS NULL OR r_tot IS NULL THEN 0 "
+        f"ELSE ({P_SCALE} * c_r) div r_tot END"
+    )
+    return (
+        doc_feats.join(tc, "f", "left")
+        .join(rc, "f", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .groupBy("doc_id")
+        .agg(
+            F.count("f").alias("n_feats"),
+            F.coalesce(F.sum(contrib), F.lit(0)).cast("long").alias("score_scaled"),
+        )
+    )
+
+
+def dsir_weights_sql(
+    docs_expr: str = "documents",
+    target_expr: str = "documents",
+    raw_expr: str | None = None,
+    n_buckets: int = N_BUCKETS,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+) -> str:
+    """DuckDB twin of :func:`dsir_weights` (1-based list indexing;
+    range() exclusive stop mirrors sequence()'s inclusive stop)."""
+    raw_src = docs_expr if raw_expr is None else raw_expr
+    w = f"list_filter(regexp_split_to_array(text, '{WS}+'), x -> x != '')"
+    bucket = md5_long_sql(f"w[i] || {SEP_EXPR} || w[i + 1]") + f" % {n_buckets}"
+
+    def feats(src: str) -> str:
+        return (
+            "SELECT doc_id, unnest(fs) AS f FROM ("
+            "SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
+            f"list_transform(range(1, len(w)), i -> {bucket}) "
+            "ELSE [] END AS fs FROM "
+            f"(SELECT doc_id, text FROM {src}) "
+            f"CROSS JOIN LATERAL (SELECT {w} AS w) lw)"
+        )
+
+    return f"""
+      WITH tc AS (SELECT f, count(*) AS c_t FROM ({feats(target_expr)}) GROUP BY f),
+      rc AS (SELECT f, count(*) AS c_r FROM ({feats(raw_src)}) GROUP BY f),
+      tt AS (SELECT sum(c_t) AS t_tot FROM tc),
+      rt AS (SELECT sum(c_r) AS r_tot FROM rc),
+      doc_feats AS (
+        SELECT d.doc_id, p.f
+        FROM (SELECT {id_sql} AS doc_id FROM {docs_expr}) d
+        LEFT JOIN (
+          SELECT {id_sql} AS doc_id, f FROM ({feats(docs_expr)})
+        ) p ON d.doc_id = p.doc_id
+      )
+      SELECT doc_id,
+             CAST(count(f) AS BIGINT) AS n_feats,
+             CAST(coalesce(sum(
+               CASE WHEN c_t IS NULL OR t_tot IS NULL THEN 0
+                    ELSE ({P_SCALE} * c_t) // t_tot END -
+               CASE WHEN c_r IS NULL OR r_tot IS NULL THEN 0
+                    ELSE ({P_SCALE} * c_r) // r_tot END), 0) AS BIGINT)
+               AS score_scaled
+      FROM doc_feats
+      LEFT JOIN tc USING (f)
+      LEFT JOIN rc USING (f)
+      CROSS JOIN tt CROSS JOIN rt
+      GROUP BY doc_id
+    """

@@ -1,0 +1,98 @@
+"""DSIR-style importance weighting: hand-checked fixed-point scores,
+selection-signal sanity, degenerate inputs, and string-id transparency.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.dsir import dsir_weights
+from ocr_spark.functions.lm import P_SCALE
+
+# Two "domains" with disjoint vocabulary: target-looking docs repeat
+# one bigram, background-looking docs another.
+T_TEXT = "alpha beta " * 5  # bigrams: (alpha,beta) x5, (beta,alpha) x4
+B_TEXT = "gamma delta " * 5
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [T_TEXT, T_TEXT, B_TEXT, B_TEXT],
+        }
+    )
+    return spark.createDataFrame(df).persist()
+
+
+def test_hand_checked_scores(spark, corpus):
+    """Target = docs 1-2. Every feature of doc 1 appears in the target
+    with p_t ~ 2x its background p_r (target has half the mass), so
+    its score is positive; background docs mirror negative.
+
+    Exact check for doc 1: its 9 bigrams are (a,b) x5 + (b,a) x4.
+    target totals: 18 bigrams; c_t(a,b)=10, c_t(b,a)=8.
+    raw totals: 36; c_r(a,b)=10, c_r(b,a)=8.
+    contribution(a,b) = (1e6*10)//18 - (1e6*10)//36 = 555555 - 277777
+    per occurrence; (b,a) = (1e6*8)//18 - (1e6*8)//36 = 444444 - 222222.
+    score = 5*(555555-277777) + 4*(444444-222222) = 2277778.
+    """
+    target = corpus.where(F.col("doc_id") <= 2)
+    rows = {r.doc_id: (r.n_feats, r.score_scaled) for r in dsir_weights(corpus, target).collect()}
+    assert rows[1] == (9, 5 * (555555 - 277777) + 4 * (444444 - 222222))
+    assert rows[1] == rows[2]
+    # background docs: c_t = 0 for their features -> pure negative
+    assert rows[3][1] < 0 and rows[3] == rows[4]
+
+
+def test_self_target_is_zero(corpus):
+    """Target == raw == docs: p_t == p_r for every feature, so every
+    score is exactly 0 (the fixed-point difference cancels)."""
+    rows = dsir_weights(corpus, corpus).collect()
+    assert all(r.score_scaled == 0 for r in rows)
+    assert all(r.n_feats == 9 for r in rows)
+
+
+def test_short_docs_score_zero(spark, corpus):
+    one_word = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["solo"]})
+    )
+    rows = dsir_weights(one_word, corpus).collect()
+    assert [(r.n_feats, r.score_scaled) for r in rows] == [(0, 0)]
+
+
+def test_empty_target(spark, corpus):
+    """An empty target domain contributes 0 per feature; scores are
+    pure negated background probabilities (no crash, no NULLs)."""
+    empty = corpus.where(F.lit(False))
+    rows = {r.doc_id: r.score_scaled for r in dsir_weights(corpus, empty).collect()}
+    assert all(v < 0 for v in rows.values())
+    # doc 1: -(5*(1e6*10)//36 + 4*(1e6*8)//36)
+    assert rows[1] == -(5 * ((P_SCALE * 10) // 36) + 4 * ((P_SCALE * 8) // 36))
+
+
+def test_string_ids(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["sha1:a", "sha1:b"], "text": [T_TEXT, B_TEXT]})
+    )
+    target = df.where(F.col("doc_id") == "sha1:a")
+    rows = {r.doc_id: r.score_scaled for r in dsir_weights(df, target).collect()}
+    assert set(rows) == {"sha1:a", "sha1:b"}
+    assert rows["sha1:a"] > 0 > rows["sha1:b"]
+
+
+def test_separate_raw_background(spark, corpus):
+    """Explicit raw corpus: docs scored against target/raw tables built
+    from OTHER corpora (the production shape — score a new batch
+    against maintained artifacts)."""
+    target = corpus.where(F.col("doc_id") <= 2)
+    raw = corpus.where(F.col("doc_id") >= 3)
+    batch = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7, 8], "text": [T_TEXT, B_TEXT]})
+    )
+    rows = {r.doc_id: r.score_scaled for r in dsir_weights(batch, target, raw=raw).collect()}
+    # doc 7's features: in target only -> positive; doc 8: in raw only -> negative
+    assert rows[7] > 0 > rows[8]
