@@ -14,10 +14,22 @@ The standard training-data pipeline composition:
 No stage scans an all-corpus pair space — this is the composition the
 dedup module docstring prescribes for production corpora.
 
-Example:
+Recurring-ingest mode: with --against-index the input is treated as a
+NEW BATCH and additionally near-dup-checked against a persisted
+MinHash band index (corpus history is never rescanned); with
+--save-index the index of the kept documents is written out — merged
+with the loaded index when both flags are given — so tomorrow's batch
+dedups against everything kept so far. At real scale the index lives
+in an Iceberg table bucketed by (band, key); the parquet layout here
+keeps the identical schema and join.
+
+Examples:
   spark-submit --py-files dist/ocr_spark.zip jobs/dedup.py \\
     --input /data/documents.parquet --output /out/keep_list \\
-    --tau 0.5 --max-bucket 1000
+    --tau 0.5 --max-bucket 1000 --save-index /out/index
+  # next day's crawl:
+  spark-submit ... jobs/dedup.py --input /data/day2.parquet \\
+    --output /out/keep2 --against-index /out/index --save-index /out/index2
 """
 
 from __future__ import annotations
@@ -37,12 +49,41 @@ def main() -> None:
         default=1000,
         help="drop LSH band buckets larger than this (boilerplate guard); 0 = no cap",
     )
+    ap.add_argument(
+        "--against-index",
+        default=None,
+        help="persisted MinHash band index dir; batch docs near-dupping "
+        "an indexed doc are dropped before the in-batch near-dup pass",
+    )
+    ap.add_argument(
+        "--save-index",
+        default=None,
+        help="write the band index of the kept docs here (merged with "
+        "--against-index when both are given)",
+    )
+    ap.add_argument(
+        "--min-match",
+        type=int,
+        default=None,
+        help="signature components (of 16) that must agree to count as "
+        "an index near-dup; default k//2 (estimated Jaccard >= 0.5)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+    if args.save_index and args.save_index == args.against_index:
+        # Spark reads lazily: overwriting the index dir while the merge
+        # still scans it corrupts both. Write to a fresh dir and swap.
+        ap.error("--save-index must differ from --against-index")
 
     from pyspark.sql import functions as F
 
-    from ocr_spark.functions.dedup import dup_clusters, exact_dedup
+    from ocr_spark.functions.dedup import (
+        dedup_against_index,
+        dup_clusters,
+        exact_dedup,
+        merge_band_index,
+        minhash_band_index,
+    )
     from ocr_spark.pipeline.session import get_spark
 
     spark = get_spark(args.master, app_name="ocr_spark_dedup")
@@ -59,6 +100,21 @@ def main() -> None:
     survivors = docs.join(reps, "doc_id").persist()
     n_exact = survivors.count()
 
+    # 1.5 incremental: drop batch docs that near-dup corpus history
+    # (one (band, key) equi-join against the persisted index; history
+    # text is never read)
+    corpus_index = None
+    n_incremental = n_exact
+    if args.against_index:
+        corpus_index = spark.read.parquet(args.against_index)
+        hits = dedup_against_index(
+            survivors, corpus_index, min_match=args.min_match
+        ).select(F.col("new_doc_id").alias("doc_id")).distinct()
+        survivors_new = survivors.join(hits, "doc_id", "left_anti").persist()
+        survivors.unpersist()
+        survivors = survivors_new
+        n_incremental = survivors.count()
+
     # 2. near-dup: drop cluster members that are not the representative
     clusters = dup_clusters(
         survivors, tau=args.tau, max_bucket=args.max_bucket or None
@@ -68,6 +124,14 @@ def main() -> None:
     n_keep = keep.count()
 
     keep.write.mode("overwrite").parquet(args.output)
+
+    if args.save_index:
+        kept_docs = survivors.join(keep, "doc_id")
+        new_index = minhash_band_index(kept_docs)
+        if corpus_index is not None:
+            new_index = merge_band_index(corpus_index, new_index)
+        new_index.write.mode("overwrite").parquet(args.save_index)
+
     survivors.unpersist()
     print(
         json.dumps(
@@ -76,7 +140,8 @@ def main() -> None:
                 "n_after_exact": n_exact,
                 "n_keep": n_keep,
                 "exact_dups_removed": n_in - n_exact,
-                "near_dups_removed": n_exact - n_keep,
+                "index_dups_removed": n_exact - n_incremental,
+                "near_dups_removed": n_incremental - n_keep,
                 "tau": args.tau,
             }
         )

@@ -77,6 +77,69 @@ def test_dedup_job_string_ids(spark, tmp_path, capsys):
     assert keep == [ids[0], ids[3]]
 
 
+def test_dedup_job_incremental_index(spark, tmp_path, capsys):
+    """Two-day recurring-ingest flow: day 1 builds the corpus and saves
+    its MinHash band index; day 2's batch is deduped AGAINST that index
+    (re-crawled and near-dup docs dropped without rescanning day-1
+    text) and the merged index is written for day 3."""
+    words = [f"w{i:02d}" for i in range(40)]
+    base = " ".join(words)
+    near = " ".join(words[:36] + [f"X{i:02d}" for i in range(4)])
+    novel = " ".join(f"n{i:02d}" for i in range(40))
+    d1 = str(tmp_path / "day1")
+    d2 = str(tmp_path / "day2")
+    keep1, keep2 = str(tmp_path / "keep1"), str(tmp_path / "keep2")
+    idx1, idx2 = str(tmp_path / "idx1"), str(tmp_path / "idx2")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [base]})
+    ).write.parquet(d1)
+    # day 2: 10 = re-crawl of 1 (exact), 11 = near-dup of 1, 12 = novel
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11, 12], "text": [base, near, novel]})
+    ).write.parquet(d2)
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import dedup as job
+
+    argv1 = ["dedup.py", "--input", d1, "--output", keep1, "--save-index", idx1]
+    with patch.object(sys, "argv", argv1), patch.object(SparkSession, "stop", lambda self: None):
+        job.main()
+    day1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert day1["n_keep"] == 1
+
+    argv2 = [
+        "dedup.py", "--input", d2, "--output", keep2,
+        "--against-index", idx1, "--save-index", idx2,
+    ]
+    with patch.object(sys, "argv", argv2), patch.object(SparkSession, "stop", lambda self: None):
+        job.main()
+    day2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert day2["n_input"] == 3
+    assert day2["index_dups_removed"] == 2  # the re-crawl AND the near-dup
+    assert day2["n_keep"] == 1
+
+    from ocr_spark.pipeline.session import get_spark
+
+    s = get_spark("local[4]")
+    assert [r.doc_id for r in s.read.parquet(keep2).collect()] == [12]
+    # merged index covers both days' kept docs
+    idx_docs = {r.doc_id for r in s.read.parquet(idx2).select("doc_id").distinct().collect()}
+    assert idx_docs == {1, 12}
+
+
+def test_dedup_job_rejects_inplace_index(tmp_path):
+    sys.path.insert(0, "/root/repo/jobs")
+    import dedup as job
+    import pytest
+
+    argv = [
+        "dedup.py", "--input", "x", "--output", "y",
+        "--against-index", str(tmp_path / "i"), "--save-index", str(tmp_path / "i"),
+    ]
+    with patch.object(sys, "argv", argv), pytest.raises(SystemExit):
+        job.main()
+
+
 def test_batch_cli_job(spark, tmp_path, capsys):
     import shutil
 
