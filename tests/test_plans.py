@@ -121,3 +121,29 @@ def test_star_join_broadcasts_every_dim(spark):
     assert plan.count("BroadcastHashJoin") == 3, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dedup_against_index_is_equi_join(docs):
+    from ocr_spark.functions.dedup import dedup_against_index, minhash_band_index
+
+    idx = minhash_band_index(docs.where(F.col("doc_id") % 2 == 0))
+    plan = _plan(dedup_against_index(docs.where(F.col("doc_id") % 2 == 1), idx))
+    # the batch-vs-index join must be an equi-join on (band, key) —
+    # never a pair product — and the signature build map-side combines
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert "band" in plan and "key" in plan, plan
+
+
+def test_dsir_count_tables_broadcast(docs):
+    from ocr_spark.functions.dsir import dsir_weights
+
+    plan = _plan(dsir_weights(docs, docs.where(F.col("lang") == "en")))
+    # fixed 8192-bucket count tables: partial counts before their
+    # shuffle; exactly two 1-row total broadcasts are the only
+    # nested-loop joins in the plan (count in "simple" mode — the
+    # formatted detail section repeats operators)
+    assert "partial_count" in plan, plan
+    simple = _plan(dsir_weights(docs, docs.where(F.col("lang") == "en")), "simple")
+    assert simple.count("BroadcastNestedLoopJoin") == 2, simple
+    assert "Cartesian" not in plan, plan
