@@ -30,7 +30,10 @@ end to end — the composition a 100 TB corpus actually runs:
                the optional --gopher rule panel and the optional
                --min-lm-fluency gate (bigram self-LM mean scaled
                conditional probability — the perplexity-filter
-               analog, exact integer arithmetic);
+               analog, exact integer arithmetic), and the optional
+               --dsir-target gate (DSIR-style importance toward a
+               target-domain corpus, fixed-point hashed-bigram
+               probability difference);
 6. dedup     — exact (content hash) then near-dup (minhash-LSH
                candidates, exact-Jaccard verify, connected
                components) over the survivors;
@@ -135,6 +138,22 @@ def main() -> None:
         "dropped too; 0 = off",
     )
     ap.add_argument(
+        "--dsir-target",
+        default=None,
+        help="target-domain parquet (text column); docs are DSIR-"
+        "importance-scored toward it against the corpus background "
+        "and gated at --min-dsir-score",
+    )
+    ap.add_argument(
+        "--min-dsir-score",
+        type=int,
+        default=0,
+        help="drop docs whose mean per-feature DSIR score "
+        "(score_scaled div n_feats, fixed-point 1e6) falls below "
+        "this; negative thresholds admit mildly off-target docs; "
+        "active only with --dsir-target",
+    )
+    ap.add_argument(
         "--benchmark",
         default=None,
         help="benchmark/eval parquet (text column); documents sharing "
@@ -206,6 +225,7 @@ def main() -> None:
     from ocr_spark.functions.contamination import contamination
     from ocr_spark.functions.scrub import gopher_rules, line_dedup, pii_scrub
     from ocr_spark.functions.unicode_norm import normalize_nfc
+    from ocr_spark.functions.dsir import dsir_weights
     from ocr_spark.functions.lm import bigram_lm_score
     from ocr_spark.functions.text import lang_id, quality_score
     from ocr_spark.pipeline.extract import extract_main_content
@@ -360,6 +380,22 @@ def main() -> None:
             .where(F.col("_flu") >= args.min_lm_fluency)
             .drop("_flu")
         )
+    if args.dsir_target:
+        # importance toward the target domain against the corpus
+        # background; mean-per-feature so the gate is length-free
+        # (featureless <2-word docs score 0 div 1 = 0)
+        target = spark.read.parquet(args.dsir_target).select("text")
+        dw = dsir_weights(corpus, target).select(
+            "doc_id",
+            F.expr(
+                "score_scaled div greatest(n_feats, CAST(1 AS BIGINT))"
+            ).alias("_dsir"),
+        )
+        gated = (
+            gated.join(dw, "doc_id")
+            .where(F.col("_dsir") >= args.min_dsir_score)
+            .drop("_dsir")
+        )
     gated = gated.select("doc_id", "text").persist()
     n_gated = gated.count()
 
@@ -500,6 +536,8 @@ def main() -> None:
                 "nfc": args.nfc,
                 "gopher": args.gopher,
                 "min_lm_fluency": args.min_lm_fluency,
+                "dsir_target": bool(args.dsir_target),
+                "min_dsir_score": args.min_dsir_score,
                 "interleave_gate": args.interleave_gate,
                 "strip_boilerplate": args.strip_boilerplate,
                 "quality_sample": args.quality_sample,

@@ -389,3 +389,29 @@ def test_curate_lm_fluency_gate(spark, tmp_path):
     )
     assert s_hi["n_after_quality_lang"] == 0
     assert s_hi["min_lm_fluency"] == 2_000_000
+
+
+def test_curate_dsir_gate(spark, tmp_path):
+    """DSIR gate against an alien-vocabulary target: every doc feature
+    has zero target mass, so all mean scores are <= 0 — a threshold of
+    1 drops everything, and a threshold below the -1e6 fixed-point
+    floor keeps exactly what the ungated run keeps."""
+    import pandas as pd
+
+    tgt = str(tmp_path / "target")
+    spark.createDataFrame(
+        pd.DataFrame({"text": ["zebraword quxword zebraword quxword"]})
+    ).write.parquet(tgt)
+
+    _, s_base = _run(spark, tmp_path / "base")
+    _, s_all = _run(
+        spark, tmp_path / "all",
+        ("--dsir-target", tgt, "--min-dsir-score", "-2000000"),
+    )
+    assert s_all["n_after_quality_lang"] == s_base["n_after_quality_lang"]
+    assert s_all["dsir_target"] is True
+    _, s_none = _run(
+        spark, tmp_path / "none",
+        ("--dsir-target", tgt, "--min-dsir-score", "1"),
+    )
+    assert s_none["n_after_quality_lang"] == 0
