@@ -383,9 +383,14 @@ def main() -> None:
     if args.dsir_target:
         # importance toward the target domain against the corpus
         # background; mean-per-feature so the gate is length-free
-        # (featureless <2-word docs score 0 div 1 = 0)
+        # (featureless <2-word docs score 0 div 1 = 0). Score only the
+        # docs still gated — the count tables come from target/corpus
+        # either way, so survivors' scores are identical, but only the
+        # survivors pay the per-doc feature explode.
         target = spark.read.parquet(args.dsir_target).select("text")
-        dw = dsir_weights(corpus, target).select(
+        dw = dsir_weights(
+            gated.select("doc_id", "text"), target, raw=corpus
+        ).select(
             "doc_id",
             F.expr(
                 "score_scaled div greatest(n_feats, CAST(1 AS BIGINT))"

@@ -70,9 +70,17 @@ def main() -> None:
     )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
-    if args.save_index and args.save_index == args.against_index:
+    import os.path
+
+    if (
+        args.save_index
+        and args.against_index
+        and os.path.realpath(args.save_index) == os.path.realpath(args.against_index)
+    ):
         # Spark reads lazily: overwriting the index dir while the merge
         # still scans it corrupts both. Write to a fresh dir and swap.
+        # realpath: trailing slashes / relative paths / symlinks must
+        # not sneak past the guard.
         ap.error("--save-index must differ from --against-index")
 
     from pyspark.sql import functions as F
@@ -111,9 +119,13 @@ def main() -> None:
             survivors, corpus_index, min_match=args.min_match
         ).select(F.col("new_doc_id").alias("doc_id")).distinct()
         survivors_new = survivors.join(hits, "doc_id", "left_anti").persist()
+        n_incremental = survivors_new.count()
+        # only unpersist the parent AFTER the child is materialized —
+        # survivors_new's lineage reads the parent on both join sides,
+        # and dropping the cache first would recompute the exact-dedup
+        # shuffle from the source twice
         survivors.unpersist()
         survivors = survivors_new
-        n_incremental = survivors.count()
 
     # 2. near-dup: drop cluster members that are not the representative
     clusters = dup_clusters(

@@ -161,6 +161,31 @@ def _sigs_sql(k: int, w: int) -> tuple[str, str]:
     return h40, f"[{sigs}]"
 
 
+def _band_keys_expr(k: int, bands: int) -> str:
+    """Spark SQL: array of md5 band-bucket keys over signature columns
+    s0..s{k-1}. THE band math — the pair self-join and the persisted
+    index must share this expression, or index lookups silently stop
+    matching pair generation."""
+    rows = k // bands
+    keys = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(s{b * rows + r} AS STRING)" for r in range(rows))
+        + "))"
+        for b in range(bands)
+    )
+    return f"array({keys})"
+
+
+def _band_keys_sql(k: int, bands: int) -> str:
+    """DuckDB twin of :func:`_band_keys_expr` over a ``sigs`` list."""
+    rows = k // bands
+    return (
+        f"list_transform(range(0, {bands}), bi -> md5(array_to_string("
+        f"list_transform(list_slice(sigs, bi * {rows} + 1, bi * {rows} + {rows}), "
+        f"x -> CAST(x AS VARCHAR)), ',')))"
+    )
+
+
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, w: int = SHINGLE_W) -> DataFrame:
     """(doc_id, perm, sig): flattened k-permutation minhash signature."""
     sig = _sig_table(docs, k, w)
@@ -197,17 +222,7 @@ def minhash_lsh_pairs(
     recalled through their other (more selective) bands. The DuckDB
     twin applies the identical cap.
     """
-    rows = k // bands
-    sig = _sig_table(docs, k, w)
-    band_keys = ", ".join(
-        "md5(concat_ws(',', "
-        + ", ".join(f"CAST(s{b * rows + r} AS STRING)" for r in range(rows))
-        + "))"
-        for b in range(bands)
-    )
-    banded = sig.select(
-        "doc_id", F.posexplode(F.expr(f"array({band_keys})")).alias("band", "key")
-    )
+    banded = minhash_band_index(docs, k, bands, w).drop("sigs")
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -234,13 +249,8 @@ def minhash_lsh_pairs_sql(
     max_bucket: int | None = None,
     id_sql: str = "CAST(doc_id AS BIGINT)",
 ) -> str:
-    rows = k // bands
     h40, sigs = _sigs_sql(k, w)
-    band_keys = (
-        f"list_transform(range(0, {bands}), bi -> md5(array_to_string("
-        f"list_transform(list_slice(sigs, bi * {rows} + 1, bi * {rows} + {rows}), "
-        f"x -> CAST(x AS VARCHAR)), ',')))"
-    )
+    band_keys = _band_keys_sql(k, bands)
     cap = (
         f"QUALIFY count(*) OVER (PARTITION BY band, key) <= {max_bucket}"
         if max_bucket is not None
@@ -894,19 +904,12 @@ def minhash_band_index(
     (the doc_id signature aggregate); at scale the output is written
     bucketed by (band, key) so batch joins prune to touched buckets.
     """
-    rows = k // bands
     sig = _sig_table(docs, k, w)
-    band_keys = ", ".join(
-        "md5(concat_ws(',', "
-        + ", ".join(f"CAST(s{b * rows + r} AS STRING)" for r in range(rows))
-        + "))"
-        for b in range(bands)
-    )
     sigs_arr = F.array(*[F.col(f"s{i}") for i in range(k)])
     return sig.select(
         "doc_id",
         sigs_arr.alias("sigs"),
-        F.posexplode(F.expr(f"array({band_keys})")).alias("band", "key"),
+        F.posexplode(F.expr(_band_keys_expr(k, bands))).alias("band", "key"),
     ).select("band", "key", "doc_id", "sigs")
 
 
@@ -914,8 +917,16 @@ def merge_band_index(idx_a: DataFrame, idx_b: DataFrame) -> DataFrame:
     """Union two band indexes (e.g. yesterday's artifact + today's
     batch) into one, idempotent on re-merge: distinct on
     (band, key, doc_id). ``sigs`` is functionally determined by
-    doc_id, so dropDuplicates keeping any row is deterministic."""
-    return idx_a.unionByName(idx_b).dropDuplicates(["band", "key", "doc_id"])
+    doc_id, so dropDuplicates keeping any row is deterministic. Both
+    sides are normalized to the canonical four columns so a
+    streaming-maintained index (which carries an ingest_batch
+    partition column) merges cleanly with a batch-written one."""
+    cols = ["band", "key", "doc_id", "sigs"]
+    return (
+        idx_a.select(cols)
+        .unionByName(idx_b.select(cols))
+        .dropDuplicates(["band", "key", "doc_id"])
+    )
 
 
 def dedup_against_index(
@@ -943,6 +954,9 @@ def dedup_against_index(
     if min_match is None:
         min_match = k // 2
     batch_idx = minhash_band_index(batch, k, bands, w)
+    # tolerate decorated indexes (e.g. the streaming writer's
+    # ingest_batch partition column) — only the canonical four matter
+    index = index.select("band", "key", "doc_id", "sigs")
     pairs = (
         batch_idx.alias("n")
         .join(
@@ -969,13 +983,8 @@ def _band_index_sql(
 ) -> str:
     """DuckDB twin of :func:`minhash_band_index` over ``table_expr``
     (a table name or parenthesized subquery)."""
-    rows = k // bands
     h40, sigs = _sigs_sql(k, w)
-    band_keys = (
-        f"list_transform(range(0, {bands}), bi -> md5(array_to_string("
-        f"list_transform(list_slice(sigs, bi * {rows} + 1, bi * {rows} + {rows}), "
-        f"x -> CAST(x AS VARCHAR)), ',')))"
-    )
+    band_keys = _band_keys_sql(k, bands)
     return f"""
         SELECT doc_id, sigs, r.i AS band, keys[r.i + 1] AS key
         FROM (

@@ -43,8 +43,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.functions.hashing import md5_long_expr, md5_long_sql
-from ocr_spark.functions.lm import P_SCALE, SEP_EXPR
-from ocr_spark.schema import WS
+from ocr_spark.functions.lm import (
+    P_SCALE,
+    PAIR_EXPR,
+    PAIR_SQL,
+    _words_expr,
+    _words_sql,
+)
 
 N_BUCKETS = 8192
 
@@ -52,13 +57,13 @@ N_BUCKETS = 8192
 def _feats_expr(n_buckets: int) -> str:
     """Spark SQL expr: text -> array of hashed-bigram feature buckets
     (one element per bigram OCCURRENCE — multiplicity is signal, as in
-    the paper's bag-of-ngrams). LET-binding via single-element
+    the paper's bag-of-ngrams). Word and pair expressions are shared
+    with the bigram LM (lm.py) so DSIR features and LM transitions can
+    never tokenize differently. LET-binding via single-element
     transform so the text splits once per row."""
-    words = f"filter(split(text, '{WS}+'), x -> x != '')"
-    pair = f"concat(element_at(w, i), {SEP_EXPR}, element_at(w, i + 1))"
-    bucket = f"{md5_long_expr(pair)} % {n_buckets}"
+    bucket = f"{md5_long_expr(PAIR_EXPR)} % {n_buckets}"
     return (
-        f"flatten(transform(array({words}), w -> "
+        f"flatten(transform(array({_words_expr()}), w -> "
         f"CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
         f"i -> {bucket}) "
         f"ELSE CAST(array() AS ARRAY<BIGINT>) END))"
@@ -124,8 +129,8 @@ def dsir_weights_sql(
     """DuckDB twin of :func:`dsir_weights` (1-based list indexing;
     range() exclusive stop mirrors sequence()'s inclusive stop)."""
     raw_src = docs_expr if raw_expr is None else raw_expr
-    w = f"list_filter(regexp_split_to_array(text, '{WS}+'), x -> x != '')"
-    bucket = md5_long_sql(f"w[i] || {SEP_EXPR} || w[i + 1]") + f" % {n_buckets}"
+    w = _words_sql()
+    bucket = md5_long_sql(PAIR_SQL) + f" % {n_buckets}"
 
     def feats(src: str) -> str:
         return (
@@ -143,8 +148,12 @@ def dsir_weights_sql(
       tt AS (SELECT sum(c_t) AS t_tot FROM tc),
       rt AS (SELECT sum(c_r) AS r_tot FROM rc),
       doc_feats AS (
+        -- DISTINCT ids: a duplicate doc_id row would otherwise fan
+        -- the join out (2 id rows x both rows' features = doubled
+        -- scores) where Spark's explode+groupBy counts each feature
+        -- occurrence once
         SELECT d.doc_id, p.f
-        FROM (SELECT {id_sql} AS doc_id FROM {docs_expr}) d
+        FROM (SELECT DISTINCT {id_sql} AS doc_id FROM {docs_expr}) d
         LEFT JOIN (
           SELECT {id_sql} AS doc_id, f FROM ({feats(docs_expr)})
         ) p ON d.doc_id = p.doc_id

@@ -49,18 +49,31 @@ P_SCALE = 1_000_000  # probability fixed-point units
 SEP_EXPR = "chr(31)"
 
 
+# Bigram building blocks shared with the DSIR featurizer (dsir.py):
+# ONE definition of "word" and "pair" so LM transitions and DSIR
+# features can never tokenize differently.
+# Spark: bound inside "transform(array(<words>), w -> ... i ...)".
+PAIR_EXPR = f"concat(element_at(w, i), {SEP_EXPR}, element_at(w, i + 1))"
+# DuckDB: bound inside "list_transform(range(1, len(w)), i -> ...)".
+PAIR_SQL = f"w[i] || {SEP_EXPR} || w[i + 1]"
+
+
 def _words_expr() -> str:
     # non-empty whitespace tokens (the shared WS class; empty tokens
     # from leading/trailing/double whitespace carry no LM signal)
     return f"filter(split(text, '{WS}+'), x -> x != '')"
 
 
+def _words_sql() -> str:
+    """DuckDB twin of :func:`_words_expr`."""
+    return f"list_filter(regexp_split_to_array(text, '{WS}+'), x -> x != '')"
+
+
 def _bigrams_expr() -> str:
     # LET-binding via single-element transform: split once per row
     # (CSE does not hoist out of lambda bodies — the shingles lesson)
     h1 = md5_long_expr("element_at(w, i)")
-    pair = f"concat(element_at(w, i), {SEP_EXPR}, element_at(w, i + 1))"
-    h12 = md5_long_expr(pair)
+    h12 = md5_long_expr(PAIR_EXPR)
     return (
         f"flatten(transform(array({_words_expr()}), w -> "
         f"CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
@@ -113,9 +126,9 @@ def bigram_lm_score_sql(table: str = "documents", lm_table: str | None = None) -
     matches element_at; range() exclusive stop mirrors sequence()'s
     inclusive stop via len(w) unchanged: range(1, len) = 1..len-1)."""
     lm = lm_table or table
-    w = f"list_filter(regexp_split_to_array(text, '{WS}+'), x -> x != '')"
+    w = _words_sql()
     h1 = md5_long_sql("w[i]")
-    h12 = md5_long_sql(f"w[i] || {SEP_EXPR} || w[i + 1]")
+    h12 = md5_long_sql(PAIR_SQL)
     def pairs(src: str) -> str:
         return (
             "SELECT doc_id, unnest(pairs) AS b FROM ("

@@ -116,3 +116,19 @@ def test_threshold_filters(corpus, batch):
     idx = minhash_band_index(corpus)
     rows = dedup_against_index(batch, idx, min_match=MINHASH_K).collect()
     assert {(r.new_doc_id, r.corpus_doc_id) for r in rows} == {(20, 10)}
+
+
+def test_decorated_index_columns_tolerated(spark, corpus, batch):
+    """A streaming-maintained index carries an ingest_batch partition
+    column; both the batch join and the merge must normalize it away
+    instead of failing on schema mismatch."""
+    decorated = minhash_band_index(corpus).withColumn(
+        "ingest_batch", F.lit(0)
+    )
+    plain = sorted(
+        map(tuple, dedup_against_index(batch, minhash_band_index(corpus)).collect())
+    )
+    via_decorated = sorted(map(tuple, dedup_against_index(batch, decorated).collect()))
+    assert via_decorated == plain
+    merged = merge_band_index(decorated, minhash_band_index(batch))
+    assert merged.columns == ["band", "key", "doc_id", "sigs"]

@@ -87,3 +87,25 @@ def test_string_ids(spark, tmp_path):
     run_neardup_stream(spark, inp, outp, idx, ckpt)
     got = [r.doc_id for r in spark.read.parquet(outp).collect()]
     assert got == ["sha1:a"]
+
+
+def test_history_claims_before_in_batch_rivalry(spark):
+    """Triangle C-A-B (probed n_match: C~A 11, A~B 11, C~B 7 at the
+    8-of-16 default): history holds C; the batch has A (near C) and
+    B (near A, NOT near C). History must claim A FIRST so B survives —
+    settling in-batch rivalry first would drop B as A's loser and then
+    lose A to history, discarding B's effectively-novel content."""
+    from ocr_spark.functions.dedup import minhash_band_index
+
+    W = [f"w{i:02d}" for i in range(40)]
+    doc_c = " ".join(W[:36] + [f"c{i:02d}" for i in range(4)])
+    doc_a = " ".join(W)
+    doc_b = " ".join(W[12:] + [f"b{i:02d}" for i in range(12)])
+    history = minhash_band_index(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [doc_c]}))
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [20, 21], "text": [doc_a, doc_b]})
+    )
+    got = sorted(r.doc_id for r in neardup_batch(batch, history).collect())
+    assert got == [21]
