@@ -31,6 +31,12 @@ from ocr_spark.functions import dsir
 from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import interleave as ilv
 from ocr_spark.functions.chunking import chunk_documents, chunk_documents_sql
+from ocr_spark.functions.packing import (
+    pack_index,
+    pack_index_sql,
+    pack_stats,
+    pack_stats_sql,
+)
 from ocr_spark.functions.unicode_norm import normalize_nfc, normalize_nfc_sql
 from ocr_spark.functions import urls as curl
 from ocr_spark.functions.zorder import zorder_codes, zorder_codes_sql
@@ -754,6 +760,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": lambda s, d: chunk_documents(
             _read(s, d, "documents"), max_tokens=64, overlap=16
         ),
+        "pack_index": lambda s, d: pack_index(
+            chunk_documents(_read(s, d, "documents"), max_tokens=64, overlap=16),
+            seq_len=96,
+            n_shards=4,
+        ),
+        "pack_stats": lambda s, d: pack_stats(
+            chunk_documents(_read(s, d, "documents"), max_tokens=64, overlap=16),
+            seq_len=96,
+            n_shards=4,
+        ),
         # NFC normalization over a deterministically DE-composed copy
         # (replace a -> a + combining acute) so the UDF genuinely
         # recomposes at contract scale instead of passing through.
@@ -1113,6 +1129,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "temperature_mix": smp.temperature_mix_sql(budget_frac=0.5),
         "chunk_docs": chunk_documents_sql(max_tokens=64, overlap=16),
+        "pack_index": pack_index_sql(
+            chunk_documents_sql(max_tokens=64, overlap=16), seq_len=96, n_shards=4
+        ),
+        "pack_stats": pack_stats_sql(
+            chunk_documents_sql(max_tokens=64, overlap=16), seq_len=96, n_shards=4
+        ),
         "normalize_nfc": normalize_nfc_sql(
             "(SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS text "
             "FROM documents) src"
