@@ -887,6 +887,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_trained": lambda s, d: sim.ivf_topk(
             _read(s, d, "embeddings"), centroids=_IVF_CENTS
         ),
+        # tau matches embedding_near_dups: the synthetic corpus is
+        # near-orthogonal, so 0.35 is where drops actually happen
+        "semantic_dedup": lambda s, d: sim.semantic_dedup(
+            _read(s, d, "embeddings"), _IVF_CENTS, tau=0.35
+        ),
         # semantic domain balancing: cap each trained k-means cell
         # (scan-stage argmax assignment + one rank-window shuffle)
         "cluster_balanced_sample": lambda s, d: sim.cluster_balanced_sample(
@@ -1189,6 +1194,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": quantize_flat_sql(),
         "ann_quantized_topk": ann_quantized_topk_sql(),
         "ivf_topk_trained": sim.ivf_topk_trained_sql(_IVF_CENTS),
+        "semantic_dedup": sim.semantic_dedup_sql(_IVF_CENTS, tau=0.35),
         "cluster_balanced_sample": sim.cluster_balanced_sample_sql(
             _IVF_CENTS, cap=20
         ),

@@ -841,3 +841,93 @@ def cluster_balanced_sample_sql(
       )
     )"""
     return cap_per_group_sql(assigned, "centroid", cap, salt=salt, id_col="vec_id")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: within-cell cosine pruning)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.9,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """(vec_id, centroid, kept): SemDeDup-style semantic pruning —
+    assign every vector to its trained k-means cell, then WITHIN each
+    cell drop a vector iff some lower-id cell-mate sits at cosine >=
+    tau (so each tau-neighborhood keeps exactly its minimum id; the
+    deterministic stand-in for the paper's keep-one-per-duplicate-set
+    rule). Pairs that cross cell boundaries are never compared — the
+    accepted recall trade of SemDeDup (Abbas et al. 2023, public)
+    that makes semantic dedup subquadratic.
+
+    Scale shape: cell assignment is a pure scan-stage argmax against
+    the literal centroid arrays (no join — the production path shared
+    with ``ivf_topk(centroids=...)``); the only pair work is the
+    within-cell equi-join on ``centroid``, ~n^2/k pairs for k cells.
+    k is the knob: at 100 TB you train k large enough that cells hold
+    ~10^4-10^5 vectors (k-means cost is linear per Lloyd's round), and
+    AQE skew-split handles dense cells. Every row of the input comes
+    back with a boolean — callers filter ``kept`` (never silently
+    dropped rows).
+    """
+    assigned = _assignments(emb, n_centroids, centroids)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.expr(_dot_expr("a.embedding", "b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid") == F.col("b.centroid"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .where(cos >= tau)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id", "centroid", F.col("_dup").isNull().alias("kept")
+    )
+
+
+def semantic_dedup_sql(
+    centroids: list[list[float]],
+    table: str = "embeddings",
+    tau: float = 0.9,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` — same literal centroids
+    and normalize-then-fold argmax as :func:`ivf_topk_trained_sql`,
+    same ordered cosine fold for the within-cell pair verify."""
+    dim = len(centroids[0])
+    unit = (
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) / {_norm_sql('embedding', dim)})"
+    )
+    dots = "[" + ", ".join(
+        _dot_sql("u", _plane_lit_sql(c), dim) for c in centroids
+    ) + "]"
+    cos = f"({_dot_sql('a.embedding', 'b.embedding', dim)} / (a.norm * b.norm))"
+    return f"""
+      WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+               {_norm_sql('embedding', dim)} AS norm, {unit} AS u
+        FROM {table}
+      ),
+      assigned AS (
+        SELECT vec_id, embedding, norm,
+               CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
+        FROM (SELECT vec_id, embedding, norm, {dots} AS dots FROM base)
+      ),
+      dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.centroid = b.centroid AND b.vec_id < a.vec_id
+        WHERE {cos} >= {tau}
+      )
+      SELECT s.vec_id, s.centroid, (d.vec_id IS NULL) AS kept
+      FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """
