@@ -53,7 +53,14 @@ end to end — the composition a 100 TB corpus actually runs:
                the distributed prefix sum;
 9. write     — curated (doc_id, text[, source, split, shard_id])
                table in the bucketed layout + one JSON summary line
-               with per-stage counts.
+               with per-stage counts;
+9.5 pack     — optional (--pack-seq-len L): training-loader sidecars
+               next to the curated table — `<output>_chunks` (word
+               windows of the curated text, co-located by pack
+               shard) and `<output>_pack_index` (the concat-then-cut
+               sample index: which chunk segments compose each
+               L-token training sequence), both partitioned by shard
+               so a loader's per-shard read is partition-pruned.
 
 Every stage is an already-oracle-checked operator; this job is the
 glue. Scale shape: one kernel pass, scan-stage filters, candidate-
@@ -207,10 +214,33 @@ def main() -> None:
         help="remove text spans recurring in >= N distinct docs "
         "before text assembly (0 = off, else >= 2)",
     )
+    ap.add_argument(
+        "--pack-seq-len",
+        type=int,
+        default=0,
+        help="also emit <output>_chunks and <output>_pack_index "
+        "training-loader sidecars packing N-token sequences; 0 = off",
+    )
+    ap.add_argument("--pack-chunk-tokens", type=int, default=256)
+    ap.add_argument("--pack-chunk-overlap", type=int, default=32)
+    ap.add_argument("--pack-shards", type=int, default=64)
     ap.add_argument("--max-bucket", type=int, default=1000, help="LSH band bucket cap; 0 = off")
     ap.add_argument("--n-buckets", type=int, default=16, help="output bucket count")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+
+    # packing knobs fail at parse time, not after the whole funnel ran
+    if args.pack_seq_len < 0:
+        ap.error("--pack-seq-len must be >= 0")
+    if args.pack_seq_len > 0:
+        from ocr_spark.functions.chunking import _validate as _chunk_validate
+        from ocr_spark.functions.packing import _validate as _pack_validate
+
+        try:
+            _chunk_validate(args.pack_chunk_tokens, args.pack_chunk_overlap)
+            _pack_validate(args.pack_seq_len, args.pack_shards)
+        except ValueError as exc:
+            ap.error(str(exc))
 
     from pyspark.sql import functions as F
 
@@ -505,6 +535,34 @@ def main() -> None:
     # 7. curated table in the standard bucketed layout
     ResultsWriter(spark, path=args.output, n_buckets=args.n_buckets).write(curated)
 
+    # 9.5 optional training-loader sidecars: chunk text co-located by
+    # pack shard + the concat-then-cut sample index (one shared shard
+    # definition — packing.shard_col — so a loader's per-shard read
+    # of both sidecars is partition-pruned and self-consistent)
+    n_chunks = n_packs = None
+    if args.pack_seq_len > 0:
+        from ocr_spark.functions.chunking import chunk_documents
+        from ocr_spark.functions.packing import pack_index, shard_col
+
+        chunks = chunk_documents(
+            curated,
+            max_tokens=args.pack_chunk_tokens,
+            overlap=args.pack_chunk_overlap,
+        ).withColumn("shard", shard_col(args.pack_shards)).persist()
+        chunks.write.mode("overwrite").partitionBy("shard").parquet(
+            args.output.rstrip("/") + "_chunks"
+        )
+        idx = pack_index(
+            chunks, seq_len=args.pack_seq_len, n_shards=args.pack_shards
+        ).persist()
+        idx.write.mode("overwrite").partitionBy("shard").parquet(
+            args.output.rstrip("/") + "_pack_index"
+        )
+        n_chunks = chunks.count()
+        n_packs = idx.select("shard", "pack_id").distinct().count()
+        chunks.unpersist()
+        idx.unpersist()
+
     print(
         json.dumps(
             {
@@ -547,6 +605,9 @@ def main() -> None:
                 "strip_boilerplate": args.strip_boilerplate,
                 "quality_sample": args.quality_sample,
                 "shard_budget": args.shard_budget,
+                "pack_seq_len": args.pack_seq_len,
+                "n_chunks": n_chunks,
+                "n_packs": n_packs,
             }
         )
     )

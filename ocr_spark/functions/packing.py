@@ -46,6 +46,16 @@ def _validate(seq_len: int, n_shards: int) -> None:
         raise ValueError("n_shards must be >= 1")
 
 
+def shard_col(n_shards: int, doc_id: str = "doc_id") -> F.Column:
+    """THE shard assignment (salted 60-bit md5 of doc_id mod
+    n_shards) — one definition shared by pack_index and by writers
+    that co-locate chunk text with its shard's index rows."""
+    return F.pmod(
+        md5_long(F.concat(F.lit(_SALT), F.col(doc_id).cast("string"))),
+        F.lit(n_shards),
+    )
+
+
 def pack_index(
     chunks: DataFrame,
     seq_len: int = SEQ_LEN,
@@ -71,10 +81,7 @@ def pack_index(
         "doc_id",
         "chunk_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.pmod(
-            md5_long(F.concat(F.lit(_SALT), F.col("doc_id").cast("string"))),
-            F.lit(n_shards),
-        ).alias("shard"),
+        shard_col(n_shards).alias("shard"),
     ).where(F.col("n_tokens") > 0)
     w = (
         Window.partitionBy("shard")

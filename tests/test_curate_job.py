@@ -415,3 +415,48 @@ def test_curate_dsir_gate(spark, tmp_path):
         ("--dsir-target", tgt, "--min-dsir-score", "1"),
     )
     assert s_none["n_after_quality_lang"] == 0
+
+
+def test_curate_pack_stage(spark, tmp_path):
+    out, s = _run(
+        spark,
+        tmp_path,
+        ("--pack-seq-len", "96", "--pack-chunk-tokens", "64",
+         "--pack-chunk-overlap", "16", "--pack-shards", "4"),
+    )
+    chunks = spark.read.parquet(out + "_chunks")
+    idx = spark.read.parquet(out + "_pack_index")
+    assert s["n_chunks"] == chunks.count() > 0
+    assert s["n_packs"] == idx.select("shard", "pack_id").distinct().count() > 0
+    # the index covers every chunk fully and references nothing else
+    cov = idx.groupBy("doc_id", "chunk_id").agg(
+        F.sum(F.col("end_tok") - F.col("begin_tok")).alias("cov")
+    )
+    mismatched = (
+        chunks.select("doc_id", "chunk_id", "n_tokens")
+        .join(cov, ["doc_id", "chunk_id"], "full")
+        .where(
+            F.col("cov").isNull()
+            | F.col("n_tokens").isNull()
+            | (F.col("cov") != F.col("n_tokens"))
+        )
+    )
+    assert mismatched.count() == 0
+    # both sidecars share one shard partitioning (co-located reads)
+    shard_dirs = lambda p: sorted(
+        d for d in os.listdir(p) if d.startswith("shard=")
+    )
+    assert shard_dirs(out + "_chunks") == shard_dirs(out + "_pack_index") != []
+
+
+def test_curate_pack_knobs_rejected_at_parse_time(spark, tmp_path):
+    # overlap >= chunk tokens must die before any Spark stage runs
+    with pytest.raises(SystemExit):
+        _run(
+            spark,
+            tmp_path,
+            ("--pack-seq-len", "96", "--pack-chunk-tokens", "16",
+             "--pack-chunk-overlap", "16"),
+        )
+    with pytest.raises(SystemExit):
+        _run(spark, tmp_path, ("--pack-seq-len", "-1"))
