@@ -757,6 +757,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": lambda s, d: smp.temperature_mix(
             _read(s, d, "documents"), budget_frac=0.5
         ),
+        "mixture_plan": lambda s, d: smp.mixture_plan(
+            _read(s, d, "documents"),
+            {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src17": 0.5},
+            10_000_000,
+        ),
         "chunk_docs": lambda s, d: chunk_documents(
             _read(s, d, "documents"), max_tokens=64, overlap=16
         ),
@@ -1133,6 +1138,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "temperature_mix": smp.temperature_mix_sql(budget_frac=0.5),
+        "mixture_plan": smp.mixture_plan_sql(
+            {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src17": 0.5}, 10_000_000
+        ),
         "chunk_docs": chunk_documents_sql(max_tokens=64, overlap=16),
         "pack_index": pack_index_sql(
             chunk_documents_sql(max_tokens=64, overlap=16), seq_len=96, n_shards=4

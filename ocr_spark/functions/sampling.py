@@ -623,3 +623,126 @@ def temperature_mix_sql(
       FROM keyed JOIN rate USING (_src_key)
       WHERE {b} < CAST(floor(_p_keep * {float(N_BUCKETS)!r}) AS BIGINT)
     """
+
+
+# ---------------------------------------------------------------------------
+# mixture plan (per-source token budget / epoch factors)
+# ---------------------------------------------------------------------------
+
+
+def _mixture_targets(
+    weights: dict[str, float], budget_tokens: int
+) -> dict[str, int]:
+    """Per-source target token counts: floor(budget * normalized
+    weight), computed ONCE in Python so the one float multiply can
+    never diverge between engines (both receive integer literals)."""
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    bad = {k: w for k, w in weights.items() if not w >= 0}
+    if bad:
+        raise ValueError(f"weights must be >= 0, got {bad}")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+    import math
+
+    return {
+        src: int(math.floor(budget_tokens * (w / wsum)))
+        for src, w in weights.items()
+    }
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, target_tokens, epochs): the
+    data-mixing plan — given target mixture weights per source and a
+    total training token budget, how many tokens each source must
+    contribute (``floor(budget * w / sum(w))``) and the repeat factor
+    over its actual inventory (``epochs = target / inventory``; > 1
+    means the source is up-sampled across epochs, the DoReMi/
+    Pile-style mixture application).
+
+    Every source present in the corpus appears in the output — a
+    source missing from ``weights`` gets target 0 (explicitly listed,
+    never silently dropped), and a weighted source with an empty
+    inventory reports epochs 0 rather than dividing by zero. One
+    partial-agg shuffle on ``group_col``; output is one row per
+    source, driver-safe at any corpus size.
+    """
+    targets = _mixture_targets(weights, budget_tokens)
+    from ocr_spark.functions.text import words_col
+
+    n_tok = F.coalesce(
+        F.size(F.filter(words_col(), lambda x: x != F.lit(""))), F.lit(0)
+    )
+    # applied post-agg, where the group column is aliased to `source`
+    target = F.lit(0).cast("long")
+    for src, t in sorted(targets.items()):
+        target = F.when(F.col("source") == src, F.lit(t)).otherwise(target)
+    agg = (
+        docs.select(F.col(group_col).alias("source"), n_tok.alias("_nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+    )
+    from ocr_spark.functions.text import floor6
+
+    epochs = F.when(
+        F.col("n_tokens") > 0,
+        floor6(
+            F.col("target_tokens").cast("double") / F.col("n_tokens").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        agg.withColumn("target_tokens", target.cast("long"))
+        .withColumn("epochs", epochs)
+        .select("source", "n_docs", "n_tokens", "target_tokens", "epochs")
+    )
+
+
+def mixture_plan_sql(
+    weights: dict[str, float],
+    budget_tokens: int,
+    table: str = "documents",
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`mixture_plan` — identical integer target
+    literals (the normalize-and-floor runs once, in Python), identical
+    BIGINT/BIGINT double division and floor6 rounding."""
+    from ocr_spark.schema import WS
+
+    targets = _mixture_targets(weights, budget_tokens)
+    # the CASE runs over agg, where the group column is aliased `source`
+    cases = " ".join(
+        f"WHEN source = '{src}' THEN CAST({t} AS BIGINT)"
+        for src, t in sorted(targets.items())
+    )
+    return f"""
+      WITH counted AS (
+        SELECT {group_col} AS source,
+               coalesce(CAST(len(list_filter(
+                 regexp_split_to_array(text, '{WS}+'), x -> x != '')) AS INT), 0)
+                 AS _nt
+        FROM {table}
+      ),
+      agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(_nt) AS BIGINT) AS n_tokens
+        FROM counted GROUP BY source
+      )
+      SELECT source, n_docs, n_tokens,
+             (CASE {cases} ELSE CAST(0 AS BIGINT) END) AS target_tokens,
+             CASE WHEN n_tokens > 0 THEN
+               floor((CAST((CASE {cases} ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE)) * 1000000.0) / 1000000.0
+             ELSE 0.0 END AS epochs
+      FROM agg
+    """

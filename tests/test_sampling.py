@@ -344,3 +344,72 @@ def test_pack_shards_global_distributed_prefix_sum(spark, docs):
         sizes[s] += n
     full = [sizes[s] for s in sorted(sizes)[:-1]]
     assert all(sz >= 700 - max(n for _, n, _ in want) + 1 for sz in full)
+
+
+# ---------------------------------------------------------------------------
+# mixture plan
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_plan_semantics(spark):
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "web"),      # 3 tokens
+            (2, "d e", "web"),        # 2 tokens
+            (3, "f g h i", "code"),   # 4 tokens
+            (4, "", "empty_src"),     # 0 tokens, weighted
+            (5, "j", "unweighted"),   # 1 token, not in weights
+        ],
+        "doc_id long, text string, source string",
+    )
+    from ocr_spark.functions.sampling import mixture_plan, mixture_plan_sql
+
+    weights = {"web": 3.0, "code": 1.0, "empty_src": 1.0, "absent_src": 5.0}
+    got = {r.source: r for r in mixture_plan(docs, weights, 100).collect()}
+    # normalized: web 0.3 -> 30, code 0.1 -> 10, empty 0.1 -> 10
+    assert (got["web"].n_docs, got["web"].n_tokens, got["web"].target_tokens) == (2, 5, 30)
+    assert got["web"].epochs == 6.0
+    assert (got["code"].target_tokens, got["code"].epochs) == (10, 2.5)
+    # weighted source with no inventory: epochs 0, not a crash
+    assert (got["empty_src"].n_tokens, got["empty_src"].epochs) == (0, 0.0)
+    # corpus source missing from weights: listed with target 0
+    assert (got["unweighted"].target_tokens, got["unweighted"].epochs) == (0, 0.0)
+    # a weighted source absent from the corpus yields no row (plan is
+    # corpus-driven) but still consumed weight mass: web got 30, not 37
+    assert "absent_src" not in got
+
+
+def test_mixture_plan_validation(spark):
+    import pytest as _pt
+
+    from ocr_spark.functions.sampling import mixture_plan, mixture_plan_sql
+
+    docs_schema = "doc_id long, text string, source string"
+    docs = spark.createDataFrame([(1, "a", "s")], docs_schema)
+    for w, b in (({}, 10), ({"s": -1.0}, 10), ({"s": 0.0}, 10), ({"s": 1.0}, -1)):
+        with _pt.raises(ValueError):
+            mixture_plan(docs, w, b)
+        with _pt.raises(ValueError):
+            mixture_plan_sql(w, b)
+
+
+def test_mixture_plan_matches_oracle(spark):
+    import duckdb
+
+    from ocr_spark.functions.sampling import mixture_plan, mixture_plan_sql
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    weights = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src17": 0.5}
+    got = sorted(map(tuple, mixture_plan(docs, weights, 10_000_000).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = sorted(
+        map(tuple, con.execute(mixture_plan_sql(weights, 10_000_000)).fetchall())
+    )
+    assert got == want
+    # both up- and down-sampled sources exist in the plan
+    epochs = {r[0]: r[4] for r in got}
+    assert any(e > 1 for e in epochs.values()) and any(e < 1 for e in epochs.values())
