@@ -71,3 +71,45 @@ def validate_uploads(files: DataFrame) -> DataFrame:
         reason.isNull().alias("ok"),
         F.coalesce(reason, F.lit("")).alias("reject_reason"),
     )
+
+
+DOCS_JSONL_SCHEMA = "doc_id string, text string, source string, lang string"
+
+
+def read_jsonl_docs(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCS_JSONL_SCHEMA,
+    glob: str | None = None,
+) -> DataFrame:
+    """Crawl-dump ingestion: JSONL document records with malformed-line
+    capture (the wire format web-scale text corpora actually arrive
+    in, one JSON object per line).
+
+    The schema is an explicit REQUIRED argument: letting Spark infer
+    it costs a full extra pass over the input — at 100 TB that is the
+    difference between one scan and two. Malformed lines (broken
+    JSON, wrong bracket nesting) become rows with ``ok = false`` and
+    the raw line preserved in ``_corrupt_record`` — errors are data,
+    never aborts (the E4 abort_on_error=False discipline; the
+    reference analog is its per-upload 400 at
+    /root/reference/webapp/api.py:163-178, which this generalizes to
+    never-lose-the-payload). Type mismatches on individual fields
+    NULL the field and keep the row, PERMISSIVE-mode standard.
+
+    Note Spark's documented corrupt-record caveat: the parsed frame
+    must not be *filtered* on ``_corrupt_record`` alone within the
+    same scan — this reader materializes the ``ok`` flag eagerly so
+    callers partition on ``ok`` safely.
+    """
+    full_schema = f"{schema}, _corrupt_record string"
+    reader = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("recursiveFileLookup", "true")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.json(path)
+    return df.select("*", F.col("_corrupt_record").isNull().alias("ok"))

@@ -129,3 +129,49 @@ def test_json_envelope(spark, tmp_path):
     env = json.load(open(p))
     assert env["meta"]["schema_version"] == "v1"
     assert env["documents"] == [{"doc_id": "d1", "conf": 0.9}]
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus source
+# ---------------------------------------------------------------------------
+
+
+def test_read_jsonl_docs_corrupt_capture(spark, tmp_path):
+    from ocr_spark.sources.read import read_jsonl_docs
+
+    p = tmp_path / "dump"
+    p.mkdir()
+    (p / "part0.jsonl").write_text(
+        '{"doc_id": "a", "text": "hello world", "source": "web", "lang": "en"}\n'
+        'this is not json at all\n'
+        '{"doc_id": "b", "text": 42, "source": "web", "lang": "en"}\n'
+        '{"doc_id": "c", "text": "ok", "source": null, "lang": "vi"}\n'
+    )
+    df = read_jsonl_docs(spark, str(p)).cache()
+    try:
+        all_rows = df.collect()
+        assert len(all_rows) == 4  # every input line present, no drops
+        rows = {r.doc_id: r for r in all_rows if r.doc_id is not None}
+        # clean rows parse fully
+        assert rows["a"].ok and rows["a"].text == "hello world"
+        assert rows["c"].ok and rows["c"].source is None
+        # JSON-number-where-string-expected coerces, stays ok
+        assert rows["b"].ok and rows["b"].text == "42"
+        # broken JSON: row kept, raw line preserved, flagged
+        bad = [r for r in all_rows if not r.ok]
+        assert len(bad) == 1
+        assert "not json at all" in bad[0]._corrupt_record
+        assert bad[0].doc_id is None
+    finally:
+        df.unpersist()
+
+
+def test_read_jsonl_docs_glob_and_recursion(spark, tmp_path):
+    from ocr_spark.sources.read import read_jsonl_docs
+
+    root = tmp_path / "tree"
+    (root / "sub").mkdir(parents=True)
+    (root / "sub" / "a.jsonl").write_text('{"doc_id": "x", "text": "t"}\n')
+    (root / "sub" / "skip.txt").write_text('{"doc_id": "y", "text": "t"}\n')
+    df = read_jsonl_docs(spark, str(root), glob="*.jsonl")
+    assert [r.doc_id for r in df.collect()] == ["x"]
