@@ -51,6 +51,13 @@ from ocr_spark.functions import similarity as sim
 from ocr_spark.functions.ivf_centroids import (
     TRAINED_CENTROIDS_SF001 as _IVF_CENTS,
 )
+from ocr_spark.functions.pq import (
+    pq_adc_topk,
+    pq_adc_topk_sql,
+    pq_encode_flat,
+    pq_encode_flat_sql,
+)
+from ocr_spark.functions.pq_codebooks import PQ_CODEBOOKS_SF001 as _PQ_CB
 from ocr_spark.functions import olap
 from ocr_spark.functions import funnel as fn
 from ocr_spark.functions import rangejoin as rj
@@ -897,6 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": lambda s, d: sim.semantic_dedup(
             _read(s, d, "embeddings"), _IVF_CENTS, tau=0.35
         ),
+        "pq_codes": lambda s, d: pq_encode_flat(_read(s, d, "embeddings"), _PQ_CB),
+        "pq_adc_topk": lambda s, d: pq_adc_topk(_read(s, d, "embeddings"), _PQ_CB),
         # semantic domain balancing: cap each trained k-means cell
         # (scan-stage argmax assignment + one rank-window shuffle)
         "cluster_balanced_sample": lambda s, d: sim.cluster_balanced_sample(
@@ -1203,6 +1212,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized_topk": ann_quantized_topk_sql(),
         "ivf_topk_trained": sim.ivf_topk_trained_sql(_IVF_CENTS),
         "semantic_dedup": sim.semantic_dedup_sql(_IVF_CENTS, tau=0.35),
+        "pq_codes": pq_encode_flat_sql(_PQ_CB),
+        "pq_adc_topk": pq_adc_topk_sql(_PQ_CB),
         "cluster_balanced_sample": sim.cluster_balanced_sample_sql(
             _IVF_CENTS, cap=20
         ),

@@ -1,0 +1,129 @@
+"""Product quantization: pure-Python fold-order oracle for encode and
+ADC, DuckDB-twin parity, a recall floor vs exact L2, codebook
+validation, and the scan-stage encode plan."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ocr_spark.functions.pq import (
+    pq_adc_topk,
+    pq_adc_topk_sql,
+    pq_encode,
+    pq_encode_sql,
+)
+from ocr_spark.functions.pq_codebooks import PQ_CODEBOOKS_SF001 as CB
+from ocr_spark.plans import plan_str
+
+SF_DIR = "/root/testdata/sf0.001"
+M, K, DS = len(CB), len(CB[0]), len(CB[0][0])
+
+
+def _l2(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + (float(x) - float(y)) * (float(x) - float(y))
+    return s
+
+
+def _embs(spark):
+    return {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+
+
+def _py_codes(emb):
+    codes = []
+    for m in range(M):
+        sub = emb[m * DS : (m + 1) * DS]
+        dists = [_l2(sub, CB[m][c]) for c in range(K)]
+        codes.append(dists.index(min(dists)))
+    return codes
+
+
+def test_encode_matches_python_oracle(spark):
+    embs = _embs(spark)
+    got = {
+        int(r.vec_id): list(r.codes)
+        for r in pq_encode(
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), CB
+        ).collect()
+    }
+    assert got == {v: _py_codes(e) for v, e in embs.items()}
+    assert all(0 <= c < K and len(cs) == M for cs in got.values() for c in cs)
+
+
+def test_adc_matches_python_oracle(spark):
+    embs = _embs(spark)
+    codes = {v: _py_codes(e) for v, e in embs.items()}
+    want = {}
+    for q in range(5):
+        scored = sorted(
+            (
+                sum(
+                    _l2(embs[q][m * DS : (m + 1) * DS], CB[m][codes[v][m]])
+                    for m in range(M)
+                ),
+                v,
+            )
+            for v in embs
+            if v != q
+        )[:10]
+        for rank, (d, v) in enumerate(scored, 1):
+            import math
+
+            want[(q, v)] = (rank, math.floor(d * 1000000) / 1000000)
+    df = pq_adc_topk(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), CB)
+    got = {(r.query_id, r.neighbor_id): (r.rank, r.dist) for r in df.collect()}
+    assert got == want
+
+
+def test_matches_duckdb_twin(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    got = sorted((int(r.vec_id), list(r.codes)) for r in pq_encode(emb, CB).collect())
+    want = sorted((v, list(c)) for v, c in con.execute(pq_encode_sql(CB)).fetchall())
+    assert got == want
+    got_a = sorted(map(tuple, pq_adc_topk(emb, CB).collect()))
+    want_a = sorted(map(tuple, con.execute(pq_adc_topk_sql(CB)).fetchall()))
+    assert got_a == want_a
+
+
+def test_recall_floor_vs_exact_l2(spark):
+    """PQ on this near-uniform corpus (its worst case) still recalls
+    ~0.4 of the exact-L2 top-10 — pin a 0.25 floor (chance = 0.02)."""
+    embs = _embs(spark)
+    adc = pq_adc_topk(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), CB
+    ).collect()
+    recs = []
+    for q in range(5):
+        exact = {
+            v
+            for _, v in sorted(
+                (_l2(embs[q], e), v) for v, e in embs.items() if v != q
+            )[:10]
+        }
+        got = {r.neighbor_id for r in adc if r.query_id == q}
+        recs.append(len(exact & got) / 10)
+    assert sum(recs) / len(recs) >= 0.25, recs
+
+
+def test_ragged_codebooks_rejected(spark):
+    bad = [[[0.0] * DS] * K, [[0.0] * (DS - 1)] * K]
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        pq_encode(emb, bad)
+    with pytest.raises(ValueError):
+        pq_encode_sql(bad)
+
+
+def test_encode_plan_is_scan_stage(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_str(pq_encode(emb, CB), "simple")
+    assert "Exchange" not in plan and "Join" not in plan, plan
