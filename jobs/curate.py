@@ -544,8 +544,12 @@ def main() -> None:
         from ocr_spark.functions.chunking import chunk_documents
         from ocr_spark.functions.packing import pack_index, shard_col
 
+        # chunk from the table just written, not the live `curated`
+        # lineage — re-deriving it would re-run the whole funnel
+        # (extraction, gates, dedup joins) a second time
+        written = spark.read.parquet(args.output)
         chunks = chunk_documents(
-            curated,
+            written,
             max_tokens=args.pack_chunk_tokens,
             overlap=args.pack_chunk_overlap,
         ).withColumn("shard", shard_col(args.pack_shards)).persist()

@@ -32,6 +32,14 @@ from pyspark.sql.window import Window
 
 from ocr_spark.functions.text import floor6, floor6_sql
 
+# the repo's ONE literal-double-array rendering convention (keeps the
+# Spark expression and the DuckDB twin bit-identical) lives in
+# similarity.py — reuse it, never re-render
+from ocr_spark.functions.similarity import (
+    _plane_lit_expr as _cent_lit_expr,
+    _plane_lit_sql as _cent_lit_sql,
+)
+
 N_QUERIES = 5
 TOP_K = 10
 
@@ -45,14 +53,6 @@ def _dims(codebooks: list[list[list[float]]]) -> tuple[int, int, int]:
     ):
         raise ValueError("ragged codebooks")
     return m, k, ds
-
-
-def _cent_lit_expr(c: list[float]) -> str:
-    return "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in c) + ")"
-
-
-def _cent_lit_sql(c: list[float]) -> str:
-    return "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in c) + "]"
 
 
 def _l2_expr(sub: str, cent_lit: str) -> str:

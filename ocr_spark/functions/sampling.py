@@ -719,11 +719,17 @@ def mixture_plan_sql(
     BIGINT/BIGINT double division and floor6 rounding."""
     from ocr_spark.schema import WS
 
+    from ocr_spark.functions.text import floor6_sql
+
     targets = _mixture_targets(weights, budget_tokens)
     # the CASE runs over agg, where the group column is aliased `source`
     cases = " ".join(
         f"WHEN source = '{src}' THEN CAST({t} AS BIGINT)"
         for src, t in sorted(targets.items())
+    )
+    floor6_epochs = floor6_sql(
+        f"CAST((CASE {cases} ELSE CAST(0 AS BIGINT) END) AS DOUBLE)"
+        f" / CAST(n_tokens AS DOUBLE)"
     )
     return f"""
       WITH counted AS (
@@ -741,8 +747,7 @@ def mixture_plan_sql(
       SELECT source, n_docs, n_tokens,
              (CASE {cases} ELSE CAST(0 AS BIGINT) END) AS target_tokens,
              CASE WHEN n_tokens > 0 THEN
-               floor((CAST((CASE {cases} ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
-                     / CAST(n_tokens AS DOUBLE)) * 1000000.0) / 1000000.0
+               {floor6_epochs}
              ELSE 0.0 END AS epochs
       FROM agg
     """

@@ -97,19 +97,30 @@ def read_jsonl_docs(
     never-lose-the-payload). Type mismatches on individual fields
     NULL the field and keep the row, PERMISSIVE-mode standard.
 
-    Note Spark's documented corrupt-record caveat: the parsed frame
-    must not be *filtered* on ``_corrupt_record`` alone within the
-    same scan — this reader materializes the ``ok`` flag eagerly so
-    callers partition on ``ok`` safely.
+    Implementation note: this reads lines with the text source and
+    parses them with ``from_json`` rather than using the JSON source
+    directly — Spark's JSON scan forbids queries that reference only
+    its internal corrupt-record column (AnalysisException
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so e.g.
+    ``.where(~ok).count()`` on a json-source frame would crash unless
+    the caller remembered to cache first. With ``from_json`` the
+    corrupt column is an ordinary derived column, any projection of
+    the result is safe, and the parse still happens in the same scan
+    stage (one pass). Blank lines are skipped, matching the JSON
+    source's behavior.
     """
     full_schema = f"{schema}, _corrupt_record string"
-    reader = (
-        spark.read.schema(full_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .option("recursiveFileLookup", "true")
-    )
+    reader = spark.read.option("recursiveFileLookup", "true")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    df = reader.json(path)
-    return df.select("*", F.col("_corrupt_record").isNull().alias("ok"))
+    lines = reader.text(path).where(F.trim(F.col("value")) != "")
+    parsed = lines.select(
+        F.from_json(
+            F.col("value"),
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r")
+    )
+    return parsed.select("r.*").select(
+        "*", F.col("_corrupt_record").isNull().alias("ok")
+    )

@@ -147,7 +147,15 @@ def test_read_jsonl_docs_corrupt_capture(spark, tmp_path):
         '{"doc_id": "b", "text": 42, "source": "web", "lang": "en"}\n'
         '{"doc_id": "c", "text": "ok", "source": null, "lang": "vi"}\n'
     )
-    df = read_jsonl_docs(spark, str(p)).cache()
+    df = read_jsonl_docs(spark, str(p))
+    # regression: projecting ONLY the corrupt/ok columns must work
+    # uncached (the raw json source throws
+    # UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN here)
+    assert df.where(~F.col("ok")).count() == 1
+    assert df.select("_corrupt_record").where(
+        F.col("_corrupt_record").isNotNull()
+    ).count() == 1
+    df = df.cache()
     try:
         all_rows = df.collect()
         assert len(all_rows) == 4  # every input line present, no drops
