@@ -52,6 +52,8 @@ from ocr_spark.functions.ivf_centroids import (
     TRAINED_CENTROIDS_SF001 as _IVF_CENTS,
 )
 from ocr_spark.functions.pq import (
+    ivfpq_topk,
+    ivfpq_topk_sql,
     pq_adc_topk,
     pq_adc_topk_sql,
     pq_encode_flat,
@@ -906,6 +908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pq_codes": lambda s, d: pq_encode_flat(_read(s, d, "embeddings"), _PQ_CB),
         "pq_adc_topk": lambda s, d: pq_adc_topk(_read(s, d, "embeddings"), _PQ_CB),
+        "ivfpq_topk": lambda s, d: ivfpq_topk(
+            _read(s, d, "embeddings"), _IVF_CENTS, _PQ_CB
+        ),
         # semantic domain balancing: cap each trained k-means cell
         # (scan-stage argmax assignment + one rank-window shuffle)
         "cluster_balanced_sample": lambda s, d: sim.cluster_balanced_sample(
@@ -1214,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": sim.semantic_dedup_sql(_IVF_CENTS, tau=0.35),
         "pq_codes": pq_encode_flat_sql(_PQ_CB),
         "pq_adc_topk": pq_adc_topk_sql(_PQ_CB),
+        "ivfpq_topk": ivfpq_topk_sql(_IVF_CENTS, _PQ_CB),
         "cluster_balanced_sample": sim.cluster_balanced_sample_sql(
             _IVF_CENTS, cap=20
         ),

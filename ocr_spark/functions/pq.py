@@ -231,3 +231,131 @@ def pq_encode_flat_sql(
       FROM ({pq_encode_sql(codebooks, table)}),
            LATERAL unnest(generate_series(1, {len(codebooks)})) AS u(i)
     """
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, dist): IVF-PQ — the FAISS index
+    composition. The coarse quantizer (trained spherical-k-means
+    cells, shared with ivf_topk) prunes candidates to the query's own
+    cell (nprobe=1); PQ asymmetric distance ranks within it.
+
+    This is the shape that searches 10^12 vectors: candidates per
+    query ~ n/cells instead of n, each candidate costing an M-term
+    table lookup instead of a 64-dim float scan. One scan computes
+    BOTH quantizations (cell argmax + code argmins are expressions
+    over the same row — no self-join); the probe join is centroid-equi
+    with the tiny query side broadcast.
+    """
+    from ocr_spark.functions.similarity import _assignments
+
+    m, n_codes, ds = _dims(codebooks)
+    coded = _assignments(emb, len(centroids), centroids).select(
+        "vec_id",
+        "centroid",
+        "embedding",
+        F.expr(_codes_expr(codebooks)).alias("codes"),
+    )
+    q = coded.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("centroid").alias("q_centroid"),
+    )
+    terms = []
+    for mi in range(m):
+        q_sub = f"slice(q_emb, {mi * ds + 1}, {ds})"
+        cb = "array(" + ", ".join(
+            _cent_lit_expr(codebooks[mi][ci]) for ci in range(n_codes)
+        ) + ")"
+        terms.append(_l2_expr(q_sub, f"element_at({cb}, codes[{mi}] + 1)"))
+    dist = "(" + " + ".join(terms) + ")"
+    pairs = (
+        F.broadcast(q)
+        .join(
+            coded,
+            (F.col("centroid") == F.col("q_centroid"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(dist).alias("dist_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_raw"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", floor6(F.col("dist_raw")).alias("dist")
+        )
+    )
+
+
+def ivfpq_topk_sql(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    table: str = "embeddings",
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk` — same literal centroid
+    argmax as ivf_topk_trained_sql, same code argmins and ADC folds
+    as pq_adc_topk_sql, same (dist, neighbor_id) tie-break."""
+    from ocr_spark.functions.similarity import _norm_sql, _dot_sql
+
+    m, n_codes, ds = _dims(codebooks)
+    dim = len(centroids[0])
+    unit = (
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) / {_norm_sql('embedding', dim)})"
+    )
+    dots = "[" + ", ".join(
+        _dot_sql("u", _cent_lit_sql(c), dim) for c in centroids
+    ) + "]"
+    terms = []
+    for mi in range(m):
+        q_sub = f"q.q_emb[{mi * ds + 1}:{mi * ds + ds}]"
+        cb = "[" + ", ".join(
+            _cent_lit_sql(codebooks[mi][ci]) for ci in range(n_codes)
+        ) + "]"
+        terms.append(_l2_sql(q_sub, f"({cb})[c.codes[{mi + 1}] + 1]", ds))
+    dist = "(" + " + ".join(terms) + ")"
+    return f"""
+      WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding, {unit} AS u
+        FROM {table}
+      ),
+      coded AS (
+        SELECT vec_id, embedding,
+               CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid,
+               {_codes_sql(codebooks)} AS codes
+        FROM (SELECT vec_id, embedding, {dots} AS dots FROM base)
+      ),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, centroid AS q_centroid
+        FROM coded WHERE vec_id < {n_queries}
+      ),
+      pairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, {dist} AS dist_raw
+        FROM q JOIN coded c
+          ON c.centroid = q.q_centroid AND c.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist_raw ASC, neighbor_id ASC) AS rank,
+               dist_raw
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+             {floor6_sql('dist_raw')} AS dist
+      FROM ranked WHERE rank <= {k}
+    """

@@ -127,3 +127,50 @@ def test_encode_plan_is_scan_stage(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plan = plan_str(pq_encode(emb, CB), "simple")
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_ivfpq_matches_twin_and_prunes_to_cell(spark):
+    from ocr_spark.functions.ivf_centroids import TRAINED_CENTROIDS_SF001 as CENTS
+    from ocr_spark.functions.pq import ivfpq_topk, ivfpq_topk_sql
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = sorted(map(tuple, ivfpq_topk(emb, CENTS, CB).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(ivfpq_topk_sql(CENTS, CB)).fetchall()))
+    assert got == want and len(got) > 0
+    # IVF property: every neighbor shares the query's coarse cell
+    # (python argmax over the same unit-fold as both engines)
+    import math
+
+    embs = _embs(spark)
+    def cell(e):
+        nrm = math.sqrt(_l2(e, [0.0] * len(e)))
+        unit = [x / nrm for x in e]
+        dots = []
+        for c in CENTS:
+            s = 0.0
+            for x, y in zip(unit, c):
+                s += x * y
+            dots.append(s)
+        return dots.index(max(dots))
+    for q, n, _, _ in got:
+        assert cell(embs[q]) == cell(embs[n])
+    # ADC dists within a cell match the flat ADC ranking restricted
+    # to that cell: ivfpq ranks are 1..k dense per query
+    from collections import Counter
+    ranks = Counter(q for q, *_ in got)
+    for q, cnt in ranks.items():
+        assert sorted(r for qq, _, r, _ in got if qq == q) == list(range(1, cnt + 1))
+
+
+def test_ivfpq_plan_no_nested_loop(spark):
+    from ocr_spark.functions.ivf_centroids import TRAINED_CENTROIDS_SF001 as CENTS
+    from ocr_spark.functions.pq import ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_str(ivfpq_topk(emb, CENTS, CB), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
