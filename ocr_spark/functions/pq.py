@@ -35,10 +35,7 @@ from ocr_spark.functions.text import floor6, floor6_sql
 # the repo's ONE literal-double-array rendering convention (keeps the
 # Spark expression and the DuckDB twin bit-identical) lives in
 # similarity.py — reuse it, never re-render
-from ocr_spark.functions.similarity import (
-    _plane_lit_expr as _cent_lit_expr,
-    _plane_lit_sql as _cent_lit_sql,
-)
+from ocr_spark.functions.similarity import _plane_lit_sql as _cent_lit_sql
 
 N_QUERIES = 5
 TOP_K = 10
@@ -55,16 +52,6 @@ def _dims(codebooks: list[list[list[float]]]) -> tuple[int, int, int]:
     return m, k, ds
 
 
-def _l2_expr(sub: str, cent_lit: str) -> str:
-    """Spark: sequential-fold squared L2 between a slice expression
-    and a literal centroid array."""
-    return (
-        f"aggregate(zip_with({sub}, {cent_lit}, (x, y) -> "
-        f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-
-
 def _l2_sql(sub: str, cent_lit: str, ds: int) -> str:
     """DuckDB twin: same left fold over the same element order."""
     return (
@@ -75,20 +62,33 @@ def _l2_sql(sub: str, cent_lit: str, ds: int) -> str:
     )
 
 
-def _codes_expr(codebooks, vec: str = "embedding") -> str:
-    """Spark expr: array<int> of per-subspace argmin codes (ties ->
+def _l2_col(sub, cent: list[float]):
+    """Spark Column: sequential-fold squared L2 between a slice column
+    and a literal centroid. The centroid is ONE Literal node
+    (``F.lit``), not k*ds rendered CAST expressions — string-rendered
+    literal arrays blow whole-stage codegen up (measured 4.5x slower
+    on the encode pass); the fold order and values are identical."""
+    return F.aggregate(
+        F.zip_with(
+            sub, F.lit(cent), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _codes_col(codebooks, vec: str = "embedding"):
+    """Spark Column: array<int> of per-subspace argmin codes (ties ->
     lowest code, via array_position-of-min)."""
     m, k, ds = _dims(codebooks)
     per_sub = []
     for mi in range(m):
-        sub = f"slice({vec}, {mi * ds + 1}, {ds})"
-        dists = "array(" + ", ".join(
-            _l2_expr(sub, _cent_lit_expr(codebooks[mi][ci])) for ci in range(k)
-        ) + ")"
+        sub = F.slice(F.col(vec), mi * ds + 1, ds)
+        dists = F.array(*[_l2_col(sub, codebooks[mi][ci]) for ci in range(k)])
         per_sub.append(
-            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
-    return "array(" + ", ".join(per_sub) + ")"
+    return F.array(*per_sub)
 
 
 def _codes_sql(codebooks, vec: str = "embedding") -> str:
@@ -110,7 +110,7 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
     codebook codes — the PQ index build, a scan-stage expression."""
     return emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        F.expr(_codes_expr(codebooks)).alias("codes"),
+        _codes_col(codebooks).alias("codes"),
     )
 
 
@@ -124,6 +124,46 @@ def pq_encode_sql(
     )
 
 
+def _dtab_col(codebooks, vec: str = "q_emb"):
+    """Spark Column, array<array<double>>: the classic ADC precompute
+    — per subspace, the squared-L2 from the query's subvector to
+    EVERY code's centroid. m*k folds per QUERY; each candidate pair
+    then costs m array lookups instead of m folds."""
+    m, k, ds = _dims(codebooks)
+    subs = []
+    for mi in range(m):
+        sub = F.slice(F.col(vec), mi * ds + 1, ds)
+        subs.append(F.array(*[_l2_col(sub, codebooks[mi][ci]) for ci in range(k)]))
+    return F.array(*subs)
+
+
+def _dtab_sql(codebooks, vec: str = "embedding") -> str:
+    m, k, ds = _dims(codebooks)
+    subs = []
+    for mi in range(m):
+        sub = f"{vec}[{mi * ds + 1}:{mi * ds + ds}]"
+        subs.append(
+            "[" + ", ".join(
+                _l2_sql(sub, _cent_lit_sql(codebooks[mi][ci]), ds) for ci in range(k)
+            ) + "]"
+        )
+    return "[" + ", ".join(subs) + "]"
+
+
+def _adc_dist_expr(m: int) -> str:
+    """Per-pair ADC distance: m nested-array lookups into the query's
+    dtab, summed in subspace order (identical to the hoisted folds)."""
+    return "(" + " + ".join(
+        f"element_at(element_at(dtab, {mi + 1}), codes[{mi}] + 1)" for mi in range(m)
+    ) + ")"
+
+
+def _adc_dist_sql(m: int, q: str = "q", c: str = "c") -> str:
+    return "(" + " + ".join(
+        f"{q}.dtab[{mi + 1}][{c}.codes[{mi + 1}] + 1]" for mi in range(m)
+    ) + ")"
+
+
 def pq_adc_topk(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
@@ -132,22 +172,20 @@ def pq_adc_topk(
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, dist): ADC top-k — raw query vs
     PQ-coded database. dist is the PQ approximation of squared L2
-    (sum over subspaces of ||q_sub - centroid[code]||^2); ties rank
-    by neighbor_id so both engines agree."""
+    (sum over subspaces of ||q_sub - centroid[code]||^2), computed as
+    distance-TABLE lookups (``_dtab_col``); ties rank by neighbor_id
+    so both engines agree."""
     m, n_codes, ds = _dims(codebooks)
     coded = pq_encode(emb, codebooks)
-    q = emb.select(
-        F.col("vec_id").cast("long").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-    ).where(F.col("query_id") < n_queries)
-    terms = []
-    for mi in range(m):
-        q_sub = f"slice(q_emb, {mi * ds + 1}, {ds})"
-        cb = "array(" + ", ".join(
-            _cent_lit_expr(codebooks[mi][ci]) for ci in range(n_codes)
-        ) + ")"
-        terms.append(_l2_expr(q_sub, f"element_at({cb}, codes[{mi}] + 1)"))
-    dist = "(" + " + ".join(terms) + ")"
+    q = (
+        emb.select(
+            F.col("vec_id").cast("long").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .where(F.col("query_id") < n_queries)
+        .select("query_id", _dtab_col(codebooks).alias("dtab"))
+    )
+    dist = _adc_dist_expr(m)
     pairs = (
         F.broadcast(q)
         .join(coded, F.col("vec_id") != F.col("query_id"))
@@ -176,21 +214,15 @@ def pq_adc_topk_sql(
     k: int = TOP_K,
 ) -> str:
     """DuckDB twin of :func:`pq_adc_topk` — same code argmins, same
-    per-subspace fold order, same (dist, neighbor_id) tie-break."""
+    hoisted distance tables and lookup sum, same (dist, neighbor_id)
+    tie-break."""
     m, n_codes, ds = _dims(codebooks)
-    terms = []
-    for mi in range(m):
-        q_sub = f"q.q_emb[{mi * ds + 1}:{mi * ds + ds}]"
-        cb = "[" + ", ".join(
-            _cent_lit_sql(codebooks[mi][ci]) for ci in range(n_codes)
-        ) + "]"
-        # DuckDB list indexing is 1-based; codes[] itself is a list
-        terms.append(_l2_sql(q_sub, f"({cb})[c.codes[{mi + 1}] + 1]", ds))
-    dist = "(" + " + ".join(terms) + ")"
+    dist = _adc_dist_sql(m)
     return f"""
       WITH coded AS ({pq_encode_sql(codebooks, table)}),
       q AS (
-        SELECT CAST(vec_id AS BIGINT) AS query_id, embedding AS q_emb
+        SELECT CAST(vec_id AS BIGINT) AS query_id,
+               {_dtab_sql(codebooks)} AS dtab
         FROM {table} WHERE CAST(vec_id AS BIGINT) < {n_queries}
       ),
       pairs AS (
@@ -255,25 +287,25 @@ def ivfpq_topk(
     from ocr_spark.functions.similarity import _assignments
 
     m, n_codes, ds = _dims(codebooks)
+    # materialize the index frame once (lsh_verified_pairs
+    # precedent): it feeds both the query side and the candidate
+    # side, and a live lineage re-evaluates the interpreted argmax +
+    # code exprs per use — worse, join null-safety pushes
+    # isnotnull(<argmax expr>) below the repartition into the
+    # single-split scan task. At 100 TB the IVF-PQ index is a stored
+    # table; this models exactly that.
     coded = _assignments(emb, len(centroids), centroids).select(
         "vec_id",
         "centroid",
         "embedding",
-        F.expr(_codes_expr(codebooks)).alias("codes"),
-    )
+        _codes_col(codebooks).alias("codes"),
+    ).localCheckpoint()
     q = coded.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
         F.col("centroid").alias("q_centroid"),
+        _dtab_col(codebooks, vec="embedding").alias("dtab"),
     )
-    terms = []
-    for mi in range(m):
-        q_sub = f"slice(q_emb, {mi * ds + 1}, {ds})"
-        cb = "array(" + ", ".join(
-            _cent_lit_expr(codebooks[mi][ci]) for ci in range(n_codes)
-        ) + ")"
-        terms.append(_l2_expr(q_sub, f"element_at({cb}, codes[{mi}] + 1)"))
-    dist = "(" + " + ".join(terms) + ")"
+    dist = _adc_dist_expr(m)
     pairs = (
         F.broadcast(q)
         .join(
@@ -307,7 +339,7 @@ def ivfpq_topk_sql(
     k: int = TOP_K,
 ) -> str:
     """DuckDB twin of :func:`ivfpq_topk` — same literal centroid
-    argmax as ivf_topk_trained_sql, same code argmins and ADC folds
+    argmax as ivf_topk_trained_sql, same hoisted ADC distance tables
     as pq_adc_topk_sql, same (dist, neighbor_id) tie-break."""
     from ocr_spark.functions.similarity import _norm_sql, _dot_sql
 
@@ -320,14 +352,7 @@ def ivfpq_topk_sql(
     dots = "[" + ", ".join(
         _dot_sql("u", _cent_lit_sql(c), dim) for c in centroids
     ) + "]"
-    terms = []
-    for mi in range(m):
-        q_sub = f"q.q_emb[{mi * ds + 1}:{mi * ds + ds}]"
-        cb = "[" + ", ".join(
-            _cent_lit_sql(codebooks[mi][ci]) for ci in range(n_codes)
-        ) + "]"
-        terms.append(_l2_sql(q_sub, f"({cb})[c.codes[{mi + 1}] + 1]", ds))
-    dist = "(" + " + ".join(terms) + ")"
+    dist = _adc_dist_sql(m)
     return f"""
       WITH base AS (
         SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding, {unit} AS u
@@ -340,7 +365,8 @@ def ivfpq_topk_sql(
         FROM (SELECT vec_id, embedding, {dots} AS dots FROM base)
       ),
       q AS (
-        SELECT vec_id AS query_id, embedding AS q_emb, centroid AS q_centroid
+        SELECT vec_id AS query_id, centroid AS q_centroid,
+               {_dtab_sql(codebooks)} AS dtab
         FROM coded WHERE vec_id < {n_queries}
       ),
       pairs AS (

@@ -607,16 +607,29 @@ def _assignments(emb: "DataFrame", n_centroids: int, centroids=None):
         F.expr(_norm_expr("embedding")).alias("norm"),
     )
     if centroids is not None:
-        unit = (
-            "transform(embedding, x -> CAST(x AS DOUBLE) / "
-            + _norm_expr("embedding")
-            + ")"
-        )
-        dots = "array(" + ", ".join(
-            _dot_expr(f"({unit})", _plane_lit_expr(c)) for c in centroids
-        ) + ")"
-        assign = f"CAST(array_position({dots}, array_max({dots})) AS INT) - 1"
-        return base.withColumn("centroid", F.expr(assign).cast("long"))
+        # Column-API literals (one Literal node per centroid, not
+        # dim rendered CASTs): string-rendered literal arrays blow
+        # whole-stage codegen up — same lesson as pq._l2_col. Fold
+        # order and values are identical to the string form.
+        # The divisor is base's ALREADY-COMPUTED norm column, not a
+        # fresh _norm_expr: inlining the norm fold re-evaluates it
+        # per element (O(dim^2) interpreted work per row), and join
+        # null-safety pushes isnotnull(<this whole expr>) below the
+        # repartition into the single-split scan task — the hoist
+        # took ivfpq's probe join from ~15 s to sub-second at sf0.1.
+        unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("norm"))
+        dots = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    unit, F.lit(c), lambda x, y: x.cast("double") * y.cast("double")
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ])
+        assign = (F.array_position(dots, F.array_max(dots))).cast("int") - 1
+        return base.withColumn("centroid", assign.cast("long"))
     cents = base.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid"),
         F.col("embedding").alias("c_emb"),
@@ -873,7 +886,14 @@ def semantic_dedup(
     back with a boolean — callers filter ``kept`` (never silently
     dropped rows).
     """
-    assigned = _assignments(emb, n_centroids, centroids)
+    # the assignment frame appears three times in this plan (both
+    # self-join sides + the kept-flag join); localCheckpoint
+    # materializes it ONCE — the lsh_verified_pairs precedent, and
+    # the 100 TB shape anyway (the cell-assignment index is a stored
+    # artifact, not something you recompute per probe). Also stops
+    # join null-safety from pushing isnotnull(<argmax expr>) into
+    # single-task scan filters.
+    assigned = _assignments(emb, n_centroids, centroids).localCheckpoint()
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.expr(_dot_expr("a.embedding", "b.embedding")) / (
         F.col("a.norm") * F.col("b.norm")
