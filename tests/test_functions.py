@@ -9,6 +9,8 @@ import duckdb
 import pytest
 
 from ocr_spark.functions import dedup, lm, scrub, similarity, text, tfidf
+from ocr_spark.functions.chunking import chunk_documents, chunk_documents_sql
+from ocr_spark.functions.packing import pack_index, pack_index_sql
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -112,6 +114,23 @@ def test_text_operator_fuzz_across_engines(spark, con):
         (
             lambda d: scrub.repeated_passages(d, w_chars=6, gap=3),
             scrub.repeated_passages_sql("t_fuzz", w_chars=6, gap=3),
+        ),
+        # chunk+pack with tiny knobs so the short fuzz strings produce
+        # multi-window docs and straddling packs (the WS-split and
+        # int64 window arithmetic are the dialect surface under test)
+        (
+            lambda d: chunk_documents(d, max_tokens=4, overlap=1),
+            chunk_documents_sql("t_fuzz", max_tokens=4, overlap=1),
+        ),
+        (
+            lambda d: pack_index(
+                chunk_documents(d, max_tokens=4, overlap=1), seq_len=5, n_shards=3
+            ),
+            pack_index_sql(
+                chunk_documents_sql("t_fuzz", max_tokens=4, overlap=1),
+                seq_len=5,
+                n_shards=3,
+            ),
         ),
     ):
         assert_same(build(df), con, sql)
