@@ -175,7 +175,7 @@ def pq_adc_topk(
     (sum over subspaces of ||q_sub - centroid[code]||^2), computed as
     distance-TABLE lookups (``_dtab_col``); ties rank by neighbor_id
     so both engines agree."""
-    m, n_codes, ds = _dims(codebooks)
+    m, _, _ = _dims(codebooks)
     coded = pq_encode(emb, codebooks)
     q = (
         emb.select(
@@ -216,7 +216,7 @@ def pq_adc_topk_sql(
     """DuckDB twin of :func:`pq_adc_topk` — same code argmins, same
     hoisted distance tables and lookup sum, same (dist, neighbor_id)
     tie-break."""
-    m, n_codes, ds = _dims(codebooks)
+    m, _, _ = _dims(codebooks)
     dist = _adc_dist_sql(m)
     return f"""
       WITH coded AS ({pq_encode_sql(codebooks, table)}),
@@ -286,21 +286,27 @@ def ivfpq_topk(
     """
     from ocr_spark.functions.similarity import _assignments
 
-    m, n_codes, ds = _dims(codebooks)
+    m, _, _ = _dims(codebooks)
     # materialize the index frame once (lsh_verified_pairs
-    # precedent): it feeds both the query side and the candidate
-    # side, and a live lineage re-evaluates the interpreted argmax +
-    # code exprs per use — worse, join null-safety pushes
+    # precedent): it feeds the candidate side of every probe, and a
+    # live lineage re-evaluates the interpreted argmax + code exprs
+    # per plan reference — worse, join null-safety pushes
     # isnotnull(<argmax expr>) below the repartition into the
     # single-split scan task. At 100 TB the IVF-PQ index is a stored
-    # table; this models exactly that.
+    # table; this models exactly that — and like a real PQ index it
+    # stores ONLY (vec_id, centroid, codes), never the raw vectors
+    # (keeping embedding would make it ~32x larger than the codes).
     coded = _assignments(emb, len(centroids), centroids).select(
         "vec_id",
         "centroid",
-        "embedding",
         _codes_col(codebooks).alias("codes"),
     ).localCheckpoint()
-    q = coded.where(F.col("vec_id") < n_queries).select(
+    # the query side re-derives its cell + distance tables from the
+    # RAW n_queries rows (the vec_id filter pushes into the scan, so
+    # the interpreted argmax runs on n_queries rows, not the corpus)
+    q = _assignments(
+        emb.where(F.col("vec_id") < n_queries), len(centroids), centroids
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("centroid").alias("q_centroid"),
         _dtab_col(codebooks, vec="embedding").alias("dtab"),
@@ -338,31 +344,19 @@ def ivfpq_topk_sql(
     n_queries: int = N_QUERIES,
     k: int = TOP_K,
 ) -> str:
-    """DuckDB twin of :func:`ivfpq_topk` — same literal centroid
-    argmax as ivf_topk_trained_sql, same hoisted ADC distance tables
-    as pq_adc_topk_sql, same (dist, neighbor_id) tie-break."""
-    from ocr_spark.functions.similarity import _norm_sql, _dot_sql
+    """DuckDB twin of :func:`ivfpq_topk` — cell assignment via the
+    shared similarity.trained_assigned_sql argmax, same hoisted ADC
+    distance tables as pq_adc_topk_sql, same (dist, neighbor_id)
+    tie-break."""
+    from ocr_spark.functions.similarity import trained_assigned_sql
 
-    m, n_codes, ds = _dims(codebooks)
-    dim = len(centroids[0])
-    unit = (
-        f"list_transform(range(1, {dim + 1}), "
-        f"i -> CAST(embedding[i] AS DOUBLE) / {_norm_sql('embedding', dim)})"
-    )
-    dots = "[" + ", ".join(
-        _dot_sql("u", _cent_lit_sql(c), dim) for c in centroids
-    ) + "]"
+    m, _, _ = _dims(codebooks)
     dist = _adc_dist_sql(m)
     return f"""
-      WITH base AS (
-        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding, {unit} AS u
-        FROM {table}
-      ),
-      coded AS (
-        SELECT vec_id, embedding,
-               CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid,
+      WITH coded AS (
+        SELECT vec_id, embedding, centroid,
                {_codes_sql(codebooks)} AS codes
-        FROM (SELECT vec_id, embedding, {dots} AS dots FROM base)
+        FROM {trained_assigned_sql(centroids, table)} t
       ),
       q AS (
         SELECT vec_id AS query_id, centroid AS q_centroid,

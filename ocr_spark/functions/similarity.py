@@ -618,10 +618,12 @@ def _assignments(emb: "DataFrame", n_centroids: int, centroids=None):
         # repartition into the single-split scan task — the hoist
         # took ivfpq's probe join from ~15 s to sub-second at sf0.1.
         unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("norm"))
+        # hoist the unit vector as a real column so each row pays dim
+        # divisions once, not k*dim (one re-normalize per dots entry)
         dots = F.array(*[
             F.aggregate(
                 F.zip_with(
-                    unit, F.lit(c), lambda x, y: x.cast("double") * y.cast("double")
+                    F.col("_u"), F.lit(c), lambda x, y: x.cast("double") * y.cast("double")
                 ),
                 F.lit(0.0).cast("double"),
                 lambda acc, v: acc + v,
@@ -629,7 +631,11 @@ def _assignments(emb: "DataFrame", n_centroids: int, centroids=None):
             for c in centroids
         ])
         assign = (F.array_position(dots, F.array_max(dots))).cast("int") - 1
-        return base.withColumn("centroid", assign.cast("long"))
+        return (
+            base.withColumn("_u", unit)
+            .withColumn("centroid", assign.cast("long"))
+            .drop("_u")
+        )
     cents = base.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid"),
         F.col("embedding").alias("c_emb"),
@@ -736,18 +742,17 @@ def ivf_topk_sql(
     """
 
 
-def ivf_topk_trained_sql(
-    centroids: list[list[float]],
-    table: str = "embeddings",
-    n_queries: int = 5,
-    k: int = 10,
+def trained_assigned_sql(
+    centroids: list[list[float]], table: str = "embeddings"
 ) -> str:
-    """DuckDB twin of ``ivf_topk(emb, centroids=...)`` — the TRAINED
-    path: cell assignment is a scan-stage argmax of cosine against the
-    literal centroid arrays (unit vectors), exactly mirroring the Spark
-    expression (normalize first, THEN fold the dot product — the fold
-    over x_i/norm * c_i must be arithmetic-identical across engines for
-    the argmax, and hence the cell population, to agree)."""
+    """THE DuckDB rendering of the trained-cell argmax, as a
+    self-contained subquery ``(vec_id, embedding, norm, centroid)`` —
+    one definition shared by every twin that assigns vectors to
+    trained cells (ivf_topk_trained, cluster_balanced_sample,
+    semantic_dedup, pq.ivfpq_topk). Cross-engine cell-population
+    agreement depends on this staying arithmetic-identical to the
+    Spark expression (normalize first, THEN fold the dot product), so
+    it must never be re-rendered at call sites."""
     dim = len(centroids[0])
     unit = (
         f"list_transform(range(1, {dim + 1}), "
@@ -756,17 +761,34 @@ def ivf_topk_trained_sql(
     dots = "[" + ", ".join(
         _dot_sql("u", _plane_lit_sql(c), dim) for c in centroids
     ) + "]"
+    return f"""(
+      SELECT vec_id, embedding, norm,
+             CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
+      FROM (
+        SELECT vec_id, embedding, norm, {dots} AS dots
+        FROM (
+          SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+                 {_norm_sql('embedding', dim)} AS norm, {unit} AS u
+          FROM {table}
+        )
+      )
+    )"""
+
+
+def ivf_topk_trained_sql(
+    centroids: list[list[float]],
+    table: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of ``ivf_topk(emb, centroids=...)`` — the TRAINED
+    path: cell assignment via the shared :func:`trained_assigned_sql`
+    argmax."""
+    dim = len(centroids[0])
     q_cos = f"({_dot_sql('q.q_emb', 'a.embedding', dim)} / (q.q_norm * a.norm))"
     return f"""
-      WITH base AS (
-        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
-               {_norm_sql('embedding', dim)} AS norm, {unit} AS u
-        FROM {table}
-      ),
-      assigned AS (
-        SELECT vec_id, embedding, norm,
-               CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
-        FROM (SELECT vec_id, embedding, norm, {dots} AS dots FROM base)
+      WITH assigned AS (
+        SELECT * FROM {trained_assigned_sql(centroids, table)} t
       ),
       q AS (
         SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
@@ -831,28 +853,15 @@ def cluster_balanced_sample_sql(
     cap: int = 10,
     salt: str = "clustercap:v1",
 ) -> str:
-    """DuckDB twin of :func:`cluster_balanced_sample` — same literal
-    centroids, same normalize-then-fold argmax as
-    :func:`ivf_topk_trained_sql`, same cap window as
-    ``sampling.cap_per_group_sql``."""
+    """DuckDB twin of :func:`cluster_balanced_sample` — cell
+    assignment via the shared :func:`trained_assigned_sql` argmax,
+    same cap window as ``sampling.cap_per_group_sql``."""
     from ocr_spark.functions.sampling import cap_per_group_sql
 
-    dim = len(centroids[0])
-    unit = (
-        f"list_transform(range(1, {dim + 1}), "
-        f"i -> CAST(embedding[i] AS DOUBLE) / {_norm_sql('embedding', dim)})"
+    assigned = (
+        f"(SELECT vec_id, centroid FROM "
+        f"{trained_assigned_sql(centroids, table)} t)"
     )
-    dots = "[" + ", ".join(
-        _dot_sql("u", _plane_lit_sql(c), dim) for c in centroids
-    ) + "]"
-    assigned = f"""(
-      SELECT vec_id,
-             CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
-      FROM (
-        SELECT CAST(vec_id AS BIGINT) AS vec_id, {dots} AS dots
-        FROM (SELECT vec_id, {unit} AS u FROM {table})
-      )
-    )"""
     return cap_per_group_sql(assigned, "centroid", cap, salt=salt, id_col="vec_id")
 
 
@@ -919,28 +928,14 @@ def semantic_dedup_sql(
     table: str = "embeddings",
     tau: float = 0.9,
 ) -> str:
-    """DuckDB twin of :func:`semantic_dedup` — same literal centroids
-    and normalize-then-fold argmax as :func:`ivf_topk_trained_sql`,
-    same ordered cosine fold for the within-cell pair verify."""
+    """DuckDB twin of :func:`semantic_dedup` — cell assignment via the
+    shared :func:`trained_assigned_sql` argmax, same ordered cosine
+    fold for the within-cell pair verify."""
     dim = len(centroids[0])
-    unit = (
-        f"list_transform(range(1, {dim + 1}), "
-        f"i -> CAST(embedding[i] AS DOUBLE) / {_norm_sql('embedding', dim)})"
-    )
-    dots = "[" + ", ".join(
-        _dot_sql("u", _plane_lit_sql(c), dim) for c in centroids
-    ) + "]"
     cos = f"({_dot_sql('a.embedding', 'b.embedding', dim)} / (a.norm * b.norm))"
     return f"""
-      WITH base AS (
-        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
-               {_norm_sql('embedding', dim)} AS norm, {unit} AS u
-        FROM {table}
-      ),
-      assigned AS (
-        SELECT vec_id, embedding, norm,
-               CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
-        FROM (SELECT vec_id, embedding, norm, {dots} AS dots FROM base)
+      WITH assigned AS (
+        SELECT * FROM {trained_assigned_sql(centroids, table)} t
       ),
       dropped AS (
         SELECT DISTINCT a.vec_id
