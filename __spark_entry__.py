@@ -52,6 +52,8 @@ from ocr_spark.functions.ivf_centroids import (
     TRAINED_CENTROIDS_SF001 as _IVF_CENTS,
 )
 from ocr_spark.functions.pq import (
+    ivfpq_nprobe_topk,
+    ivfpq_nprobe_topk_sql,
     ivfpq_topk,
     ivfpq_topk_sql,
     pq_adc_topk,
@@ -911,6 +913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": lambda s, d: ivfpq_topk(
             _read(s, d, "embeddings"), _IVF_CENTS, _PQ_CB
         ),
+        "ivfpq_nprobe_topk": lambda s, d: ivfpq_nprobe_topk(
+            _read(s, d, "embeddings"), _IVF_CENTS, _PQ_CB, nprobe=2
+        ),
         # semantic domain balancing: cap each trained k-means cell
         # (scan-stage argmax assignment + one rank-window shuffle)
         "cluster_balanced_sample": lambda s, d: sim.cluster_balanced_sample(
@@ -1220,6 +1225,9 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": pq_encode_flat_sql(_PQ_CB),
         "pq_adc_topk": pq_adc_topk_sql(_PQ_CB),
         "ivfpq_topk": ivfpq_topk_sql(_IVF_CENTS, _PQ_CB),
+        "ivfpq_nprobe_topk": ivfpq_nprobe_topk_sql(
+            _IVF_CENTS, _PQ_CB, nprobe=2
+        ),
         "cluster_balanced_sample": sim.cluster_balanced_sample_sql(
             _IVF_CENTS, cap=20
         ),

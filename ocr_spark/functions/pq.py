@@ -379,3 +379,168 @@ def ivfpq_topk_sql(
              {floor6_sql('dist_raw')} AS dist
       FROM ranked WHERE rank <= {k}
     """
+
+
+def _probe_base(emb: DataFrame, centroids, n_queries: int):
+    """Query-side frame (query_id, embedding, _folds...) with the
+    per-centroid unit-dot folds hoisted as columns — shared by the
+    nprobe cell ranking. Fold arithmetic is identical to
+    similarity._assignments' argmax (normalize first, THEN fold)."""
+    from ocr_spark.functions.similarity import _norm_expr
+
+    base = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding"),
+        F.expr(_norm_expr("embedding")).alias("norm"),
+    )
+    unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("norm"))
+    return base.withColumn("_u", unit)
+
+
+def _probe_cells_col(centroids, nprobe: int):
+    """array<bigint>: the query's top-nprobe cell ids by unit-dot.
+    Ranking key is (-dot, cell_id) ascending — double negation is
+    IEEE-exact, so nprobe=1 reproduces the argmax (max dot, ties ->
+    lowest id) bit-for-bit in both engines."""
+    folds = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_u"), F.lit(c), lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+    cand = F.array(*[
+        F.struct((-folds[i]).alias("d"), F.lit(i).cast("long").alias("c"))
+        for i in range(len(centroids))
+    ])
+    return F.transform(F.slice(F.array_sort(cand), 1, nprobe), lambda s: s["c"])
+
+
+def ivfpq_nprobe_topk(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int = 2,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, dist): IVF-PQ with multi-cell
+    probing — the standard FAISS recall knob. Candidates come from
+    the query's top-``nprobe`` cells by centroid cosine instead of
+    only the argmax cell, repairing the recall lost to vectors that
+    sit just across a cell boundary; candidate count is
+    ~nprobe*n/cells, still never the corpus. ``nprobe=1`` returns
+    exactly :func:`ivfpq_topk`'s output.
+
+    A vector belongs to exactly one cell and probe cells are
+    distinct, so no candidate is scored twice — no dedup needed.
+    """
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError("nprobe must satisfy 1 <= nprobe <= n_centroids")
+    from ocr_spark.functions.similarity import _assignments
+
+    m, _, _ = _dims(codebooks)
+    coded = _assignments(emb, len(centroids), centroids).select(
+        "vec_id",
+        "centroid",
+        _codes_col(codebooks).alias("codes"),
+    ).localCheckpoint()
+    q = _probe_base(emb, centroids, n_queries).select(
+        "query_id",
+        _dtab_col(codebooks, vec="embedding").alias("dtab"),
+        F.explode(_probe_cells_col(centroids, nprobe)).alias("q_centroid"),
+    )
+    dist = _adc_dist_expr(m)
+    pairs = (
+        F.broadcast(q)
+        .join(
+            coded,
+            (F.col("centroid") == F.col("q_centroid"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(dist).alias("dist_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_raw"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", floor6(F.col("dist_raw")).alias("dist")
+        )
+    )
+
+
+def ivfpq_nprobe_topk_sql(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int = 2,
+    table: str = "embeddings",
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_nprobe_topk` — same (-dot, cell)
+    probe ranking, same shared-argmax candidate cells, same ADC
+    tables and tie-breaks."""
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError("nprobe must satisfy 1 <= nprobe <= n_centroids")
+    from ocr_spark.functions.similarity import (
+        _dot_sql,
+        _norm_sql,
+        _plane_lit_sql,
+        trained_assigned_sql,
+    )
+
+    m, _, _ = _dims(codebooks)
+    dim = len(centroids[0])
+    unit = (
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) / {_norm_sql('embedding', dim)})"
+    )
+    cand = "[" + ", ".join(
+        "{'d': -(" + _dot_sql("u", _plane_lit_sql(c), dim) + f"), 'c': CAST({i} AS BIGINT)}}"
+        for i, c in enumerate(centroids)
+    ) + "]"
+    cells = f"list_transform(list_sort({cand})[1:{nprobe}], s -> s.c)"
+    dist = _adc_dist_sql(m)
+    return f"""
+      WITH coded AS (
+        SELECT vec_id, centroid, {_codes_sql(codebooks)} AS codes
+        FROM {trained_assigned_sql(centroids, table)} t
+      ),
+      qbase AS (
+        SELECT CAST(vec_id AS BIGINT) AS query_id, embedding, {unit} AS u
+        FROM {table} WHERE CAST(vec_id AS BIGINT) < {n_queries}
+      ),
+      qcells AS (
+        SELECT query_id, {_dtab_sql(codebooks)} AS dtab, {cells} AS cells
+        FROM qbase
+      ),
+      q AS (
+        SELECT query_id, dtab, p.cell AS q_centroid
+        FROM qcells, LATERAL unnest(cells) AS p(cell)
+      ),
+      pairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, {dist} AS dist_raw
+        FROM q JOIN coded c
+          ON c.centroid = q.q_centroid AND c.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist_raw ASC, neighbor_id ASC) AS rank,
+               dist_raw
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+             {floor6_sql('dist_raw')} AS dist
+      FROM ranked WHERE rank <= {k}
+    """
