@@ -381,14 +381,17 @@ def ivfpq_topk_sql(
     """
 
 
-def _probe_base(emb: DataFrame, centroids, n_queries: int):
-    """Query-side frame (query_id, embedding, _folds...) with the
-    per-centroid unit-dot folds hoisted as columns — shared by the
-    nprobe cell ranking. Fold arithmetic is identical to
-    similarity._assignments' argmax (normalize first, THEN fold)."""
+def _probe_base(emb: DataFrame, centroids, n_queries: int | None):
+    """Query-side frame (query_id, embedding, _u) with the unit
+    vector hoisted as a column — shared by the nprobe cell ranking.
+    ``n_queries=None`` keeps every row (the stored-index search path,
+    where the input IS the query batch). Fold arithmetic is identical
+    to similarity._assignments' argmax (normalize first, THEN fold)."""
     from ocr_spark.functions.similarity import _norm_expr
 
-    base = emb.where(F.col("vec_id") < n_queries).select(
+    if n_queries is not None:
+        emb = emb.where(F.col("vec_id") < n_queries)
+    base = emb.select(
         F.col("vec_id").cast("long").alias("query_id"),
         F.col("embedding"),
         F.expr(_norm_expr("embedding")).alias("norm"),
@@ -544,3 +547,76 @@ def ivfpq_nprobe_topk_sql(
              {floor6_sql('dist_raw')} AS dist
       FROM ranked WHERE rank <= {k}
     """
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(vec_id, centroid, codes): the persistable IVF-PQ index rows —
+    one scan computes both quantizations. Write with
+    ``.partitionBy("centroid")`` so stored-index probes
+    partition-prune (see :func:`search_ivfpq_index`)."""
+    from ocr_spark.functions.similarity import _assignments
+
+    _dims(codebooks)
+    return _assignments(emb, len(centroids), centroids).select(
+        "vec_id", "centroid", _codes_col(codebooks).alias("codes")
+    )
+
+
+def search_ivfpq_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int = 1,
+    k: int = TOP_K,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, dist): probe a PERSISTED IVF-PQ
+    index (the build_ivfpq_index layout) with a batch of raw query
+    vectors ``(vec_id, embedding)``.
+
+    The query batch's probe-cell union is collected driver-side (a
+    query batch is small by definition — nprobe cells per query, at
+    most n_centroids values) and applied as a filter BEFORE the probe
+    join: on a centroid-partitioned parquet/Iceberg index that is a
+    partition filter, so the scan touches only the probed cells'
+    files and the corpus-sized remainder is never read. This is the
+    read-side payoff of storing the index partitioned by cell.
+    """
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError("nprobe must satisfy 1 <= nprobe <= n_centroids")
+    m, _, _ = _dims(codebooks)
+    q = _probe_base(queries, centroids, None).select(
+        "query_id",
+        _dtab_col(codebooks, vec="embedding").alias("dtab"),
+        F.explode(_probe_cells_col(centroids, nprobe)).alias("q_centroid"),
+    ).localCheckpoint()
+    probe_cells = [r.q_centroid for r in q.select("q_centroid").distinct().collect()]
+    pruned = index.where(F.col("centroid").isin(probe_cells))
+    dist = _adc_dist_expr(m)
+    pairs = (
+        F.broadcast(q)
+        .join(
+            pruned,
+            (F.col("centroid") == F.col("q_centroid"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(dist).alias("dist_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_raw"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", floor6(F.col("dist_raw")).alias("dist")
+        )
+    )
