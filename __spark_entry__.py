@@ -941,6 +941,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang",
             {"en": 0.5, "de": 0.2, "fr": 0.1},
         ).select("doc_id", "lang"),
+        # deterministic global shuffle: the training-order permutation
+        # as a row property (hash sort key) — every (shard, pos)
+        # assignment oracle-checked
+        "shuffle_order": lambda s, d: smp.shuffle_order(
+            _read(s, d, "documents").select("doc_id"), n_shards=8
+        ),
         # banded interval join (points-in-window attribution): time-
         # banded equi-join + exact recheck — must equal the oracle's
         # naive non-equi join row-for-row with no nested-loop plan
@@ -1244,6 +1250,9 @@ def oracle_sql() -> dict[str, str]:
                 "documents", "lang", {"en": 0.5, "de": 0.2, "fr": 0.1}
             )
             + ")"
+        ),
+        "shuffle_order": smp.shuffle_order_sql(
+            "(SELECT doc_id FROM documents)", n_shards=8
         ),
         "interval_attribution": rj.attribution_join_events_sql(),
         "event_funnel": fn.funnel_counts_sql(),

@@ -751,3 +751,83 @@ def mixture_plan_sql(
              ELSE 0.0 END AS epochs
       FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (training order)
+# ---------------------------------------------------------------------------
+
+
+def shuffle_order(
+    df: DataFrame,
+    n_shards: int = 64,
+    salt: str = "shuffle:v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every row a deterministic global-shuffle position:
+    adds ``shard`` (0..n_shards-1) and ``pos`` (0-based rank within
+    the shard).
+
+    Training loaders need the corpus in a *fixed random order* — epoch
+    reproducibility, resumable iteration, and no adjacency bias from
+    crawl/ingest order. ``orderBy(rand())`` is execution-dependent
+    (per-partition seeds; a retry reorders the epoch) and a single
+    global sort serializes the corpus through one reducer. This is the
+    content-hash shuffle every large pipeline ships instead: the sort
+    key is ``H(salt || id)``, so the permutation is a property of the
+    rows — stable under retries, repartitioning, resume, and identical
+    on any cluster size — and the global order is (shard asc, pos asc)
+    while each shard sorts independently (~n/n_shards rows), keeping
+    the one shuffle uniform on the shard key.
+
+    Reading order ``(shard, pos)`` == reading the whole corpus sorted
+    by the 60-bit hash: shard is the hash mod n_shards, so
+    concatenating shards in shard order is itself a fixed (if slightly
+    coarser) hash permutation; a loader that interleaves shards gets
+    the standard shuffled-shard training order. Salt rotation
+    (``shuffle:v2``...) yields an independent permutation per epoch.
+
+    Hash ties (60-bit collisions) break on the id's string form, NULL
+    ids hash as '' (one deterministic bucket, never dropped).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = md5_long(
+        F.concat(
+            F.lit(salt + ":"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
+    )
+    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_shuffle_key").asc(), id_str.asc()
+    )
+    return (
+        df.withColumn("_shuffle_key", key)
+        .withColumn("shard", (F.col("_shuffle_key") % n_shards).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_shuffle_key")
+    )
+
+
+def shuffle_order_sql(
+    source: str,
+    n_shards: int = 64,
+    salt: str = "shuffle:v1",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`shuffle_order` (same hash, same
+    tie-break; returns ``SELECT *, shard, pos``)."""
+    s = salt.replace("'", "''")
+    keyed = f"'{s}:' || coalesce(CAST({id_col} AS VARCHAR), '')"
+    key = md5_long_sql(keyed)
+    return f"""
+      SELECT * EXCLUDE (_shuffle_key),
+             CAST(_shuffle_key % {n_shards} AS INT) AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY _shuffle_key % {n_shards}
+               ORDER BY _shuffle_key ASC,
+                        coalesce(CAST({id_col} AS VARCHAR), '') ASC
+             ) - 1 AS BIGINT) AS pos
+      FROM (SELECT *, {key} AS _shuffle_key FROM {source})
+    """

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions.sampling import (
     dataset_split,
+    shuffle_order,
+    shuffle_order_sql,
     dataset_split_sql,
     stratified_sample,
     stratified_sample_sql,
@@ -413,3 +415,69 @@ def test_mixture_plan_matches_oracle(spark):
     # both up- and down-sampled sources exist in the plan
     epochs = {r[0]: r[4] for r in got}
     assert any(e > 1 for e in epochs.values()) and any(e < 1 for e in epochs.values())
+
+
+# ---------------------------------------------------------------------------
+# shuffle_order (deterministic global shuffle)
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_order_is_a_permutation(docs):
+    """Every row gets exactly one (shard, pos); positions within a
+    shard are 0..count-1 dense; shards stay in range."""
+    out = shuffle_order(docs.select("doc_id"), n_shards=5).collect()
+    assert len(out) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 5
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard_positions in by_shard.values():
+        assert sorted(shard_positions) == list(range(len(shard_positions)))
+
+
+def test_shuffle_order_partition_invariant_and_string_null_ids(spark):
+    """(shard, pos) is a property of the row — identical under
+    repartition — and string / NULL ids are first-class (no silent
+    long-cast)."""
+    rows = [("sha1:%d" % i,) for i in range(50)] + [(None,)]
+    df = spark.createDataFrame(rows, "doc_id string")
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in shuffle_order(df, 4).collect()}
+    b = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_order(df.repartition(9), 4).collect()
+    }
+    assert a == b and len(a) == 51 and None in a
+
+
+def test_shuffle_order_salt_rotates_permutation(docs):
+    """A different salt (epoch) must yield a different permutation —
+    and both must be valid permutations of the same rows."""
+    ids = docs.select("doc_id")
+    e1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in shuffle_order(ids, 8, salt="shuffle:v1").collect()}
+    e2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in shuffle_order(ids, 8, salt="shuffle:v2").collect()}
+    assert set(e1) == set(e2)
+    assert e1 != e2  # independent epoch order
+
+
+def test_shuffle_order_matches_duckdb_twin(docs):
+    spark_rows = sorted(
+        map(tuple, shuffle_order(docs.select("doc_id"), n_shards=8).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    oracle = sorted(
+        map(
+            tuple,
+            con.execute(
+                shuffle_order_sql("(SELECT doc_id FROM documents)", n_shards=8)
+            ).fetchall(),
+        )
+    )
+    assert spark_rows == oracle
+
+
+def test_shuffle_order_validation():
+    with pytest.raises(ValueError):
+        shuffle_order(None, n_shards=0)
