@@ -947,6 +947,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order": lambda s, d: smp.shuffle_order(
             _read(s, d, "documents").select("doc_id"), n_shards=8
         ),
+        # BM25 retrieval: integer-summed per-term contributions (the
+        # tf-idf/LM fixed-point discipline) so the top-k set and the
+        # scores are engine-exact
+        "bm25_topk": lambda s, d: tfi.bm25_topk(
+            _read(s, d, "documents"), ["spark", "window", "merge"], k=15
+        ),
         # banded interval join (points-in-window attribution): time-
         # banded equi-join + exact recheck — must equal the oracle's
         # naive non-equi join row-for-row with no nested-loop plan
@@ -1253,6 +1259,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "shuffle_order": smp.shuffle_order_sql(
             "(SELECT doc_id FROM documents)", n_shards=8
+        ),
+        "bm25_topk": tfi.bm25_topk_sql(
+            "documents", ["spark", "window", "merge"], k=15
         ),
         "interval_attribution": rj.attribution_join_events_sql(),
         "event_funnel": fn.funnel_counts_sql(),

@@ -142,3 +142,165 @@ def tfidf_top_terms_sql(
         FROM scored
       ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    min_term_len: int = 2,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query by BM25:
+    (doc_id, n_hits, score_scaled).
+
+    The sparse-retrieval workhorse (inverted-index scoring re-expressed
+    relationally). Per matched (doc, term):
+
+        idf  = (N + 1) / (df + 1)                       # rational, as tf-idf
+        norm = tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/Σdl))
+        contribution = floor(10^6 · idf · norm)  →  int64
+
+    and the doc score is the INTEGER sum of contributions — float ops
+    happen per (doc, term) in a pinned expression tree (IEEE-identical
+    across engines), while the cross-row aggregation is exact integer
+    addition, so the result is partition- and engine-invariant (the
+    tf-idf / bigram-LM discipline). The conventional ln-idf is a
+    monotone transform per-term but NOT per-sum; the rational idf is
+    the repo's deliberate, documented divergence (see tf-idf header).
+
+    Scale shape: ONE corpus explode builds tf; the posting list is cut
+    to the query terms BEFORE any corpus-wide shuffle (a `isin` filter
+    the scan pushes down post-aggregation), so df/score work touches
+    only matching docs. Per-doc length dl joins in from a scan-stage
+    projection (no explode, 2-column pruned scan) — the join shuffles
+    |matching docs| + |corpus| × 2 small columns, not the tf table.
+    (N, Σdl) is a broadcast 1-row aggregate. Top-k is a global
+    orderBy+limit → TakeOrderedAndProject (per-partition heaps, no
+    full sort). Ties break on doc_id's string form ascending.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qts = sorted({t.lower() for t in query_terms})
+    import re as _re
+
+    for t in qts:
+        if not _re.fullmatch(TERM_RE, t) or len(t) < min_term_len:
+            raise ValueError(
+                f"query term {t!r} cannot match any token "
+                f"(must be alnum, length >= {min_term_len})"
+            )
+    live = docs.where(F.col("text").isNotNull())
+    terms = (
+        live.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(TERM_RE), 0)
+            ).alias("term"),
+        )
+        .select("doc_id", F.lower(F.col("term")).alias("term"))
+        .where(F.length("term") >= min_term_len)
+    )
+    tf = (
+        terms.where(F.col("term").isin(qts))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df over the query-term posting rows only (tf rows are distinct
+    # per (doc, term) — the window count IS the document frequency)
+    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    # dl: scan-stage token count, same tokenizer (length filter
+    # preserved — lower() can't change [a-zA-Z0-9]+ run lengths)
+    dl_tbl = live.select(
+        "doc_id",
+        F.expr(
+            f"size(filter(regexp_extract_all(text, '{TERM_RE}', 0), "
+            f"x -> length(x) >= {min_term_len}))"
+        ).cast("long").alias("dl"),
+    )
+    totals = dl_tbl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    scored = tf.join(dl_tbl, "doc_id").crossJoin(F.broadcast(totals))
+    idf = (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    denom = F.col("tf").cast("double") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + (F.lit(BM25_B) * F.col("dl").cast("double") * F.col("n_docs"))
+        / F.col("sum_dl")
+    )
+    contrib = F.floor(
+        (idf * ((F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom))
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        scored.withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_hits"),
+            F.sum("c").alias("score_scaled"),
+        )
+        .orderBy(
+            F.col("score_scaled").desc(),
+            F.col("doc_id").cast("string").asc(),
+        )
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    table: str = "documents",
+    query_terms: list[str] = (),
+    k: int = 10,
+    min_term_len: int = 2,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — the float expression tree is
+    pinned node-for-node (e-notation literals force DOUBLE; a bare
+    1.2 is DECIMAL in both dialects)."""
+    qts = sorted({t.lower() for t in query_terms})
+    in_list = ", ".join(f"'{t}'" for t in qts)
+    one_minus_b = f"{1.0 - BM25_B!r}e0"
+    k1_plus_1 = f"{BM25_K1 + 1.0!r}e0"
+    return f"""
+      WITH live AS (
+        SELECT doc_id, text FROM {table} WHERE text IS NOT NULL
+      ), terms AS (
+        SELECT doc_id, lower(unnest(regexp_extract_all(text, '{TERM_RE}'))) AS term
+        FROM live
+      ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms
+        WHERE length(term) >= {min_term_len} AND term IN ({in_list})
+        GROUP BY doc_id, term
+      ), tfdf AS (
+        SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf
+      ), dl_tbl AS (
+        SELECT doc_id, CAST(len(list_filter(
+          regexp_extract_all(text, '{TERM_RE}'),
+          x -> length(x) >= {min_term_len})) AS BIGINT) AS dl
+        FROM live
+      ), totals AS (
+        SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl_tbl
+      ), scored AS (
+        SELECT tfdf.doc_id,
+               CAST(floor((((n_docs + 1.0) / (df + 1.0)) *
+                 ((tf * {k1_plus_1}) /
+                  (CAST(tf AS DOUBLE) + {BM25_K1!r}e0 * ({one_minus_b} +
+                   ({BM25_B!r}e0 * CAST(dl AS DOUBLE) * n_docs) / sum_dl))))
+                 * 1000000.0) AS BIGINT) AS c
+        FROM tfdf
+        JOIN dl_tbl USING (doc_id)
+        CROSS JOIN totals
+      )
+      SELECT doc_id, CAST(count(*) AS INT) AS n_hits,
+             CAST(sum(c) AS BIGINT) AS score_scaled
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY score_scaled DESC, CAST(doc_id AS VARCHAR) ASC
+      LIMIT {k}
+    """

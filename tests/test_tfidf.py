@@ -8,7 +8,12 @@ import math
 import duckdb
 import pytest
 
-from ocr_spark.functions.tfidf import tfidf_top_terms, tfidf_top_terms_sql
+from ocr_spark.functions.tfidf import (
+    bm25_topk,
+    bm25_topk_sql,
+    tfidf_top_terms,
+    tfidf_top_terms_sql,
+)
 from ocr_spark.plans import plan_str as _plan
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -101,3 +106,63 @@ def test_matches_duckdb_twin(docs):
     )
     oracle = sorted(map(tuple, con.execute(tfidf_top_terms_sql()).fetchall()))
     assert got == oracle and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_semantics_tiny(tiny):
+    """Hand-checkable ranking: for the single-term query 'banana',
+    doc 2 (tf=3, short) must out-rank doc 1 (tf=1); docs without the
+    term never appear; n_hits counts matched query terms."""
+    out = {r.doc_id: r for r in bm25_topk(tiny, ["banana"], k=10).collect()}
+    assert set(out) == {1, 2}
+    assert out[2].score_scaled > out[1].score_scaled
+    assert out[1].n_hits == 1 and out[2].n_hits == 1
+
+
+def test_bm25_length_normalization(spark):
+    """Equal tf, different dl: BM25's b-term must prefer the shorter
+    document (same count is stronger evidence in less text)."""
+    rows = [
+        (1, "needle " + "filler " * 3),
+        (2, "needle " + "filler " * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.score_scaled for r in bm25_topk(df, ["needle"], 5).collect()}
+    assert out[1] > out[2]
+
+
+def test_bm25_query_validation(tiny):
+    with pytest.raises(ValueError):
+        bm25_topk(tiny, [])
+    with pytest.raises(ValueError):
+        bm25_topk(tiny, ["two words"])
+    with pytest.raises(ValueError):
+        bm25_topk(tiny, ["a"])  # below min_term_len
+
+
+def test_bm25_matches_duckdb_twin(docs):
+    q = ["scan", "join", "customer"]
+    got = sorted(map(tuple, bm25_topk(docs, q, k=25).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    oracle = sorted(
+        map(tuple, con.execute(bm25_topk_sql("documents", q, k=25)).fetchall())
+    )
+    assert got == oracle and len(got) == 25
+
+
+def test_bm25_plan_shape(docs):
+    """Posting list cut to query terms before the shuffle (isin filter
+    below the tf aggregate); global top-k is TakeOrdered, not a full
+    sort; no nested-loop join beyond the 1-row totals broadcast."""
+    plan = _plan(bm25_topk(docs, ["scan", "join"], k=10), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row totals
+    assert "partial_count" in plan
