@@ -1093,6 +1093,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_fluency": lambda s, d: lm.bigram_lm_score(
             _read(s, d, "documents")
         ),
+        # CCNet head/middle/tail terciles over the fluency score:
+        # nearest-rank thresholds, every bucket label oracle-checked
+        "fluency_buckets": lambda s, d: lm.fluency_buckets(
+            _read(s, d, "documents")
+        ),
         # count-min sketch over the token stream: fixed depth*width
         # cell table (the mergeable approximate-frequency artifact);
         # deterministic salted-md5 cells, so the sketch itself is the
@@ -1327,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "lm_fluency": lm.bigram_lm_score_sql("documents"),
+        "fluency_buckets": lm.fluency_buckets_sql("documents"),
         "cms_token_sketch": sk_cms_build_sql(
             "(SELECT v FROM (SELECT unnest(regexp_split_to_array(text,"
             f" '{_WS}+')) AS v FROM documents) WHERE v <> '')"

@@ -164,3 +164,89 @@ def bigram_lm_score_sql(table: str = "documents", lm_table: str | None = None) -
       LEFT JOIN uni USING (h1)
       GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style fluency buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+TERCILES = (1 / 3, 2 / 3)
+
+
+def fluency_buckets(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    accuracy: int = 1_000_000,
+) -> DataFrame:
+    """(doc_id, n_bigrams, mean_scaled, bucket): split the corpus into
+    CCNet's head / middle / tail terciles by LM fluency.
+
+    CCNet buckets documents by the perplexity of a reference LM and
+    keeps the head (most fluent third) for training; this is that
+    gate over :func:`bigram_lm_score`. ``mean_scaled`` is the exact
+    integer mean conditional probability ``sum_scaled div n_bigrams``
+    (0 when a doc has no bigrams — such docs are judged least fluent
+    and sink toward the tail). Tercile thresholds are nearest-rank
+    percentiles of ``mean_scaled``: exact BIGINTs drawn from the data
+    (the ``percentile_chars`` discipline — no float interpolation in
+    the contract), with values EQUAL to a threshold falling into the
+    lower bucket. With default ``accuracy`` the Spark percentile is
+    exact up to 10^6 docs; at corpus scale lower it and the thresholds
+    become t-digest approximations of the same cut points (the bucket
+    boundary blurs, the operator shape is unchanged).
+
+    Scale shape: the LM scoring subtree is localCheckpoint'ed once —
+    the threshold aggregate and the bucket projection both consume it,
+    and without materialization each branch would re-run the two
+    LM-count shuffles (the lsh_verified_pairs precedent). Thresholds
+    are a broadcast 1-row aggregate; the bucket label itself is pure
+    scan-stage codegen over the checkpointed scores.
+    """
+    scores = bigram_lm_score(docs, lm_docs).withColumn(
+        "mean_scaled",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.expr("sum_scaled div n_bigrams"),
+        ).otherwise(F.lit(0)).cast("long"),
+    ).localCheckpoint()
+    ths = scores.agg(
+        F.percentile_approx(
+            "mean_scaled", F.lit(list(TERCILES)), F.lit(accuracy)
+        ).alias("t")
+    ).select(
+        F.col("t")[0].cast("long").alias("t_lo"),
+        F.col("t")[1].cast("long").alias("t_hi"),
+    )
+    bucket = (
+        F.when(F.col("mean_scaled") > F.col("t_hi"), F.lit("head"))
+        .when(F.col("mean_scaled") > F.col("t_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scores.crossJoin(F.broadcast(ths))
+        .select("doc_id", "n_bigrams", "mean_scaled", bucket.alias("bucket"))
+    )
+
+
+def fluency_buckets_sql(table: str = "documents", lm_table: str | None = None) -> str:
+    """DuckDB twin of :func:`fluency_buckets` — quantile_disc picks
+    the same nearest-rank element as exact-mode percentile_approx
+    (agreement at thirds probed across sizes incl. ties)."""
+    return f"""
+      WITH scores AS (
+        SELECT doc_id, n_bigrams, sum_scaled,
+               CAST(CASE WHEN n_bigrams > 0
+                    THEN sum_scaled // n_bigrams ELSE 0 END AS BIGINT)
+                 AS mean_scaled
+        FROM ({bigram_lm_score_sql(table, lm_table)})
+      ), ths AS (
+        SELECT CAST(quantile_disc(mean_scaled, {TERCILES[0]!r}) AS BIGINT) AS t_lo,
+               CAST(quantile_disc(mean_scaled, {TERCILES[1]!r}) AS BIGINT) AS t_hi
+        FROM scores
+      )
+      SELECT doc_id, n_bigrams, mean_scaled,
+             CASE WHEN mean_scaled > t_hi THEN 'head'
+                  WHEN mean_scaled > t_lo THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scores CROSS JOIN ths
+    """

@@ -10,6 +10,8 @@ from ocr_spark.functions.lm import (
     P_SCALE,
     bigram_lm_score,
     bigram_lm_score_sql,
+    fluency_buckets,
+    fluency_buckets_sql,
 )
 from ocr_spark.plans import plan_str as _plan
 
@@ -90,3 +92,59 @@ def test_lm_plan_no_nested_loop(docs):
     p = _plan(bigram_lm_score(docs), "simple")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# fluency_buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+
+def test_fluency_buckets_order_and_exhaustiveness(spark):
+    """Buckets respect mean_scaled (monotone), every doc gets exactly
+    one bucket, and under CROSS-scoring (LM from a fluent corpus)
+    gibberish full of unseen transitions sinks to the tail while
+    in-distribution text rises. (Self-LM on a tiny corpus cannot
+    punish unique transitions — a bigram seen once IS its prefix's
+    only continuation — hence the explicit lm_docs here.)"""
+    lm_rows = [
+        (100 + i, "the cat sat on the mat and the dog sat on the rug")
+        for i in range(4)
+    ]
+    rows = [
+        (1, "the cat sat on the mat"),          # pure in-distribution
+        (2, "the cat sat on zq xv pj wk"),      # half unseen
+        (3, "zq xv pj wk rn mh bd"),            # all unseen -> 0
+        (5, ""),                                # no bigrams -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm_df = spark.createDataFrame(lm_rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in fluency_buckets(df, lm_docs=lm_df).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    order = {"tail": 0, "middle": 1, "head": 2}
+    pairs = sorted(out.values(), key=lambda r: r.mean_scaled)
+    for lo, hi in zip(pairs, pairs[1:]):
+        assert order[lo.bucket] <= order[hi.bucket]
+    assert out[1].mean_scaled > out[2].mean_scaled > out[3].mean_scaled
+    assert out[1].bucket == "head"
+    assert out[3].bucket == "tail" and out[3].mean_scaled == 0
+    assert out[5].bucket == "tail" and out[5].n_bigrams == 0
+
+
+def test_fluency_buckets_matches_duckdb_twin(docs):
+    got = sorted(map(tuple, fluency_buckets(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    oracle = sorted(
+        map(tuple, con.execute(fluency_buckets_sql("documents")).fetchall())
+    )
+    assert got == oracle and len(got) == 500
+    buckets = {b for (_, _, _, b) in got}
+    assert buckets == {"head", "middle", "tail"}
+
+
+def test_fluency_buckets_partition_invariant(docs):
+    a = sorted(map(tuple, fluency_buckets(docs).collect()))
+    b = sorted(map(tuple, fluency_buckets(docs.repartition(13)).collect()))
+    assert a == b
