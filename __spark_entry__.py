@@ -81,6 +81,7 @@ from ocr_spark.functions import text as txt
 from ocr_spark.functions import scrub as scr
 from ocr_spark.functions import contamination as cnt
 from ocr_spark.functions import graph as gph
+from ocr_spark.functions import classifier as qc
 from ocr_spark.functions import lm
 from ocr_spark.pipeline import pages as pg
 from ocr_spark.pipeline import results as res
@@ -1098,6 +1099,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fluency_buckets": lambda s, d: lm.fluency_buckets(
             _read(s, d, "documents")
         ),
+        # fastText-style hashed linear classifier: baked fixed-point
+        # weights, integer-exact margins, broadcast weight dim
+        "quality_classifier": lambda s, d: qc.quality_classifier(
+            _read(s, d, "documents")
+        ),
         # count-min sketch over the token stream: fixed depth*width
         # cell table (the mergeable approximate-frequency artifact);
         # deterministic salted-md5 cells, so the sketch itself is the
@@ -1333,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lm_fluency": lm.bigram_lm_score_sql("documents"),
         "fluency_buckets": lm.fluency_buckets_sql("documents"),
+        "quality_classifier": qc.quality_classifier_sql("documents"),
         "cms_token_sketch": sk_cms_build_sql(
             "(SELECT v FROM (SELECT unnest(regexp_split_to_array(text,"
             f" '{_WS}+')) AS v FROM documents) WHERE v <> '')"

@@ -70,6 +70,23 @@ def _feats_expr(n_buckets: int) -> str:
     )
 
 
+def feats_select_sql(src: str, n_buckets: int) -> str:
+    """DuckDB twin of ``explode(_feats_expr(n))``: a SELECT yielding
+    (doc_id, f) — one row per bigram occurrence. Shared by the DSIR
+    twin and the linear-classifier twin so "feature" can never mean
+    two different things across the hash-compared contract."""
+    w = _words_sql()
+    bucket = md5_long_sql(PAIR_SQL) + f" % {n_buckets}"
+    return (
+        "SELECT doc_id, unnest(fs) AS f FROM ("
+        "SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
+        f"list_transform(range(1, len(w)), i -> {bucket}) "
+        "ELSE [] END AS fs FROM "
+        f"(SELECT doc_id, text FROM {src}) "
+        f"CROSS JOIN LATERAL (SELECT {w} AS w) lw)"
+    )
+
+
 def _feat_counts(src: DataFrame, n_buckets: int, cname: str) -> DataFrame:
     return (
         src.selectExpr(f"explode({_feats_expr(n_buckets)}) AS f")
@@ -129,18 +146,9 @@ def dsir_weights_sql(
     """DuckDB twin of :func:`dsir_weights` (1-based list indexing;
     range() exclusive stop mirrors sequence()'s inclusive stop)."""
     raw_src = docs_expr if raw_expr is None else raw_expr
-    w = _words_sql()
-    bucket = md5_long_sql(PAIR_SQL) + f" % {n_buckets}"
 
     def feats(src: str) -> str:
-        return (
-            "SELECT doc_id, unnest(fs) AS f FROM ("
-            "SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
-            f"list_transform(range(1, len(w)), i -> {bucket}) "
-            "ELSE [] END AS fs FROM "
-            f"(SELECT doc_id, text FROM {src}) "
-            f"CROSS JOIN LATERAL (SELECT {w} AS w) lw)"
-        )
+        return feats_select_sql(src, n_buckets)
 
     return f"""
       WITH tc AS (SELECT f, count(*) AS c_t FROM ({feats(target_expr)}) GROUP BY f),
