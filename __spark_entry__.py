@@ -930,6 +930,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": lambda s, d: sim.embedding_dup_clusters(
             _read(s, d, "embeddings"), tau=0.35
         ),
+        # all-corpus k-NN graph: banded-LSH candidates, exact-cosine
+        # per-source rank (map-side WindowGroupLimit truncation)
+        "knn_graph": lambda s, d: sim.knn_graph(
+            _read(s, d, "embeddings"), k=5
+        ),
         # --- deterministic sampling (training-data surface): content-
         # hash bucketing, not sample() — row-stable under task retry /
         # repartition / resume; row-level oracle check of every
@@ -1256,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_near_dups": sim.embedding_near_dups_sql(tau=0.35),
         "embedding_dup_clusters": sim.embedding_dup_clusters_sql(tau=0.35),
+        "knn_graph": sim.knn_graph_sql("embeddings", k=5),
         "dataset_split_assign": (
             "SELECT doc_id, split FROM ("
             + smp.dataset_split_sql("documents")

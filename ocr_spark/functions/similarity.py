@@ -946,3 +946,105 @@ def semantic_dedup_sql(
       SELECT s.vec_id, s.centroid, (d.vec_id IS NULL) AS kept
       FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
     """
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph (banded-LSH candidates, exact-cosine rank)
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
+    """(vec_id, nbr_id, cos, rank): each vector's top-``k`` approximate
+    nearest neighbors by cosine, candidates from banded LSH.
+
+    The all-corpus k-NN graph is the substrate for graph-based corpus
+    work — SemDeDup-style pruning, label propagation, connectivity
+    audits, diversity sampling — and brute force is n². Here the
+    DIRECTED candidate set is every pair agreeing on ≥1 of ``n_bands``
+    sign-signature band keys (~n²/2^planes_per_band per band, each
+    extra bit halves it — the embedding_near_dups scale argument);
+    only candidates get an exact cosine, and per-source ranking is a
+    window the optimizer truncates to k map-side (WindowGroupLimit,
+    the topk_per_group shape). The join shuffles on uniform (band,
+    key); the rank shuffles on vec_id. Vectors whose buckets are
+    singletons in every band emit no rows (honest LSH recall miss —
+    raise planes/bands or fall back to :func:`cosine_topk` for
+    guaranteed coverage).
+
+    Ordering is on the floor6-truncated cosine with nbr_id ascending
+    tie-break, so ranks are engine- and partition-exact.
+    """
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+        F.expr(_norm_expr("embedding")).alias("norm"),
+        F.posexplode(
+            F.expr(band_keys_expr("embedding", n_bands, planes_per_band))
+        ).alias("band", "key"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cos = F.expr(_dot_expr("a.embedding", "b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            floor6(cos).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "nbr_id", "cos", "rank")
+    )
+
+
+def knn_graph_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> str:
+    """DuckDB twin of :func:`knn_graph`."""
+    cos = f"({_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm))"
+    return f"""
+      WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+               {_norm_sql('embedding')} AS norm,
+               {band_keys_sql('embedding', n_bands, planes_per_band)} AS keys
+        FROM {table}
+      ),
+      banded AS (
+        SELECT vec_id, embedding, norm, r.i AS band, keys[r.i + 1] AS key
+        FROM base CROSS JOIN range(0, {n_bands}) r(i)
+      ),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+               {floor6_sql(cos)} AS cos
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id
+      )
+      SELECT vec_id, nbr_id, cos, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC
+        ) AS INT) AS rank
+        FROM cand
+      ) WHERE rank <= {k}
+    """

@@ -707,3 +707,46 @@ def test_novel_docs_matches_duckdb_twin(docs, con):
     )
     oracle = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == oracle and len(got) == 100  # exactly the modified fifth
+
+
+def test_knn_graph_matches_twin(emb, con):
+    assert_same(
+        similarity.knn_graph(emb, k=5), con, similarity.knn_graph_sql(k=5)
+    )
+
+
+def test_knn_graph_semantics(emb):
+    """Directed lists: per-source ranks dense from 1, no self-edges,
+    at most k rows per source, cosine non-increasing in rank."""
+    rows = similarity.knn_graph(emb, k=4).collect()
+    per_src: dict[int, list] = {}
+    for r in rows:
+        assert r.vec_id != r.nbr_id
+        per_src.setdefault(r.vec_id, []).append(r)
+    for src, lst in per_src.items():
+        lst.sort(key=lambda r: r.rank)
+        assert [r.rank for r in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= 4
+        for lo, hi in zip(lst, lst[1:]):
+            assert lo.cos >= hi.cos
+
+
+def test_knn_graph_planted_neighbor_recalled(spark):
+    """A planted near-identical pair must appear as each other's #1
+    neighbor (identical signs in every band -> candidate in all)."""
+    import pandas as pd
+
+    base = [(i * 31 % 97) / 48.0 - 1.0 for i in range(similarity.DIM)]
+    near = list(base)
+    near[0] += 0.001
+    far = [((i * 53 + 7) % 89) / 44.0 - 1.0 for i in range(similarity.DIM)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [1, 2, 3], "embedding": [base, near, far]}
+        )
+    )
+    got = {
+        (r.vec_id, r.rank): r.nbr_id
+        for r in similarity.knn_graph(df, k=2).collect()
+    }
+    assert got.get((1, 1)) == 2 and got.get((2, 1)) == 1
