@@ -33,7 +33,11 @@ end to end — the composition a 100 TB corpus actually runs:
                analog, exact integer arithmetic), and the optional
                --dsir-target gate (DSIR-style importance toward a
                target-domain corpus, fixed-point hashed-bigram
-               probability difference);
+               probability difference), and the optional
+               --classifier-gate (the baked fastText-style hashed
+               linear model's keep decision — integer-exact margins,
+               broadcast weight dim; scores only the docs still
+               gated, since the model carries no corpus statistics);
 6. dedup     — exact (content hash) then near-dup (minhash-LSH
                candidates, exact-Jaccard verify, connected
                components) over the survivors;
@@ -134,6 +138,14 @@ def main() -> None:
         "--gopher",
         action="store_true",
         help="apply the Gopher quality-rule panel as an additional gate",
+    )
+    ap.add_argument(
+        "--classifier-gate",
+        action="store_true",
+        help="apply the baked hashed linear quality classifier's keep "
+        "decision as an additional gate (train real weights with "
+        "scripts/train_quality_classifier.py; the committed demo model "
+        "memorizes the synthetic contract corpus)",
     )
     ap.add_argument(
         "--min-lm-fluency",
@@ -394,6 +406,15 @@ def main() -> None:
     if args.gopher:
         g = gopher_rules(corpus).select("doc_id", "keep")
         gated = gated.join(g, "doc_id").where(F.col("keep")).drop("keep")
+    if args.classifier_gate:
+        from ocr_spark.functions.classifier import quality_classifier
+
+        # per-doc model, no corpus statistics — score only the docs
+        # still gated (the dsir-gate costing argument)
+        cg = quality_classifier(gated.select("doc_id", "text")).select(
+            "doc_id", F.col("keep").alias("_clf")
+        )
+        gated = gated.join(cg, "doc_id").where(F.col("_clf")).drop("_clf")
     if args.min_lm_fluency > 0:
         # self-LM over the scrubbed corpus; mean = integer div so the
         # gate is exact (greatest(n,1): 0-transition docs score 0 and

@@ -460,3 +460,23 @@ def test_curate_pack_knobs_rejected_at_parse_time(spark, tmp_path):
         )
     with pytest.raises(SystemExit):
         _run(spark, tmp_path, ("--pack-seq-len", "-1"))
+
+
+def test_curate_classifier_gate(spark, tmp_path):
+    """--classifier-gate drops exactly the docs the baked model marks
+    keep=false among the otherwise-gated survivors (subset of the
+    ungated run; result non-empty on the training corpus)."""
+    from ocr_spark.functions.classifier import quality_classifier
+
+    out_plain, s_plain = _run(spark, tmp_path / "a", ("--min-quality", "0.0"))
+    out_clf, s_clf = _run(
+        spark, tmp_path / "b", ("--min-quality", "0.0", "--classifier-gate")
+    )
+    plain_ids = {r.doc_id for r in spark.read.parquet(out_plain).collect()}
+    clf_ids = {r.doc_id for r in spark.read.parquet(out_clf).collect()}
+    assert 0 < len(clf_ids) < len(plain_ids)
+    # every kept doc passes the model on its curated text
+    kept = quality_classifier(
+        spark.read.parquet(out_clf).select("doc_id", "text")
+    )
+    assert kept.where(~F.col("keep")).count() == 0
