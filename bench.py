@@ -136,7 +136,27 @@ def headline_queries(spark, sf_dir: str, span_dir: str | None = None):
         # and the index is a stored table. It stays contract-checked.
         "pack_index": lambda: _pack_index_q(docs()),
         "semantic_dedup": lambda: _semantic_dedup_q(emb()),
+        # round-3 session-9 additions: the classifier is the new
+        # explode -> broadcast-dim -> partial-agg shape; bm25 is the
+        # query-filtered posting-list shape. fluency_buckets is NOT
+        # here (its localCheckpoint barrier is already represented by
+        # lsh_verified_pairs); shuffle_order/knn_graph reuse measured
+        # shapes (rank window / banded self-join).
+        "quality_classifier": lambda: _classifier_q(docs()),
+        "bm25_topk": lambda: _bm25_q(docs()),
     }
+
+
+def _classifier_q(docs):
+    from ocr_spark.functions.classifier import quality_classifier
+
+    return quality_classifier(docs)
+
+
+def _bm25_q(docs):
+    from ocr_spark.functions.tfidf import bm25_topk
+
+    return bm25_topk(docs, ["spark", "window", "merge"], k=100)
 
 
 def _pack_index_q(docs):
