@@ -52,6 +52,28 @@ from ocr_spark.functions.classifier_weights import (
 from ocr_spark.functions.dsir import _feats_expr
 
 
+def _resolve_model(
+    weights_scaled: list[int] | None,
+    bias_scaled: int | None,
+    n_buckets: int | None,
+) -> tuple[list[int], int, int]:
+    """One (w, b, n_buckets) resolution for BOTH twins, so they cannot
+    diverge: default to the baked model, infer n_buckets from an
+    explicit weight list, and raise on a length mismatch (a weight
+    list shorter than the featurizer modulus silently zeroes the tail
+    buckets otherwise)."""
+    w = WEIGHTS_SCALED if weights_scaled is None else weights_scaled
+    b = BIAS_SCALED if bias_scaled is None else bias_scaled
+    nb = (
+        (N_BUCKETS if weights_scaled is None else len(w))
+        if n_buckets is None
+        else n_buckets
+    )
+    if len(w) != nb:
+        raise ValueError(f"expected {nb} weights, got {len(w)}")
+    return list(w), int(b), nb
+
+
 def quality_classifier(
     docs: DataFrame,
     weights_scaled: list[int] | None = None,
@@ -65,11 +87,7 @@ def quality_classifier(
     (fixed-point 2^-20 units); ``keep`` = margin_scaled > 0. Docs with
     no bigrams score margin 0 → keep = false (nothing to judge; gate
     them separately if empty docs should pass)."""
-    w = WEIGHTS_SCALED if weights_scaled is None else weights_scaled
-    b = BIAS_SCALED if bias_scaled is None else bias_scaled
-    nb = (N_BUCKETS if weights_scaled is None else len(w)) if n_buckets is None else n_buckets
-    if len(w) != nb:
-        raise ValueError(f"expected {nb} weights, got {len(w)}")
+    w, b, nb = _resolve_model(weights_scaled, bias_scaled, n_buckets)
     spark = docs.sparkSession
     wtab = spark.createDataFrame(
         [(i, int(v)) for i, v in enumerate(w) if v != 0],
@@ -78,7 +96,7 @@ def quality_classifier(
     feats = docs.selectExpr(
         "doc_id", f"explode_outer({_feats_expr(nb)}) AS f"
     )
-    margin = F.coalesce(F.sum("w"), F.lit(0)) + F.count("f") * F.lit(int(b))
+    margin = F.coalesce(F.sum("w"), F.lit(0)) + F.count("f") * F.lit(b)
     return (
         feats.join(F.broadcast(wtab), "f", "left")
         .groupBy("doc_id")
@@ -99,17 +117,19 @@ def quality_classifier_sql(
     """DuckDB twin of :func:`quality_classifier` (weights inlined as a
     VALUES dim — same sparsification, same left join + coalesce;
     DISTINCT id list before the join-back, the dsir twin's fan-out
-    lesson)."""
+    lesson). An all-zero model sparsifies to an empty dim — a typed
+    NULL seed row (filtered out) keeps the VALUES clause parseable."""
     from ocr_spark.functions.dsir import feats_select_sql
 
-    w = WEIGHTS_SCALED if weights_scaled is None else weights_scaled
-    b = BIAS_SCALED if bias_scaled is None else bias_scaled
-    nb = (N_BUCKETS if weights_scaled is None else len(w)) if n_buckets is None else n_buckets
+    w, b, nb = _resolve_model(weights_scaled, bias_scaled, n_buckets)
     vals = ", ".join(
-        f"({i}, {int(v)})" for i, v in enumerate(w) if v != 0
+        ["(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))"]
+        + [f"({i}, {int(v)})" for i, v in enumerate(w) if v != 0]
     )
     return f"""
-      WITH wtab(f, w) AS (VALUES {vals}),
+      WITH wtab AS (
+        SELECT * FROM (VALUES {vals}) t(f, w) WHERE f IS NOT NULL
+      ),
       feats AS (
         SELECT d.doc_id, p.f
         FROM (SELECT DISTINCT doc_id FROM {table}) d

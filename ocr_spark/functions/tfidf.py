@@ -54,6 +54,55 @@ from ocr_spark.functions.text import floor6, floor6_sql
 TERM_RE = "[a-zA-Z0-9]+"
 
 
+def _terms(docs: DataFrame, min_term_len: int) -> DataFrame:
+    """(doc_id, term): the module's ONE tokenizer — extract-then-lower
+    (see the dialect-trap note above), length-filtered. Shared by
+    tf-idf and BM25 so 'term' can never mean two different things."""
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(TERM_RE), 0)
+            ).alias("term"),
+        )
+        # generators can't nest inside expressions — lowercase (ASCII-
+        # only by construction of TERM_RE) in a follow-up projection
+        .select("doc_id", F.lower(F.col("term")).alias("term"))
+        .where(F.length("term") >= min_term_len)
+    )
+
+
+def _terms_select_sql(table: str, min_term_len: int) -> str:
+    """DuckDB twin of :func:`_terms`."""
+    return (
+        "SELECT doc_id, term FROM ("
+        f"SELECT doc_id, lower(unnest(regexp_extract_all(text, '{TERM_RE}'))) AS term "
+        f"FROM {table} WHERE text IS NOT NULL"
+        f") WHERE length(term) >= {min_term_len}"
+    )
+
+
+def _query_terms(query_terms, min_term_len: int) -> list[str]:
+    """Shared validation for BOTH bm25 twins: lowercase, dedup, and
+    reject terms no token could ever equal (non-alnum — which also
+    guarantees the inlined SQL literals need no escaping — or shorter
+    than the length filter). Raises ValueError, matching engine and
+    oracle behavior."""
+    import re as _re
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qts = sorted({t.lower() for t in query_terms})
+    for t in qts:
+        if not _re.fullmatch(TERM_RE, t) or len(t) < min_term_len:
+            raise ValueError(
+                f"query term {t!r} cannot match any token "
+                f"(must be alnum, length >= {min_term_len})"
+            )
+    return qts
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 5,
@@ -72,19 +121,7 @@ def tfidf_top_terms(
     """
     if idf not in ("rational", "log"):
         raise ValueError(f"unknown idf mode: {idf!r}")
-    terms = (
-        docs.where(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.explode(
-                F.regexp_extract_all(F.col("text"), F.lit(TERM_RE), 0)
-            ).alias("term"),
-        )
-        # generators can't nest inside expressions — lowercase (ASCII-
-        # only by construction of TERM_RE) in a follow-up projection
-        .select("doc_id", F.lower(F.col("term")).alias("term"))
-        .where(F.length("term") >= min_term_len)
-    )
+    terms = _terms(docs, min_term_len)
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # tf rows are distinct per (doc, term), so a per-term window count
     # IS the document frequency — no join, no second corpus scan
@@ -119,11 +156,9 @@ def tfidf_top_terms_sql(
     score = floor6_sql("tf * ((n_docs + 1.0) / (df + 1.0))")
     return f"""
       WITH terms AS (
-        SELECT doc_id, lower(unnest(regexp_extract_all(text, '{TERM_RE}'))) AS term
-        FROM {table} WHERE text IS NOT NULL
+        {_terms_select_sql(table, min_term_len)}
       ), tf AS (
         SELECT doc_id, term, count(*) AS tf FROM terms
-        WHERE length(term) >= {min_term_len}
         GROUP BY doc_id, term
       ), tfdf AS (
         SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf
@@ -186,30 +221,11 @@ def bm25_topk(
     orderBy+limit → TakeOrderedAndProject (per-partition heaps, no
     full sort). Ties break on doc_id's string form ascending.
     """
-    if not query_terms:
-        raise ValueError("query_terms must be non-empty")
-    qts = sorted({t.lower() for t in query_terms})
-    import re as _re
-
-    for t in qts:
-        if not _re.fullmatch(TERM_RE, t) or len(t) < min_term_len:
-            raise ValueError(
-                f"query term {t!r} cannot match any token "
-                f"(must be alnum, length >= {min_term_len})"
-            )
+    qts = _query_terms(query_terms, min_term_len)
     live = docs.where(F.col("text").isNotNull())
-    terms = (
-        live.select(
-            "doc_id",
-            F.explode(
-                F.regexp_extract_all(F.col("text"), F.lit(TERM_RE), 0)
-            ).alias("term"),
-        )
-        .select("doc_id", F.lower(F.col("term")).alias("term"))
-        .where(F.length("term") >= min_term_len)
-    )
     tf = (
-        terms.where(F.col("term").isin(qts))
+        _terms(docs, min_term_len)
+        .where(F.col("term").isin(qts))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -262,8 +278,10 @@ def bm25_topk_sql(
 ) -> str:
     """DuckDB twin of :func:`bm25_topk` — the float expression tree is
     pinned node-for-node (e-notation literals force DOUBLE; a bare
-    1.2 is DECIMAL in both dialects)."""
-    qts = sorted({t.lower() for t in query_terms})
+    1.2 is DECIMAL in both dialects). Validation is shared with the
+    engine side — rejected terms raise here too (and accepted terms
+    are alnum-only, so the inlined literals need no escaping)."""
+    qts = _query_terms(query_terms, min_term_len)
     in_list = ", ".join(f"'{t}'" for t in qts)
     one_minus_b = f"{1.0 - BM25_B!r}e0"
     k1_plus_1 = f"{BM25_K1 + 1.0!r}e0"
@@ -271,11 +289,10 @@ def bm25_topk_sql(
       WITH live AS (
         SELECT doc_id, text FROM {table} WHERE text IS NOT NULL
       ), terms AS (
-        SELECT doc_id, lower(unnest(regexp_extract_all(text, '{TERM_RE}'))) AS term
-        FROM live
+        {_terms_select_sql('live', min_term_len)}
       ), tf AS (
         SELECT doc_id, term, count(*) AS tf FROM terms
-        WHERE length(term) >= {min_term_len} AND term IN ({in_list})
+        WHERE term IN ({in_list})
         GROUP BY doc_id, term
       ), tfdf AS (
         SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf

@@ -119,3 +119,32 @@ def test_classifier_partition_invariant(docs):
     a = sorted(map(tuple, quality_classifier(docs).collect()))
     b = sorted(map(tuple, quality_classifier(docs.repartition(11)).collect()))
     assert a == b
+
+
+def test_classifier_all_zero_model_twin_parses(spark):
+    """An all-zero model sparsifies to an empty weight dim — the twin
+    must still be valid SQL and agree with the engine (review fix)."""
+    df = spark.createDataFrame([(1, "a b c"), (2, "")], "doc_id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            quality_classifier(
+                df, weights_scaled=[0] * 8, bias_scaled=5, n_buckets=8
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO t VALUES (1, 'a b c'), (2, '')")
+    oracle = sorted(
+        map(
+            tuple,
+            con.execute(
+                quality_classifier_sql(
+                    "t", weights_scaled=[0] * 8, bias_scaled=5, n_buckets=8
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == oracle
+    assert got[0][2] == 2 * 5  # margin = n_feats * bias only

@@ -166,3 +166,16 @@ def test_bm25_plan_shape(docs):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row totals
     assert "partial_count" in plan
+
+
+def test_bm25_twin_validates_like_engine():
+    """The SQL generator shares the engine's query validation (review
+    fix): empty or unmatchable terms raise instead of emitting broken
+    SQL, and accepted terms are alnum-only so literals need no
+    escaping."""
+    with pytest.raises(ValueError):
+        bm25_topk_sql("documents", [])
+    with pytest.raises(ValueError):
+        bm25_topk_sql("documents", ["o'brien"])
+    with pytest.raises(ValueError):
+        bm25_topk_sql("documents", ["a"])
