@@ -1012,6 +1012,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "documents"),
             _read(s, d, "documents").where("lang = 'en'"),
         ),
+        # snapshot-vs-snapshot drift monitor: per-source L1 distance
+        # of the shared hashed-bigram distributions (exact fixed
+        # point); the id split keeps every source in both snapshots
+        "corpus_drift": lambda s, d: dsir.corpus_drift(
+            _read(s, d, "documents").where("doc_id < 250"),
+            _read(s, d, "documents").where("doc_id >= 250"),
+        ),
         # PII redaction: staged email -> IPv4 -> phone scrub; corpus
         # text carries no PII, so every 7th doc gets a deterministic
         # injection (mirrored in the twin) to make the check real
@@ -1304,6 +1311,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_weights": dsir.dsir_weights_sql(
             "documents", "(SELECT * FROM documents WHERE lang = 'en')"
+        ),
+        "corpus_drift": dsir.corpus_drift_sql(
+            "(SELECT * FROM documents WHERE doc_id < 250)",
+            "(SELECT * FROM documents WHERE doc_id >= 250)",
         ),
         "pii_scrub": scr.pii_scrub_sql(
             "(SELECT * REPLACE (CASE WHEN doc_id % 7 = 0"

@@ -180,3 +180,108 @@ def dsir_weights_sql(
       CROSS JOIN tt CROSS JOIN rt
       GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus drift monitoring (snapshot-vs-snapshot feature distance)
+# ---------------------------------------------------------------------------
+
+
+def corpus_drift(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    group_col: str = "source",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(group, n_feats_a, n_feats_b, l1_scaled): per-group distribution
+    drift between two corpus snapshots.
+
+    The monitoring primitive for a continuously-crawled corpus: did
+    source X's content distribution move between last week's snapshot
+    and this week's (crawler broke, site redesigned, spam flood,
+    dedup misfiring)? Drift is the L1 distance between the hashed-
+    bigram feature distributions —
+
+        l1_scaled = Σ_f | (10^6·c_A(f)) // tot_A − (10^6·c_B(f)) // tot_B |
+
+    with the SAME fixed feature space, tokenization, and fixed-point
+    probability rendering as DSIR and the LM (one definition of
+    "feature" across selection, fluency, and monitoring). Bounds:
+    0 = identical distributions, ≤ 2·10^6 = disjoint; exact integer,
+    so thresholds behave identically on any cluster and engine.
+    Groups present in only one snapshot score against an empty (all-
+    zero) distribution — full drift, never silently dropped.
+
+    Scale shape: per-(group, bucket) counts are one explode +
+    map-side partial count per snapshot — at most |groups|·n_buckets
+    rows each, corpus-size-independent; the distance is one full
+    outer equi-join on (group, f) + a per-group sum. Totals per group
+    ride along via a window on the bounded count table, not a second
+    corpus scan.
+    """
+
+    def counts(src: DataFrame, cname: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        return (
+            src.selectExpr(
+                f"{group_col} AS grp", f"explode({_feats_expr(n_buckets)}) AS f"
+            )
+            .groupBy("grp", "f")
+            .agg(F.count("*").alias(cname))
+            .withColumn(
+                f"{cname}_tot", F.sum(cname).over(Window.partitionBy("grp"))
+            )
+        )
+
+    ca = counts(snap_a, "c_a")
+    cb = counts(snap_b, "c_b")
+    joined = ca.join(cb, ["grp", "f"], "full_outer")
+    pa = F.expr(f"CASE WHEN c_a IS NULL THEN CAST(0 AS BIGINT) ELSE ({P_SCALE} * c_a) div c_a_tot END")
+    pb = F.expr(f"CASE WHEN c_b IS NULL THEN CAST(0 AS BIGINT) ELSE ({P_SCALE} * c_b) div c_b_tot END")
+    return (
+        joined.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.coalesce(F.sum("c_a"), F.lit(0)).cast("long").alias("n_feats_a"),
+            F.coalesce(F.sum("c_b"), F.lit(0)).cast("long").alias("n_feats_b"),
+            F.sum(F.abs(pa - pb)).cast("long").alias("l1_scaled"),
+        )
+    )
+
+
+def corpus_drift_sql(
+    snap_a_expr: str,
+    snap_b_expr: str,
+    group_col: str = "source",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`corpus_drift`. Snapshot expressions must
+    project (doc_id, text, <group_col>)."""
+
+    def counts(src: str, cname: str) -> str:
+        return (
+            f"SELECT grp, f, count(*) AS {cname}, "
+            f"sum(count(*)) OVER (PARTITION BY grp) AS {cname}_tot FROM ("
+            f"SELECT s.grp, p.f FROM "
+            f"(SELECT doc_id, {group_col} AS grp FROM {src}) s "
+            f"JOIN ({feats_select_sql(src, n_buckets)}) p "
+            f"ON s.doc_id = p.doc_id) GROUP BY grp, f"
+        )
+
+    pa = f"CASE WHEN c_a IS NULL THEN CAST(0 AS BIGINT) ELSE ({P_SCALE} * c_a) // c_a_tot END"
+    pb = f"CASE WHEN c_b IS NULL THEN CAST(0 AS BIGINT) ELSE ({P_SCALE} * c_b) // c_b_tot END"
+    return f"""
+      WITH ca AS ({counts(snap_a_expr, "c_a")}),
+      cb AS ({counts(snap_b_expr, "c_b")}),
+      joined AS (
+        SELECT coalesce(ca.grp, cb.grp) AS grp,
+               c_a, c_a_tot, c_b, c_b_tot
+        FROM ca FULL OUTER JOIN cb ON ca.grp = cb.grp AND ca.f = cb.f
+      )
+      SELECT grp AS {group_col},
+             CAST(coalesce(sum(c_a), 0) AS BIGINT) AS n_feats_a,
+             CAST(coalesce(sum(c_b), 0) AS BIGINT) AS n_feats_b,
+             CAST(sum(abs(({pa}) - ({pb}))) AS BIGINT) AS l1_scaled
+      FROM joined
+      GROUP BY grp
+    """

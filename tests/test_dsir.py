@@ -96,3 +96,81 @@ def test_separate_raw_background(spark, corpus):
     rows = {r.doc_id: r.score_scaled for r in dsir_weights(batch, target, raw=raw).collect()}
     # doc 7's features: in target only -> positive; doc 8: in raw only -> negative
     assert rows[7] > 0 > rows[8]
+
+
+# ---------------------------------------------------------------------------
+# corpus_drift (snapshot monitoring)
+# ---------------------------------------------------------------------------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    import duckdb
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    return c
+
+
+def test_drift_self_is_zero(docs):
+    from ocr_spark.functions.dsir import corpus_drift
+
+    out = corpus_drift(docs, docs).collect()
+    assert len(out) == 20
+    assert all(r.l1_scaled == 0 for r in out)
+    assert all(r.n_feats_a == r.n_feats_b for r in out)
+
+
+def test_drift_disjoint_groups_score_full(spark):
+    """A group present in only one snapshot drifts against the empty
+    distribution — l1 ~ 1e6 (its whole probability mass), never
+    dropped."""
+    from ocr_spark.functions.dsir import corpus_drift
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma", "sA"), (2, "alpha beta", "sBoth")],
+        "doc_id long, text string, source string",
+    )
+    b = spark.createDataFrame(
+        [(3, "delta epsilon zeta", "sB"), (4, "alpha beta", "sBoth")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in corpus_drift(a, b).collect()}
+    assert set(out) == {"sA", "sB", "sBoth"}
+    assert out["sBoth"].l1_scaled == 0
+    # integer div flooring can shave at most 1 unit per feature
+    assert out["sA"].l1_scaled >= 999_998 and out["sB"].l1_scaled >= 999_998
+    assert out["sA"].n_feats_b == 0 and out["sB"].n_feats_a == 0
+
+
+def test_drift_matches_duckdb_twin(docs, con):
+    from ocr_spark.functions.dsir import corpus_drift, corpus_drift_sql
+
+    a = docs.where("doc_id < 250")
+    b = docs.where("doc_id >= 250")
+    got = sorted(map(tuple, corpus_drift(a, b).collect()))
+    oracle = sorted(
+        map(
+            tuple,
+            con.execute(
+                corpus_drift_sql(
+                    "(SELECT * FROM documents WHERE doc_id < 250)",
+                    "(SELECT * FROM documents WHERE doc_id >= 250)",
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == oracle and len(got) == 20
+    # mixed split: every source present on both sides, drift strictly
+    # between identical (0) and disjoint (~2e6)
+    for (_, na, nb, l1) in got:
+        assert na > 0 and nb > 0 and 0 < l1 < 2_000_000
