@@ -953,6 +953,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order": lambda s, d: smp.shuffle_order(
             _read(s, d, "documents").select("doc_id"), n_shards=8
         ),
+        # winnowing (MOSS) fingerprints: position-robust k-gram
+        # selection, scan-stage only; every (doc, pos, fp) checked
+        "winnow_fingerprints": lambda s, d: txt.winnow_fingerprints(
+            _read(s, d, "documents")
+        ),
         # BM25 retrieval: integer-summed per-term contributions (the
         # tf-idf/LM fixed-point discipline) so the top-k set and the
         # scores are engine-exact
@@ -1287,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": tfi.bm25_topk_sql(
             "documents", ["spark", "window", "merge"], k=15
         ),
+        "winnow_fingerprints": txt.winnow_fingerprints_sql("documents"),
         "interval_attribution": rj.attribution_join_events_sql(),
         "event_funnel": fn.funnel_counts_sql(),
         "retention_cohorts": fn.retention_cohorts_sql(),

@@ -289,3 +289,108 @@ def vocab_topk_sql(table: str = "documents", k: int = 100) -> str:
         GROUP BY token
       ) ORDER BY n DESC, token ASC LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 5, w: int = 4, max_chars: int = 100_000
+) -> DataFrame:
+    """(doc_id, pos, fp): winnowing-selected character k-gram
+    fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+    algorithm; public).
+
+    Where :func:`fingerprint` is one whole-document hash (exact-copy
+    grouping) and ``scrub.repeated_passages`` mines fixed anchored
+    windows, winnowing gives the POSITION-ROBUST selection the
+    copy-detection literature standardized on: hash every char
+    k-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum (rightmost on ties). Guarantee: any shared
+    substring of length >= w + k - 1 between two documents yields at
+    least one identical selected (fp) in both — so matching docs on
+    fp finds partial overlaps that whole-doc hashing misses, with
+    only ~2/(w+1) of the k-gram hashes kept.
+
+    Shape: pure scan-stage array expressions (one md5 per k-gram,
+    LET-bound so window mins never re-hash; per-doc work O(n·w) with
+    small constant w) + one explode. No shuffle — downstream overlap
+    mining is a groupBy(fp) exactly like repeated_passages. Docs
+    shorter than ``k`` chars contribute no fingerprints. Inputs are
+    clipped to ``max_chars`` (the repeated_passages per-doc scan cap:
+    a pathological giant doc cannot monopolize a task).
+
+    ``pos`` is the 1-based char offset of the selected k-gram. The
+    same (hash, position) can win several overlapping windows —
+    selections are emitted once per the paper (array_distinct inside
+    the scan stage — the operator stays shuffle-free; the DuckDB twin
+    dedupes at row level instead, as it cannot list_distinct struct
+    lists).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    h = md5_long_expr(f"substring(t, i, {k})")
+    # LET-bind the clipped text, then the k-gram hash array, then the
+    # per-window (rightmost-min) selections; acc seed is > any 60-bit
+    # hash so the first window element always replaces it
+    seed = 1 << 62
+    sel = (
+        f"transform(sequence(1, size(H) - {w - 1}), j -> "
+        f"aggregate(sequence(j, j + {w - 1}), "
+        f"struct(CAST({seed} AS BIGINT) AS fp, CAST(0 AS BIGINT) AS pos), "
+        f"(acc, i) -> IF(element_at(H, CAST(i AS INT)) <= acc.fp, "
+        f"struct(element_at(H, CAST(i AS INT)) AS fp, i AS pos), acc)))"
+    )
+    expr = (
+        f"flatten(transform(array(substring(text, 1, {max_chars})), t -> "
+        f"flatten(transform("
+        f"array(CASE WHEN length(t) >= {k} THEN "
+        f"transform(sequence(1, length(t) - {k - 1}), i -> {h}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END), H -> "
+        f"CASE WHEN size(H) >= {w} THEN array_distinct({sel}) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<fp: BIGINT, pos: BIGINT>>) END))))"
+    )
+    return (
+        docs.where(F.col("text").isNotNull())
+        .selectExpr("doc_id", f"explode({expr}) AS s")
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str = "documents", k: int = 5, w: int = 4, max_chars: int = 100_000
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (list_reduce seeds
+    from the prepended init element; 1-based list indexing matches
+    element_at)."""
+    h = md5_long_sql(f"substr(t, CAST(i AS INT), {k})")
+    seed = 1 << 62
+    sel = (
+        f"list_transform(range(1, len(H) - {w - 1} + 1), j -> "
+        f"list_reduce(list_prepend("
+        f"{{'fp': CAST({seed} AS BIGINT), 'pos': CAST(0 AS BIGINT)}}, "
+        f"list_transform(range(j, j + {w}), i -> "
+        f"{{'fp': H[CAST(i AS INT)], 'pos': CAST(i AS BIGINT)}})), "
+        f"(acc, x) -> CASE WHEN x.fp <= acc.fp THEN x ELSE acc END))"
+    )
+    return f"""
+      SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM (
+        SELECT doc_id, unnest(sels) AS s FROM (
+          SELECT doc_id,
+            CASE WHEN len(H) >= {w} THEN {sel}
+                 ELSE [] END AS sels
+          FROM (
+            SELECT doc_id,
+              CASE WHEN length(t) >= {k} THEN
+                list_transform(range(1, length(t) - {k - 1} + 1), i -> {h})
+              ELSE [] END AS H
+            FROM (
+              SELECT doc_id, substr(text, 1, {max_chars}) AS t
+              FROM {table} WHERE text IS NOT NULL
+            )
+          )
+        )
+      )
+    """

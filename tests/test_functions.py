@@ -750,3 +750,51 @@ def test_knn_graph_planted_neighbor_recalled(spark):
         for r in similarity.knn_graph(df, k=2).collect()
     }
     assert got.get((1, 1)) == 2 and got.get((2, 1)) == 1
+
+
+def test_winnow_fingerprints_matches_twin(docs, con):
+    assert_same(
+        text.winnow_fingerprints(docs), con, text.winnow_fingerprints_sql()
+    )
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= w + k - 1 share at least one selected fingerprint; selection is
+    sparse (~2/(w+1) of k-grams) but never empty for len >= k+w-1."""
+    k, w = 5, 4
+    shared = "the quick brown fox jumps over it"  # len 33 >= w+k-1
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "xyzzy " + shared + " qwert"),
+        (3, "completely different content here with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.winnow_fingerprints(df, k=k, w=w).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    for doc_id, t in rows:
+        n_kgrams = len(t) - k + 1
+        assert 0 < len(fps[doc_id]) <= n_kgrams
+        # density: winnowing keeps roughly 2/(w+1); allow slack x3
+        assert len(fps[doc_id]) <= max(3, 3 * 2 * n_kgrams // (w + 1))
+
+
+def test_winnow_short_docs_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, None), (4, "abcdefgh")],
+        "doc_id long, text string",
+    )
+    out = text.winnow_fingerprints(df, k=5, w=4).collect()
+    # doc 4: 8 chars -> 4 k-grams == w -> exactly one window min set
+    assert {r.doc_id for r in out} == {4}
+    with pytest.raises(ValueError):
+        text.winnow_fingerprints(df, k=0)
+
+
+def test_winnow_plan_is_scan_stage(docs):
+    from ocr_spark.plans import plan_str as _plan2
+
+    assert "Exchange" not in _plan2(text.winnow_fingerprints(docs), "simple")
