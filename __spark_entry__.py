@@ -76,6 +76,14 @@ from ocr_spark.functions.sketches import bloom_contains_sql as sk_bloom_contains
 from ocr_spark.functions.sketches import cms_build as sk_cms_build
 from ocr_spark.functions.sketches import cms_build_sql as sk_cms_build_sql
 from ocr_spark.functions.sketches import exact_distinct as sk_exact_distinct
+from ocr_spark.functions.sketches import hist_quantiles as sk_hist_quantiles
+from ocr_spark.functions.sketches import (
+    hist_quantiles_sql as sk_hist_quantiles_sql,
+)
+from ocr_spark.functions.sketches import hist_sketch_build as sk_hist_build
+from ocr_spark.functions.sketches import (
+    hist_sketch_build_sql as sk_hist_build_sql,
+)
 from ocr_spark.functions import timeseries as tsr
 from ocr_spark.functions import text as txt
 from ocr_spark.functions import scrub as scr
@@ -1131,6 +1139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("token") != ""),
             "token",
         ),
+        # HDR-histogram quantile sketch: fixed-size mergeable bin
+        # table + integer-exact nearest-rank estimates (<= 2^-5
+        # relative error); both the median/p90/p99 answers are checked
+        "hist_quantiles": lambda s, d: sk_hist_quantiles(
+            sk_hist_build(_read(s, d, "documents"), "n_chars")
+        ),
         # Bloom filter over yesterday's ingested doc ids: the set bit
         # positions ARE the filter (mergeable by bit-OR across shards)
         "bloom_docid_bits": lambda s, d: sk_bloom_build(
@@ -1366,6 +1380,11 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_sketch": sk_cms_build_sql(
             "(SELECT v FROM (SELECT unnest(regexp_split_to_array(text,"
             f" '{_WS}+')) AS v FROM documents) WHERE v <> '')"
+        ),
+        "hist_quantiles": sk_hist_quantiles_sql(
+            sk_hist_build_sql(
+                "SELECT CAST(n_chars AS BIGINT) AS v FROM documents"
+            )
         ),
         "bloom_docid_bits": sk_bloom_build_sql(
             "(SELECT doc_id AS v FROM documents WHERE doc_id % 2 = 0)"

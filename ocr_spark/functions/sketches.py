@@ -339,3 +339,183 @@ def bloom_contains_sql(
       FROM hashed h LEFT JOIN bloom b ON h.bit = b.bit
       GROUP BY h.value
     """
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (HDR-histogram binning, integer-exact)
+# ---------------------------------------------------------------------------
+
+HIST_SUB_BITS = 5  # sub-buckets per power of two; relative error <= 2^-5
+
+
+def _hist_bin_expr(v: str, m: int) -> str:
+    """Spark SQL: non-negative BIGINT -> histogram bin id. v <= 0 maps
+    to bin 0; v >= 1 to ((e << m) | sub) + 1 where e = floor(log2 v)
+    via length(bin(v)) - 1 (no libm: the binary-string length IS the
+    exponent, identically in both engines) and sub = the next m bits.
+    """
+    e = f"(length(bin({v})) - 1)"
+    sub = f"(shiftright({v}, greatest({e} - {m}, 0)) & {(1 << m) - 1})"
+    return (
+        f"CASE WHEN {v} <= 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST((({e} * {1 << m}) | {sub}) + 1 AS BIGINT) END"
+    )
+
+
+def _hist_bin_sql(v: str, m: int) -> str:
+    """DuckDB twin of :func:`_hist_bin_expr`."""
+    e = f"(length(bin({v})) - 1)"
+    sub = f"(({v} >> greatest({e} - {m}, 0)) & {(1 << m) - 1})"
+    return (
+        f"CASE WHEN {v} <= 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST((({e} * {1 << m}) | {sub}) + 1 AS BIGINT) END"
+    )
+
+
+def _hist_rep_expr(bin_col: str, m: int) -> str:
+    """Bin id -> representative value (the bin's LOWER bound; exact
+    for e <= m, where the sub-bits cover every bit below the MSB).
+    Dialect-shared: pure integer shifts (shiftleft spelled via
+    multiply, identical in both engines)."""
+    b = f"({bin_col} - 1)"
+    e = f"({b} div {1 << m})"
+    sub = f"({b} % {1 << m})"
+    # (2^m + sub) << (e - m) for e > m; exact 2^e + sub otherwise
+    return (
+        f"CASE WHEN {bin_col} = 0 THEN CAST(0 AS BIGINT) "
+        f"WHEN {e} <= {m} THEN CAST(shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT)) + {sub} AS BIGINT) "
+        f"ELSE CAST(shiftleft(CAST({1 << m} AS BIGINT) + {sub}, CAST({e} - {m} AS INT)) AS BIGINT) END"
+    )
+
+
+def _hist_rep_sql(bin_col: str, m: int) -> str:
+    b = f"({bin_col} - 1)"
+    e = f"({b} // {1 << m})"
+    sub = f"({b} % {1 << m})"
+    return (
+        f"CASE WHEN {bin_col} = 0 THEN CAST(0 AS BIGINT) "
+        f"WHEN {e} <= {m} THEN CAST((CAST(1 AS BIGINT) << CAST({e} AS INT)) + {sub} AS BIGINT) "
+        f"ELSE CAST((CAST({1 << m} AS BIGINT) + {sub}) << CAST({e} - {m} AS INT) AS BIGINT) END"
+    )
+
+
+def hist_sketch_build(
+    df: DataFrame, col: str, sub_bits: int = HIST_SUB_BITS
+) -> DataFrame:
+    """(bin, n): the HDR-histogram quantile sketch of a non-negative
+    BIGINT column — geometric bins with ``2^sub_bits`` linear
+    sub-buckets per power of two, so any quantile estimate's relative
+    error is <= 2^-sub_bits (~3% at the default 5).
+
+    The mergeable complement to the exact nearest-rank percentile
+    (olap.percentile_chars): exact mode needs the value multiset per
+    group; this sketch is a FIXED <= (64 - sub_bits)·2^sub_bits + 1
+    row table (~1.9k rows) no matter the data size, built with one
+    map-side-partial shuffle, and per-shard/day sketches merge by bin
+    addition into exactly the single-pass sketch. Binning is pure
+    integer work — floor(log2 v) is the binary-string length, no
+    libm — so sketch AND estimates are engine-exact and
+    oracle-checkable (the CMS/Bloom discipline). Values <= 0 (and the
+    estimate 0) occupy a dedicated bin: counts/lengths/latencies are
+    the intended domain."""
+    return (
+        df.selectExpr(
+            f"{_hist_bin_expr(f'CAST({col} AS BIGINT)', sub_bits)} AS bin"
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def hist_sketch_merge(sketches: DataFrame) -> DataFrame:
+    """Merge shard sketches by bin addition — equals the single-pass
+    sketch EXACTLY. Same caller contract as cms_merge: all inputs
+    must share sub_bits (the bin table carries no parameter
+    metadata)."""
+    return sketches.groupBy("bin").agg(F.sum("n").alias("n"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs_permille: tuple = (500, 900, 990),
+    sub_bits: int = HIST_SUB_BITS,
+) -> DataFrame:
+    """(q_permille, est): nearest-rank quantile estimates from the
+    sketch — the first bin whose cumulative count reaches
+    ceil(q·total), reported as the bin's lower-bound representative.
+
+    Quantiles are permille INTEGERS so the rank threshold is the
+    exact integer ceil-division ``(q·total + 999) div 1000`` — no
+    float crosses the hash-compared path, and the operands stay
+    NON-NEGATIVE because Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors: the negate-and-divide ceil idiom silently
+    disagrees between engines whenever q·total is not a multiple of
+    1000 (caught by the error-bound test, not the divisible-total
+    contract corpus). The sketch is localCheckpoint'ed
+    (its lineage may be a corpus aggregation; cum and total both
+    consume it — the fluency_buckets precedent), then everything runs
+    at operator scale: the cumulative window and the q-to-bin
+    inequality join touch <= ~1.9k bins x |qs| rows (the one
+    sanctioned tiny-side nested loop, the contamination precedent)."""
+    from pyspark.sql import Window
+
+    for q in qs_permille:
+        if not (0 < q <= 1000):
+            raise ValueError(f"q_permille must be in (0, 1000], got {q}")
+    sk = sketch.localCheckpoint()
+    cum = sk.withColumn("cum", F.sum("n").over(Window.orderBy("bin")))
+    total = sk.agg(F.sum("n").alias("total"))
+    qs_df = sk.sparkSession.createDataFrame(
+        [(int(q),) for q in qs_permille], "q_permille int"
+    )
+    ranks = qs_df.crossJoin(F.broadcast(total)).select(
+        "q_permille", F.expr("(q_permille * total + 999) div 1000").alias("rank")
+    )
+    return (
+        ranks.join(F.broadcast(cum), F.col("cum") >= F.col("rank"), "left")
+        .groupBy("q_permille")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "q_permille",
+            F.expr(_hist_rep_expr("bin", sub_bits)).alias("est"),
+        )
+    )
+
+
+def hist_sketch_build_sql(
+    values_source: str, sub_bits: int = HIST_SUB_BITS
+) -> str:
+    """DuckDB twin of :func:`hist_sketch_build`; ``values_source``
+    must yield one BIGINT column ``v``."""
+    return (
+        f"SELECT {_hist_bin_sql('v', sub_bits)} AS bin, "
+        f"CAST(count(*) AS BIGINT) AS n FROM ({values_source}) GROUP BY 1"
+    )
+
+
+def hist_quantiles_sql(
+    sketch_sql: str,
+    qs_permille: tuple = (500, 900, 990),
+    sub_bits: int = HIST_SUB_BITS,
+) -> str:
+    """DuckDB twin of :func:`hist_quantiles` over a sketch subquery."""
+    parts = []
+    for q in qs_permille:
+        if not (0 < q <= 1000):
+            raise ValueError(f"q_permille must be in (0, 1000], got {q}")
+        parts.append(
+            f"SELECT CAST({q} AS INT) AS q_permille, "
+            f"{_hist_rep_sql('bin', sub_bits)} AS est FROM ("
+            f"SELECT min(bin) AS bin FROM cum "
+            f"WHERE cum >= ({q} * total + 999) // 1000)"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+      WITH sk AS ({sketch_sql}),
+      tot AS (SELECT sum(n) AS total FROM sk),
+      cum AS (
+        SELECT bin, sum(n) OVER (ORDER BY bin) AS cum, total
+        FROM sk CROSS JOIN tot
+      )
+      {union}
+    """

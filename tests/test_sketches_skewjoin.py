@@ -306,3 +306,81 @@ def test_bloom_null_probe_value_is_matchable(spark):
     }
     assert got[None] is True
     assert "y" in got
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hist_sketch_matches_twin_and_merges(spark):
+    import duckdb
+
+    from ocr_spark.functions.sketches import (
+        hist_quantiles,
+        hist_quantiles_sql,
+        hist_sketch_build,
+        hist_sketch_build_sql,
+        hist_sketch_merge,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sk = hist_sketch_build(docs, "n_chars")
+    got = sorted(map(tuple, hist_quantiles(sk).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    oracle = sorted(
+        map(
+            tuple,
+            con.execute(
+                hist_quantiles_sql(
+                    hist_sketch_build_sql(
+                        "SELECT CAST(n_chars AS BIGINT) AS v FROM documents"
+                    )
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == oracle and len(got) == 3
+    # shard sketches merge to EXACTLY the single-pass sketch
+    a = hist_sketch_build(docs.where("doc_id % 2 = 0"), "n_chars")
+    b = hist_sketch_build(docs.where("doc_id % 2 = 1"), "n_chars")
+    merged = sorted(map(tuple, hist_sketch_merge(a.unionByName(b)).collect()))
+    assert merged == sorted(map(tuple, sk.collect()))
+
+
+def test_hist_quantile_error_bound(spark):
+    """Estimates honor the 2^-sub_bits relative-error guarantee vs the
+    exact nearest-rank quantiles, including hostile values (zeros,
+    ones, powers of two, giants)."""
+    import math
+
+    from ocr_spark.functions.sketches import hist_quantiles, hist_sketch_build
+
+    vals = (
+        [0] * 5 + [1, 2, 3] + [2**i for i in range(1, 40)]
+        + list(range(100, 4000, 7)) + [10**12]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = dict(
+        map(tuple, hist_quantiles(hist_sketch_build(df, "v")).collect())
+    )
+    s = sorted(vals)
+    for q in (500, 900, 990):
+        true = s[math.ceil(q / 1000 * len(s)) - 1]
+        est = got[q]
+        if true == 0:
+            assert est == 0
+        else:
+            assert abs(est - true) / true <= 2**-5, (q, est, true)
+
+
+def test_hist_quantiles_validation(spark):
+    from ocr_spark.functions.sketches import hist_quantiles, hist_sketch_build
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        hist_quantiles(hist_sketch_build(df, "v"), qs_permille=(0,))
