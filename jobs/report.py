@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""spark-submit entry: corpus health / drift report.
+
+The monitoring face of the engine: the job a corpus owner schedules
+after every crawl or curation run to answer "did the corpus change in
+a way I should look at?" — one submission, each table written as
+parquet under --output/<name>:
+
+- source_stats   : per-source doc count, token total, distinct langs,
+                   null/empty-text count (one partial-agg pass)
+- length_sketch  : the mergeable HDR-histogram quantile sketch of doc
+                   length (persist it; next run merges or compares
+                   without rescanning history — functions/sketches.py)
+- length_quantiles: nearest-rank p50/p90/p99 estimates off the sketch
+- lang_mix       : per-source x predicted-lang counts (lang_id)
+- drift          : per-source L1 distance of the hashed-bigram
+                   distribution vs --previous (functions/dsir.py);
+                   only with --previous — first runs have no baseline
+- quality        : per-source mean quality_score + Gopher keep-rate
+
+Every table is a single declarative plan (no collect loops); the job
+prints one JSON summary line with row counts, and — when --previous
+is given — the max per-source drift so an alerting wrapper can
+threshold on it (the l1 scale: 0 identical .. 2,000,000 disjoint;
+exact integers, cluster- and engine-independent).
+
+Example:
+  spark-submit --py-files dist/ocr_spark.zip jobs/report.py \\
+    --docs /data/crawl_2026_08_19.parquet \\
+    --previous /data/crawl_2026_08_12.parquet \\
+    --output /out/report
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="current snapshot parquet")
+    ap.add_argument(
+        "--previous",
+        default=None,
+        help="previous snapshot parquet for the drift table (optional)",
+    )
+    ap.add_argument("--output", required=True, help="output root dir")
+    ap.add_argument("--group-col", default="source")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from ocr_spark.functions.dsir import corpus_drift
+    from ocr_spark.functions.scrub import gopher_rules
+    from ocr_spark.functions.sketches import hist_quantiles, hist_sketch_build
+    from ocr_spark.functions.text import lang_id, quality_score
+    from ocr_spark.pipeline.session import get_spark
+    from ocr_spark.schema import WS
+
+    spark = get_spark(args.master, app_name="ocr_spark_report")
+    docs = spark.read.parquet(args.docs)
+    g = args.group_col
+
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), WS + "+"), lambda x: x != "")
+    )
+    tables = {}
+    tables["source_stats"] = docs.groupBy(g).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce(n_tokens, F.lit(0))).alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.length("text") == 0), 1
+            ).otherwise(0)
+        ).alias("n_empty"),
+    )
+    # sketch on the doc-length column the corpus already carries when
+    # present; else compute from text (identical binning either way)
+    length_col = (
+        F.col("n_chars")
+        if "n_chars" in docs.columns
+        else F.coalesce(F.length("text"), F.lit(0))
+    )
+    sketch = hist_sketch_build(docs.select(length_col.alias("v")), "v")
+    tables["length_sketch"] = sketch
+    tables["length_quantiles"] = hist_quantiles(sketch)
+    tables["lang_mix"] = (
+        lang_id(docs).join(docs.select("doc_id", g), "doc_id")
+        .groupBy(g, "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    q = quality_score(docs).select("doc_id", "quality")
+    keep = gopher_rules(docs).select("doc_id", "keep")
+    tables["quality"] = (
+        docs.select("doc_id", g)
+        .join(q, "doc_id")
+        .join(keep, "doc_id")
+        .groupBy(g)
+        .agg(
+            F.avg("quality").alias("mean_quality"),
+            F.avg(F.col("keep").cast("double")).alias("gopher_keep_rate"),
+        )
+    )
+    if args.previous:
+        prev = spark.read.parquet(args.previous)
+        tables["drift"] = corpus_drift(prev, docs, group_col=g)
+
+    counts = {}
+    for name, df in tables.items():
+        out = f"{args.output}/{name}"
+        df.write.mode("overwrite").parquet(out)
+        counts[name] = spark.read.parquet(out).count()
+
+    summary = {"job": "report", "rows": counts}
+    if args.previous:
+        drift = spark.read.parquet(f"{args.output}/drift")
+        top = drift.orderBy(F.col("l1_scaled").desc()).limit(1).collect()
+        if top:
+            summary["max_drift"] = {
+                "group": top[0][g],
+                "l1_scaled": top[0]["l1_scaled"],
+            }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Corpus health report job: table shapes, drift wiring, alerting
+summary."""
+
+from __future__ import annotations
+
+import json
+import sys
+from unittest.mock import patch
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(spark, tmp_path, extra_args=()):
+    import jobs.report as job
+
+    out = str(tmp_path / "report")
+    argv = [
+        "report.py",
+        "--docs", f"{SF_DIR}/documents.parquet",
+        "--output", out,
+        *extra_args,
+    ]
+    printed = []
+    with patch.object(sys, "argv", argv), patch.object(
+        SparkSession, "stop", lambda self: None
+    ), patch("builtins.print", lambda s: printed.append(s)):
+        job.main()
+    return out, json.loads(printed[-1])
+
+
+def test_report_tables_and_counts(spark, tmp_path):
+    out, s = _run(spark, tmp_path)
+    assert set(s["rows"]) == {
+        "source_stats",
+        "length_sketch",
+        "length_quantiles",
+        "lang_mix",
+        "quality",
+    }
+    stats = spark.read.parquet(f"{out}/source_stats")
+    assert stats.count() == 20  # one row per source
+    assert stats.where("n_docs != 25").count() == 0
+    assert stats.where("n_tokens <= 0").count() == 0
+    qs = {r.q_permille: r.est for r in spark.read.parquet(f"{out}/length_quantiles").collect()}
+    assert set(qs) == {500, 900, 990}
+    assert 0 < qs[500] <= qs[900] <= qs[990]
+    quality = spark.read.parquet(f"{out}/quality")
+    assert quality.count() == 20
+    assert quality.where(
+        (F.col("mean_quality") < 0) | (F.col("mean_quality") > 1)
+    ).count() == 0
+
+
+def test_report_drift_against_previous(spark, tmp_path):
+    """--previous adds the drift table; a shifted previous snapshot
+    (half the docs) drifts > 0 for every source, and the summary
+    carries the max for alerting."""
+    prev_dir = str(tmp_path / "prev.parquet")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        "doc_id < 250"
+    ).write.parquet(prev_dir)
+    out, s = _run(spark, tmp_path, ("--previous", prev_dir))
+    drift = spark.read.parquet(f"{out}/drift")
+    assert drift.count() == 20
+    assert drift.where("l1_scaled <= 0").count() == 0
+    assert s["max_drift"]["l1_scaled"] == (
+        drift.agg(F.max("l1_scaled")).collect()[0][0]
+    )
+
+
+def test_report_sketch_is_mergeable_artifact(spark, tmp_path):
+    """The persisted length_sketch is the raw mergeable bin table:
+    merging it with itself doubles every count (cell addition)."""
+    from ocr_spark.functions.sketches import hist_sketch_merge
+
+    out, _ = _run(spark, tmp_path)
+    sk = spark.read.parquet(f"{out}/length_sketch")
+    doubled = hist_sketch_merge(sk.unionByName(sk))
+    joined = sk.alias("a").join(doubled.alias("b"), "bin")
+    assert joined.where(F.expr("b.n != 2 * a.n")).count() == 0
