@@ -215,9 +215,11 @@ def corpus_drift(
     Scale shape: per-(group, bucket) counts are one explode +
     map-side partial count per snapshot — at most |groups|·n_buckets
     rows each, corpus-size-independent; the distance is one full
-    outer equi-join on (group, f) + a per-group sum. Totals per group
-    ride along via a window on the bounded count table, not a second
-    corpus scan.
+    outer NULL-SAFE equi-join on (group, f) + a per-group sum (a NULL
+    group is a real group — plain equality would split it into two
+    never-matching sides and report full drift on identical data).
+    Totals per group ride along via a window on the bounded count
+    table, not a second corpus scan.
     """
 
     def counts(src: DataFrame, cname: str) -> DataFrame:
@@ -234,9 +236,20 @@ def corpus_drift(
             )
         )
 
-    ca = counts(snap_a, "c_a")
-    cb = counts(snap_b, "c_b")
-    joined = ca.join(cb, ["grp", "f"], "full_outer")
+    ca = counts(snap_a, "c_a").alias("ca")
+    cb = counts(snap_b, "c_b").alias("cb")
+    joined = ca.join(
+        cb,
+        F.col("ca.grp").eqNullSafe(F.col("cb.grp"))
+        & (F.col("ca.f") == F.col("cb.f")),
+        "full_outer",
+    ).select(
+        # under the null-safe join a matched row's grp values are
+        # null-safe-equal, so coalesce never mixes groups — it only
+        # picks whichever side the one-sided row came from
+        F.coalesce(F.col("ca.grp"), F.col("cb.grp")).alias("grp"),
+        "c_a", "c_a_tot", "c_b", "c_b_tot",
+    )
     pa = F.expr(f"CASE WHEN c_a IS NULL THEN CAST(0 AS BIGINT) ELSE ({P_SCALE} * c_a) div c_a_tot END")
     pb = F.expr(f"CASE WHEN c_b IS NULL THEN CAST(0 AS BIGINT) ELSE ({P_SCALE} * c_b) div c_b_tot END")
     return (
@@ -259,13 +272,15 @@ def corpus_drift_sql(
     project (doc_id, text, <group_col>)."""
 
     def counts(src: str, cname: str) -> str:
+        # route the group THROUGH the featurizer as its doc_id — no
+        # join back, so NULL ids can't be dropped and duplicate ids
+        # can't fan counts out (the dsir_weights_sql fan-out lesson),
+        # exactly mirroring the Spark side's same-row explode
+        inner = f"(SELECT {group_col} AS doc_id, text FROM {src})"
         return (
-            f"SELECT grp, f, count(*) AS {cname}, "
-            f"sum(count(*)) OVER (PARTITION BY grp) AS {cname}_tot FROM ("
-            f"SELECT s.grp, p.f FROM "
-            f"(SELECT doc_id, {group_col} AS grp FROM {src}) s "
-            f"JOIN ({feats_select_sql(src, n_buckets)}) p "
-            f"ON s.doc_id = p.doc_id) GROUP BY grp, f"
+            f"SELECT doc_id AS grp, f, count(*) AS {cname}, "
+            f"sum(count(*)) OVER (PARTITION BY doc_id) AS {cname}_tot "
+            f"FROM ({feats_select_sql(inner, n_buckets)}) GROUP BY doc_id, f"
         )
 
     pa = f"CASE WHEN c_a IS NULL THEN CAST(0 AS BIGINT) ELSE ({P_SCALE} * c_a) // c_a_tot END"
@@ -276,7 +291,8 @@ def corpus_drift_sql(
       joined AS (
         SELECT coalesce(ca.grp, cb.grp) AS grp,
                c_a, c_a_tot, c_b, c_b_tot
-        FROM ca FULL OUTER JOIN cb ON ca.grp = cb.grp AND ca.f = cb.f
+        FROM ca FULL OUTER JOIN cb
+          ON ca.grp IS NOT DISTINCT FROM cb.grp AND ca.f = cb.f
       )
       SELECT grp AS {group_col},
              CAST(coalesce(sum(c_a), 0) AS BIGINT) AS n_feats_a,

@@ -349,15 +349,22 @@ HIST_SUB_BITS = 5  # sub-buckets per power of two; relative error <= 2^-5
 
 
 def _hist_bin_expr(v: str, m: int) -> str:
-    """Spark SQL: non-negative BIGINT -> histogram bin id. v <= 0 maps
-    to bin 0; v >= 1 to ((e << m) | sub) + 1 where e = floor(log2 v)
-    via length(bin(v)) - 1 (no libm: the binary-string length IS the
-    exponent, identically in both engines) and sub = the next m bits.
-    """
+    """Spark SQL: BIGINT -> histogram bin id. NULL and v <= 0 map to
+    bin 0; small values 1 <= v < 2^(m+1) get UNIT bins (bin = v,
+    exact — the standard HDR small-value regime; naively keeping the
+    MSB in the sub-bits here double-counts 2^e in the representative,
+    up to 100% error, the session-9 review catch); larger values map
+    to ((e << m) | sub) + 1 with e = floor(log2 v) via
+    length(bin(v)) - 1 (no libm: the binary-string length IS the
+    exponent, identically in both engines) and sub = the m bits below
+    the MSB. Bin ids are monotone in v: the first geometric bin
+    (e = m + 1) starts at (m+1)·2^m + 1 > 2^(m+1) - 1, the last unit
+    bin."""
     e = f"(length(bin({v})) - 1)"
-    sub = f"(shiftright({v}, greatest({e} - {m}, 0)) & {(1 << m) - 1})"
+    sub = f"(shiftright({v}, {e} - {m}) & {(1 << m) - 1})"
     return (
-        f"CASE WHEN {v} <= 0 THEN CAST(0 AS BIGINT) "
+        f"CASE WHEN {v} IS NULL OR {v} <= 0 THEN CAST(0 AS BIGINT) "
+        f"WHEN {v} < {1 << (m + 1)} THEN CAST({v} AS BIGINT) "
         f"ELSE CAST((({e} * {1 << m}) | {sub}) + 1 AS BIGINT) END"
     )
 
@@ -365,25 +372,23 @@ def _hist_bin_expr(v: str, m: int) -> str:
 def _hist_bin_sql(v: str, m: int) -> str:
     """DuckDB twin of :func:`_hist_bin_expr`."""
     e = f"(length(bin({v})) - 1)"
-    sub = f"(({v} >> greatest({e} - {m}, 0)) & {(1 << m) - 1})"
+    sub = f"((({v}) >> ({e} - {m})) & {(1 << m) - 1})"
     return (
-        f"CASE WHEN {v} <= 0 THEN CAST(0 AS BIGINT) "
+        f"CASE WHEN {v} IS NULL OR {v} <= 0 THEN CAST(0 AS BIGINT) "
+        f"WHEN {v} < {1 << (m + 1)} THEN CAST({v} AS BIGINT) "
         f"ELSE CAST((({e} * {1 << m}) | {sub}) + 1 AS BIGINT) END"
     )
 
 
 def _hist_rep_expr(bin_col: str, m: int) -> str:
     """Bin id -> representative value (the bin's LOWER bound; exact
-    for e <= m, where the sub-bits cover every bit below the MSB).
-    Dialect-shared: pure integer shifts (shiftleft spelled via
-    multiply, identical in both engines)."""
+    for the unit-bin regime bin < 2^(m+1), where bin == value).
+    Dialect-shared pure integer shifts."""
     b = f"({bin_col} - 1)"
     e = f"({b} div {1 << m})"
     sub = f"({b} % {1 << m})"
-    # (2^m + sub) << (e - m) for e > m; exact 2^e + sub otherwise
     return (
-        f"CASE WHEN {bin_col} = 0 THEN CAST(0 AS BIGINT) "
-        f"WHEN {e} <= {m} THEN CAST(shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT)) + {sub} AS BIGINT) "
+        f"CASE WHEN {bin_col} < {1 << (m + 1)} THEN CAST({bin_col} AS BIGINT) "
         f"ELSE CAST(shiftleft(CAST({1 << m} AS BIGINT) + {sub}, CAST({e} - {m} AS INT)) AS BIGINT) END"
     )
 
@@ -393,8 +398,7 @@ def _hist_rep_sql(bin_col: str, m: int) -> str:
     e = f"({b} // {1 << m})"
     sub = f"({b} % {1 << m})"
     return (
-        f"CASE WHEN {bin_col} = 0 THEN CAST(0 AS BIGINT) "
-        f"WHEN {e} <= {m} THEN CAST((CAST(1 AS BIGINT) << CAST({e} AS INT)) + {sub} AS BIGINT) "
+        f"CASE WHEN {bin_col} < {1 << (m + 1)} THEN CAST({bin_col} AS BIGINT) "
         f"ELSE CAST((CAST({1 << m} AS BIGINT) + {sub}) << CAST({e} - {m} AS INT) AS BIGINT) END"
     )
 
@@ -415,9 +419,10 @@ def hist_sketch_build(
     addition into exactly the single-pass sketch. Binning is pure
     integer work — floor(log2 v) is the binary-string length, no
     libm — so sketch AND estimates are engine-exact and
-    oracle-checkable (the CMS/Bloom discipline). Values <= 0 (and the
-    estimate 0) occupy a dedicated bin: counts/lengths/latencies are
-    the intended domain."""
+    oracle-checkable (the CMS/Bloom discipline). NULLs and values
+    <= 0 occupy the dedicated zero bin (rows are never dropped);
+    values below 2^(sub_bits+1) get exact unit bins;
+    counts/lengths/latencies are the intended domain."""
     return (
         df.selectExpr(
             f"{_hist_bin_expr(f'CAST({col} AS BIGINT)', sub_bits)} AS bin"

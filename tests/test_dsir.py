@@ -152,6 +152,44 @@ def test_drift_disjoint_groups_score_full(spark):
     assert out["sA"].n_feats_b == 0 and out["sB"].n_feats_a == 0
 
 
+def test_drift_null_group_and_hostile_ids(spark, con):
+    """Session-10 review regression: (a) a NULL group present in both
+    snapshots must match itself (null-safe join) — identical content
+    scores 0 drift, not ~2e6; (b) the DuckDB twin routes the group
+    through the featurizer, so NULL doc_ids aren't dropped and
+    duplicate doc_ids don't fan counts out — both engines agree."""
+    from ocr_spark.functions.dsir import corpus_drift, corpus_drift_sql
+
+    rows = [
+        (None, "alpha beta gamma delta", None),
+        (7, "alpha beta gamma delta", None),
+        (7, "epsilon zeta eta theta", "s1"),  # duplicate doc_id
+        (None, "iota kappa lambda mu", "s1"),  # NULL doc_id
+    ]
+    schema = "doc_id long, text string, source string"
+    snap = spark.createDataFrame(rows, schema)
+    out = {r.source: r for r in corpus_drift(snap, snap).collect()}
+    assert set(out) == {None, "s1"}
+    assert all(r.l1_scaled == 0 for r in out.values())
+
+    con.execute("CREATE OR REPLACE VIEW hostile AS SELECT * FROM (VALUES "
+                "(NULL, 'alpha beta gamma delta', NULL), "
+                "(7, 'alpha beta gamma delta', NULL), "
+                "(7, 'epsilon zeta eta theta', 's1'), "
+                "(NULL, 'iota kappa lambda mu', 's1')"
+                ") t(doc_id, text, source)")
+    got = sorted(map(tuple, corpus_drift(snap, snap).collect()),
+                 key=lambda t: (t[0] is None, t[0]))
+    oracle = sorted(
+        map(tuple, con.execute(corpus_drift_sql("hostile", "hostile")).fetchall()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert [tuple(map(int, r[1:])) for r in got] == [
+        tuple(map(int, r[1:])) for r in oracle
+    ]
+    assert [r[0] for r in got] == [r[0] for r in oracle]
+
+
 def test_drift_matches_duckdb_twin(docs, con):
     from ocr_spark.functions.dsir import corpus_drift, corpus_drift_sql
 

@@ -378,6 +378,32 @@ def test_hist_quantile_error_bound(spark):
             assert abs(est - true) / true <= 2**-5, (q, est, true)
 
 
+def test_hist_small_values_exact_and_monotone(spark):
+    """Session-10 review regression: values below 2^(sub_bits+1) get
+    exact unit bins (the naive keep-the-MSB sub-bits double-counted
+    2^e — all-3s corpora reported p50=5, and rep(bin(31)) > rep(bin(32))
+    made a p50 estimate able to exceed p90). NULLs land in the zero
+    bin, never a NULL bin whose window ordering differs per engine."""
+    from ocr_spark.functions.sketches import hist_quantiles, hist_sketch_build
+
+    # all-3s corpus: every quantile is exactly 3
+    df3 = spark.createDataFrame([(3,)] * 9, "v long")
+    got = dict(map(tuple, hist_quantiles(hist_sketch_build(df3, "v")).collect()))
+    assert got == {500: 3, 900: 3, 990: 3}
+
+    # 1..40 straddles the unit/geometric boundary (64 at sub_bits=5):
+    # every estimate exact here, and estimates monotone in q
+    df40 = spark.createDataFrame([(v,) for v in range(1, 41)], "v long")
+    got = dict(map(tuple, hist_quantiles(hist_sketch_build(df40, "v")).collect()))
+    assert got[500] == 20 and got[900] == 36 and got[990] == 40
+    assert got[500] <= got[900] <= got[990]
+
+    # NULL values count in the zero bin alongside true zeros
+    dfn = spark.createDataFrame([(None,), (None,), (7,)], "v long")
+    sk = dict(map(tuple, hist_sketch_build(dfn, "v").collect()))
+    assert sk == {0: 2, 7: 1}
+
+
 def test_hist_quantiles_validation(spark):
     from ocr_spark.functions.sketches import hist_quantiles, hist_sketch_build
 
