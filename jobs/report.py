@@ -84,7 +84,12 @@ def main() -> None:
         if "n_chars" in docs.columns
         else F.coalesce(F.length("text"), F.lit(0))
     )
-    sketch = hist_sketch_build(docs.select(length_col.alias("v")), "v")
+    # materialize the ~1.9k-row sketch ONCE: hist_quantiles and the
+    # length_sketch parquet write both consume it, and without the
+    # checkpoint each would re-run the full corpus scan+bin+aggregate
+    sketch = hist_sketch_build(
+        docs.select(length_col.alias("v")), "v"
+    ).localCheckpoint()
     tables["length_sketch"] = sketch
     tables["length_quantiles"] = hist_quantiles(sketch)
     tables["lang_mix"] = (

@@ -364,7 +364,11 @@ def winnow_fingerprints_sql(
 ) -> str:
     """DuckDB twin of :func:`winnow_fingerprints` (list_reduce seeds
     from the prepended init element; 1-based list indexing matches
-    element_at)."""
+    element_at). DuckDB cannot list_distinct struct lists, so the
+    per-window dedup is a row-level DISTINCT keyed by a per-source-row
+    id — NOT a global one: Spark's array_distinct is per input row,
+    so duplicate doc_id rows must keep their duplicate selections in
+    both engines."""
     h = md5_long_sql(f"substr(t, CAST(i AS INT), {k})")
     seed = 1 << 62
     sel = (
@@ -376,19 +380,22 @@ def winnow_fingerprints_sql(
         f"(acc, x) -> CASE WHEN x.fp <= acc.fp THEN x ELSE acc END))"
     )
     return f"""
-      SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM (
-        SELECT doc_id, unnest(sels) AS s FROM (
-          SELECT doc_id,
-            CASE WHEN len(H) >= {w} THEN {sel}
-                 ELSE [] END AS sels
-          FROM (
-            SELECT doc_id,
-              CASE WHEN length(t) >= {k} THEN
-                list_transform(range(1, length(t) - {k - 1} + 1), i -> {h})
-              ELSE [] END AS H
+      SELECT doc_id, pos, fp FROM (
+        SELECT DISTINCT doc_id, rid, s.pos AS pos, s.fp AS fp FROM (
+          SELECT doc_id, rid, unnest(sels) AS s FROM (
+            SELECT doc_id, rid,
+              CASE WHEN len(H) >= {w} THEN {sel}
+                   ELSE [] END AS sels
             FROM (
-              SELECT doc_id, substr(text, 1, {max_chars}) AS t
-              FROM {table} WHERE text IS NOT NULL
+              SELECT doc_id, rid,
+                CASE WHEN length(t) >= {k} THEN
+                  list_transform(range(1, length(t) - {k - 1} + 1), i -> {h})
+                ELSE [] END AS H
+              FROM (
+                SELECT doc_id, row_number() OVER () AS rid,
+                       substr(text, 1, {max_chars}) AS t
+                FROM {table} WHERE text IS NOT NULL
+              )
             )
           )
         )

@@ -794,6 +794,29 @@ def test_winnow_short_docs_and_validation(spark):
         text.winnow_fingerprints(df, k=0)
 
 
+def test_winnow_duplicate_doc_id_rows_match_twin(spark, con):
+    """Session-10 review regression: Spark dedupes selections PER INPUT
+    ROW (array_distinct in the scan), so duplicate doc_id rows emit
+    their selections twice; the twin's row-level DISTINCT must be keyed
+    by a per-source-row id, not collapse globally."""
+    import pandas as pd
+
+    t = "the quick brown fox jumps over the lazy dog"
+    pdf = pd.DataFrame({"doc_id": [7, 7, 8], "text": [t, t, "unrelated words here"]})
+    df = spark.createDataFrame(pdf)
+    con.register("t_windup_df", pdf)
+    con.execute("CREATE OR REPLACE VIEW t_windup AS SELECT * FROM t_windup_df")
+    assert_same(
+        text.winnow_fingerprints(df),
+        con,
+        text.winnow_fingerprints_sql("t_windup"),
+    )
+    # and the duplicated rows really did double their selections
+    out = text.winnow_fingerprints(df).collect()
+    per7 = [(r.pos, r.fp) for r in out if r.doc_id == 7]
+    assert len(per7) == 2 * len(set(per7)) > 0
+
+
 def test_winnow_plan_is_scan_stage(docs):
     from ocr_spark.plans import plan_str as _plan2
 
