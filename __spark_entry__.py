@@ -81,6 +81,10 @@ from ocr_spark.functions.sketches import (
     hist_quantiles_sql as sk_hist_quantiles_sql,
 )
 from ocr_spark.functions.sketches import hist_sketch_build as sk_hist_build
+from ocr_spark.functions.sketches import source_overlap as sk_source_overlap
+from ocr_spark.functions.sketches import (
+    source_overlap_sql as sk_source_overlap_sql,
+)
 from ocr_spark.functions.sketches import (
     hist_sketch_build_sql as sk_hist_build_sql,
 )
@@ -733,6 +737,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_frequent_spans": lambda s, d: ilv.strip_frequent_spans(
             _span_docs(s, d)
         ),
+        # figure<->caption attachment: nearest caption by offset
+        # (ties forward), zero-shuffle scan-stage folds. Caption-less
+        # media keeps NULL columns in the operator; the contract
+        # projection coalesces them (-1/'') because the driver's
+        # oracle side round-trips through pandas, where a NULL in an
+        # int column silently becomes float64
+        "caption_pairs": lambda s, d: ilv.caption_pairs(_span_docs(s, d)).select(
+            "doc_id",
+            "media_ref",
+            "media_offset",
+            F.coalesce("caption_offset", F.lit(-1)).alias("caption_offset"),
+            F.coalesce("caption_text", F.lit("")).alias("caption_text"),
+        ),
+        # heading-context breadcrumbs: every content span labeled with
+        # its outline path (level-aware clearing), zero shuffle
+        "section_paths": lambda s, d: ilv.section_paths(_span_docs(s, d)),
         # --- validation & normalization (F1-F9, A1)
         "validate_normalize": _validated_spark,
         "validate_bhxh_schema": _bhxh_spark,
@@ -1145,6 +1165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": lambda s, d: sk_hist_quantiles(
             sk_hist_build(_read(s, d, "documents"), "n_chars")
         ),
+        # bottom-k (KMV) sketch pairwise source-overlap: estimated
+        # content Jaccard for every source pair, exact integer math
+        "source_overlap": lambda s, d: sk_source_overlap(
+            _read(s, d, "documents")
+        ),
         # Bloom filter over yesterday's ingested doc ids: the set bit
         # positions ARE the filter (mergeable by bit-OR across shards)
         "bloom_docid_bits": lambda s, d: sk_bloom_build(
@@ -1176,6 +1201,14 @@ def oracle_sql() -> dict[str, str]:
         "span_kind_histogram": _kind_hist_sql(),
         "interleave_stats": ilv.interleave_stats_sql(synth_spans_sql()),
         "strip_frequent_spans": ilv.strip_frequent_spans_sql(synth_spans_sql()),
+        "caption_pairs": (
+            "SELECT doc_id, media_ref, media_offset, "
+            "coalesce(caption_offset, -1) AS caption_offset, "
+            "coalesce(caption_text, '') AS caption_text FROM ("
+            + ilv.caption_pairs_sql(synth_spans_sql())
+            + ")"
+        ),
+        "section_paths": ilv.section_paths_sql(synth_spans_sql()),
         "validate_normalize": _validated_sql(),
         "validate_bhxh_schema": _bhxh_sql(),
         "run_summary": f"""
@@ -1386,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT CAST(n_chars AS BIGINT) AS v FROM documents"
             )
         ),
+        "source_overlap": sk_source_overlap_sql("documents"),
         "bloom_docid_bits": sk_bloom_build_sql(
             "(SELECT doc_id AS v FROM documents WHERE doc_id % 2 = 0)"
         ),

@@ -337,3 +337,216 @@ def strip_frequent_spans_sql(
       FROM keyed
       WHERE tkey IS NULL OR tkey NOT IN (SELECT tkey FROM frequent)
     """
+
+
+# ---------------------------------------------------------------------------
+# media-caption pairing
+# ---------------------------------------------------------------------------
+
+
+def caption_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, media_offset, caption_offset, caption_text):
+    each media span paired with its nearest ``caption`` span in the
+    same document — the figure<->caption attachment a layout parser
+    emits (the reference's DocTags stream interleaves picture and
+    caption items the same way, kernel/doctags.py; this recovers the
+    pairing from offsets alone).
+
+    Rule: nearest caption by |offset distance|; a tie (or a caption at
+    the media span's own offset) resolves to the FOLLOWING caption —
+    figure captions conventionally trail the figure. Media spans in a
+    caption-less document keep a row with NULL caption columns (the
+    gap is data, not a dropped row).
+
+    Scale shape: ZERO shuffle. The spans arrive nested one-row-per-
+    document, so the caption list is LET-bound once per document and
+    each media span scans it with two O(|captions|) folds — pure
+    whole-stage-codegen array expressions, no explode-then-window, no
+    self-join. Precondition (the span-table contract): offsets are
+    distinct within a document; duplicate offsets would make the
+    prev/next picks order-dependent.
+    """
+    cap_t = "STRUCT<offset: INT, text: STRING>"
+    caps = (
+        "array_sort(transform(filter(spans, s -> s.kind = 'caption'), "
+        "s -> struct(CAST(s.offset AS INT) AS offset, "
+        "coalesce(s.text, '') AS text)))"
+    )
+    prev = (
+        f"aggregate(C, CAST(NULL AS {cap_t}), "
+        "(acc, c) -> IF(c.offset < p.offset, c, acc))"
+    )
+    nxt = (
+        f"aggregate(C, CAST(NULL AS {cap_t}), "
+        "(acc, c) -> IF(c.offset >= p.offset AND acc IS NULL, c, acc))"
+    )
+    chosen = (
+        f"element_at(transform(array(struct({prev} AS pv, {nxt} AS nx)), "
+        "pn -> CASE WHEN pn.nx IS NULL THEN pn.pv "
+        "WHEN pn.pv IS NULL THEN pn.nx "
+        "WHEN (pn.nx.offset - p.offset) <= (p.offset - pn.pv.offset) "
+        "THEN pn.nx ELSE pn.pv END), 1)"
+    )
+    expr = (
+        f"flatten(transform(array({caps}), C -> "
+        f"transform(filter(spans, s -> {_IS_MEDIA}), p -> "
+        f"struct(p.media_ref AS media_ref, "
+        f"CAST(p.offset AS INT) AS media_offset, {chosen} AS cap))))"
+    )
+    return (
+        docs.selectExpr("doc_id", f"explode({expr}) AS r")
+        .select(
+            "doc_id",
+            "r.media_ref",
+            "r.media_offset",
+            F.col("r.cap.offset").alias("caption_offset"),
+            F.col("r.cap.text").alias("caption_text"),
+        )
+    )
+
+
+def caption_pairs_sql(spans_sql: str = "SELECT * FROM spans") -> str:
+    """DuckDB twin over a FLAT span source — independent formulation:
+    prev/next captions via grouped min/max anti-ranges instead of the
+    Spark side's array folds, so agreement cross-checks the fold
+    logic. Same distinct-offset precondition; the twin additionally
+    collapses exact-duplicate media rows (GROUP BY), which the
+    contract corpus never contains."""
+    return f"""
+      WITH src AS ({spans_sql}),
+      caps AS (
+        SELECT doc_id, CAST("offset" AS INT) AS o, coalesce(text, '') AS t
+        FROM src WHERE kind = 'caption'
+      ),
+      pics AS (
+        SELECT doc_id, media_ref, CAST("offset" AS INT) AS o
+        FROM src WHERE media_ref IS NOT NULL AND media_ref <> ''
+      ),
+      bounds AS (
+        SELECT p.doc_id, p.media_ref, p.o,
+               max(CASE WHEN c.o < p.o THEN c.o END) AS prev_o,
+               min(CASE WHEN c.o >= p.o THEN c.o END) AS next_o
+        FROM pics p LEFT JOIN caps c ON c.doc_id = p.doc_id
+        GROUP BY p.doc_id, p.media_ref, p.o
+      ),
+      chosen AS (
+        SELECT doc_id, media_ref, o,
+               CASE WHEN next_o IS NULL THEN prev_o
+                    WHEN prev_o IS NULL THEN next_o
+                    WHEN (next_o - o) <= (o - prev_o) THEN next_o
+                    ELSE prev_o END AS cap_o
+        FROM bounds
+      )
+      SELECT ch.doc_id, ch.media_ref, ch.o AS media_offset,
+             ch.cap_o AS caption_offset, c.t AS caption_text
+      FROM chosen ch
+      LEFT JOIN caps c ON c.doc_id = ch.doc_id AND c.o = ch.cap_o
+    """
+
+
+# ---------------------------------------------------------------------------
+# heading-context assignment (section paths)
+# ---------------------------------------------------------------------------
+
+MAX_HEADING_LEVEL = 3
+_HDR_RE = "^section_header_level_[0-9]+$"
+
+
+def section_paths(
+    docs: DataFrame, max_level: int = MAX_HEADING_LEVEL
+) -> DataFrame:
+    """(doc_id, offset, kind, section_path): every non-heading span
+    labeled with the heading context it falls under — the breadcrumb
+    a document outline gives each content block ('Intro > Setup').
+
+    Heading kinds are ``section_header_level_<n>`` (the reference's
+    DocTags level encoding, kernel/doctags.py). The context at a span
+    is, per level 1..max_level, the LAST heading of that level at or
+    before the span's offset — valid only if it is NEWER than every
+    shallower heading in context (a level-1 heading clears stale
+    level-2/3 context, a level-2 clears level-3, the standard outline
+    rule). ``section_path`` joins the valid heading texts shallow->
+    deep with ' > '; spans before any heading get ''.
+
+    Scale shape: ZERO shuffle — the heading list (tiny per doc) is
+    LET-bound once per document and each span scans it with one
+    O(|headings|) fold per level; pure codegen array expressions.
+    Same distinct-offset precondition as :func:`caption_pairs`.
+    """
+    if not (1 <= max_level <= 9):
+        raise ValueError(f"max_level must be in [1, 9], got {max_level}")
+    hdr_t = "STRUCT<offset: INT, lvl: INT, text: STRING>"
+    hdrs = (
+        f"array_sort(transform(filter(spans, s -> s.kind RLIKE '{_HDR_RE}'), "
+        "s -> struct(CAST(s.offset AS INT) AS offset, "
+        "CAST(substring(s.kind, 22) AS INT) AS lvl, "
+        "coalesce(s.text, '') AS text)))"
+    )
+
+    def last_at(lvl: int) -> str:
+        return (
+            f"aggregate(H, CAST(NULL AS {hdr_t}), (acc, c) -> "
+            f"IF(c.lvl = {lvl} AND c.offset <= CAST(p.offset AS INT), c, acc))"
+        )
+
+    ctx_fields = ", ".join(f"{last_at(l)} AS h{l}" for l in range(1, max_level + 1))
+    valid_texts = []
+    for l in range(1, max_level + 1):
+        conds = [f"cx.h{l} IS NOT NULL"] + [
+            f"(cx.h{k} IS NULL OR cx.h{l}.offset > cx.h{k}.offset)"
+            for k in range(1, l)
+        ]
+        valid_texts.append(
+            f"CASE WHEN {' AND '.join(conds)} THEN cx.h{l}.text END"
+        )
+    path = (
+        f"element_at(transform(array(struct({ctx_fields})), cx -> "
+        f"concat_ws(' > ', {', '.join(valid_texts)})), 1)"
+    )
+    expr = (
+        f"flatten(transform(array({hdrs}), H -> "
+        f"transform(filter(spans, s -> NOT s.kind RLIKE '{_HDR_RE}'), p -> "
+        f"struct(CAST(p.offset AS INT) AS offset, p.kind AS kind, "
+        f"{path} AS section_path))))"
+    )
+    return docs.selectExpr("doc_id", f"explode({expr}) AS r").select(
+        "doc_id", "r.offset", "r.kind", "r.section_path"
+    )
+
+
+def section_paths_sql(
+    spans_sql: str = "SELECT * FROM spans", max_level: int = MAX_HEADING_LEVEL
+) -> str:
+    """DuckDB twin over a FLAT span source — independent formulation
+    via IGNORE NULLS running windows instead of array folds."""
+    lvls = range(1, max_level + 1)
+    wins = ", ".join(
+        f"last_value(CASE WHEN lvl = {l} THEN o END IGNORE NULLS) OVER w AS o{l}, "
+        f"last_value(CASE WHEN lvl = {l} THEN t END IGNORE NULLS) OVER w AS t{l}"
+        for l in lvls
+    )
+    valid_texts = []
+    for l in lvls:
+        conds = [f"o{l} IS NOT NULL"] + [
+            f"(o{k} IS NULL OR o{l} > o{k})" for k in range(1, l)
+        ]
+        valid_texts.append(f"CASE WHEN {' AND '.join(conds)} THEN t{l} END")
+    return f"""
+      WITH src AS ({spans_sql}),
+      typed AS (
+        SELECT doc_id, kind, CAST("offset" AS INT) AS o,
+               CASE WHEN regexp_matches(kind, '{_HDR_RE}')
+                    THEN CAST(substr(kind, 22) AS INT) END AS lvl,
+               coalesce(text, '') AS t
+        FROM src
+      ),
+      ctx AS (
+        SELECT doc_id, kind, o, lvl, {wins}
+        FROM typed
+        WINDOW w AS (PARTITION BY doc_id ORDER BY o
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      )
+      SELECT doc_id, o AS "offset", kind,
+             concat_ws(' > ', {', '.join(valid_texts)}) AS section_path
+      FROM ctx WHERE lvl IS NULL
+    """

@@ -524,3 +524,144 @@ def hist_quantiles_sql(
       )
       {union}
     """
+
+
+# ---------------------------------------------------------------------------
+# bottom-k set sketch: pairwise source-overlap estimation
+# ---------------------------------------------------------------------------
+
+BOTTOMK_DEFAULT = 64
+
+
+def source_overlap(
+    docs: DataFrame, k: int = BOTTOMK_DEFAULT, group_col: str = "source"
+) -> DataFrame:
+    """(source_a, source_b, n_common, k_eff, est_jaccard_permille):
+    estimated content Jaccard between every pair of sources — the
+    "which feeds mirror each other" curation diagnostic (two crawls of
+    the same site, a dataset repackaged under a new name) answered
+    WITHOUT any cross-source document join.
+
+    Method: bottom-k set sketch (Cohen & Kaplan 2007; the KMV sketch).
+    Per source, keep the k smallest distinct 60-bit content hashes.
+    For a pair (A, B), take the k smallest hashes of the sketch UNION
+    and count how many belong to both sides: J(A, B) ~ n_common /
+    k_eff. For a hash inside the union bottom-k, sketch membership
+    equals SET membership (if h were in A but past A's k-th minimum,
+    k smaller A-hashes would already fill the union bottom-k), so the
+    estimator is the textbook one, and every arithmetic step is exact
+    integers — engine-identical, oracle-checkable.
+
+    Scale shape: ONE corpus-scale pass — distinct (source, hash) then
+    a per-source bottom-k window (map-side WindowGroupLimit truncation,
+    uniform hash ordering). Everything after runs on the sketch table
+    (n_sources x k rows), which is localCheckpoint'ed once for its two
+    plan references; the pair expansion is the sanctioned tiny-side
+    self-join. NULL sources sketch normally but are excluded from the
+    pair matrix (a '<' on NULL matches nothing, identically in both
+    engines).
+    """
+    from pyspark.sql import Window
+
+    from ocr_spark.functions.hashing import md5_long
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    per = (
+        docs.select(
+            F.col(group_col).alias("src"),
+            md5_long(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy("h")
+    sk = (
+        per.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("src", "h")
+        .localCheckpoint()
+    )
+    srcs = sk.select("src").distinct()
+    pairs = (
+        srcs.alias("a")
+        .crossJoin(srcs.alias("b"))
+        .where(F.col("a.src") < F.col("b.src"))
+        .select(F.col("a.src").alias("sa"), F.col("b.src").alias("sb"))
+    )
+    ea = pairs.join(sk, F.col("src") == F.col("sa")).select(
+        "sa", "sb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    eb = pairs.join(sk, F.col("src") == F.col("sb")).select(
+        "sa", "sb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    u = (
+        ea.unionByName(eb)
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w2 = Window.partitionBy("sa", "sb").orderBy("h")
+    ub = u.withColumn("rk", F.row_number().over(w2)).where(F.col("rk") <= k)
+    return (
+        ub.groupBy("sa", "sb")
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_common"),
+            F.count("*").cast("long").alias("k_eff"),
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_common",
+            "k_eff",
+            F.expr("(1000 * n_common) div k_eff").alias("est_jaccard_permille"),
+        )
+    )
+
+
+def source_overlap_sql(
+    table: str = "documents",
+    k: int = BOTTOMK_DEFAULT,
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`source_overlap`; ``table`` must carry
+    (``group_col``, text)."""
+    from ocr_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("coalesce(text, '')")
+    return f"""
+      WITH per AS (
+        SELECT DISTINCT {group_col} AS src, {h} AS h FROM {table}
+      ),
+      sk AS (
+        SELECT src, h FROM (
+          SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS rk
+          FROM per
+        ) WHERE rk <= {k}
+      ),
+      srcs AS (SELECT DISTINCT src FROM sk),
+      pairs AS (
+        SELECT a.src AS sa, b.src AS sb FROM srcs a
+        JOIN srcs b ON a.src < b.src
+      ),
+      u AS (
+        SELECT sa, sb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+          SELECT p.sa, p.sb, s.h, 1 AS in_a, 0 AS in_b
+          FROM pairs p JOIN sk s ON s.src = p.sa
+          UNION ALL
+          SELECT p.sa, p.sb, s.h, 0 AS in_a, 1 AS in_b
+          FROM pairs p JOIN sk s ON s.src = p.sb
+        ) GROUP BY sa, sb, h
+      ),
+      ub AS (
+        SELECT * FROM (
+          SELECT sa, sb, in_a, in_b,
+                 row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+          FROM u
+        ) WHERE rk <= {k}
+      )
+      SELECT sa AS source_a, sb AS source_b,
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+             CAST(count(*) AS BIGINT) AS k_eff,
+             (1000 * CAST(sum(in_a * in_b) AS BIGINT)) // count(*)
+               AS est_jaccard_permille
+      FROM ub GROUP BY sa, sb
+    """

@@ -289,3 +289,146 @@ def test_strip_plan_shuffles_hashes_not_text(nested):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", fmt):
         assert "text" not in m.group(1), m.group(0)
+
+
+# ---------------------------------------------------------------------------
+# caption_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_caption_pairs_semantics(spark):
+    from ocr_spark.functions.interleave import caption_pairs
+
+    rows = [
+        # nearest-by-distance, tie resolves FORWARD (offset 4 is
+        # equidistant from caps at 2 and 6 -> 6 wins)
+        _doc("tie", [("caption", "before", "", 2),
+                     ("picture", "", "img-t", 4),
+                     ("caption", "after", "", 6)]),
+        # strictly nearer preceding caption wins
+        _doc("prev", [("caption", "near", "", 3),
+                      ("picture", "", "img-p", 4),
+                      ("caption", "far", "", 9)]),
+        # no caption in doc -> row kept with NULLs
+        _doc("none", [("text", "prose", "", 0),
+                      ("picture", "", "img-n", 1)]),
+        # caption AT the media offset would violate the distinct-offset
+        # precondition; caption adjacent after
+        _doc("adj", [("picture", "", "img-a", 0),
+                     ("caption", "right after", "", 1)]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = {r.media_ref: (r.caption_offset, r.caption_text)
+           for r in caption_pairs(df).collect()}
+    assert got == {
+        "img-t": (6, "after"),
+        "img-p": (3, "near"),
+        "img-n": (None, None),
+        "img-a": (1, "right after"),
+    }
+
+
+def test_caption_pairs_matches_oracle(nested, con):
+    from ocr_spark.functions.interleave import caption_pairs, caption_pairs_sql
+
+    got = sorted(map(tuple, caption_pairs(nested).collect()))
+    want = sorted(
+        map(tuple, con.execute(caption_pairs_sql(synth_spans_sql())).fetchall())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_caption_pairs_is_scan_stage_only(nested):
+    from ocr_spark.functions.interleave import caption_pairs
+
+    assert "Exchange" not in plan_str(caption_pairs(nested), "simple")
+
+
+# ---------------------------------------------------------------------------
+# section_paths
+# ---------------------------------------------------------------------------
+
+
+def test_section_paths_outline_clearing(spark):
+    from ocr_spark.functions.interleave import section_paths
+
+    h = lambda lvl, txt, o: (f"section_header_level_{lvl}", txt, "", o)
+    t = lambda txt, o: ("text", txt, "", o)
+    rows = [
+        _doc("d", [
+            t("preamble", 0),          # before any heading -> ''
+            h(1, "Intro", 1),
+            t("a", 2),                 # Intro
+            h(2, "Setup", 3),
+            t("b", 4),                 # Intro > Setup
+            h(3, "Wires", 5),
+            t("c", 6),                 # Intro > Setup > Wires
+            h(2, "Usage", 7),
+            t("d", 8),                 # Intro > Usage (lvl3 cleared)
+            h(1, "Outro", 9),
+            t("e", 10),                # Outro (lvl2+3 cleared)
+        ]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = {r.offset: r.section_path for r in section_paths(df).collect()}
+    assert got == {
+        0: "",
+        2: "Intro",
+        4: "Intro > Setup",
+        6: "Intro > Setup > Wires",
+        8: "Intro > Usage",
+        10: "Outro",
+    }
+
+
+def test_section_paths_matches_oracle(nested, con):
+    from ocr_spark.functions.interleave import section_paths, section_paths_sql
+
+    got = sorted(map(tuple, section_paths(nested).collect()))
+    want = sorted(
+        map(tuple, con.execute(section_paths_sql(synth_spans_sql())).fetchall())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_section_paths_oracle_parity_on_multilevel_fixture(spark, con):
+    """The synth corpus only has level-1 headings; pin both engines on
+    a fixture that exercises the level-clearing rule for real."""
+    from ocr_spark.functions.interleave import section_paths, section_paths_sql
+
+    import pandas as pd
+
+    flat = []
+    for d in range(6):
+        spans = [("section_header_level_1", f"H1-{d}", "", 0)]
+        for i in range(1, 12):
+            lvl = (d + i) % 4
+            if lvl in (2, 3) and i % 3 == 0:
+                spans.append((f"section_header_level_{lvl}", f"H{lvl}-{d}-{i}", "", i))
+            else:
+                spans.append(("text", f"body {d} {i}", "", i))
+        flat += [(str(d), k, t, m, o) for (k, t, m, o) in spans]
+    pdf = pd.DataFrame(flat, columns=["doc_id", "kind", "text", "media_ref", "offset"])
+    nested_rows = [
+        (str(d), [tuple(r) for r in pdf[pdf.doc_id == str(d)][
+            ["kind", "text", "media_ref", "offset"]].itertuples(index=False)])
+        for d in map(str, range(6))
+    ]
+    df = spark.createDataFrame(nested_rows, _NESTED_SCHEMA)
+    con.register("t_secp_df", pdf)
+    con.execute("CREATE OR REPLACE VIEW t_secp AS SELECT * FROM t_secp_df")
+    got = sorted(map(tuple, section_paths(df).collect()))
+    want = sorted(
+        map(tuple, con.execute(section_paths_sql("SELECT * FROM t_secp")).fetchall())
+    )
+    assert got == want
+    # sanity: at least one 2-deep path materialized
+    assert any(" > " in r[3] for r in got)
+
+
+def test_section_paths_validation_and_plan(nested):
+    from ocr_spark.functions.interleave import section_paths
+
+    with pytest.raises(ValueError):
+        section_paths(nested, max_level=0)
+    assert "Exchange" not in plan_str(section_paths(nested), "simple")

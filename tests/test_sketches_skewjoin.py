@@ -410,3 +410,49 @@ def test_hist_quantiles_validation(spark):
     df = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(ValueError):
         hist_quantiles(hist_sketch_build(df, "v"), qs_permille=(0,))
+
+
+def test_source_overlap_matches_twin_and_estimates(spark):
+    import duckdb
+
+    from ocr_spark.functions.sketches import source_overlap, source_overlap_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(map(tuple, source_overlap(docs).collect()))
+    want = sorted(map(tuple, con.execute(source_overlap_sql()).fetchall()))
+    assert got == want
+    # 20 sources -> C(20,2) pairs; every pair reported even at 0 overlap
+    assert len(got) == 190
+
+    # accuracy on a known construction: |A ∩ B| = 200, |A ∪ B| = 600
+    rows = (
+        [(i, f"uniq-a-{i}", "A") for i in range(200)]
+        + [(1000 + i, f"shared-{i}", "A") for i in range(200)]
+        + [(2000 + i, f"shared-{i}", "B") for i in range(200)]
+        + [(3000 + i, f"uniq-b-{i}", "B") for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    est = {
+        (r.source_a, r.source_b): r.est_jaccard_permille
+        for r in source_overlap(df, k=128).collect()
+    }
+    # true J = 333 permille; k=128 bottom-k keeps the estimate within
+    # a few standard errors (sigma ~ sqrt(J(1-J)/k) ~ 42 permille)
+    assert abs(est[("A", "B")] - 333) <= 120
+
+    # identical sources estimate exactly 1000 (sketches coincide)
+    both = spark.createDataFrame(
+        [(i, f"doc-{i}", s) for s in ("X", "Y") for i in range(50)],
+        "doc_id long, text string, source string",
+    )
+    out = source_overlap(both, k=32).collect()
+    assert len(out) == 1 and out[0].est_jaccard_permille == 1000
+    assert out[0].n_common == out[0].k_eff == 32
+
+    with pytest.raises(ValueError):
+        source_overlap(docs, k=0)
