@@ -144,7 +144,20 @@ def headline_queries(spark, sf_dir: str, span_dir: str | None = None):
         # shapes (rank window / banded self-join).
         "quality_classifier": lambda: _classifier_q(docs()),
         "bm25_topk": lambda: _bm25_q(docs()),
+        # round-3 session-11 additions: the two nested-span array-fold
+        # shapes run over the SAME amplified span table as the kernel
+        # queries (zero-shuffle scan stage); source_overlap is the
+        # distinct -> window-truncate -> sketch-self-join shape.
+        "caption_pairs": lambda: ilv.caption_pairs(spans()),
+        "section_paths": lambda: ilv.section_paths(spans()),
+        "source_overlap": lambda: _source_overlap_q(docs()),
     }
+
+
+def _source_overlap_q(docs):
+    from ocr_spark.functions.sketches import source_overlap
+
+    return source_overlap(docs)
 
 
 def _classifier_q(docs):

@@ -17,6 +17,10 @@ parquet under --output/<name>:
                    distribution vs --previous (functions/dsir.py);
                    only with --previous — first runs have no baseline
 - quality        : per-source mean quality_score + Gopher keep-rate
+- source_overlap : bottom-k-sketch estimated content Jaccard for every
+                   source pair (mirror/repackage detection,
+                   functions/sketches.py) — one corpus pass, exact
+                   integer estimates
 
 Every table is a single declarative plan (no collect loops); the job
 prints one JSON summary line with row counts, and — when --previous
@@ -54,7 +58,11 @@ def main() -> None:
 
     from ocr_spark.functions.dsir import corpus_drift
     from ocr_spark.functions.scrub import gopher_rules
-    from ocr_spark.functions.sketches import hist_quantiles, hist_sketch_build
+    from ocr_spark.functions.sketches import (
+        hist_quantiles,
+        hist_sketch_build,
+        source_overlap,
+    )
     from ocr_spark.functions.text import lang_id, quality_score
     from ocr_spark.pipeline.session import get_spark
     from ocr_spark.schema import WS
@@ -109,6 +117,7 @@ def main() -> None:
             F.avg(F.col("keep").cast("double")).alias("gopher_keep_rate"),
         )
     )
+    tables["source_overlap"] = source_overlap(docs, group_col=g)
     if args.previous:
         prev = spark.read.parquet(args.previous)
         tables["drift"] = corpus_drift(prev, docs, group_col=g)

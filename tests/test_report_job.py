@@ -40,6 +40,7 @@ def test_report_tables_and_counts(spark, tmp_path):
         "length_quantiles",
         "lang_mix",
         "quality",
+        "source_overlap",
     }
     stats = spark.read.parquet(f"{out}/source_stats")
     assert stats.count() == 20  # one row per source
@@ -52,6 +53,12 @@ def test_report_tables_and_counts(spark, tmp_path):
     assert quality.count() == 20
     assert quality.where(
         (F.col("mean_quality") < 0) | (F.col("mean_quality") > 1)
+    ).count() == 0
+    overlap = spark.read.parquet(f"{out}/source_overlap")
+    assert overlap.count() == 190  # C(20, 2) pairs, zeros included
+    assert overlap.where(
+        (F.col("est_jaccard_permille") < 0)
+        | (F.col("est_jaccard_permille") > 1000)
     ).count() == 0
 
 
