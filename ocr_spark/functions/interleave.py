@@ -505,7 +505,11 @@ def section_paths(
     )
     expr = (
         f"flatten(transform(array({hdrs}), H -> "
-        f"transform(filter(spans, s -> NOT s.kind RLIKE '{_HDR_RE}'), p -> "
+        # coalesce the RLIKE: a NULL kind is a non-heading span and
+        # must stay in the output (bare NOT NULL-RLIKE silently drops
+        # it — three-valued-logic trap, caught by the fuzz net)
+        f"transform(filter(spans, s -> NOT coalesce(s.kind RLIKE '{_HDR_RE}', "
+        f"false)), p -> "
         f"struct(CAST(p.offset AS INT) AS offset, p.kind AS kind, "
         f"{path} AS section_path))))"
     )

@@ -432,3 +432,60 @@ def test_section_paths_validation_and_plan(nested):
     with pytest.raises(ValueError):
         section_paths(nested, max_level=0)
     assert "Exchange" not in plan_str(section_paths(nested), "simple")
+
+
+def test_span_structure_fuzz_across_engines(spark, con):
+    """Seeded fuzz for the nested-span structure twins: hostile
+    unicode text, NULL text/media_ref/kind, junk heading kinds
+    ('section_header_level_', '..._99x'), deep real levels — through
+    caption_pairs and section_paths. Offsets stay distinct per doc
+    (the documented precondition)."""
+    import random
+
+    import pandas as pd
+
+    from ocr_spark.functions.interleave import (
+        caption_pairs,
+        caption_pairs_sql,
+        section_paths,
+        section_paths_sql,
+    )
+
+    rng = random.Random(777)
+    alphabet = "ab 0.'\"<>\t\n\xa0éü漢🎉İıK"
+    kinds = [
+        "text", "caption", "picture", "list_item", None,
+        "section_header_level_1", "section_header_level_2",
+        "section_header_level_3", "section_header_level_7",
+        "section_header_level_", "section_header_level_99x",
+    ]
+    rows = []
+    for d in range(60):
+        n = rng.randint(0, 14)
+        for o in range(n):
+            kind = rng.choice(kinds)
+            text = (
+                None
+                if rng.random() < 0.15
+                else "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+            )
+            media = f"m-{d}-{o}" if kind == "picture" else (
+                None if rng.random() < 0.5 else ""
+            )
+            rows.append((str(d), kind, text, media, o))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "kind", "text", "media_ref", "offset"])
+    con.register("t_sfuzz_df", pdf)
+    con.execute("CREATE OR REPLACE VIEW t_sfuzz AS SELECT * FROM t_sfuzz_df")
+    nested_rows = [
+        (d, [tuple(r) for r in g[["kind", "text", "media_ref", "offset"]]
+             .itertuples(index=False)])
+        for d, g in pdf.groupby("doc_id")
+    ]
+    df = spark.createDataFrame(nested_rows, _NESTED_SCHEMA)
+    for build, sql in (
+        (caption_pairs, caption_pairs_sql("SELECT * FROM t_sfuzz")),
+        (section_paths, section_paths_sql("SELECT * FROM t_sfuzz")),
+    ):
+        got = sorted(map(tuple, build(df).collect()))
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want, (got[:5], want[:5])
