@@ -96,6 +96,7 @@ from ocr_spark.functions import graph as gph
 from ocr_spark.functions import classifier as qc
 from ocr_spark.functions import lm
 from ocr_spark.pipeline import pages as pg
+from ocr_spark.pipeline import regress as rg
 from ocr_spark.pipeline import results as res
 from ocr_spark.kernel.extract import DEFAULT_CONFIG
 from ocr_spark.pipeline.extract import (
@@ -711,6 +712,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- extraction core (S5-replacement, P1/P7, O2, R6, A4, J6)
         "extract_main_content": lambda s, d: extract_main_content(_span_docs(s, d)),
+        # extraction-CI diff: the north-rule span-sequence-equality
+        # invariant as a corpus-scale operator — here comparing the
+        # current build against a perturbed build (captions dropped),
+        # so both identical and differing documents are exercised
+        "span_diff": lambda s, d: rg.span_diff(
+            extract_main_content(_span_docs(s, d)),
+            extract_main_content(_span_docs(s, d)).where(
+                F.col("kind") != "caption"
+            ),
+        ),
         "extraction_metrics": lambda s, d: extraction_metrics(_span_docs(s, d)),
         "classify_spans": lambda s, d: classify_spans(_span_docs(s, d)),
         "extract_dense_blocks": lambda s, d: extract_main_content(
@@ -1193,6 +1204,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_main_content": _extract_sql(),
+        "span_diff": rg.span_diff_sql(
+            f'SELECT * FROM ({synth_spans_sql()}) '
+            f"WHERE kind NOT IN ({_STRIP_LIST})",
+            f'SELECT * FROM ({synth_spans_sql()}) '
+            f"WHERE kind NOT IN ({_STRIP_LIST}) AND kind <> 'caption'",
+        ),
         "extraction_metrics": _metrics_sql(),
         "classify_spans": _classify_sql(),
         "extract_dense_blocks": _dense_extract_sql(),
