@@ -53,6 +53,16 @@ def main() -> None:
         "of re-scanning the full input (G commit groups = G full scans "
         "without it; total I/O 2x the corpus with it)",
     )
+    ap.add_argument(
+        "--emit-structure",
+        default=None,
+        metavar="DIR",
+        help="also write document-structure sidecars derived from the "
+        "input span table: DIR/caption_pairs (media<->caption "
+        "attachment) and DIR/section_paths (heading-context "
+        "breadcrumbs). Both are zero-shuffle scan-stage operators, so "
+        "each sidecar costs one pruned pass over the input",
+    )
     ap.add_argument("--master", default=None, help="override master URL")
     args = ap.parse_args()
 
@@ -77,6 +87,16 @@ def main() -> None:
         ),
     )
     summary = run.run()
+    if args.emit_structure:
+        from ocr_spark.functions.interleave import caption_pairs, section_paths
+
+        for name, df in (
+            ("caption_pairs", caption_pairs(docs)),
+            ("section_paths", section_paths(docs)),
+        ):
+            out = f"{args.emit_structure}/{name}"
+            df.write.mode("overwrite").parquet(out)
+            summary[f"n_{name}"] = spark.read.parquet(out).count()
     print(json.dumps(summary))
     spark.stop()
 

@@ -45,6 +45,7 @@ def test_spark_submit_extract_job(tmp_path):
         "--output", out,
         "--run-id", "submit-test",
         "--buckets", "4",
+        "--emit-structure", str(tmp_path / "structure"),
     ]
     env = {**os.environ, "PYTHONPATH": ""}  # package must come from --py-files
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
@@ -53,6 +54,10 @@ def test_spark_submit_extract_job(tmp_path):
     assert summary["buckets_done"] == 4
     assert summary["n_docs"] == 500
     assert os.path.isdir(out)
+    assert summary["n_caption_pairs"] > 0
+    assert summary["n_section_paths"] > 0
+    assert os.path.isdir(str(tmp_path / "structure" / "caption_pairs"))
+    assert os.path.isdir(str(tmp_path / "structure" / "section_paths"))
 
 
 @pytest.mark.slow
