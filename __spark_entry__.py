@@ -1100,6 +1100,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_passages": lambda s, d: scr.repeated_passages(
             _read(s, d, "documents")
         ),
+        # ExactSubstr-style cut pass: repeated windows removed from
+        # every doc except the corpus-canonical (min doc_id, pos)
+        # occurrence; fold-rebuilt text, overlap-merged cuts
+        "remove_repeated_passages": lambda s, d: scr.remove_repeated_passages(
+            _read(s, d, "documents")
+        ),
         # GLOBAL shard packing: distributed prefix sum (range
         # partition -> local windows -> operator-scale offset collect)
         "pack_shards_global": lambda s, d: smp.pack_shards_global(
@@ -1397,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": scr.gopher_rules_sql(),
         "repetition_signals": scr.repetition_signals_sql(),
         "repeated_passages": scr.repeated_passages_sql(),
+        "remove_repeated_passages": scr.remove_repeated_passages_sql(),
         "pack_shards": smp.pack_shards_sql("documents", budget_tokens=500),
         "pack_shards_global": smp.pack_shards_global_sql(
             "documents", budget_tokens=700

@@ -435,3 +435,193 @@ def repeated_passages_sql(
         FROM {table}
       ) GROUP BY h HAVING count(*) >= {min_docs}
     """
+
+# ---------------------------------------------------------------------------
+# cross-document repeated-passage REMOVAL (ExactSubstr-style cut pass)
+# ---------------------------------------------------------------------------
+
+
+def remove_repeated_passages(
+    docs: DataFrame,
+    w_chars: int = PASSAGE_W,
+    gap: int = PASSAGE_GAP,
+    min_docs: int = 2,
+    max_chars: int | None = PASSAGE_MAX_CHARS,
+) -> DataFrame:
+    """(doc_id, text, n_cuts, removed_chars): the cut pass that
+    completes :func:`repeated_passages` into ExactSubstr-style dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): every anchored ``w_chars``-window whose hash is
+    shared by >= ``min_docs`` distinct documents is removed from the
+    text — except ONE corpus-canonical occurrence, the smallest
+    (doc_id, position), which survives so the passage stays
+    represented exactly once in the corpus.
+
+    Anchoring, hashing, and the repeated-set definition are byte-for-
+    byte those of :func:`repeated_passages` (content-defined anchors,
+    60-bit md5 windows, per-doc scan cap), so the discovery and the
+    cut can never disagree about what "a repeated passage" is. Scope
+    note: discovery is CROSS-document (>= min_docs distinct docs);
+    a window repeated only within one document is never cut.
+
+    Shape at scale: one anchored-occurrence explode (scan stage), one
+    count shuffle on the 60-bit hash for the repeated set, one
+    hash-partitioned window for the canonical-occurrence pick, one
+    per-doc shuffle to assemble the sorted cut list, one equi-join
+    back to the corpus. The text rebuild is a single ``aggregate``
+    fold over the sorted cut starts — kept segments are emitted
+    between cuts with a running ``greatest`` cursor, so overlapping
+    cut windows merge for free and nothing quadratic ever
+    materializes. Rows with NULL doc_id or NULL text pass through
+    unmodified (a NULL key can neither claim the canonical slot nor
+    equi-join its cuts back). ``n_cuts`` counts cut WINDOWS
+    (pre-merge); ``removed_chars`` is the realized length delta.
+    """
+    if w_chars < 1 or gap < 1:
+        raise ValueError("w_chars and gap must be >= 1")
+    from pyspark.sql import Window
+
+    from ocr_spark.functions.hashing import md5_long_expr
+
+    t = f"substring(text, 1, {max_chars})" if max_chars else "text"
+    a = md5_long_expr(f"substring({t}, p, {PASSAGE_ANCHOR_W})")
+    h = md5_long_expr(f"substring({t}, p, {w_chars})")
+    occ = (
+        docs.where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .selectExpr(
+            "doc_id",
+            "text",
+            f"CASE WHEN length({t}) >= {w_chars} THEN "
+            f"filter(sequence(1, length({t}) - {w_chars} + 1),"
+            f" p -> {a} % {gap} = 0)"
+            f" ELSE CAST(array() AS ARRAY<INT>) END AS ps",
+        )
+        .selectExpr("doc_id", "text", "explode(ps) AS p")
+        # p is an ordinary column here, so the window-hash expr
+        # compiles as plain scan-stage codegen (no lambda scope)
+        .selectExpr("doc_id", "p", f"{h} AS h")
+    )
+    reph = (
+        occ.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    win = Window.partitionBy("h").orderBy("doc_id", "p")
+    cuts = (
+        occ.join(reph, "h")
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") >= 2)
+        .select("doc_id", "p")
+    )
+    per_doc = cuts.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("p")).alias("starts"),
+        F.count("*").alias("n_cuts"),
+    )
+    # positions are bounded by the scan cap (sequence() emits INT), so
+    # the fold cursor stays INT — substring() wants INT arguments
+    rebuilt = (
+        f"aggregate(starts,"
+        f" struct(CAST('' AS STRING) AS acc, 1 AS pos),"
+        f" (st, s) -> struct("
+        f"concat(st.acc, substring(text, st.pos, greatest(s - st.pos, 0))) AS acc,"
+        f" greatest(st.pos, s + {w_chars}) AS pos),"
+        f" st -> concat(st.acc, substring(text, st.pos, length(text))))"
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "text AS _orig",
+            f"CASE WHEN starts IS NULL THEN text ELSE {rebuilt} END AS text",
+            "CAST(coalesce(n_cuts, 0) AS BIGINT) AS n_cuts",
+        )
+        .selectExpr(
+            "doc_id",
+            "text",
+            "n_cuts",
+            "CAST(coalesce(length(_orig) - length(text), 0) AS BIGINT)"
+            " AS removed_chars",
+        )
+    )
+
+
+def remove_repeated_passages_sql(
+    table: str = "documents",
+    w_chars: int = PASSAGE_W,
+    gap: int = PASSAGE_GAP,
+    min_docs: int = 2,
+    max_chars: int | None = PASSAGE_MAX_CHARS,
+) -> str:
+    """DuckDB twin of :func:`remove_repeated_passages`.
+
+    Independent formulation: where Spark rebuilds via an ``aggregate``
+    fold, the twin computes each kept segment's start as a running
+    ``max(p + w) OVER (... 1 PRECEDING)`` (overlap merge) and
+    reassembles with an ordered ``string_agg`` plus the tail from
+    ``max(p) + w``. ``substr`` length is clamped at 0 via the CASE
+    (DuckDB rejects negative substring lengths outright).
+    """
+    from ocr_spark.functions.hashing import md5_long_sql
+
+    t = f"substr(text, 1, {max_chars})" if max_chars else "text"
+    a = md5_long_sql(f"substr({t}, p, {PASSAGE_ANCHOR_W})")
+    h = md5_long_sql(f"substr({t}, p, {w_chars})")
+    return f"""
+      WITH occ AS (
+        SELECT doc_id, text,
+               unnest(ps) AS p,
+               unnest(list_transform(ps, p -> {h})) AS h
+        FROM (
+          SELECT doc_id, text,
+                 CASE WHEN length({t}) >= {w_chars}
+                 THEN list_filter(range(1, length({t}) - {w_chars} + 2),
+                                  p -> {a} % {gap} = 0)
+                 ELSE [] END AS ps
+          FROM {table}
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        )
+      ),
+      reph AS (
+        SELECT h FROM occ GROUP BY h
+        HAVING count(DISTINCT doc_id) >= {min_docs}
+      ),
+      cuts AS (
+        SELECT doc_id, p FROM (
+          SELECT o.doc_id, o.p,
+                 row_number() OVER (PARTITION BY o.h
+                                    ORDER BY o.doc_id, o.p) AS rn
+          FROM occ o JOIN reph USING (h)
+        ) WHERE rn >= 2
+      ),
+      segs AS (
+        SELECT c.doc_id, c.p, d.text,
+               coalesce(max(c.p + {w_chars}) OVER (
+                   PARTITION BY c.doc_id ORDER BY c.p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1)
+                 AS seg_start
+        FROM cuts c JOIN {table} d USING (doc_id)
+      ),
+      agg AS (
+        SELECT doc_id,
+               string_agg(
+                 CASE WHEN p > seg_start
+                      THEN substr(text, seg_start, p - seg_start)
+                      ELSE '' END, '' ORDER BY p) AS head_parts,
+               max(p) + {w_chars} AS tail_start,
+               count(*) AS n_cuts
+        FROM segs GROUP BY doc_id
+      )
+      SELECT doc_id, text, n_cuts,
+             CAST(coalesce(orig_len - length(text), 0) AS BIGINT)
+               AS removed_chars
+      FROM (
+        SELECT d.doc_id,
+               CASE WHEN a.doc_id IS NULL THEN d.text
+                    ELSE coalesce(a.head_parts, '')
+                         || substr(d.text, a.tail_start) END AS text,
+               CAST(coalesce(a.n_cuts, 0) AS BIGINT) AS n_cuts,
+               length(d.text) AS orig_len
+        FROM {table} d LEFT JOIN agg a USING (doc_id)
+      )
+    """

@@ -386,3 +386,95 @@ def test_repeated_passages_matches_duckdb_twin(spark):
     )
     want = sorted(map(tuple, con.execute(repeated_passages_sql()).fetchall()))
     assert got == want and len(got) > 0
+
+
+BOILER = "SUBSCRIBE TO OUR NEWSLETTER TODAY AND SAVE BIG! "
+
+
+def _rrp_corpus(spark):
+    rows = [
+        (1, "alpha doc one body text here. " + BOILER + "unique tail one."),
+        (2, "beta doc two different body. " + BOILER + "tail two longer."),
+        (3, BOILER + "doc three starts with the banner."),
+        (4, "doc four has no banner at all, totally unique content."),
+        (5, None),
+        (6, "short"),
+        (7, "doc seven has it twice: " + BOILER + " mid " + BOILER + " end."),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return pdf, spark.createDataFrame(pdf, schema="doc_id long, text string")
+
+
+RRP_KW = dict(w_chars=16, gap=3, min_docs=2, max_chars=None)
+
+
+def test_remove_repeated_passages_semantics(spark):
+    """The canonical (smallest doc_id, position) occurrence survives;
+    every other occurrence — including BOTH copies in a later doc —
+    is excised; NULL-text / short / banner-free docs pass through;
+    removed_chars is the realized length delta."""
+    pdf, df = _rrp_corpus(spark)
+    out = {
+        r["doc_id"]: r
+        for r in scrub.remove_repeated_passages(df, **RRP_KW).collect()
+    }
+    assert len(out) == len(pdf)  # every doc returned exactly once
+    # doc 1 is canonical: untouched
+    assert out[1]["text"] == pdf.loc[0, "text"] and out[1]["n_cuts"] == 0
+    # docs 2, 3, 7 lose the banner body (content-defined anchors leave
+    # < w+gap chars of boundary residue, never the full banner)
+    for d in (2, 3, 7):
+        assert BOILER not in out[d]["text"]
+        assert out[d]["n_cuts"] > 0
+        assert out[d]["removed_chars"] == len(pdf.loc[d - 1, "text"]) - len(
+            out[d]["text"]
+        )
+    # doc 7 had two occurrences: strictly more cutting than doc 2
+    assert out[7]["removed_chars"] > out[2]["removed_chars"]
+    # pass-throughs
+    assert out[4]["text"] == pdf.loc[3, "text"] and out[4]["n_cuts"] == 0
+    assert out[5]["text"] is None and out[5]["removed_chars"] == 0
+    assert out[6]["text"] == "short" and out[6]["n_cuts"] == 0
+
+
+def test_remove_repeated_passages_cross_engine_tiny(spark):
+    pdf, df = _rrp_corpus(spark)
+    c = duckdb.connect()
+    c.register("rrp_pdf", pdf)
+    c.execute("CREATE VIEW rrp AS SELECT * FROM rrp_pdf")
+    assert_same(
+        scrub.remove_repeated_passages(df, **RRP_KW),
+        c,
+        scrub.remove_repeated_passages_sql("rrp", **RRP_KW),
+    )
+
+
+def test_remove_repeated_passages_cross_engine_corpus(docs, con):
+    assert_same(
+        scrub.remove_repeated_passages(docs),
+        con,
+        scrub.remove_repeated_passages_sql(),
+    )
+
+
+def test_remove_repeated_passages_reduces_repeats(docs, spark):
+    """The cut pass actually de-boilerplates: re-mining the cleaned
+    corpus finds strictly fewer repeated windows (sf0.001 has organic
+    repeats — the existing twin test pins that), and every cut is
+    reflected in the length delta."""
+    before = scrub.repeated_passages(docs).count()
+    cleaned = scrub.remove_repeated_passages(docs)
+    stats = cleaned.agg(
+        F.sum("n_cuts").alias("cuts"), F.sum("removed_chars").alias("rm")
+    ).collect()[0]
+    assert stats["cuts"] > 0 and stats["rm"] > 0
+    after = scrub.repeated_passages(
+        cleaned.select("doc_id", "text")
+    ).count()
+    assert after < before
+
+
+def test_remove_repeated_passages_plan_no_nested_loop(docs):
+    p = plan_str(scrub.remove_repeated_passages(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
