@@ -1003,6 +1003,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": lambda s, d: tfi.bm25_topk(
             _read(s, d, "documents"), ["spark", "window", "merge"], k=15
         ),
+        # positional phrase search: postings cut to the phrase terms
+        # before any shuffle, per-doc position-map intersection fold
+        # (the twin uses k-1 positional self-joins instead)
+        "phrase_search": lambda s, d: tfi.phrase_search(
+            _read(s, d, "documents"), ["fast", "table"]
+        ),
         # banded interval join (points-in-window attribution): time-
         # banded equi-join + exact recheck — must equal the oracle's
         # naive non-equi join row-for-row with no nested-loop plan
@@ -1361,6 +1367,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": tfi.bm25_topk_sql(
             "documents", ["spark", "window", "merge"], k=15
+        ),
+        "phrase_search": tfi.phrase_search_sql(
+            "documents", ["fast", "table"]
         ),
         "winnow_fingerprints": txt.winnow_fingerprints_sql("documents"),
         "interval_attribution": rj.attribution_join_events_sql(),

@@ -321,3 +321,118 @@ def bm25_topk_sql(
       ORDER BY score_scaled DESC, CAST(doc_id AS VARCHAR) ASC
       LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+
+
+def _phrase_terms(phrase_terms) -> list[str]:
+    """Validate a phrase: ordered, duplicates legal (unlike BM25's
+    bag), every term must be a token the tokenizer could emit (alnum,
+    length >= 1 — which also guarantees the inlined SQL literals need
+    no escaping)."""
+    import re as _re
+
+    if not phrase_terms:
+        raise ValueError("phrase_terms must be non-empty")
+    qts = [t.lower() for t in phrase_terms]
+    for t in qts:
+        if not _re.fullmatch(TERM_RE, t):
+            raise ValueError(
+                f"phrase term {t!r} cannot match any token (must be alnum)"
+            )
+    return qts
+
+
+def phrase_search(docs: DataFrame, phrase_terms) -> DataFrame:
+    """(doc_id, n_matches, first_pos): documents containing the exact
+    token phrase — terms adjacent, in order, in the module's ONE
+    token stream (extract-then-lower alnum runs; positions are
+    1-based indexes in the UNFILTERED token sequence, so adjacency
+    means "next token", not "next token above some length").
+
+    Shape at scale: the positional posting explode is scan-stage; the
+    ``isin`` filter cuts postings to the phrase's terms BEFORE any
+    shuffle (the BM25 discipline), so both downstream shuffles —
+    (doc, term) position-list assembly and the per-doc map build —
+    move only matching-term rows. The phrase intersection itself is
+    an O(k · positions) array fold per candidate doc: positions of
+    term i shifted left by i, intersected across i — a doc matches at
+    p iff token[p+i] = q_i for all i. Duplicate phrase terms reuse
+    one posting list. Docs with no phrase occurrence are dropped
+    (this is a search, not an annotation pass).
+    """
+    qts = _phrase_terms(phrase_terms)
+    uniq = sorted(set(qts))
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.regexp_extract_all(F.col("text"), F.lit(TERM_RE), 0)
+            ).alias("pos0", "term"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("p"),
+            F.lower(F.col("term")).alias("term"),
+        )
+    )
+    postings = (
+        toks.where(F.col("term").isin(uniq))
+        .groupBy("doc_id", "term")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+    )
+    per_doc = postings.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "ps"))
+        ).alias("m")
+    )
+    # positions where the full phrase starts: ∩_i (positions(q_i) - i)
+    inter = f"coalesce(m['{qts[0]}'], array())"
+    for i, t in enumerate(qts[1:], start=1):
+        inter = (
+            f"array_intersect({inter},"
+            f" transform(coalesce(m['{t}'], array()), x -> x - {i}))"
+        )
+    return (
+        per_doc.selectExpr("doc_id", f"{inter} AS mpos")
+        .where(F.expr("size(mpos) > 0"))
+        .selectExpr(
+            "doc_id",
+            "CAST(size(mpos) AS BIGINT) AS n_matches",
+            "CAST(array_min(mpos) AS BIGINT) AS first_pos",
+        )
+    )
+
+
+def phrase_search_sql(table: str, phrase_terms) -> str:
+    """DuckDB twin of :func:`phrase_search` — independent formulation:
+    instead of the per-doc position-map fold, k-1 positional
+    self-joins on (doc_id, p + i), the classic inverted-index phrase
+    plan. Positions come from zipped parallel unnests (token list +
+    generate_series), DuckDB's posexplode."""
+    qts = _phrase_terms(phrase_terms)
+    joins = "".join(
+        f"\n        JOIN toks t{i} ON t{i}.doc_id = t0.doc_id"
+        f" AND t{i}.p = t0.p + {i} AND t{i}.term = '{t}'"
+        for i, t in enumerate(qts[1:], start=1)
+    )
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, lower(unnest(ts)) AS term,
+               unnest(generate_series(1, len(ts))) AS p
+        FROM (
+          SELECT doc_id, regexp_extract_all(text, '{TERM_RE}') AS ts
+          FROM {table} WHERE text IS NOT NULL
+        )
+      )
+      SELECT t0.doc_id,
+             CAST(count(*) AS BIGINT) AS n_matches,
+             CAST(min(t0.p) AS BIGINT) AS first_pos
+      FROM toks t0{joins}
+      WHERE t0.term = '{qts[0]}'
+      GROUP BY t0.doc_id
+    """

@@ -179,3 +179,104 @@ def test_bm25_twin_validates_like_engine():
         bm25_topk_sql("documents", ["o'brien"])
     with pytest.raises(ValueError):
         bm25_topk_sql("documents", ["a"])
+
+
+# ---------------------------------------------------------------------------
+# phrase search
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def phrase_tiny(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "quick brown shoes, and a quick brown fox too"),
+        (3, "brown quick fox — right words, wrong order"),
+        (4, "quick... brown!! fox?? punctuation does not break tokens"),
+        (5, "fox fox fox fox"),
+        (6, None),
+        (7, "Quick Brown FOX is case-insensitive"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_phrase_search_semantics(phrase_tiny):
+    from ocr_spark.functions.tfidf import phrase_search
+
+    out = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(
+            phrase_tiny, ["quick", "brown", "fox"]
+        ).collect()
+    }
+    # doc 1 matches once at token 2; doc 3 has the words out of order
+    # (no row); punctuation is stripped by the tokenizer (doc 4);
+    # matching is case-insensitive (doc 7)
+    assert out == {1: (1, 2), 2: (1, 6), 4: (1, 1), 7: (1, 1)}
+
+
+def test_phrase_search_duplicate_terms_and_overlaps(phrase_tiny):
+    from ocr_spark.functions.tfidf import phrase_search
+
+    out = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(phrase_tiny, ["fox", "fox"]).collect()
+    }
+    # "fox fox fox fox" has 3 OVERLAPPING starts: 1, 2, 3
+    assert out == {5: (3, 1)}
+
+
+def test_phrase_search_single_term(phrase_tiny):
+    from ocr_spark.functions.tfidf import phrase_search
+
+    out = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(phrase_tiny, ["fox"]).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 4, 7: 1}
+
+
+def test_phrase_search_validation(phrase_tiny):
+    from ocr_spark.functions.tfidf import phrase_search
+
+    with pytest.raises(ValueError):
+        phrase_search(phrase_tiny, [])
+    with pytest.raises(ValueError):
+        phrase_search(phrase_tiny, ["two words"])
+    with pytest.raises(ValueError):
+        phrase_search(phrase_tiny, ["bad-term"])
+
+
+def test_phrase_search_cross_engine(phrase_tiny, docs):
+    from ocr_spark.functions.tfidf import phrase_search, phrase_search_sql
+
+    con = duckdb.connect()
+    con.register("pt_pdf", phrase_tiny.toPandas())
+    con.execute("CREATE VIEW pt AS SELECT * FROM pt_pdf")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    for tbl, df, ph in [
+        ("pt", phrase_tiny, ["quick", "brown", "fox"]),
+        ("pt", phrase_tiny, ["fox", "fox"]),
+        ("documents", docs, ["fast", "table"]),
+        ("documents", docs, ["table"]),
+    ]:
+        got = sorted(map(tuple, phrase_search(df, ph).collect()))
+        want = sorted(
+            map(tuple, con.execute(phrase_search_sql(tbl, ph)).fetchall())
+        )
+        assert got == want, ph
+    assert len(phrase_search(docs, ["fast", "table"]).collect()) > 0
+
+
+def test_phrase_search_plan_filters_before_shuffle(docs):
+    """The isin() cut must sit below the first Exchange — postings
+    for non-phrase terms never shuffle."""
+    from ocr_spark.functions.tfidf import phrase_search
+
+    p = _plan(phrase_search(docs, ["fast", "table"]))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # the term filter appears in the plan (scan-stage projection side)
+    assert "fast" in p and "table" in p
