@@ -1150,6 +1150,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": lambda s, d: txt.vocab_topk(
             _read(s, d, "documents"), k=200
         ),
+        # BPE merge-selection statistic: pair counts over the WORD-
+        # COUNT table (vocab-scale explode, not corpus-scale), the
+        # corpus step of the Sennrich BPE training loop
+        "bpe_pair_counts": lambda s, d: txt.bpe_pair_counts(
+            _read(s, d, "documents"), k=60
+        ),
         # quality-weighted deterministic Bernoulli sampling: keep
         # probability = length-derived quality proxy, content-hash
         # decision (retry/resume-stable)
@@ -1435,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
             iters=3,
         ),
         "vocab_topk": txt.vocab_topk_sql("documents", k=200),
+        "bpe_pair_counts": txt.bpe_pair_counts_sql("documents", k=60),
         "weighted_sample": (
             "SELECT doc_id, n_chars FROM ("
             + smp.weighted_sample_sql("documents", "least(n_chars, 400) / 400.0")

@@ -291,6 +291,83 @@ def vocab_topk_sql(table: str = "documents", k: int = 100) -> str:
     """
 
 
+BPE_MAX_WORD_CHARS = 1000  # per-word pair-scan cap (memory bound)
+
+
+def bpe_pair_counts(
+    docs: DataFrame, k: int = 100, max_word_chars: int = BPE_MAX_WORD_CHARS
+) -> DataFrame:
+    """(pair, n): the k most frequent adjacent character pairs inside
+    whitespace words, weighted by word occurrence — the statistic the
+    first BPE merge selection maximizes (Sennrich et al. 2016). Run
+    iteratively over a re-segmented vocabulary this IS BPE training;
+    this operator is the corpus-scale step of that loop.
+
+    Scale shape (the reason this is not a corpus explode): classic
+    BPE counts pairs over the WORD-COUNT table, so the corpus-scale
+    work is exactly :func:`vocab_topk`'s one token-count shuffle
+    (map-side partials absorb Zipf skew). The pair explode then runs
+    over the aggregated vocabulary — output-bounded, not
+    corpus-bounded — and the final pair aggregation moves at most
+    |vocab| * (word_len - 1) rows. ``max_word_chars`` caps the pairs
+    scanned per distinct word (a minified-JS "word" would otherwise
+    fan out len-1 rows); ties at rank k break pair-ASC so the
+    returned set is execution-independent. Pairs are raw characters
+    (no case folding), matching vocab_topk's raw tokens.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    wc = (
+        docs.select(F.explode(words_col()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wn"))
+    )
+    t = f"substring(w, 1, {max_word_chars})"
+    return (
+        wc.selectExpr(
+            f"CASE WHEN length({t}) >= 2 THEN "
+            f"transform(sequence(1, length({t}) - 1), i -> substring({t}, i, 2))"
+            f" ELSE CAST(array() AS ARRAY<STRING>) END AS ps",
+            "wn",
+        )
+        .selectExpr("explode(ps) AS pair", "wn")
+        .groupBy("pair")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_sql(
+    table: str = "documents",
+    k: int = 100,
+    max_word_chars: int = BPE_MAX_WORD_CHARS,
+) -> str:
+    """DuckDB twin of :func:`bpe_pair_counts` (range() is
+    exclusive-stop and yields [] when stop <= start, so length-1
+    words need no CASE guard)."""
+    t = f"substr(w, 1, {max_word_chars})"
+    return f"""
+      SELECT pair, n FROM (
+        -- DuckDB widens sum(BIGINT) to HUGEINT; pin the driver-visible
+        -- type to BIGINT to match Spark's sum
+        SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM (
+          SELECT unnest(list_transform(range(1, length({t})),
+                        i -> substr({t}, i, 2))) AS pair,
+                 wn
+          FROM (
+            SELECT w, count(*) AS wn FROM (
+              SELECT unnest(regexp_split_to_array(text, '{WS}+')) AS w
+              FROM {table}
+            ) WHERE w <> ''
+            GROUP BY w
+          )
+        ) GROUP BY pair
+      ) ORDER BY n DESC, pair ASC LIMIT {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # winnowing fingerprints (MOSS)
 # ---------------------------------------------------------------------------

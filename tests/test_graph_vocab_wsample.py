@@ -405,3 +405,61 @@ def test_personalized_pagerank_hostile_string_seeds(spark, con):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_counts
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts_hand_counts(spark):
+    """'abab abab ab' -> word table {abab:2, ab:1}; pairs per 'abab' =
+    ab,ba,ab -> weighted: ab = 2*2+1 = 5, ba = 2, plus nothing else."""
+    df = spark.createDataFrame(
+        [(1, "abab abab ab")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in text.bpe_pair_counts(df, k=10).collect()]
+    assert got == [("ab", 5), ("ba", 2)]
+
+
+def test_bpe_pair_counts_single_char_words_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a bb"), (2, None)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in text.bpe_pair_counts(df, k=10).collect()]
+    # 'a' (len 1) contributes no pairs; 'bb' one pair
+    assert got == [("bb", 1)]
+
+
+def test_bpe_pair_counts_tie_break_pair_asc(spark):
+    df = spark.createDataFrame([(1, "xy ab")], "doc_id long, text string")
+    got = [tuple(r) for r in text.bpe_pair_counts(df, k=1).collect()]
+    assert got == [("ab", 1)]  # count tie -> lexicographic pair wins
+
+
+def test_bpe_pair_counts_word_cap_bounds_fanout(spark):
+    long_word = "ab" * 4000  # 8000 chars
+    df = spark.createDataFrame(
+        [(1, long_word)], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n"] for r in
+           text.bpe_pair_counts(df, k=10, max_word_chars=100).collect()}
+    # capped at 100 chars -> 99 pairs: 50x 'ab', 49x 'ba'
+    assert got == {"ab": 50, "ba": 49}
+
+
+def test_bpe_pair_counts_matches_duckdb_twin(docs, con):
+    got = sorted(map(tuple, text.bpe_pair_counts(docs, k=40).collect()))
+    want = sorted(
+        map(
+            tuple,
+            con.execute(text.bpe_pair_counts_sql("documents", 40)).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 40
+
+
+def test_bpe_pair_counts_plan_shape(docs):
+    p = _plan(text.bpe_pair_counts(docs, k=10))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
