@@ -245,19 +245,16 @@ def bm25_topk(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     scored = tf.join(dl_tbl, "doc_id").crossJoin(F.broadcast(totals))
-    idf = (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
-    denom = F.col("tf").cast("double") + F.lit(BM25_K1) * (
-        F.lit(1.0 - BM25_B)
-        + (F.lit(BM25_B) * F.col("dl").cast("double") * F.col("n_docs"))
-        / F.col("sum_dl")
-    )
-    contrib = F.floor(
-        (idf * ((F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom))
-        * F.lit(1000000.0)
-    ).cast("long")
+    return _bm25_rank(scored.withColumn("c", _bm25_contrib()), k)
+
+
+def _bm25_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail for the scan path AND the persisted-index
+    path: integer-sum the per-(doc,term) contributions, global top-k
+    (TakeOrderedAndProject), doc_id-string tie-break. ONE definition
+    so the two paths can never diverge on aggregation or ordering."""
     return (
-        scored.withColumn("c", contrib)
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_hits"),
             F.sum("c").alias("score_scaled"),
@@ -268,6 +265,23 @@ def bm25_topk(
         )
         .limit(k)
     )
+
+
+def _bm25_contrib() -> F.Column:
+    """Shared per-(doc, term) BM25 contribution over columns
+    (tf, df, dl, n_docs, sum_dl) — the SAME pinned float expression
+    tree as :func:`bm25_topk` (IEEE-identical across engines and
+    across the scan/index paths)."""
+    idf = (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    denom = F.col("tf").cast("double") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + (F.lit(BM25_B) * F.col("dl").cast("double") * F.col("n_docs"))
+        / F.col("sum_dl")
+    )
+    return F.floor(
+        (idf * ((F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom))
+        * F.lit(1000000.0)
+    ).cast("long")
 
 
 def bm25_topk_sql(
@@ -385,12 +399,19 @@ def phrase_search(docs: DataFrame, phrase_terms) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.sort_array(F.collect_list("p")).alias("ps"))
     )
+    return _phrase_from_postings(postings, qts)
+
+
+def _phrase_from_postings(postings: DataFrame, qts: list[str]) -> DataFrame:
+    """Shared match tail for the scan path AND the persisted-index
+    path: per-doc (term -> positions) map, then the phrase start set
+    ∩_i (positions(q_i) - i). `postings` = (doc_id, term, ps) already
+    cut to the phrase's terms."""
     per_doc = postings.groupBy("doc_id").agg(
         F.map_from_entries(
             F.collect_list(F.struct("term", "ps"))
         ).alias("m")
     )
-    # positions where the full phrase starts: ∩_i (positions(q_i) - i)
     inter = f"coalesce(m['{qts[0]}'], array())"
     for i, t in enumerate(qts[1:], start=1):
         inter = (
@@ -436,3 +457,154 @@ def phrase_search_sql(table: str, phrase_terms) -> str:
       WHERE t0.term = '{qts[0]}'
       GROUP BY t0.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index (index once, query many)
+# ---------------------------------------------------------------------------
+
+TEXT_INDEX_BUCKETS = 64
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Python twin of the index's bucket function — EXACTLY Spark's
+    pmod(md5_long(term), n_buckets) (md5 of the UTF-8 term, leading
+    15 hex digits as int64). Query planning computes the probe-bucket
+    set driver-side with this, so it must never drift from the column
+    expression used at build time."""
+    import hashlib
+
+    h = int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16)
+    return h % n_buckets
+
+
+def build_text_index(
+    docs: DataFrame,
+    min_term_len: int = 2,
+    n_buckets: int = TEXT_INDEX_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats): the durable inverted index behind
+    :func:`bm25_from_index` / :func:`phrase_from_index` — the "index
+    once, query many" shape. The scan-path operators re-tokenize the
+    corpus per query; at 10^12 docs a query must instead read only
+    the probed term buckets of a stored artifact (the jobs/ann_index
+    precedent for text).
+
+    postings = (bucket, term, doc_id, tf, ps, dl):
+      - positions `ps` are 1-based in the UNFILTERED token stream
+        (the :func:`phrase_search` contract), sorted at build;
+      - `tf` = size(ps), which equals the BM25 scan path's tf for any
+        queryable term (the length filter only excludes whole terms,
+        never occurrences of an included term);
+      - `dl` (the BM25-filtered doc length) is denormalized onto every
+        posting row so a bucket-pruned read never needs a doc-keyed
+        side table it cannot prune;
+      - `bucket` = pmod(md5_long(term), n_buckets) — write with
+        .partitionBy("bucket") so term lookups become partition-pruned
+        scans reading |query buckets| / n_buckets of the files.
+    stats = 1 row (n_docs, sum_dl, n_buckets, min_term_len): the BM25
+    corpus constants plus the build parameters, stored with the index
+    so a query validates against the artifact it actually probes.
+    """
+    live = docs.where(F.col("text").isNotNull())
+    toks = (
+        live.select(
+            "doc_id",
+            F.posexplode(
+                F.regexp_extract_all(F.col("text"), F.lit(TERM_RE), 0)
+            ).alias("pos0", "term"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("p"),
+            F.lower(F.col("term")).alias("term"),
+        )
+    )
+    dl_tbl = live.select(
+        "doc_id",
+        F.expr(
+            f"size(filter(regexp_extract_all(text, '{TERM_RE}', 0), "
+            f"x -> length(x) >= {min_term_len}))"
+        ).cast("long").alias("dl"),
+    )
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .withColumn("tf", F.size("ps").cast("long"))
+        .join(dl_tbl, "doc_id")
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"pmod(CAST(conv(substr(md5(term), 1, 15), 16, 10)"
+                f" AS BIGINT), {n_buckets})"
+            ),
+        )
+        .select("bucket", "term", "doc_id", "tf", "ps", "dl")
+    )
+    stats = dl_tbl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
+        F.lit(min_term_len).cast("int").alias("min_term_len"),
+    )
+    return postings, stats
+
+
+def write_text_index(
+    docs: DataFrame,
+    index_dir: str,
+    min_term_len: int = 2,
+    n_buckets: int = TEXT_INDEX_BUCKETS,
+) -> None:
+    """Persist the index: postings bucket-partitioned (the pruning
+    unit), stats beside them."""
+    postings, stats = build_text_index(docs, min_term_len, n_buckets)
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/postings"
+    )
+    stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def _read_index(spark, index_dir: str, terms: list[str]):
+    """Pruned postings read: stats row + the probe-bucket filtered
+    postings (partition pruning does the rest)."""
+    st = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    buckets = sorted({term_bucket_py(t, st["n_buckets"]) for t in terms})
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(sorted(set(terms))))
+    )
+    return st, postings
+
+
+def bm25_from_index(
+    spark, index_dir: str, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """BM25 top-k served from the persisted index — must equal
+    :func:`bm25_topk` on the indexed corpus row-for-row (shared
+    contribution expression + shared ranking tail; df is a window
+    count over the pruned posting rows, exactly the scan path's
+    definition). The scan reads ONLY the query terms' bucket
+    partitions."""
+    st_probe = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    qts = _query_terms(query_terms, st_probe["min_term_len"])
+    st, postings = _read_index(spark, index_dir, qts)
+    scored = (
+        postings.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
+        .withColumn("n_docs", F.lit(int(st["n_docs"])))
+        .withColumn("sum_dl", F.lit(int(st["sum_dl"])).cast("long"))
+        .withColumn("c", _bm25_contrib())
+    )
+    return _bm25_rank(scored, k)
+
+
+def phrase_from_index(spark, index_dir: str, phrase_terms) -> DataFrame:
+    """Phrase search served from the persisted index — must equal
+    :func:`phrase_search` on the indexed corpus (shared match tail;
+    positions were stored sorted and unfiltered at build)."""
+    qts = _phrase_terms(phrase_terms)
+    _, postings = _read_index(spark, index_dir, qts)
+    return _phrase_from_postings(postings.select("doc_id", "term", "ps"), qts)

@@ -1,0 +1,118 @@
+"""Persisted inverted text index: stored-index BM25/phrase answers
+must equal the scan-path operators row-for-row; queries must
+partition-prune to the probe buckets; job CLI end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+from unittest.mock import patch
+
+import pytest
+from pyspark.sql import SparkSession
+
+from ocr_spark.functions.tfidf import (
+    bm25_from_index,
+    bm25_topk,
+    phrase_from_index,
+    phrase_search,
+    term_bucket_py,
+    write_text_index,
+)
+from ocr_spark.plans import plan_str
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tidx") / "idx")
+    write_text_index(docs, d, min_term_len=2, n_buckets=16)
+    return d
+
+
+def test_index_layout_and_stats(spark, docs, index_dir):
+    assert any(
+        p.startswith("bucket=")
+        for p in os.listdir(f"{index_dir}/postings")
+    )
+    st = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    assert st["n_docs"] == docs.where("text IS NOT NULL").count()
+    assert st["n_buckets"] == 16 and st["min_term_len"] == 2
+    # every posting row sits in the bucket the Python twin computes
+    rows = spark.read.parquet(f"{index_dir}/postings").select(
+        "bucket", "term"
+    ).distinct().collect()
+    assert rows and all(
+        r["bucket"] == term_bucket_py(r["term"], 16) for r in rows
+    )
+
+
+def test_bm25_from_index_equals_scan_path(spark, docs, index_dir):
+    for q in (["spark", "window", "merge"], ["table"], ["fast", "big"]):
+        got = [tuple(r) for r in bm25_from_index(spark, index_dir, q, k=15).collect()]
+        want = [tuple(r) for r in bm25_topk(docs, q, k=15).collect()]
+        assert got == want and len(got) > 0, q
+
+
+def test_phrase_from_index_equals_scan_path(spark, docs, index_dir):
+    for ph in (["fast", "table"], ["table", "table"], ["table"]):
+        got = sorted(map(tuple, phrase_from_index(spark, index_dir, ph).collect()))
+        want = sorted(map(tuple, phrase_search(docs, ph).collect()))
+        assert got == want and len(got) > 0, ph
+
+
+def test_query_scan_is_partition_pruned(spark, index_dir):
+    """The probe plan's PartitionFilters must pin the bucket set —
+    the scan reads the query terms' partitions, not the index."""
+    p = plan_str(bm25_from_index(spark, index_dir, ["spark", "merge"]))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "bucket" in m.group(1) and m.group(1).strip()
+
+
+def test_unknown_term_yields_empty_not_error(spark, index_dir):
+    assert phrase_from_index(spark, index_dir, ["zzzunseen"]).count() == 0
+
+
+def _run(argv):
+    import jobs.text_index as job
+
+    printed = []
+    with patch.object(sys, "argv", ["text_index.py", *argv]), patch.object(
+        SparkSession, "stop", lambda self: None
+    ), patch("builtins.print", lambda s: printed.append(s)):
+        job.main()
+    return json.loads(printed[-1])
+
+
+def test_job_build_then_query(spark, docs, tmp_path):
+    idx = str(tmp_path / "idx")
+    b = _run(
+        ["--build", "--input", f"{SF_DIR}/documents.parquet",
+         "--index", idx, "--buckets", "8", "--master", "local[4]"]
+    )
+    assert b["n_docs"] == docs.where("text IS NOT NULL").count()
+    assert b["n_postings"] > b["n_terms"] > 0
+    out = str(tmp_path / "hits")
+    q = _run(
+        ["--bm25", "spark window merge", "--index", idx, "--output", out,
+         "--k", "15", "--master", "local[4]"]
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(tuple, bm25_topk(docs, ["spark", "window", "merge"], k=15).collect())
+    )
+    assert got == want and q["n_results"] == 15
+    out2 = str(tmp_path / "hits2")
+    p = _run(["--phrase", "fast table", "--index", idx, "--output", out2,
+              "--master", "local[4]"])
+    got2 = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    want2 = sorted(map(tuple, phrase_search(docs, ["fast", "table"]).collect()))
+    assert got2 == want2 and p["n_results"] == len(want2) > 0
