@@ -843,6 +843,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": lambda s, d: ded.exact_dedup(_read(s, d, "documents")),
         "minhash_signatures": lambda s, d: ded.minhash_signatures(_read(s, d, "documents")),
         "minhash_lsh_pairs": lambda s, d: ded.minhash_lsh_pairs(_read(s, d, "documents")),
+        # LSH quality eval: recall/precision (integer ppm) of the LSH
+        # candidate set vs the exact-Jaccard ground truth at tau —
+        # one flagged full-outer join, each pair subtree computed once
+        "lsh_recall_eval": lambda s, d: ded.lsh_recall_eval(
+            _read(s, d, "documents")
+        ),
         "simhash": lambda s, d: ded.simhash(_read(s, d, "documents")),
         "simhash_pairs": lambda s, d: ded.simhash_pairs(_read(s, d, "documents")),
         "ngram_jaccard_pairs": lambda s, d: ded.ngram_jaccard_pairs(_read(s, d, "documents")),
@@ -1296,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": ded.exact_dedup_sql(),
         "minhash_signatures": ded.minhash_signatures_sql(),
         "minhash_lsh_pairs": ded.minhash_lsh_pairs_sql(),
+        "lsh_recall_eval": ded.lsh_recall_eval_sql(),
         "simhash": ded.simhash_sql(),
         "simhash_pairs": ded.simhash_pairs_sql(),
         "ngram_jaccard_pairs": ded.ngram_jaccard_pairs_sql(),

@@ -1022,3 +1022,109 @@ def dedup_against_index_sql(
       FROM hits WHERE n_match >= {min_match}
       GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation (measure, don't guess)
+# ---------------------------------------------------------------------------
+
+
+def lsh_recall_eval(
+    docs: DataFrame,
+    w: int = SHINGLE_W,
+    tau: float = 0.2,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket: int | None = None,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """One row (n_true, n_candidates, n_hit, recall_ppm,
+    precision_ppm): how well the MinHash-LSH candidate generator
+    covers the exact-Jaccard ground truth at threshold ``tau`` — the
+    eval a dedup owner runs BEFORE trusting (k, bands) at a new
+    corpus or threshold, because LSH recall is a property of the
+    corpus's similarity distribution, not of the algorithm alone.
+
+    truth      = :func:`ngram_jaccard_pairs` (exact baseline, same
+                 ``max_df`` cap — the cap is part of the definition
+                 being evaluated against)
+    candidates = :func:`minhash_lsh_pairs` (what production proposes)
+    recall_ppm    = (n_hit * 10^6) div n_true        (NULL if no truth)
+    precision_ppm = (n_hit * 10^6) div n_candidates  (NULL if none)
+
+    Integer ppm keeps the row engine-exact (non-negative operands, so
+    Spark's truncating `div` and DuckDB's flooring `//` agree). Each
+    expensive subtree (truth pairs, candidate pairs) is computed ONCE:
+    a flagged full-outer join on the (a < b)-oriented pair key feeds a
+    single aggregate — no per-metric re-execution of the pair plans.
+    """
+    t = ngram_jaccard_pairs(docs, w=w, tau=tau, max_df=max_df).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_t")
+    )
+    c = minhash_lsh_pairs(
+        docs, k=k, bands=bands, w=w, max_bucket=max_bucket
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_c"))
+    j = t.join(c, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.count("in_t").alias("n_true"),
+        F.count("in_c").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("in_t").isNotNull() & F.col("in_c").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_hit"),
+    ).selectExpr(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        "CASE WHEN n_true > 0 THEN (n_hit * 1000000) div n_true"
+        " ELSE NULL END AS recall_ppm",
+        "CASE WHEN n_candidates > 0 THEN (n_hit * 1000000) div n_candidates"
+        " ELSE NULL END AS precision_ppm",
+    )
+
+
+def lsh_recall_eval_sql(
+    table: str = "documents",
+    w: int = SHINGLE_W,
+    tau: float = 0.2,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket: int | None = None,
+    max_df: int | None = 1000,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+) -> str:
+    """DuckDB twin of :func:`lsh_recall_eval` — composes the two pair
+    twins verbatim so the evaluated definitions are the contract
+    definitions."""
+    return f"""
+      WITH truth AS (
+        SELECT doc_a, doc_b FROM (
+          {ngram_jaccard_pairs_sql(table, w=w, tau=tau, max_df=max_df)}
+        )
+      ),
+      cand AS (
+        SELECT doc_a, doc_b FROM (
+          {minhash_lsh_pairs_sql(table, k=k, bands=bands, w=w,
+                                 max_bucket=max_bucket, id_sql=id_sql)}
+        )
+      ),
+      j AS (
+        SELECT t.doc_a IS NOT NULL AS in_t, c.doc_a IS NOT NULL AS in_c
+        FROM truth t FULL OUTER JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+      ),
+      m AS (
+        SELECT CAST(count(*) FILTER (in_t) AS BIGINT) AS n_true,
+               CAST(count(*) FILTER (in_c) AS BIGINT) AS n_candidates,
+               CAST(count(*) FILTER (in_t AND in_c) AS BIGINT) AS n_hit
+        FROM j
+      )
+      SELECT n_true, n_candidates, n_hit,
+             CASE WHEN n_true > 0
+                  THEN (n_hit * 1000000) // n_true
+                  ELSE NULL END AS recall_ppm,
+             CASE WHEN n_candidates > 0
+                  THEN (n_hit * 1000000) // n_candidates
+                  ELSE NULL END AS precision_ppm
+      FROM m
+    """

@@ -821,3 +821,84 @@ def test_winnow_plan_is_scan_stage(docs):
     from ocr_spark.plans import plan_str as _plan2
 
     assert "Exchange" not in _plan2(text.winnow_fingerprints(docs), "simple")
+
+
+# ---------------------------------------------------------------------------
+# lsh_recall_eval
+# ---------------------------------------------------------------------------
+
+
+def _overlap_corpus(spark):
+    """30 doc pairs at shingle-Jaccard ≈ 0.286 (above tau=0.2, but a
+    4x4 LSH band hits such a pair with P ≈ 2.6%) plus one exact-dup
+    pair LSH can never miss — so deterministically 0 < n_hit < n_true."""
+    import pandas as pd
+
+    rows = []
+    for i in range(30):
+        shared = [f"s{i:02d}w{j:02d}" for j in range(20)]
+        a = shared + [f"a{i:02d}u{j:02d}" for j in range(20)]
+        b = shared + [f"b{i:02d}u{j:02d}" for j in range(20)]
+        rows.append((2 * i, " ".join(a)))
+        rows.append((2 * i + 1, " ".join(b)))
+    exact = " ".join(f"dupword{j:02d}" for j in range(40))
+    rows += [(100, exact), (101, exact)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_lsh_recall_eval_measures_misses(spark):
+    pdf, df = _overlap_corpus(spark)
+    r = dedup.lsh_recall_eval(df).collect()[0]
+    # ground truth: all 30 overlap pairs + the exact dup are >= tau
+    assert r["n_true"] == 31
+    # LSH catches the exact dup but misses most 0.286-Jaccard pairs
+    assert 0 < r["n_hit"] < r["n_true"]
+    assert r["recall_ppm"] == (r["n_hit"] * 1000000) // r["n_true"]
+    assert r["recall_ppm"] < 1000000
+    if r["n_candidates"] > 0:
+        assert r["precision_ppm"] == (
+            r["n_hit"] * 1000000
+        ) // r["n_candidates"]
+
+
+def test_lsh_recall_eval_perfect_on_exact_dups(spark):
+    import pandas as pd
+
+    t = " ".join(f"w{j:02d}" for j in range(30))
+    u = " ".join(f"x{j:02d}" for j in range(30))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [t, t, u]})
+    )
+    r = dedup.lsh_recall_eval(df).collect()[0]
+    assert tuple(r) == (1, 1, 1, 1000000, 1000000)
+
+
+def test_lsh_recall_eval_empty_truth_yields_nulls(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    " ".join(f"w{j}" for j in range(30)),
+                    " ".join(f"z{j}" for j in range(30)),
+                ],
+            }
+        )
+    )
+    r = dedup.lsh_recall_eval(df).collect()[0]
+    assert r["n_true"] == 0 and r["recall_ppm"] is None
+
+
+def test_lsh_recall_eval_cross_engine(spark, docs, con):
+    pdf, df = _overlap_corpus(spark)
+    con.register("t_lre_df", pdf)
+    con.execute("CREATE OR REPLACE VIEW t_lre AS SELECT * FROM t_lre_df")
+    assert_same(
+        dedup.lsh_recall_eval(df), con, dedup.lsh_recall_eval_sql("t_lre")
+    )
+    assert_same(
+        dedup.lsh_recall_eval(docs), con, dedup.lsh_recall_eval_sql()
+    )
