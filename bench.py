@@ -151,7 +151,19 @@ def headline_queries(spark, sf_dir: str, span_dir: str | None = None):
         "caption_pairs": lambda: ilv.caption_pairs(spans()),
         "section_paths": lambda: ilv.section_paths(spans()),
         "source_overlap": lambda: _source_overlap_q(docs()),
+        # round-3 session-12 addition: the ExactSubstr cut pass — a
+        # new measured shape (anchored occurrence explode -> hash
+        # window canonical pick -> per-doc sorted-cut fold rebuild).
+        # phrase_search/lsh_recall_eval/bpe_pair_counts reuse already-
+        # measured shapes (posting filter / pair joins / vocab agg).
+        "remove_repeated_passages": lambda: _rrp_q(docs()),
     }
+
+
+def _rrp_q(docs):
+    from ocr_spark.functions.scrub import remove_repeated_passages
+
+    return remove_repeated_passages(docs)
 
 
 def _source_overlap_q(docs):
