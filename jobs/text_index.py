@@ -41,6 +41,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     mode = ap.add_mutually_exclusive_group(required=True)
     mode.add_argument("--build", action="store_true")
+    mode.add_argument(
+        "--update",
+        action="store_true",
+        help="append a batch of NEW docs to an existing index "
+        "(postings append + additive stats; see update_text_index)",
+    )
     mode.add_argument("--bm25", help="space-separated bag-of-terms query")
     mode.add_argument("--phrase", help="space-separated exact phrase query")
     ap.add_argument("--input", help="documents parquet (doc_id, text) for --build")
@@ -51,8 +57,8 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
-    if args.build and not args.input:
-        ap.error("--build requires --input")
+    if (args.build or args.update) and not args.input:
+        ap.error("--build/--update require --input")
     if (args.bm25 or args.phrase) and not args.output:
         ap.error("query modes require --output")
     if args.buckets < 1:
@@ -63,23 +69,29 @@ def main() -> None:
     from ocr_spark.functions.tfidf import (
         bm25_from_index,
         phrase_from_index,
+        update_text_index,
         write_text_index,
     )
     from ocr_spark.pipeline.session import get_spark
 
     spark = get_spark(args.master or "local[*]", app_name="ocr_spark_text_index")
 
-    if args.build:
-        write_text_index(
-            spark.read.parquet(args.input),
-            args.index,
-            min_term_len=args.min_term_len,
-            n_buckets=args.buckets,
-        )
+    if args.build or args.update:
+        if args.build:
+            write_text_index(
+                spark.read.parquet(args.input),
+                args.index,
+                min_term_len=args.min_term_len,
+                n_buckets=args.buckets,
+            )
+        else:
+            update_text_index(
+                spark, args.index, spark.read.parquet(args.input)
+            )
         postings = spark.read.parquet(f"{args.index}/postings")
         st = spark.read.parquet(f"{args.index}/stats").collect()[0]
         summary = {
-            "mode": "build",
+            "mode": "build" if args.build else "update",
             "n_postings": postings.count(),
             "n_terms": postings.select("term").distinct().count(),
             "n_docs": int(st["n_docs"]),

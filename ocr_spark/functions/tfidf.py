@@ -608,3 +608,52 @@ def phrase_from_index(spark, index_dir: str, phrase_terms) -> DataFrame:
     qts = _phrase_terms(phrase_terms)
     _, postings = _read_index(spark, index_dir, qts)
     return _phrase_from_postings(postings.select("doc_id", "term", "ps"), qts)
+
+
+def update_text_index(spark, index_dir: str, new_docs: DataFrame) -> None:
+    """Incrementally add a batch of NEW documents to a persisted
+    index — the daily-crawl maintenance path, costing one pass over
+    the BATCH instead of a full rebuild.
+
+    Why append is exactly right here: postings rows are per
+    (doc, term), so disjoint new docs only ADD rows (parquet append
+    into the existing bucket= partition dirs — no rewrite, no read of
+    the existing postings); `df` is derived at query time as a window
+    count over the pruned posting rows, so it updates automatically;
+    and the BM25 corpus constants are ADDITIVE (n_docs, sum_dl sum
+    across batches), so stats is the only thing rewritten — a 1-row
+    table. Build parameters (n_buckets, min_term_len) come from the
+    stored stats so the increment can never be bucketed differently
+    than the base.
+
+    Caller contract: the batch's doc_ids must be NEW (re-ingesting an
+    indexed doc would double its postings — dedup upstream, e.g.
+    novelty-gate the batch the way jobs/curate.py does). The
+    append-then-stats sequence is not atomic; schedule it like any
+    index maintenance (rebuild-from-snapshot recovers).
+
+    After update, queries equal a from-scratch build over the union —
+    pinned by tests/test_text_index.py.
+    """
+    old = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    postings, stats = build_text_index(
+        new_docs,
+        min_term_len=old["min_term_len"],
+        n_buckets=old["n_buckets"],
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        f"{index_dir}/postings"
+    )
+    delta = stats.collect()[0]
+    merged = spark.createDataFrame(
+        [
+            (
+                old["n_docs"] + delta["n_docs"],
+                (old["sum_dl"] or 0) + (delta["sum_dl"] or 0),
+                old["n_buckets"],
+                old["min_term_len"],
+            )
+        ],
+        "n_docs long, sum_dl long, n_buckets int, min_term_len int",
+    )
+    merged.write.mode("overwrite").parquet(f"{index_dir}/stats")

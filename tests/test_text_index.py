@@ -116,3 +116,59 @@ def test_job_build_then_query(spark, docs, tmp_path):
     got2 = sorted(map(tuple, spark.read.parquet(out2).collect()))
     want2 = sorted(map(tuple, phrase_search(docs, ["fast", "table"]).collect()))
     assert got2 == want2 and p["n_results"] == len(want2) > 0
+
+
+def test_incremental_update_equals_full_rebuild(spark, docs, tmp_path):
+    """build(half) + update(other half) must answer every query
+    exactly like build(all): postings row set, stats, BM25 top-k and
+    phrase hits all equal."""
+    from pyspark.sql import functions as F
+
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    inc_dir = str(tmp_path / "inc")
+    full_dir = str(tmp_path / "full")
+    write_text_index(half_a, inc_dir, min_term_len=2, n_buckets=8)
+    from ocr_spark.functions.tfidf import update_text_index
+
+    update_text_index(spark, inc_dir, half_b)
+    write_text_index(docs, full_dir, min_term_len=2, n_buckets=8)
+    # stats equal
+    si = spark.read.parquet(f"{inc_dir}/stats").collect()[0]
+    sf = spark.read.parquet(f"{full_dir}/stats").collect()[0]
+    assert tuple(si) == tuple(sf)
+    # postings row sets equal (order-free)
+    pi = sorted(
+        (r["bucket"], r["term"], r["doc_id"], r["tf"], tuple(r["ps"]), r["dl"])
+        for r in spark.read.parquet(f"{inc_dir}/postings").collect()
+    )
+    pf = sorted(
+        (r["bucket"], r["term"], r["doc_id"], r["tf"], tuple(r["ps"]), r["dl"])
+        for r in spark.read.parquet(f"{full_dir}/postings").collect()
+    )
+    assert pi == pf
+    # query answers equal (and equal the scan path)
+    got = [tuple(r) for r in bm25_from_index(
+        spark, inc_dir, ["spark", "window", "merge"], k=15).collect()]
+    want = [tuple(r) for r in bm25_topk(
+        docs, ["spark", "window", "merge"], k=15).collect()]
+    assert got == want
+    gp = sorted(map(tuple, phrase_from_index(
+        spark, inc_dir, ["fast", "table"]).collect()))
+    wp = sorted(map(tuple, phrase_search(docs, ["fast", "table"]).collect()))
+    assert gp == wp
+
+
+def test_job_update_mode(spark, docs, tmp_path):
+    from pyspark.sql import functions as F
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    docs.where(F.col("doc_id") < 250).write.parquet(a_dir)
+    docs.where(F.col("doc_id") >= 250).write.parquet(b_dir)
+    idx = str(tmp_path / "idx")
+    _run(["--build", "--input", a_dir, "--index", idx,
+          "--buckets", "8", "--master", "local[4]"])
+    u = _run(["--update", "--input", b_dir, "--index", idx,
+              "--master", "local[4]"])
+    assert u["mode"] == "update"
+    assert u["n_docs"] == docs.where("text IS NOT NULL").count()
