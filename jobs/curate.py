@@ -13,12 +13,15 @@ end to end — the composition a 100 TB corpus actually runs:
                (corpus-frequency complement to the kernel's
                kind-heuristic strip; hash-only shuffles) before the
                per-doc text is assembled;
-2. scrub     — optional (--nfc / --line-dedup / --pii-scrub):
-               Unicode NFC normalization (first — later hashes and
-               regexes must see canonical bytes), within-doc
-               repeated-line removal and staged PII redaction,
-               BEFORE every content-hash stage so the novelty gate,
-               dedup, and the written table all see scrubbed text;
+2. scrub     — optional (--nfc / --line-dedup / --pii-scrub /
+               --strip-passages): Unicode NFC normalization (first —
+               later hashes and regexes must see canonical bytes),
+               within-doc repeated-line removal, staged PII
+               redaction, and the cross-doc ExactSubstr passage cut
+               (last — the per-doc scrubs must not re-introduce cut
+               passages), BEFORE every content-hash stage so the
+               novelty gate, dedup, and the written table all see
+               scrubbed text;
 3. novelty   — optional (--against): anti-join the batch against an
                already-curated corpus so re-crawls short-circuit
                before the expensive stages;
@@ -227,6 +230,15 @@ def main() -> None:
         "before text assembly (0 = off, else >= 2)",
     )
     ap.add_argument(
+        "--strip-passages",
+        type=_strip_n,
+        default=0,
+        help="ExactSubstr-style cut of character windows shared by "
+        ">= N distinct docs (one canonical occurrence survives "
+        "corpus-wide; 0 = off, else >= 2) — runs last in the scrub "
+        "chain, before every content-hash stage",
+    )
+    ap.add_argument(
         "--pack-seq-len",
         type=int,
         default=0,
@@ -354,9 +366,24 @@ def main() -> None:
             frame = pii_scrub(frame).select(
                 "doc_id", F.col("clean_text").alias("text")
             )
+        if args.strip_passages > 0:
+            # cross-doc ExactSubstr cut pass LAST in the scrub chain:
+            # it must see the same bytes every later content-hash
+            # stage sees, and the earlier per-doc scrubs must not
+            # re-introduce passages it already cut
+            from ocr_spark.functions.scrub import remove_repeated_passages
+
+            frame = remove_repeated_passages(
+                frame, min_docs=args.strip_passages
+            ).select("doc_id", "text")
         return frame
 
-    if args.nfc or args.line_dedup or args.pii_scrub:
+    if (
+        args.nfc
+        or args.line_dedup
+        or args.pii_scrub
+        or args.strip_passages > 0
+    ):
         extracted_raw = corpus
         corpus = _scrub(corpus).persist()
         corpus.count()
@@ -620,6 +647,7 @@ def main() -> None:
                 "cap_per_source": args.cap_per_source,
                 "split": args.split,
                 "pii_scrub": args.pii_scrub,
+                "strip_passages": args.strip_passages,
                 "line_dedup": args.line_dedup,
                 "nfc": args.nfc,
                 "gopher": args.gopher,

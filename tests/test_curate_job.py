@@ -480,3 +480,76 @@ def test_curate_classifier_gate(spark, tmp_path):
         spark.read.parquet(out_clf).select("doc_id", "text")
     )
     assert kept.where(~F.col("keep")).count() == 0
+
+
+def test_curate_strip_passages_stage(spark, tmp_path):
+    """--strip-passages N runs the ExactSubstr cut pass in the scrub
+    chain: a banner shared by 3 docs survives in exactly ONE curated
+    doc (the corpus-canonical occurrence); with the flag off, all
+    three keep it."""
+    import pandas as pd
+
+    # a LONG banner: the span synthesizer drops whole chunks, so only
+    # contiguous surviving runs >= ~w+gap chars are detectable — 24
+    # banner words guarantee long identical runs survive extraction.
+    # ids congruent mod 17 -> the synthesizer treats all three texts
+    # identically; same word count -> same span chunking, so the
+    # banner reaches extraction at the same relative positions.
+    banner = " ".join(f"SUBSCRIBE{i:02d}" for i in range(24))
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 18, 35],
+            "text": [
+                " ".join(f"a{i:02d}" for i in range(20))
+                + " " + banner + " "
+                + " ".join(f"x{i:02d}" for i in range(20)),
+                " ".join(f"b{i:02d}" for i in range(20))
+                + " " + banner + " "
+                + " ".join(f"y{i:02d}" for i in range(20)),
+                " ".join(f"c{i:02d}" for i in range(20))
+                + " " + banner + " "
+                + " ".join(f"z{i:02d}" for i in range(20)),
+            ],
+        }
+    )
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema="doc_id long, text string").write.parquet(inp)
+
+    import jobs.curate as job
+
+    def run(out, *extra):
+        argv = [
+            "curate.py", "--input", inp, "--synthesize", "--output", out,
+            "--min-quality", "0.0", *extra,
+        ]
+        printed = []
+        with patch.object(sys, "argv", argv), patch.object(
+            SparkSession, "stop", lambda self: None
+        ), patch("builtins.print", lambda s: printed.append(s)):
+            job.main()
+        return json.loads(printed[-1])
+
+    s_off = run(str(tmp_path / "off"))
+    texts_off = [r.text for r in spark.read.parquet(str(tmp_path / "off")).collect()]
+    # the longest banner run that survived extraction in ALL docs —
+    # the synthesizer may drop whole chunks, but identically for the
+    # mod-17-congruent ids, so a long shared run always remains
+    import re
+
+    def runs(t):
+        return re.findall(r"(?:SUBSCRIBE[0-9]{2} ?)+", t)
+
+    shared = set(runs(texts_off[0]))
+    for t in texts_off[1:]:
+        shared &= set(runs(t))
+    probe = max(shared, key=len).strip()
+    assert len(probe) >= 60, (probe, texts_off)
+    assert sum(probe in t for t in texts_off) == 3
+
+    s_on = run(str(tmp_path / "on"), "--strip-passages", "2")
+    assert s_on["strip_passages"] == 2 and s_off["strip_passages"] == 0
+    texts_on = [r.text for r in spark.read.parquet(str(tmp_path / "on")).collect()]
+    assert len(texts_on) == 3  # a cut pass, not a filter
+    # the canonical occurrence survives; the other two lost the run
+    assert sum(probe in t for t in texts_on) == 1, (probe, texts_on)
+    assert sum(map(len, texts_on)) < sum(map(len, texts_off))
