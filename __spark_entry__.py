@@ -30,7 +30,12 @@ from ocr_spark.functions import dedup as ded
 from ocr_spark.functions import dsir
 from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import interleave as ilv
-from ocr_spark.functions.chunking import chunk_documents, chunk_documents_sql
+from ocr_spark.functions.chunking import (
+    chunk_documents,
+    chunk_documents_sql,
+    split_sentences,
+    split_sentences_sql,
+)
 from ocr_spark.functions.packing import (
     pack_index,
     pack_index_sql,
@@ -816,6 +821,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": lambda s, d: chunk_documents(
             _read(s, d, "documents"), max_tokens=64, overlap=16
         ),
+        # sentence segmentation over the corpus with periods injected
+        # every 8 words (the synthetic text has no punctuation; the
+        # identical injection runs in the oracle) — scan-stage, zero
+        # shuffle, sentinel-split (RE2 has no lookbehind)
+        "split_sentences": lambda s, d: split_sentences(
+            _read(s, d, "documents").withColumn(
+                "text",
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit("([a-z0-9]+( [a-z0-9]+){7}) "),
+                    F.lit("$1. "),
+                ),
+            )
+        ),
         "pack_index": lambda s, d: pack_index(
             chunk_documents(_read(s, d, "documents"), max_tokens=64, overlap=16),
             seq_len=96,
@@ -1289,6 +1308,11 @@ def oracle_sql() -> dict[str, str]:
             {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src17": 0.5}, 10_000_000
         ),
         "chunk_docs": chunk_documents_sql(max_tokens=64, overlap=16),
+        "split_sentences": split_sentences_sql(
+            "(SELECT * REPLACE (regexp_replace(text,"
+            " '([a-z0-9]+( [a-z0-9]+){7}) ', '\\1. ', 'g') AS text)"
+            " FROM documents)"
+        ),
         "pack_index": pack_index_sql(
             chunk_documents_sql(max_tokens=64, overlap=16), seq_len=96, n_shards=4
         ),

@@ -117,3 +117,63 @@ def chunk_documents_sql(
       FROM counted,
            LATERAL unnest(generate_series(0, CAST(n_chunks AS BIGINT) - 1)) AS u(i)
     """
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation
+# ---------------------------------------------------------------------------
+
+# boundary = a run of sentence-ending punctuation followed by
+# whitespace. RE2 (DuckDB) has no lookbehind, so both twins use the
+# sentinel trick instead: rewrite "<punct><ws>" to "<punct><US>" and
+# split on the US control char (0x1e, the ASCII record separator —
+# can never appear in the shared WS class or in a token).
+SENT_BOUNDARY_RE = f"([.!?]+)({WS}+)"
+SENT_SENTINEL = "\x1e"
+
+
+def split_sentences(docs: DataFrame) -> DataFrame:
+    """(doc_id, sent_idx, sentence): regex sentence segmentation —
+    sentence-ending punctuation runs ([.!?]+) followed by whitespace
+    close a sentence (the punctuation stays with its sentence; the
+    boundary whitespace is consumed); trailing text without a
+    terminator is the final sentence. ``sent_idx`` is 1-based and
+    contiguous (empty fragments are dropped before indexing).
+
+    The standard regex-segmentation caveat applies: abbreviations
+    ("Mr. Smith") split — this is the cheap corpus-scale pass
+    (scan-stage, zero shuffle, whole-stage codegen), not a trained
+    segmenter. Docs with NULL text produce no rows.
+    """
+    parts = (
+        f"filter(split(regexp_replace(text,"
+        f" '{SENT_BOUNDARY_RE}', '$1{SENT_SENTINEL}'),"
+        f" '{SENT_SENTINEL}'), x -> x != '')"
+    )
+    return (
+        docs.where(F.col("text").isNotNull())
+        .selectExpr("doc_id", f"posexplode({parts}) AS (i, sentence)")
+        .selectExpr(
+            "doc_id",
+            "CAST(i + 1 AS INT) AS sent_idx",
+            "sentence",
+        )
+    )
+
+
+def split_sentences_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`split_sentences` (\\1 replacement and an
+    explicit 'g' flag where Spark uses $1 and replaces all)."""
+    return f"""
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(parts))) AS INT)
+               AS sent_idx,
+             unnest(parts) AS sentence
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(text,
+                 '{SENT_BOUNDARY_RE}', '\\1{SENT_SENTINEL}', 'g'),
+                 '{SENT_SENTINEL}'), x -> x != '') AS parts
+        FROM {table} WHERE text IS NOT NULL
+      )
+    """

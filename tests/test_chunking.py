@@ -84,3 +84,70 @@ def test_plan_is_scan_stage_only(spark):
     assert "Join" not in plan, plan
     fmt = plan_str(chunk_documents(docs), "formatted")
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in fmt, fmt
+
+
+# ---------------------------------------------------------------------------
+# split_sentences
+# ---------------------------------------------------------------------------
+
+
+def test_split_sentences_semantics(spark):
+    import pandas as pd
+
+    from ocr_spark.functions.chunking import split_sentences
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "One sentence. Two!  Three?! No terminator tail",
+                None,
+                "no punct at all",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    got = {(r.doc_id, r.sent_idx): r.sentence for r in split_sentences(df).collect()}
+    assert got == {
+        (1, 1): "One sentence.",
+        (1, 2): "Two!",
+        (1, 3): "Three?!",
+        (1, 4): "No terminator tail",
+        (3, 1): "no punct at all",
+    }
+
+
+def test_split_sentences_cross_engine(spark):
+    import duckdb
+    import pandas as pd
+
+    from ocr_spark.functions.chunking import (
+        split_sentences,
+        split_sentences_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "A. B! C? D?! E.\t F.\nG",
+                "Mr. Smith went. east",
+                "trailing dot.",
+                ".. leading",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    con = duckdb.connect()
+    con.register("t_ss", pdf)
+    got = sorted(map(tuple, split_sentences(df).collect()))
+    want = sorted(map(tuple, con.execute(split_sentences_sql("t_ss")).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_split_sentences_plan_is_scan_stage(spark):
+    from ocr_spark.functions.chunking import split_sentences
+    from ocr_spark.plans import plan_str
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "Exchange" not in plan_str(split_sentences(docs), "simple")
