@@ -198,3 +198,51 @@ def test_streaming_assemble_null_doc_id_filtered(spark, tmp_path):
     run_assemble_stream(spark, inp, outp, ckpt)
     got = {r.doc_id: r.text for r in spark.read.parquet(outp).collect()}
     assert got == {_sid(7): "one two"}
+
+
+def test_remove_repeated_passages_string_ids(spark):
+    """The cut pass keys the canonical pick on raw doc_id order —
+    string ids must ride through intact, with the lexicographic-min
+    id holding the canonical occurrence."""
+    from ocr_spark.functions.scrub import remove_repeated_passages
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY AND SAVE BIG! "
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [_sid(3), _sid(1), _sid(2)],
+                "text": [
+                    "gamma body here. " + banner + "tail three.",
+                    "alpha body here. " + banner + "tail one.",
+                    "beta body here.. " + banner + "tail two..",
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_passages(
+            df, w_chars=16, gap=3, min_docs=2, max_chars=None
+        ).collect()
+    }
+    assert set(out) == {_sid(1), _sid(2), _sid(3)}
+    # sha1:...1 is the lexicographic minimum -> canonical, untouched
+    assert banner in out[_sid(1)]["text"] and out[_sid(1)]["n_cuts"] == 0
+    for k in (_sid(2), _sid(3)):
+        assert banner not in out[k]["text"] and out[k]["n_cuts"] > 0
+
+
+def test_phrase_search_string_ids(spark):
+    from ocr_spark.functions.tfidf import phrase_search
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [_sid(1), _sid(2)],
+                "text": ["quick brown fox", "brown quick fox"],
+            }
+        )
+    )
+    out = {r.doc_id: r.n_matches for r in
+           phrase_search(df, ["quick", "brown"]).collect()}
+    assert out == {_sid(1): 1}
