@@ -217,8 +217,9 @@ def main() -> None:
         if n < 0 or n == 1:
             # fail at parse time, not mid-job after the gate scans ran
             raise argparse.ArgumentTypeError(
-                "--strip-boilerplate must be 0 (off) or >= 2 "
-                "(1 would strip every candidate span)"
+                "must be 0 (off) or >= 2 (1 would strip every "
+                "candidate — a span/passage seen once is 'shared' "
+                "with itself)"
             )
         return n
 
@@ -234,9 +235,11 @@ def main() -> None:
         type=_strip_n,
         default=0,
         help="ExactSubstr-style cut of character windows shared by "
-        ">= N distinct docs (one canonical occurrence survives "
-        "corpus-wide; 0 = off, else >= 2) — runs last in the scrub "
-        "chain, before every content-hash stage",
+        ">= N distinct docs (per window, one canonical occurrence "
+        "survives — overlapping DIFFERENT passages can erode each "
+        "other's canonicals, see remove_repeated_passages; 0 = off, "
+        "else >= 2) — runs last in the scrub chain, before every "
+        "content-hash stage",
     )
     ap.add_argument(
         "--pack-seq-len",

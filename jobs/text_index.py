@@ -88,12 +88,20 @@ def main() -> None:
             update_text_index(
                 spark, args.index, spark.read.parquet(args.input)
             )
-        postings = spark.read.parquet(f"{args.index}/postings")
+        # ONE aggregate pass over the written postings for both counts
+        agg = (
+            spark.read.parquet(f"{args.index}/postings")
+            .agg(
+                F.count(F.lit(1)).alias("n_postings"),
+                F.countDistinct("term").alias("n_terms"),
+            )
+            .collect()[0]
+        )
         st = spark.read.parquet(f"{args.index}/stats").collect()[0]
         summary = {
             "mode": "build" if args.build else "update",
-            "n_postings": postings.count(),
-            "n_terms": postings.select("term").distinct().count(),
+            "n_postings": agg["n_postings"],
+            "n_terms": agg["n_terms"],
             "n_docs": int(st["n_docs"]),
             "n_buckets": int(st["n_buckets"]),
         }

@@ -125,9 +125,12 @@ def chunk_documents_sql(
 
 # boundary = a run of sentence-ending punctuation followed by
 # whitespace. RE2 (DuckDB) has no lookbehind, so both twins use the
-# sentinel trick instead: rewrite "<punct><ws>" to "<punct><US>" and
-# split on the US control char (0x1e, the ASCII record separator —
-# can never appear in the shared WS class or in a token).
+# sentinel trick instead: rewrite "<punct><ws>" to "<punct><RS>" and
+# split on the RS control char (0x1e, the ASCII record separator).
+# Any LITERAL 0x1e already present in the text (dirty OCR output) is
+# deleted first — otherwise it would silently act as a boundary; both
+# twins delete it identically, so the sentinel-uniqueness claim holds
+# by construction.
 SENT_BOUNDARY_RE = f"([.!?]+)({WS}+)"
 SENT_SENTINEL = "\x1e"
 
@@ -143,10 +146,11 @@ def split_sentences(docs: DataFrame) -> DataFrame:
     The standard regex-segmentation caveat applies: abbreviations
     ("Mr. Smith") split — this is the cheap corpus-scale pass
     (scan-stage, zero shuffle, whole-stage codegen), not a trained
-    segmenter. Docs with NULL text produce no rows.
+    segmenter. Docs with NULL text produce no rows; literal 0x1e
+    bytes in the input are deleted (see the sentinel note above).
     """
     parts = (
-        f"filter(split(regexp_replace(text,"
+        f"filter(split(regexp_replace(replace(text, '{SENT_SENTINEL}', ''),"
         f" '{SENT_BOUNDARY_RE}', '$1{SENT_SENTINEL}'),"
         f" '{SENT_SENTINEL}'), x -> x != '')"
     )
@@ -171,7 +175,8 @@ def split_sentences_sql(table: str = "documents") -> str:
              unnest(parts) AS sentence
       FROM (
         SELECT doc_id,
-               list_filter(string_split(regexp_replace(text,
+               list_filter(string_split(regexp_replace(
+                 replace(text, '{SENT_SENTINEL}', ''),
                  '{SENT_BOUNDARY_RE}', '\\1{SENT_SENTINEL}', 'g'),
                  '{SENT_SENTINEL}'), x -> x != '') AS parts
         FROM {table} WHERE text IS NOT NULL

@@ -36,6 +36,16 @@ def md5_long_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def md5_long_py(s: str) -> int:
+    """Driver-side Python twin of :func:`md5_long` — for query
+    planning that must agree with stored column values (e.g. the text
+    index's probe-bucket computation). ONE definition per dialect
+    lives in this module; never hand-roll a fourth."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 # Spark SQL-expression-string twin (for use inside higher-order
 # lambdas where Column objects can't reach).
 def md5_long_expr(expr: str) -> str:

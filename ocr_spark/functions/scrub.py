@@ -447,35 +447,54 @@ def remove_repeated_passages(
     gap: int = PASSAGE_GAP,
     min_docs: int = 2,
     max_chars: int | None = PASSAGE_MAX_CHARS,
+    max_occ: int | None = None,
 ) -> DataFrame:
     """(doc_id, text, n_cuts, removed_chars): the cut pass that
     completes :func:`repeated_passages` into ExactSubstr-style dedup
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better"): every anchored ``w_chars``-window whose hash is
     shared by >= ``min_docs`` distinct documents is removed from the
-    text — except ONE corpus-canonical occurrence, the smallest
-    (doc_id, position), which survives so the passage stays
-    represented exactly once in the corpus.
+    text — except ONE corpus-canonical occurrence PER WINDOW, the
+    smallest (doc_id, position).
 
-    Anchoring, hashing, and the repeated-set definition are byte-for-
-    byte those of :func:`repeated_passages` (content-defined anchors,
-    60-bit md5 windows, per-doc scan cap), so the discovery and the
-    cut can never disagree about what "a repeated passage" is. Scope
-    note: discovery is CROSS-document (>= min_docs distinct docs);
-    a window repeated only within one document is never cut.
+    Guarantee scope (read before trusting "one occurrence survives"):
+    the keep rule is per window hash. When two DIFFERENT repeated
+    passages overlap in one document and their canonical copies live
+    in different documents, cutting one can excise characters of the
+    other's canonical occurrence — overlapping-region text may then
+    survive nowhere intact (the same is true of ExactSubstr's
+    keep-one-span rule). Disjoint passages — the normal boilerplate
+    case — keep exactly one copy.
+
+    Anchoring and window hashing are byte-for-byte those of
+    :func:`repeated_passages` (content-defined anchors, 60-bit md5
+    windows, per-doc scan cap). The repeated-set rule differs in one
+    deliberate way: it counts DISTINCT NON-NULL doc_ids, where the
+    discovery op counts input rows (a NULL-id or duplicate-id row
+    can raise discovery's count but never drives a cut — a NULL key
+    could neither claim a canonical slot nor join its cuts back).
+    Scope note: discovery is CROSS-document (>= min_docs distinct
+    docs); a window repeated only within one document is never cut.
 
     Shape at scale: one anchored-occurrence explode (scan stage), one
-    count shuffle on the 60-bit hash for the repeated set, one
-    hash-partitioned window for the canonical-occurrence pick, one
-    per-doc shuffle to assemble the sorted cut list, one equi-join
-    back to the corpus. The text rebuild is a single ``aggregate``
-    fold over the sorted cut starts — kept segments are emitted
-    between cuts with a running ``greatest`` cursor, so overlapping
-    cut windows merge for free and nothing quadratic ever
-    materializes. Rows with NULL doc_id or NULL text pass through
-    unmodified (a NULL key can neither claim the canonical slot nor
-    equi-join its cuts back). ``n_cuts`` counts cut WINDOWS
+    shuffle on the 60-bit hash carrying BOTH the repeated-set test
+    and the canonical pick, one per-doc shuffle to assemble the
+    sorted cut list, one equi-join back to the corpus. The text
+    rebuild is a single ``aggregate`` fold over the sorted cut starts
+    — kept segments are emitted between cuts with a running
+    ``greatest`` cursor, so overlapping cut windows merge for free
+    and nothing quadratic ever materializes. Rows with NULL doc_id or
+    NULL text pass through unmodified. ``n_cuts`` counts cut WINDOWS
     (pre-merge); ``removed_chars`` is the realized length delta.
+
+    Skew: the h-window puts ALL occurrences of one hash in one task,
+    and AQE does not split window partitions — a mega-boilerplate
+    window shared by 10^8 docs is a single-task straggler at corpus
+    scale. ``max_occ`` (opt-in) excludes hashes with more occurrences
+    than the cap from cutting entirely (the safe direction: under-cut,
+    never mis-cut; identical rule in the DuckDB twin). The capped path
+    localCheckpoints the occurrence table so the pre-count does not
+    re-run the explode.
     """
     if w_chars < 1 or gap < 1:
         raise ValueError("w_chars and gap must be >= 1")
@@ -506,6 +525,17 @@ def remove_repeated_passages(
         .where(f"{a} % {gap} = 0")
         .selectExpr("doc_id", "p", f"{h} AS h")
     )
+    if max_occ is not None:
+        # materialize occ ONCE (plan references re-run the explode),
+        # then drop hyper-frequent hashes before the skewed window
+        occ = occ.localCheckpoint()
+        hot = (
+            occ.groupBy("h")
+            .agg(F.count("*").alias("occ_cnt"))
+            .where(F.col("occ_cnt") > max_occ)
+            .select("h")
+        )
+        occ = occ.join(hot, "h", "left_anti")
     # Single pass over occ — the occurrence explode re-hashes every
     # char position, so it must execute ONCE (the plan-reference
     # re-evaluation trap): instead of aggregate-then-join-back, both
@@ -573,6 +603,7 @@ def remove_repeated_passages_sql(
     gap: int = PASSAGE_GAP,
     min_docs: int = 2,
     max_chars: int | None = PASSAGE_MAX_CHARS,
+    max_occ: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`remove_repeated_passages`.
 
@@ -588,8 +619,16 @@ def remove_repeated_passages_sql(
     t = f"substr(text, 1, {max_chars})" if max_chars else "text"
     a = md5_long_sql(f"substr({t}, p, {PASSAGE_ANCHOR_W})")
     h = md5_long_sql(f"substr({t}, p, {w_chars})")
+    # the occurrence-count cap must live in its OWN select — DuckDB
+    # rejects window functions in the same select as a lateral unnest
+    occ_cap = (
+        f"SELECT * FROM occ0"
+        f" QUALIFY count(*) OVER (PARTITION BY h) <= {max_occ}"
+        if max_occ is not None
+        else "SELECT * FROM occ0"
+    )
     return f"""
-      WITH occ AS (
+      WITH occ0 AS (
         SELECT doc_id, text,
                unnest(ps) AS p,
                unnest(list_transform(ps, p -> {h})) AS h
@@ -603,6 +642,7 @@ def remove_repeated_passages_sql(
           WHERE doc_id IS NOT NULL AND text IS NOT NULL
         )
       ),
+      occ AS ({occ_cap}),
       reph AS (
         SELECT h FROM occ GROUP BY h
         HAVING count(DISTINCT doc_id) >= {min_docs}

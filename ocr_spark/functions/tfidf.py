@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ocr_spark.functions.hashing import md5_long as _md5_long
 from ocr_spark.functions.text import floor6, floor6_sql
 
 # alnum runs extracted from the RAW text, lower-cased AFTERWARDS:
@@ -467,15 +468,14 @@ TEXT_INDEX_BUCKETS = 64
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
-    """Python twin of the index's bucket function — EXACTLY Spark's
-    pmod(md5_long(term), n_buckets) (md5 of the UTF-8 term, leading
-    15 hex digits as int64). Query planning computes the probe-bucket
-    set driver-side with this, so it must never drift from the column
-    expression used at build time."""
-    import hashlib
+    """Python twin of the index's bucket function —
+    pmod(md5_long(term), n_buckets). Both sides delegate to
+    hashing.py's single hash definition per dialect, so the
+    driver-side probe-bucket computation can never drift from the
+    column expression used at build time."""
+    from ocr_spark.functions.hashing import md5_long_py
 
-    h = int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16)
-    return h % n_buckets
+    return md5_long_py(term) % n_buckets
 
 
 def build_text_index(
@@ -532,13 +532,7 @@ def build_text_index(
         .agg(F.sort_array(F.collect_list("p")).alias("ps"))
         .withColumn("tf", F.size("ps").cast("long"))
         .join(dl_tbl, "doc_id")
-        .withColumn(
-            "bucket",
-            F.expr(
-                f"pmod(CAST(conv(substr(md5(term), 1, 15), 16, 10)"
-                f" AS BIGINT), {n_buckets})"
-            ),
-        )
+        .withColumn("bucket", F.pmod(_md5_long(F.col("term")), F.lit(n_buckets)))
         .select("bucket", "term", "doc_id", "tf", "ps", "dl")
     )
     stats = dl_tbl.agg(
@@ -559,23 +553,28 @@ def write_text_index(
     """Persist the index: postings bucket-partitioned (the pruning
     unit), stats beside them."""
     postings, stats = build_text_index(docs, min_term_len, n_buckets)
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{index_dir}/postings"
-    )
+    writer = postings.write.mode("overwrite")
+    if postings.isEmpty():
+        # a zero-row partitioned write emits NO parquet files, leaving
+        # an uninferrable dir; write unpartitioned so the schema lands
+        # (pruning is moot on an empty index — queries fall out empty)
+        writer.parquet(f"{index_dir}/postings")
+    else:
+        writer.partitionBy("bucket").parquet(f"{index_dir}/postings")
     stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
 
 
-def _read_index(spark, index_dir: str, terms: list[str]):
-    """Pruned postings read: stats row + the probe-bucket filtered
-    postings (partition pruning does the rest)."""
-    st = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+def _read_index(spark, index_dir: str, st, terms: list[str]):
+    """Pruned postings read for an already-collected stats row: the
+    probe buckets are computed driver-side, partition pruning does
+    the rest. (Stats is read ONCE per query by the caller — this path
+    exists to be queried many times.)"""
     buckets = sorted({term_bucket_py(t, st["n_buckets"]) for t in terms})
-    postings = (
+    return (
         spark.read.parquet(f"{index_dir}/postings")
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(sorted(set(terms))))
     )
-    return st, postings
 
 
 def bm25_from_index(
@@ -587,15 +586,19 @@ def bm25_from_index(
     count over the pruned posting rows, exactly the scan path's
     definition). The scan reads ONLY the query terms' bucket
     partitions."""
-    st_probe = spark.read.parquet(f"{index_dir}/stats").collect()[0]
-    qts = _query_terms(query_terms, st_probe["min_term_len"])
-    st, postings = _read_index(spark, index_dir, qts)
+    st = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    qts = _query_terms(query_terms, st["min_term_len"])
+    postings = _read_index(spark, index_dir, st, qts)
+    # an index over zero live docs has sum_dl NULL (sum over no rows)
+    # and no postings — 1 keeps the (never-evaluated-per-row) literal
+    # finite so the empty result falls out instead of a TypeError
+    sum_dl = int(st["sum_dl"]) if st["sum_dl"] is not None else 1
     scored = (
         postings.withColumn(
             "df", F.count("*").over(Window.partitionBy("term"))
         )
         .withColumn("n_docs", F.lit(int(st["n_docs"])))
-        .withColumn("sum_dl", F.lit(int(st["sum_dl"])).cast("long"))
+        .withColumn("sum_dl", F.lit(sum_dl).cast("long"))
         .withColumn("c", _bm25_contrib())
     )
     return _bm25_rank(scored, k)
@@ -606,7 +609,8 @@ def phrase_from_index(spark, index_dir: str, phrase_terms) -> DataFrame:
     :func:`phrase_search` on the indexed corpus (shared match tail;
     positions were stored sorted and unfiltered at build)."""
     qts = _phrase_terms(phrase_terms)
-    _, postings = _read_index(spark, index_dir, qts)
+    st = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    postings = _read_index(spark, index_dir, st, qts)
     return _phrase_from_postings(postings.select("doc_id", "term", "ps"), qts)
 
 
@@ -641,9 +645,18 @@ def update_text_index(spark, index_dir: str, new_docs: DataFrame) -> None:
         min_term_len=old["min_term_len"],
         n_buckets=old["n_buckets"],
     )
-    postings.write.mode("append").partitionBy("bucket").parquet(
-        f"{index_dir}/postings"
-    )
+    if not postings.isEmpty():
+        if spark.read.parquet(f"{index_dir}/postings").isEmpty():
+            # an empty base was written UNPARTITIONED (schema-bearing
+            # flat dir); appending partitioned files into a flat dir
+            # breaks parquet partition discovery — rebuild the layout
+            postings.write.mode("overwrite").partitionBy("bucket").parquet(
+                f"{index_dir}/postings"
+            )
+        else:
+            postings.write.mode("append").partitionBy("bucket").parquet(
+                f"{index_dir}/postings"
+            )
     delta = stats.collect()[0]
     merged = spark.createDataFrame(
         [

@@ -71,6 +71,12 @@ def compact_state(spark: SparkSession, state_dir: str) -> None:
     )
     (
         merged.write.mode("overwrite")
+        # pin STATIC overwrite: this write must replace the WHOLE
+        # state dir. Under a session that set the global default to
+        # dynamic, overwrite+partitionBy would replace only the
+        # ingest_batch=-1 partition and leave every per-batch
+        # partition in place — permanently double-counting all tokens.
+        .option("partitionOverwriteMode", "static")
         .partitionBy("ingest_batch")
         .parquet(state_dir)
     )

@@ -151,3 +151,26 @@ def test_split_sentences_plan_is_scan_stage(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert "Exchange" not in plan_str(split_sentences(docs), "simple")
+
+
+def test_split_sentences_deletes_literal_sentinel(spark):
+    """A raw 0x1e byte in dirty input must not act as a boundary —
+    both twins delete it before splitting."""
+    import duckdb
+    import pandas as pd
+
+    from ocr_spark.functions.chunking import (
+        split_sentences,
+        split_sentences_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "text": ["foo\x1ebar baz. tail"]}
+    )
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    got = sorted(map(tuple, split_sentences(df).collect()))
+    assert got == [(1, 1, "foobar baz."), (1, 2, "tail")]
+    con = duckdb.connect()
+    con.register("t_sent", pdf)
+    want = sorted(map(tuple, con.execute(split_sentences_sql("t_sent")).fetchall()))
+    assert got == want

@@ -478,3 +478,30 @@ def test_remove_repeated_passages_plan_no_nested_loop(docs):
     p = plan_str(scrub.remove_repeated_passages(docs))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
+
+
+def test_remove_repeated_passages_max_occ_cap(spark):
+    """max_occ excludes hyper-frequent windows from cutting (the
+    skew escape hatch) — identical rule in the twin."""
+    import pandas as pd
+
+    hot = "HOT " * 20  # shared by 5 docs -> many occurrences
+    rows = [(i, f"doc {i:02d} body. " + hot + f"tail {i:02d}.")
+            for i in range(1, 6)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    kw = dict(w_chars=16, gap=3, min_docs=2, max_chars=None)
+    uncapped = scrub.remove_repeated_passages(df, **kw)
+    assert uncapped.agg(F.sum("n_cuts")).collect()[0][0] > 0
+    capped = scrub.remove_repeated_passages(df, max_occ=1, **kw)
+    rowsc = capped.collect()
+    assert all(r["n_cuts"] == 0 for r in rowsc)  # everything excluded
+    assert sorted(r["text"] for r in rowsc) == sorted(pdf["text"])
+    c = duckdb.connect()
+    c.register("rrp_cap_pdf", pdf)
+    c.execute("CREATE VIEW rrp_cap AS SELECT * FROM rrp_cap_pdf")
+    assert_same(
+        scrub.remove_repeated_passages(df, max_occ=25, **kw),
+        c,
+        scrub.remove_repeated_passages_sql("rrp_cap", max_occ=25, **kw),
+    )

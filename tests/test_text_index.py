@@ -12,6 +12,7 @@ from unittest.mock import patch
 
 import pytest
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ocr_spark.functions.tfidf import (
     bm25_from_index,
@@ -172,3 +173,40 @@ def test_job_update_mode(spark, docs, tmp_path):
               "--master", "local[4]"])
     assert u["mode"] == "update"
     assert u["n_docs"] == docs.where("text IS NOT NULL").count()
+
+
+def test_empty_corpus_index_queries_cleanly(spark, tmp_path):
+    """An index over zero live docs (sum_dl NULL in stats) must answer
+    queries with empty results, not crash."""
+    d = str(tmp_path / "empty")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_text_index(empty, d, min_term_len=2, n_buckets=4)
+    assert bm25_from_index(spark, d, ["anything"], k=5).count() == 0
+    assert phrase_from_index(spark, d, ["anything"]).count() == 0
+
+
+def test_bucket_function_has_one_definition(spark):
+    """term_bucket_py must equal the stored bucket column for every
+    term — both sides delegate to hashing.py's single definition."""
+    from ocr_spark.functions.hashing import md5_long, md5_long_py
+
+    terms = ["spark", "table", "a1b2", "zzz", "0"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {r["term"]: r["h"] for r in
+           df.select("term", md5_long(F.col("term")).alias("h")).collect()}
+    assert got == {t: md5_long_py(t) for t in terms}
+
+
+def test_update_onto_empty_base_rebuilds_partitioned_layout(spark, docs, tmp_path):
+    d = str(tmp_path / "grow")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_text_index(empty, d, min_term_len=2, n_buckets=8)
+    from ocr_spark.functions.tfidf import update_text_index
+
+    update_text_index(spark, d, docs)
+    assert any(p.startswith("bucket=") for p in os.listdir(f"{d}/postings"))
+    got = [tuple(r) for r in bm25_from_index(
+        spark, d, ["spark", "window", "merge"], k=15).collect()]
+    want = [tuple(r) for r in bm25_topk(
+        docs, ["spark", "window", "merge"], k=15).collect()]
+    assert got == want
