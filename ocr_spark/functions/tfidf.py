@@ -553,15 +553,35 @@ def write_text_index(
     """Persist the index: postings bucket-partitioned (the pruning
     unit), stats beside them."""
     postings, stats = build_text_index(docs, min_term_len, n_buckets)
-    writer = postings.write.mode("overwrite")
-    if postings.isEmpty():
-        # a zero-row partitioned write emits NO parquet files, leaving
-        # an uninferrable dir; write unpartitioned so the schema lands
-        # (pruning is moot on an empty index — queries fall out empty)
-        writer.parquet(f"{index_dir}/postings")
-    else:
-        writer.partitionBy("bucket").parquet(f"{index_dir}/postings")
+    _write_postings(postings, f"{index_dir}/postings")
     stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def _write_postings(postings: DataFrame, path: str) -> None:
+    """Partitioned overwrite of the postings dir with the empty-corpus
+    corner handled AFTER the fact: a zero-row partitioned write emits
+    no parquet files (an uninferrable dir), so if the read-back schema
+    probe fails we drop a schema-bearing flat empty file instead
+    (limit(0) folds to an empty LocalRelation — a free job). Probing
+    afterwards instead of isEmpty() first matters: isEmpty() would
+    execute the full tokenize+group+join plan once just to answer the
+    corner case, doubling every real build. The overwrite mode is
+    pinned STATIC — under a session-level dynamic default a rebuild
+    would leave stale bucket partitions (ghost postings) and the
+    empty-base flat file in place."""
+    from pyspark.errors import AnalysisException
+
+    (
+        postings.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    spark = postings.sparkSession
+    try:
+        spark.read.parquet(path).schema
+    except AnalysisException:
+        postings.limit(0).write.mode("overwrite").parquet(path)
 
 
 def _read_index(spark, index_dir: str, st, terms: list[str]):
@@ -645,18 +665,20 @@ def update_text_index(spark, index_dir: str, new_docs: DataFrame) -> None:
         min_term_len=old["min_term_len"],
         n_buckets=old["n_buckets"],
     )
-    if not postings.isEmpty():
-        if spark.read.parquet(f"{index_dir}/postings").isEmpty():
-            # an empty base was written UNPARTITIONED (schema-bearing
-            # flat dir); appending partitioned files into a flat dir
-            # breaks parquet partition discovery — rebuild the layout
-            postings.write.mode("overwrite").partitionBy("bucket").parquet(
-                f"{index_dir}/postings"
-            )
-        else:
-            postings.write.mode("append").partitionBy("bucket").parquet(
-                f"{index_dir}/postings"
-            )
+    # probing the BASE is cheap (limit-1 over stored files); probing
+    # the increment would execute its whole build plan once extra
+    if spark.read.parquet(f"{index_dir}/postings").isEmpty():
+        # an empty base was written UNPARTITIONED (schema-bearing flat
+        # dir); appending partitioned files into a flat dir breaks
+        # parquet partition discovery — rebuild the layout (static
+        # overwrite + empty-corner handling shared with build)
+        _write_postings(postings, f"{index_dir}/postings")
+    else:
+        # appending a zero-row increment writes nothing and leaves the
+        # partitioned layout intact — no increment probe needed
+        postings.write.mode("append").partitionBy("bucket").parquet(
+            f"{index_dir}/postings"
+        )
     delta = stats.collect()[0]
     merged = spark.createDataFrame(
         [
