@@ -810,6 +810,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("url"),
             )
         ),
+        # per-registrable-domain crawl stats: one domain per source,
+        # page paths folded mod 40 so alias collapse (n_pages < n_docs)
+        # actually exercises the distinct-canonical count
+        "domain_stats": lambda s, d: curl.domain_stats(
+            _read(s, d, "documents").select(
+                "doc_id",
+                F.expr(
+                    "concat('https://', source, '.com/p/', "
+                    "CAST(doc_id % 40 AS STRING), "
+                    "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x'"
+                    " ELSE '' END)"
+                ).alias("url"),
+            )
+        ),
+        # UT1-style domain blocklist gate: NULL hosts pass through,
+        # blocked registrable domains drop
+        "blocklist_filter": lambda s, d: curl.blocklist_filter(
+            _read(s, d, "documents").select(
+                "doc_id",
+                F.expr(
+                    "CASE WHEN doc_id % 11 = 0 THEN 'not a url' ELSE "
+                    "concat('https://', source, '.com/p/', "
+                    "CAST(doc_id AS STRING)) END"
+                ).alias("url"),
+            ),
+            s.createDataFrame(
+                [("src0.com",), ("src7.com",), ("src13.com",)],
+                "host string",
+            ),
+        ),
         "temperature_mix": lambda s, d: smp.temperature_mix(
             _read(s, d, "documents"), budget_frac=0.5
         ),
@@ -1302,6 +1332,19 @@ def oracle_sql() -> dict[str, str]:
             "'.Example.COM:443/p/', CAST(doc_id AS VARCHAR), "
             "'/?utm_source=x&id=', CAST(doc_id AS VARCHAR), '#frag') AS url "
             "FROM documents"
+        ),
+        "domain_stats": curl.domain_stats_sql(
+            "SELECT doc_id, concat('https://', source, '.com/p/', "
+            "CAST(doc_id % 40 AS VARCHAR), "
+            "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END)"
+            " AS url FROM documents"
+        ),
+        "blocklist_filter": curl.blocklist_filter_sql(
+            "SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'not a url' "
+            "ELSE concat('https://', source, '.com/p/', "
+            "CAST(doc_id AS VARCHAR)) END AS url FROM documents",
+            "SELECT * FROM (VALUES ('src0.com'), ('src7.com'), "
+            "('src13.com')) AS t(host)",
         ),
         "temperature_mix": smp.temperature_mix_sql(budget_frac=0.5),
         "mixture_plan": smp.mixture_plan_sql(

@@ -131,3 +131,81 @@ def canonicalize_urls_sql(source: str, col: str = "url") -> str:
         f"SELECT *, {ex['canon_url']} AS canon_url, {ex['host']} AS host "
         f"FROM ({source}) src"
     )
+
+
+# ---------------------------------------------------------------------------
+# domain-level aggregation + blocklist filtering
+# ---------------------------------------------------------------------------
+
+
+def domain_stats(df: DataFrame, col: str = "url") -> DataFrame:
+    """(host, n_docs, n_pages): per-registrable-domain corpus stats —
+    the URL-level triage signal behind RefinedWeb-style source
+    filtering (which domains dominate the crawl; where duplicate-URL
+    mass concentrates). ``n_pages`` counts DISTINCT canonical URLs, so
+    ``n_docs - n_pages`` per host is re-crawl/alias volume the URL
+    canonicalizer collapsed. Non-URL rows (NULL host) are excluded —
+    they have no domain to aggregate under.
+
+    Shape at scale: canonicalization is scan-stage; ONE shuffle on
+    host with map-side partial aggregation (countDistinct is the
+    standard two-phase expand — per-host page sets never materialize).
+    """
+    return (
+        canonicalize_urls(df, col)
+        .where(F.col("host").isNotNull())
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("canon_url").alias("n_pages"),
+        )
+    )
+
+
+def domain_stats_sql(source: str, col: str = "url") -> str:
+    """DuckDB twin of :func:`domain_stats`."""
+    return f"""
+      SELECT host,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT canon_url) AS BIGINT) AS n_pages
+      FROM ({canonicalize_urls_sql(source, col)})
+      WHERE host IS NOT NULL
+      GROUP BY host
+    """
+
+
+def blocklist_filter(
+    df: DataFrame, blocked_hosts: DataFrame, col: str = "url"
+) -> DataFrame:
+    """Drop rows whose registrable domain appears in ``blocked_hosts``
+    (a DataFrame with one ``host`` column) — the first gate every web
+    pipeline runs (adult/malware/spam domain lists, e.g. UT1's ~4.6M
+    entries). Rows that are not URLs (NULL host) pass through: absence
+    of a URL is not evidence of a blocked domain; gate them separately
+    if the pipeline requires URLs.
+
+    The blocklist joins as a plain equi-join on host — at UT1 scale
+    it is broadcastable and Spark/AQE picks that automatically; forcing
+    ``F.broadcast`` here would be wrong for multi-GB lists. Output
+    carries the input columns plus canon_url/host (already paid for).
+    """
+    if "host" not in blocked_hosts.columns:
+        raise ValueError("blocked_hosts must have a 'host' column")
+    return canonicalize_urls(df, col).join(
+        blocked_hosts.select("host").distinct(),
+        "host",
+        "left_anti",
+    )
+
+
+def blocklist_filter_sql(
+    source: str, blocked_source: str, col: str = "url"
+) -> str:
+    """DuckDB twin of :func:`blocklist_filter` (anti-join keeps NULL
+    hosts in both engines — a NULL key never matches)."""
+    return f"""
+      SELECT * FROM ({canonicalize_urls_sql(source, col)}) c
+      WHERE c.host IS NULL OR c.host NOT IN (
+        SELECT host FROM ({blocked_source}) WHERE host IS NOT NULL
+      )
+    """

@@ -94,3 +94,99 @@ def test_canonical_collapses_dup_variants(spark):
     )
     keys = {r.canon_url for r in canonicalize_urls(df).collect()}
     assert keys == {"http://example.com/page"}
+
+
+# ---------------------------------------------------------------------------
+# domain_stats / blocklist_filter
+# ---------------------------------------------------------------------------
+
+
+def _crawl(spark):
+    import pandas as pd
+
+    rows = [
+        (1, "https://A.com/page1"),
+        (2, "https://a.com/page1?utm_source=x"),  # same canonical page
+        (3, "https://a.com/page2"),
+        (4, "https://b.org/only"),
+        (5, "not a url"),
+        (6, None),
+        (7, "https://Sub.a.com/page1"),  # same registrable domain a.com
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "url"])
+    return pdf, spark.createDataFrame(pdf, schema="doc_id long, url string")
+
+
+def test_domain_stats_semantics(spark):
+    from ocr_spark.functions.urls import domain_stats
+
+    _, df = _crawl(spark)
+    got = {r.host: (r.n_docs, r.n_pages) for r in domain_stats(df).collect()}
+    # a.com: docs 1,2,3,7 — doc 2 collapses onto doc 1's canonical
+    # page, doc 7's subdomain keeps its own canonical URL
+    assert got == {"a.com": (4, 3), "b.org": (1, 1)}
+
+
+def test_domain_stats_cross_engine(spark):
+    import duckdb as dd
+
+    from ocr_spark.functions.urls import domain_stats, domain_stats_sql
+
+    pdf, df = _crawl(spark)
+    con = dd.connect()
+    con.register("crawl_pdf", pdf)
+    got = sorted(map(tuple, domain_stats(df).collect()))
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                domain_stats_sql("SELECT * FROM crawl_pdf")
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_blocklist_filter_semantics_and_parity(spark):
+    import duckdb as dd
+
+    from ocr_spark.functions.urls import blocklist_filter, blocklist_filter_sql
+
+    pdf, df = _crawl(spark)
+    bl = spark.createDataFrame([("a.com",), (None,)], "host string")
+    out = blocklist_filter(df, bl)
+    kept = sorted(r.doc_id for r in out.collect())
+    # a.com docs (1,2,3,7) blocked; b.org kept; non-URL rows pass
+    assert kept == [4, 5, 6]
+    con = dd.connect()
+    con.register("crawl_pdf", pdf)
+    cols = sorted(out.columns)
+    key = lambda t: [(v is None, str(v)) for v in t]  # noqa: E731
+    got = sorted(
+        (tuple(r[c] for c in cols) for r in out.collect()), key=key
+    )
+    want_rows = con.execute(
+        blocklist_filter_sql(
+            "SELECT * FROM crawl_pdf",
+            "SELECT * FROM (VALUES ('a.com'), (NULL)) AS t(host)",
+        )
+    ).df()
+    want = sorted(
+        (
+            tuple(None if v != v else v for v in r) if any(
+                isinstance(v, float) for v in r
+            ) else tuple(r)
+            for r in want_rows[cols].itertuples(index=False, name=None)
+        ),
+        key=key,
+    )
+    assert got == want
+
+
+def test_blocklist_filter_requires_host_column(spark):
+    from ocr_spark.functions.urls import blocklist_filter
+
+    _, df = _crawl(spark)
+    bad = spark.createDataFrame([("a.com",)], "domain string")
+    with pytest.raises(ValueError):
+        blocklist_filter(df, bad)
