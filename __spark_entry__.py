@@ -30,6 +30,8 @@ from ocr_spark.functions import dedup as ded
 from ocr_spark.functions import dsir
 from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import interleave as ilv
+from ocr_spark.functions.bpe import bpe_token_counts, bpe_token_counts_sql
+from ocr_spark.functions.bpe_merges import MERGES_SF001 as _BPE_MERGES
 from ocr_spark.functions.chunking import (
     chunk_documents,
     chunk_documents_sql,
@@ -1211,6 +1213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": lambda s, d: txt.bpe_pair_counts(
             _read(s, d, "documents"), k=60
         ),
+        # trained-BPE tokenization: the baked 64-merge artifact
+        # applied engine-side as a chained replace (placeholders from
+        # the PUA; encode runs over the word-count table)
+        "bpe_token_counts": lambda s, d: bpe_token_counts(
+            _read(s, d, "documents"), _BPE_MERGES, k=60
+        ),
         # quality-weighted deterministic Bernoulli sampling: keep
         # probability = length-derived quality proxy, content-hash
         # decision (retry/resume-stable)
@@ -1516,6 +1524,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_topk": txt.vocab_topk_sql("documents", k=200),
         "bpe_pair_counts": txt.bpe_pair_counts_sql("documents", k=60),
+        "bpe_token_counts": bpe_token_counts_sql(
+            "documents", _BPE_MERGES, k=60
+        ),
         "weighted_sample": (
             "SELECT doc_id, n_chars FROM ("
             + smp.weighted_sample_sql("documents", "least(n_chars, 400) / 400.0")

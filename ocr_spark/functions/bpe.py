@@ -1,0 +1,243 @@
+"""Byte-pair encoding: distributed-corpus training + engine-side
+tokenization — the full tokenizer-training loop this repo's
+vocab_topk / bpe_pair_counts statistics feed.
+
+Training (:func:`train_bpe`) is the classic Sennrich et al. 2016
+procedure run where it belongs at corpus scale: ONE Spark aggregation
+produces the (word, count) table (vocabulary-bounded; capped at
+``max_vocab`` heavy hitters — the standard trainer cut), and the
+merge loop runs driver-side over that bounded table (the
+kmeans_centroids / classifier-trainer precedent: corpus-scale
+statistics by Spark, operator-scale iteration on the driver).
+
+Encoding (:func:`bpe_token_counts`) runs engine-side WITHOUT Python:
+merge i is one ``replace(s, a_i || b_i, placeholder_i)`` over the
+word string, placeholders drawn from the Unicode private-use area.
+A chained replace applies each merge at every non-overlapping
+position left-to-right — exactly how BPE training applied it — so
+the chain reproduces symbol-wise BPE encoding precisely (pinned by a
+differential test against a pure-Python reference). The chain is
+plain string expressions, identical in Spark and DuckDB, so encoding
+is oracle-checkable and whole-stage-codegen'd.
+
+Placeholder hygiene: input words containing PUA chars (U+E000..)
+could collide with merge placeholders; encoding DELETES those chars
+first (the split_sentences sentinel discipline — both twins
+identically). PUA chars in real text are vanishingly rare and carry
+no training signal.
+
+Determinism: merge selection breaks count ties on the pair's symbol
+string ascending, so a retrain on the same corpus is byte-identical.
+
+Reference analog: none (the reference counts characters only);
+beyond-reference tokenizer surface (SURVEY.md §2 addenda) alongside
+token_counts / vocab_topk / bpe_pair_counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import BPE_MAX_WORD_CHARS, words_col
+from ocr_spark.schema import WS
+
+PUA_BASE = 0xE000
+
+
+def _placeholder(i: int) -> str:
+    return chr(PUA_BASE + i)
+
+
+def train_bpe_from_counts(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-side classic BPE over a (word -> count) table: repeat
+    n_merges times {count adjacent symbol pairs weighted by word
+    count; merge the most frequent (ties: pair-string ascending)}.
+    Merged symbols are PUA placeholders so every symbol stays one
+    char and the engine-side replace chain stays exact."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts.items():
+        vocab[tuple(w)] = vocab.get(tuple(w), 0) + c
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), _n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        new = _placeholder(len(merges))
+        merges.append((a, b))
+        nv: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nv[key] = nv.get(key, 0) + c
+        vocab = nv
+    return merges
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int = 64, max_vocab: int = 50_000
+) -> list[tuple[str, str]]:
+    """Corpus-scale BPE training: one token-count aggregation (the
+    vocab_topk shape — map-side partials absorb Zipf skew, top
+    ``max_vocab`` words via TakeOrderedAndProject) feeds the
+    driver-side merge loop. Heavy-hitter capping is the standard
+    trainer cut: pair statistics from the top-V words dominate the
+    exact statistics (Zipf), and the driver table stays bounded at
+    any corpus size. Words containing PUA chars are dropped from
+    TRAINING (they would alias merge placeholders)."""
+    from ocr_spark.functions.text import vocab_topk
+
+    rows = vocab_topk(docs, k=max_vocab).collect()
+    wc = {
+        r["token"]: r["n"]
+        for r in rows
+        if not any(ord(ch) >= PUA_BASE for ch in r["token"])
+    }
+    return train_bpe_from_counts(wc, n_merges)
+
+
+def encode_word_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python reference encoder (tests + readable tokenization):
+    symbols after applying every merge in rank order, each merge
+    replacing ALL non-overlapping occurrences left-to-right, then
+    placeholders expanded back to their surface strings."""
+    s = "".join(ch for ch in word if ord(ch) < PUA_BASE)
+    for i, (a, b) in enumerate(merges):
+        s = s.replace(a + b, _placeholder(i))
+    surf = surface_forms(merges)
+    return [surf.get(ch, ch) for ch in s]
+
+
+def surface_forms(merges: list[tuple[str, str]]) -> dict[str, str]:
+    """placeholder -> the original character string it represents
+    (expanded recursively, so it never contains a placeholder)."""
+    surf: dict[str, str] = {}
+    for i, (a, b) in enumerate(merges):
+        ea = surf.get(a, a)
+        eb = surf.get(b, b)
+        surf[_placeholder(i)] = ea + eb
+    return surf
+
+
+def _strip_pua_expr(col: str) -> str:
+    """Spark expr: delete PUA chars >= U+E000 (collision hygiene).
+    One regexp_replace with an explicit char-class range."""
+    return f"regexp_replace({col}, '[\\\\x{{E000}}-\\\\x{{F8FF}}]', '')"
+
+
+def _q_spark(s: str) -> str:
+    """Spark SQL single-quoted string literal (backslash escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _q_duck(s: str) -> str:
+    """Standard-SQL single-quoted literal (quote doubling)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _chain(col: str, merges: list[tuple[str, str]], q) -> str:
+    e = col
+    for i, (a, b) in enumerate(merges):
+        e = f"replace({e}, {q(a + b)}, {q(_placeholder(i))})"
+    return e
+
+
+def _surface_case(merges: list[tuple[str, str]], q) -> str:
+    surf = surface_forms(merges)
+    return (
+        "CASE c "
+        + " ".join(f"WHEN {q(pl)} THEN {q(s)}" for pl, s in surf.items())
+        + " ELSE c END"
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    k: int = 100,
+    max_word_chars: int = BPE_MAX_WORD_CHARS,
+) -> DataFrame:
+    """(token, n): corpus token frequencies under the trained BPE —
+    tokens rendered as their surface strings (single chars for
+    unmerged symbols). The encode runs over the aggregated WORD-COUNT
+    table (the bpe_pair_counts discipline: the replace chain and the
+    symbol explode are vocab-scale, the only corpus-scale cost is the
+    one token-count shuffle); ties at rank k break token-ASC."""
+    if not merges:
+        raise ValueError("merges must be non-empty (train first)")
+    wc = (
+        docs.select(F.explode(words_col()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wn"))
+    )
+    clean = _strip_pua_expr(f"substring(w, 1, {max_word_chars})")
+    enc = _chain(clean, merges, _q_spark)
+    case = _surface_case(merges, _q_spark)
+    return (
+        wc.selectExpr(f"{enc} AS e", "wn")
+        .selectExpr(
+            "explode(transform(sequence(1, length(e)),"
+            " i -> substring(e, i, 1))) AS c",
+            "wn",
+        )
+        .where(F.col("c") != "")
+        .selectExpr(f"{case} AS token", "wn")
+        .groupBy("token")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def bpe_token_counts_sql(
+    table: str,
+    merges: list[tuple[str, str]],
+    k: int = 100,
+    max_word_chars: int = BPE_MAX_WORD_CHARS,
+) -> str:
+    """DuckDB twin of :func:`bpe_token_counts` (same replace chain —
+    replace() is leftmost-non-overlapping replace-all in both
+    engines; sum cast back from HUGEINT)."""
+    if not merges:
+        raise ValueError("merges must be non-empty (train first)")
+    clean = (
+        f"regexp_replace(substr(w, 1, {max_word_chars}),"
+        f" '[\\x{{E000}}-\\x{{F8FF}}]', '', 'g')"
+    )
+    enc = _chain(clean, merges, _q_duck)
+    case = _surface_case(merges, _q_duck)
+    return f"""
+      SELECT token, n FROM (
+        SELECT {case} AS token, CAST(sum(wn) AS BIGINT) AS n FROM (
+          SELECT unnest(list_transform(range(1, length(e) + 1),
+                        i -> substr(e, i, 1))) AS c,
+                 wn
+          FROM (
+            SELECT {enc} AS e, wn FROM (
+              SELECT w, count(*) AS wn FROM (
+                SELECT unnest(regexp_split_to_array(text, '{WS}+')) AS w
+                FROM {table}
+              ) WHERE w <> ''
+              GROUP BY w
+            )
+          )
+        ) WHERE c <> ''
+        GROUP BY 1
+      ) ORDER BY n DESC, token ASC LIMIT {k}
+    """

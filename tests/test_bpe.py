@@ -1,0 +1,135 @@
+"""BPE: trainer determinism/tie-breaks, replace-chain == symbol-wise
+encoding (differential vs the pure-Python reference), placeholder
+hygiene, SQL-literal escaping, cross-engine token counts."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ocr_spark.functions.bpe import (
+    PUA_BASE,
+    bpe_token_counts,
+    bpe_token_counts_sql,
+    encode_word_py,
+    surface_forms,
+    train_bpe,
+    train_bpe_from_counts,
+)
+from ocr_spark.functions.bpe_merges import MERGES_SF001
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_trainer_classic_example():
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe_from_counts(wc, 4)
+    # 'es' (9) then 'es'+'t' (9) dominate, as in the Sennrich example
+    assert merges[0] == ("e", "s")
+    assert merges[1] == (chr(PUA_BASE), "t")
+    surf = surface_forms(merges)
+    assert surf[chr(PUA_BASE + 1)] == "est"
+    assert encode_word_py("newest", merges[:2]) == ["n", "e", "w", "est"]
+
+
+def test_trainer_tie_break_is_pair_ascending():
+    # 'xy' and 'ab' both occur once -> lexicographic 'ab' merges first
+    merges = train_bpe_from_counts({"xy": 1, "ab": 1}, 1)
+    assert merges == [("a", "b")]
+
+
+def test_trainer_is_deterministic():
+    wc = {f"w{i}ord{i%7}": i + 1 for i in range(200)}
+    assert train_bpe_from_counts(wc, 32) == train_bpe_from_counts(wc, 32)
+
+
+def test_replace_chain_equals_symbolwise_encoding():
+    """The engine applies merges as chained replace() calls; pin that
+    against the symbol-wise reference on seeded random words."""
+    import random
+
+    rng = random.Random(42)
+    words = [
+        "".join(rng.choice("abcde") for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    merges = train_bpe_from_counts(wc, 24)
+
+    def symbolwise(word):
+        syms = list(word)
+        for i, (a, b) in enumerate(merges):
+            new = chr(PUA_BASE + i)
+            out, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(new)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        surf = surface_forms(merges)
+        return [surf.get(s, s) for s in syms]
+
+    for w in words:
+        assert encode_word_py(w, merges) == symbolwise(w), w
+
+
+def test_encode_strips_pua_input():
+    merges = [("a", "b")]
+    assert encode_word_py("a\ue000b", merges) == ["ab"]
+
+
+def test_token_counts_cross_engine_and_escaping(spark):
+    """Corpus with apostrophes and backslashes in words — the inlined
+    merge literals must be escaped per dialect."""
+    texts = ["don't don't won't c:\\path d'or d'or d'or"] * 3
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    merges = train_bpe(df, n_merges=12)
+    assert any("'" in a + b or "\\" in a + b for a, b in merges)
+    got = [tuple(r) for r in bpe_token_counts(df, merges, k=20).collect()]
+    con = duckdb.connect()
+    con.register("bpe_pdf", pdf)
+    con.execute("CREATE VIEW bpe_t AS SELECT * FROM bpe_pdf")
+    want = [
+        tuple(r)
+        for r in con.execute(
+            bpe_token_counts_sql("bpe_t", merges, k=20)
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_baked_merges_on_contract_corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = [
+        tuple(r) for r in bpe_token_counts(docs, MERGES_SF001, k=50).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            bpe_token_counts_sql("documents", MERGES_SF001, k=50)
+        ).fetchall()
+    ]
+    # 64 merges collapse the 26-letter alphabet into 42 distinct
+    # surviving tokens on this corpus — fewer than k
+    assert got == want and len(got) == len(want) > 0
+    # trained merges actually fire: multi-char tokens in the top-50
+    assert any(len(t) > 1 for t, _ in got)
+
+
+def test_empty_merges_rejected(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError):
+        bpe_token_counts(docs, [], k=5)
+    with pytest.raises(ValueError):
+        bpe_token_counts_sql("documents", [], k=5)
