@@ -30,7 +30,12 @@ from ocr_spark.functions import dedup as ded
 from ocr_spark.functions import dsir
 from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import interleave as ilv
-from ocr_spark.functions.bpe import bpe_token_counts, bpe_token_counts_sql
+from ocr_spark.functions.bpe import (
+    bpe_doc_token_counts,
+    bpe_doc_token_counts_sql,
+    bpe_token_counts,
+    bpe_token_counts_sql,
+)
 from ocr_spark.functions.bpe_merges import MERGES_SF001 as _BPE_MERGES
 from ocr_spark.functions.chunking import (
     chunk_documents,
@@ -1219,6 +1224,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": lambda s, d: bpe_token_counts(
             _read(s, d, "documents"), _BPE_MERGES, k=60
         ),
+        # per-doc token budget under the trained tokenizer: the
+        # whole-text replace chain (valid because no merge symbol
+        # contains whitespace) — scan-stage, zero shuffle
+        "bpe_doc_token_counts": lambda s, d: bpe_doc_token_counts(
+            _read(s, d, "documents"), _BPE_MERGES
+        ),
         # quality-weighted deterministic Bernoulli sampling: keep
         # probability = length-derived quality proxy, content-hash
         # decision (retry/resume-stable)
@@ -1526,6 +1537,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": txt.bpe_pair_counts_sql("documents", k=60),
         "bpe_token_counts": bpe_token_counts_sql(
             "documents", _BPE_MERGES, k=60
+        ),
+        "bpe_doc_token_counts": bpe_doc_token_counts_sql(
+            "documents", _BPE_MERGES
         ),
         "weighted_sample": (
             "SELECT doc_id, n_chars FROM ("

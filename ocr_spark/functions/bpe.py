@@ -241,3 +241,49 @@ def bpe_token_counts_sql(
         GROUP BY 1
       ) ORDER BY n DESC, token ASC LIMIT {k}
     """
+
+
+def bpe_doc_token_counts(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(doc_id, n_bpe_tokens): per-document token counts under the
+    trained tokenizer — the budget statistic packing/mixture planning
+    actually needs (text.token_counts is the whitespace/regex
+    heuristic; this is the real tokenizer's number).
+
+    Whole-text trick: the chained replace runs on the FULL text, not
+    per word — valid because no merge symbol contains whitespace, so
+    a pair match can never span a word boundary (a space between 'a'
+    and 'b' means the substring 'ab' does not occur). After the
+    chain, every non-whitespace char is exactly one BPE symbol, so
+    the count is length minus whitespace. Scan-stage, zero shuffle,
+    whole-stage codegen (the 64-replace chain is ~64 string rewrites
+    per doc — bounded, no Python). PUA input chars are deleted first
+    (the module's placeholder hygiene); NULL text counts NULL.
+    """
+    if not merges:
+        raise ValueError("merges must be non-empty (train first)")
+    enc = _chain(_strip_pua_expr("text"), merges, _q_spark)
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(length(regexp_replace({enc}, '{WS}+', ''))"
+        " AS BIGINT) AS n_bpe_tokens",
+    )
+
+
+def bpe_doc_token_counts_sql(
+    table: str, merges: list[tuple[str, str]]
+) -> str:
+    """DuckDB twin of :func:`bpe_doc_token_counts`."""
+    if not merges:
+        raise ValueError("merges must be non-empty (train first)")
+    strip = (
+        "regexp_replace(text, '[\\x{E000}-\\x{F8FF}]', '', 'g')"
+    )
+    enc = _chain(strip, merges, _q_duck)
+    return f"""
+      SELECT doc_id,
+             CAST(length(regexp_replace({enc}, '{WS}+', '', 'g'))
+               AS BIGINT) AS n_bpe_tokens
+      FROM {table}
+    """

@@ -133,3 +133,49 @@ def test_empty_merges_rejected(spark):
         bpe_token_counts(docs, [], k=5)
     with pytest.raises(ValueError):
         bpe_token_counts_sql("documents", [], k=5)
+
+
+def test_doc_token_counts_equal_per_word_reference(spark):
+    """The whole-text chained replace must equal summing the
+    pure-Python per-word encoder — pair matches never span
+    whitespace."""
+    from ocr_spark.functions.bpe import (
+        bpe_doc_token_counts,
+        bpe_doc_token_counts_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_doc_token_counts(docs, MERGES_SF001).collect()
+    }
+    import re
+
+    from ocr_spark.schema import WS
+
+    ws_re = re.compile(WS + "+")
+    for r in docs.limit(40).collect():
+        words = [w for w in ws_re.split(r.text) if w != ""]
+        want = sum(len(encode_word_py(w, MERGES_SF001)) for w in words)
+        assert got[r.doc_id] == want, r.doc_id
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want_all = dict(
+        con.execute(
+            bpe_doc_token_counts_sql("documents", MERGES_SF001)
+        ).fetchall()
+    )
+    assert got == want_all
+
+
+def test_doc_token_counts_null_text(spark):
+    from ocr_spark.functions.bpe import bpe_doc_token_counts
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "ab")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_bpe_tokens for r in
+           bpe_doc_token_counts(df, [("a", "b")]).collect()}
+    assert out == {1: None, 2: 1}
