@@ -43,6 +43,12 @@ from ocr_spark.functions.text import BPE_MAX_WORD_CHARS, words_col
 from ocr_spark.schema import WS
 
 PUA_BASE = 0xE000
+PUA_END = 0xF8FF  # the BMP private-use area the engine strips
+MAX_MERGES = PUA_END - PUA_BASE + 1  # placeholders must stay in-range
+
+
+def _is_pua(ch: str) -> bool:
+    return PUA_BASE <= ord(ch) <= PUA_END
 
 
 def _placeholder(i: int) -> str:
@@ -57,6 +63,12 @@ def train_bpe_from_counts(
     count; merge the most frequent (ties: pair-string ascending)}.
     Merged symbols are PUA placeholders so every symbol stays one
     char and the engine-side replace chain stays exact."""
+    if n_merges > MAX_MERGES:
+        raise ValueError(
+            f"n_merges must be <= {MAX_MERGES}: placeholder code points"
+            " past U+F8FF would collide with assigned Unicode outside"
+            " the hygiene-stripped PUA range"
+        )
     vocab: dict[tuple[str, ...], int] = {}
     for w, c in word_counts.items():
         vocab[tuple(w)] = vocab.get(tuple(w), 0) + c
@@ -103,11 +115,14 @@ def train_bpe(
     from ocr_spark.functions.text import vocab_topk
 
     rows = vocab_topk(docs, k=max_vocab).collect()
-    wc = {
-        r["token"]: r["n"]
-        for r in rows
-        if not any(ord(ch) >= PUA_BASE for ch in r["token"])
-    }
+    wc: dict[str, int] = {}
+    for r in rows:
+        # cap hostile whitespace-free mega-words BEFORE the driver
+        # loop (the bpe_pair_counts guard), merging truncation twins
+        w = r["token"][:BPE_MAX_WORD_CHARS]
+        if any(_is_pua(ch) for ch in w):
+            continue
+        wc[w] = wc.get(w, 0) + r["n"]
     return train_bpe_from_counts(wc, n_merges)
 
 
@@ -116,7 +131,7 @@ def encode_word_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
     symbols after applying every merge in rank order, each merge
     replacing ALL non-overlapping occurrences left-to-right, then
     placeholders expanded back to their surface strings."""
-    s = "".join(ch for ch in word if ord(ch) < PUA_BASE)
+    s = "".join(ch for ch in word if not _is_pua(ch))
     for i, (a, b) in enumerate(merges):
         s = s.replace(a + b, _placeholder(i))
     surf = surface_forms(merges)
@@ -135,9 +150,16 @@ def surface_forms(merges: list[tuple[str, str]]) -> dict[str, str]:
 
 
 def _strip_pua_expr(col: str) -> str:
-    """Spark expr: delete PUA chars >= U+E000 (collision hygiene).
-    One regexp_replace with an explicit char-class range."""
+    """Spark expr: delete BMP PUA chars [U+E000, U+F8FF] (collision
+    hygiene — the same range _is_pua/encode_word_py use). Spark SQL
+    string literals unescape backslashes, hence the doubled one."""
     return f"regexp_replace({col}, '[\\\\x{{E000}}-\\\\x{{F8FF}}]', '')"
+
+
+def _strip_pua_duck(col: str) -> str:
+    """DuckDB twin of :func:`_strip_pua_expr` — ONE definition of the
+    stripped range per dialect (DuckDB literals keep backslashes)."""
+    return f"regexp_replace({col}, '[\\x{{E000}}-\\x{{F8FF}}]', '', 'g')"
 
 
 def _q_spark(s: str) -> str:
@@ -216,10 +238,7 @@ def bpe_token_counts_sql(
     engines; sum cast back from HUGEINT)."""
     if not merges:
         raise ValueError("merges must be non-empty (train first)")
-    clean = (
-        f"regexp_replace(substr(w, 1, {max_word_chars}),"
-        f" '[\\x{{E000}}-\\x{{F8FF}}]', '', 'g')"
-    )
+    clean = _strip_pua_duck(f"substr(w, 1, {max_word_chars})")
     enc = _chain(clean, merges, _q_duck)
     case = _surface_case(merges, _q_duck)
     return f"""
@@ -277,10 +296,7 @@ def bpe_doc_token_counts_sql(
     """DuckDB twin of :func:`bpe_doc_token_counts`."""
     if not merges:
         raise ValueError("merges must be non-empty (train first)")
-    strip = (
-        "regexp_replace(text, '[\\x{E000}-\\x{F8FF}]', '', 'g')"
-    )
-    enc = _chain(strip, merges, _q_duck)
+    enc = _chain(_strip_pua_duck("text"), merges, _q_duck)
     return f"""
       SELECT doc_id,
              CAST(length(regexp_replace({enc}, '{WS}+', '', 'g'))

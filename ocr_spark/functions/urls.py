@@ -191,10 +191,11 @@ def blocklist_filter(
     """
     if "host" not in blocked_hosts.columns:
         raise ValueError("blocked_hosts must have a 'host' column")
+    # no distinct() on the list: left_anti never duplicates left rows
+    # regardless of right-side dups, and a UT1-scale list would pay a
+    # full extra exchange + aggregate for nothing
     return canonicalize_urls(df, col).join(
-        blocked_hosts.select("host").distinct(),
-        "host",
-        "left_anti",
+        blocked_hosts.select("host"), "host", "left_anti"
     )
 
 

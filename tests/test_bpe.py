@@ -179,3 +179,32 @@ def test_doc_token_counts_null_text(spark):
     out = {r.doc_id: r.n_bpe_tokens for r in
            bpe_doc_token_counts(df, [("a", "b")]).collect()}
     assert out == {1: None, 2: 1}
+
+
+def test_non_pua_high_codepoints_are_kept(spark):
+    """Only [U+E000, U+F8FF] is placeholder space — emoji, fullwidth
+    forms, and CJK-compat chars above it are REAL text and must
+    survive both the Python reference and the engine identically
+    (the >= E000 filter bug the review pass executed and confirmed)."""
+    from ocr_spark.functions.bpe import (
+        bpe_doc_token_counts,
+        bpe_doc_token_counts_sql,
+    )
+
+    merges = [("a", "b")]
+    text = "a\U0001f600b ａ ab"
+    assert encode_word_py("a\U0001f600b", merges) == ["a", "\U0001f600", "b"]
+    assert encode_word_py("ａ", merges) == ["ａ"]
+    pdf = pd.DataFrame({"doc_id": [1], "text": [text]})
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    got = [tuple(r) for r in bpe_doc_token_counts(df, merges).collect()]
+    assert got == [(1, 5)]  # a, emoji, b | fullwidth-a | merged ab
+    con = duckdb.connect()
+    con.register("pua_pdf", pdf)
+    want = [
+        tuple(r)
+        for r in con.execute(
+            bpe_doc_token_counts_sql("pua_pdf", merges)
+        ).fetchall()
+    ]
+    assert got == want
