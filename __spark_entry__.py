@@ -36,6 +36,16 @@ from ocr_spark.functions.bpe import (
     bpe_token_counts,
     bpe_token_counts_sql,
 )
+from ocr_spark.functions import keywords as kw
+
+# contract taxonomy over the synthetic vocabulary — every topic
+# actually wins on some docs at sf0.01 (mix probed: db/stream/infra/
+# none all present)
+_TAXONOMY = {
+    "db": ["table", "query", "join", "hash"],
+    "stream": ["stream", "window", "batch"],
+    "infra": ["spark", "scan"],
+}
 from ocr_spark.functions.bpe_merges import MERGES_SF001 as _BPE_MERGES
 from ocr_spark.functions.chunking import (
     chunk_documents,
@@ -1071,6 +1081,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": lambda s, d: tfi.phrase_search(
             _read(s, d, "documents"), ["fast", "table"]
         ),
+        # seeded keyword-taxonomy topic labels: token explode cut to
+        # the taxonomy vocabulary pre-shuffle, broadcast term->topic
+        # dim, window winner (score DESC, topic ASC), 'none' fallback
+        "keyword_tag": lambda s, d: kw.keyword_tag(
+            _read(s, d, "documents"), _TAXONOMY
+        ),
         # banded interval join (points-in-window attribution): time-
         # banded equi-join + exact recheck — must equal the oracle's
         # naive non-equi join row-for-row with no nested-loop plan
@@ -1470,6 +1486,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": tfi.phrase_search_sql(
             "documents", ["fast", "table"]
         ),
+        "keyword_tag": kw.keyword_tag_sql("documents", _TAXONOMY),
         "winnow_fingerprints": txt.winnow_fingerprints_sql("documents"),
         "interval_attribution": rj.attribution_join_events_sql(),
         "event_funnel": fn.funnel_counts_sql(),
