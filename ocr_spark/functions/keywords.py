@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ocr_spark.functions.tfidf import TERM_RE
+from ocr_spark.functions.tfidf import TERM_RE, _terms, _terms_select_sql
 
 
 def _validate_taxonomy(taxonomy: dict[str, list[str]]) -> dict[str, list[str]]:
@@ -43,6 +43,11 @@ def _validate_taxonomy(taxonomy: dict[str, list[str]]) -> dict[str, list[str]]:
             raise ValueError(
                 f"topic name {topic!r} must be [a-z0-9_]+ (it is inlined"
                 " as a SQL literal and becomes a label value)"
+            )
+        if topic == "none":
+            raise ValueError(
+                "'none' is the reserved no-match label — a topic named"
+                " 'none' would be indistinguishable from untagged docs"
             )
         for t in terms:
             if not _re.fullmatch(TERM_RE, t):
@@ -64,17 +69,9 @@ def keyword_tag(docs: DataFrame, taxonomy: dict[str, list[str]]) -> DataFrame:
         (t, topic) for topic, ts in tax.items() for t in ts
     ]
     tmap = docs.sparkSession.createDataFrame(pairs, "term string, topic string")
-    toks = (
-        docs.where(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.explode(
-                F.regexp_extract_all(F.col("text"), F.lit(TERM_RE), 0)
-            ).alias("term"),
-        )
-        .select("doc_id", F.lower(F.col("term")).alias("term"))
-        .where(F.col("term").isin(all_terms))
-    )
+    # the retrieval family's ONE tokenizer (min length 1 — the
+    # taxonomy decides which terms matter, not a length floor)
+    toks = _terms(docs, 1).where(F.col("term").isin(all_terms))
     scores = (
         toks.join(F.broadcast(tmap), "term")
         .groupBy("doc_id", "topic")
@@ -109,20 +106,14 @@ def keyword_tag_sql(table: str, taxonomy: dict[str, list[str]]) -> str:
     pairs = ", ".join(
         f"('{t}', '{topic}')" for topic, ts in tax.items() for t in ts
     )
-    in_list = ", ".join(
-        f"'{t}'" for t in sorted({t for ts in tax.values() for t in ts})
-    )
     return f"""
       WITH tmap(term, topic) AS (SELECT * FROM (VALUES {pairs})),
       toks AS (
-        SELECT doc_id, lower(unnest(regexp_extract_all(text, '{TERM_RE}')))
-                 AS term
-        FROM {table} WHERE text IS NOT NULL
+        {_terms_select_sql(table, 1)}
       ),
       scores AS (
         SELECT doc_id, topic, count(*) AS score
         FROM toks JOIN tmap USING (term)
-        WHERE term IN ({in_list})
         GROUP BY doc_id, topic
       ),
       best AS (

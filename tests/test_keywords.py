@@ -89,3 +89,9 @@ def test_plan_broadcasts_dim_and_no_nested_loop(spark):
     p = plan_str(keyword_tag(docs, TAX))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_none_topic_name_is_reserved(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        keyword_tag(df, {"none": ["table"]})
