@@ -21,6 +21,10 @@ parquet under --output/<name>:
                    source pair (mirror/repackage detection,
                    functions/sketches.py) — one corpus pass, exact
                    integer estimates
+- bpe_token_stats: (--bpe-tokens) per-source token totals under the
+                   baked TRAINED tokenizer (functions/bpe.py) — the
+                   budget number mixture/packing planning uses, where
+                   source_stats.n_tokens is the whitespace heuristic
 
 Every table is a single declarative plan (no collect loops); the job
 prints one JSON summary line with row counts, and — when --previous
@@ -53,6 +57,12 @@ def main() -> None:
     )
     ap.add_argument("--output", required=True, help="output root dir")
     ap.add_argument("--group-col", default="source")
+    ap.add_argument(
+        "--bpe-tokens",
+        action="store_true",
+        help="also write bpe_token_stats: per-source token totals "
+        "under the baked trained tokenizer (functions/bpe_merges.py)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -118,6 +128,25 @@ def main() -> None:
         )
     )
     tables["source_overlap"] = source_overlap(docs, group_col=g)
+    if args.bpe_tokens:
+        # per-source token budget under the TRAINED tokenizer (the
+        # number mixture/packing planning uses — n_tokens above is the
+        # whitespace heuristic); scan-stage replace chain, one
+        # partial-agg pass
+        from ocr_spark.functions.bpe import bpe_doc_token_counts
+        from ocr_spark.functions.bpe_merges import MERGES
+
+        tables["bpe_token_stats"] = (
+            bpe_doc_token_counts(docs, MERGES)
+            .join(docs.select("doc_id", g), "doc_id")
+            .groupBy(g)
+            .agg(
+                F.sum(F.coalesce(F.col("n_bpe_tokens"), F.lit(0))).alias(
+                    "n_bpe_tokens"
+                ),
+                F.count("*").alias("n_docs"),
+            )
+        )
     if args.previous:
         prev = spark.read.parquet(args.previous)
         tables["drift"] = corpus_drift(prev, docs, group_col=g)

@@ -89,3 +89,25 @@ def test_report_sketch_is_mergeable_artifact(spark, tmp_path):
     doubled = hist_sketch_merge(sk.unionByName(sk))
     joined = sk.alias("a").join(doubled.alias("b"), "bin")
     assert joined.where(F.expr("b.n != 2 * a.n")).count() == 0
+
+
+def test_report_bpe_token_stats(spark, tmp_path):
+    from ocr_spark.functions.bpe import bpe_doc_token_counts
+    from ocr_spark.functions.bpe_merges import MERGES
+
+    out, s = _run(spark, tmp_path, ["--bpe-tokens", "--master", "local[4]"])
+    assert "bpe_token_stats" in s["rows"]
+    t = spark.read.parquet(f"{out}/bpe_token_stats")
+    got = {r["source"]: (r["n_bpe_tokens"], r["n_docs"]) for r in t.collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    want = {
+        r["source"]: (r["t"], r["n"])
+        for r in bpe_doc_token_counts(docs, MERGES)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_bpe_tokens").alias("t"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 1
