@@ -1258,6 +1258,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_fluency": lambda s, d: lm.bigram_lm_score(
             _read(s, d, "documents")
         ),
+        # collocation mining: top pairs by PMI RANK (lift without the
+        # log — monotone, keeps libm off the hash-compared value);
+        # min_count floors hapax-pair explosion
+        "collocations": lambda s, d: lm.collocations(
+            _read(s, d, "documents"), k=40, min_count=5
+        ),
         # CCNet head/middle/tail terciles over the fluency score:
         # nearest-rank thresholds, every bucket label oracle-checked
         "fluency_buckets": lambda s, d: lm.fluency_buckets(
@@ -1564,6 +1570,7 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "lm_fluency": lm.bigram_lm_score_sql("documents"),
+        "collocations": lm.collocations_sql("documents", 40, 5),
         "fluency_buckets": lm.fluency_buckets_sql("documents"),
         "quality_classifier": qc.quality_classifier_sql("documents"),
         "cms_token_sketch": sk_cms_build_sql(

@@ -250,3 +250,119 @@ def fluency_buckets_sql(table: str = "documents", lm_table: str | None = None) -
                   ELSE 'tail' END AS bucket
       FROM scores CROSS JOIN ths
     """
+
+
+# ---------------------------------------------------------------------------
+# collocation mining (bigram association / PMI ranking)
+# ---------------------------------------------------------------------------
+
+
+def collocations(
+    docs: DataFrame, k: int = 50, min_count: int = 5
+) -> DataFrame:
+    """(w1, w2, n_ab, n_a, n_b, lift_scaled): the top-``k`` adjacent
+    word pairs by pointwise-mutual-information RANK — collocation
+    mining ("new york", "machine learning"), the statistic that
+    separates phrases from chance co-occurrence.
+
+    lift_scaled = floor(10^6 * (n_ab * N) / (n_a * n_b)) where N is
+    the corpus token count — the PMI argument without the log (log is
+    monotone, so the RANKING is the PMI ranking, and the hash-compared
+    value stays off libm, the tf-idf discipline). The float quotient
+    is computed per bigram row from exact integer counts in a pinned
+    expression tree (IEEE-identical across engines); ``min_count``
+    floors n_ab because PMI famously explodes on hapax pairs. Ties
+    break (w1, w2) ascending.
+
+    Shape at scale: one bigram explode + count shuffle (map-side
+    partials), one unigram explode + count shuffle, two equi-joins of
+    the (already aggregated, vocabulary-bounded) bigram table against
+    the unigram table, broadcast 1-row N, TakeOrderedAndProject
+    top-k. The joins move pair/vocab tables, never the corpus.
+    """
+    if k < 1 or min_count < 1:
+        raise ValueError("k and min_count must be >= 1")
+    pairs_expr = (
+        f"flatten(transform(array({_words_expr()}), w -> "
+        f"CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+        f"i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END))"
+    )
+    live = docs.where(F.col("text").isNotNull())
+    bi = (
+        live.selectExpr(f"explode({pairs_expr}) AS p")
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    uni = (
+        live.selectExpr(f"explode({_words_expr()}) AS w")
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    totals = uni.agg(F.sum("n_w").alias("n_total"))
+    lift = F.floor(
+        (
+            (F.col("n_ab").cast("double") * F.col("n_total").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        bi.join(uni.selectExpr("w AS w1", "n_w AS n_a"), "w1")
+        .join(uni.selectExpr("w AS w2", "n_w AS n_b"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            lift.alias("lift_scaled"),
+        )
+        .orderBy(
+            F.col("lift_scaled").desc(),
+            F.col("w1").asc(),
+            F.col("w2").asc(),
+        )
+        .limit(k)
+    )
+
+
+def collocations_sql(
+    table: str = "documents", k: int = 50, min_count: int = 5
+) -> str:
+    """DuckDB twin of :func:`collocations` (counts cast back from
+    HUGEINT; the float tree is node-for-node the Spark one)."""
+    if k < 1 or min_count < 1:
+        raise ValueError("k and min_count must be >= 1")
+    w = _words_sql()
+    return f"""
+      WITH live AS (
+        SELECT text FROM {table} WHERE text IS NOT NULL
+      ),
+      bi AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM (
+          SELECT w[i] AS w1, w[i + 1] AS w2
+          FROM (SELECT {w} AS w FROM live),
+               unnest(range(1, len(w))) AS u(i)
+        ) GROUP BY w1, w2 HAVING count(*) >= {min_count}
+      ),
+      uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM (
+          SELECT unnest({w}) AS w FROM live
+        ) GROUP BY w
+      ),
+      totals AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM uni)
+      SELECT w1, w2, n_ab, n_a, n_b,
+             CAST(floor(((CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS lift_scaled
+      FROM bi
+      JOIN (SELECT w AS w1, n_w AS n_a FROM uni) ua USING (w1)
+      JOIN (SELECT w AS w2, n_w AS n_b FROM uni) ub USING (w2)
+      CROSS JOIN totals
+      ORDER BY lift_scaled DESC, w1 ASC, w2 ASC
+      LIMIT {k}
+    """

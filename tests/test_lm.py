@@ -148,3 +148,66 @@ def test_fluency_buckets_partition_invariant(docs):
     a = sorted(map(tuple, fluency_buckets(docs).collect()))
     b = sorted(map(tuple, fluency_buckets(docs.repartition(13)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# collocations
+# ---------------------------------------------------------------------------
+
+
+def test_collocations_semantics(spark):
+    """'new york' appears 4x as a pair; 'the the' is frequent but its
+    unigrams are everywhere, so the collocation outranks it."""
+    import pandas as pd
+
+    from ocr_spark.functions.lm import collocations
+
+    texts = ["the new york the times the", "new york the new york",
+             "the new york the"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(3), "text": texts}),
+        schema="doc_id long, text string",
+    )
+    out = [(r.w1, r.w2) for r in collocations(df, k=3, min_count=2).collect()]
+    assert out[0] == ("new", "york")
+    got = {(r.w1, r.w2): (r.n_ab, r.n_a, r.n_b) for r in
+           collocations(df, k=10, min_count=2).collect()}
+    assert got[("new", "york")] == (4, 4, 4)
+
+
+def test_collocations_min_count_floors_hapax(spark):
+    from ocr_spark.functions.lm import collocations
+
+    df = spark.createDataFrame(
+        [(1, "rare pair once but common common common common")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.w1, r.w2) for r in collocations(df, k=10, min_count=2).collect()}
+    assert ("rare", "pair") not in pairs
+    assert ("common", "common") in pairs
+
+
+def test_collocations_cross_engine(spark, docs):
+    import duckdb
+
+    from ocr_spark.functions.lm import collocations, collocations_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    got = [tuple(r) for r in collocations(docs, k=40, min_count=3).collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(collocations_sql("documents", 40, 3)).fetchall()
+    ]
+    assert got == want and len(got) == 40
+
+
+def test_collocations_plan_topk_no_nested_loop(docs):
+    from ocr_spark.functions.lm import collocations
+    from ocr_spark.plans import plan_str
+
+    p = plan_str(collocations(docs, k=10))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
