@@ -131,21 +131,17 @@ def main() -> None:
     if args.bpe_tokens:
         # per-source token budget under the TRAINED tokenizer (the
         # number mixture/packing planning uses — n_tokens above is the
-        # whitespace heuristic); scan-stage replace chain, one
-        # partial-agg pass
-        from ocr_spark.functions.bpe import bpe_doc_token_counts
+        # whitespace heuristic). The count expression runs inline in
+        # THIS scan, so the table is genuinely one pass with map-side
+        # partial aggregation — no join back to the corpus
+        from ocr_spark.functions.bpe import bpe_token_count_col
         from ocr_spark.functions.bpe_merges import MERGES
 
-        tables["bpe_token_stats"] = (
-            bpe_doc_token_counts(docs, MERGES)
-            .join(docs.select("doc_id", g), "doc_id")
-            .groupBy(g)
-            .agg(
-                F.sum(F.coalesce(F.col("n_bpe_tokens"), F.lit(0))).alias(
-                    "n_bpe_tokens"
-                ),
-                F.count("*").alias("n_docs"),
-            )
+        tables["bpe_token_stats"] = docs.groupBy(g).agg(
+            F.sum(
+                F.coalesce(bpe_token_count_col(MERGES), F.lit(0))
+            ).alias("n_bpe_tokens"),
+            F.count("*").alias("n_docs"),
         )
     if args.previous:
         prev = spark.read.parquet(args.previous)

@@ -280,13 +280,22 @@ def bpe_doc_token_counts(
     per doc — bounded, no Python). PUA input chars are deleted first
     (the module's placeholder hygiene); NULL text counts NULL.
     """
+    return docs.select(
+        "doc_id", bpe_token_count_col(merges).alias("n_bpe_tokens")
+    )
+
+
+def bpe_token_count_col(merges: list[tuple[str, str]]) -> F.Column:
+    """The per-row token-count EXPRESSION over a ``text`` column —
+    exposed separately so aggregating consumers (jobs/report.py's
+    per-source budgets) can compute it inside their own single scan
+    instead of joining :func:`bpe_doc_token_counts` back to the
+    corpus."""
     if not merges:
         raise ValueError("merges must be non-empty (train first)")
     enc = _chain(_strip_pua_expr("text"), merges, _q_spark)
-    return docs.selectExpr(
-        "doc_id",
-        f"CAST(length(regexp_replace({enc}, '{WS}+', ''))"
-        " AS BIGINT) AS n_bpe_tokens",
+    return F.expr(
+        f"CAST(length(regexp_replace({enc}, '{WS}+', '')) AS BIGINT)"
     )
 
 

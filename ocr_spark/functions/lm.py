@@ -69,16 +69,27 @@ def _words_sql() -> str:
     return f"list_filter(regexp_split_to_array(text, '{WS}+'), x -> x != '')"
 
 
-def _bigrams_expr() -> str:
-    # LET-binding via single-element transform: split once per row
-    # (CSE does not hoist out of lambda bodies — the shingles lesson)
-    h1 = md5_long_expr("element_at(w, i)")
-    h12 = md5_long_expr(PAIR_EXPR)
+def _pair_enum_expr(payload: str, empty_type: str) -> str:
+    """The module's ONE adjacent-pair enumeration skeleton (Spark):
+    LET-bound word array (split once per row — CSE does not hoist out
+    of lambda bodies, the shingles lesson), 1..len-1 positions, a
+    caller-chosen struct payload over (w, i). Shared by the LM hash
+    pairs and collocation word pairs so "pair" can never mean two
+    different enumerations."""
     return (
         f"flatten(transform(array({_words_expr()}), w -> "
         f"CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
-        f"i -> struct({h1} AS h1, {h12} AS h12)) "
-        f"ELSE CAST(array() AS ARRAY<STRUCT<h1: BIGINT, h12: BIGINT>>) END))"
+        f"i -> {payload}) "
+        f"ELSE CAST(array() AS {empty_type}) END))"
+    )
+
+
+def _bigrams_expr() -> str:
+    h1 = md5_long_expr("element_at(w, i)")
+    h12 = md5_long_expr(PAIR_EXPR)
+    return _pair_enum_expr(
+        f"struct({h1} AS h1, {h12} AS h12)",
+        "ARRAY<STRUCT<h1: BIGINT, h12: BIGINT>>",
     )
 
 
@@ -121,6 +132,19 @@ def bigram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None) -> DataFr
     return scored
 
 
+def _pair_enum_sql(src: str, payload: str) -> str:
+    """DuckDB twin of :func:`_pair_enum_expr` — the ONE enumeration
+    idiom (list_transform over range(1, len(w)), len>=2 guard)."""
+    w = _words_sql()
+    return (
+        "SELECT doc_id, unnest(pairs) AS b FROM ("
+        "SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
+        f"list_transform(range(1, len(w)), i -> {payload}) "
+        "ELSE [] END AS pairs FROM "
+        f"(SELECT doc_id, {w} AS w FROM {src}))"
+    )
+
+
 def bigram_lm_score_sql(table: str = "documents", lm_table: str | None = None) -> str:
     """DuckDB twin of :func:`bigram_lm_score` (1-based list indexing
     matches element_at; range() exclusive stop mirrors sequence()'s
@@ -130,14 +154,7 @@ def bigram_lm_score_sql(table: str = "documents", lm_table: str | None = None) -
     h1 = md5_long_sql("w[i]")
     h12 = md5_long_sql(PAIR_SQL)
     def pairs(src: str) -> str:
-        return (
-            "SELECT doc_id, unnest(pairs) AS b FROM ("
-            "SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
-            "list_transform(range(1, len(w)), i -> "
-            f"{{'h1': {h1}, 'h12': {h12}}}) "
-            "ELSE [] END AS pairs FROM "
-            f"(SELECT doc_id, {w} AS w FROM {src}))"
-        )
+        return _pair_enum_sql(src, f"{{'h1': {h1}, 'h12': {h12}}}")
 
     return f"""
       WITH lm_pairs AS (
@@ -282,11 +299,9 @@ def collocations(
     """
     if k < 1 or min_count < 1:
         raise ValueError("k and min_count must be >= 1")
-    pairs_expr = (
-        f"flatten(transform(array({_words_expr()}), w -> "
-        f"CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
-        f"i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)) "
-        f"ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END))"
+    pairs_expr = _pair_enum_expr(
+        "struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)",
+        "ARRAY<STRUCT<w1: STRING, w2: STRING>>",
     )
     live = docs.where(F.col("text").isNotNull())
     bi = (
@@ -338,15 +353,14 @@ def collocations_sql(
     if k < 1 or min_count < 1:
         raise ValueError("k and min_count must be >= 1")
     w = _words_sql()
+    pair_rows = _pair_enum_sql("live", "{'w1': w[i], 'w2': w[i + 1]}")
     return f"""
       WITH live AS (
-        SELECT text FROM {table} WHERE text IS NOT NULL
+        SELECT doc_id, text FROM {table} WHERE text IS NOT NULL
       ),
       bi AS (
         SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM (
-          SELECT w[i] AS w1, w[i + 1] AS w2
-          FROM (SELECT {w} AS w FROM live),
-               unnest(range(1, len(w))) AS u(i)
+          SELECT b.w1 AS w1, b.w2 AS w2 FROM ({pair_rows})
         ) GROUP BY w1, w2 HAVING count(*) >= {min_count}
       ),
       uni AS (
