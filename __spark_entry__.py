@@ -1002,6 +1002,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_topk": lambda s, d: sim.ann_multiprobe_topk(
             _read(s, d, "embeddings")
         ),
+        # recall@k of the multiprobe ANN list vs the brute-force truth
+        # (the retrieval-side lsh_recall_eval)
+        "ann_recall_eval": lambda s, d: sim.ann_recall_eval(
+            _read(s, d, "embeddings")
+        ),
         "ivf_topk": lambda s, d: sim.ivf_topk(_read(s, d, "embeddings")),
         "quantize_embeddings": lambda s, d: quantize_flat(
             _read(s, d, "embeddings")
@@ -1454,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": sim.cosine_topk_sql(),
         "ann_lsh_topk": sim.ann_lsh_topk_sql(),
         "ann_multiprobe_topk": sim.ann_multiprobe_topk_sql(),
+        "ann_recall_eval": sim.ann_recall_eval_sql(),
         "ivf_topk": sim.ivf_topk_sql(),
         "quantize_embeddings": quantize_flat_sql(),
         "ann_quantized_topk": ann_quantized_topk_sql(),

@@ -1048,3 +1048,109 @@ def knn_graph_sql(
         FROM cand
       ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation (approximate vs exact top-k)
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_eval(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = N_PLANES,
+    method: str = "multiprobe",
+) -> DataFrame:
+    """(query_id, n_truth, n_approx, n_hit, recall_ppm): per-query
+    recall of an ANN top-k list against the exact brute-force cosine
+    top-k — the eval an ANN owner runs BEFORE trusting a bucket
+    configuration on a new corpus, because LSH recall depends on the
+    corpus's similarity distribution, not on the algorithm alone (the
+    ``lsh_recall_eval`` discipline, applied to the retrieval side).
+
+    truth  = :func:`cosine_topk` (exact baseline, same queries/k)
+    approx = ``method``: "lsh" (:func:`ann_lsh_topk`, own bucket only)
+             or "multiprobe" (:func:`ann_multiprobe_topk`, + Hamming-1
+             probes — the recall repair this eval quantifies)
+    recall_ppm = (n_hit * 10^6) div n_truth   (NULL if no truth rows)
+
+    Integer ppm keeps the row engine-exact (non-negative operands:
+    Spark's truncating ``div`` == DuckDB's flooring ``//``). Each
+    expensive subtree (exact top-k, ANN top-k) appears exactly once in
+    the plan: one flagged full-outer join on (query_id, neighbor_id)
+    feeds a single per-query aggregate. The exact side is the
+    brute-force scan by definition — this operator is an offline eval
+    run on a sample (n_queries bounds it), never a production path.
+    """
+    methods = {"lsh": ann_lsh_topk, "multiprobe": ann_multiprobe_topk}
+    if method not in methods:
+        raise ValueError(f"method must be one of {sorted(methods)}")
+    truth = cosine_topk(emb, n_queries, k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_t")
+    )
+    appr = methods[method](emb, n_queries, k, n_planes).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_a")
+    )
+    j = truth.join(appr, ["query_id", "neighbor_id"], "full_outer")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count("in_t").alias("n_truth"),
+            F.count("in_a").alias("n_approx"),
+            F.sum(
+                F.when(
+                    F.col("in_t").isNotNull() & F.col("in_a").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_hit"),
+        )
+        .selectExpr(
+            "query_id",
+            "n_truth",
+            "n_approx",
+            "CAST(n_hit AS BIGINT) AS n_hit",
+            "CASE WHEN n_truth > 0 THEN (n_hit * 1000000) div n_truth"
+            " ELSE NULL END AS recall_ppm",
+        )
+    )
+
+
+def ann_recall_eval_sql(
+    table: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = N_PLANES,
+    method: str = "multiprobe",
+) -> str:
+    """DuckDB twin of :func:`ann_recall_eval` — composes the exact and
+    ANN top-k twins verbatim so the evaluated definitions are the
+    contract definitions."""
+    methods = {"lsh": ann_lsh_topk_sql, "multiprobe": ann_multiprobe_topk_sql}
+    if method not in methods:
+        raise ValueError(f"method must be one of {sorted(methods)}")
+    truth = cosine_topk_sql(table, n_queries, k)
+    appr = methods[method](table, n_queries, k, n_planes)
+    return f"""
+      WITH truth AS (
+        SELECT query_id, neighbor_id FROM ({truth})
+      ),
+      appr AS (
+        SELECT query_id, neighbor_id FROM ({appr})
+      ),
+      j AS (
+        SELECT coalesce(t.query_id, a.query_id) AS query_id,
+               t.neighbor_id IS NOT NULL AS in_t,
+               a.neighbor_id IS NOT NULL AS in_a
+        FROM truth t FULL OUTER JOIN appr a
+          ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+      )
+      SELECT query_id,
+             CAST(count(*) FILTER (in_t) AS BIGINT) AS n_truth,
+             CAST(count(*) FILTER (in_a) AS BIGINT) AS n_approx,
+             CAST(count(*) FILTER (in_t AND in_a) AS BIGINT) AS n_hit,
+             CASE WHEN count(*) FILTER (in_t) > 0
+                  THEN (count(*) FILTER (in_t AND in_a) * 1000000)
+                       // count(*) FILTER (in_t)
+                  ELSE NULL END AS recall_ppm
+      FROM j GROUP BY query_id
+    """

@@ -902,3 +902,41 @@ def test_lsh_recall_eval_cross_engine(spark, docs, con):
     assert_same(
         dedup.lsh_recall_eval(docs), con, dedup.lsh_recall_eval_sql()
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_eval
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_eval_matches_oracle(emb, con):
+    assert_same(
+        similarity.ann_recall_eval(emb), con, similarity.ann_recall_eval_sql()
+    )
+
+
+def test_ann_recall_eval_invariants_and_multiprobe_repair(emb):
+    """recall arithmetic holds per query, and multiprobe recall
+    dominates single-bucket recall (probing MORE buckets can only add
+    candidates — the repair the operator exists to quantify)."""
+    mp = {
+        r["query_id"]: r
+        for r in similarity.ann_recall_eval(emb, method="multiprobe").collect()
+    }
+    single = {
+        r["query_id"]: r
+        for r in similarity.ann_recall_eval(emb, method="lsh").collect()
+    }
+    assert set(mp) == set(single) == {0, 1, 2, 3, 4}
+    for qid, r in mp.items():
+        assert r["n_truth"] == 10
+        assert 0 <= r["n_hit"] <= min(r["n_truth"], r["n_approx"])
+        assert r["recall_ppm"] == (r["n_hit"] * 1000000) // r["n_truth"]
+        assert r["recall_ppm"] >= single[qid]["recall_ppm"]
+
+
+def test_ann_recall_eval_rejects_unknown_method(emb):
+    with pytest.raises(ValueError):
+        similarity.ann_recall_eval(emb, method="ivf")
+    with pytest.raises(ValueError):
+        similarity.ann_recall_eval_sql(method="ivf")
