@@ -1263,6 +1263,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_fluency": lambda s, d: lm.bigram_lm_score(
             _read(s, d, "documents")
         ),
+        # interpolated Kneser-Ney bigram scoring: the smoothing upgrade
+        # for cross-scoring (continuation probability > 0 on unseen
+        # transitions with promiscuous second words); all-integer
+        # fixed point, chained floor divisions
+        "kn_fluency": lambda s, d: lm.kn_bigram_score(
+            _read(s, d, "documents")
+        ),
         # collocation mining: top pairs by PMI RANK (lift without the
         # log — monotone, keeps libm off the hash-compared value);
         # min_count floors hapax-pair explosion
@@ -1576,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "lm_fluency": lm.bigram_lm_score_sql("documents"),
+        "kn_fluency": lm.kn_bigram_score_sql("documents"),
         "collocations": lm.collocations_sql("documents", 40, 5),
         "fluency_buckets": lm.fluency_buckets_sql("documents"),
         "quality_classifier": qc.quality_classifier_sql("documents"),

@@ -184,6 +184,164 @@ def bigram_lm_score_sql(table: str = "documents", lm_table: str | None = None) -
 
 
 # ---------------------------------------------------------------------------
+# interpolated Kneser-Ney bigram scoring
+# ---------------------------------------------------------------------------
+
+# absolute discount D = 3/4 as an exact rational (the standard KN
+# discount for counts >= 2; kept rational so the fixed-point stays
+# off libm and engine-exact)
+KN_D_NUM = 3
+KN_D_DEN = 4
+
+
+def _kn_bigrams_expr() -> str:
+    """Bigram triples (h1, h12, h2) — the KN tables additionally need
+    the SECOND word's hash (continuation counts are keyed on it).
+    Separate from :func:`_bigrams_expr` so the plain-LM path never
+    pays the third md5 (column pruning cannot reach inside a HOF
+    lambda)."""
+    h1 = md5_long_expr("element_at(w, i)")
+    h2 = md5_long_expr("element_at(w, i + 1)")
+    h12 = md5_long_expr(PAIR_EXPR)
+    return _pair_enum_expr(
+        f"struct({h1} AS h1, {h12} AS h12, {h2} AS h2)",
+        "ARRAY<STRUCT<h1: BIGINT, h12: BIGINT, h2: BIGINT>>",
+    )
+
+
+def kn_bigram_score(docs: DataFrame, lm_docs: DataFrame | None = None) -> DataFrame:
+    """(doc_id, n_bigrams, sum_kn_scaled): per-doc fluency under an
+    interpolated Kneser-Ney bigram LM built from ``lm_docs`` (default:
+    ``docs`` itself) — the smoothing upgrade over
+    :func:`bigram_lm_score` for CROSS-scoring, where the raw-count LM
+    scores every unseen transition 0 regardless of how plausible the
+    continuation word is. KN's continuation probability ("how many
+    distinct contexts does w2 follow?") is exactly the repair: a
+    never-seen bigram whose second word is a promiscuous continuation
+    ("the <anything>") still scores > 0, while a gibberish token
+    scores 0 from both terms.
+
+        P_KN(w2|w1) = max(c(w1,w2) - D, 0) / c(w1,*)
+                    + (D * N1+(w1,*) / c(w1,*)) * (N1+(*,w2) / N_bi)
+
+    with D = 3/4, N1+(w1,*) = distinct continuations of w1, N1+(*,w2)
+    = distinct contexts preceding w2, N_bi = distinct bigram types.
+    The fixed-point form (scale 10^6, all-integer; div = floor on the
+    non-negative operands, so Spark ``div`` == DuckDB ``//``):
+
+        term1 = (10^6 * max(4*c12 - 3, 0)) div (4*c1)
+        term2 = ((3 * 10^6 * nf * np) div (4*c1)) div n_bi
+
+    — the chained div is exact (floor(floor(a/b)/c) == floor(a/(b*c))
+    for positive integers), avoiding the 4*c1*n_bi denominator
+    overflow at corpus scale. Valid while 3e6 * nf * np < 2^63, i.e.
+    sqrt(nf*np) < ~1.7e6 distinct continuations — beyond that, split
+    the numerator product the same way. Unseen prefix (c1 NULL) → 0:
+    the honest "LM has never seen this context" signal, matching the
+    raw-count operator's contract.
+
+    Scale shape mirrors :func:`bigram_lm_score`: one LM scan feeds
+    three count aggregates (bigram, prefix+continuation-fanout in ONE
+    groupBy, predecessor-fanout) plus a broadcast 1-row bigram-type
+    total; scoring is three left equi-joins on uniform 60-bit hash
+    keys and one per-doc aggregate.
+    """
+    lm_src = docs if lm_docs is None else lm_docs
+    lm_pairs = lm_src.selectExpr(f"explode({_kn_bigrams_expr()}) AS b").select(
+        "b.h1", "b.h12", "b.h2"
+    )
+    bi = lm_pairs.groupBy("h12").agg(F.count("*").alias("c_bi"))
+    uni = lm_pairs.groupBy("h1").agg(
+        F.count("*").alias("c_uni"),
+        F.countDistinct("h12").alias("n_follow"),
+    )
+    prec = lm_pairs.groupBy("h2").agg(
+        F.countDistinct("h12").alias("n_prec")
+    )
+    nbi = uni.agg(F.sum("n_follow").alias("n_bi_types"))
+
+    doc_pairs = docs.selectExpr(
+        "doc_id", f"explode_outer({_kn_bigrams_expr()}) AS b"
+    ).select("doc_id", "b.h1", "b.h12", "b.h2")
+    p_kn = (
+        f"CASE WHEN c_uni IS NULL THEN 0 ELSE "
+        f"(({P_SCALE} * greatest({KN_D_DEN} * coalesce(c_bi, 0) - {KN_D_NUM}, 0))"
+        f" div ({KN_D_DEN} * c_uni)) "
+        f"+ ((({KN_D_NUM} * {P_SCALE} * n_follow * coalesce(n_prec, 0))"
+        f" div ({KN_D_DEN} * c_uni)) div n_bi_types) END"
+    )
+    return (
+        doc_pairs.join(bi, "h12", "left")
+        .join(uni, "h1", "left")
+        .join(prec, "h2", "left")
+        .crossJoin(F.broadcast(nbi))
+        .groupBy("doc_id")
+        .agg(
+            F.count("h12").alias("n_bigrams"),
+            F.sum(F.expr(p_kn)).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("sum_kn_scaled"),
+        )
+    )
+
+
+def kn_bigram_score_sql(table: str = "documents", lm_table: str | None = None) -> str:
+    """DuckDB twin of :func:`kn_bigram_score` — same count tables,
+    same chained floor-division fixed point."""
+    lm = lm_table or table
+    h1 = md5_long_sql("w[i]")
+    h2 = md5_long_sql("w[i + 1]")
+    h12 = md5_long_sql(PAIR_SQL)
+
+    def pairs(src: str) -> str:
+        return _pair_enum_sql(
+            src, f"{{'h1': {h1}, 'h12': {h12}, 'h2': {h2}}}"
+        )
+
+    p_kn = (
+        f"CASE WHEN c_uni IS NULL THEN 0 ELSE "
+        f"(({P_SCALE} * greatest({KN_D_DEN} * coalesce(c_bi, 0) - {KN_D_NUM}, 0))"
+        f" // ({KN_D_DEN} * c_uni)) "
+        f"+ ((({KN_D_NUM} * {P_SCALE} * n_follow * coalesce(n_prec, 0))"
+        f" // ({KN_D_DEN} * c_uni)) // n_bi_types) END"
+    )
+    return f"""
+      WITH lm_pairs AS (
+        SELECT b.h1 AS h1, b.h12 AS h12, b.h2 AS h2 FROM ({pairs(lm)})
+      ),
+      bi AS (SELECT h12, count(*) AS c_bi FROM lm_pairs GROUP BY h12),
+      uni AS (
+        SELECT h1, count(*) AS c_uni, count(DISTINCT h12) AS n_follow
+        FROM lm_pairs GROUP BY h1
+      ),
+      prec AS (
+        SELECT h2, count(DISTINCT h12) AS n_prec FROM lm_pairs GROUP BY h2
+      ),
+      nbi AS (SELECT CAST(sum(n_follow) AS BIGINT) AS n_bi_types FROM uni),
+      doc_pairs AS (
+        SELECT d.doc_id, p.b.h1 AS h1, p.b.h12 AS h12, p.b.h2 AS h2
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM {table}) d
+        LEFT JOIN (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, b
+          FROM ({pairs(table)})
+        ) p ON d.doc_id = p.doc_id
+      )
+      SELECT doc_id,
+             CAST(count(h12) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(sum({p_kn}), 0) AS BIGINT) AS sum_kn_scaled
+      FROM doc_pairs
+      LEFT JOIN bi USING (h12)
+      LEFT JOIN uni USING (h1)
+      LEFT JOIN prec USING (h2)
+      CROSS JOIN nbi
+      GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # CCNet-style fluency buckets (head / middle / tail)
 # ---------------------------------------------------------------------------
 

@@ -211,3 +211,88 @@ def test_collocations_plan_topk_no_nested_loop(docs):
     p = plan_str(collocations(docs, k=10))
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser-Ney bigram scoring
+# ---------------------------------------------------------------------------
+
+
+def test_kn_score_hand_check(spark):
+    # self-LM over "a b a b": c(a,b)=2, c(b,a)=1, c(a,*)=2, c(b,*)=1,
+    # nf(a)=nf(b)=1, np(a)=np(b)=1, n_bi_types=2, D=3/4.
+    # P_KN(b|a) = (2-.75)/2 + (.75*1/2)*(1/2) = 0.8125 -> 812500
+    # P_KN(a|b) = (1-.75)/1 + (.75*1/1)*(1/2) = 0.625  -> 625000
+    from ocr_spark.functions.lm import kn_bigram_score
+
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    row = kn_bigram_score(df).collect()[0]
+    assert (row.n_bigrams, row.sum_kn_scaled) == (3, 812500 * 2 + 625000)
+
+
+def test_kn_unseen_bigram_with_seen_continuation_scores_positive(spark):
+    """The KN signature: an unseen transition whose SECOND word is a
+    known continuation gets continuation mass; gibberish second words
+    and unseen prefixes get exactly 0."""
+    from ocr_spark.functions.lm import kn_bigram_score
+
+    lm_corpus = spark.createDataFrame(
+        [(1, "x y x y")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "w y"), (11, "x q"), (12, "x x")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_kn_scaled)
+        for r in kn_bigram_score(batch, lm_docs=lm_corpus).collect()
+    }
+    assert got[10] == (1, 0)  # unseen prefix 'w'
+    assert got[11] == (1, 0)  # 'q' never continues anything
+    # 'x x' unseen as a bigram, but 'x' is a known continuation:
+    # term2 = ((3e6*1*1) div (4*2)) div 2 = 187500
+    assert got[12] == (1, 187500)
+
+
+def test_kn_self_lm_distribution_sums_to_one(spark):
+    """Over a closed vocabulary, sum_w2 P_KN(w2|w1) == 1 exactly (up
+    to fixed-point floor loss < n_continuations ulps) — the property
+    that distinguishes real KN from an ad-hoc backoff."""
+    from ocr_spark.functions.lm import kn_bigram_score
+
+    # LM: every transition among {a,b,c} observed with varied counts
+    text = "a b a c a b b c b a c a c b c c a a"
+    lm_corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    # probe doc enumerating all 3 transitions out of prefix 'a'
+    probe = spark.createDataFrame(
+        [(10, "a a"), (11, "a b"), (12, "a c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.sum_kn_scaled
+        for r in kn_bigram_score(probe, lm_docs=lm_corpus).collect()
+    }
+    total = sum(got.values())
+    # floor loss: each of the 3 terms drops < 2 units (two chained divs)
+    assert 1_000_000 - 6 <= total <= 1_000_000
+
+
+def test_kn_matches_duckdb_twin(docs):
+    from ocr_spark.functions.lm import kn_bigram_score, kn_bigram_score_sql
+
+    got = sorted(map(tuple, kn_bigram_score(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(kn_bigram_score_sql()).fetchall()))
+    assert got == want
+
+
+def test_kn_plan_no_nested_loop(docs):
+    from ocr_spark.functions.lm import kn_bigram_score
+
+    p = _plan(kn_bigram_score(docs), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p or p.count(
+        "BroadcastNestedLoopJoin"
+    ) == 1  # the single-row n_bi_types broadcast only
