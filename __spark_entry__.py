@@ -809,6 +809,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: txt.lang_id(_read(s, d, "documents")),
         "quality_score": lambda s, d: txt.quality_score(_read(s, d, "documents")),
         "fingerprint": lambda s, d: txt.fingerprint(_read(s, d, "documents")),
+        # Unicode writing-system profile + dominant-script label:
+        # scan-stage delete-and-diff counts, zero shuffle
+        "script_profile": lambda s, d: txt.script_profile(
+            _read(s, d, "documents")
+        ),
         "zorder_codes": lambda s, d: zorder_codes(
             _read(s, d, "documents").select("doc_id", "n_chars"),
             "doc_id",
@@ -1377,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": txt.lang_id_sql(),
         "quality_score": txt.quality_score_sql(),
         "fingerprint": txt.fingerprint_sql(),
+        "script_profile": txt.script_profile_sql(),
         "zorder_codes": zorder_codes_sql(
             "SELECT doc_id, n_chars FROM documents", "doc_id", "n_chars"
         ),

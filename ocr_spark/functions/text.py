@@ -478,3 +478,86 @@ def winnow_fingerprints_sql(
         )
       )
     """
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profile (writing-system detection)
+# ---------------------------------------------------------------------------
+
+# BMP-only code-point ranges per script, embedded as LITERAL characters
+# (the chr() discipline — '\\x{...}' escape syntax is a dialect trap;
+# literal chars parse identically in Java regex and RE2). BMP-only so
+# surrogate-pair handling can never differ between engines. The latin
+# class spans Basic Latin letters + Latin-1/Extended-A/B, which admits
+# the two stray math signs in Latin-1 (multiply/divide) — an accepted
+# heuristic approximation, same in both engines.
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", f"A-Za-z{chr(0x00C0)}-{chr(0x024F)}"),
+    ("cyrillic", f"{chr(0x0400)}-{chr(0x04FF)}"),
+    ("greek", f"{chr(0x0370)}-{chr(0x03FF)}"),
+    ("cjk", f"{chr(0x4E00)}-{chr(0x9FFF)}"),
+    ("kana", f"{chr(0x3040)}-{chr(0x30FF)}"),
+    ("hangul", f"{chr(0x1100)}-{chr(0x11FF)}{chr(0xAC00)}-{chr(0xD7AF)}"),
+    ("arabic", f"{chr(0x0600)}-{chr(0x06FF)}"),
+    ("hebrew", f"{chr(0x0590)}-{chr(0x05FF)}"),
+    ("devanagari", f"{chr(0x0900)}-{chr(0x097F)}"),
+]
+
+
+def script_profile(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_latin, ..., n_devanagari, script): per-document
+    character counts by Unicode writing system plus the dominant
+    script label — the multilingual-hygiene signal lang_id cannot
+    give (stopword lists only separate languages that SHARE a script;
+    a corpus router first needs to know the script at all).
+
+    Counts are delete-and-diff: ``length(t) - length(regexp_replace
+    (t, '[range]', ''))`` — pure scan-stage codegen, zero shuffle, one
+    pass over (doc_id, text) with column pruning. Both engines count
+    code points, and every range is BMP-only, so the diffs agree
+    exactly. ``script`` = argmax count with ties broken by the fixed
+    SCRIPT_RANGES order (latin first); all-zero (or NULL text) →
+    'none'. NULL text profiles as the empty string — the row is
+    emitted, never dropped.
+    """
+    counts = [
+        f"length(t) - length(regexp_replace(t, '[{rng}]', '')) AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    ]
+    base = docs.selectExpr(
+        "doc_id", "coalesce(text, '') AS t"
+    ).selectExpr("doc_id", *counts)
+    names = [n for n, _ in SCRIPT_RANGES]
+    m = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dominant = (
+        f"CASE WHEN {m} = 0 THEN 'none' "
+        + " ".join(f"WHEN n_{n} = {m} THEN '{n}'" for n in names)
+        + " END AS script"
+    )
+    return base.selectExpr("doc_id", *[f"n_{n}" for n in names], dominant)
+
+
+def script_profile_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`script_profile` (regexp_replace needs the
+    'g' flag — DuckDB replaces only the first match by default; both
+    engines' length() counts code points, so the diffs agree)."""
+    counts = ", ".join(
+        f"CAST(length(t) - length(regexp_replace(t, '[{rng}]', '', 'g')) AS INT)"
+        f" AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    names = [n for n, _ in SCRIPT_RANGES]
+    m = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dominant = (
+        f"CASE WHEN {m} = 0 THEN 'none' "
+        + " ".join(f"WHEN n_{n} = {m} THEN '{n}'" for n in names)
+        + " END AS script"
+    )
+    return f"""
+      SELECT doc_id, {", ".join(f"n_{n}" for n in names)}, {dominant}
+      FROM (
+        SELECT doc_id, {counts}
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce(text, '') AS t FROM {table})
+      )
+    """

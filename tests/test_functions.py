@@ -940,3 +940,64 @@ def test_ann_recall_eval_rejects_unknown_method(emb):
         similarity.ann_recall_eval(emb, method="ivf")
     with pytest.raises(ValueError):
         similarity.ann_recall_eval_sql(method="ivf")
+
+
+# ---------------------------------------------------------------------------
+# script_profile
+# ---------------------------------------------------------------------------
+
+
+def test_script_profile_matches_oracle(docs, con):
+    assert_same(text.script_profile(docs), con, text.script_profile_sql())
+
+
+def test_script_profile_detects_scripts(spark):
+    rows = [
+        (1, "hello world"),                      # latin
+        (2, "Привет мир"),  # cyrillic
+        (3, "中文文本"),          # cjk
+        (4, "こんにちは"),    # kana
+        (5, "안녕하세요"),    # hangul
+        (6, "مرحبا"),    # arabic
+        (7, "123 !!! ..."),                       # no script chars
+        (8, None),                                # NULL text -> emitted
+        (9, "ab бв"),                   # 2 latin vs 2 cyrillic tie
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.script_profile(df).collect()}
+    assert got[1].script == "latin" and got[1].n_latin == 10
+    assert got[2].script == "cyrillic"
+    assert got[3].script == "cjk" and got[3].n_cjk == 4
+    assert got[4].script == "kana"
+    assert got[5].script == "hangul"
+    assert got[6].script == "arabic"
+    assert got[7].script == "none"
+    assert got[8].script == "none" and got[8].n_latin == 0
+    # tie broken by SCRIPT_RANGES order: latin first
+    assert got[9].n_latin == got[9].n_cyrillic == 2
+    assert got[9].script == "latin"
+    assert len(got) == 9
+
+
+def test_script_profile_cross_engine_on_multiscript_text(spark, con):
+    import pandas as pd
+
+    hostile = (
+        "mixed 中文 and вот plus éè "
+        "שלום नमस्ते "
+        "\U0001F600 emoji outside BMP"
+    )
+    pdf = pd.DataFrame({"doc_id": [1], "text": [hostile]})
+    df = spark.createDataFrame(pdf)
+    con.register("t_script_df", pdf)
+    got = sorted(map(tuple, text.script_profile(df).collect()))
+    want = sorted(
+        map(tuple, con.execute(text.script_profile_sql("t_script_df")).fetchall())
+    )
+    assert got == want
+
+
+def test_script_profile_plan_is_scan_stage(docs):
+    from ocr_spark.plans import plan_str as _plan2
+
+    assert "Exchange" not in _plan2(text.script_profile(docs), "simple")
