@@ -925,6 +925,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": lambda s, d: ded.ngram_jaccard_pairs(_read(s, d, "documents")),
         "lsh_verified_pairs": lambda s, d: ded.lsh_verified_pairs(_read(s, d, "documents")),
         "dup_clusters": lambda s, d: ded.dup_clusters(_read(s, d, "documents")),
+        # keep-BEST survivorship: per cluster, the highest-quality
+        # member (ties -> lowest doc_id) — the curation policy over
+        # min-id cluster labels
+        "cluster_reps": lambda s, d: ded.cluster_representatives(
+            _read(s, d, "documents")
+        ),
         # string-id variants: same operators over 'sha1:<n>' ids —
         # oracle proof that the id-type-agnostic layer groups/joins/
         # min-reps natively on strings (real corpora key on string
@@ -1434,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": ded.ngram_jaccard_pairs_sql(),
         "lsh_verified_pairs": ded.lsh_verified_pairs_sql(),
         "dup_clusters": ded.dup_clusters_sql(),
+        "cluster_reps": ded.cluster_representatives_sql(),
         "exact_dedup_string_ids": ded.exact_dedup_sql(_STRID_TABLE, id_sql="doc_id"),
         "lsh_verified_pairs_string_ids": ded.lsh_verified_pairs_sql(
             _STRID_TABLE, id_sql="doc_id"

@@ -1128,3 +1128,96 @@ def lsh_recall_eval_sql(
                   ELSE NULL END AS precision_ppm
       FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# cluster representative selection (keep-best curation policy)
+# ---------------------------------------------------------------------------
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    w: int = SHINGLE_W,
+    tau: float = 0.2,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(cluster_rep, best_doc_id, n_members, best_quality): the
+    keep-BEST curation policy over :func:`dup_clusters` — per
+    near-duplicate cluster, the member with the highest quality score
+    (ties -> lowest doc_id). min-id survivorship (what ``dup_clusters``
+    alone gives) keeps whichever duplicate happened to be crawled
+    first; a training-data curator wants the cleanest copy, which is
+    exactly the difference between a boilerplate-riddled mirror and
+    the original article.
+
+    Composition: ``dup_clusters`` labels (docs in >= 1 verified pair
+    only — singletons keep themselves trivially and are not emitted),
+    equi-joined to :func:`ocr_spark.functions.text.quality_score` on
+    doc_id, then one per-cluster window pick. Each expensive subtree
+    (LSH-verified edges + components; one quality scan) appears once
+    in the plan. ``doc_id`` stays ID-TYPE-AGNOSTIC: the tie-break
+    orders whatever type the column has; nothing casts it.
+    """
+    from pyspark.sql import Window
+
+    from ocr_spark.functions.text import quality_score
+
+    clusters = dup_clusters(docs, w, tau, k, bands, max_bucket)
+    q = quality_score(docs).select("doc_id", "quality")
+    j = clusters.join(q, "doc_id")
+    win = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(win))
+        .withColumn(
+            "n_members",
+            F.count("*").over(Window.partitionBy("cluster_rep")),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("best_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("quality").alias("best_quality"),
+        )
+    )
+
+
+def cluster_representatives_sql(
+    table: str = "documents",
+    w: int = SHINGLE_W,
+    tau: float = 0.2,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket: int | None = None,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+) -> str:
+    """DuckDB twin of :func:`cluster_representatives` — composes the
+    dup_clusters and quality_score twins verbatim."""
+    from ocr_spark.functions.text import quality_score_sql
+
+    clusters = dup_clusters_sql(table, w, tau, k, bands, max_bucket, id_sql)
+    quality = quality_score_sql(table)
+    return f"""
+      WITH clusters AS ({clusters}),
+      q AS (SELECT doc_id, quality FROM ({quality})),
+      j AS (
+        SELECT c.doc_id, c.cluster_rep, q.quality
+        FROM clusters c JOIN q USING (doc_id)
+      ),
+      r AS (
+        SELECT *,
+               row_number() OVER (
+                 PARTITION BY cluster_rep
+                 ORDER BY quality DESC, doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY cluster_rep) AS n_members
+        FROM j
+      )
+      SELECT cluster_rep, doc_id AS best_doc_id,
+             CAST(n_members AS BIGINT) AS n_members,
+             quality AS best_quality
+      FROM r WHERE rn = 1
+    """

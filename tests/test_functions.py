@@ -1001,3 +1001,57 @@ def test_script_profile_plan_is_scan_stage(docs):
     from ocr_spark.plans import plan_str as _plan2
 
     assert "Exchange" not in _plan2(text.script_profile(docs), "simple")
+
+
+# ---------------------------------------------------------------------------
+# cluster_representatives
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_representatives_matches_oracle(docs, con):
+    assert_same(
+        dedup.cluster_representatives(docs),
+        con,
+        dedup.cluster_representatives_sql(),
+    )
+
+
+def test_cluster_representatives_picks_highest_quality(spark):
+    """Two exact-dup members differing only in trailing punctuation
+    noise: the cleaner copy wins even though it has the HIGHER doc_id
+    (min-id survivorship would keep the noisy one)."""
+    body = " ".join(f"the w{j:02d} of and to in" for j in range(12))
+    # enough punct that the punct_ratio penalty dominates the length
+    # reward (a short noise tail can RAISE quality via the chars term)
+    noisy = body + " " + "!?!;" * 200
+    df = spark.createDataFrame(
+        [(1, noisy), (2, body)], "doc_id long, text string"
+    )
+    rows = dedup.cluster_representatives(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.cluster_rep, r.best_doc_id, r.n_members) == (1, 2, 2)
+
+
+def test_cluster_representatives_tie_breaks_min_doc_id(spark):
+    body = " ".join(f"the w{j:02d} of and to in" for j in range(12))
+    df = spark.createDataFrame(
+        [(7, body), (3, body)], "doc_id long, text string"
+    )
+    r = dedup.cluster_representatives(df).collect()[0]
+    assert (r.cluster_rep, r.best_doc_id, r.n_members) == (3, 3, 2)
+
+
+def test_cluster_representatives_string_ids(spark):
+    """ID-TYPE-AGNOSTIC: 'sha1:...' string ids survive end-to-end —
+    the silent-NULL long-cast trap the operator layer must never
+    reintroduce."""
+    body = " ".join(f"the w{j:02d} of and to in" for j in range(12))
+    df = spark.createDataFrame(
+        [("sha1:bbb", body), ("sha1:aaa", body)],
+        "doc_id string, text string",
+    )
+    r = dedup.cluster_representatives(df).collect()[0]
+    assert (r.cluster_rep, r.best_doc_id, r.n_members) == (
+        "sha1:aaa", "sha1:aaa", 2,
+    )
