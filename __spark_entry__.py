@@ -931,6 +931,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_reps": lambda s, d: ded.cluster_representatives(
             _read(s, d, "documents")
         ),
+        # asymmetric shingle containment over LSH candidates: the
+        # quote/excerpt signal symmetric Jaccard misses
+        "containment_pairs": lambda s, d: ded.containment_pairs(
+            _read(s, d, "documents")
+        ),
         # string-id variants: same operators over 'sha1:<n>' ids —
         # oracle proof that the id-type-agnostic layer groups/joins/
         # min-reps natively on strings (real corpora key on string
@@ -1441,6 +1446,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_verified_pairs": ded.lsh_verified_pairs_sql(),
         "dup_clusters": ded.dup_clusters_sql(),
         "cluster_reps": ded.cluster_representatives_sql(),
+        "containment_pairs": ded.containment_pairs_sql(),
         "exact_dedup_string_ids": ded.exact_dedup_sql(_STRID_TABLE, id_sql="doc_id"),
         "lsh_verified_pairs_string_ids": ded.lsh_verified_pairs_sql(
             _STRID_TABLE, id_sql="doc_id"

@@ -384,20 +384,17 @@ def ngram_jaccard_pairs(
     )
 
 
-def jaccard_verify(
-    docs: DataFrame, pairs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2
-) -> DataFrame:
-    """Exact-Jaccard verification restricted to candidate ``pairs``
-    (doc_a, doc_b): same output shape as ngram_jaccard_pairs, but the
-    intersection join is candidate-driven — cost is
-    O(candidates x shingles/doc), never the all-corpus shingle
-    self-join. This is the scale path the module docstring prescribes:
-    LSH proposes, exact Jaccard disposes.
+def _pair_overlap(docs: DataFrame, pairs: DataFrame, w: int) -> DataFrame:
+    """(doc_a, doc_b, n_shared, n_a, n_b): exact distinct-shingle
+    intersection/size counts restricted to candidate ``pairs`` — the
+    ONE overlap skeleton shared by :func:`jaccard_verify` (symmetric)
+    and :func:`containment_verify` (asymmetric), so "overlap" can
+    never mean two different computations.
 
-    Shingling itself is also candidate-restricted: docs are semi-joined
-    to the candidate id set BEFORE the shingle explode, so at corpus
-    scale the (expensive) re-shingling pass touches only the tiny
-    fraction of docs that LSH proposed, not the whole table."""
+    Shingling is candidate-restricted: docs are semi-joined to the
+    candidate id set BEFORE the shingle explode, so at corpus scale
+    the (expensive) re-shingling pass touches only the tiny fraction
+    of docs that LSH proposed, not the whole table."""
     cand = pairs.select("doc_a", "doc_b")
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -421,12 +418,53 @@ def jaccard_verify(
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return shared.join(ca, "doc_a").join(cb, "doc_b")
+
+
+def jaccard_verify(
+    docs: DataFrame, pairs: DataFrame, w: int = SHINGLE_W, tau: float = 0.2
+) -> DataFrame:
+    """Exact-Jaccard verification restricted to candidate ``pairs``
+    (doc_a, doc_b): same output shape as ngram_jaccard_pairs, but the
+    intersection join is candidate-driven — cost is
+    O(candidates x shingles/doc), never the all-corpus shingle
+    self-join. This is the scale path the module docstring prescribes:
+    LSH proposes, exact Jaccard disposes."""
     j = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
     return (
-        shared.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        _pair_overlap(docs, pairs, w)
         .where(j >= tau)
         .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", floor6(j).alias("jaccard"))
+    )
+
+
+def containment_verify(
+    docs: DataFrame, pairs: DataFrame, w: int = SHINGLE_W, tau_c: float = 0.5
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared, n_a, n_b, cont_a_in_b, cont_b_in_a):
+    asymmetric shingle CONTAINMENT over candidate ``pairs`` —
+    cont_a_in_b = |sh(A) ∩ sh(B)| / |sh(A)| — the sub-document
+    duplication signal Jaccard structurally misses: a short article
+    fully quoted inside a long aggregator page has containment ~1.0
+    but Jaccard ~|A|/|B|, far below any near-dup threshold. Kept iff
+    greatest(cont_a_in_b, cont_b_in_a) >= ``tau_c``.
+
+    Same candidate-driven cost shape as :func:`jaccard_verify` (ONE
+    shared overlap skeleton, :func:`_pair_overlap`)."""
+    c_ab = F.col("n_shared") / F.col("n_a")
+    c_ba = F.col("n_shared") / F.col("n_b")
+    return (
+        _pair_overlap(docs, pairs, w)
+        .where(F.greatest(c_ab, c_ba) >= tau_c)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            floor6(c_ab).alias("cont_a_in_b"),
+            floor6(c_ba).alias("cont_b_in_a"),
+        )
     )
 
 
@@ -454,14 +492,18 @@ def lsh_verified_pairs(
     return jaccard_verify(docs, cand, w, tau)
 
 
-def jaccard_verify_sql(
+def _pair_overlap_sql(
     cand_sql: str,
-    table: str = "documents",
-    w: int = SHINGLE_W,
-    tau: float = 0.2,
-    id_sql: str = "CAST(doc_id AS BIGINT)",
+    table: str,
+    w: int,
+    id_sql: str,
+    projection: str,
+    predicate: str,
 ) -> str:
-    j = "(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared))"
+    """DuckDB twin of :func:`_pair_overlap` with caller-chosen final
+    ``projection``/``predicate`` over (doc_a, doc_b, n_shared, n_a,
+    n_b) — the ONE overlap skeleton, shared by the Jaccard and
+    containment twins."""
     return f"""
       WITH cand AS ({cand_sql}),
       sh AS (
@@ -480,12 +522,50 @@ def jaccard_verify_sql(
         GROUP BY 1, 2
       )
       SELECT doc_a, doc_b, n_shared, ca.n AS n_a, cb.n AS n_b,
-             {floor6_sql(j)} AS jaccard
+             {projection}
       FROM shared
       JOIN counts ca ON shared.doc_a = ca.doc_id
       JOIN counts cb ON shared.doc_b = cb.doc_id
-      WHERE {j} >= {tau}
+      WHERE {predicate}
     """
+
+
+def jaccard_verify_sql(
+    cand_sql: str,
+    table: str = "documents",
+    w: int = SHINGLE_W,
+    tau: float = 0.2,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+) -> str:
+    j = "(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared))"
+    return _pair_overlap_sql(
+        cand_sql,
+        table,
+        w,
+        id_sql,
+        f"{floor6_sql(j)} AS jaccard",
+        f"{j} >= {tau}",
+    )
+
+
+def containment_verify_sql(
+    cand_sql: str,
+    table: str = "documents",
+    w: int = SHINGLE_W,
+    tau_c: float = 0.5,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+) -> str:
+    """DuckDB twin of :func:`containment_verify`."""
+    c_ab = "(CAST(n_shared AS DOUBLE) / n_a)"
+    c_ba = "(CAST(n_shared AS DOUBLE) / n_b)"
+    return _pair_overlap_sql(
+        cand_sql,
+        table,
+        w,
+        id_sql,
+        f"{floor6_sql(c_ab)} AS cont_a_in_b, {floor6_sql(c_ba)} AS cont_b_in_a",
+        f"greatest({c_ab}, {c_ba}) >= {tau_c}",
+    )
 
 
 def lsh_verified_pairs_sql(
@@ -1221,3 +1301,53 @@ def cluster_representatives_sql(
              quality AS best_quality
       FROM r WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# containment pairs (asymmetric sub-document duplication)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    docs: DataFrame,
+    w: int = SHINGLE_W,
+    tau_c: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Production containment pairs: minhash-LSH candidates,
+    exact-containment verified (same two-stage shape as
+    :func:`lsh_verified_pairs`; the candidate set is localCheckpoint'ed
+    once and consumed by both verification branches).
+
+    RECALL CAVEAT (honest scope): symmetric minhash-LSH proposes a
+    pair with probability driven by JACCARD, so extreme short-in-long
+    containment (tiny A swallowed by huge B, Jaccard ~ |A|/|B|) is
+    under-proposed — raising ``bands`` (or lowering rows-per-band)
+    recovers some of it at more candidate cost. The window-level
+    variant of that case is exactly what
+    :func:`ocr_spark.functions.scrub.remove_repeated_passages`
+    catches; this operator's sweet spot is quote/excerpt/expansion
+    pairs where the contained side is a substantial fraction of the
+    container."""
+    cand = minhash_lsh_pairs(docs, k, bands, w, max_bucket).localCheckpoint()
+    return containment_verify(docs, cand, w, tau_c)
+
+
+def containment_pairs_sql(
+    table: str = "documents",
+    w: int = SHINGLE_W,
+    tau_c: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket: int | None = None,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+) -> str:
+    return containment_verify_sql(
+        minhash_lsh_pairs_sql(table, k, bands, w, max_bucket, id_sql),
+        table,
+        w,
+        tau_c,
+        id_sql,
+    )

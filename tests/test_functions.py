@@ -1055,3 +1055,57 @@ def test_cluster_representatives_string_ids(spark):
     assert (r.cluster_rep, r.best_doc_id, r.n_members) == (
         "sha1:aaa", "sha1:aaa", 2,
     )
+
+
+# ---------------------------------------------------------------------------
+# containment_verify / containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_matches_oracle(docs, con):
+    assert_same(
+        dedup.containment_pairs(docs), con, dedup.containment_pairs_sql()
+    )
+
+
+def test_containment_is_asymmetric(spark):
+    """Short doc fully quoted inside a longer doc: cont(short in long)
+    = 1.0 while cont(long in short) and Jaccard are well below it —
+    the signal this operator exists to expose. Candidates are passed
+    explicitly so the check is deterministic (LSH proposal is
+    probabilistic at this Jaccard)."""
+    short = " ".join(f"w{j:02d}" for j in range(40))
+    long_ = short + " " + " ".join(f"x{j:02d}" for j in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = dedup.containment_verify(df, cand, tau_c=0.9).collect()[0]
+    # A: 36 shingles, B: 76, shared: 36
+    assert (r.n_a, r.n_b, r.n_shared) == (36, 76, 36)
+    assert r.cont_a_in_b == 1.0
+    assert r.cont_b_in_a < 0.5
+    # Jaccard on the same pair is below any near-dup threshold
+    jv = dedup.jaccard_verify(df, cand, tau=0.0).collect()[0]
+    assert jv.jaccard < 0.5
+
+
+def test_containment_threshold_filters(spark):
+    a = " ".join(f"a{j:02d}" for j in range(30))
+    b = " ".join(f"b{j:02d}" for j in range(30))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    # disjoint docs share zero shingles -> no row survives any tau_c
+    assert dedup.containment_verify(df, cand, tau_c=0.01).count() == 0
+
+
+def test_containment_pairs_exact_dups_score_one(spark):
+    t = " ".join(f"w{j:02d}" for j in range(30))
+    u = " ".join(f"z{j:02d}" for j in range(30))
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, u)], "doc_id long, text string"
+    )
+    rows = dedup.containment_pairs(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.cont_a_in_b, r.cont_b_in_a) == (1, 2, 1.0, 1.0)
