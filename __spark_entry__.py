@@ -1036,6 +1036,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_trained": lambda s, d: sim.ivf_topk(
             _read(s, d, "embeddings"), centroids=_IVF_CENTS
         ),
+        # IVF index health: per-cell population + integer-fixed-point
+        # cohesion over the trained centroids (scan-stage argmax, one
+        # k-row aggregate)
+        "ivf_cell_stats": lambda s, d: sim.ivf_cell_stats(
+            _read(s, d, "embeddings"), centroids=_IVF_CENTS
+        ),
         # tau matches embedding_near_dups: the synthetic corpus is
         # near-orthogonal, so 0.35 is where drops actually happen
         "semantic_dedup": lambda s, d: sim.semantic_dedup(
@@ -1490,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": quantize_flat_sql(),
         "ann_quantized_topk": ann_quantized_topk_sql(),
         "ivf_topk_trained": sim.ivf_topk_trained_sql(_IVF_CENTS),
+        "ivf_cell_stats": sim.ivf_cell_stats_sql(_IVF_CENTS),
         "semantic_dedup": sim.semantic_dedup_sql(_IVF_CENTS, tau=0.35),
         "pq_codes": pq_encode_flat_sql(_PQ_CB),
         "pq_adc_topk": pq_adc_topk_sql(_PQ_CB),

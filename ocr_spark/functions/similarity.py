@@ -591,9 +591,12 @@ def kmeans_inertia(emb: DataFrame, cents: list[list[float]]) -> float:
     return float(row[0])
 
 
-def _assignments(emb: "DataFrame", n_centroids: int, centroids=None):
-    """(vec_id, embedding, norm, centroid): each vector assigned to its
-    highest-cosine centroid (ties -> lowest centroid id).
+def _assignments(emb: "DataFrame", n_centroids: int, centroids=None, with_cos: bool = False):
+    """(vec_id, embedding, norm, centroid[, cell_cos]): each vector
+    assigned to its highest-cosine centroid (ties -> lowest centroid
+    id). ``with_cos`` additionally emits the winning cosine
+    (``cell_cos``) — opt-in so existing consumers' schemas are
+    untouched.
 
     With ``centroids`` (trained unit vectors from kmeans_centroids)
     the assignment is a pure scan-stage argmax expression — no join at
@@ -631,11 +634,14 @@ def _assignments(emb: "DataFrame", n_centroids: int, centroids=None):
             for c in centroids
         ])
         assign = (F.array_position(dots, F.array_max(dots))).cast("int") - 1
-        return (
-            base.withColumn("_u", unit)
-            .withColumn("centroid", assign.cast("long"))
-            .drop("_u")
+        out = base.withColumn("_u", unit).withColumn(
+            "centroid", assign.cast("long")
         )
+        if with_cos:
+            # trained centroids and _u are both unit vectors, so the
+            # winning dot IS the cosine to the assigned cell
+            out = out.withColumn("cell_cos", F.array_max(dots))
+        return out.drop("_u")
     cents = base.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid"),
         F.col("embedding").alias("c_emb"),
@@ -646,10 +652,13 @@ def _assignments(emb: "DataFrame", n_centroids: int, centroids=None):
         "vec_id", "embedding", "norm", "centroid", cos.alias("c_cos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid"))
+    keep = ["vec_id", "embedding", "norm", "centroid"] + (
+        [F.col("c_cos").alias("cell_cos")] if with_cos else []
+    )
     return (
         scored.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") == 1)
-        .select("vec_id", "embedding", "norm", "centroid")
+        .select(*keep)
     )
 
 
@@ -743,7 +752,8 @@ def ivf_topk_sql(
 
 
 def trained_assigned_sql(
-    centroids: list[list[float]], table: str = "embeddings"
+    centroids: list[list[float]], table: str = "embeddings",
+    with_cos: bool = False,
 ) -> str:
     """THE DuckDB rendering of the trained-cell argmax, as a
     self-contained subquery ``(vec_id, embedding, norm, centroid)`` —
@@ -761,9 +771,11 @@ def trained_assigned_sql(
     dots = "[" + ", ".join(
         _dot_sql("u", _plane_lit_sql(c), dim) for c in centroids
     ) + "]"
+    cos_col = ", list_max(dots) AS cell_cos" if with_cos else ""
     return f"""(
       SELECT vec_id, embedding, norm,
              CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
+             {cos_col}
       FROM (
         SELECT vec_id, embedding, norm, {dots} AS dots
         FROM (
@@ -1153,4 +1165,61 @@ def ann_recall_eval_sql(
                        // count(*) FILTER (in_t)
                   ELSE NULL END AS recall_ppm
       FROM j GROUP BY query_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVF cell statistics (index health)
+# ---------------------------------------------------------------------------
+
+
+def ivf_cell_stats(
+    emb: DataFrame,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """(centroid, n_vecs, sum_cos6, min_cos6): per-cell population and
+    cohesion of an IVF index — the health check an index owner runs
+    after (re)training: cell-size skew predicts probe latency (a hot
+    cell makes nprobe=1 scans O(hot) instead of O(n/cells)) and low
+    cohesion (min/mean cosine-to-centroid) flags cells whose centroid
+    no longer represents its members (retrain signal after corpus
+    drift).
+
+    Cosines are folded to integer micro-units per row
+    (``floor(cos * 1e6)``) BEFORE the group sum, so the aggregate is
+    association-independent and engine-exact (the kmeans integer-sum
+    discipline); mean cohesion = ``sum_cos6 div (n_vecs * 1e6)``
+    downstream. With ``centroids`` (the trained/production path) the
+    whole operator is a scan-stage argmax + one k-row aggregate —
+    zero joins, one shuffle of k rows.
+    """
+    assigned = _assignments(emb, n_centroids, centroids, with_cos=True)
+    c6 = F.floor(F.col("cell_cos") * F.lit(1000000.0)).cast("long")
+    return (
+        assigned.select("centroid", c6.alias("c6"))
+        .groupBy("centroid")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("c6").alias("sum_cos6"),
+            F.min("c6").alias("min_cos6"),
+        )
+    )
+
+
+def ivf_cell_stats_sql(
+    centroids: list[list[float]], table: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`ivf_cell_stats` (trained path; the shared
+    :func:`trained_assigned_sql` argmax with the winning cosine)."""
+    return f"""
+      SELECT centroid,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(c6) AS BIGINT) AS sum_cos6,
+             CAST(min(c6) AS BIGINT) AS min_cos6
+      FROM (
+        SELECT centroid,
+               CAST(floor(cell_cos * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS c6
+        FROM {trained_assigned_sql(centroids, table, with_cos=True)} t
+      ) GROUP BY centroid
     """

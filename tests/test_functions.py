@@ -1109,3 +1109,49 @@ def test_containment_pairs_exact_dups_score_one(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.doc_a, r.doc_b, r.cont_a_in_b, r.cont_b_in_a) == (1, 2, 1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# ivf_cell_stats
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_cell_stats_matches_oracle(emb, con):
+    from ocr_spark.functions.ivf_centroids import TRAINED_CENTROIDS_SF001
+
+    assert_same(
+        similarity.ivf_cell_stats(emb, centroids=TRAINED_CENTROIDS_SF001),
+        con,
+        similarity.ivf_cell_stats_sql(TRAINED_CENTROIDS_SF001),
+    )
+
+
+def test_ivf_cell_stats_invariants(emb):
+    from ocr_spark.functions.ivf_centroids import TRAINED_CENTROIDS_SF001
+
+    total = emb.count()
+    rows = similarity.ivf_cell_stats(
+        emb, centroids=TRAINED_CENTROIDS_SF001
+    ).collect()
+    assert sum(r.n_vecs for r in rows) == total  # every vector in a cell
+    for r in rows:
+        # min <= mean in micro-units; cosine bounded
+        assert r.min_cos6 * r.n_vecs <= r.sum_cos6
+        assert -1_000_000 <= r.min_cos6 <= 1_000_000
+
+
+def test_ivf_cell_stats_untrained_path_counts(emb):
+    rows = similarity.ivf_cell_stats(emb).collect()
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    assert len(rows) <= 16
+
+
+def test_ivf_cell_stats_plan_trained_is_scan_stage_argmax(emb):
+    from ocr_spark.functions.ivf_centroids import TRAINED_CENTROIDS_SF001
+    from ocr_spark.plans import plan_str as _plan2
+
+    p = _plan2(
+        similarity.ivf_cell_stats(emb, centroids=TRAINED_CENTROIDS_SF001),
+        "simple",
+    )
+    assert "Join" not in p  # argmax assignment, no centroid join
