@@ -59,7 +59,12 @@ from ocr_spark.functions.packing import (
     pack_stats,
     pack_stats_sql,
 )
-from ocr_spark.functions.unicode_norm import normalize_nfc, normalize_nfc_sql
+from ocr_spark.functions.unicode_norm import (
+    encoding_profile,
+    encoding_profile_sql,
+    normalize_nfc,
+    normalize_nfc_sql,
+)
 from ocr_spark.functions import urls as curl
 from ocr_spark.functions.zorder import zorder_codes, zorder_codes_sql
 from ocr_spark.functions.quantize import (
@@ -900,6 +905,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NFC normalization over a deterministically DE-composed copy
         # (replace a -> a + combining acute) so the UDF genuinely
         # recomposes at contract scale instead of passing through.
+        # encoding-damage profile over a deterministically damaged
+        # corpus (mojibake digraph + replacement char injected — the
+        # clean corpus would trivially zero every signal)
+        "encoding_profile": lambda s, d: encoding_profile(
+            _read(s, d, "documents").select(
+                "doc_id",
+                F.replace(
+                    F.replace(
+                        F.col("text"),
+                        F.lit("ar"),
+                        F.lit(chr(0xC3) + chr(0xA9)),
+                    ),
+                    F.lit("sh"),
+                    F.lit(chr(0xFFFD)),
+                ).alias("text"),
+            )
+        ),
         # NOTE: the acute is built with Python chr(769) — Spark SQL's
         # chr() is ASCII-modulo-256, not a Unicode codepoint.
         "normalize_nfc": lambda s, d: normalize_nfc(
@@ -1440,6 +1462,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "normalize_nfc": normalize_nfc_sql(
             "(SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS text "
+            "FROM documents) src"
+        ),
+        "encoding_profile": encoding_profile_sql(
+            "(SELECT doc_id, "
+            f"replace(replace(text, 'ar', '{chr(0xC3)}{chr(0xA9)}'), "
+            f"'sh', '{chr(0xFFFD)}') AS text "
             "FROM documents) src"
         ),
         "exact_dedup": ded.exact_dedup_sql(),

@@ -64,3 +64,76 @@ def normalize_nfc_sql(table: str = "documents", col: str = "text") -> str:
              (nfc_normalize({col}) IS DISTINCT FROM {col}) AS changed
       FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# encoding-noise profile (mojibake / replacement / control chars)
+# ---------------------------------------------------------------------------
+
+# UTF-8-read-as-Latin-1 artifact digraphs: the lead bytes of 2-byte
+# UTF-8 sequences decode to U+00C2/U+00C3 and the continuation byte to
+# U+00A0..U+00BF (punctuation/symbol block) — 'A-tilde + (c)' style
+# pairs that essentially never occur in clean text, while legitimate
+# accented words ('Sao Paulo' with a tilde) put a LETTER after U+00C3
+# and stay uncounted. The 3-byte lead artifact surfaces as U+00E2
+# followed by U+20AC (the 'a-circumflex + euro' smart-quote wreck).
+# Built with chr() — literal chars parse identically in Java regex
+# and RE2 (the session-6 escape-dialect discipline).
+MOJIBAKE_RE = (
+    f"[{chr(0xC2)}{chr(0xC3)}][{chr(0xA0)}-{chr(0xBF)}]"
+    f"|{chr(0xE2)}{chr(0x20AC)}"
+)
+# C0 controls minus the whitespace class (tab/LF/CR/FF/VT are normal
+# text), plus DEL and the C1 block (U+0080-U+009F: bytes that only
+# appear in text via encoding damage). Written as \xhh ESCAPES, not
+# literal chars — a raw NUL inside a SQL literal is its own trap;
+# both Java regex and RE2 read \xhh identically.
+CTRL_RE = r"[\x00-\x08\x0E-\x1F\x7F-\x9F]"
+REPLACEMENT_CHAR = chr(0xFFFD)
+
+
+def encoding_profile(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_replacement, n_mojibake, n_ctrl, suspect): per-doc
+    encoding-damage signals — U+FFFD replacement characters (a decoder
+    already gave up), UTF-8-as-Latin-1 mojibake digraphs, and
+    control/C1 characters that only enter text via charset bugs. A
+    crawl-ingest gate drops or re-decodes ``suspect`` docs BEFORE
+    tokenization: mojibake shreds token statistics and survives every
+    length/stopword quality heuristic.
+
+    Pure scan-stage ``regexp_count`` over pruned (doc_id, text) —
+    zero shuffle, no UDF. NULL text profiles as the empty string (the
+    row is emitted, never dropped)."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_repl = F.regexp_count(t, F.lit(REPLACEMENT_CHAR))
+    n_moj = F.regexp_count(t, F.lit(MOJIBAKE_RE))
+    n_ctrl = F.regexp_count(t, F.lit(CTRL_RE))
+    return docs.select(
+        "doc_id",
+        n_repl.alias("n_replacement"),
+        n_moj.alias("n_mojibake"),
+        n_ctrl.alias("n_ctrl"),
+        ((n_repl + n_moj + n_ctrl) > 0).alias("suspect"),
+    )
+
+
+def encoding_profile_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`encoding_profile` (len(regexp_extract_all)
+    counts the same non-overlapping left-to-right matches as
+    regexp_count)."""
+    def cnt(pat: str) -> str:
+        return f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT)"
+
+    return f"""
+      SELECT doc_id,
+             n_replacement, n_mojibake, n_ctrl,
+             (n_replacement + n_mojibake + n_ctrl) > 0 AS suspect
+      FROM (
+        SELECT doc_id,
+               {cnt(REPLACEMENT_CHAR)} AS n_replacement,
+               {cnt(MOJIBAKE_RE)} AS n_mojibake,
+               {cnt(CTRL_RE)} AS n_ctrl
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce(text, '') AS t FROM {table})
+      )
+    """

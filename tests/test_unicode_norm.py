@@ -101,3 +101,70 @@ def test_plan_single_udf_node_no_shuffle(spark):
     plan = plan_str(normalize_nfc(docs), "simple")
     assert "Exchange" not in plan and "Join" not in plan, plan
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# encoding_profile
+# ---------------------------------------------------------------------------
+
+
+def test_encoding_profile_signals(spark):
+    from ocr_spark.functions.unicode_norm import encoding_profile
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "damaged caf" + chr(0xC3) + chr(0xA9) + " here"),  # mojibake e-acute
+        (3, "lost " + chr(0xFFFD) + chr(0xFFFD) + " bytes"),   # replacement
+        (4, "ctrl" + chr(0x01) + "and c1" + chr(0x85)),        # control + C1
+        (5, "S" + chr(0xE3) + "o Paulo"),  # legit a-tilde: letter follows
+        (6, None),
+        (7, "smart quote wreck " + chr(0xE2) + chr(0x20AC) + chr(0x2122)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in encoding_profile(df).collect()}
+    assert not got[1].suspect
+    assert got[2].n_mojibake == 1 and got[2].suspect
+    assert got[3].n_replacement == 2 and got[3].suspect
+    assert got[4].n_ctrl == 2 and got[4].suspect
+    assert not got[5].suspect  # legit accented word uncounted
+    assert not got[6].suspect and got[6].n_ctrl == 0  # NULL text emitted
+    assert got[7].n_mojibake == 1 and got[7].suspect
+    assert len(got) == 7
+
+
+def test_encoding_profile_cross_engine(spark):
+    """Hostile mixed sample through both engines — the \\xhh escape
+    and literal-char dialect surfaces under test."""
+    import duckdb
+    import pandas as pd
+
+    from ocr_spark.functions.unicode_norm import (
+        encoding_profile,
+        encoding_profile_sql,
+    )
+
+    texts = [
+        "clean",
+        "caf" + chr(0xC3) + chr(0xA9),
+        chr(0xFFFD) + chr(0x00) + chr(0x1F) + chr(0x9F) + "\t\n ok",
+        "A" + chr(0xC2) + chr(0xAB) + "B" + chr(0xE2) + chr(0x20AC) + "C",
+        None,
+    ]
+    pdf = pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t_enc_df", pdf)
+    got = sorted(map(tuple, encoding_profile(df).collect()))
+    want = sorted(
+        map(tuple, con.execute(encoding_profile_sql("t_enc_df")).fetchall())
+    )
+    assert got == want
+
+
+def test_encoding_profile_plan_is_scan_stage(spark):
+    from ocr_spark.functions.unicode_norm import encoding_profile
+    from ocr_spark.plans import plan_str as _plan
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(encoding_profile(df), "simple")
+    assert "Exchange" not in p and "ArrowEvalPython" not in p
