@@ -1280,7 +1280,7 @@ def cluster_representatives_sql(
     from ocr_spark.functions.text import quality_score_sql
 
     clusters = dup_clusters_sql(table, w, tau, k, bands, max_bucket, id_sql)
-    quality = quality_score_sql(table)
+    quality = quality_score_sql(table, id_sql=id_sql)
     return f"""
       WITH clusters AS ({clusters}),
       q AS (SELECT doc_id, quality FROM ({quality})),

@@ -1173,6 +1173,15 @@ def ann_recall_eval_sql(
 # ---------------------------------------------------------------------------
 
 
+# THE micro-unit rendering of the winning cosine — a dialect-shared
+# SQL fragment (Spark parses it via F.expr, DuckDB verbatim) so the
+# scale/rounding of the hash-compared c6 values can never diverge
+# between the twins. The outer BIGINT cast is what makes it shared:
+# Spark's floor(double) is already BIGINT (cast = no-op), DuckDB's is
+# DOUBLE (cast required).
+_C6_SQL = "CAST(floor(cell_cos * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
+
+
 def ivf_cell_stats(
     emb: DataFrame,
     centroids: list[list[float]] | None = None,
@@ -1195,7 +1204,7 @@ def ivf_cell_stats(
     zero joins, one shuffle of k rows.
     """
     assigned = _assignments(emb, n_centroids, centroids, with_cos=True)
-    c6 = F.floor(F.col("cell_cos") * F.lit(1000000.0)).cast("long")
+    c6 = F.expr(_C6_SQL)
     return (
         assigned.select("centroid", c6.alias("c6"))
         .groupBy("centroid")
@@ -1218,8 +1227,7 @@ def ivf_cell_stats_sql(
              CAST(sum(c6) AS BIGINT) AS sum_cos6,
              CAST(min(c6) AS BIGINT) AS min_cos6
       FROM (
-        SELECT centroid,
-               CAST(floor(cell_cos * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS c6
+        SELECT centroid, {_C6_SQL} AS c6
         FROM {trained_assigned_sql(centroids, table, with_cos=True)} t
       ) GROUP BY centroid
     """

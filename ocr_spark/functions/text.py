@@ -188,7 +188,12 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score_sql(table: str = "documents") -> str:
+def quality_score_sql(
+    table: str = "documents", id_sql: str = "CAST(doc_id AS BIGINT)"
+) -> str:
+    """``id_sql`` renders the id with the type Spark reads it as —
+    BIGINT for the int contract corpus, plain ``doc_id`` for string-id
+    corpora (the operator itself is id-type-agnostic)."""
     stops = _lit_list_sql(_ALL_STOPS)
     stop_ratio = "(stop_hits / greatest(n_words, 1))"
     punct_ratio = "(punct_hits / greatest(n_chars_obs, 1))"
@@ -206,7 +211,7 @@ def quality_score_sql(table: str = "documents") -> str:
              {floor6_sql(punct_ratio)} AS punct_ratio,
              {floor6_sql(quality)} AS quality
       FROM (
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        SELECT {id_sql} AS doc_id,
                CAST(length(text) AS INT) AS n_chars_obs,
                CAST(len(regexp_split_to_array(text, '{WS}+')) AS INT) AS n_words,
                CAST(len(list_filter(regexp_split_to_array(text, '{WS}+'),
@@ -504,6 +509,20 @@ SCRIPT_RANGES: list[tuple[str, str]] = [
 ]
 
 
+def _dominant_script_case() -> str:
+    """THE dominant-script argmax rendering — greatest() + a fixed-
+    order CASE chain, character-identical in Spark SQL and DuckDB, so
+    the tie-break order and the 'none' guard can never diverge between
+    the twins (ONE definition, the floor6/PAIR_EXPR discipline)."""
+    names = [n for n, _ in SCRIPT_RANGES]
+    m = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    return (
+        f"CASE WHEN {m} = 0 THEN 'none' "
+        + " ".join(f"WHEN n_{n} = {m} THEN '{n}'" for n in names)
+        + " END AS script"
+    )
+
+
 def script_profile(docs: DataFrame) -> DataFrame:
     """(doc_id, n_latin, ..., n_devanagari, script): per-document
     character counts by Unicode writing system plus the dominant
@@ -528,13 +547,9 @@ def script_profile(docs: DataFrame) -> DataFrame:
         "doc_id", "coalesce(text, '') AS t"
     ).selectExpr("doc_id", *counts)
     names = [n for n, _ in SCRIPT_RANGES]
-    m = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
-    dominant = (
-        f"CASE WHEN {m} = 0 THEN 'none' "
-        + " ".join(f"WHEN n_{n} = {m} THEN '{n}'" for n in names)
-        + " END AS script"
+    return base.selectExpr(
+        "doc_id", *[f"n_{n}" for n in names], _dominant_script_case()
     )
-    return base.selectExpr("doc_id", *[f"n_{n}" for n in names], dominant)
 
 
 def script_profile_sql(table: str = "documents") -> str:
@@ -547,12 +562,7 @@ def script_profile_sql(table: str = "documents") -> str:
         for name, rng in SCRIPT_RANGES
     )
     names = [n for n, _ in SCRIPT_RANGES]
-    m = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
-    dominant = (
-        f"CASE WHEN {m} = 0 THEN 'none' "
-        + " ".join(f"WHEN n_{n} = {m} THEN '{n}'" for n in names)
-        + " END AS script"
-    )
+    dominant = _dominant_script_case()
     return f"""
       SELECT doc_id, {", ".join(f"n_{n}" for n in names)}, {dominant}
       FROM (

@@ -1155,3 +1155,29 @@ def test_ivf_cell_stats_plan_trained_is_scan_stage_argmax(emb):
         "simple",
     )
     assert "Join" not in p  # argmax assignment, no centroid join
+
+
+def test_cluster_representatives_sql_string_ids(spark, con):
+    """The twin must plumb id_sql end-to-end: a string-id table flows
+    through BOTH the cluster and quality subtrees (a hard-cast in
+    either raises ConversionException in DuckDB)."""
+    import pandas as pd
+
+    body = " ".join(f"the w{j:02d} of and to in" for j in range(12))
+    pdf = pd.DataFrame(
+        {"doc_id": ["sha1:bbb", "sha1:aaa"], "text": [body, body]}
+    )
+    df = spark.createDataFrame(pdf)
+    con.register("t_reps_sid_df", pdf)
+    got = sorted(map(tuple, dedup.cluster_representatives(df).collect()))
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                dedup.cluster_representatives_sql(
+                    "t_reps_sid_df", id_sql="doc_id"
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want and got[0][1] == "sha1:aaa"
