@@ -17,6 +17,11 @@ parquet under --output/<name>:
                    distribution vs --previous (functions/dsir.py);
                    only with --previous — first runs have no baseline
 - quality        : per-source mean quality_score + Gopher keep-rate
+- encoding       : per-source encoding-damage totals (mojibake /
+                   replacement / control chars) + suspect-doc count
+                   (functions/unicode_norm.py)
+- scripts        : per-source x dominant-writing-system doc counts
+                   (functions/text.py script_profile)
 - source_overlap : bottom-k-sketch estimated content Jaccard for every
                    source pair (mirror/repackage detection,
                    functions/sketches.py) — one corpus pass, exact
@@ -73,7 +78,8 @@ def main() -> None:
         hist_sketch_build,
         source_overlap,
     )
-    from ocr_spark.functions.text import lang_id, quality_score
+    from ocr_spark.functions.text import lang_id, quality_score, script_profile
+    from ocr_spark.functions.unicode_norm import encoding_profile
     from ocr_spark.pipeline.session import get_spark
     from ocr_spark.schema import WS
 
@@ -128,6 +134,30 @@ def main() -> None:
         )
     )
     tables["source_overlap"] = source_overlap(docs, group_col=g)
+    # encoding damage per source: suspect-doc rate plus the raw signal
+    # totals (a jump in any of them after a crawl = decoder bug or a
+    # newly-ingested broken mirror — gate before tokenization)
+    enc = encoding_profile(docs)
+    tables["encoding"] = (
+        docs.select("doc_id", g)
+        .join(enc, "doc_id")
+        .groupBy(g)
+        .agg(
+            F.sum(F.col("suspect").cast("long")).alias("n_suspect"),
+            F.sum("n_replacement").alias("n_replacement"),
+            F.sum("n_mojibake").alias("n_mojibake"),
+            F.sum("n_ctrl").alias("n_ctrl"),
+        )
+    )
+    # writing-system mix per source (the lang_mix analog one level
+    # below language: a script shift is a routing/crawl change even
+    # when lang_id still reads 'und')
+    tables["scripts"] = (
+        docs.select("doc_id", g)
+        .join(script_profile(docs).select("doc_id", "script"), "doc_id")
+        .groupBy(g, "script")
+        .agg(F.count("*").alias("n_docs"))
+    )
     if args.bpe_tokens:
         # per-source token budget under the TRAINED tokenizer (the
         # number mixture/packing planning uses — n_tokens above is the

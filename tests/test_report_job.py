@@ -41,6 +41,8 @@ def test_report_tables_and_counts(spark, tmp_path):
         "lang_mix",
         "quality",
         "source_overlap",
+        "encoding",
+        "scripts",
     }
     stats = spark.read.parquet(f"{out}/source_stats")
     assert stats.count() == 20  # one row per source
@@ -111,3 +113,21 @@ def test_report_bpe_token_stats(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_report_encoding_and_scripts_tables(spark, tmp_path):
+    out, s = _run(spark, tmp_path)
+    enc = spark.read.parquet(f"{out}/encoding")
+    assert enc.count() == 20  # one row per source
+    # synthetic corpus is clean ASCII: zero damage everywhere
+    assert enc.where(
+        (F.col("n_suspect") != 0)
+        | (F.col("n_replacement") != 0)
+        | (F.col("n_mojibake") != 0)
+        | (F.col("n_ctrl") != 0)
+    ).count() == 0
+    scripts = spark.read.parquet(f"{out}/scripts")
+    # per (source, script) counts partition the corpus
+    assert scripts.agg(F.sum("n_docs")).collect()[0][0] == 500
+    assert {r.script for r in scripts.select("script").distinct().collect()} \
+        <= {"latin", "none"}
