@@ -40,7 +40,10 @@ end to end — the composition a 100 TB corpus actually runs:
                --classifier-gate (the baked fastText-style hashed
                linear model's keep decision — integer-exact margins,
                broadcast weight dim; scores only the docs still
-               gated, since the model carries no corpus statistics);
+               gated, since the model carries no corpus statistics),
+               and the optional --encoding-gate (drop docs with
+               mojibake / replacement / control-char damage —
+               scan-stage encoding_profile signals);
 6. dedup     — exact (content hash) then near-dup (minhash-LSH
                candidates, exact-Jaccard verify, connected
                components) over the survivors;
@@ -141,6 +144,13 @@ def main() -> None:
         "--gopher",
         action="store_true",
         help="apply the Gopher quality-rule panel as an additional gate",
+    )
+    ap.add_argument(
+        "--encoding-gate",
+        action="store_true",
+        help="drop docs flagged by the encoding-damage profile "
+        "(mojibake digraphs / U+FFFD replacement chars / control+C1 "
+        "chars — functions/unicode_norm.py encoding_profile)",
     )
     ap.add_argument(
         "--classifier-gate",
@@ -436,6 +446,18 @@ def main() -> None:
     if args.gopher:
         g = gopher_rules(corpus).select("doc_id", "keep")
         gated = gated.join(g, "doc_id").where(F.col("keep")).drop("keep")
+    if args.encoding_gate:
+        from ocr_spark.functions.unicode_norm import encoding_profile
+
+        # scan-stage signals, per-doc only — score just the docs still
+        # gated (the classifier-gate costing argument). Runs on the
+        # SCRUBBED text: PII redaction/line-dedup never introduce the
+        # damage classes, so gating here equals gating the raw text
+        # while sharing the cached corpus scan.
+        eg = encoding_profile(gated.select("doc_id", "text")).select(
+            "doc_id", F.col("suspect").alias("_enc")
+        )
+        gated = gated.join(eg, "doc_id").where(~F.col("_enc")).drop("_enc")
     if args.classifier_gate:
         from ocr_spark.functions.classifier import quality_classifier
 
@@ -654,6 +676,7 @@ def main() -> None:
                 "line_dedup": args.line_dedup,
                 "nfc": args.nfc,
                 "gopher": args.gopher,
+                "encoding_gate": args.encoding_gate,
                 "min_lm_fluency": args.min_lm_fluency,
                 "dsir_target": bool(args.dsir_target),
                 "min_dsir_score": args.min_dsir_score,

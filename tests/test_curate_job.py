@@ -553,3 +553,42 @@ def test_curate_strip_passages_stage(spark, tmp_path):
     # the canonical occurrence survives; the other two lost the run
     assert sum(probe in t for t in texts_on) == 1, (probe, texts_on)
     assert sum(map(len, texts_on)) < sum(map(len, texts_off))
+
+
+def test_curate_encoding_gate(spark, tmp_path):
+    """--encoding-gate drops mojibake/replacement-damaged docs and
+    nothing else; off by default."""
+    import pandas as pd
+
+    body = " ".join(f"word{i} the of and to be that have with" for i in range(8))
+    damaged = body.replace("word3", "w" + chr(0xFFFD) + "rd3")
+    rows = pd.DataFrame(
+        {"doc_id": [1, 2], "text": [body, damaged]}
+    )
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema="doc_id long, text string").write.parquet(inp)
+
+    import jobs.curate as job
+
+    def run(extra):
+        out = str(tmp_path / ("curated_" + str(len(extra))))
+        argv = [
+            "curate.py", "--input", inp, "--synthesize", "--output", out,
+            "--min-quality", "0.0", "--tau", "0.99", *extra,
+        ]
+        printed = []
+        with patch.object(sys, "argv", argv), patch.object(
+            SparkSession, "stop", lambda self: None
+        ), patch("builtins.print", lambda s: printed.append(s)):
+            job.main()
+        return out, json.loads(printed[-1])
+
+    out_on, s_on = run(["--encoding-gate"])
+    kept_on = {r.doc_id for r in spark.read.parquet(out_on).collect()}
+    assert s_on["encoding_gate"] is True
+    assert "2" not in kept_on and len(kept_on) >= 1  # damaged doc dropped
+
+    out_off, s_off = run([])
+    kept_off = {r.doc_id for r in spark.read.parquet(out_off).collect()}
+    assert s_off["encoding_gate"] is False
+    assert len(kept_off) > len(kept_on)  # damaged doc survives without the gate
