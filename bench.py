@@ -157,6 +157,16 @@ def headline_queries(spark, sf_dir: str, span_dir: str | None = None):
         # phrase_search/lsh_recall_eval/bpe_pair_counts reuse already-
         # measured shapes (posting filter / pair joins / vocab agg).
         "remove_repeated_passages": lambda: _rrp_q(docs()),
+        # round-3 session-13 addition: the heaviest regex scan shape
+        # (9 delete-and-diff regexp_replace passes per doc; 0.6 s at
+        # sf0.1, pure codegen). kn_fluency is NOT here: its 4.4 s at
+        # this SF is ~6 tiny-shuffle stage FLOORS over 266k pair rows
+        # (the ivfpq/ann_quantized costing argument — fixed per-stage
+        # overhead, not data cost); it stays contract-checked.
+        # encoding_profile / containment_pairs / cluster_reps /
+        # ann_recall_eval reuse measured shapes (regex-count scan /
+        # lsh_verified joins / window pick / topk joins).
+        "script_profile": lambda: txt.script_profile(docs()),
     }
 
 
