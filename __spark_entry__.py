@@ -1172,6 +1172,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             _read(s, d, "documents"),
         ).select("doc_id", "source"),
+        # id-keyed snapshot diff: crawl N vs crawl N-1 with all four
+        # statuses present by construction (removed: id%11==3,
+        # added: id%13==5, changed: id%5==0, else same)
+        "snapshot_diff": lambda s, d: ded.snapshot_diff(
+            _read(s, d, "documents").where("doc_id % 13 != 5"),
+            _read(s, d, "documents")
+            .where("doc_id % 11 != 3")
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.col("text"), F.lit(" v2")),
+                ).otherwise(F.col("text")),
+            ),
+        ),
         # incremental NEAR-dup against the persisted MinHash band
         # index (the recurring-ingest artifact): odd-id batch checked
         # against the even-id corpus index; n_match/k estimates
@@ -1578,6 +1593,12 @@ def oracle_sql() -> dict[str, str]:
                 "documents",
             )
             + ")"
+        ),
+        "snapshot_diff": ded.snapshot_diff_sql(
+            "(SELECT * FROM documents WHERE doc_id % 13 != 5)",
+            "(SELECT * REPLACE (CASE WHEN doc_id % 5 = 0"
+            " THEN text || ' v2' ELSE text END AS text) FROM documents"
+            " WHERE doc_id % 11 != 3)",
         ),
         "incremental_dedup": ded.dedup_against_index_sql(
             "(SELECT * FROM documents WHERE doc_id % 2 = 1)",

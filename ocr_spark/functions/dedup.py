@@ -959,6 +959,72 @@ def novel_docs_sql(new_table: str, corpus_table: str) -> str:
     """
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(doc_id, status): per-document diff of two corpus snapshots
+    keyed on doc_id — 'added' (id only in new), 'removed' (only in
+    old), 'changed' (both, content hash differs), 'same'. The
+    ID-KEYED complement to the content-keyed :func:`novel_docs`: a
+    corpus owner diffing crawl N against crawl N-1 wants to know
+    which urls/ids VANISHED and which were re-crawled with new
+    content, which a content-only novelty check cannot say.
+
+    Content equality is md5(text), null-safe (NULL text == NULL
+    text). Assumes id-unique snapshots (the curated-table contract);
+    duplicate ids fan the full-outer join out row-per-pairing.
+    ``doc_id`` stays ID-TYPE-AGNOSTIC; NULL-id rows never join (SQL
+    NULL-key semantics, both engines) so they surface honestly as
+    'removed'/'added' rather than pairing up.
+
+    Scale shape: one full-outer equi-join on doc_id (each side
+    pre-projected to (id, 64-bit hash) in its scan stage — the join
+    moves ~24 bytes/row, never text), then a scan-stage CASE."""
+    o = old.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("_h_old"),
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("_h_new"),
+        F.lit(1).alias("_in_new"),
+    )
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old").eqNullSafe(F.col("_h_new")), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+    )
+
+
+def snapshot_diff_sql(
+    old_table: str,
+    new_table: str,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+) -> str:
+    """DuckDB twin of :func:`snapshot_diff` (explicit presence flags —
+    ``o.doc_id IS NOT NULL`` would misread a NULL-id row as absence)."""
+    return f"""
+      WITH o AS (
+        SELECT {id_sql} AS doc_id, md5(text) AS h, 1 AS present
+        FROM {old_table}
+      ),
+      n AS (
+        SELECT {id_sql} AS doc_id, md5(text) AS h, 1 AS present
+        FROM {new_table}
+      )
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.present IS NULL THEN 'added'
+                  WHEN n.present IS NULL THEN 'removed'
+                  WHEN o.h IS NOT DISTINCT FROM n.h THEN 'same'
+                  ELSE 'changed' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # incremental NEAR-dup: persisted MinHash band index + batch join
 # ---------------------------------------------------------------------------

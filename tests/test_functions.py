@@ -1181,3 +1181,49 @@ def test_cluster_representatives_sql_string_ids(spark, con):
         )
     )
     assert got == want and got[0][1] == "sha1:aaa"
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_matches_oracle(docs, con):
+    new = docs.where("doc_id % 7 != 2")
+    assert_same(
+        dedup.snapshot_diff(docs, new),
+        con,
+        dedup.snapshot_diff_sql(
+            "documents", "(SELECT * FROM documents WHERE doc_id % 7 != 2)"
+        ),
+    )
+
+
+def test_snapshot_diff_all_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta CHANGED"), (5, "delta"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in dedup.snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "same",
+        2: "changed",
+        3: "removed",
+        5: "added",
+        4: "same",  # NULL text == NULL text (null-safe hash compare)
+    }
+
+
+def test_snapshot_diff_string_ids(spark):
+    old = spark.createDataFrame(
+        [("sha1:a", "x"), ("sha1:b", "y")], "doc_id string, text string"
+    )
+    new = spark.createDataFrame(
+        [("sha1:a", "x2"), ("sha1:c", "z")], "doc_id string, text string"
+    )
+    got = {r.doc_id: r.status for r in dedup.snapshot_diff(old, new).collect()}
+    assert got == {"sha1:a": "changed", "sha1:b": "removed", "sha1:c": "added"}
