@@ -33,6 +33,8 @@ from ocr_spark.functions import interleave as ilv
 from ocr_spark.functions.bpe import (
     bpe_doc_token_counts,
     bpe_doc_token_counts_sql,
+    bpe_fertility_by_lang,
+    bpe_fertility_by_lang_sql,
     bpe_token_counts,
     bpe_token_counts_sql,
 )
@@ -1310,6 +1312,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_doc_token_counts": lambda s, d: bpe_doc_token_counts(
             _read(s, d, "documents"), _BPE_MERGES
         ),
+        # tokenizer-equity eval: BPE tokens per whitespace word, per
+        # predicted language (fixed-point ppm)
+        "bpe_fertility": lambda s, d: bpe_fertility_by_lang(
+            _read(s, d, "documents"), _BPE_MERGES
+        ),
         # quality-weighted deterministic Bernoulli sampling: keep
         # probability = length-derived quality proxy, content-hash
         # decision (retry/resume-stable)
@@ -1652,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_doc_token_counts": bpe_doc_token_counts_sql(
             "documents", _BPE_MERGES
         ),
+        "bpe_fertility": bpe_fertility_by_lang_sql("documents", _BPE_MERGES),
         "weighted_sample": (
             "SELECT doc_id, n_chars FROM ("
             + smp.weighted_sample_sql("documents", "least(n_chars, 400) / 400.0")

@@ -312,3 +312,99 @@ def bpe_doc_token_counts_sql(
                AS BIGINT) AS n_bpe_tokens
       FROM {table}
     """
+
+
+def bpe_fertility_by_lang(
+    docs: "DataFrame", merges: list[tuple[str, str]]
+) -> "DataFrame":
+    """(lang_pred, n_docs, n_ws_tokens, n_bpe_tokens, fertility_ppm):
+    per-language tokenizer fertility — BPE tokens per whitespace word
+    in fixed-point ppm (1,000,000 = 1.0 tokens/word). THE tokenizer-
+    equity eval: a tokenizer trained on one language's statistics
+    fragments other languages into more tokens per word, silently
+    taxing their effective context length and training budget; a
+    multilingual corpus owner reads this table before accepting a
+    trained merge list.
+
+    fertility_ppm = (sum n_bpe * 10^6) div (sum n_ws), NULL when a
+    language has zero whitespace tokens — integer arithmetic on
+    non-negative operands, engine-exact. NULL-text docs count 0/0 and
+    still appear in n_docs.
+
+    Scale shape: ONE corpus scan computes both counts per row
+    (scan-stage replace-chain + split, zero shuffle), one doc_id join
+    to the lang_id scan, one |langs|-row aggregate."""
+    from pyspark.sql import DataFrame  # noqa: F401 (signature type)
+
+    from ocr_spark.functions.lm import _words_expr
+    from ocr_spark.functions.text import lang_id
+
+    # the ONE non-empty-token enumeration (lm._words_expr) — a bare
+    # split() also counts the empty tokens leading/trailing
+    # whitespace produces, which the twin's list_filter does not
+    counts = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.expr(f"size({_words_expr()})").cast("long"), F.lit(0)
+        ).alias("n_ws"),
+        F.coalesce(bpe_token_count_col(merges), F.lit(0)).alias("n_bpe"),
+    )
+    # NULL text gets a NULL lang_pred from lang_id (no evidence at
+    # all); fold it into 'und' so the group key is never NULL and the
+    # 0-token docs stay visible in n_docs
+    lid = lang_id(docs).select(
+        "doc_id", F.coalesce(F.col("lang_pred"), F.lit("und")).alias("lang_pred")
+    )
+    return (
+        counts.join(lid, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws").alias("n_ws_tokens"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+        .selectExpr(
+            "lang_pred",
+            "n_docs",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            "CASE WHEN n_ws_tokens > 0 THEN"
+            " (n_bpe_tokens * 1000000) div n_ws_tokens"
+            " ELSE NULL END AS fertility_ppm",
+        )
+    )
+
+
+def bpe_fertility_by_lang_sql(
+    table: str, merges: list[tuple[str, str]]
+) -> str:
+    """DuckDB twin of :func:`bpe_fertility_by_lang` — composes the
+    lang_id and doc-token-count twins verbatim."""
+    from ocr_spark.functions.lm import _words_sql
+    from ocr_spark.functions.text import lang_id_sql
+
+    ws = f"coalesce(CAST(len({_words_sql()}) AS BIGINT), 0)"
+    return f"""
+      WITH ws AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {ws} AS n_ws
+        FROM {table}
+      ),
+      bpe AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               coalesce(n_bpe_tokens, 0) AS n_bpe
+        FROM ({bpe_doc_token_counts_sql(table, merges)})
+      ),
+      lid AS (
+        SELECT doc_id, coalesce(lang_pred, 'und') AS lang_pred
+        FROM ({lang_id_sql(table)})
+      )
+      SELECT lang_pred,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+             CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+             CAST(CASE WHEN sum(n_ws) > 0 THEN
+               (sum(n_bpe) * 1000000) // sum(n_ws)
+               ELSE NULL END AS BIGINT) AS fertility_ppm
+      FROM ws JOIN bpe USING (doc_id) JOIN lid USING (doc_id)
+      GROUP BY lang_pred
+    """

@@ -106,9 +106,15 @@ def token_counts_sql(table: str = "documents") -> str:
 
 
 def _stop_hits_expr(lang: str) -> str:
+    # coalesce(text, ''): NULL text must classify 'und' with 0 hits.
+    # Without it the NULL propagates into the hits array and the
+    # argmax CASE's NULL three-valued logic picks a junk label on the
+    # Spark side while the DuckDB twin emits NULL — a cross-engine
+    # divergence (caught by the bpe_fertility NULL-doc test).
     lst = _lit_array_expr(STOPWORDS[lang])
     return (
-        f"size(filter(split(text, '{WS}+'), w -> array_contains({lst}, lower(w))))"
+        f"size(filter(split(coalesce(text, ''), '{WS}+'), "
+        f"w -> array_contains({lst}, lower(w))))"
     )
 
 
@@ -131,10 +137,11 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
 def lang_id_sql(table: str = "documents") -> str:
     def hits(lang: str) -> str:
+        # coalesce(text, ''): same NULL-text guard as _stop_hits_expr
         lst = _lit_list_sql(STOPWORDS[lang])
         return (
-            f"len(list_filter(regexp_split_to_array(text, '{WS}+'), "
-            f"w -> list_contains({lst}, lower(w))))"
+            f"len(list_filter(regexp_split_to_array(coalesce(text, ''), "
+            f"'{WS}+'), w -> list_contains({lst}, lower(w))))"
         )
 
     hits_list = "[" + ", ".join(hits(lang) for lang in LANGS) + "]"

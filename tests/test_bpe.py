@@ -208,3 +208,61 @@ def test_non_pua_high_codepoints_are_kept(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bpe_fertility_by_lang
+# ---------------------------------------------------------------------------
+
+
+def test_fertility_matches_oracle(spark):
+    import duckdb
+
+    from ocr_spark.functions.bpe import (
+        bpe_fertility_by_lang,
+        bpe_fertility_by_lang_sql,
+    )
+    from ocr_spark.functions.bpe_merges import MERGES_SF001
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        map(tuple, bpe_fertility_by_lang(docs, MERGES_SF001).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                bpe_fertility_by_lang_sql("documents", MERGES_SF001)
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_fertility_semantics(spark):
+    """Fertility >= 1.0 always (a word is >= 1 token); an untrained-
+    vocabulary language fragments into MORE tokens per word than the
+    language the merges were trained on; NULL/empty docs count 0/0
+    but still appear in n_docs."""
+    from ocr_spark.functions.bpe import bpe_fertility_by_lang
+    from ocr_spark.functions.bpe_merges import MERGES_SF001
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = {r.lang_pred: r for r in bpe_fertility_by_lang(docs, MERGES_SF001).collect()}
+    for r in rows.values():
+        assert r.fertility_ppm >= 1_000_000
+        assert r.n_ws_tokens > 0 and r.n_bpe_tokens >= r.n_ws_tokens
+
+    null_docs = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "the a of and to in is was for on")],
+        "doc_id long, text string",
+    )
+    got = {r.lang_pred: r for r in bpe_fertility_by_lang(null_docs, MERGES_SF001).collect()}
+    assert got["und"].n_docs == 2  # NULL + whitespace-only
+    assert got["und"].n_ws_tokens == 0 and got["und"].fertility_ppm is None
+    assert got["en"].n_docs == 1

@@ -1227,3 +1227,19 @@ def test_snapshot_diff_string_ids(spark):
     )
     got = {r.doc_id: r.status for r in dedup.snapshot_diff(old, new).collect()}
     assert got == {"sha1:a": "changed", "sha1:b": "removed", "sha1:c": "added"}
+
+
+def test_lang_id_null_text_is_und_both_engines(spark, con):
+    """NULL text must classify 'und' with 0 hits in BOTH engines —
+    before the coalesce guard, Spark's argmax CASE picked a junk
+    label through NULL three-valued logic while DuckDB emitted NULL
+    (caught via bpe_fertility's NULL-doc grouping)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [None, "the a of"]})
+    df = spark.createDataFrame(pdf)
+    con.register("t_lid_null_df", pdf)
+    got = {r.doc_id: (r.lang_pred, r.stop_hits) for r in text.lang_id(df).collect()}
+    assert got[1] == ("und", 0)
+    assert got[2][0] == "en"
+    assert_same(text.lang_id(df), con, text.lang_id_sql("t_lid_null_df"))
