@@ -1115,6 +1115,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order": lambda s, d: smp.shuffle_order(
             _read(s, d, "documents").select("doc_id"), n_shards=8
         ),
+        # curriculum training order: fluency terciles easiest-first,
+        # content-hash shuffled within each (bucket, shard)
+        "curriculum_order": lambda s, d: smp.curriculum_order(
+            _read(s, d, "documents"), n_shards=8
+        ),
         # winnowing (MOSS) fingerprints: position-robust k-gram
         # selection, scan-stage only; every (doc, pos, fp) checked
         "winnow_fingerprints": lambda s, d: txt.winnow_fingerprints(
@@ -1574,6 +1579,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "shuffle_order": smp.shuffle_order_sql(
             "(SELECT doc_id FROM documents)", n_shards=8
+        ),
+        "curriculum_order": smp.curriculum_order_sql(
+            "documents", n_shards=8
         ),
         "bm25_topk": tfi.bm25_topk_sql(
             "documents", ["spark", "window", "merge"], k=15

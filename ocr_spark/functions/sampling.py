@@ -831,3 +831,91 @@ def shuffle_order_sql(
              ) - 1 AS BIGINT) AS pos
       FROM (SELECT *, {key} AS _shuffle_key FROM {source})
     """
+
+
+def curriculum_order(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    n_shards: int = 64,
+    salt: str = "curriculum:v1",
+) -> DataFrame:
+    """(doc_id, bucket, bucket_rank, shard, pos): deterministic
+    curriculum training order — CCNet fluency terciles easiest-first
+    (head=0, middle=1, tail=2), content-hash shuffled WITHIN each
+    bucket. Global reading order is (bucket_rank, shard, pos): the
+    loader streams the most-fluent third first and still sees a fixed
+    random permutation inside every difficulty band (the
+    :func:`shuffle_order` discipline — stable under retries, resume,
+    and cluster size; salt rotation gives an independent within-bucket
+    permutation per epoch).
+
+    Scale shape: the fluency subtree is
+    :func:`ocr_spark.functions.lm.fluency_buckets` (checkpointed LM
+    scoring + broadcast thresholds); ordering adds one window sort
+    partitioned by (bucket, shard) — 3 * n_shards uniform partitions,
+    never three whole-corpus reducers (the reason pos is per-shard:
+    partitioning the sort by bucket alone would serialize each third
+    through one task at corpus scale).
+    """
+    from ocr_spark.functions.lm import fluency_buckets
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    b = fluency_buckets(docs, lm_docs).select("doc_id", "bucket")
+    key = md5_long(
+        F.concat(
+            F.lit(salt + ":"),
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
+        )
+    )
+    id_str = F.coalesce(F.col("doc_id").cast("string"), F.lit(""))
+    rank = (
+        F.when(F.col("bucket") == "head", 0)
+        .when(F.col("bucket") == "middle", 1)
+        .otherwise(2)
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.col("_ck").asc(), id_str.asc()
+    )
+    return (
+        b.withColumn("_ck", key)
+        .withColumn("shard", (F.col("_ck") % n_shards).cast("int"))
+        .withColumn("bucket_rank", rank.cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "bucket", "bucket_rank", "shard", "pos")
+    )
+
+
+def curriculum_order_sql(
+    table: str = "documents",
+    lm_table: str | None = None,
+    n_shards: int = 64,
+    salt: str = "curriculum:v1",
+) -> str:
+    """DuckDB twin of :func:`curriculum_order` — composes the
+    fluency_buckets twin, same hash/tie-break window."""
+    from ocr_spark.functions.lm import fluency_buckets_sql
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    s = salt.replace("'", "''")
+    key = md5_long_sql(f"'{s}:' || coalesce(CAST(doc_id AS VARCHAR), '')")
+    return f"""
+      WITH b AS (
+        SELECT doc_id, bucket FROM ({fluency_buckets_sql(table, lm_table)})
+      ),
+      keyed AS (
+        SELECT doc_id, bucket, {key} AS _ck,
+               CASE bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1
+                    ELSE 2 END AS bucket_rank
+        FROM b
+      )
+      SELECT doc_id, bucket, CAST(bucket_rank AS INT) AS bucket_rank,
+             CAST(_ck % {n_shards} AS INT) AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY bucket, _ck % {n_shards}
+               ORDER BY _ck ASC,
+                        coalesce(CAST(doc_id AS VARCHAR), '') ASC
+             ) - 1 AS BIGINT) AS pos
+      FROM keyed
+    """

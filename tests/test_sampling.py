@@ -481,3 +481,68 @@ def test_shuffle_order_matches_duckdb_twin(docs):
 def test_shuffle_order_validation():
     with pytest.raises(ValueError):
         shuffle_order(None, n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_order_matches_oracle(spark):
+    import duckdb
+
+    from ocr_spark.functions.sampling import (
+        curriculum_order,
+        curriculum_order_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(map(tuple, curriculum_order(docs, n_shards=8).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(
+        map(tuple, con.execute(curriculum_order_sql(n_shards=8)).fetchall())
+    )
+    assert got == want
+
+
+def test_curriculum_order_invariants(spark):
+    from ocr_spark.functions.sampling import curriculum_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = curriculum_order(docs, n_shards=4).collect()
+    assert len(rows) == docs.count()  # every doc ordered, none dropped
+    ranks = {r.bucket: r.bucket_rank for r in rows}
+    assert ranks == {"head": 0, "middle": 1, "tail": 2}
+    # pos is a dense 0-based rank within each (bucket, shard)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r.bucket, r.shard)].append(r.pos)
+    for poss in groups.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_curriculum_order_is_retry_stable_and_salt_rotates(spark):
+    from ocr_spark.functions.sampling import curriculum_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, curriculum_order(docs, n_shards=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            curriculum_order(docs.repartition(13), n_shards=4).collect(),
+        )
+    )
+    assert a == b  # permutation is a property of the rows, not the plan
+    c = sorted(
+        map(
+            tuple,
+            curriculum_order(docs, n_shards=4, salt="curriculum:v2").collect(),
+        )
+    )
+    assert a != c  # epoch salt rotation yields a new permutation
