@@ -315,8 +315,8 @@ def bpe_doc_token_counts_sql(
 
 
 def bpe_fertility_by_lang(
-    docs: "DataFrame", merges: list[tuple[str, str]]
-) -> "DataFrame":
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
     """(lang_pred, n_docs, n_ws_tokens, n_bpe_tokens, fertility_ppm):
     per-language tokenizer fertility — BPE tokens per whitespace word
     in fixed-point ppm (1,000,000 = 1.0 tokens/word). THE tokenizer-
@@ -326,37 +326,37 @@ def bpe_fertility_by_lang(
     multilingual corpus owner reads this table before accepting a
     trained merge list.
 
-    fertility_ppm = (sum n_bpe * 10^6) div (sum n_ws), NULL when a
-    language has zero whitespace tokens — integer arithmetic on
-    non-negative operands, engine-exact. NULL-text docs count 0/0 and
-    still appear in n_docs.
+    fertility_ppm = floor(10^6 * sum n_bpe / sum n_ws) computed as
+    ``(b div w) * 10^6 + ((b % w) * 10^6) div w`` — the split form is
+    EXACT (floor identity on non-negative ints) and cannot overflow
+    int64 at corpus scale, where the naive ``(b * 10^6) div w``
+    overflows once a language holds ~9.2e12 tokens (~10 TB of text —
+    well under the design point; the kn_bigram_score chained-div
+    lesson). NULL when a language has zero whitespace tokens.
+    NULL-text docs count 0/0, classify 'und' (lang_pred is never
+    NULL), and still appear in n_docs.
 
-    Scale shape: ONE corpus scan computes both counts per row
-    (scan-stage replace-chain + split, zero shuffle), one doc_id join
-    to the lang_id scan, one |langs|-row aggregate."""
-    from pyspark.sql import DataFrame  # noqa: F401 (signature type)
-
+    Scale shape: ONE corpus scan computes the language label and both
+    counts per row (scan-stage replace-chain + split + argmax CASE —
+    the bpe_token_count_col discipline: no join back to the corpus),
+    then one |langs|-row map-side-combined aggregate. Zero joins."""
     from ocr_spark.functions.lm import _words_expr
-    from ocr_spark.functions.text import lang_id
+    from ocr_spark.functions.text import lang_pred_expr
 
-    # the ONE non-empty-token enumeration (lm._words_expr) — a bare
-    # split() also counts the empty tokens leading/trailing
-    # whitespace produces, which the twin's list_filter does not
-    counts = docs.select(
-        "doc_id",
-        F.coalesce(
-            F.expr(f"size({_words_expr()})").cast("long"), F.lit(0)
-        ).alias("n_ws"),
-        F.coalesce(bpe_token_count_col(merges), F.lit(0)).alias("n_bpe"),
-    )
-    # NULL text gets a NULL lang_pred from lang_id (no evidence at
-    # all); fold it into 'und' so the group key is never NULL and the
-    # 0-token docs stay visible in n_docs
-    lid = lang_id(docs).select(
-        "doc_id", F.coalesce(F.col("lang_pred"), F.lit("und")).alias("lang_pred")
+    fertility = (
+        "CASE WHEN n_ws_tokens > 0 THEN"
+        " (n_bpe_tokens div n_ws_tokens) * 1000000"
+        " + ((n_bpe_tokens % n_ws_tokens) * 1000000) div n_ws_tokens"
+        " ELSE NULL END AS fertility_ppm"
     )
     return (
-        counts.join(lid, "doc_id")
+        docs.select(
+            F.expr(lang_pred_expr()).alias("lang_pred"),
+            F.coalesce(
+                F.expr(f"size({_words_expr()})").cast("long"), F.lit(0)
+            ).alias("n_ws"),
+            F.coalesce(bpe_token_count_col(merges), F.lit(0)).alias("n_bpe"),
+        )
         .groupBy("lang_pred")
         .agg(
             F.count("*").alias("n_docs"),
@@ -364,13 +364,7 @@ def bpe_fertility_by_lang(
             F.sum("n_bpe").alias("n_bpe_tokens"),
         )
         .selectExpr(
-            "lang_pred",
-            "n_docs",
-            "n_ws_tokens",
-            "n_bpe_tokens",
-            "CASE WHEN n_ws_tokens > 0 THEN"
-            " (n_bpe_tokens * 1000000) div n_ws_tokens"
-            " ELSE NULL END AS fertility_ppm",
+            "lang_pred", "n_docs", "n_ws_tokens", "n_bpe_tokens", fertility
         )
     )
 
@@ -378,33 +372,32 @@ def bpe_fertility_by_lang(
 def bpe_fertility_by_lang_sql(
     table: str, merges: list[tuple[str, str]]
 ) -> str:
-    """DuckDB twin of :func:`bpe_fertility_by_lang` — composes the
-    lang_id and doc-token-count twins verbatim."""
+    """DuckDB twin of :func:`bpe_fertility_by_lang` — same single-scan
+    shape (shared lang_pred_sql / _words_sql / encode-chain
+    renderings), same overflow-safe split fixed point."""
     from ocr_spark.functions.lm import _words_sql
-    from ocr_spark.functions.text import lang_id_sql
+    from ocr_spark.functions.text import lang_pred_sql
 
+    if not merges:
+        raise ValueError("merges must be non-empty (train first)")
     ws = f"coalesce(CAST(len({_words_sql()}) AS BIGINT), 0)"
+    enc = _chain(_strip_pua_duck("text"), merges, _q_duck)
+    bpe = (
+        f"coalesce(CAST(length(regexp_replace({enc}, '{WS}+', '', 'g'))"
+        f" AS BIGINT), 0)"
+    )
     return f"""
-      WITH ws AS (
-        SELECT CAST(doc_id AS BIGINT) AS doc_id, {ws} AS n_ws
-        FROM {table}
-      ),
-      bpe AS (
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               coalesce(n_bpe_tokens, 0) AS n_bpe
-        FROM ({bpe_doc_token_counts_sql(table, merges)})
-      ),
-      lid AS (
-        SELECT doc_id, coalesce(lang_pred, 'und') AS lang_pred
-        FROM ({lang_id_sql(table)})
-      )
       SELECT lang_pred,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
              CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
              CAST(CASE WHEN sum(n_ws) > 0 THEN
-               (sum(n_bpe) * 1000000) // sum(n_ws)
+               (sum(n_bpe) // sum(n_ws)) * 1000000
+               + ((sum(n_bpe) % sum(n_ws)) * 1000000) // sum(n_ws)
                ELSE NULL END AS BIGINT) AS fertility_ppm
-      FROM ws JOIN bpe USING (doc_id) JOIN lid USING (doc_id)
+      FROM (
+        SELECT {lang_pred_sql()} AS lang_pred, {ws} AS n_ws, {bpe} AS n_bpe
+        FROM {table}
+      )
       GROUP BY lang_pred
     """

@@ -968,24 +968,30 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     which urls/ids VANISHED and which were re-crawled with new
     content, which a content-only novelty check cannot say.
 
-    Content equality is md5(text), null-safe (NULL text == NULL
-    text). Assumes id-unique snapshots (the curated-table contract);
-    duplicate ids fan the full-outer join out row-per-pairing.
-    ``doc_id`` stays ID-TYPE-AGNOSTIC; NULL-id rows never join (SQL
-    NULL-key semantics, both engines) so they surface honestly as
-    'removed'/'added' rather than pairing up.
+    Content equality is the repo's folded 60-bit md5
+    (:func:`~ocr_spark.functions.hashing.md5_long`), null-safe (NULL
+    text == NULL text). The compare is PER ID — a collision needs two
+    versions of the SAME document to collide (2^-60 per changed doc,
+    no corpus-wide birthday effect), the price of shuffling an int64
+    instead of a 32-char hex string. Assumes id-unique snapshots (the
+    curated-table contract); duplicate ids fan the full-outer join
+    out row-per-pairing. ``doc_id`` stays ID-TYPE-AGNOSTIC; NULL-id
+    rows never join (SQL NULL-key semantics, both engines) so they
+    surface honestly as 'removed'/'added' rather than pairing up.
 
     Scale shape: one full-outer equi-join on doc_id (each side
-    pre-projected to (id, 64-bit hash) in its scan stage — the join
-    moves ~24 bytes/row, never text), then a scan-stage CASE."""
+    pre-projected to (id, int64 hash, flag) in its scan stage — the
+    join moves ~20 bytes/row, never text), then a scan-stage CASE."""
+    from ocr_spark.functions.hashing import md5_long
+
     o = old.select(
         "doc_id",
-        F.md5(F.col("text")).alias("_h_old"),
+        md5_long(F.col("text")).alias("_h_old"),
         F.lit(1).alias("_in_old"),
     )
     n = new.select(
         "doc_id",
-        F.md5(F.col("text")).alias("_h_new"),
+        md5_long(F.col("text")).alias("_h_new"),
         F.lit(1).alias("_in_new"),
     )
     status = (
@@ -1009,11 +1015,11 @@ def snapshot_diff_sql(
     ``o.doc_id IS NOT NULL`` would misread a NULL-id row as absence)."""
     return f"""
       WITH o AS (
-        SELECT {id_sql} AS doc_id, md5(text) AS h, 1 AS present
+        SELECT {id_sql} AS doc_id, {md5_long_sql('text')} AS h, 1 AS present
         FROM {old_table}
       ),
       n AS (
-        SELECT {id_sql} AS doc_id, md5(text) AS h, 1 AS present
+        SELECT {id_sql} AS doc_id, {md5_long_sql('text')} AS h, 1 AS present
         FROM {new_table}
       )
       SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,

@@ -240,31 +240,28 @@ def kn_bigram_score(docs: DataFrame, lm_docs: DataFrame | None = None) -> DataFr
     the honest "LM has never seen this context" signal, matching the
     raw-count operator's contract.
 
-    Scale shape: ONE bigram explode feeds everything. Four plan
-    branches consume the pair table (bigram counts, prefix counts +
-    continuation fanout in one groupBy, predecessor fanout, per-doc
-    scoring), so in the self-LM case the exploded triples are
-    localCheckpoint'ed once — without materialization each branch
-    would re-run the explode + 3 md5s over the corpus (measured 4.5 s
-    -> the checkpointed shape at sf0.1; the fluency_buckets /
-    lsh_verified_pairs precedent). Scoring is three left equi-joins
-    on uniform 60-bit hash keys plus a broadcast 1-row bigram-type
-    total, then one per-doc aggregate.
+    Scale shape: four plan branches each re-run the bigram explode
+    (bigram counts, prefix counts + continuation fanout in one
+    groupBy, predecessor fanout, per-doc scoring). That re-execution
+    is deliberate: the explode is pure scan-stage work (no shuffle),
+    while materializing the triple table would pin O(corpus word
+    pairs) rows — at the design point hundreds of TB — to executor
+    storage and truncate lineage (a lost block then FAILS the job
+    instead of recomputing; the fluency_buckets precedent checkpoints
+    per-DOC scores, three orders smaller — measured at sf0.1 the
+    checkpointed-triples variant saved ~3%, all stage floors). The
+    only shuffles are the three vocabulary-bounded count aggregates
+    (map-side partials), three left equi-joins on uniform 60-bit hash
+    keys plus a broadcast 1-row bigram-type total, and one per-doc
+    aggregate.
     """
+    lm_src = docs if lm_docs is None else lm_docs
+    lm_pairs = lm_src.selectExpr(
+        f"explode({_kn_bigrams_expr()}) AS b"
+    ).select("b.h1", "b.h12", "b.h2")
     doc_pairs = docs.selectExpr(
         "doc_id", f"explode_outer({_kn_bigrams_expr()}) AS b"
     ).select("doc_id", "b.h1", "b.h12", "b.h2")
-    if lm_docs is None:
-        # self-LM: the doc triples ARE the LM triples — materialize
-        # once, derive the count tables from the checkpoint scan
-        doc_pairs = doc_pairs.localCheckpoint()
-        lm_pairs = doc_pairs.where(F.col("h12").isNotNull()).select(
-            "h1", "h12", "h2"
-        )
-    else:
-        lm_pairs = lm_docs.selectExpr(
-            f"explode({_kn_bigrams_expr()}) AS b"
-        ).select("b.h1", "b.h12", "b.h2")
     bi = lm_pairs.groupBy("h12").agg(F.count("*").alias("c_bi"))
     uni = lm_pairs.groupBy("h1").agg(
         F.count("*").alias("c_uni"),

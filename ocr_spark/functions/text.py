@@ -118,40 +118,66 @@ def _stop_hits_expr(lang: str) -> str:
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang_pred, stop_hits): argmax of per-language stopword
-    hit counts; ties broken by LANGS order; all-zero -> 'und'."""
+def lang_pred_expr() -> str:
+    """THE Spark rendering of the language argmax over a ``text``
+    column — exposed so aggregating consumers (bpe_fertility_by_lang)
+    can compute the label inside their own single scan instead of
+    joining :func:`lang_id` back to the corpus (the
+    bpe_token_count_col discipline). Never NULL: NULL text coalesces
+    to '' inside _stop_hits_expr and classifies 'und'."""
     hits = "array(" + ", ".join(_stop_hits_expr(lang) for lang in LANGS) + ")"
     langs_lit = _lit_array_expr(LANGS)
-    pred = (
+    return (
         f"CASE WHEN array_max({hits}) = 0 THEN 'und' "
         f"ELSE element_at({langs_lit}, CAST(array_position({hits}, array_max({hits})) AS INT))"
         f" END"
     )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, stop_hits): argmax of per-language stopword
+    hit counts; ties broken by LANGS order; all-zero (incl. NULL
+    text) -> 'und'."""
+    hits = "array(" + ", ".join(_stop_hits_expr(lang) for lang in LANGS) + ")"
     return docs.select(
         "doc_id",
-        F.expr(pred).alias("lang_pred"),
+        F.expr(lang_pred_expr()).alias("lang_pred"),
         F.expr(f"array_max({hits})").alias("stop_hits"),
     )
 
 
-def lang_id_sql(table: str = "documents") -> str:
+def _hits_sql() -> str:
+    """DuckDB per-language hits list over a ``text`` column
+    (coalesce(text, ''): same NULL-text guard as _stop_hits_expr)."""
     def hits(lang: str) -> str:
-        # coalesce(text, ''): same NULL-text guard as _stop_hits_expr
         lst = _lit_list_sql(STOPWORDS[lang])
         return (
             f"len(list_filter(regexp_split_to_array(coalesce(text, ''), "
             f"'{WS}+'), w -> list_contains({lst}, lower(w))))"
         )
 
-    hits_list = "[" + ", ".join(hits(lang) for lang in LANGS) + "]"
+    return "[" + ", ".join(hits(lang) for lang in LANGS) + "]"
+
+
+def lang_pred_sql() -> str:
+    """DuckDB twin of :func:`lang_pred_expr` — the argmax CASE over
+    the inline hits list (self-contained; no pre-bound ``h``)."""
+    h = _hits_sql()
+    langs_lit = _lit_list_sql(LANGS)
+    return (
+        f"CASE WHEN list_max({h}) = 0 THEN 'und' "
+        f"ELSE {langs_lit}[list_position({h}, list_max({h}))] END"
+    )
+
+
+def lang_id_sql(table: str = "documents") -> str:
     langs_lit = _lit_list_sql(LANGS)
     return f"""
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
              CASE WHEN list_max(h) = 0 THEN 'und'
                   ELSE {langs_lit}[list_position(h, list_max(h))] END AS lang_pred,
              CAST(list_max(h) AS INT) AS stop_hits
-      FROM (SELECT doc_id, {hits_list} AS h FROM {table})
+      FROM (SELECT doc_id, {_hits_sql()} AS h FROM {table})
     """
 
 
