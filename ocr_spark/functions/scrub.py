@@ -57,18 +57,72 @@ PHONE_RE = (
     "|\\(?[0-9]{3}\\)?[\\-\\. ][0-9]{3}[\\-\\. ][0-9]{4}"
 )
 
+# Payment-card candidates: 13-19 digits with optional single space/
+# dash separators ('.' is excluded — it would eat decimals). A regex
+# alone would redact 13-19-digit integers corpus-wide, so candidates
+# are VALIDATED with the Luhn checksum before redaction (the standard
+# scrubber discipline: Luhn rejects ~90% of random digit runs; the
+# residual ~10% false-positive rate on bare long integers is the
+# accepted trade for catching real PANs). Runs BEFORE the phone pass
+# so a separated card ('4111-1111-1111-1111') is claimed as <CARD>,
+# not shredded into partial <PHONE> matches.
+CARD_RE = "\\b[0-9]([ \\-]?[0-9]){12,18}\\b"
+
 EMAIL_TOKEN, IP_TOKEN, PHONE_TOKEN = "<EMAIL>", "<IP>", "<PHONE>"
+CARD_TOKEN = "<CARD>"
+
+
+def _luhn_body(i_expr_len: str) -> str:
+    """THE Luhn fold body over a reversed-digits string bound as
+    ``rd`` — doubling every second digit from the right, subtracting 9
+    above 9, sum % 10 == 0. One rendering per dialect below; the CASE
+    tree is character-identical so validity can never diverge."""
+    d = "CAST(substr(rd, i, 1) AS INT)"
+    return (
+        f"CASE WHEN i % 2 = 0 THEN "
+        f"CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END "
+        f"ELSE {d} END"
+    )
+
+
+def _luhn_ok_expr() -> str:
+    """Spark: Luhn validity of a candidate bound as lambda var ``c``
+    (LET-binds the reversed digit string once per candidate)."""
+    fold = (
+        f"aggregate(sequence(1, length(rd)), 0, "
+        f"(acc, i) -> acc + {_luhn_body('length(rd)')}) % 10 = 0"
+    )
+    return (
+        "element_at(transform(array(reverse(regexp_replace(c, '[^0-9]', ''))), "
+        f"rd -> {fold}), 1)"
+    )
+
+
+def _luhn_ok_duck() -> str:
+    """DuckDB twin of :func:`_luhn_ok_expr`."""
+    fold = (
+        f"list_sum(list_transform(range(1, length(rd) + 1), "
+        f"i -> {_luhn_body('length(rd)')})) % 10 = 0"
+    )
+    return (
+        "list_transform([reverse(regexp_replace(c, '[^0-9]', '', 'g'))], "
+        f"rd -> {fold})[1]"
+    )
 
 
 def pii_scrub(docs: DataFrame) -> DataFrame:
-    """(doc_id, clean_text, n_emails, n_ipv4, n_phones).
+    """(doc_id, clean_text, n_emails, n_ipv4, n_cards, n_phones).
 
-    Redaction is STAGED — emails first, then IPv4, then phones, each
-    counted on the text as it stands at that stage — so an email's
-    digit run can never double-count as a phone, and an IP (digits
-    with dots) is claimed by the IP pass before the looser phone
-    pattern can eat it. Both engines apply the identical sequence, so
-    the outputs are byte-equal.
+    Redaction is STAGED — emails, then IPv4, then Luhn-validated
+    payment cards, then phones, each counted on the text as it stands
+    at that stage — so an email's digit run can never double-count as
+    a phone, an IP (digits with dots) is claimed by the IP pass
+    before the looser phone pattern can eat it, and a separated card
+    becomes one <CARD>, never partial <PHONE>s. The card stage is
+    candidate-based (regex proposes, Luhn disposes): only candidates
+    passing the checksum are literally replaced — a conditional
+    redaction no single regexp_replace can express. Both engines
+    apply the identical sequence, so the outputs are byte-equal.
     """
     s1 = docs.select(
         "doc_id",
@@ -81,31 +135,72 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         F.regexp_count(F.col("_t1"), F.lit(IPV4_RE)).alias("n_ipv4"),
         F.regexp_replace(F.col("_t1"), IPV4_RE, IP_TOKEN).alias("_t2"),
     )
+    # Spark SQL string literals unescape backslashes (the
+    # _strip_pua_expr lesson) — double them for the expr rendering
+    card_lit = CARD_RE.replace("\\", "\\\\")
+    valid = (
+        f"filter(regexp_extract_all(_t2, '{card_lit}', 0), "
+        f"c -> {_luhn_ok_expr()})"
+    )
+    card_struct = (
+        f"element_at(transform(array({valid}), v -> struct("
+        f"CAST(size(v) AS INT) AS n, "
+        f"aggregate(v, _t2, (acc, c) -> replace(acc, c, '{CARD_TOKEN}')) AS t"
+        f")), 1)"
+    )
     s3 = s2.select(
         "doc_id",
         "n_emails",
         "n_ipv4",
-        F.regexp_count(F.col("_t2"), F.lit(PHONE_RE)).alias("n_phones"),
-        F.regexp_replace(F.col("_t2"), PHONE_RE, PHONE_TOKEN).alias("clean_text"),
+        F.expr(card_struct).alias("_c"),
+    ).select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        F.col("_c.n").alias("n_cards"),
+        F.col("_c.t").alias("_t3"),
     )
-    return s3.select("doc_id", "clean_text", "n_emails", "n_ipv4", "n_phones")
+    s4 = s3.select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        "n_cards",
+        F.regexp_count(F.col("_t3"), F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(F.col("_t3"), PHONE_RE, PHONE_TOKEN).alias("clean_text"),
+    )
+    return s4.select(
+        "doc_id", "clean_text", "n_emails", "n_ipv4", "n_cards", "n_phones"
+    )
 
 
 def pii_scrub_sql(table: str = "documents") -> str:
+    valid = (
+        f"list_filter(regexp_extract_all(_t2, '{CARD_RE}'), "
+        f"c -> {_luhn_ok_duck()})"
+    )
     return f"""
       SELECT doc_id,
-             regexp_replace(_t2, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS clean_text,
-             n_emails, n_ipv4,
-             CAST(len(regexp_extract_all(_t2, '{PHONE_RE}')) AS INT) AS n_phones
+             regexp_replace(_t3, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS clean_text,
+             n_emails, n_ipv4, n_cards,
+             CAST(len(regexp_extract_all(_t3, '{PHONE_RE}')) AS INT) AS n_phones
       FROM (
-        SELECT doc_id, n_emails,
-               CAST(len(regexp_extract_all(_t1, '{IPV4_RE}')) AS INT) AS n_ipv4,
-               regexp_replace(_t1, '{IPV4_RE}', '{IP_TOKEN}', 'g') AS _t2
+        SELECT doc_id, n_emails, n_ipv4,
+               CAST(len(v) AS INT) AS n_cards,
+               list_reduce(list_prepend(_t2, v),
+                 (acc, c) -> replace(acc, c, '{CARD_TOKEN}')) AS _t3
         FROM (
-          SELECT doc_id,
-                 CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
-                 regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS _t1
-          FROM {table}
+          SELECT doc_id, n_emails, n_ipv4, _t2, {valid} AS v
+          FROM (
+            SELECT doc_id, n_emails,
+                   CAST(len(regexp_extract_all(_t1, '{IPV4_RE}')) AS INT) AS n_ipv4,
+                   regexp_replace(_t1, '{IPV4_RE}', '{IP_TOKEN}', 'g') AS _t2
+            FROM (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+                     regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS _t1
+              FROM {table}
+            )
+          )
         )
       )
     """

@@ -505,3 +505,68 @@ def test_remove_repeated_passages_max_occ_cap(spark):
         c,
         scrub.remove_repeated_passages_sql("rrp_cap", max_occ=25, **kw),
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated card redaction
+# ---------------------------------------------------------------------------
+
+
+def test_pii_card_luhn_validation(spark):
+    """Regex proposes, Luhn disposes: valid PANs are redacted in any
+    separator style; checksum-failing digit runs and long integers
+    survive untouched."""
+    texts = [
+        "pay 4111 1111 1111 1111 now",       # valid (spaced)
+        "card 5500-0000-0000-0004 ok",       # valid (dashed)
+        "bare 4111111111111111 end",         # valid (bare)
+        "ref 1234 5678 9012 3456 code",      # fails Luhn -> kept
+        "int 1234567890124 stays",           # fails Luhn -> kept
+        "order id 79927398713",              # valid Luhn but 11 digits: too short
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in scrub.pii_scrub(df).collect()}
+    for i in (0, 1, 2):
+        assert rows[i].n_cards == 1 and "<CARD>" in rows[i].clean_text, rows[i]
+    for i in (3, 4, 5):
+        assert rows[i].n_cards == 0 and "<CARD>" not in rows[i].clean_text, rows[i]
+    assert rows[3].clean_text == texts[3]  # byte-identical passthrough
+
+
+def test_pii_card_before_phone_staging(spark):
+    """A dashed card must become ONE <CARD>, never partial <PHONE>
+    matches; a real phone in the same doc is still caught."""
+    df = spark.createDataFrame(
+        [(1, "call 555-123-4567 or card 5500-0000-0000-0004")],
+        "doc_id long, text string",
+    )
+    r = scrub.pii_scrub(df).collect()[0]
+    assert r.clean_text == "call <PHONE> or card <CARD>"
+    assert (r.n_cards, r.n_phones) == (1, 1)
+
+
+def test_pii_card_cross_engine(spark):
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "4111 1111 1111 1111 and 1234 5678 9012 3456",
+                None,
+                "two cards 4111111111111111 4111111111111111",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t_card", pdf)
+    got = sorted(map(tuple, scrub.pii_scrub(df).collect()))
+    want = sorted(map(tuple, con.execute(scrub.pii_scrub_sql("t_card")).fetchall()))
+    assert got == want
+    # duplicate card string: counted per occurrence, both redacted
+    by_id = {r[0]: r for r in got}
+    assert by_id[3][4] == 2 and "<CARD> <CARD>" in by_id[3][1]
