@@ -821,6 +821,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": lambda s, d: txt.script_profile(
             _read(s, d, "documents")
         ),
+        # lexical diversity (TTR / hapax fraction): sorted-neighbor
+        # scan, zero shuffle — the anti-template quality axis
+        "lexical_stats": lambda s, d: txt.lexical_stats(
+            _read(s, d, "documents")
+        ),
         "zorder_codes": lambda s, d: zorder_codes(
             _read(s, d, "documents").select("doc_id", "n_chars"),
             "doc_id",
@@ -1449,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": txt.quality_score_sql(),
         "fingerprint": txt.fingerprint_sql(),
         "script_profile": txt.script_profile_sql(),
+        "lexical_stats": txt.lexical_stats_sql(),
         "zorder_codes": zorder_codes_sql(
             "SELECT doc_id, n_chars FROM documents", "doc_id", "n_chars"
         ),

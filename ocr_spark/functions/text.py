@@ -604,3 +604,95 @@ def script_profile_sql(table: str = "documents") -> str:
                      coalesce(text, '') AS t FROM {table})
       )
     """
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity (type-token ratio / hapax fraction)
+# ---------------------------------------------------------------------------
+
+
+def lexical_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_types, n_hapax, ttr, hapax_ratio): lexical
+    diversity — the quality axis the length/stopword heuristic can't
+    see. Templated spam and keyword stuffing repeat a tiny vocabulary
+    (low type-token ratio, few hapax legomena) while passing every
+    length gate; human prose sits high on both.
+
+    Scan-stage only, zero shuffle: words are LET-bound once, counted
+    distinct via array_distinct, and hapax words (in-doc frequency
+    exactly 1) are counted by a sorted-neighbor scan — an element of
+    the SORTED word array is a hapax iff it differs from both
+    neighbors, so the count is one O(n log n) sort + one linear fold,
+    never the O(n^2) count-each-word nested filter. Ratios are floor6
+    doubles over greatest(n_tokens, 1); NULL/empty text emits zeros.
+    """
+    words = f"filter(split(coalesce(text, ''), '{WS}+'), x -> x != '')"
+    # hapax: 1-based i over sorted sw; out-of-range neighbor access is
+    # NULL-safe via 0-based get() (Spark) -> coalesce(..., true)
+    hapax = (
+        "size(filter(sequence(1, size(sw)), i -> "
+        "coalesce(element_at(sw, i) != get(sw, i - 2), true) AND "
+        "coalesce(element_at(sw, i) != get(sw, i), true)))"
+    )
+    stats = (
+        f"element_at(transform(array(array_sort({words})), sw -> struct("
+        f"size(sw) AS n_tokens, "
+        f"size(array_distinct(sw)) AS n_types, "
+        f"CASE WHEN size(sw) = 0 THEN 0 ELSE {hapax} END AS n_hapax"
+        f")), 1)"
+    )
+    base = docs.select("doc_id", F.expr(stats).alias("_s")).select(
+        "doc_id",
+        F.col("_s.n_tokens").alias("n_tokens"),
+        F.col("_s.n_types").alias("n_types"),
+        F.col("_s.n_hapax").alias("n_hapax"),
+    )
+    denom = F.greatest(F.col("n_tokens"), F.lit(1))
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        floor6(F.col("n_types") / denom).alias("ttr"),
+        floor6(F.col("n_hapax") / denom).alias("hapax_ratio"),
+    )
+
+
+def lexical_stats_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`lexical_stats` (1-based list indexing is
+    NULL out of range, so the neighbor compares coalesce the same
+    way)."""
+    words = (
+        f"list_filter(regexp_split_to_array(coalesce(text, ''), '{WS}+'), "
+        f"x -> x != '')"
+    )
+    hapax = (
+        "len(list_filter(range(1, len(sw) + 1), i -> "
+        "coalesce(sw[i] != sw[i - 1], true) AND "
+        "coalesce(sw[i] != sw[i + 1], true)))"
+    )
+    stats = (
+        f"list_transform([list_sort({words})], sw -> {{"
+        f"'n_tokens': len(sw), "
+        f"'n_types': len(list_distinct(sw)), "
+        f"'n_hapax': CASE WHEN len(sw) = 0 THEN 0 ELSE {hapax} END"
+        f"}})[1]"
+    )
+    ttr = "(CAST(n_types AS DOUBLE) / greatest(n_tokens, 1))"
+    hr = "(CAST(n_hapax AS DOUBLE) / greatest(n_tokens, 1))"
+    return f"""
+      SELECT doc_id,
+             CAST(n_tokens AS INT) AS n_tokens,
+             CAST(n_types AS INT) AS n_types,
+             CAST(n_hapax AS INT) AS n_hapax,
+             {floor6_sql(ttr)} AS ttr,
+             {floor6_sql(hr)} AS hapax_ratio
+      FROM (
+        SELECT doc_id, _s['n_tokens'] AS n_tokens, _s['n_types'] AS n_types,
+               _s['n_hapax'] AS n_hapax
+        FROM (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, {stats} AS _s
+          FROM {table}
+        )
+      )
+    """

@@ -1243,3 +1243,43 @@ def test_lang_id_null_text_is_und_both_engines(spark, con):
     assert got[1] == ("und", 0)
     assert got[2][0] == "en"
     assert_same(text.lang_id(df), con, text.lang_id_sql("t_lid_null_df"))
+
+
+# ---------------------------------------------------------------------------
+# lexical_stats
+# ---------------------------------------------------------------------------
+
+
+def test_lexical_stats_matches_oracle(docs, con):
+    assert_same(text.lexical_stats(docs), con, text.lexical_stats_sql())
+
+
+def test_lexical_stats_semantics(spark):
+    rows = {
+        r.doc_id: r
+        for r in text.lexical_stats(
+            spark.createDataFrame(
+                [
+                    (1, "the cat sat on the mat"),
+                    (2, "spam spam spam spam"),
+                    (3, None),
+                    (4, "  leading  and  trailing  "),
+                ],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert (rows[1].n_tokens, rows[1].n_types, rows[1].n_hapax) == (6, 5, 4)
+    assert rows[1].ttr == 0.833333 and rows[1].hapax_ratio == 0.666666
+    # templated repetition: minimal diversity, zero hapax
+    assert (rows[2].n_types, rows[2].n_hapax, rows[2].ttr) == (1, 0, 0.25)
+    # NULL text emits zeros, never dropped
+    assert (rows[3].n_tokens, rows[3].ttr) == (0, 0.0)
+    # empty tokens from whitespace runs are not counted
+    assert rows[4].n_tokens == 3
+
+
+def test_lexical_stats_plan_is_scan_stage(docs):
+    from ocr_spark.plans import plan_str as _plan2
+
+    assert "Exchange" not in _plan2(text.lexical_stats(docs), "simple")
