@@ -1260,6 +1260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_passages": lambda s, d: scr.repeated_passages(
             _read(s, d, "documents")
         ),
+        # per-doc duplication severity: fraction of anchored windows
+        # shared with >= 1 other doc (same window skeleton)
+        "duplication_profile": lambda s, d: scr.duplication_profile(
+            _read(s, d, "documents")
+        ),
         # ExactSubstr-style cut pass: repeated windows removed from
         # every doc except the corpus-canonical (min doc_id, pos)
         # occurrence; fold-rebuilt text, overlap-merged cuts
@@ -1643,6 +1648,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": scr.gopher_rules_sql(),
         "repetition_signals": scr.repetition_signals_sql(),
         "repeated_passages": scr.repeated_passages_sql(),
+        "duplication_profile": scr.duplication_profile_sql(),
         "remove_repeated_passages": scr.remove_repeated_passages_sql(),
         "pack_shards": smp.pack_shards_sql("documents", budget_tokens=500),
         "pack_shards_global": smp.pack_shards_global_sql(

@@ -439,6 +439,46 @@ PASSAGE_ANCHOR_W = 8  # anchor gram width (chars)
 PASSAGE_MAX_CHARS = 1_000_000  # per-doc scan cap (memory bound)
 
 
+def _anchored_wins_expr(
+    w_chars: int, gap: int, max_chars: int | None
+) -> str:
+    """THE Spark rendering of the per-doc DISTINCT anchored-window
+    hash list — shared by repeated_passages (corpus discovery) and
+    duplication_profile (per-doc ratios) so "window" can never mean
+    two different enumerations."""
+    from ocr_spark.functions.hashing import md5_long_expr
+
+    t = f"substring(text, 1, {max_chars})" if max_chars else "text"
+    a = md5_long_expr(f"substring({t}, p, {PASSAGE_ANCHOR_W})")
+    h = md5_long_expr(f"substring({t}, p, {w_chars})")
+    return (
+        f"CASE WHEN length({t}) >= {w_chars} THEN array_distinct("
+        f"transform(filter(sequence(1, length({t}) - {w_chars} + 1),"
+        f" p -> {a} % {gap} = 0), p -> {h}))"
+        f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+
+
+def _anchored_wins_sql(
+    w_chars: int, gap: int, max_chars: int | None
+) -> str:
+    """DuckDB twin of :func:`_anchored_wins_expr` (range() is
+    exclusive-stop where Spark sequence() is inclusive — hence the
+    +2; both hashes are non-negative so bare % agrees)."""
+    from ocr_spark.functions.hashing import md5_long_sql
+
+    t = f"substr(text, 1, {max_chars})" if max_chars else "text"
+    a = md5_long_sql(f"substr({t}, p, {PASSAGE_ANCHOR_W})")
+    h = md5_long_sql(f"substr({t}, p, {w_chars})")
+    return (
+        f"list_distinct(CASE WHEN length({t}) >= {w_chars} "
+        f"THEN list_transform("
+        f"list_filter(range(1, length({t}) - {w_chars} + 2), "
+        f"p -> {a} % {gap} = 0), p -> {h}) "
+        f"ELSE [] END)"
+    )
+
+
 def repeated_passages(
     docs: DataFrame,
     w_chars: int = PASSAGE_W,
@@ -484,17 +524,7 @@ def repeated_passages(
     """
     if w_chars < 1 or gap < 1:
         raise ValueError("w_chars and gap must be >= 1")
-    from ocr_spark.functions.hashing import md5_long_expr
-
-    t = f"substring(text, 1, {max_chars})" if max_chars else "text"
-    a = md5_long_expr(f"substring({t}, p, {PASSAGE_ANCHOR_W})")
-    h = md5_long_expr(f"substring({t}, p, {w_chars})")
-    wins = (
-        f"CASE WHEN length({t}) >= {w_chars} THEN array_distinct("
-        f"transform(filter(sequence(1, length({t}) - {w_chars} + 1),"
-        f" p -> {a} % {gap} = 0), p -> {h}))"
-        f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
-    )
+    wins = _anchored_wins_expr(w_chars, gap, max_chars)
     return (
         docs.selectExpr(f"explode({wins}) AS h")
         .groupBy("h")
@@ -513,20 +543,10 @@ def repeated_passages_sql(
     """DuckDB twin (range() is exclusive-stop where Spark sequence()
     is inclusive — hence the +2; both hashes are non-negative so bare
     % agrees across engines)."""
-    from ocr_spark.functions.hashing import md5_long_sql
-
-    t = f"substr(text, 1, {max_chars})" if max_chars else "text"
-    a = md5_long_sql(f"substr({t}, p, {PASSAGE_ANCHOR_W})")
-    h = md5_long_sql(f"substr({t}, p, {w_chars})")
+    wins = _anchored_wins_sql(w_chars, gap, max_chars)
     return f"""
       SELECT h, count(*) AS n_docs FROM (
-        SELECT unnest(list_distinct(
-          CASE WHEN length({t}) >= {w_chars}
-          THEN list_transform(
-                 list_filter(range(1, length({t}) - {w_chars} + 2),
-                             p -> {a} % {gap} = 0),
-                 p -> {h})
-          ELSE [] END)) AS h
+        SELECT unnest({wins}) AS h
         FROM {table}
       ) GROUP BY h HAVING count(*) >= {min_docs}
     """
@@ -780,4 +800,93 @@ def remove_repeated_passages_sql(
                length(d.text) AS orig_len
         FROM {table} d LEFT JOIN agg a USING (doc_id)
       )
+    """
+
+
+def duplication_profile(
+    docs: DataFrame,
+    w_chars: int = PASSAGE_W,
+    gap: int = PASSAGE_GAP,
+    max_chars: int | None = PASSAGE_MAX_CHARS,
+) -> DataFrame:
+    """(doc_id, n_windows, n_shared, dup_ppm): per-document fraction
+    of anchored character windows that also appear in >= 1 OTHER
+    document — the doc-level duplication severity signal the corpus
+    reports of large pipelines publish ("X% of docs are >50%
+    duplicated content"). repeated_passages answers "which passages
+    repeat"; this answers "how much of EACH DOC is repeated", the
+    number a curation policy thresholds on (drop docs that are mostly
+    boilerplate even when no single near-dup pair exists).
+
+    Window enumeration is the ONE shared skeleton
+    (:func:`_anchored_wins_expr` — content-defined anchors, per-doc
+    distinct hashes), so a window counted here is exactly a window
+    repeated_passages would discover. dup_ppm = (n_shared * 10^6) div
+    n_windows; docs too short to carry any window are emitted (never
+    dropped) with the -1 sentinel — the span_diff precedent: a NULL
+    in an int column turns into NaN through pandas and breaks the
+    cross-engine compare, and -1 is unambiguous ("no evidence" vs a
+    real 0 = "measured, nothing shared").
+
+    Scale shape: one window explode, one count shuffle on the 60-bit
+    hash (map-side partials), one semi-join-shaped left join of the
+    per-doc window rows against the (small) shared-hash set, one
+    per-doc aggregate. ``doc_id`` is ID-TYPE-AGNOSTIC throughout.
+    """
+    if w_chars < 1 or gap < 1:
+        raise ValueError("w_chars and gap must be >= 1")
+    wins = _anchored_wins_expr(w_chars, gap, max_chars)
+    per_doc = docs.selectExpr("doc_id", f"explode_outer({wins}) AS h")
+    # per-doc lists are distinct, so count(*) per hash counts DOCS
+    shared = (
+        per_doc.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("h", F.lit(1).alias("_shared"))
+    )
+    return (
+        per_doc.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("h").alias("n_windows"),
+            F.coalesce(F.sum("_shared"), F.lit(0)).alias("n_shared"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_windows",
+            "CAST(n_shared AS BIGINT) AS n_shared",
+            "CASE WHEN n_windows > 0 THEN (n_shared * 1000000) div n_windows"
+            " ELSE -1 END AS dup_ppm",
+        )
+    )
+
+
+def duplication_profile_sql(
+    table: str = "documents",
+    w_chars: int = PASSAGE_W,
+    gap: int = PASSAGE_GAP,
+    max_chars: int | None = PASSAGE_MAX_CHARS,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+) -> str:
+    """DuckDB twin of :func:`duplication_profile` — same shared
+    window skeleton, same integer ppm."""
+    wins = _anchored_wins_sql(w_chars, gap, max_chars)
+    return f"""
+      WITH per_doc AS (
+        SELECT doc_id, unnest(CASE WHEN len(w) = 0 THEN [NULL] ELSE w END) AS h
+        FROM (SELECT {id_sql} AS doc_id, {wins} AS w FROM {table})
+      ),
+      shared AS (
+        SELECT h, 1 AS _shared FROM per_doc
+        WHERE h IS NOT NULL GROUP BY h HAVING count(*) >= 2
+      )
+      SELECT doc_id,
+             CAST(count(h) AS BIGINT) AS n_windows,
+             CAST(coalesce(sum(_shared), 0) AS BIGINT) AS n_shared,
+             CAST(CASE WHEN count(h) > 0
+                  THEN (coalesce(sum(_shared), 0) * 1000000) // count(h)
+                  ELSE -1 END AS BIGINT) AS dup_ppm
+      FROM per_doc LEFT JOIN shared USING (h)
+      GROUP BY doc_id
     """

@@ -570,3 +570,61 @@ def test_pii_card_cross_engine(spark):
     # duplicate card string: counted per occurrence, both redacted
     by_id = {r[0]: r for r in got}
     assert by_id[3][4] == 2 and "<CARD> <CARD>" in by_id[3][1]
+
+
+# ---------------------------------------------------------------------------
+# duplication_profile
+# ---------------------------------------------------------------------------
+
+
+def test_duplication_profile_semantics_and_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER AND ACCEPT ALL COOKIES NOW " * 4
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                boiler + "unique article one about spark executors",
+                boiler + "different piece on duckdb vectorized execution",
+                "fully original text with no repeated passages at all here",
+                "x",  # too short for any window
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r.doc_id: r for r in scrub.duplication_profile(df).collect()}
+    # boilerplate carriers: substantial shared fraction; same shared
+    # window set on both (content-defined anchors align)
+    assert got[1].n_shared == got[2].n_shared > 0
+    assert got[1].dup_ppm > 300_000 and got[2].dup_ppm > 300_000
+    assert got[1].dup_ppm == (got[1].n_shared * 1_000_000) // got[1].n_windows
+    # original doc: windows but nothing shared
+    assert got[3].n_windows > 0 and (got[3].n_shared, got[3].dup_ppm) == (0, 0)
+    # short doc: no windows, -1 sentinel (pandas-safe int), emitted
+    assert (got[4].n_windows, got[4].dup_ppm) == (0, -1)
+    con = duckdb.connect()
+    con.register("t_dupprof", pdf)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(scrub.duplication_profile_sql("t_dupprof")).fetchall(),
+        )
+    )
+    assert sorted(map(tuple, scrub.duplication_profile(df).collect())) == want
+
+
+def test_duplication_profile_consistent_with_repeated_passages(spark):
+    """A doc's n_shared counts exactly the windows repeated_passages
+    discovers (ONE window skeleton)."""
+    import pandas as pd
+
+    boiler = "THE SAME FOOTER TEXT REPEATS IN EVERY SINGLE DOCUMENT " * 3
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "text": [boiler + " tail a", boiler + " tail b"]}
+    )
+    df = spark.createDataFrame(pdf)
+    n_repeated = scrub.repeated_passages(df).count()
+    got = {r.doc_id: r for r in scrub.duplication_profile(df).collect()}
+    assert got[1].n_shared == got[2].n_shared == n_repeated > 0
