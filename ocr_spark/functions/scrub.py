@@ -72,7 +72,7 @@ EMAIL_TOKEN, IP_TOKEN, PHONE_TOKEN = "<EMAIL>", "<IP>", "<PHONE>"
 CARD_TOKEN = "<CARD>"
 
 
-def _luhn_body(i_expr_len: str) -> str:
+def _luhn_body() -> str:
     """THE Luhn fold body over a reversed-digits string bound as
     ``rd`` — doubling every second digit from the right, subtracting 9
     above 9, sum % 10 == 0. One rendering per dialect below; the CASE
@@ -90,7 +90,7 @@ def _luhn_ok_expr() -> str:
     (LET-binds the reversed digit string once per candidate)."""
     fold = (
         f"aggregate(sequence(1, length(rd)), 0, "
-        f"(acc, i) -> acc + {_luhn_body('length(rd)')}) % 10 = 0"
+        f"(acc, i) -> acc + {_luhn_body()}) % 10 = 0"
     )
     return (
         "element_at(transform(array(reverse(regexp_replace(c, '[^0-9]', ''))), "
@@ -102,7 +102,7 @@ def _luhn_ok_duck() -> str:
     """DuckDB twin of :func:`_luhn_ok_expr`."""
     fold = (
         f"list_sum(list_transform(range(1, length(rd) + 1), "
-        f"i -> {_luhn_body('length(rd)')})) % 10 = 0"
+        f"i -> {_luhn_body()})) % 10 = 0"
     )
     return (
         "list_transform([reverse(regexp_replace(c, '[^0-9]', '', 'g'))], "
@@ -142,10 +142,18 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         f"filter(regexp_extract_all(_t2, '{card_lit}', 0), "
         f"c -> {_luhn_ok_expr()})"
     )
+    # position-aware redaction: each validated candidate is replaced
+    # ONLY at word-boundary-anchored occurrences — the exact positions
+    # CARD_RE matched. A bare replace() is position-blind and mangles
+    # longer digit runs that merely CONTAIN a valid card as a
+    # substring (Luhn-failing reference numbers must pass through
+    # byte-identical). Candidates are regex-safe literals by
+    # construction ([0-9 -] only).
     card_struct = (
         f"element_at(transform(array({valid}), v -> struct("
         f"CAST(size(v) AS INT) AS n, "
-        f"aggregate(v, _t2, (acc, c) -> replace(acc, c, '{CARD_TOKEN}')) AS t"
+        f"aggregate(v, _t2, (acc, c) -> "
+        f"regexp_replace(acc, concat('\\\\b', c, '\\\\b'), '{CARD_TOKEN}')) AS t"
         f")), 1)"
     )
     s3 = s2.select(
@@ -187,7 +195,8 @@ def pii_scrub_sql(table: str = "documents") -> str:
         SELECT doc_id, n_emails, n_ipv4,
                CAST(len(v) AS INT) AS n_cards,
                list_reduce(list_prepend(_t2, v),
-                 (acc, c) -> replace(acc, c, '{CARD_TOKEN}')) AS _t3
+                 (acc, c) -> regexp_replace(acc, '\\b' || c || '\\b',
+                                            '{CARD_TOKEN}', 'g')) AS _t3
         FROM (
           SELECT doc_id, n_emails, n_ipv4, _t2, {valid} AS v
           FROM (
@@ -828,29 +837,30 @@ def duplication_profile(
     cross-engine compare, and -1 is unambiguous ("no evidence" vs a
     real 0 = "measured, nothing shared").
 
-    Scale shape: one window explode, one count shuffle on the 60-bit
-    hash (map-side partials), one semi-join-shaped left join of the
-    per-doc window rows against the (small) shared-hash set, one
-    per-doc aggregate. ``doc_id`` is ID-TYPE-AGNOSTIC throughout.
+    Scale shape: ONE window explode (the per-char anchor hashing is
+    the dominant cost — an aggregate-then-join-back would re-execute
+    it, the plan-reference re-evaluation trap this module documents),
+    one shuffle on the 60-bit hash where a count window marks shared
+    rows (per-doc lists are distinct, so the partition row count IS
+    the doc count), one per-doc aggregate. ``doc_id`` is
+    ID-TYPE-AGNOSTIC throughout.
     """
+    from pyspark.sql import Window
+
     if w_chars < 1 or gap < 1:
         raise ValueError("w_chars and gap must be >= 1")
     wins = _anchored_wins_expr(w_chars, gap, max_chars)
     per_doc = docs.selectExpr("doc_id", f"explode_outer({wins}) AS h")
-    # per-doc lists are distinct, so count(*) per hash counts DOCS
     shared = (
-        per_doc.where(F.col("h").isNotNull())
-        .groupBy("h")
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") >= 2)
-        .select("h", F.lit(1).alias("_shared"))
+        F.col("h").isNotNull()
+        & (F.count("*").over(Window.partitionBy("h")) >= 2)
     )
     return (
-        per_doc.join(shared, "h", "left")
+        per_doc.withColumn("_shared", shared)
         .groupBy("doc_id")
         .agg(
             F.count("h").alias("n_windows"),
-            F.coalesce(F.sum("_shared"), F.lit(0)).alias("n_shared"),
+            F.sum(F.when(F.col("_shared"), 1).otherwise(0)).alias("n_shared"),
         )
         .selectExpr(
             "doc_id",
@@ -877,16 +887,20 @@ def duplication_profile_sql(
         SELECT doc_id, unnest(CASE WHEN len(w) = 0 THEN [NULL] ELSE w END) AS h
         FROM (SELECT {id_sql} AS doc_id, {wins} AS w FROM {table})
       ),
-      shared AS (
-        SELECT h, 1 AS _shared FROM per_doc
-        WHERE h IS NOT NULL GROUP BY h HAVING count(*) >= 2
+      flagged AS (
+        SELECT doc_id, h,
+               (h IS NOT NULL AND
+                count(*) OVER (PARTITION BY h) >= 2) AS _shared
+        FROM per_doc
       )
       SELECT doc_id,
              CAST(count(h) AS BIGINT) AS n_windows,
-             CAST(coalesce(sum(_shared), 0) AS BIGINT) AS n_shared,
+             CAST(sum(CASE WHEN _shared THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
              CAST(CASE WHEN count(h) > 0
-                  THEN (coalesce(sum(_shared), 0) * 1000000) // count(h)
+                  THEN (sum(CASE WHEN _shared THEN 1 ELSE 0 END) * 1000000)
+                       // count(h)
                   ELSE -1 END AS BIGINT) AS dup_ppm
-      FROM per_doc LEFT JOIN shared USING (h)
+      FROM flagged
       GROUP BY doc_id
     """

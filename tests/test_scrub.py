@@ -628,3 +628,20 @@ def test_duplication_profile_consistent_with_repeated_passages(spark):
     n_repeated = scrub.repeated_passages(df).count()
     got = {r.doc_id: r for r in scrub.duplication_profile(df).collect()}
     assert got[1].n_shared == got[2].n_shared == n_repeated > 0
+
+
+def test_pii_card_redaction_is_position_aware(spark):
+    """A Luhn-failing digit run that merely CONTAINS a valid card as a
+    substring must pass through byte-identical — a position-blind
+    literal replace would mangle it (review-pass repro)."""
+    df = spark.createDataFrame(
+        [
+            (1, "card 4111 1111 1111 1111 ref 94111 1111 1111 11115 end"),
+            (2, "a 4111111111111111 b 44111111111111111 c"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in scrub.pii_scrub(df).collect()}
+    assert rows[1].clean_text == "card <CARD> ref 94111 1111 1111 11115 end"
+    assert rows[2].clean_text == "a <CARD> b 44111111111111111 c"
+    assert rows[1].n_cards == rows[2].n_cards == 1
