@@ -93,11 +93,19 @@ def test_text_operator_fuzz_across_engines(spark, con):
     df = spark.createDataFrame(pdf)
     con.register("t_fuzz_df", pdf)
     con.execute("CREATE OR REPLACE VIEW t_fuzz AS SELECT * FROM t_fuzz_df")
+    from ocr_spark.functions.unicode_norm import (
+        encoding_profile,
+        encoding_profile_sql,
+    )
+
     for build, sql in (
         (text.token_counts, text.token_counts_sql("t_fuzz")),
         (text.lang_id, text.lang_id_sql("t_fuzz")),
         (text.quality_score, text.quality_score_sql("t_fuzz")),
         (text.fingerprint, text.fingerprint_sql("t_fuzz")),
+        (text.script_profile, text.script_profile_sql("t_fuzz")),
+        (text.lexical_stats, text.lexical_stats_sql("t_fuzz")),
+        (encoding_profile, encoding_profile_sql("t_fuzz")),
         (dedup.exact_dedup, dedup.exact_dedup_sql("t_fuzz")),
         (dedup.simhash, dedup.simhash_sql("t_fuzz")),
         (dedup.minhash_signatures, dedup.minhash_signatures_sql("t_fuzz")),
