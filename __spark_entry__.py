@@ -844,6 +844,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("url"),
             )
         ),
+        # URL-keyed first-pass dedup: doc_id % 100 aliases ~5 docs per
+        # canonical page (tracking-param variants collapse); keep-best
+        # by quality, ties min id
+        "url_dedup": lambda s, d: curl.url_dedup(
+            _read(s, d, "documents").select(
+                "doc_id",
+                "text",
+                F.expr(
+                    "concat('https://www.example.com/page/',"
+                    " CAST(doc_id % 50 AS STRING), '?utm_campaign=x')"
+                ).alias("url"),
+            )
+        ),
         # per-registrable-domain crawl stats: one domain per source,
         # page paths folded mod 40 so alias collapse (n_pages < n_docs)
         # actually exercises the distinct-canonical count
@@ -1468,6 +1481,11 @@ def oracle_sql() -> dict[str, str]:
             "'.Example.COM:443/p/', CAST(doc_id AS VARCHAR), "
             "'/?utm_source=x&id=', CAST(doc_id AS VARCHAR), '#frag') AS url "
             "FROM documents"
+        ),
+        "url_dedup": curl.url_dedup_sql(
+            "SELECT doc_id, text, 'https://www.example.com/page/' ||"
+            " CAST(doc_id % 50 AS VARCHAR) ||"
+            " '?utm_campaign=x' AS url FROM documents"
         ),
         "domain_stats": curl.domain_stats_sql(
             "SELECT doc_id, concat('https://', source, '.com/p/', "

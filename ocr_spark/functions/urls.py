@@ -210,3 +210,91 @@ def blocklist_filter_sql(
         SELECT host FROM ({blocked_source}) WHERE host IS NOT NULL
       )
     """
+
+
+# ---------------------------------------------------------------------------
+# URL-keyed dedup (crawl-level first pass)
+# ---------------------------------------------------------------------------
+
+
+def url_dedup(docs: DataFrame, col: str = "url") -> DataFrame:
+    """(canon_url, best_doc_id, n_members, best_quality): per
+    CANONICAL url, the highest-quality document (ties -> lowest
+    doc_id) — the crawl-level first-pass dedup every large pipeline
+    runs BEFORE any content hashing: re-crawls and tracking-parameter
+    variants of one page collapse on the canonical key with zero text
+    comparison. Content-level dedup (exact/minhash) then runs on the
+    survivors only.
+
+    Input needs (doc_id, text, ``col``); rows whose URL does not
+    canonicalize (no scheme -> NULL key) are NOT emitted — a NULL key
+    carries no aliasing evidence, and collapsing all NULL-url docs to
+    one survivor would silently merge unrelated pages. Callers route
+    the NULL-url remainder to content dedup unchanged.
+
+    Scale shape: canonicalization + quality are scan-stage column
+    expressions computed in ONE pass over the corpus; the only
+    shuffle is the window sort partitioned by canon_url (uniform —
+    a canonical url is a natural near-unique key; a pathological
+    mega-alias key is exactly the duplication this operator removes).
+    ``doc_id`` is ID-TYPE-AGNOSTIC."""
+    from pyspark.sql import Window
+
+    from ocr_spark.functions.text import quality_score
+
+    canon = canonicalize_urls(docs.select("doc_id", "text", col), col)
+    q = quality_score(docs.select("doc_id", "text")).select(
+        "doc_id", "quality"
+    )
+    j = (
+        canon.select("doc_id", "canon_url")
+        .where(F.col("canon_url").isNotNull())
+        .join(q, "doc_id")
+    )
+    w = Window.partitionBy("canon_url").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("canon_url"))
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "canon_url",
+            F.col("doc_id").alias("best_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("quality").alias("best_quality"),
+        )
+    )
+
+
+def url_dedup_sql(source: str, col: str = "url") -> str:
+    """DuckDB twin of :func:`url_dedup` — composes the canonicalize
+    and quality twins; same window pick. ``source`` must produce
+    (doc_id, text, ``col``)."""
+    from ocr_spark.functions.text import quality_score_sql
+
+    return f"""
+      WITH canon AS (
+        SELECT doc_id, canon_url
+        FROM ({canonicalize_urls_sql(source, col)})
+      ),
+      q AS (
+        SELECT doc_id, quality
+        FROM ({quality_score_sql(f"({source}) qsrc")})
+      ),
+      r AS (
+        SELECT canon.canon_url, canon.doc_id, q.quality,
+               row_number() OVER (
+                 PARTITION BY canon.canon_url
+                 ORDER BY q.quality DESC, canon.doc_id ASC) AS _rn,
+               count(*) OVER (PARTITION BY canon.canon_url) AS n_members
+        FROM canon JOIN q USING (doc_id)
+        WHERE canon.canon_url IS NOT NULL
+      )
+      SELECT canon_url, doc_id AS best_doc_id,
+             CAST(n_members AS BIGINT) AS n_members,
+             quality AS best_quality
+      FROM r WHERE _rn = 1
+    """

@@ -190,3 +190,64 @@ def test_blocklist_filter_requires_host_column(spark):
     bad = spark.createDataFrame([("a.com",)], "domain string")
     with pytest.raises(ValueError):
         blocklist_filter(df, bad)
+
+
+# ---------------------------------------------------------------------------
+# url_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_url_dedup_collapses_aliases_keep_best(spark):
+    from ocr_spark.functions.urls import url_dedup
+
+    good = "the a of and to in is was for on " * 8
+    noisy = good + "!?!;" * 200
+    rows = [
+        (1, noisy, "https://example.com/page?utm_source=x"),
+        (2, good, "https://EXAMPLE.com/page/"),   # same canonical page
+        (3, good, "https://other.org/a"),
+        (4, good, "not a url"),                   # NULL canon -> not emitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    got = {r.canon_url: r for r in url_dedup(df).collect()}
+    assert len(got) == 2  # NULL-url doc not emitted
+    page = [r for r in got.values() if r.n_members == 2][0]
+    assert page.best_doc_id == 2  # cleaner copy wins over lower id
+
+
+def test_url_dedup_matches_oracle(spark):
+    import duckdb
+
+    from ocr_spark.functions.urls import url_dedup, url_dedup_sql
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    with_url = docs.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "concat('https://www.example.com/page/',"
+            " CAST(doc_id % 50 AS STRING), '?utm_campaign=x')"
+        ).alias("url"),
+    )
+    got = sorted(map(tuple, url_dedup(with_url).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                url_dedup_sql(
+                    "SELECT doc_id, text, 'https://www.example.com/page/' ||"
+                    " CAST(doc_id % 50 AS VARCHAR) ||"
+                    " '?utm_campaign=x' AS url FROM documents"
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    assert len(got) == 50 and all(r[2] == 10 for r in got)  # 10 aliases/page
