@@ -1297,6 +1297,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             w=8,
             min_overlap=2,
         ),
+        # the inverse report: per benchmark item, how many docs leak
+        # it (zero-hit items included — the eval owner's audit)
+        "benchmark_leaks": lambda s, d: cnt.benchmark_leak_report(
+            _read(s, d, "documents"),
+            _read(s, d, "documents").where(F.col("doc_id") % 29 == 0),
+            w=8,
+            min_overlap=2,
+        ),
         # link-graph PageRank (crawl-frontier / source-authority
         # ranking): exact fixed-point integer power iteration — the
         # deterministic edge synthesis below is mirrored in the twin
@@ -1673,6 +1681,12 @@ def oracle_sql() -> dict[str, str]:
             "documents", budget_tokens=700
         ),
         "contamination_overlap": cnt.contamination_sql(
+            "documents",
+            "(SELECT * FROM documents WHERE doc_id % 29 = 0)",
+            w=8,
+            min_overlap=2,
+        ),
+        "benchmark_leaks": cnt.benchmark_leak_report_sql(
             "documents",
             "(SELECT * FROM documents WHERE doc_id % 29 = 0)",
             w=8,

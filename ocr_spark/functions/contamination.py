@@ -169,3 +169,146 @@ def contamination_sql(
       FROM ({sh_hits}) s
       FULL OUTER JOIN ({ct_hits}) c ON s.doc_id = c.doc_id
     """
+
+
+def benchmark_leak_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    w: int = CONTAM_W,
+    min_overlap: int = MIN_OVERLAP,
+) -> DataFrame:
+    """(item_id, kind, n_docs_hit, max_overlap, leaked): the INVERSE
+    of :func:`contamination` — per BENCHMARK ITEM, how many corpus
+    documents leak it and how badly. ``contamination`` answers "which
+    docs must I drop"; this answers the eval owner's question "which
+    of my test items are compromised" — the report published with any
+    decontamination run, zero-hit items included (they prove the eval
+    is clean, not just that dirty docs were dropped).
+
+    kind='wgram' (items with >= ``w`` words): a doc counts iff it
+    shares >= ``min_overlap`` distinct w-grams with the item;
+    max_overlap = the worst doc's shared-gram count (0 when clean).
+    kind='short' (non-empty items under ``w`` words): a doc counts
+    iff it contains the item verbatim; max_overlap = -1 (gram overlap
+    undefined at this length; the span_diff sentinel discipline).
+    NULL/empty-text items carry no signal and are not emitted.
+    leaked = n_docs_hit >= 1.
+
+    Scale shape mirrors ``contamination``: the benchmark side (tiny
+    by definition) is broadcast; the corpus explodes per-doc DISTINCT
+    gram hashes once; the per-(item, doc) counts aggregate on the
+    uniform 60-bit hash then collapse to |items| rows."""
+    items = benchmark.select(F.col("doc_id").alias("item_id"), "text")
+    long_items = items.where(F.expr(f"{_n_words()} >= {w}"))
+    bsh = long_items.select(
+        "item_id",
+        F.explode(F.array_distinct(F.expr(shingles_expr(w)))).alias("sh"),
+    ).select("item_id", F.expr(md5_long_expr("sh")).alias("h"))
+    dsh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(shingles_expr(w)))).alias("sh"),
+    ).select("doc_id", F.expr(md5_long_expr("sh")).alias("h"))
+    pair = (
+        dsh.join(F.broadcast(bsh), "h")
+        .groupBy("item_id", "doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+    )
+    per_long = pair.groupBy("item_id").agg(
+        F.count("*").alias("n_docs_hit"),
+        F.max("n_shared").alias("max_overlap"),
+    )
+    long_report = (
+        long_items.select("item_id")
+        .join(per_long, "item_id", "left")
+        .select(
+            "item_id",
+            F.lit("wgram").alias("kind"),
+            F.coalesce("n_docs_hit", F.lit(0)).cast("long").alias("n_docs_hit"),
+            F.coalesce("max_overlap", F.lit(0)).cast("long").alias("max_overlap"),
+        )
+    )
+    shorts = items.where(
+        F.col("text").isNotNull()
+        & (F.col("text") != "")
+        & F.expr(f"{_n_words()} < {w}")
+    ).select("item_id", F.col("text").alias("b_text"))
+    ct = (
+        docs.join(F.broadcast(shorts), F.expr("contains(text, b_text)"))
+        .groupBy("item_id")
+        .agg(F.count("*").alias("n_docs_hit"))
+    )
+    short_report = (
+        shorts.select("item_id")
+        .join(ct, "item_id", "left")
+        .select(
+            "item_id",
+            F.lit("short").alias("kind"),
+            F.coalesce("n_docs_hit", F.lit(0)).cast("long").alias("n_docs_hit"),
+            F.lit(-1).cast("long").alias("max_overlap"),
+        )
+    )
+    return long_report.unionByName(short_report).withColumn(
+        "leaked", F.col("n_docs_hit") >= 1
+    )
+
+
+def benchmark_leak_report_sql(
+    table: str = "documents",
+    bench_table: str = "documents",
+    w: int = CONTAM_W,
+    min_overlap: int = MIN_OVERLAP,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+) -> str:
+    """DuckDB twin of :func:`benchmark_leak_report`."""
+    nw = f"len(regexp_split_to_array(text, '{WS}+'))"
+    return f"""
+      WITH items AS (
+        SELECT {id_sql} AS item_id, text FROM {bench_table}
+      ),
+      long_items AS (SELECT * FROM items WHERE {nw} >= {w}),
+      bsh AS (
+        SELECT item_id, {md5_long_sql('sh')} AS h
+        FROM (SELECT item_id, unnest(list_distinct({shingles_sql(w)})) AS sh
+              FROM long_items)
+      ),
+      dsh AS (
+        SELECT {id_sql} AS doc_id, {md5_long_sql('sh')} AS h
+        FROM (SELECT doc_id, unnest(list_distinct({shingles_sql(w)})) AS sh
+              FROM {table})
+      ),
+      pair AS (
+        SELECT item_id, doc_id, count(*) AS n_shared
+        FROM dsh JOIN bsh USING (h)
+        GROUP BY item_id, doc_id
+        HAVING count(*) >= {min_overlap}
+      ),
+      per_long AS (
+        SELECT item_id, count(*) AS n_docs_hit, max(n_shared) AS max_overlap
+        FROM pair GROUP BY item_id
+      ),
+      long_report AS (
+        SELECT li.item_id, 'wgram' AS kind,
+               CAST(coalesce(p.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+               CAST(coalesce(p.max_overlap, 0) AS BIGINT) AS max_overlap
+        FROM long_items li LEFT JOIN per_long p USING (item_id)
+      ),
+      shorts AS (
+        SELECT item_id, text AS b_text FROM items
+        WHERE text IS NOT NULL AND text != '' AND {nw} < {w}
+      ),
+      ct AS (
+        SELECT s.item_id, count(*) AS n_docs_hit
+        FROM {table} d JOIN shorts s ON contains(d.text, s.b_text)
+        GROUP BY s.item_id
+      ),
+      short_report AS (
+        SELECT s.item_id, 'short' AS kind,
+               CAST(coalesce(c.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+               CAST(-1 AS BIGINT) AS max_overlap
+        FROM shorts s LEFT JOIN ct c USING (item_id)
+      )
+      SELECT *, n_docs_hit >= 1 AS leaked FROM (
+        SELECT * FROM long_report UNION ALL SELECT * FROM short_report
+      )
+    """
