@@ -844,7 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("url"),
             )
         ),
-        # URL-keyed first-pass dedup: doc_id % 100 aliases ~5 docs per
+        # URL-keyed first-pass dedup: doc_id % 50 aliases 10 docs per
         # canonical page (tracking-param variants collapse); keep-best
         # by quality, ties min id
         "url_dedup": lambda s, d: curl.url_dedup(

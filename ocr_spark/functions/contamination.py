@@ -48,6 +48,37 @@ def _n_words(col: str = "text") -> str:
     return f"size(split({col}, '{WS}+'))"
 
 
+def _doc_shingle_hashes(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, h): per-doc DISTINCT w-gram hashes — THE corpus-side
+    shingle rendering, shared by the per-doc gate and the per-item
+    leak report so a tokenization/hash fix can never desynchronize
+    them."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(shingles_expr(w)))).alias("sh"),
+    ).select("doc_id", F.expr(md5_long_expr("sh")).alias("h"))
+
+
+def _short_items(benchmark: DataFrame, w: int) -> DataFrame:
+    """Non-empty benchmark rows under ``w`` words (the containment
+    branch's input), with text duplicated as b_text — shared
+    rendering."""
+    return benchmark.where(
+        F.col("text").isNotNull()
+        & (F.col("text") != "")
+        & F.expr(f"{_n_words()} < {w}")
+    ).withColumn("b_text", F.col("text"))
+
+
+def _dsh_sql(table: str, w: int, id_sql: str = "CAST(doc_id AS BIGINT)") -> str:
+    """DuckDB twin of :func:`_doc_shingle_hashes`."""
+    return f"""
+        SELECT {id_sql} AS doc_id, {md5_long_sql('sh')} AS h
+        FROM (SELECT doc_id, unnest(list_distinct({shingles_sql(w)})) AS sh
+              FROM {table})
+    """
+
+
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -71,10 +102,7 @@ def contamination(
     (short benchmark items are then silently uncheckable — only safe
     when every item has >= w words).
     """
-    dsh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(shingles_expr(w)))).alias("sh"),
-    ).select("doc_id", F.expr(md5_long_expr("sh")).alias("h"))
+    dsh = _doc_shingle_hashes(docs, w)
     bsh = (
         benchmark.where(F.expr(f"{_n_words()} >= {w}"))
         .select(F.explode(F.expr(shingles_expr(w))).alias("sh"))
@@ -93,15 +121,7 @@ def contamination(
             F.lit(0).alias("n_contained"),
             (F.col("n_overlap") >= min_overlap).alias("contaminated"),
         )
-    shorts = (
-        benchmark.where(
-            F.col("text").isNotNull()
-            & (F.col("text") != "")
-            & F.expr(f"{_n_words()} < {w}")
-        )
-        .select(F.col("text").alias("b_text"))
-        .distinct()
-    )
+    shorts = _short_items(benchmark, w).select("b_text").distinct()
     # one row per (doc row, short item) pair by construction (shorts
     # is distinct), so count(*) == count(distinct b_text) — and skips
     # the extra dedup Exchange a count_distinct would add
@@ -134,11 +154,7 @@ def contamination_sql(
     nw = f"len(regexp_split_to_array(text, '{WS}+'))"
     sh_hits = f"""
       SELECT dsh.doc_id AS doc_id, count(*) AS n_overlap
-      FROM (
-        SELECT doc_id, {md5_long_sql('sh')} AS h
-        FROM (SELECT doc_id, unnest(list_distinct({shingles_sql(w)})) AS sh
-              FROM {table})
-      ) dsh
+      FROM ({_dsh_sql(table, w)}) dsh
       JOIN (
         SELECT DISTINCT {md5_long_sql('sh')} AS h
         FROM (SELECT unnest({shingles_sql(w)}) AS sh
@@ -177,13 +193,22 @@ def benchmark_leak_report(
     w: int = CONTAM_W,
     min_overlap: int = MIN_OVERLAP,
 ) -> DataFrame:
-    """(item_id, kind, n_docs_hit, max_overlap, leaked): the INVERSE
-    of :func:`contamination` — per BENCHMARK ITEM, how many corpus
-    documents leak it and how badly. ``contamination`` answers "which
-    docs must I drop"; this answers the eval owner's question "which
-    of my test items are compromised" — the report published with any
-    decontamination run, zero-hit items included (they prove the eval
-    is clean, not just that dirty docs were dropped).
+    """(item_id, kind, n_docs_hit, max_overlap, leaked): the
+    per-BENCHMARK-ITEM complement of :func:`contamination` — how many
+    corpus documents leak each item and how badly. ``contamination``
+    answers "which docs must I drop"; this answers the eval owner's
+    question "which of my test items are compromised", zero-hit items
+    included (they prove the eval is clean, not just that dirty docs
+    were dropped).
+
+    NOT a row-for-row inverse: the gate pools shared grams ACROSS
+    items per doc (a doc sharing 1 gram with each of two items is
+    contaminated at min_overlap=2), while this report thresholds per
+    (item, doc) pair — such a spread-overlap doc is dropped by the
+    gate yet charges NO single item here, correctly: neither item
+    individually leaked. Read the gate for drop decisions and this
+    report for item health; their totals are not reconcilable by
+    construction.
 
     kind='wgram' (items with >= ``w`` words): a doc counts iff it
     shares >= ``min_overlap`` distinct w-grams with the item;
@@ -204,10 +229,7 @@ def benchmark_leak_report(
         "item_id",
         F.explode(F.array_distinct(F.expr(shingles_expr(w)))).alias("sh"),
     ).select("item_id", F.expr(md5_long_expr("sh")).alias("h"))
-    dsh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(shingles_expr(w)))).alias("sh"),
-    ).select("doc_id", F.expr(md5_long_expr("sh")).alias("h"))
+    dsh = _doc_shingle_hashes(docs, w)
     pair = (
         dsh.join(F.broadcast(bsh), "h")
         .groupBy("item_id", "doc_id")
@@ -228,11 +250,7 @@ def benchmark_leak_report(
             F.coalesce("max_overlap", F.lit(0)).cast("long").alias("max_overlap"),
         )
     )
-    shorts = items.where(
-        F.col("text").isNotNull()
-        & (F.col("text") != "")
-        & F.expr(f"{_n_words()} < {w}")
-    ).select("item_id", F.col("text").alias("b_text"))
+    shorts = _short_items(items, w).select("item_id", "b_text")
     ct = (
         docs.join(F.broadcast(shorts), F.expr("contains(text, b_text)"))
         .groupBy("item_id")
@@ -272,11 +290,7 @@ def benchmark_leak_report_sql(
         FROM (SELECT item_id, unnest(list_distinct({shingles_sql(w)})) AS sh
               FROM long_items)
       ),
-      dsh AS (
-        SELECT {id_sql} AS doc_id, {md5_long_sql('sh')} AS h
-        FROM (SELECT doc_id, unnest(list_distinct({shingles_sql(w)})) AS sh
-              FROM {table})
-      ),
+      dsh AS ({_dsh_sql(table, w, id_sql)}),
       pair AS (
         SELECT item_id, doc_id, count(*) AS n_shared
         FROM dsh JOIN bsh USING (h)

@@ -188,16 +188,21 @@ def lang_id_sql(table: str = "documents") -> str:
 _ALL_STOPS = sorted({w for lang in ("en", "de", "fr", "es") for w in STOPWORDS[lang]})
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, n_chars_obs, n_words, stop_ratio, punct_ratio, quality)
     — deterministic length/punct/stopword quality heuristic.
 
     quality = floor6(0.35*min(1, 3*stop_ratio) + 0.25*min(1, chars/500)
               + 0.2*min(1, words/100) + 0.2*(1 - punct_ratio))
+
+    ``keep`` carries extra input columns through to the output so a
+    consumer keyed on another column (url_dedup's canon_url) gets the
+    score in the SAME scan instead of joining back on doc_id.
     """
     stops = _lit_array_expr(_ALL_STOPS)
     base = docs.selectExpr(
         "doc_id",
+        *keep,
         "length(text) AS n_chars_obs",
         f"size(split(text, '{WS}+')) AS n_words",
         f"size(filter(split(text, '{WS}+'), w -> array_contains({stops}, lower(w)))) AS stop_hits",
@@ -213,6 +218,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     return base.select(
         "doc_id",
+        *keep,
         "n_chars_obs",
         "n_words",
         floor6(stop_ratio).alias("stop_ratio"),
@@ -222,11 +228,15 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 
 def quality_score_sql(
-    table: str = "documents", id_sql: str = "CAST(doc_id AS BIGINT)"
+    table: str = "documents",
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+    keep: tuple[str, ...] = (),
 ) -> str:
     """``id_sql`` renders the id with the type Spark reads it as —
     BIGINT for the int contract corpus, plain ``doc_id`` for string-id
-    corpora (the operator itself is id-type-agnostic)."""
+    corpora (the operator itself is id-type-agnostic). ``keep``
+    mirrors the Spark signature."""
+    keep_cols = "".join(f", {c}" for c in keep)
     stops = _lit_list_sql(_ALL_STOPS)
     stop_ratio = "(stop_hits / greatest(n_words, 1))"
     punct_ratio = "(punct_hits / greatest(n_chars_obs, 1))"
@@ -239,12 +249,12 @@ def quality_score_sql(
         f"+ 0.2 * (CAST(1.0 AS DOUBLE) - {punct_ratio})"
     )
     return f"""
-      SELECT doc_id, n_chars_obs, n_words,
+      SELECT doc_id{keep_cols}, n_chars_obs, n_words,
              {floor6_sql(stop_ratio)} AS stop_ratio,
              {floor6_sql(punct_ratio)} AS punct_ratio,
              {floor6_sql(quality)} AS quality
       FROM (
-        SELECT {id_sql} AS doc_id,
+        SELECT {id_sql} AS doc_id{keep_cols},
                CAST(length(text) AS INT) AS n_chars_obs,
                CAST(len(regexp_split_to_array(text, '{WS}+')) AS INT) AS n_words,
                CAST(len(list_filter(regexp_split_to_array(text, '{WS}+'),

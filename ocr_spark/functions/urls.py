@@ -232,30 +232,26 @@ def url_dedup(docs: DataFrame, col: str = "url") -> DataFrame:
     one survivor would silently merge unrelated pages. Callers route
     the NULL-url remainder to content dedup unchanged.
 
-    Scale shape: canonicalization + quality are scan-stage column
-    expressions computed in ONE pass over the corpus; the only
-    shuffle is the window sort partitioned by canon_url (uniform —
-    a canonical url is a natural near-unique key; a pathological
-    mega-alias key is exactly the duplication this operator removes).
-    ``doc_id`` is ID-TYPE-AGNOSTIC."""
+    Scale shape: canonicalization AND the quality score are computed
+    in the SAME scan (quality_score's ``keep`` passthrough — no
+    corpus self-join back on doc_id); the only shuffle is the window
+    sort partitioned by canon_url (uniform — a canonical url is a
+    natural near-unique key; a pathological mega-alias key is exactly
+    the duplication this operator removes). ``doc_id`` is
+    ID-TYPE-AGNOSTIC."""
     from pyspark.sql import Window
 
     from ocr_spark.functions.text import quality_score
 
     canon = canonicalize_urls(docs.select("doc_id", "text", col), col)
-    q = quality_score(docs.select("doc_id", "text")).select(
-        "doc_id", "quality"
-    )
-    j = (
-        canon.select("doc_id", "canon_url")
-        .where(F.col("canon_url").isNotNull())
-        .join(q, "doc_id")
+    scored = quality_score(canon, keep=("canon_url",)).where(
+        F.col("canon_url").isNotNull()
     )
     w = Window.partitionBy("canon_url").orderBy(
         F.desc("quality"), F.asc("doc_id")
     )
     return (
-        j.withColumn("_rn", F.row_number().over(w))
+        scored.withColumn("_rn", F.row_number().over(w))
         .withColumn(
             "n_members", F.count("*").over(Window.partitionBy("canon_url"))
         )
@@ -269,29 +265,30 @@ def url_dedup(docs: DataFrame, col: str = "url") -> DataFrame:
     )
 
 
-def url_dedup_sql(source: str, col: str = "url") -> str:
-    """DuckDB twin of :func:`url_dedup` — composes the canonicalize
-    and quality twins; same window pick. ``source`` must produce
-    (doc_id, text, ``col``)."""
+def url_dedup_sql(
+    source: str,
+    col: str = "url",
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+) -> str:
+    """DuckDB twin of :func:`url_dedup` — the quality twin runs over
+    the canonicalized source in one scan (``keep`` passthrough);
+    ``id_sql`` plumbs the id type end-to-end (string-id corpora pass
+    ``'doc_id'``). ``source`` must produce (doc_id, text, ``col``)."""
     from ocr_spark.functions.text import quality_score_sql
 
+    scored = quality_score_sql(
+        f"({canonicalize_urls_sql(source, col)}) canon",
+        id_sql=id_sql,
+        keep=("canon_url",),
+    )
     return f"""
-      WITH canon AS (
-        SELECT doc_id, canon_url
-        FROM ({canonicalize_urls_sql(source, col)})
-      ),
-      q AS (
-        SELECT doc_id, quality
-        FROM ({quality_score_sql(f"({source}) qsrc")})
-      ),
-      r AS (
-        SELECT canon.canon_url, canon.doc_id, q.quality,
+      WITH r AS (
+        SELECT canon_url, doc_id, quality,
                row_number() OVER (
-                 PARTITION BY canon.canon_url
-                 ORDER BY q.quality DESC, canon.doc_id ASC) AS _rn,
-               count(*) OVER (PARTITION BY canon.canon_url) AS n_members
-        FROM canon JOIN q USING (doc_id)
-        WHERE canon.canon_url IS NOT NULL
+                 PARTITION BY canon_url
+                 ORDER BY quality DESC, doc_id ASC) AS _rn,
+               count(*) OVER (PARTITION BY canon_url) AS n_members
+        FROM ({scored}) WHERE canon_url IS NOT NULL
       )
       SELECT canon_url, doc_id AS best_doc_id,
              CAST(n_members AS BIGINT) AS n_members,

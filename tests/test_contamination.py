@@ -76,3 +76,31 @@ def test_leak_report_matches_oracle(spark):
     # every benchmark item is accounted for (self-inclusion: each item
     # is its own corpus doc here, so every wgram item leaks)
     assert len(got) == bench.count()
+
+
+def test_leak_report_is_not_a_row_inverse_of_the_gate(spark):
+    """Documented semantics: a doc whose overlap is SPREAD across
+    items (1 gram with each of two items, min_overlap=2) is dropped
+    by the pooled gate yet charges NO single item in the report —
+    neither item individually leaked."""
+    from ocr_spark.functions.contamination import (
+        benchmark_leak_report,
+        contamination,
+    )
+
+    g = lambda i: f"s{i}a s{i}b s{i}c s{i}d s{i}e"  # one 5-gram each
+    bench = spark.createDataFrame(
+        [(100, g(1) + " tailone extra words here"),
+         (101, g(2) + " tailtwo extra words here")],
+        "doc_id long, text string",
+    )
+    doc = spark.createDataFrame(
+        [(1, g(1) + " BRIDGE " + g(2))], "doc_id long, text string"
+    )
+    gate = contamination(doc, bench, w=5, min_overlap=2).collect()[0]
+    assert gate.contaminated and gate.n_overlap == 2  # pooled across items
+    rows = {
+        r.item_id: r
+        for r in benchmark_leak_report(doc, bench, w=5, min_overlap=2).collect()
+    }
+    assert not rows[100].leaked and not rows[101].leaked  # per-item view

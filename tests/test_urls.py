@@ -251,3 +251,52 @@ def test_url_dedup_matches_oracle(spark):
     )
     assert got == want
     assert len(got) == 50 and all(r[2] == 10 for r in got)  # 10 aliases/page
+
+
+def test_url_dedup_plan_has_no_corpus_self_join(spark):
+    from ocr_spark.functions import urls as curl
+    from ocr_spark.plans import plan_str as _plan
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with_url = docs.select(
+        "doc_id", "text",
+        F.concat(F.lit("https://e.com/p/"), F.col("doc_id") % 50).alias("url"),
+    )
+    p = _plan(curl.url_dedup(with_url), "simple")
+    assert "Join" not in p  # quality computed in the SAME scan
+
+
+def test_url_dedup_string_ids_cross_engine(spark):
+    import duckdb
+    import pandas as pd
+
+    from ocr_spark.functions.urls import url_dedup, url_dedup_sql
+
+    body = "the a of and to in is was for on " * 6
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["sha1:b", "sha1:a", "sha1:c"],
+            "text": [body, body, body + " more"],
+            "url": [
+                "https://e.com/p1?utm_source=x",
+                "https://E.com/p1",
+                "https://e.com/p2",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t_ud_sid", pdf)
+    got = sorted(map(tuple, url_dedup(df).collect()))
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                url_dedup_sql("SELECT * FROM t_ud_sid", id_sql="doc_id")
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    reps = {r[0]: r[1] for r in got}
+    assert any(v == "sha1:a" for v in reps.values())  # tie -> min string id
