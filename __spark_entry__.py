@@ -1001,6 +1001,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": lambda s, d: tsr.asof_join_events(
             _read(s, d, "events")
         ),
+        # dense hourly resample with forward-fill: empty buckets carry
+        # the last sum (integer cents — engine-exact aggregation)
+        "resample_hourly": lambda s, d: tsr.resample_fill(
+            _read(s, d, "events"), step_s=3600, fill="ffill"
+        ),
         "running_user_stats": lambda s, d: tsr.running_user_stats(
             _read(s, d, "events")
         ),
@@ -1555,6 +1560,9 @@ def oracle_sql() -> dict[str, str]:
         "event_window_counts": _event_windows_sql(),
         "event_sessions": sess.sessionize_sql(),
         "asof_purchase_click": tsr.asof_join_events_sql(),
+        "resample_hourly": tsr.resample_fill_sql(
+            "events", step_s=3600, fill="ffill"
+        ),
         "running_user_stats": tsr.running_user_stats_sql(),
         "distinct_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "

@@ -185,3 +185,147 @@ def running_user_stats_sql(table: str = "events") -> str:
                        ROWS UNBOUNDED PRECEDING),
              w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# time-bucket resampling with gap fill
+# ---------------------------------------------------------------------------
+
+
+def resample_fill(
+    events: DataFrame,
+    step_s: int = 3600,
+    fill: str = "zero",
+) -> DataFrame:
+    """(event_type, bucket_start, n_events, sum_value_cents, filled):
+    per event type, a DENSE series of ``step_s``-second buckets from
+    that type's first to last event — the resample + gap-fill every
+    monitoring/feature pipeline needs, because a naive groupBy emits
+    NO row for an empty hour and downstream charts/models silently
+    interpolate over outages.
+
+    Buckets are integer epoch seconds (``(epoch div step) * step`` as
+    BIGINT — timestamps themselves are a cross-engine tz trap; DuckDB
+    to_timestamp returns TIMESTAMPTZ). Value sums are integer cents
+    (``floor(value*100 + 0.5)`` per row, summed as BIGINT) so the
+    aggregate is association-independent and engine-exact (the
+    kmeans/tf-idf integer-sum discipline). ``fill``: 'zero' (empty
+    buckets report 0/0) or 'ffill' (empty buckets CARRY the last
+    non-empty bucket's sum_value_cents — the sensor-reading
+    semantics; n_events stays 0 and ``filled`` marks the row either
+    way). Rows with NULL ts or NULL event_type carry no bucket/series
+    key and are excluded (documented, not silent: they cannot join a
+    spine).
+
+    Scale shape: one groupBy (type, bucket) aggregation with map-side
+    partials; the spine is generated from the tiny per-type bounds
+    table (|types| rows -> sequence explode, buckets only, never
+    event rows); one left equi-join spine->agg on (type, bucket); the
+    ffill window sorts each type's bucket spine (bounded by time
+    range / step, not by event count)."""
+    if fill not in ("zero", "ffill"):
+        raise ValueError("fill must be 'zero' or 'ffill'")
+    if step_s < 1:
+        raise ValueError("step_s must be >= 1")
+    from pyspark.sql import Window
+
+    live = events.where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    # floor (not truncate-toward-zero) to mirror DuckDB's
+    # floor(epoch/step); positive epochs agree either way, floor is
+    # the honest rendering. unix_timestamp drops sub-second fractions
+    # — harmless: bucket boundaries are integers, a <1 s fraction
+    # cannot move a row across one.
+    bucket = (
+        F.floor(F.unix_timestamp("ts") / F.lit(float(step_s))) * step_s
+    ).cast("long")
+    cents = F.expr(
+        "CAST(floor(coalesce(value, CAST(0.0 AS DOUBLE)) * 100.0 + 0.5) AS BIGINT)"
+    )
+    agg = (
+        live.select(
+            "event_type", bucket.alias("bucket_start"), cents.alias("_c")
+        )
+        .groupBy("event_type", "bucket_start")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("_c").alias("_sum"),
+        )
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr(f"sequence(_lo, _hi, {step_s})")).alias("bucket_start"),
+    )
+    j = spine.join(agg, ["event_type", "bucket_start"], "left")
+    filled = F.col("_n").isNull()
+    if fill == "ffill":
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("bucket_start")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        sum_col = F.coalesce(F.last("_sum", ignorenulls=True).over(w), F.lit(0))
+    else:
+        sum_col = F.coalesce(F.col("_sum"), F.lit(0))
+    return j.select(
+        "event_type",
+        "bucket_start",
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_events"),
+        sum_col.cast("long").alias("sum_value_cents"),
+        filled.alias("filled"),
+    )
+
+
+def resample_fill_sql(
+    table: str = "events", step_s: int = 3600, fill: str = "zero"
+) -> str:
+    """DuckDB twin of :func:`resample_fill` (generate_series is
+    inclusive-stop like Spark sequence; epoch() floors to seconds via
+    the same integer division)."""
+    if fill not in ("zero", "ffill"):
+        raise ValueError("fill must be 'zero' or 'ffill'")
+    if step_s < 1:
+        raise ValueError("step_s must be >= 1")
+    if fill == "ffill":
+        sum_col = (
+            "coalesce(last_value(_sum IGNORE NULLS) OVER ("
+            "PARTITION BY event_type ORDER BY bucket_start "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)"
+        )
+    else:
+        sum_col = "coalesce(_sum, 0)"
+    return f"""
+      WITH agg AS (
+        SELECT event_type,
+               CAST(CAST(floor(epoch(ts) / {step_s}) AS BIGINT) * {step_s}
+                 AS BIGINT) AS bucket_start,
+               count(*) AS _n,
+               sum(CAST(floor(coalesce(value, CAST(0.0 AS DOUBLE)) * 100.0
+                 + 0.5) AS BIGINT)) AS _sum
+        FROM {table}
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+      ),
+      bounds AS (
+        SELECT event_type, min(bucket_start) AS _lo, max(bucket_start) AS _hi
+        FROM agg GROUP BY 1
+      ),
+      spine AS (
+        SELECT event_type,
+               unnest(generate_series(_lo, _hi, {step_s})) AS bucket_start
+        FROM bounds
+      ),
+      j AS (
+        SELECT s.event_type, s.bucket_start, a._n, a._sum
+        FROM spine s LEFT JOIN agg a USING (event_type, bucket_start)
+      )
+      SELECT event_type, bucket_start,
+             CAST(coalesce(_n, 0) AS BIGINT) AS n_events,
+             CAST({sum_col} AS BIGINT) AS sum_value_cents,
+             _n IS NULL AS filled
+      FROM j
+    """

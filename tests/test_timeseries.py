@@ -156,3 +156,78 @@ def test_running_stats_single_shuffle(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     plan = _plan(running_user_stats(ev), "simple")
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# resample_fill
+# ---------------------------------------------------------------------------
+
+
+def test_resample_fill_semantics(spark):
+    from ocr_spark.functions.timeseries import resample_fill
+
+    rows = [
+        (1, "2024-01-01 00:10:00", "click", 1.50),
+        (2, "2024-01-01 00:40:00", "click", 2.25),
+        # hour 01 empty -> gap bucket
+        (3, "2024-01-01 02:05:00", "click", 4.00),
+        (4, "2024-01-01 00:30:00", "view", None),  # NULL value -> 0 cents
+        (5, None, "click", 9.99),                  # NULL ts excluded
+        (6, "2024-01-01 03:00:00", None, 1.0),     # NULL type excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+    z = {
+        (r.event_type, r.bucket_start): r
+        for r in resample_fill(df, 3600, "zero").collect()
+    }
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert len(z) == 4  # click x3 dense hours + view x1
+    h0 = z[("click", base)]
+    assert (h0.n_events, h0.sum_value_cents, h0.filled) == (2, 375, False)
+    gap = z[("click", base + 3600)]
+    assert (gap.n_events, gap.sum_value_cents, gap.filled) == (0, 0, True)
+    assert z[("view", base)].sum_value_cents == 0
+
+    f = {
+        (r.event_type, r.bucket_start): r
+        for r in resample_fill(df, 3600, "ffill").collect()
+    }
+    # gap bucket CARRIES the previous hour's sum; still marked filled
+    assert (f[("click", base + 3600)].sum_value_cents,
+            f[("click", base + 3600)].filled) == (375, True)
+    assert f[("click", base + 7200)].sum_value_cents == 400
+
+
+def test_resample_fill_matches_oracle_both_modes(spark):
+    import duckdb
+
+    from ocr_spark.functions.timeseries import resample_fill, resample_fill_sql
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    for mode in ("zero", "ffill"):
+        got = sorted(map(tuple, resample_fill(ev, 3600, mode).collect()))
+        want = sorted(
+            map(tuple, con.execute(resample_fill_sql("events", 3600, mode)).fetchall())
+        )
+        assert got == want and len(got) > 0
+
+
+def test_resample_fill_rejects_bad_args(spark):
+    from ocr_spark.functions.timeseries import resample_fill, resample_fill_sql
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        resample_fill(ev, 3600, "interpolate")
+    with _pt.raises(ValueError):
+        resample_fill(ev, 0)
+    with _pt.raises(ValueError):
+        resample_fill_sql("events", 3600, "interpolate")
