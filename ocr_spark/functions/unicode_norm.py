@@ -92,6 +92,27 @@ CTRL_RE = r"[\x00-\x08\x0E-\x1F\x7F-\x9F]"
 REPLACEMENT_CHAR = chr(0xFFFD)
 
 
+def _damage_counts(t):
+    """The three damage-signal count columns over an already
+    NULL-coalesced text column — ONE definition shared by
+    encoding_profile and encoding_suspect_col."""
+    return (
+        F.regexp_count(t, F.lit(REPLACEMENT_CHAR)),
+        F.regexp_count(t, F.lit(MOJIBAKE_RE)),
+        F.regexp_count(t, F.lit(CTRL_RE)),
+    )
+
+
+def encoding_suspect_col(text) -> "F.Column":
+    """The boolean ``suspect`` signal as a single column over a text
+    column (NULL-safe: NULL text profiles clean) — for consumers that
+    fold the gate into their own single scan (the streaming quality
+    monitor) instead of joining :func:`encoding_profile` back."""
+    t = F.coalesce(text, F.lit(""))
+    n_repl, n_moj, n_ctrl = _damage_counts(t)
+    return (n_repl + n_moj + n_ctrl) > 0
+
+
 def encoding_profile(docs: DataFrame) -> DataFrame:
     """(doc_id, n_replacement, n_mojibake, n_ctrl, suspect): per-doc
     encoding-damage signals — U+FFFD replacement characters (a decoder
@@ -105,9 +126,7 @@ def encoding_profile(docs: DataFrame) -> DataFrame:
     zero shuffle, no UDF. NULL text profiles as the empty string (the
     row is emitted, never dropped)."""
     t = F.coalesce(F.col("text"), F.lit(""))
-    n_repl = F.regexp_count(t, F.lit(REPLACEMENT_CHAR))
-    n_moj = F.regexp_count(t, F.lit(MOJIBAKE_RE))
-    n_ctrl = F.regexp_count(t, F.lit(CTRL_RE))
+    n_repl, n_moj, n_ctrl = _damage_counts(t)
     return docs.select(
         "doc_id",
         n_repl.alias("n_replacement"),

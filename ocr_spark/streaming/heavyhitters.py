@@ -89,25 +89,14 @@ def run_vocab_stream(
     checkpoint_dir: str,
 ):
     """availableNow drain: count each document file batch into its own
-    state partition (replay-idempotent dynamic overwrite)."""
-    schema = spark.read.parquet(input_dir).schema
+    state partition (replay-idempotent dynamic overwrite via the
+    shared state_config scaffold)."""
+    from ocr_spark.streaming.state_config import (
+        run_partitioned_drain,
+        write_batch_partition,
+    )
 
     def _process(bdf: DataFrame, batch_id: int) -> None:
-        (
-            vocab_counts_batch(bdf)
-            .withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(state_dir)
-        )
+        write_batch_partition(vocab_counts_batch(bdf), batch_id, state_dir)
 
-    src = spark.readStream.schema(schema).parquet(input_dir)
-    q = (
-        src.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return run_partitioned_drain(spark, input_dir, checkpoint_dir, _process)

@@ -11,9 +11,11 @@ verdicts — exactly-once state from at-least-once execution (the
 Verdict rows are per-doc and additive-by-union, so corpus-level
 ingest stats are one aggregation over the state dir.
 
-All three signals are scan-stage column expressions; the per-batch
-plan is two doc_id equi-joins of micro-batch-sized frames (the same
-composition jobs/curate.py runs corpus-wide).
+All three signals are scan-stage column expressions computed in ONE
+row-preserving projection — no doc_id joins, so duplicate ids (a
+re-crawled page landing twice) yield exactly one verdict row per
+input row instead of a join fan-out, and the pinned merged-equals-
+batch invariant holds for ANY input.
 
 Reference analog: none (the reference has no streaming); extends the
 beyond-reference streaming family (SURVEY.md §2.8 addenda).
@@ -24,8 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_spark.functions.text import lang_id, quality_score
-from ocr_spark.functions.unicode_norm import encoding_profile
+from ocr_spark.functions.text import lang_pred_expr, quality_score
+from ocr_spark.functions.unicode_norm import encoding_suspect_col
 
 
 def quality_verdicts_batch(
@@ -36,18 +38,28 @@ def quality_verdicts_batch(
     """(doc_id, quality, lang_pred, enc_suspect, keep) for ONE batch —
     the curate funnel's gate stage as a per-document verdict table.
     keep = quality >= min_quality AND NOT enc_suspect AND (lang_pred
-    in ``langs`` when given). Every doc is emitted with its verdict
-    (the audit trail a drop-only gate loses)."""
-    q = quality_score(docs).select("doc_id", "quality")
-    lid = lang_id(docs).select("doc_id", "lang_pred")
-    enc = encoding_profile(docs).select(
-        "doc_id", F.col("suspect").alias("enc_suspect")
+    in ``langs`` when given), coalesced to a DEFINITE False when
+    quality is NULL (NULL text): a three-valued NULL verdict would
+    vanish from BOTH where(keep) and where(~keep) partitions of the
+    audit trail. Every doc is emitted with its verdict, one row per
+    input row (row-preserving projection, no joins — duplicate ids
+    cannot fan out)."""
+    v = (
+        quality_score(docs.select("doc_id", "text"), keep=("text",))
+        .select("doc_id", "text", "quality")
+        .withColumn("lang_pred", F.expr(lang_pred_expr()))
+        .withColumn("enc_suspect", encoding_suspect_col(F.col("text")))
     )
-    v = q.join(lid, "doc_id").join(enc, "doc_id")
     keep = (F.col("quality") >= min_quality) & (~F.col("enc_suspect"))
     if langs:
         keep = keep & F.col("lang_pred").isin(*langs)
-    return v.select("doc_id", "quality", "lang_pred", "enc_suspect", keep.alias("keep"))
+    return v.select(
+        "doc_id",
+        "quality",
+        "lang_pred",
+        "enc_suspect",
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
 
 
 def stats_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -73,25 +85,20 @@ def run_quality_stream(
     langs: tuple[str, ...] | None = None,
 ):
     """availableNow drain: verdict each document file batch into its
-    own state partition (replay-idempotent dynamic overwrite)."""
-    schema = spark.read.parquet(input_dir).schema
+    own state partition (replay-idempotent dynamic overwrite via the
+    shared :func:`~ocr_spark.streaming.state_config.write_batch_partition`
+    / :func:`~ocr_spark.streaming.state_config.run_partitioned_drain`
+    scaffold)."""
+    from ocr_spark.streaming.state_config import (
+        run_partitioned_drain,
+        write_batch_partition,
+    )
 
     def _process(bdf: DataFrame, batch_id: int) -> None:
-        (
-            quality_verdicts_batch(bdf, min_quality, langs)
-            .withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(state_dir)
+        write_batch_partition(
+            quality_verdicts_batch(bdf, min_quality, langs),
+            batch_id,
+            state_dir,
         )
 
-    src = spark.readStream.schema(schema).parquet(input_dir)
-    q = (
-        src.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return run_partitioned_drain(spark, input_dir, checkpoint_dir, _process)

@@ -135,3 +135,48 @@ def drain_query(q, ttl_active: bool) -> None:
     except Exception as e:  # re-raise real failures, swallow our stop
         if not _is_stop_interrupt(e):
             raise
+
+
+# ---------------------------------------------------------------------------
+# batch-partitioned state drain (the replay-idempotence scaffold)
+# ---------------------------------------------------------------------------
+
+
+def write_batch_partition(df, batch_id: int, state_dir: str) -> None:
+    """THE replay-idempotent state write: the frame lands in its OWN
+    ``ingest_batch`` partition with dynamic partition overwrite, so a
+    replayed micro-batch (foreachBatch is at-least-once) rewrites its
+    partition instead of duplicating rows — exactly-once state from
+    at-least-once execution. One definition shared by every
+    batch-partitioned stream (heavyhitters / quality / neardup);
+    hardening the recipe happens here, not in three copies."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(state_dir)
+    )
+
+
+def run_partitioned_drain(
+    spark: SparkSession, input_dir: str, checkpoint_dir: str, process
+):
+    """availableNow foreachBatch drain scaffold shared by the
+    batch-partitioned state streams: schema-probed parquet source,
+    checkpointed, self-terminating (no processing-time timeouts, so
+    plain awaitTermination drains cleanly). ``process(bdf, batch_id)``
+    owns the state writes (typically via
+    :func:`write_batch_partition`)."""
+    schema = spark.read.parquet(input_dir).schema
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

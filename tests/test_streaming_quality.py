@@ -79,3 +79,30 @@ def test_lang_gate_passthrough(spark, tmp_path):
     }
     assert got[1][0] == "de" and not got[1][1]  # German gated out
     assert got[2] == ("en", True)
+
+
+def test_verdicts_are_row_preserving_and_null_text_definite(spark):
+    """Duplicate doc_ids must yield one verdict per input row (no
+    join fan-out) and NULL text must get a DEFINITE keep=False, not a
+    three-valued NULL that vanishes from both audit partitions."""
+    df = spark.createDataFrame(
+        [(1, GOOD), (1, GOOD), (1, LOWQ), (2, None)],
+        "doc_id long, text string",
+    )
+    v = quality_verdicts_batch(df)
+    rows = v.collect()
+    assert len(rows) == 4  # k rows in, k verdicts out
+    null_v = [r for r in rows if r.doc_id == 2][0]
+    assert null_v.keep is False and null_v.lang_pred == "und"
+    assert not null_v.enc_suspect
+    # every row lands in exactly one audit partition
+    from pyspark.sql import functions as F
+
+    assert v.where(F.col("keep")).count() + v.where(~F.col("keep")).count() == 4
+
+
+def test_verdicts_plan_has_no_join(spark):
+    from ocr_spark.plans import plan_str as _plan
+
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    assert "Join" not in _plan(quality_verdicts_batch(df), "simple")
