@@ -115,37 +115,21 @@ def run_neardup_stream(
     the maintained band index, growing it with each batch's survivors.
     ``min_match``: agreeing signature components (of 16) to count as a
     near-dup; default k//2 (estimated Jaccard >= 0.5)."""
-    schema = spark.read.parquet(input_dir).schema
+    from ocr_spark.streaming.state_config import (
+        run_partitioned_drain,
+        write_batch_partition,
+    )
 
     def _process(bdf: DataFrame, batch_id: int) -> None:
         s = bdf.sparkSession
         index = _read_index(s, index_dir)
         survivors = neardup_batch(bdf, index, min_match=min_match).persist()
         try:
-            (
-                survivors.withColumn("ingest_batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_batch")
-                .parquet(output_dir)
-            )
-            (
-                minhash_band_index(survivors)
-                .withColumn("ingest_batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_batch")
-                .parquet(index_dir)
+            write_batch_partition(survivors, batch_id, output_dir)
+            write_batch_partition(
+                minhash_band_index(survivors), batch_id, index_dir
             )
         finally:
             survivors.unpersist()
 
-    src = spark.readStream.schema(schema).parquet(input_dir)
-    q = (
-        src.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return run_partitioned_drain(spark, input_dir, checkpoint_dir, _process)
