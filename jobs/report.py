@@ -22,6 +22,12 @@ parquet under --output/<name>:
                    (functions/unicode_norm.py)
 - scripts        : per-source x dominant-writing-system doc counts
                    (functions/text.py script_profile)
+- duplication    : per-source mean shared-window fraction + windowless
+                   count (functions/scrub.py duplication_profile) —
+                   the boilerplate/mirror-mass monitor
+- fertility      : (--bpe-tokens) BPE tokens per whitespace word per
+                   detected language (functions/bpe.py) — tokenizer
+                   equity under the baked trained merges
 - source_overlap : bottom-k-sketch estimated content Jaccard for every
                    source pair (mirror/repackage detection,
                    functions/sketches.py) — one corpus pass, exact
@@ -134,6 +140,35 @@ def main() -> None:
         )
     )
     tables["source_overlap"] = source_overlap(docs, group_col=g)
+    # per-source duplication severity: mean shared-window fraction
+    # (docs with windows) + windowless count — rising mean_dup_ppm
+    # after a crawl = a boilerplate-heavy or mirrored source
+    from ocr_spark.functions.scrub import duplication_profile
+
+    dup = duplication_profile(docs)
+    tables["duplication"] = (
+        docs.select("doc_id", g)
+        .join(dup, "doc_id")
+        .groupBy(g)
+        .agg(
+            F.sum(
+                F.when(F.col("dup_ppm") >= 0, F.col("dup_ppm")).otherwise(0)
+            ).alias("_sum_ppm"),
+            F.sum(
+                F.when(F.col("dup_ppm") >= 0, 1).otherwise(0)
+            ).alias("_n_measured"),
+            F.sum(
+                F.when(F.col("dup_ppm") < 0, 1).otherwise(0)
+            ).alias("n_windowless"),
+        )
+        .selectExpr(
+            g,
+            "CASE WHEN _n_measured > 0 THEN _sum_ppm div _n_measured"
+            " ELSE -1 END AS mean_dup_ppm",
+            "_n_measured AS n_measured",
+            "n_windowless",
+        )
+    )
     # encoding damage per source: suspect-doc rate plus the raw signal
     # totals (a jump in any of them after a crawl = decoder bug or a
     # newly-ingested broken mirror — gate before tokenization)
@@ -173,6 +208,11 @@ def main() -> None:
             ).alias("n_bpe_tokens"),
             F.count("*").alias("n_docs"),
         )
+        # tokenizer equity: BPE tokens per whitespace word per
+        # detected language (one scan, zero joins)
+        from ocr_spark.functions.bpe import bpe_fertility_by_lang
+
+        tables["fertility"] = bpe_fertility_by_lang(docs, MERGES)
     if args.previous:
         prev = spark.read.parquet(args.previous)
         tables["drift"] = corpus_drift(prev, docs, group_col=g)

@@ -43,6 +43,7 @@ def test_report_tables_and_counts(spark, tmp_path):
         "source_overlap",
         "encoding",
         "scripts",
+        "duplication",
     }
     stats = spark.read.parquet(f"{out}/source_stats")
     assert stats.count() == 20  # one row per source
@@ -131,3 +132,18 @@ def test_report_encoding_and_scripts_tables(spark, tmp_path):
     assert scripts.agg(F.sum("n_docs")).collect()[0][0] == 500
     assert {r.script for r in scripts.select("script").distinct().collect()} \
         <= {"latin", "none"}
+
+
+def test_report_duplication_and_fertility_tables(spark, tmp_path):
+    out, s = _run(spark, tmp_path, ("--bpe-tokens",))
+    dup = spark.read.parquet(f"{out}/duplication")
+    assert dup.count() == 20
+    assert dup.where(
+        (F.col("mean_dup_ppm") < -1) | (F.col("mean_dup_ppm") > 1_000_000)
+    ).count() == 0
+    assert dup.where(
+        F.col("n_measured") + F.col("n_windowless") != 25
+    ).count() == 0  # partitioned per source
+    fert = spark.read.parquet(f"{out}/fertility")
+    assert fert.count() >= 1
+    assert fert.where(F.col("fertility_ppm") < 1_000_000).count() == 0
