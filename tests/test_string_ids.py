@@ -246,3 +246,43 @@ def test_phrase_search_string_ids(spark):
     out = {r.doc_id: r.n_matches for r in
            phrase_search(df, ["quick", "brown"]).collect()}
     assert out == {_sid(1): 1}
+
+
+def test_session13_operators_string_ids(sdocs, spark):
+    """Session-13 surface: containment, duplication severity,
+    curriculum order, script/lexical/encoding profiles, KN scoring,
+    snapshot diff — string ids flow through and come back unchanged."""
+    from ocr_spark.functions.dedup import (
+        containment_pairs,
+        containment_verify,
+        snapshot_diff,
+    )
+    from ocr_spark.functions.lm import kn_bigram_score
+    from ocr_spark.functions.sampling import curriculum_order
+    from ocr_spark.functions.scrub import duplication_profile
+    from ocr_spark.functions.text import lexical_stats, script_profile
+    from ocr_spark.functions.unicode_norm import encoding_profile
+
+    sids = {r.doc_id for r in sdocs.select("doc_id").collect()}
+    # per-doc profiles: every id emitted unchanged
+    for op in (script_profile, lexical_stats, encoding_profile,
+               kn_bigram_score, duplication_profile):
+        got = {r.doc_id for r in op(sdocs).collect()}
+        assert got == sids, op.__name__
+    # containment over the exact-dup pair: string ids in pair columns
+    cp = containment_pairs(sdocs).collect()
+    assert cp and all(
+        r.doc_a in sids and r.doc_b in sids and r.doc_a < r.doc_b for r in cp
+    )
+    cand = spark.createDataFrame(
+        [(_sid(1), _sid(2))], "doc_a string, doc_b string"
+    )
+    cv = containment_verify(sdocs, cand, tau_c=0.5).collect()
+    assert cv and cv[0].cont_a_in_b == 1.0
+    # curriculum: every doc ordered, ids unchanged
+    co = curriculum_order(sdocs, n_shards=2).collect()
+    assert {r.doc_id for r in co} == sids
+    # snapshot diff between string-id snapshots
+    new = sdocs.where(F.col("doc_id") != _sid(5))
+    sd = {r.doc_id: r.status for r in snapshot_diff(sdocs, new).collect()}
+    assert sd[_sid(5)] == "removed" and sd[_sid(1)] == "same"
