@@ -22,9 +22,10 @@ parquet under --output/<name>:
                    (functions/unicode_norm.py)
 - scripts        : per-source x dominant-writing-system doc counts
                    (functions/text.py script_profile)
-- duplication    : per-source mean shared-window fraction + windowless
-                   count (functions/scrub.py duplication_profile) —
-                   the boilerplate/mirror-mass monitor
+- duplication    : (--duplication) per-source mean shared-window
+                   fraction + windowless count (functions/scrub.py
+                   duplication_profile) — the boilerplate/mirror-mass
+                   monitor; opt-in, it is the job's heaviest pass
 - fertility      : (--bpe-tokens) BPE tokens per whitespace word per
                    detected language (functions/bpe.py) — tokenizer
                    equity under the baked trained merges
@@ -69,6 +70,13 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="output root dir")
     ap.add_argument("--group-col", default="source")
     ap.add_argument(
+        "--duplication",
+        action="store_true",
+        help="also write the per-source duplication table (per-char "
+        "anchored window hashing — the job's heaviest pass; opt-in "
+        "like --bpe-tokens)",
+    )
+    ap.add_argument(
         "--bpe-tokens",
         action="store_true",
         help="also write bpe_token_stats: per-source token totals "
@@ -78,7 +86,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from ocr_spark.functions.dsir import corpus_drift
-    from ocr_spark.functions.scrub import gopher_rules
+    from ocr_spark.functions.scrub import duplication_profile, gopher_rules
     from ocr_spark.functions.sketches import (
         hist_quantiles,
         hist_sketch_build,
@@ -142,33 +150,33 @@ def main() -> None:
     tables["source_overlap"] = source_overlap(docs, group_col=g)
     # per-source duplication severity: mean shared-window fraction
     # (docs with windows) + windowless count — rising mean_dup_ppm
-    # after a crawl = a boilerplate-heavy or mirrored source
-    from ocr_spark.functions.scrub import duplication_profile
-
-    dup = duplication_profile(docs)
-    tables["duplication"] = (
-        docs.select("doc_id", g)
-        .join(dup, "doc_id")
-        .groupBy(g)
-        .agg(
-            F.sum(
-                F.when(F.col("dup_ppm") >= 0, F.col("dup_ppm")).otherwise(0)
-            ).alias("_sum_ppm"),
-            F.sum(
-                F.when(F.col("dup_ppm") >= 0, 1).otherwise(0)
-            ).alias("_n_measured"),
-            F.sum(
-                F.when(F.col("dup_ppm") < 0, 1).otherwise(0)
-            ).alias("n_windowless"),
+    # after a crawl = a boilerplate-heavy or mirrored source. Opt-in:
+    # per-char anchored hashing is the job's heaviest pass.
+    if args.duplication:
+        dup = duplication_profile(docs)
+        tables["duplication"] = (
+            docs.select("doc_id", g)
+            .join(dup, "doc_id")
+            .groupBy(g)
+            .agg(
+                F.sum(
+                    F.when(F.col("dup_ppm") >= 0, F.col("dup_ppm")).otherwise(0)
+                ).alias("_sum_ppm"),
+                F.sum(
+                    F.when(F.col("dup_ppm") >= 0, 1).otherwise(0)
+                ).alias("_n_measured"),
+                F.sum(
+                    F.when(F.col("dup_ppm") < 0, 1).otherwise(0)
+                ).alias("n_windowless"),
+            )
+            .selectExpr(
+                g,
+                "CASE WHEN _n_measured > 0 THEN _sum_ppm div _n_measured"
+                " ELSE -1 END AS mean_dup_ppm",
+                "_n_measured AS n_measured",
+                "n_windowless",
+            )
         )
-        .selectExpr(
-            g,
-            "CASE WHEN _n_measured > 0 THEN _sum_ppm div _n_measured"
-            " ELSE -1 END AS mean_dup_ppm",
-            "_n_measured AS n_measured",
-            "n_windowless",
-        )
-    )
     # encoding damage per source: suspect-doc rate plus the raw signal
     # totals (a jump in any of them after a crawl = decoder bug or a
     # newly-ingested broken mirror — gate before tokenization)
@@ -194,25 +202,38 @@ def main() -> None:
         .agg(F.count("*").alias("n_docs"))
     )
     if args.bpe_tokens:
-        # per-source token budget under the TRAINED tokenizer (the
-        # number mixture/packing planning uses — n_tokens above is the
-        # whitespace heuristic). The count expression runs inline in
-        # THIS scan, so the table is genuinely one pass with map-side
-        # partial aggregation — no join back to the corpus
-        from ocr_spark.functions.bpe import bpe_token_count_col
+        # the encode chain (the dominant cost) runs ONCE: a
+        # (source x lang) aggregate — tiny — is localCheckpoint'ed and
+        # both tables derive from it (the length_sketch discipline).
+        # fertility uses the operator's own shared projection, so the
+        # ppm definition cannot fork from the contract query's.
+        from ocr_spark.functions.bpe import (
+            fertility_from_counts,
+            lang_token_counts,
+        )
         from ocr_spark.functions.bpe_merges import MERGES
 
-        tables["bpe_token_stats"] = docs.groupBy(g).agg(
-            F.sum(
-                F.coalesce(bpe_token_count_col(MERGES), F.lit(0))
-            ).alias("n_bpe_tokens"),
-            F.count("*").alias("n_docs"),
+        fine = (
+            lang_token_counts(docs, MERGES, keep=(g,))
+            .groupBy(g, "lang_pred")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_ws").alias("n_ws_tokens"),
+                F.sum("n_bpe").alias("n_bpe_tokens"),
+            )
+            .localCheckpoint()
         )
-        # tokenizer equity: BPE tokens per whitespace word per
-        # detected language (one scan, zero joins)
-        from ocr_spark.functions.bpe import bpe_fertility_by_lang
-
-        tables["fertility"] = bpe_fertility_by_lang(docs, MERGES)
+        tables["bpe_token_stats"] = fine.groupBy(g).agg(
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+        tables["fertility"] = fertility_from_counts(
+            fine.groupBy("lang_pred").agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_ws_tokens").alias("n_ws_tokens"),
+                F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            )
+        )
     if args.previous:
         prev = spark.read.parquet(args.previous)
         tables["drift"] = corpus_drift(prev, docs, group_col=g)

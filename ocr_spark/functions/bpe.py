@@ -340,32 +340,54 @@ def bpe_fertility_by_lang(
     counts per row (scan-stage replace-chain + split + argmax CASE —
     the bpe_token_count_col discipline: no join back to the corpus),
     then one |langs|-row map-side-combined aggregate. Zero joins."""
-    from ocr_spark.functions.lm import _words_expr
-    from ocr_spark.functions.text import lang_pred_expr
-
-    fertility = (
-        "CASE WHEN n_ws_tokens > 0 THEN"
-        " (n_bpe_tokens div n_ws_tokens) * 1000000"
-        " + ((n_bpe_tokens % n_ws_tokens) * 1000000) div n_ws_tokens"
-        " ELSE NULL END AS fertility_ppm"
-    )
-    return (
-        docs.select(
-            F.expr(lang_pred_expr()).alias("lang_pred"),
-            F.coalesce(
-                F.expr(f"size({_words_expr()})").cast("long"), F.lit(0)
-            ).alias("n_ws"),
-            F.coalesce(bpe_token_count_col(merges), F.lit(0)).alias("n_bpe"),
-        )
+    return fertility_from_counts(
+        lang_token_counts(docs, merges)
         .groupBy("lang_pred")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_ws").alias("n_ws_tokens"),
             F.sum("n_bpe").alias("n_bpe_tokens"),
         )
-        .selectExpr(
-            "lang_pred", "n_docs", "n_ws_tokens", "n_bpe_tokens", fertility
-        )
+    )
+
+
+def lang_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(``keep``..., lang_pred, n_ws, n_bpe) per document — THE
+    single-scan row projection behind :func:`bpe_fertility_by_lang`,
+    exposed so aggregating consumers (jobs/report.py's per-source
+    budgets + fertility) can pay the encode chain ONCE and derive
+    several groupings from one pass."""
+    from ocr_spark.functions.lm import _words_expr
+    from ocr_spark.functions.text import lang_pred_expr
+
+    return docs.select(
+        *keep,
+        F.expr(lang_pred_expr()).alias("lang_pred"),
+        F.coalesce(
+            F.expr(f"size({_words_expr()})").cast("long"), F.lit(0)
+        ).alias("n_ws"),
+        F.coalesce(bpe_token_count_col(merges), F.lit(0)).alias("n_bpe"),
+    )
+
+
+def fertility_from_counts(counts: DataFrame) -> DataFrame:
+    """THE fertility projection over an aggregated (lang_pred, n_docs,
+    n_ws_tokens, n_bpe_tokens) table — the overflow-safe split fixed
+    point, one rendering (shared by the operator and the report job so
+    the ppm definition cannot fork)."""
+    return counts.selectExpr(
+        "lang_pred",
+        "n_docs",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "CASE WHEN n_ws_tokens > 0 THEN"
+        " (n_bpe_tokens div n_ws_tokens) * 1000000"
+        " + ((n_bpe_tokens % n_ws_tokens) * 1000000) div n_ws_tokens"
+        " ELSE NULL END AS fertility_ppm",
     )
 
 

@@ -43,7 +43,6 @@ def test_report_tables_and_counts(spark, tmp_path):
         "source_overlap",
         "encoding",
         "scripts",
-        "duplication",
     }
     stats = spark.read.parquet(f"{out}/source_stats")
     assert stats.count() == 20  # one row per source
@@ -135,7 +134,7 @@ def test_report_encoding_and_scripts_tables(spark, tmp_path):
 
 
 def test_report_duplication_and_fertility_tables(spark, tmp_path):
-    out, s = _run(spark, tmp_path, ("--bpe-tokens",))
+    out, s = _run(spark, tmp_path, ("--bpe-tokens", "--duplication"))
     dup = spark.read.parquet(f"{out}/duplication")
     assert dup.count() == 20
     assert dup.where(
@@ -147,3 +146,12 @@ def test_report_duplication_and_fertility_tables(spark, tmp_path):
     fert = spark.read.parquet(f"{out}/fertility")
     assert fert.count() >= 1
     assert fert.where(F.col("fertility_ppm") < 1_000_000).count() == 0
+    # non-vacuous: at least one language actually measured (an
+    # all-NULL fertility column would pass the filter above)
+    assert fert.where(F.col("fertility_ppm").isNotNull()).count() >= 1
+    # one encode pass serves both tables: totals must reconcile
+    bpe = spark.read.parquet(f"{out}/bpe_token_stats")
+    assert (
+        bpe.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+        == fert.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    )
