@@ -1291,3 +1291,55 @@ def test_lexical_stats_plan_is_scan_stage(docs):
     from ocr_spark.plans import plan_str as _plan2
 
     assert "Exchange" not in _plan2(text.lexical_stats(docs), "simple")
+
+
+# ---------------------------------------------------------------------------
+# cross-operator invariants (seeded property tests)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_jaccard_bound_property(spark):
+    """For ANY pair, J = s/(a+b-s) <= s/a = cont_a_in_b (and <= 
+    cont_b_in_a): containment dominates Jaccard. Seeded random corpora
+    with overlapping vocab slices exercise many (a, b, s) shapes."""
+    import random
+
+    rng = random.Random(1313)
+    rows, pairs = [], []
+    for i in range(12):
+        # shared passage stays CONTIGUOUS — shingles are 5-word grams,
+        # so only a contiguous common run produces shingle overlap
+        shared = [f"sh{i:02d}x{j:02d}" for j in range(rng.randint(8, 25))]
+        ua = [f"a{i:02d}w{j:02d}" for j in range(rng.randint(0, 25))]
+        ub = [f"b{i:02d}w{j:02d}" for j in range(rng.randint(0, 25))]
+        rows += [
+            (2 * i, " ".join(ua + shared)),
+            (2 * i + 1, " ".join(shared + ub)),
+        ]
+        pairs.append((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    cont = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.containment_verify(df, cand, tau_c=0.0).collect()
+    }
+    jacc = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.jaccard_verify(df, cand, tau=0.0).collect()
+    }
+    assert set(cont) == set(jacc) and len(cont) > 0
+    for k, c in cont.items():
+        j = jacc[k]
+        assert (c.n_shared, c.n_a, c.n_b) == (j.n_shared, j.n_a, j.n_b)
+        assert j.jaccard <= c.cont_a_in_b + 1e-6
+        assert j.jaccard <= c.cont_b_in_a + 1e-6
+        assert max(c.cont_a_in_b, c.cont_b_in_a) <= 1.0
+
+
+def test_kn_score_partition_invariant(docs):
+    """KN scoring must be a property of the rows, not the plan:
+    repartitioning the corpus changes nothing (count tables are exact
+    integer aggregates; the fixed point has no float)."""
+    a = sorted(map(tuple, lm.kn_bigram_score(docs).collect()))
+    b = sorted(map(tuple, lm.kn_bigram_score(docs.repartition(13)).collect()))
+    assert a == b
