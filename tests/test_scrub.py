@@ -645,3 +645,15 @@ def test_pii_card_redaction_is_position_aware(spark):
     assert rows[1].clean_text == "card <CARD> ref 94111 1111 1111 11115 end"
     assert rows[2].clean_text == "a <CARD> b 44111111111111111 c"
     assert rows[1].n_cards == rows[2].n_cards == 1
+
+
+def test_duplication_profile_plan_single_explode(spark):
+    """The per-char window enumeration is the dominant cost; the plan
+    must contain exactly ONE Generate (explode) — an aggregate-then-
+    join-back shape would re-execute it (review-pass regression
+    pin)."""
+    from ocr_spark.plans import plan_str as _plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(scrub.duplication_profile(docs), "simple")
+    assert p.count("Generate") == 1
