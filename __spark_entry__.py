@@ -30,6 +30,7 @@ from ocr_spark.functions import dedup as ded
 from ocr_spark.functions import dsir
 from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import interleave as ilv
+from ocr_spark.functions import media as mda
 from ocr_spark.functions.bpe import (
     bpe_doc_token_counts,
     bpe_doc_token_counts_sql,
@@ -147,6 +148,12 @@ from ocr_spark.sources.synth import synth_spans_sql, synthesize_spans
 
 STRIPPED_KINDS = ("page_header", "page_footer", "link")
 _STRIP_LIST = ", ".join(f"'{k}'" for k in STRIPPED_KINDS)
+
+# media_reuse key over the synthetic 'img-<doc>-<i>' refs: the
+# trailing span index, standing in for a normalized CDN asset path.
+# One string, both dialects: Spark and DuckDB agree on this
+# regexp_extract signature and on '' for group-no-match.
+_MEDIA_KEY = "regexp_extract(media_ref, '-([0-9]+)$', 1)"
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -793,6 +800,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # heading-context breadcrumbs: every content span labeled with
         # its outline path (level-aware clearing), zero shuffle
         "section_paths": lambda s, d: ilv.section_paths(_span_docs(s, d)),
+        # cross-document media-asset reuse (the media analog of
+        # strip_frequent_spans): key = the trailing span index of the
+        # synthetic 'img-<doc>-<i>' ref, standing in for a normalized
+        # CDN asset path
+        "media_reuse": lambda s, d: mda.media_reuse(
+            _span_docs(s, d), key_sql=_MEDIA_KEY
+        ),
+        # MMC4-style nearest-text context per media span, zero-shuffle
+        # folds; NULL sides coalesced for the pandas round-trip
+        "media_context": lambda s, d: mda.media_context(_span_docs(s, d)).select(
+            "doc_id",
+            "media_ref",
+            "media_offset",
+            F.coalesce("before_offset", F.lit(-1)).alias("before_offset"),
+            F.coalesce("text_before", F.lit("")).alias("text_before"),
+            F.coalesce("after_offset", F.lit(-1)).alias("after_offset"),
+            F.coalesce("text_after", F.lit("")).alias("text_after"),
+        ),
+        # per-doc media placement profile (edge-media counts, integer
+        # ppm mean position, modality switches), zero shuffle
+        "media_position_stats": lambda s, d: mda.media_position_stats(
+            _span_docs(s, d)
+        ).select(
+            "doc_id",
+            "n_media",
+            "n_lead_media",
+            "n_tail_media",
+            F.coalesce("mean_rel_ppm", F.lit(-1)).alias("mean_rel_ppm"),
+            "n_switches",
+        ),
         # --- validation & normalization (F1-F9, A1)
         "validate_normalize": _validated_spark,
         "validate_bhxh_schema": _bhxh_spark,
@@ -1459,6 +1496,22 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "section_paths": ilv.section_paths_sql(synth_spans_sql()),
+        "media_reuse": mda.media_reuse_sql(synth_spans_sql(), key_sql=_MEDIA_KEY),
+        "media_context": (
+            "SELECT doc_id, media_ref, media_offset, "
+            "coalesce(before_offset, -1) AS before_offset, "
+            "coalesce(text_before, '') AS text_before, "
+            "coalesce(after_offset, -1) AS after_offset, "
+            "coalesce(text_after, '') AS text_after FROM ("
+            + mda.media_context_sql(synth_spans_sql())
+            + ")"
+        ),
+        "media_position_stats": (
+            "SELECT doc_id, n_media, n_lead_media, n_tail_media, "
+            "coalesce(mean_rel_ppm, -1) AS mean_rel_ppm, n_switches FROM ("
+            + mda.media_position_stats_sql(synth_spans_sql())
+            + ")"
+        ),
         "validate_normalize": _validated_sql(),
         "validate_bhxh_schema": _bhxh_sql(),
         "run_summary": f"""

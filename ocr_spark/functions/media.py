@@ -1,0 +1,357 @@
+"""Media-span operators over the nested interleaved span table
+(doc_id string, spans array<struct<kind,text,media_ref,offset>>) —
+the BASELINE.json ``input_hint`` shape.
+
+The interleave module curates documents by their text<->media
+STRUCTURE; this module curates the media spans themselves:
+
+1. ``media_reuse`` — cross-document asset-reuse profile: a media key
+   (the raw ``media_ref`` or a caller-supplied normalization of it,
+   e.g. a CDN path with cache-busting query params stripped) that
+   recurs across >= min_docs distinct documents is shared site
+   furniture — logos, tracking pixels, nav sprites — not content.
+   This is the media analog of ``interleave.strip_frequent_spans``
+   (which catches repeated TEXT): a multimodal corpus needs both
+   before caption-pair mining, or the same logo dominates the
+   image-text training pairs. Reference analog: the webapp links each
+   picture item to its media asset by reference
+   (/root/reference/webapp/state.py preview assets keyed by token);
+   corpus-level reuse of those references is the 100 TB-scale signal
+   the single-document app never sees.
+
+2. ``media_context`` — MMC4-style image<->text pairing: each media
+   span paired with the NEAREST text span before and after it (by
+   offset), truncated to a context budget. Where
+   ``interleave.caption_pairs`` recovers the explicit figure<->caption
+   attachment the layout parser emitted, media_context recovers
+   *implicit* context for media that has no caption span at all — the
+   standard fallback when mining (image, surrounding-prose) training
+   pairs from interleaved web documents.
+
+3. ``media_position_stats`` — per-document media placement profile:
+   how many media spans sit in the leading/trailing decile of the
+   document's offset range (edge media = headers/ads/footers, body
+   media = content illustrations) plus the number of text<->media
+   modality switches (interleaving granularity: a doc with all images
+   bunched at the end is worth less as interleaved training data than
+   one that alternates). All integer arithmetic — decile membership
+   via ``10*(o - min) <= (max - min)`` and a parts-per-million mean
+   relative position via integer division — so the DuckDB twin
+   hash-matches exactly with no float-formatting hazard.
+
+Scale shapes (what must survive 100 TB):
+
+- ``media_reuse`` explodes ONLY the media spans (a small fraction of
+  all spans; the filter runs inside the array before the Generate),
+  then shuffles (media_key, doc_id) pairs — never span text — through
+  one partial-aggregated groupBy on uniform asset-key hashes.
+- ``media_context`` is ZERO-shuffle: the text-span list is LET-bound
+  once per document and each media span scans it with two
+  O(|text spans|) array folds — whole-stage codegen, no
+  explode-then-window, no self-join (the caption_pairs shape).
+- ``media_position_stats`` is ZERO-shuffle: per-document folds over
+  the nested array, one row in one row out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.interleave import _IS_MEDIA, _IS_TEXT
+
+# Default cross-document reuse threshold: an asset in >= 2 distinct
+# docs is already not unique content; real furniture shows up in
+# thousands.
+MIN_DOCS = 2
+
+# Context budget per side for media_context (chars, not tokens: the
+# budget bounds shuffle-free memory, the downstream tokenizer
+# re-trims).
+CONTEXT_CHARS = 120
+
+
+# ---------------------------------------------------------------------------
+# cross-document media reuse
+# ---------------------------------------------------------------------------
+
+
+def media_reuse(
+    docs: DataFrame, min_docs: int = MIN_DOCS, key_sql: str = "media_ref"
+) -> DataFrame:
+    """(media_key, n_docs, n_uses): media keys referenced from
+    >= ``min_docs`` distinct documents, with total use count.
+
+    ``key_sql`` is a Spark-SQL expression over the flat ``media_ref``
+    column producing the reuse key — default the raw ref; pass a
+    normalization (strip query strings, extract the asset id) when
+    refs carry per-page noise, exactly like ``urls.canonicalize_urls``
+    does for document URLs. The caller supplies the matching DuckDB
+    expression to ``media_reuse_sql`` (the two dialects' regex
+    functions agree on the common POSIX subset).
+
+    Scale shape: filter-before-explode (only media spans leave the
+    array), one groupBy on the asset key with partial aggregation;
+    the distinct-doc count shuffles (key, doc_id) pairs only.
+    """
+    flat = docs.selectExpr(
+        "doc_id", f"explode(filter(spans, s -> {_IS_MEDIA})) AS m"
+    ).selectExpr("doc_id", "m.media_ref AS media_ref")
+    keyed = flat.selectExpr(f"({key_sql}) AS media_key", "doc_id")
+    return (
+        keyed.groupBy("media_key")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").alias("n_uses"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def media_reuse_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    min_docs: int = MIN_DOCS,
+    key_sql: str = "media_ref",
+) -> str:
+    """DuckDB twin over a FLAT span source. ``key_sql`` is a DuckDB
+    expression over ``media_ref`` (see media_reuse)."""
+    return f"""
+      WITH src AS ({spans_sql}),
+      media AS (
+        SELECT doc_id, media_ref FROM src
+        WHERE media_ref IS NOT NULL AND media_ref <> ''
+      )
+      SELECT ({key_sql}) AS media_key,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_uses
+      FROM media
+      GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= {int(min_docs)}
+    """
+
+
+# ---------------------------------------------------------------------------
+# nearest-text context for each media span
+# ---------------------------------------------------------------------------
+
+
+def media_context(docs: DataFrame, n_chars: int = CONTEXT_CHARS) -> DataFrame:
+    """(doc_id, media_ref, media_offset, before_offset, text_before,
+    after_offset, text_after): each media span paired with the nearest
+    text span strictly before and strictly after it by offset; the
+    before-side keeps its LAST ``n_chars`` chars, the after-side its
+    FIRST ``n_chars`` (the prose adjacent to the figure). A missing
+    side stays NULL (the gap is data — leading/trailing media is
+    exactly what media_position_stats counts).
+
+    Scale shape: ZERO shuffle — the caption_pairs pattern. The text
+    spans are LET-bound once per document (sorted ascending by
+    offset), and each media span picks prev/next with two array folds:
+    over an ascending list, "last element with offset < p" is the
+    nearest-before and "first element with offset > p" is the
+    nearest-after. Same distinct-offset-per-document precondition as
+    caption_pairs.
+    """
+    if n_chars < 1:
+        raise ValueError(f"n_chars must be >= 1, got {n_chars}")
+    txt_t = "STRUCT<offset: INT, text: STRING>"
+    txts = (
+        "array_sort(transform(filter(spans, s -> "
+        f"{_IS_TEXT}), "
+        "s -> struct(CAST(s.offset AS INT) AS offset, s.text AS text)))"
+    )
+    prev = (
+        f"aggregate(T, CAST(NULL AS {txt_t}), "
+        "(acc, c) -> IF(c.offset < p.offset, c, acc))"
+    )
+    nxt = (
+        f"aggregate(T, CAST(NULL AS {txt_t}), "
+        "(acc, c) -> IF(c.offset > p.offset AND acc IS NULL, c, acc))"
+    )
+    expr = (
+        f"flatten(transform(array({txts}), T -> "
+        f"transform(filter(spans, s -> {_IS_MEDIA}), p -> "
+        f"struct(p.media_ref AS media_ref, "
+        f"CAST(p.offset AS INT) AS media_offset, "
+        f"{prev} AS pv, {nxt} AS nx))))"
+    )
+    n = int(n_chars)
+    return docs.selectExpr("doc_id", f"explode({expr}) AS r").select(
+        "doc_id",
+        "r.media_ref",
+        "r.media_offset",
+        F.col("r.pv.offset").alias("before_offset"),
+        F.expr(f"right(r.pv.text, {n})").alias("text_before"),
+        F.col("r.nx.offset").alias("after_offset"),
+        F.expr(f"left(r.nx.text, {n})").alias("text_after"),
+    )
+
+
+def media_context_sql(
+    spans_sql: str = "SELECT * FROM spans", n_chars: int = CONTEXT_CHARS
+) -> str:
+    """DuckDB twin over a FLAT span source — independent formulation:
+    nearest text offsets via grouped min/max anti-ranges (the
+    caption_pairs_sql pattern) instead of the Spark side's array
+    folds, then two joins back for the texts."""
+    n = int(n_chars)
+    return f"""
+      WITH src AS ({spans_sql}),
+      txt AS (
+        SELECT doc_id, CAST("offset" AS INT) AS o, text FROM src
+        WHERE (media_ref IS NULL OR media_ref = '')
+          AND text IS NOT NULL AND length(text) > 0
+      ),
+      pics AS (
+        SELECT doc_id, media_ref, CAST("offset" AS INT) AS o FROM src
+        WHERE media_ref IS NOT NULL AND media_ref <> ''
+      ),
+      bounds AS (
+        SELECT p.doc_id, p.media_ref, p.o,
+               max(CASE WHEN t.o < p.o THEN t.o END) AS prev_o,
+               min(CASE WHEN t.o > p.o THEN t.o END) AS next_o
+        FROM pics p LEFT JOIN txt t ON t.doc_id = p.doc_id
+        GROUP BY p.doc_id, p.media_ref, p.o
+      )
+      SELECT b.doc_id, b.media_ref, b.o AS media_offset,
+             b.prev_o AS before_offset, right(tp.text, {n}) AS text_before,
+             b.next_o AS after_offset, left(tn.text, {n}) AS text_after
+      FROM bounds b
+      LEFT JOIN txt tp ON tp.doc_id = b.doc_id AND tp.o = b.prev_o
+      LEFT JOIN txt tn ON tn.doc_id = b.doc_id AND tn.o = b.next_o
+    """
+
+
+# ---------------------------------------------------------------------------
+# per-document media placement profile
+# ---------------------------------------------------------------------------
+
+
+def media_position_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_media, n_lead_media, n_tail_media, mean_rel_ppm,
+    n_switches): per-document media placement profile, zero shuffle.
+
+    - ``n_lead_media`` / ``n_tail_media``: media spans in the first /
+      last DECILE of the document's offset range — membership by the
+      integer test ``10*(o - min) <= (max - min)`` (resp. mirrored),
+      so both engines agree bit-for-bit. A single-span document
+      (max == min) is degenerately all-lead and all-tail.
+    - ``mean_rel_ppm``: mean relative position of the media spans in
+      [0, 1e6] parts-per-million, floor integer division; NULL when
+      the doc has no media or no offset extent.
+    - ``n_switches``: modality changes between offset-adjacent spans
+      (text->media or media->text) — the interleaving granularity.
+      Sorted by (offset, is_media) like interleave_stats' run fold so
+      duplicate offsets cannot flip the flag sequence.
+    """
+    media_a = "(a.media_ref IS NOT NULL AND a.media_ref <> '')"
+    media_b = "(b.media_ref IS NOT NULL AND b.media_ref <> '')"
+    sorted_spans = (
+        "array_sort(spans, (a, b) -> CASE WHEN a.offset < b.offset THEN -1 "
+        "WHEN a.offset > b.offset THEN 1 ELSE "
+        f"(CASE WHEN {media_a} THEN 1 ELSE 0 END) - "
+        f"(CASE WHEN {media_b} THEN 1 ELSE 0 END) END)"
+    )
+    switches = f"""
+      aggregate(
+        {sorted_spans},
+        struct(CAST(-1 AS INT) AS prev, CAST(0 AS INT) AS cnt),
+        (acc, s) -> struct(
+          CAST(CASE WHEN {_IS_MEDIA} THEN 1 ELSE 0 END AS INT) AS prev,
+          acc.cnt + CASE WHEN acc.prev >= 0
+              AND acc.prev <> (CASE WHEN {_IS_MEDIA} THEN 1 ELSE 0 END)
+            THEN 1 ELSE 0 END AS cnt),
+        acc -> acc.cnt)
+    """
+    # LET-bind the offset extent once (the caption_pairs trick), then
+    # every decile test and the ppm mean reads it from the struct.
+    offs = "transform(spans, s -> CAST(s.offset AS INT))"
+    profile = f"""
+      element_at(transform(array(struct(
+          array_min({offs}) AS mn, array_max({offs}) AS mx)), b ->
+        struct(
+          size(filter(spans, s -> {_IS_MEDIA}
+              AND 10 * (CAST(s.offset AS INT) - b.mn) <= (b.mx - b.mn)))
+            AS n_lead,
+          size(filter(spans, s -> {_IS_MEDIA}
+              AND 10 * (b.mx - CAST(s.offset AS INT)) <= (b.mx - b.mn)))
+            AS n_tail,
+          CASE WHEN b.mx > b.mn AND size(filter(spans, s -> {_IS_MEDIA})) > 0
+            THEN CAST(aggregate(filter(spans, s -> {_IS_MEDIA}),
+                   CAST(0 AS BIGINT),
+                   (acc, s) -> acc + (CAST(s.offset AS INT) - b.mn))
+                 * 1000000 AS BIGINT)
+                 div (CAST(size(filter(spans, s -> {_IS_MEDIA})) AS BIGINT)
+                      * (b.mx - b.mn))
+            ELSE CAST(NULL AS BIGINT) END AS mean_rel_ppm
+        )), 1)
+    """
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(filter(spans, s -> {_IS_MEDIA}))")
+        .cast("int")
+        .alias("n_media"),
+        F.expr(profile).alias("_p"),
+        F.expr(switches).cast("int").alias("n_switches"),
+    ).select(
+        "doc_id",
+        "n_media",
+        F.col("_p.n_lead").cast("int").alias("n_lead_media"),
+        F.col("_p.n_tail").cast("int").alias("n_tail_media"),
+        F.col("_p.mean_rel_ppm").alias("mean_rel_ppm"),
+        "n_switches",
+    )
+
+
+def media_position_stats_sql(spans_sql: str = "SELECT * FROM spans") -> str:
+    """DuckDB twin over a FLAT span source — independent formulation:
+    the offset extent via a grouped min/max join and the switch count
+    via a lag() window, cross-checking the Spark side's array folds.
+    Same integer decile/ppm arithmetic (// == Spark div on
+    non-negative operands)."""
+    return f"""
+      WITH src AS ({spans_sql}),
+      base AS (
+        SELECT doc_id, CAST("offset" AS INT) AS o,
+               (media_ref IS NOT NULL AND media_ref <> '') AS is_m
+        FROM src
+      ),
+      ext AS (
+        SELECT doc_id, min(o) AS mn, max(o) AS mx FROM base GROUP BY doc_id
+      ),
+      lagged AS (
+        SELECT doc_id, is_m,
+               lag(is_m) OVER (
+                 PARTITION BY doc_id ORDER BY o, CASE WHEN is_m THEN 1 ELSE 0 END
+               ) AS prev_m
+        FROM base
+      ),
+      sw AS (
+        SELECT doc_id,
+               count(*) FILTER (prev_m IS NOT NULL AND prev_m <> is_m) AS n_sw
+        FROM lagged GROUP BY doc_id
+      ),
+      agg AS (
+        SELECT b.doc_id,
+               count(*) FILTER (b.is_m) AS n_media,
+               count(*) FILTER (b.is_m AND 10 * (b.o - e.mn) <= (e.mx - e.mn))
+                 AS n_lead,
+               count(*) FILTER (b.is_m AND 10 * (e.mx - b.o) <= (e.mx - e.mn))
+                 AS n_tail,
+               CASE WHEN max(e.mx) > max(e.mn)
+                      AND count(*) FILTER (b.is_m) > 0
+                 THEN (sum(CASE WHEN b.is_m THEN b.o - e.mn ELSE 0 END)
+                       * 1000000)
+                      // (count(*) FILTER (b.is_m) * (max(e.mx) - max(e.mn)))
+                 ELSE NULL END AS mean_rel_ppm
+        FROM base b JOIN ext e ON e.doc_id = b.doc_id
+        GROUP BY b.doc_id
+      )
+      SELECT a.doc_id,
+             CAST(a.n_media AS INT) AS n_media,
+             CAST(a.n_lead AS INT) AS n_lead_media,
+             CAST(a.n_tail AS INT) AS n_tail_media,
+             CAST(a.mean_rel_ppm AS BIGINT) AS mean_rel_ppm,
+             CAST(s.n_sw AS INT) AS n_switches
+      FROM agg a JOIN sw s ON s.doc_id = a.doc_id
+    """

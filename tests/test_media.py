@@ -1,0 +1,279 @@
+"""Media-span operators (media_reuse / media_context /
+media_position_stats): semantics on hand-built corpora, DuckDB-twin
+parity on the synthesized corpus, plan shapes (context/position must
+be scan-stage except the context explode; reuse must filter media
+before the Generate)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.media import (
+    media_context,
+    media_context_sql,
+    media_position_stats,
+    media_position_stats_sql,
+    media_reuse,
+    media_reuse_sql,
+)
+from ocr_spark.plans import plan_str
+from ocr_spark.sources.synth import synth_spans_sql, synthesize_spans
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_NESTED_SCHEMA = (
+    "doc_id string, spans array<struct<"
+    "kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def _doc(doc_id, spans):
+    """spans = [(kind, text, media_ref, offset), ...]"""
+    return (doc_id, [tuple(s) for s in spans])
+
+
+def _t(i, text=None):
+    return ("text", text if text is not None else f"prose {i}", "", i)
+
+
+def _m(i, ref=None):
+    return ("picture", "", ref if ref is not None else f"img-{i}", i)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    return c
+
+
+@pytest.fixture(scope="module")
+def nested(spark):
+    return synthesize_spans(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# media_reuse
+# ---------------------------------------------------------------------------
+
+
+def test_media_reuse_semantics(spark):
+    rows = [
+        # logo.png appears in all three docs (furniture), twice in d1;
+        # unique.png appears only in d1 -> below min_docs
+        _doc("d1", [_t(0), _m(1, "logo.png"), _m(2, "logo.png"), _m(3, "unique.png")]),
+        _doc("d2", [_t(0), _m(1, "logo.png"), _t(2)]),
+        _doc("d3", [_m(0, "logo.png"), _t(1)]),
+        # empty media_ref / text spans never count as media
+        _doc("d4", [("picture", "", "", 0), _t(1)]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = _rows(media_reuse(df, min_docs=2))
+    assert got == {("logo.png", 3, 4)}
+    # min_docs=1 keeps the unique asset too
+    got1 = _rows(media_reuse(df, min_docs=1))
+    assert got1 == {("logo.png", 3, 4), ("unique.png", 1, 1)}
+
+
+def test_media_reuse_key_normalization(spark):
+    # cache-busting query strings differ per page; the key expression
+    # strips them so the underlying asset aggregates
+    rows = [
+        _doc("a", [_m(0, "cdn/logo.png?v=1")]),
+        _doc("b", [_m(0, "cdn/logo.png?v=2")]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    key = "split(media_ref, '\\\\?')[0]"
+    assert _rows(media_reuse(df, min_docs=2, key_sql=key)) == {("cdn/logo.png", 2, 2)}
+
+
+def test_media_reuse_string_ids_pass_through(spark):
+    rows = [
+        _doc("sha1:aaa", [_m(0, "x.png")]),
+        _doc("sha1:bbb", [_m(5, "x.png")]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    assert _rows(media_reuse(df)) == {("x.png", 2, 2)}
+
+
+def test_media_reuse_twin_parity(spark, nested, con):
+    key_s = "regexp_extract(media_ref, '-([0-9]+)$', 1)"
+    got = sorted(_rows(media_reuse(nested, key_sql=key_s)))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            media_reuse_sql(synth_spans_sql(), key_sql=key_s)
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_media_reuse_filters_before_explode(nested):
+    # the Generate input must already be the filtered media list —
+    # non-media spans never leave the array
+    plan = plan_str(media_reuse(nested), "simple")
+    assert plan.count("Generate") == 1
+    gen_line = [l for l in plan.splitlines() if "Generate" in l][0]
+    assert "filter(" in gen_line
+
+
+# ---------------------------------------------------------------------------
+# media_context
+# ---------------------------------------------------------------------------
+
+
+def test_media_context_semantics(spark):
+    rows = [
+        # media with prose on both sides; nearest text wins, headers
+        # with empty text are skipped by the text predicate
+        _doc(
+            "mid",
+            [
+                _t(0, "alpha beta"),
+                _t(1, "gamma"),
+                _m(2, "pic"),
+                _t(4, "delta"),
+                _t(5, "epsilon"),
+            ],
+        ),
+        # leading media: no before side
+        _doc("lead", [_m(0, "first"), _t(1, "tail text")]),
+        # trailing media: no after side
+        _doc("trail", [_t(0, "head text"), _m(3, "last")]),
+        # media-only doc: both sides NULL
+        _doc("only", [_m(0, "alone")]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = {r.media_ref: r for r in media_context(df).collect()}
+    assert (got["pic"].before_offset, got["pic"].text_before) == (1, "gamma")
+    assert (got["pic"].after_offset, got["pic"].text_after) == (4, "delta")
+    assert got["first"].before_offset is None
+    assert got["first"].text_before is None
+    assert (got["first"].after_offset, got["first"].text_after) == (1, "tail text")
+    assert got["last"].after_offset is None
+    assert (got["last"].before_offset, got["last"].text_before) == (0, "head text")
+    assert got["alone"].before_offset is None and got["alone"].after_offset is None
+
+
+def test_media_context_truncation_budget(spark):
+    rows = [_doc("d", [_t(0, "abcdefgh"), _m(1, "p"), _t(2, "ijklmnop")])]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    r = media_context(df, n_chars=3).collect()[0]
+    # before keeps its TAIL, after keeps its HEAD
+    assert (r.text_before, r.text_after) == ("fgh", "ijk")
+
+
+def test_media_context_rejects_bad_budget(spark):
+    df = spark.createDataFrame([_doc("d", [_m(0, "p")])], _NESTED_SCHEMA)
+    with pytest.raises(ValueError):
+        media_context(df, n_chars=0)
+
+
+def test_media_context_twin_parity(spark, nested, con):
+    sdf = media_context(nested).select(
+        "doc_id",
+        "media_ref",
+        "media_offset",
+        F.coalesce("before_offset", F.lit(-1)).alias("bo"),
+        F.coalesce("text_before", F.lit("")).alias("tb"),
+        F.coalesce("after_offset", F.lit(-1)).alias("ao"),
+        F.coalesce("text_after", F.lit("")).alias("ta"),
+    )
+    got = sorted(_rows(sdf))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT doc_id, media_ref, media_offset, "
+            "coalesce(before_offset, -1), coalesce(text_before, ''), "
+            "coalesce(after_offset, -1), coalesce(text_after, '') FROM ("
+            + media_context_sql(synth_spans_sql())
+            + ")"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_media_context_is_scan_stage(nested):
+    # one Generate (the per-media explode), no Exchange, no Join
+    plan = plan_str(media_context(nested), "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("Generate") == 1
+
+
+# ---------------------------------------------------------------------------
+# media_position_stats
+# ---------------------------------------------------------------------------
+
+
+def test_media_position_stats_semantics(spark):
+    rows = [
+        # offsets 0..10: lead decile = offset 0..1, tail = 9..10
+        _doc(
+            "d",
+            [_t(0), _m(1, "lead"), _t(2), _m(5, "mid"), _t(9), _m(10, "tail")],
+        ),
+        # no media
+        _doc("plain", [_t(0), _t(1)]),
+        # single span doc: degenerate extent, media is lead AND tail,
+        # ppm NULL
+        _doc("solo", [_m(4, "x")]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = {r.doc_id: r for r in media_position_stats(df).collect()}
+    d = got["d"]
+    assert (d.n_media, d.n_lead_media, d.n_tail_media) == (3, 1, 1)
+    # mean rel = (1 + 5 + 10) / (3 * 10) = 0.5333.. -> 533333 ppm
+    assert d.mean_rel_ppm == 533333
+    # t m t m t m -> 5 switches
+    assert d.n_switches == 5
+    p = got["plain"]
+    assert (p.n_media, p.n_lead_media, p.n_tail_media, p.n_switches) == (0, 0, 0, 0)
+    assert p.mean_rel_ppm is None
+    s = got["solo"]
+    assert (s.n_media, s.n_lead_media, s.n_tail_media) == (1, 1, 1)
+    assert s.mean_rel_ppm is None and s.n_switches == 0
+
+
+def test_media_position_stats_duplicate_offset_tiebreak(spark):
+    # text and media share offset 1: the (offset, is_media) sort pins
+    # text first, so the flag sequence is t t m -> 1 switch on both
+    # engines regardless of array order
+    rows = [_doc("dup", [_m(1, "x"), _t(0), _t(1)])]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    assert media_position_stats(df).collect()[0].n_switches == 1
+
+
+def test_media_position_stats_twin_parity(spark, nested, con):
+    sdf = media_position_stats(nested).select(
+        "doc_id",
+        "n_media",
+        "n_lead_media",
+        "n_tail_media",
+        F.coalesce("mean_rel_ppm", F.lit(-1)).alias("ppm"),
+        "n_switches",
+    )
+    got = sorted(_rows(sdf))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT doc_id, n_media, n_lead_media, n_tail_media, "
+            "coalesce(mean_rel_ppm, -1), n_switches FROM ("
+            + media_position_stats_sql(synth_spans_sql())
+            + ")"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_media_position_stats_is_scan_stage(nested):
+    plan = plan_str(media_position_stats(nested))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "Join" not in plan
