@@ -807,6 +807,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_reuse": lambda s, d: mda.media_reuse(
             _span_docs(s, d), key_sql=_MEDIA_KEY
         ),
+        # the actionable counterpart: reused-asset media spans removed
+        # from every document (keys-only shuffle, anti-join back)
+        "strip_reused_media": lambda s, d: mda.strip_reused_media(
+            _span_docs(s, d), key_sql=_MEDIA_KEY
+        ),
         # MMC4-style nearest-text context per media span, zero-shuffle
         # folds; NULL sides coalesced for the pandas round-trip
         "media_context": lambda s, d: mda.media_context(_span_docs(s, d)).select(
@@ -1497,6 +1502,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "section_paths": ilv.section_paths_sql(synth_spans_sql()),
         "media_reuse": mda.media_reuse_sql(synth_spans_sql(), key_sql=_MEDIA_KEY),
+        "strip_reused_media": mda.strip_reused_media_sql(
+            synth_spans_sql(), key_sql=_MEDIA_KEY
+        ),
         "media_context": (
             "SELECT doc_id, media_ref, media_offset, "
             "coalesce(before_offset, -1) AS before_offset, "

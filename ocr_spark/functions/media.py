@@ -13,11 +13,13 @@ STRUCTURE; this module curates the media spans themselves:
    This is the media analog of ``interleave.strip_frequent_spans``
    (which catches repeated TEXT): a multimodal corpus needs both
    before caption-pair mining, or the same logo dominates the
-   image-text training pairs. Reference analog: the webapp links each
-   picture item to its media asset by reference
-   (/root/reference/webapp/state.py preview assets keyed by token);
-   corpus-level reuse of those references is the 100 TB-scale signal
-   the single-document app never sees.
+   image-text training pairs. ``strip_reused_media`` is the
+   actionable counterpart — it removes those spans from every
+   document. Reference analog: the webapp links each picture item to
+   its media asset by reference (/root/reference/webapp/state.py
+   preview assets keyed by token); corpus-level reuse of those
+   references is the 100 TB-scale signal the single-document app
+   never sees.
 
 2. ``media_context`` — MMC4-style image<->text pairing: each media
    span paired with the NEAREST text span before and after it (by
@@ -127,6 +129,80 @@ def media_reuse_sql(
       FROM media
       GROUP BY 1
       HAVING count(DISTINCT doc_id) >= {int(min_docs)}
+    """
+
+
+def strip_reused_media(
+    docs: DataFrame, min_docs: int = MIN_DOCS, key_sql: str = "media_ref"
+) -> DataFrame:
+    """Flat cleaned spans (doc_id, kind, text, media_ref, offset):
+    media spans whose asset key recurs in >= ``min_docs`` distinct
+    documents are removed from every document — the actionable
+    counterpart of ``media_reuse``, and the media analog of
+    ``interleave.strip_frequent_spans`` (which strips repeated TEXT).
+    Text spans always survive (NULL join key never matches an
+    equi-join). A key that normalizes to the empty string (e.g. a
+    regexp_extract miss) is NOT a candidate — '' would otherwise lump
+    every unmatched ref into one pseudo-asset and strip them all.
+
+    Plan (the strip_frequent_flat shape): explode -> key media spans
+    -> distinct (doc_id, key) pairs -> one partial-aggregated count
+    on the key -> threshold filter -> left-anti equi-join back. Only
+    asset keys shuffle, never span text; the reused set is tiny by
+    construction and AQE broadcasts the anti-join.
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would strip every media span)")
+    flat = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    is_media = "(media_ref IS NOT NULL AND media_ref <> '')"
+    keyed = flat.withColumn(
+        "_mkey",
+        F.expr(f"CASE WHEN {is_media} THEN nullif(({key_sql}), '') ELSE NULL END"),
+    )
+    reused = (
+        keyed.where(F.col("_mkey").isNotNull())
+        .select("doc_id", "_mkey")
+        .distinct()
+        .groupBy("_mkey")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("_mkey")
+    )
+    return keyed.join(reused, "_mkey", "left_anti").drop("_mkey")
+
+
+def strip_reused_media_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    min_docs: int = MIN_DOCS,
+    key_sql: str = "media_ref",
+) -> str:
+    """DuckDB twin over the same flat span source: same per-doc-
+    distinct df rule, same NULL/''-key-survives semantics."""
+    is_media = "(media_ref IS NOT NULL AND media_ref <> '')"
+    return f"""
+      WITH src AS ({spans_sql}),
+      keyed AS (
+        SELECT doc_id, kind, text, media_ref, "offset",
+               CASE WHEN {is_media} THEN nullif(({key_sql}), '')
+                    ELSE NULL END AS mkey
+        FROM src
+      ),
+      reused AS (
+        SELECT mkey FROM (
+          SELECT mkey, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, mkey FROM keyed WHERE mkey IS NOT NULL)
+          GROUP BY mkey
+        ) WHERE df >= {int(min_docs)}
+      )
+      SELECT doc_id, kind, text, media_ref, "offset"
+      FROM keyed
+      WHERE mkey IS NULL OR mkey NOT IN (SELECT mkey FROM reused)
     """
 
 

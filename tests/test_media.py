@@ -17,6 +17,8 @@ from ocr_spark.functions.media import (
     media_position_stats_sql,
     media_reuse,
     media_reuse_sql,
+    strip_reused_media,
+    strip_reused_media_sql,
 )
 from ocr_spark.plans import plan_str
 from ocr_spark.sources.synth import synth_spans_sql, synthesize_spans
@@ -121,6 +123,78 @@ def test_media_reuse_filters_before_explode(nested):
     assert plan.count("Generate") == 1
     gen_line = [l for l in plan.splitlines() if "Generate" in l][0]
     assert "filter(" in gen_line
+
+
+# ---------------------------------------------------------------------------
+# strip_reused_media
+# ---------------------------------------------------------------------------
+
+
+def test_strip_reused_media_semantics(spark):
+    rows = [
+        _doc("d1", [_t(0, "keep me"), _m(1, "logo.png"), _m(2, "fig-a.png")]),
+        _doc("d2", [_m(0, "logo.png"), _t(1, "prose")]),
+        _doc("d3", [_m(0, "fig-b.png")]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = _rows(strip_reused_media(df, min_docs=2))
+    # logo.png (2 docs) stripped everywhere; per-doc-unique figures
+    # and all text spans survive
+    assert got == {
+        ("d1", "text", "keep me", "", 0),
+        ("d1", "picture", "", "fig-a.png", 2),
+        ("d2", "text", "prose", "", 1),
+        ("d3", "picture", "", "fig-b.png", 0),
+    }
+
+
+def test_strip_reused_media_empty_key_never_strips(spark):
+    # a normalizing key that misses ('' from regexp_extract) must not
+    # lump unmatched refs into one strippable pseudo-asset
+    rows = [
+        _doc("a", [_m(0, "x.bin")]),
+        _doc("b", [_m(0, "y.bin")]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    key = "regexp_extract(media_ref, '\\\\.png$', 0)"  # matches neither
+    assert len(_rows(strip_reused_media(df, min_docs=2, key_sql=key))) == 2
+
+
+def test_strip_reused_media_rejects_min_docs_1(spark):
+    df = spark.createDataFrame([_doc("d", [_m(0, "p")])], _NESTED_SCHEMA)
+    with pytest.raises(ValueError):
+        strip_reused_media(df, min_docs=1)
+
+
+def test_strip_reused_media_twin_parity(spark, nested, con):
+    key = "regexp_extract(media_ref, '-([0-9]+)$', 1)"
+    got = sorted(_rows(strip_reused_media(nested, key_sql=key)))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            strip_reused_media_sql(synth_spans_sql(), key_sql=key)
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # the strip actually removed something on this corpus
+    n_spans = con.execute(
+        f"SELECT count(*) FROM ({synth_spans_sql()})"
+    ).fetchone()[0]
+    assert len(got) < n_spans
+
+
+def test_strip_reused_media_no_text_shuffle(nested):
+    # the aggregation side must shuffle keys only: no 'text' column in
+    # any Exchange's input projection
+    plan = plan_str(strip_reused_media(nested), "formatted")
+    blocks = [b for b in plan.split("\n\n") if b.strip()]
+    exchange_blocks = [
+        b for b in blocks if b.splitlines()[0].lstrip().startswith("(")
+        and "Exchange" in b.splitlines()[0]
+    ]
+    assert exchange_blocks  # the df count aggregation must shuffle
+    for b in exchange_blocks:
+        assert "text" not in b
 
 
 # ---------------------------------------------------------------------------
