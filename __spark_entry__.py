@@ -800,6 +800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # heading-context breadcrumbs: every content span labeled with
         # its outline path (level-aware clearing), zero shuffle
         "section_paths": lambda s, d: ilv.section_paths(_span_docs(s, d)),
+        # per-doc ingest audit of the span-table input contract
+        # (distinct offsets, media/text shape, kinds), zero shuffle
+        "span_integrity": lambda s, d: ilv.span_integrity(_span_docs(s, d)),
         # cross-document media-asset reuse (the media analog of
         # strip_frequent_spans): key = the trailing span index of the
         # synthetic 'img-<doc>-<i>' ref, standing in for a normalized
@@ -1501,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "section_paths": ilv.section_paths_sql(synth_spans_sql()),
+        "span_integrity": ilv.span_integrity_sql(synth_spans_sql()),
         "media_reuse": mda.media_reuse_sql(synth_spans_sql(), key_sql=_MEDIA_KEY),
         "strip_reused_media": mda.strip_reused_media_sql(
             synth_spans_sql(), key_sql=_MEDIA_KEY

@@ -554,3 +554,108 @@ def section_paths_sql(
              concat_ws(' > ', {', '.join(valid_texts)}) AS section_path
       FROM ctx WHERE lvl IS NULL
     """
+
+
+# ---------------------------------------------------------------------------
+# span-table ingest audit
+# ---------------------------------------------------------------------------
+
+
+def span_integrity(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_spans, n_null_offset, n_dup_offsets,
+    n_media_with_text, n_blank_text, n_null_kind, ok): per-document
+    audit of the span-table input contract — the checks every
+    downstream operator in this repo silently assumes:
+
+    - ``n_null_offset`` / ``n_dup_offsets``: the nearest-neighbor
+      operators (caption_pairs, media_context) and the order-fold
+      operators (interleave_stats, media_position_stats) require
+      distinct non-NULL offsets per document; duplicates are counted
+      over the NON-NULL offsets only so the two columns don't
+      double-report one broken span.
+    - ``n_media_with_text``: a media span carrying prose violates the
+      reference's DocTags shape — picture items have empty bodies and
+      a media reference (/root/reference/parsing_results.json picture
+      entries; kernel/doctags.py renders them the same way).
+    - ``n_blank_text``: a non-media span with NULL/empty text is a
+      dead span the upstream parser should not have emitted.
+    - ``n_null_kind``: every span carries its layout kind.
+
+    ``ok`` = every violation count is zero. Zero shuffle — one row in,
+    one row out, pure scan-stage array folds; run it at ingest and
+    quarantine (or re-parse) the docs with ``ok = false`` before they
+    poison nearest-neighbor picks downstream.
+
+    A document with an EMPTY spans array audits as all-zero/ok here;
+    the flat-source DuckDB twin cannot see such a document at all (it
+    has no flat rows), so twin parity holds on corpora where every
+    document has at least one span.
+    """
+    nn = "filter(spans, s -> s.offset IS NOT NULL)"
+    return docs.select(
+        "doc_id",
+        F.expr("size(spans)").cast("int").alias("n_spans"),
+        F.expr("size(filter(spans, s -> s.offset IS NULL))")
+        .cast("int")
+        .alias("n_null_offset"),
+        (
+            F.expr(f"size({nn})")
+            - F.expr(f"size(array_distinct(transform({nn}, s -> s.offset)))")
+        )
+        .cast("int")
+        .alias("n_dup_offsets"),
+        F.expr(
+            f"size(filter(spans, s -> {_IS_MEDIA} "
+            "AND s.text IS NOT NULL AND length(s.text) > 0))"
+        )
+        .cast("int")
+        .alias("n_media_with_text"),
+        F.expr(
+            f"size(filter(spans, s -> NOT {_IS_MEDIA} "
+            "AND (s.text IS NULL OR length(s.text) = 0)))"
+        )
+        .cast("int")
+        .alias("n_blank_text"),
+        F.expr("size(filter(spans, s -> s.kind IS NULL))")
+        .cast("int")
+        .alias("n_null_kind"),
+    ).withColumn(
+        "ok",
+        (F.col("n_null_offset") == 0)
+        & (F.col("n_dup_offsets") == 0)
+        & (F.col("n_media_with_text") == 0)
+        & (F.col("n_blank_text") == 0)
+        & (F.col("n_null_kind") == 0),
+    )
+
+
+def span_integrity_sql(spans_sql: str = "SELECT * FROM spans") -> str:
+    """DuckDB twin over a FLAT span source — independent formulation:
+    grouped FILTER counts and count-minus-count-DISTINCT (both
+    NULL-excluding, matching the Spark side's non-NULL-only dup rule).
+    Cannot represent empty-span-array documents (no flat rows)."""
+    is_media = "(media_ref IS NOT NULL AND media_ref <> '')"
+    return f"""
+      WITH src AS ({spans_sql}),
+      g AS (
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_spans,
+               CAST(count(*) FILTER ("offset" IS NULL) AS INT)
+                 AS n_null_offset,
+               CAST(count("offset") - count(DISTINCT "offset") AS INT)
+                 AS n_dup_offsets,
+               CAST(count(*) FILTER ({is_media}
+                 AND text IS NOT NULL AND length(text) > 0) AS INT)
+                 AS n_media_with_text,
+               CAST(count(*) FILTER (NOT {is_media}
+                 AND (text IS NULL OR length(text) = 0)) AS INT)
+                 AS n_blank_text,
+               CAST(count(*) FILTER (kind IS NULL) AS INT) AS n_null_kind
+        FROM src GROUP BY doc_id
+      )
+      SELECT *,
+             (n_null_offset = 0 AND n_dup_offsets = 0
+              AND n_media_with_text = 0 AND n_blank_text = 0
+              AND n_null_kind = 0) AS ok
+      FROM g
+    """

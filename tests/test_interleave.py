@@ -489,3 +489,81 @@ def test_span_structure_fuzz_across_engines(spark, con):
         got = sorted(map(tuple, build(df).collect()))
         want = sorted(map(tuple, con.execute(sql).fetchall()))
         assert got == want, (got[:5], want[:5])
+
+
+# ---------------------------------------------------------------------------
+# span_integrity
+# ---------------------------------------------------------------------------
+
+
+def test_span_integrity_semantics(spark):
+    from ocr_spark.functions.interleave import span_integrity
+
+    rows = [
+        # clean doc
+        _doc("clean", [("text", "hello", "", 0), ("picture", "", "img", 1)]),
+        # one NULL offset + a duplicate pair among the non-null ones
+        _doc(
+            "dups",
+            [
+                ("text", "a", "", None),
+                ("text", "b", "", 2),
+                ("text", "c", "", 2),
+                ("text", "d", "", 3),
+            ],
+        ),
+        # media span carrying prose; text span with empty body;
+        # NULL kind
+        _doc(
+            "bad",
+            [
+                ("picture", "stray prose", "img", 0),
+                ("text", "", "", 1),
+                (None, "x", "", 2),
+            ],
+        ),
+        # empty spans array: audits all-zero/ok (Spark-only row; the
+        # flat twin cannot see it)
+        ("empty", []),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = {r.doc_id: r for r in span_integrity(df).collect()}
+    c = got["clean"]
+    assert (c.n_spans, c.ok) == (2, True)
+    d = got["dups"]
+    assert (d.n_null_offset, d.n_dup_offsets, d.ok) == (1, 1, False)
+    b = got["bad"]
+    assert (b.n_media_with_text, b.n_blank_text, b.n_null_kind, b.ok) == (
+        1,
+        1,
+        1,
+        False,
+    )
+    e = got["empty"]
+    assert (e.n_spans, e.ok) == (0, True)
+
+
+def test_span_integrity_twin_parity(spark, con):
+    from ocr_spark.functions.interleave import span_integrity, span_integrity_sql
+
+    nested = synthesize_spans(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    got = sorted(tuple(r) for r in span_integrity(nested).collect())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(span_integrity_sql(synth_spans_sql())).fetchall()
+    )
+    assert got == want and len(got) == 500
+    # the synthetic corpus is contract-clean
+    assert all(r[-1] for r in got)
+
+
+def test_span_integrity_is_scan_stage(spark):
+    from ocr_spark.functions.interleave import span_integrity
+    from ocr_spark.plans import plan_str
+
+    nested = synthesize_spans(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    plan = plan_str(span_integrity(nested), "simple")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
