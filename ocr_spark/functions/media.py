@@ -90,7 +90,11 @@ def media_reuse(
     refs carry per-page noise, exactly like ``urls.canonicalize_urls``
     does for document URLs. The caller supplies the matching DuckDB
     expression to ``media_reuse_sql`` (the two dialects' regex
-    functions agree on the common POSIX subset).
+    functions agree on the common POSIX subset). A key that
+    normalizes to NULL or '' (e.g. a regexp_extract miss) is dropped,
+    not grouped — same rule as ``strip_reused_media``, else one miss
+    pattern lumps every unmatched ref into a single giant pseudo-asset
+    row.
 
     Scale shape: filter-before-explode (only media spans leave the
     array), one groupBy on the asset key with partial aggregation;
@@ -99,7 +103,9 @@ def media_reuse(
     flat = docs.selectExpr(
         "doc_id", f"explode(filter(spans, s -> {_IS_MEDIA})) AS m"
     ).selectExpr("doc_id", "m.media_ref AS media_ref")
-    keyed = flat.selectExpr(f"({key_sql}) AS media_key", "doc_id")
+    keyed = flat.selectExpr(f"nullif(({key_sql}), '') AS media_key", "doc_id").where(
+        F.col("media_key").isNotNull()
+    )
     return (
         keyed.groupBy("media_key")
         .agg(
@@ -116,17 +122,19 @@ def media_reuse_sql(
     key_sql: str = "media_ref",
 ) -> str:
     """DuckDB twin over a FLAT span source. ``key_sql`` is a DuckDB
-    expression over ``media_ref`` (see media_reuse)."""
+    expression over ``media_ref`` (see media_reuse); NULL/''-keys are
+    dropped on both sides."""
     return f"""
       WITH src AS ({spans_sql}),
       media AS (
-        SELECT doc_id, media_ref FROM src
+        SELECT doc_id, nullif(({key_sql}), '') AS media_key FROM src
         WHERE media_ref IS NOT NULL AND media_ref <> ''
       )
-      SELECT ({key_sql}) AS media_key,
+      SELECT media_key,
              count(DISTINCT doc_id) AS n_docs,
              count(*) AS n_uses
       FROM media
+      WHERE media_key IS NOT NULL
       GROUP BY 1
       HAVING count(DISTINCT doc_id) >= {int(min_docs)}
     """
@@ -269,7 +277,9 @@ def media_context_sql(
     """DuckDB twin over a FLAT span source — independent formulation:
     nearest text offsets via grouped min/max anti-ranges (the
     caption_pairs_sql pattern) instead of the Spark side's array
-    folds, then two joins back for the texts."""
+    folds, then two joins back for the texts. Like caption_pairs_sql,
+    the GROUP BY collapses exact-duplicate media rows, which the
+    Spark side keeps — the contract corpus never contains them."""
     n = int(n_chars)
     return f"""
       WITH src AS ({spans_sql}),
@@ -319,6 +329,12 @@ def media_position_stats(docs: DataFrame) -> DataFrame:
       (text->media or media->text) — the interleaving granularity.
       Sorted by (offset, is_media) like interleave_stats' run fold so
       duplicate offsets cannot flip the flag sequence.
+
+    Precondition (the span-table contract, auditable with
+    ``interleave.span_integrity``): offsets are non-NULL. A NULL
+    offset poisons the Spark-side ppm fold to NULL while the
+    NULL-skipping twin aggregate keeps a value — quarantine such docs
+    at ingest instead of comparing their profiles.
     """
     media_a = "(a.media_ref IS NOT NULL AND a.media_ref <> '')"
     media_b = "(b.media_ref IS NOT NULL AND b.media_ref <> '')"

@@ -95,6 +95,18 @@ def test_media_reuse_key_normalization(spark):
     assert _rows(media_reuse(df, min_docs=2, key_sql=key)) == {("cdn/logo.png", 2, 2)}
 
 
+def test_media_reuse_empty_key_never_groups(spark):
+    # a normalizing key that misses ('' from regexp_extract) must not
+    # lump unmatched refs into one giant pseudo-asset row
+    rows = [
+        _doc("a", [_m(0, "x.bin")]),
+        _doc("b", [_m(0, "y.bin")]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    key = "regexp_extract(media_ref, '\\\\.png$', 0)"  # matches neither
+    assert _rows(media_reuse(df, min_docs=2, key_sql=key)) == set()
+
+
 def test_media_reuse_string_ids_pass_through(spark):
     rows = [
         _doc("sha1:aaa", [_m(0, "x.png")]),
