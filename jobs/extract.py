@@ -59,9 +59,24 @@ def main() -> None:
         metavar="DIR",
         help="also write document-structure sidecars derived from the "
         "input span table: DIR/caption_pairs (media<->caption "
-        "attachment) and DIR/section_paths (heading-context "
-        "breadcrumbs). Both are zero-shuffle scan-stage operators, so "
-        "each sidecar costs one pruned pass over the input",
+        "attachment), DIR/section_paths (heading-context breadcrumbs) "
+        "and DIR/media_context (nearest-prose window per media span). "
+        "All are zero-shuffle scan-stage operators, so each sidecar "
+        "costs one pruned pass over the input",
+    )
+    ap.add_argument(
+        "--integrity-gate",
+        default=None,
+        metavar="DIR",
+        help="audit the span-table input contract (span_integrity: "
+        "distinct non-NULL offsets, media/text shape, kinds) before "
+        "extraction; violating documents are quarantined to DIR — full "
+        "original rows, for re-parse — and excluded from the run. The "
+        "violator id set is tiny by construction, so both the "
+        "quarantine semi-join and the exclusion anti-join broadcast "
+        "under AQE. NULL-doc_id rows never match either join and stay "
+        "in the run, where the kernels already turn them into error "
+        "rows (the NULL-id contract)",
     )
     ap.add_argument("--master", default=None, help="override master URL")
     args = ap.parse_args()
@@ -74,6 +89,28 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     if args.synthesize:
         docs = synthesize_spans(docs)
+    n_quarantined = 0
+    if args.integrity_gate:
+        from pyspark.sql import functions as F
+
+        from ocr_spark.functions.interleave import span_integrity
+
+        # violator set is tiny: materialize it ONCE (localCheckpoint)
+        # so the audit folds don't re-execute in each of the two joins
+        bad_ids = (
+            span_integrity(docs)
+            .where(~F.col("ok"))
+            .select("doc_id")
+            .localCheckpoint()
+        )
+        docs.join(bad_ids, "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(args.integrity_gate)
+        # read-back count: the write above is the one audit execution;
+        # counting the source df again would re-run the folds
+        n_quarantined = spark.read.parquet(args.integrity_gate).count()
+        if n_quarantined:
+            docs = docs.join(bad_ids, "doc_id", "left_anti")
     run = ExtractionRun(
         spark,
         docs,
@@ -87,12 +124,17 @@ def main() -> None:
         ),
     )
     summary = run.run()
+    if args.integrity_gate:
+        summary["n_quarantined"] = n_quarantined
     if args.emit_structure:
         from ocr_spark.functions.interleave import caption_pairs, section_paths
+
+        from ocr_spark.functions.media import media_context
 
         for name, df in (
             ("caption_pairs", caption_pairs(docs)),
             ("section_paths", section_paths(docs)),
+            ("media_context", media_context(docs)),
         ):
             out = f"{args.emit_structure}/{name}"
             df.write.mode("overwrite").parquet(out)

@@ -1,0 +1,90 @@
+"""In-process coverage of jobs/extract.py flags (the spark-submit
+path is covered by tests/test_spark_submit.py): the span_integrity
+quarantine gate and the structure sidecars."""
+
+from __future__ import annotations
+
+import json
+import sys
+from unittest.mock import patch
+
+from pyspark.sql import SparkSession
+
+_NESTED_SCHEMA = (
+    "doc_id string, spans array<struct<"
+    "kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def _run_main(argv):
+    import jobs.extract as job
+
+    printed = []
+    with patch.object(sys, "argv", argv), patch.object(
+        SparkSession, "stop", lambda self: None
+    ), patch("builtins.print", lambda s: printed.append(s)):
+        job.main()
+    return json.loads(printed[-1])
+
+
+def test_extract_job_integrity_gate_and_sidecars(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    q = str(tmp_path / "quarantine")
+    struct = str(tmp_path / "structure")
+    rows = [
+        ("good1", [("text", "hello world", "", 0), ("picture", "", "img-a", 1)]),
+        ("good2", [("text", "more prose", "", 0), ("text", "tail", "", 1)]),
+        # duplicate offsets: violates the span-table contract
+        ("dup_off", [("text", "a", "", 1), ("text", "b", "", 1)]),
+    ]
+    spark.createDataFrame(rows, _NESTED_SCHEMA).write.parquet(inp)
+    summary = _run_main(
+        [
+            "extract.py",
+            "--input", inp,
+            "--output", out,
+            "--run-id", "gate-test",
+            "--buckets", "2",
+            "--integrity-gate", q,
+            "--emit-structure", struct,
+        ]
+    )
+    assert summary["n_quarantined"] == 1
+    quarantined = spark.read.parquet(q)
+    assert [r.doc_id for r in quarantined.collect()] == ["dup_off"]
+    # the quarantined rows are the FULL original rows (re-parseable)
+    assert set(quarantined.columns) == {"doc_id", "spans"}
+    extracted = spark.read.parquet(out)
+    assert {r.doc_id for r in extracted.select("doc_id").distinct().collect()} == {
+        "good1",
+        "good2",
+    }
+    # sidecars: every media span yields a caption_pairs row (NULL
+    # caption allowed) and a media_context row
+    assert summary["n_caption_pairs"] == 1
+    assert summary["n_media_context"] == 1
+    assert summary["n_section_paths"] > 0
+    mc = spark.read.parquet(f"{struct}/media_context").collect()
+    assert mc[0].media_ref == "img-a" and mc[0].text_before == "hello world"
+
+
+def test_extract_job_gate_clean_corpus_is_noop(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    q = str(tmp_path / "quarantine")
+    rows = [("d1", [("text", "prose", "", 0)])]
+    spark.createDataFrame(rows, _NESTED_SCHEMA).write.parquet(inp)
+    summary = _run_main(
+        [
+            "extract.py",
+            "--input", inp,
+            "--output", out,
+            "--run-id", "gate-clean",
+            "--buckets", "1",
+            "--integrity-gate", q,
+        ]
+    )
+    assert summary["n_quarantined"] == 0
+    assert spark.read.parquet(q).count() == 0
+    assert spark.read.parquet(out).count() > 0

@@ -56,8 +56,10 @@ def test_spark_submit_extract_job(tmp_path):
     assert os.path.isdir(out)
     assert summary["n_caption_pairs"] > 0
     assert summary["n_section_paths"] > 0
+    assert summary["n_media_context"] > 0
     assert os.path.isdir(str(tmp_path / "structure" / "caption_pairs"))
     assert os.path.isdir(str(tmp_path / "structure" / "section_paths"))
+    assert os.path.isdir(str(tmp_path / "structure" / "media_context"))
 
 
 @pytest.mark.slow
