@@ -363,3 +363,154 @@ def test_media_position_stats_is_scan_stage(nested):
     assert "Exchange" not in plan
     assert "Generate" not in plan
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# seeded cross-engine fuzz over randomized nested-span corpora
+# ---------------------------------------------------------------------------
+
+
+def _duck_flat(con, name, flat_rows):
+    """Register flat span rows as a DuckDB view with NULL-safe int
+    offsets (pandas nullable Int32 — plain int columns would coerce
+    NULL to NaN/float64)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        flat_rows, columns=["doc_id", "kind", "text", "media_ref", "offset"]
+    )
+    pdf["offset"] = pdf["offset"].astype("Int32")
+    con.register(f"{name}_df", pdf)
+    con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM {name}_df")
+    return f"SELECT * FROM {name}"
+
+
+def _assert_twin(spark_df, con, sql):
+    canon = lambda v: (0, "") if v is None else (1, repr(v))
+    got = sorted(
+        tuple(canon(v) for v in r) for r in spark_df.collect()
+    )
+    want = sorted(
+        tuple(canon(v) for v in r) for r in con.execute(sql).fetchall()
+    )
+    assert got == want
+
+
+def test_nested_span_fuzz_across_engines(spark, con):
+    """Seeded fuzz: randomized interleaved corpora through every
+    nested-span twin. The clean corpus honors the span-table contract
+    (distinct non-NULL offsets) for the nearest-neighbor/order-fold
+    operators; the dirty corpus injects every violation class for the
+    audit and the offset-blind reuse operators."""
+    import random
+
+    from ocr_spark.functions.interleave import (
+        interleave_stats,
+        interleave_stats_sql,
+        span_integrity,
+        span_integrity_sql,
+    )
+
+    rng = random.Random(141414)
+    hostile = (
+        "abc XYZ 012 .,;:!?'\"()[]{}<>|/\\@#$%^&*-_=+~`"
+        "\t\n\r\f\x0b\xa0éüßñ漢字平仮名عربي🎉İIıK"
+    )
+    refs = [f"asset-{i}.png" for i in range(6)]  # small pool -> reuse
+
+    def rnd_text():
+        return "".join(rng.choice(hostile) for _ in range(rng.randint(0, 25)))
+
+    def clean_doc(i):
+        n = rng.randint(1, 10)
+        offs = rng.sample(range(30), n)
+        spans = []
+        for o in offs:
+            k = rng.random()
+            if k < 0.3:
+                spans.append(("picture", "", rng.choice(refs), o))
+            elif k < 0.45:
+                spans.append(("caption", rnd_text(), "", o))
+            else:
+                spans.append(("text", rnd_text() + "x", "", o))
+        return (f"doc{i}", spans)
+
+    def dirty_doc(i):
+        n = rng.randint(1, 8)
+        spans = []
+        for _ in range(n):
+            o = rng.choice([None, 0, 1, 1, 2, 5])  # NULLs + dups
+            k = rng.random()
+            if k < 0.25:
+                # media possibly carrying stray prose
+                spans.append(
+                    ("picture", rng.choice(["", "stray"]), rng.choice(refs), o)
+                )
+            elif k < 0.4:
+                spans.append((None, rnd_text(), "", o))  # NULL kind
+            elif k < 0.55:
+                spans.append(("text", rng.choice(["", None]), "", o))  # blank
+            else:
+                spans.append(("text", rnd_text() + "y", rng.choice(["", None]), o))
+        return (f"dirty{i}", spans)
+
+    clean = [clean_doc(i) for i in range(80)]
+    dirty = [dirty_doc(i) for i in range(80)]
+    clean_df = spark.createDataFrame(clean, _NESTED_SCHEMA)
+    dirty_df = spark.createDataFrame(dirty, _NESTED_SCHEMA)
+    flat = lambda docs: [
+        (d, *s) for d, spans in docs for s in spans
+    ]
+    clean_sql = _duck_flat(con, "fz_clean", flat(clean))
+    dirty_sql = _duck_flat(con, "fz_dirty", flat(dirty))
+
+    # clean corpus: nearest-neighbor + order-fold operators
+    _assert_twin(
+        media_context(clean_df, n_chars=7).select(
+            "doc_id",
+            "media_ref",
+            "media_offset",
+            F.coalesce("before_offset", F.lit(-1)).alias("bo"),
+            F.coalesce("text_before", F.lit("")).alias("tb"),
+            F.coalesce("after_offset", F.lit(-1)).alias("ao"),
+            F.coalesce("text_after", F.lit("")).alias("ta"),
+        ),
+        con,
+        "SELECT doc_id, media_ref, media_offset, "
+        "coalesce(before_offset, -1), coalesce(text_before, ''), "
+        "coalesce(after_offset, -1), coalesce(text_after, '') FROM ("
+        + media_context_sql(clean_sql, n_chars=7)
+        + ")",
+    )
+    _assert_twin(
+        media_position_stats(clean_df).select(
+            "doc_id",
+            "n_media",
+            "n_lead_media",
+            "n_tail_media",
+            F.coalesce("mean_rel_ppm", F.lit(-1)).alias("ppm"),
+            "n_switches",
+        ),
+        con,
+        "SELECT doc_id, n_media, n_lead_media, n_tail_media, "
+        "coalesce(mean_rel_ppm, -1), n_switches FROM ("
+        + media_position_stats_sql(clean_sql)
+        + ")",
+    )
+    _assert_twin(
+        interleave_stats(clean_df), con, interleave_stats_sql(clean_sql)
+    )
+
+    # dirty corpus: the audit + the offset-blind reuse operators
+    _assert_twin(span_integrity(dirty_df), con, span_integrity_sql(dirty_sql))
+    key = "nullif(regexp_extract(media_ref, '([0-9]+)', 1), '')"
+    _assert_twin(
+        media_reuse(dirty_df, key_sql=key),
+        con,
+        media_reuse_sql(dirty_sql, key_sql=key),
+    )
+    _assert_twin(
+        strip_reused_media(dirty_df, key_sql=key),
+        con,
+        strip_reused_media_sql(dirty_sql, key_sql=key),
+    )
