@@ -51,7 +51,7 @@ def funnel_counts(
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     ev = events.select(
-        F.col("user_id").cast("long").alias("user_id"),
+        "user_id",
         "event_type",
         F.col("ts").cast("timestamp").alias("ts"),
     ).where(
@@ -98,7 +98,7 @@ def funnel_counts_sql(
     lits = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
     sql = f"""
       WITH ev AS (
-        SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+        SELECT user_id, event_type,
                CAST(ts AS TIMESTAMP) AS ts
         FROM {table}
         WHERE ts IS NOT NULL AND user_id IS NOT NULL
@@ -153,7 +153,7 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     so they are exact integers in both engines.
     """
     ev = events.select(
-        F.col("user_id").cast("long").alias("user_id"),
+        "user_id",
         F.col("ts").cast("timestamp").alias("ts"),
     ).where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     w = Window.partitionBy("user_id")  # whole-partition frame
@@ -178,7 +178,7 @@ def retention_cohorts_sql(table: str = "events") -> str:
     engines; identical floor(days/7) offset arithmetic)."""
     return f"""
       WITH ev AS (
-        SELECT CAST(user_id AS BIGINT) AS user_id,
+        SELECT user_id,
                CAST(ts AS TIMESTAMP) AS ts
         FROM {table}
         WHERE ts IS NOT NULL AND user_id IS NOT NULL

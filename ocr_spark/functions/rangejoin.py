@@ -134,7 +134,7 @@ def attribution_join_events(
     window contains it → (interval_id, event_id, user_id)."""
     base = events.select(
         F.col("event_id").cast("long").alias("event_id"),
-        F.col("user_id").cast("long").alias("user_id"),
+        "user_id",
         F.col("ts").cast("timestamp").alias("ts"),
         "event_type",
     )

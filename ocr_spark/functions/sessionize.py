@@ -64,7 +64,7 @@ def sessionize(
     # the shared in-plan filter makes the exclusion a contract, not an
     # engine accident)
     ev = events.select(
-        F.col(key).cast("long").alias("user_id"),
+        F.col(key).alias("user_id"),
         F.col(ts).cast("timestamp").alias("ts"),
         F.col(value).alias("value"),
     ).where(F.col("ts").isNotNull())
@@ -100,7 +100,7 @@ def sessionize_sql(table: str = "events", gap: str = DEFAULT_GAP) -> str:
     gaps-and-islands formulation of the same operator)."""
     return f"""
       WITH flagged AS (
-        SELECT CAST(user_id AS BIGINT) AS user_id, ts, value,
+        SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
                       OR ts - lag(ts) OVER w > INTERVAL '{gap}'
                     THEN 1 ELSE 0 END AS new_sess

@@ -56,7 +56,7 @@ def asof_join_events(
     # and identically in the SQL twin (engines otherwise disagree —
     # Spark windows sort NULLs first, DuckDB ASOF matches them)
     ev = events.select(
-        F.col("user_id").cast("long").alias("user_id"),
+        "user_id",
         F.col("event_id").cast("long").alias("event_id"),
         F.col("ts").cast("timestamp").alias("ts"),
         "event_type",
@@ -116,7 +116,7 @@ def asof_join_events_sql(
 ) -> str:
     """DuckDB twin: the native ASOF LEFT JOIN (inclusive >= bound)."""
     return f"""
-      SELECT CAST(l.user_id AS BIGINT) AS user_id,
+      SELECT l.user_id AS user_id,
              CAST(l.event_id AS BIGINT) AS event_id,
              strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
              CAST(coalesce(r.event_id, -1) AS BIGINT) AS matched_event_id,
@@ -144,7 +144,7 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     # NULLs differently inside windows, so a shared timeline rule is
     # the only deterministic contract
     ev = events.select(
-        F.col("user_id").cast("long").alias("user_id"),
+        "user_id",
         F.col("event_id").cast("long").alias("event_id"),
         F.col("ts").cast("timestamp").alias("ts"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -171,7 +171,7 @@ def running_user_stats(events: DataFrame) -> DataFrame:
 
 def running_user_stats_sql(table: str = "events") -> str:
     return f"""
-      SELECT CAST(user_id AS BIGINT) AS user_id,
+      SELECT user_id,
              CAST(event_id AS BIGINT) AS event_id,
              count(*) OVER w_run AS running_n,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w_run

@@ -150,3 +150,23 @@ def test_retention_no_join_single_distinct_agg(events):
     plan = _plan(retention_cohorts(events), "simple")
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_funnel_and_retention_accept_string_user_ids(spark):
+    # the operator layer is id-type-agnostic: 'uuid:...' user ids must
+    # flow through, not silently NULL-cast to an empty funnel
+    from ocr_spark.functions.funnel import funnel_counts, retention_cohorts
+
+    rows = [
+        ("uuid:a", "signup", "2024-01-01 10:00:00", 1.0),
+        ("uuid:a", "click", "2024-01-02 10:00:00", 1.0),
+        ("uuid:a", "purchase", "2024-01-03 10:00:00", 1.0),
+        ("uuid:b", "signup", "2024-01-01 10:00:00", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts string, value double"
+    )
+    got = {r.step: r.n_users for r in funnel_counts(ev).collect()}
+    assert got == {1: 2, 2: 1, 3: 1}
+    cohorts = retention_cohorts(ev).collect()
+    assert sum(r.n_users for r in cohorts if r.week_offset == 0) == 2

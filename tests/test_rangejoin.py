@@ -149,3 +149,18 @@ def test_matches_duckdb_twin(events):
     )
     oracle = sorted(map(tuple, con.execute(attribution_join_events_sql()).fetchall()))
     assert got == oracle and len(got) > 0
+
+
+def test_attribution_accepts_string_user_ids(spark):
+    from ocr_spark.functions.rangejoin import attribution_join_events
+
+    rows = [
+        (1, "uuid:a", "signup", "2024-01-01 10:00:00"),
+        (2, "uuid:a", "purchase", "2024-01-02 10:00:00"),
+        (3, "uuid:b", "purchase", "2024-01-02 10:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts string"
+    )
+    got = [tuple(r) for r in attribution_join_events(ev).collect()]
+    assert got == [(1, 2, "uuid:a")]

@@ -121,3 +121,16 @@ def test_sessionize_streaming_form(spark, tmp_path):
     }
     assert got[(1, "2024-03-01 00:00:00")] == 2
     assert got[(2, "2024-03-01 02:00:00")] == 1
+
+
+def test_sessionize_accepts_string_user_ids(spark):
+    from ocr_spark.functions.sessionize import sessionize
+
+    rows = [
+        ("uuid:x", "2024-01-01 10:00:00", 2.0),
+        ("uuid:x", "2024-01-01 10:10:00", 3.0),
+        ("uuid:y", "2024-01-01 11:00:00", 1.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts string, value double")
+    got = {r.user_id: r.n_events for r in sessionize(ev, gap="30 minutes").collect()}
+    assert got == {"uuid:x": 2, "uuid:y": 1}

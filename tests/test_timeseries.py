@@ -231,3 +231,24 @@ def test_resample_fill_rejects_bad_args(spark):
         resample_fill(ev, 0)
     with _pt.raises(ValueError):
         resample_fill_sql("events", 3600, "interpolate")
+
+
+def test_asof_and_running_accept_string_user_ids(spark):
+    from ocr_spark.functions.timeseries import (
+        asof_join_events,
+        running_user_stats,
+    )
+
+    rows = [
+        (1, "uuid:a", "click", "2024-01-01 10:00:00", 1.0),
+        (2, "uuid:a", "purchase", "2024-01-01 11:00:00", 5.0),
+        (3, "uuid:b", "purchase", "2024-01-01 11:00:00", 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id string, event_type string, ts string, value double",
+    )
+    asof = {r.event_id: r.matched_event_id for r in asof_join_events(ev).collect()}
+    assert asof == {2: 1, 3: -1}  # uuid:b purchase has no prior click
+    run = {(r.user_id, r.event_id): r.running_n for r in running_user_stats(ev).collect()}
+    assert run == {("uuid:a", 1): 1, ("uuid:a", 2): 2, ("uuid:b", 3): 1}
