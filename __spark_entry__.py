@@ -1238,6 +1238,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental-ingest novelty gate: a re-crawl batch (every
         # doc re-ingested, every 5th modified) anti-joined against
         # the corpus — only the modified fifth is novel
+        # canonical-key exact dedup: case/punct/whitespace-insensitive
+        # content keys (the C4/RefinedWeb normalization before hashing)
+        "exact_dedup_canonical": lambda s, d: ded.exact_dedup_canonical(
+            _read(s, d, "documents")
+        ),
+        # bloom-filter novelty gate: compressed seen-set (src0 is the
+        # "history"), gated over the whole corpus — one-sided exact
+        # (every src0 doc MUST flag maybe_seen; the bitset table and
+        # every verdict are integer-exact cross-engine)
+        "bloom_novelty": lambda s, d: ded.bloom_novel(
+            _read(s, d, "documents"),
+            ded.bloom_build(
+                _read(s, d, "documents").where("source = 'src0'")
+            ),
+        ).select("doc_id", "maybe_seen"),
+        # mixture-plan EXECUTION: epoch-repeated, fractionally-sampled
+        # training mix (row-level oracle check of every (doc, epoch)
+        # emission; unweighted sources provably dropped)
+        "mixture_epochs": lambda s, d: smp.apply_mixture(
+            _read(s, d, "documents"), {"src0": 0.8, "src1": 0.2}, 5000
+        ).select("doc_id", "source", "epoch"),
+        # leakage-safe grouped split: assignment hashes the GROUP key,
+        # so a source's docs can never straddle train/test
+        "split_by_source": lambda s, d: smp.dataset_split_by_group(
+            _read(s, d, "documents")
+        ).select("doc_id", "source", "split"),
         "novel_docs": lambda s, d: ded.novel_docs(
             _read(s, d, "documents").withColumn(
                 "text",
@@ -1708,6 +1734,21 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source": (
             "SELECT doc_id, source FROM ("
             + smp.cap_per_group_sql("documents", "source", 10)
+            + ")"
+        ),
+        "exact_dedup_canonical": ded.exact_dedup_canonical_sql(),
+        "bloom_novelty": ded.bloom_novel_sql(
+            "documents",
+            ded.bloom_build_sql(
+                "(SELECT * FROM documents WHERE source = 'src0')"
+            ),
+        ),
+        "mixture_epochs": smp.apply_mixture_sql(
+            {"src0": 0.8, "src1": 0.2}, 5000
+        ),
+        "split_by_source": (
+            "SELECT doc_id, source, split FROM ("
+            + smp.dataset_split_by_group_sql("documents")
             + ")"
         ),
         "novel_docs": (

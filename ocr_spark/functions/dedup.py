@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from ocr_spark.functions.hashing import (
     MASK_40,
     MINHASH_PRIME,
+    md5_long,
     md5_long_expr,
     md5_long_sql,
     minhash_perms,
@@ -1423,3 +1424,235 @@ def containment_pairs_sql(
         tau_c,
         id_sql,
     )
+
+
+# ---------------------------------------------------------------------------
+# canonical-text exact dedup (C4/RefinedWeb-style normalized keys)
+# ---------------------------------------------------------------------------
+
+# ASCII A-Z -> a-z via translate: java.lang.String.toLowerCase applies
+# locale-sensitive FULL case mapping (the Turkish-I / Kelvin-sign trap
+# the gopher_rules review closed), translate is a 26-char table lookup
+# with identical semantics in Spark and DuckDB.
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def canonical_text(col):
+    """Dedup-key canonicalization: ASCII-lowercase, every non-ASCII-
+    alphanumeric character (punctuation, unicode, controls) -> space,
+    whitespace runs collapsed to one space, ends trimmed.
+
+    Two crawls of the same page that differ only in case, punctuation
+    spacing, or markup residue canonicalize to the same key — the
+    normalization step C4/RefinedWeb apply before exact dedup. Pure
+    scan-stage codegen (translate + two regexp_replace + trim), zero
+    shuffle, and every regex is spelled with explicit ASCII classes so
+    the Java and RE2 dialects agree byte-for-byte.
+    """
+    from ocr_spark.schema import NON_ALNUM_WS
+
+    c = F.translate(col, _UPPER, _LOWER)
+    c = F.regexp_replace(c, NON_ALNUM_WS, " ")
+    c = F.regexp_replace(c, WS + "+", " ")
+    return F.trim(c)
+
+
+def canonical_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_text` (explicit 'g' flag —
+    DuckDB regexp_replace defaults to first-match-only)."""
+    from ocr_spark.schema import NON_ALNUM_WS
+
+    c = f"translate({expr}, '{_UPPER}', '{_LOWER}')"
+    c = f"regexp_replace({c}, '{NON_ALNUM_WS}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{WS}+', ' ', 'g')"
+    return f"trim({c})"
+
+
+def exact_dedup_canonical(docs: DataFrame) -> DataFrame:
+    """:func:`exact_dedup` over the canonicalized text: (canon_md5,
+    n_docs, rep_doc_id, canon_preview). Same one-shuffle hash-
+    aggregate shape — the canonicalization rides inside the scan
+    stage, so the only cost over raw exact dedup is per-row string
+    work. NULL text canonicalizes to NULL and groups with other NULLs
+    (matching raw exact_dedup's NULL-key group)."""
+    canon = canonical_text(F.col("text"))
+    return (
+        docs.select(F.md5(canon).alias("canon_md5"), "doc_id")
+        .groupBy("canon_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+    )
+
+
+def exact_dedup_canonical_sql(
+    table: str = "documents", id_sql: str = "CAST(doc_id AS BIGINT)"
+) -> str:
+    canon = canonical_text_sql("text")
+    return f"""
+      SELECT md5({canon}) AS canon_md5, count(*) AS n_docs,
+             min({id_sql}) AS rep_doc_id
+      FROM {table} GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter novelty gate (compressed seen-set for incremental ingest)
+# ---------------------------------------------------------------------------
+
+# 30 payload bits per BIGINT word: 1 << bit with bit < 30 stays a
+# small positive int in BOTH engines (bit 63 is the signed-overflow
+# trap: DuckDB errors on BIGINT << into the sign bit, Spark wraps).
+_BLOOM_WORD_BITS = 30
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 4
+
+
+def _bloom_positions(text_col, m_bits: int, k: int) -> list:
+    """k bit positions for one document: ONE full-text md5, then k
+    cheap re-hashes of its 32-char hex (never k scans of the text)."""
+    h = F.md5(text_col)
+    return [
+        md5_long(F.concat(F.lit(f"bloom:{i}:"), h)) % m_bits
+        for i in range(k)
+    ]
+
+
+def _bloom_positions_sql(text_expr: str, m_bits: int, k: int) -> list[str]:
+    h = f"md5({text_expr})"
+    out = []
+    for i in range(k):
+        keyed = md5_long_sql(f"'bloom:{i}:' || {h}")
+        out.append(f"({keyed} % {m_bits})")
+    return out
+
+
+def bloom_build(
+    docs: DataFrame, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Build the seen-set bloom filter over ``md5(text)``: a sparse
+    (word_idx, word) bitset table of at most ``ceil(m_bits/30)`` rows.
+
+    The incremental-ingest artifact at the scale where
+    :func:`novel_docs`'s exact anti-join shuffle is too expensive to
+    re-run per batch: the corpus compresses to ~1.25 bytes/doc at 10
+    bits/item (vs a 16-byte md5 key each), merges by ``bit_or`` and —
+    unlike the exact key set — stays broadcastable far longer.
+    Guarantee is one-sided: a document whose text was inserted is
+    ALWAYS flagged seen; a novel document is falsely flagged with
+    probability ~(1-e^{-kn/m})^k. NULL-text rows are never inserted.
+
+    Shape: one pruned scan, explode of k ints/doc, one partial-agg
+    shuffle on uniform ``word_idx`` keys bounded by m_bits/30 groups.
+    """
+    pos = F.explode(F.array(*_bloom_positions(F.col("text"), m_bits, k)))
+    keyed = docs.where(F.col("text").isNotNull()).select(pos.alias("pos"))
+    wb = _BLOOM_WORD_BITS
+    return (
+        keyed.select(
+            F.expr(f"pos div {wb}").alias("word_idx"),
+            F.expr(f"cast(shiftleft(1, cast(pos % {wb} as int)) as long)").alias(
+                "word"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two same-(m_bits,k) bloom tables: bit_or by word_idx —
+    exactly the filter that one pass over both corpora would build."""
+    return (
+        a.unionByName(b).groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+    )
+
+
+def bloom_novel(
+    new_docs: DataFrame,
+    bloom: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Gate ``new_docs`` against a :func:`bloom_build` table: adds
+    ``maybe_seen`` (true = the filter MAY have seen this exact text;
+    false = certainly novel). Row-preserving — callers filter
+    ``~maybe_seen`` for the certain-novel stream and route the
+    maybe-seen remainder (FP-rate-sized) to the exact check.
+
+    Shape: k broadcast hash joins against the (tiny, unique-keyed)
+    word table — zero shuffle on the new-docs side, no fan-out. At an
+    m_bits too large to broadcast, partition the filter by word_idx
+    and let the joins shuffle; the semantics don't change.
+    """
+    out = new_docs
+    hits = []
+    wb = _BLOOM_WORD_BITS
+    for i, pos in enumerate(_bloom_positions(F.col("text"), m_bits, k)):
+        out = out.withColumn(f"_bp{i}", pos)
+        side = F.broadcast(
+            bloom.select(
+                F.col("word_idx").alias(f"_bw{i}"), F.col("word").alias(f"_bword{i}")
+            )
+        )
+        out = out.join(
+            side, F.expr(f"_bp{i} div {wb}") == F.col(f"_bw{i}"), "left"
+        )
+        mask = F.expr(f"cast(shiftleft(1, cast(_bp{i} % {wb} as int)) as long)")
+        hits.append(
+            F.coalesce(F.col(f"_bword{i}").bitwiseAND(mask) == mask, F.lit(False))
+        )
+    seen = hits[0]
+    for h in hits[1:]:
+        seen = seen & h
+    maybe_seen = F.when(F.col("text").isNull(), F.lit(False)).otherwise(seen)
+    drop = [c for i in range(k) for c in (f"_bp{i}", f"_bw{i}", f"_bword{i}")]
+    return out.withColumn("maybe_seen", maybe_seen).drop(*drop)
+
+
+def bloom_build_sql(
+    table: str = "documents", m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> str:
+    """DuckDB twin of :func:`bloom_build` (``//`` floors, but every
+    position is non-negative, so it equals Spark's ``div``)."""
+    ps = _bloom_positions_sql("text", m_bits, k)
+    return f"""
+      SELECT pos // {_BLOOM_WORD_BITS} AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD_BITS} AS INT))
+               AS word
+      FROM (
+        SELECT unnest([{', '.join(ps)}]) AS pos
+        FROM {table} WHERE text IS NOT NULL
+      ) GROUP BY 1
+    """
+
+
+def bloom_novel_sql(
+    new_table: str,
+    bloom_sql: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+) -> str:
+    """DuckDB twin of :func:`bloom_novel`, projected to
+    (doc_id, maybe_seen)."""
+    ps = _bloom_positions_sql("d.text", m_bits, k)
+    joins, hits = [], []
+    for i, p in enumerate(ps):
+        joins.append(
+            f"LEFT JOIN bloom b{i} ON b{i}.word_idx = ({p}) // {_BLOOM_WORD_BITS}"
+        )
+        mask = (
+            f"(CAST(1 AS BIGINT) << CAST(({p}) % {_BLOOM_WORD_BITS} AS INT))"
+        )
+        hits.append(f"coalesce((b{i}.word & {mask}) = {mask}, false)")
+    return f"""
+      WITH bloom AS ({bloom_sql})
+      SELECT {id_sql} AS doc_id,
+             CASE WHEN d.text IS NULL THEN false
+                  ELSE {' AND '.join(hits)} END AS maybe_seen
+      FROM {new_table} d
+      {' '.join(joins)}
+    """

@@ -919,3 +919,190 @@ def curriculum_order_sql(
              ) - 1 AS BIGINT) AS pos
       FROM keyed
     """
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe grouped split + mixture-plan execution
+# ---------------------------------------------------------------------------
+
+
+def dataset_split_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    weights: dict[str, float] | None = None,
+    salt: str = "gsplit:v1",
+) -> DataFrame:
+    """Leakage-safe split: the assignment hashes the GROUP key (domain
+    / source / site), so every row of a group lands in the SAME split.
+    Near-duplicate documents overwhelmingly share a domain — a per-doc
+    split scatters them across train and test, leaking training
+    content into eval; hashing the group closes that channel (the
+    held-out-domains evaluation split). Same zero-shuffle scan-stage
+    codegen as :func:`dataset_split`; NULL groups hash as one
+    deterministic group (all NULL-group rows co-assign)."""
+    return dataset_split(df, weights, salt, id_col=group_col)
+
+
+def dataset_split_by_group_sql(
+    source: str,
+    group_col: str = "source",
+    weights: dict[str, float] | None = None,
+    salt: str = "gsplit:v1",
+) -> str:
+    """DuckDB twin of :func:`dataset_split_by_group`."""
+    return dataset_split_sql(source, weights, salt, id_col=group_col)
+
+
+def _target_case_col(targets: dict[str, int]):
+    """CASE source -> integer target-token literal (0 for unlisted)."""
+    t = F.lit(0).cast("long")
+    for src, v in sorted(targets.items()):
+        t = F.when(F.col("source") == src, F.lit(v)).otherwise(t)
+    return t.cast("long")
+
+
+def _target_case_sql(targets: dict[str, int]) -> str:
+    arms = " ".join(
+        f"WHEN source = '{src}' THEN CAST({v} AS BIGINT)"
+        for src, v in sorted(targets.items())
+    )
+    return f"(CASE {arms} ELSE CAST(0 AS BIGINT) END)"
+
+
+def apply_mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    group_col: str = "source",
+    salt: str = "mixapply:v1",
+    id_col: str = "doc_id",
+    max_epochs: int = 64,
+) -> DataFrame:
+    """EXECUTE the :func:`mixture_plan`: materialize the epoch-
+    repeated, fractionally-sampled training mix. Every kept row is the
+    original document plus an ``epoch`` column; a source whose target
+    is ``e.f`` epochs of its inventory emits each doc ``e`` times
+    (epochs 0..e-1) plus one fractional epoch ``e`` where the doc is
+    kept with probability ``f`` by the content-hash Bernoulli — so the
+    realized token count matches the target in expectation, exactly
+    reproducibly (retry/resume/repartition-invariant).
+
+    Semantics pinned by tests: sources absent from ``weights`` (and
+    NULL-group rows) are DROPPED — the mixture defines the corpus;
+    ``max_epochs`` clamps up-sampling (a clamped source emits exactly
+    max_epochs full epochs, no fractional epoch).
+
+    Integer-exact cross-engine: ``full = target div inventory`` and
+    the fractional threshold ``((target mod inv) * 10k) div inv`` are
+    BIGINT arithmetic (valid while a source's inventory stays under
+    ~9.2e14 tokens ≈ 3.7 PB of text — beyond that the threshold
+    multiply overflows int64; shard the mixture by sub-source first).
+
+    Scale shape: one partial-agg shuffle over ``group_col`` for the
+    inventory, a broadcast of the |sources|-row plan, then the
+    repeat-explode and hash filter ride the scan stage — no further
+    shuffle, and the explode factor is bounded by ``max_epochs``.
+    """
+    targets = _mixture_targets(weights, budget_tokens)
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    for helper in ("_mix_src", "_full", "_thresh", "epoch"):
+        if helper in docs.columns:
+            raise ValueError(f"input already has a {helper} column")
+    from ocr_spark.functions.text import words_col
+
+    n_tok = F.coalesce(
+        F.size(F.filter(words_col(), lambda x: x != F.lit(""))), F.lit(0)
+    )
+    plan = (
+        docs.select(F.col(group_col).alias("source"), n_tok.alias("_nt"))
+        .groupBy("source")
+        .agg(F.sum("_nt").cast("long").alias("_inv"))
+        .withColumn("_target", _target_case_col(targets))
+        .withColumn(
+            "_full",
+            F.when(
+                F.col("_inv") > 0,
+                F.least(F.expr("_target div _inv"), F.lit(max_epochs).cast("long")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "_thresh",
+            F.when(
+                (F.col("_inv") > 0) & (F.col("_full") < max_epochs),
+                F.expr(f"((_target % _inv) * {N_BUCKETS}) div _inv"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .select(F.col("source").alias("_mix_src"), "_full", "_thresh")
+    )
+    joined = docs.join(
+        F.broadcast(plan), F.col(group_col) == F.col("_mix_src"), "inner"
+    )
+    epoch = F.explode(F.sequence(F.lit(0).cast("long"), F.col("_full")))
+    b = _bucket_col(id_col, salt)
+    return (
+        joined.withColumn("epoch", epoch)
+        .where((F.col("epoch") < F.col("_full")) | (b < F.col("_thresh")))
+        .drop("_mix_src", "_full", "_thresh")
+    )
+
+
+def apply_mixture_sql(
+    weights: dict[str, float],
+    budget_tokens: int,
+    table: str = "documents",
+    group_col: str = "source",
+    salt: str = "mixapply:v1",
+    id_col: str = "doc_id",
+    max_epochs: int = 64,
+    id_sql: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`apply_mixture`, projected to
+    (doc_id, source, epoch). ``//`` floors vs Spark's truncating
+    ``div``, but every operand is non-negative here, so they agree."""
+    targets = _mixture_targets(weights, budget_tokens)
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    from ocr_spark.schema import WS
+
+    tcase = _target_case_sql(targets)
+    rendered_id = id_sql if id_sql is not None else f"CAST(d.{id_col} AS BIGINT)"
+    b = _bucket_sql(f"d.{id_col}", salt)
+    full_expr = (
+        f"CASE WHEN _inv > 0 THEN least(_target // _inv, {max_epochs}) "
+        f"ELSE 0 END"
+    )
+    return f"""
+      WITH counted AS (
+        SELECT {group_col} AS source,
+               coalesce(CAST(len(list_filter(
+                 regexp_split_to_array(text, '{WS}+'), x -> x != '')) AS INT), 0)
+                 AS _nt
+        FROM {table}
+      ),
+      agg AS (
+        SELECT source, CAST(sum(_nt) AS BIGINT) AS _inv
+        FROM counted GROUP BY source
+      ),
+      plan AS (
+        SELECT source, CAST({full_expr} AS BIGINT) AS _full,
+               CAST(CASE WHEN _inv > 0 AND ({full_expr}) < {max_epochs}
+                    THEN ((_target % _inv) * {N_BUCKETS}) // _inv
+                    ELSE 0 END AS BIGINT) AS _thresh
+        FROM (SELECT source, _inv, {tcase} AS _target FROM agg)
+      ),
+      exploded AS (
+        SELECT {rendered_id} AS doc_id, d.{group_col} AS source,
+               gs.epoch AS epoch,
+               p._full AS _full, p._thresh AS _thresh, {b} AS _b
+        FROM {table} d
+        JOIN plan p ON d.{group_col} = p.source,
+        LATERAL unnest(generate_series(0, p._full)) AS gs(epoch)
+      )
+      SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+      FROM exploded WHERE epoch < _full OR _b < _thresh
+    """

@@ -107,6 +107,7 @@ def test_text_operator_fuzz_across_engines(spark, con):
         (text.lexical_stats, text.lexical_stats_sql("t_fuzz")),
         (encoding_profile, encoding_profile_sql("t_fuzz")),
         (dedup.exact_dedup, dedup.exact_dedup_sql("t_fuzz")),
+        (dedup.exact_dedup_canonical, dedup.exact_dedup_canonical_sql("t_fuzz")),
         (dedup.simhash, dedup.simhash_sql("t_fuzz")),
         (dedup.minhash_signatures, dedup.minhash_signatures_sql("t_fuzz")),
         (tfidf.tfidf_top_terms, tfidf.tfidf_top_terms_sql("t_fuzz")),
@@ -190,6 +191,56 @@ def test_exact_dedup_finds_dups(spark):
     )
     out = {r.text_md5: (r.n_docs, r.rep_doc_id) for r in dedup.exact_dedup(df).collect()}
     assert (2, 1) in out.values() and (1, 3) in out.values()
+
+
+def test_exact_dedup_canonical(docs, con):
+    assert_same(
+        dedup.exact_dedup_canonical(docs), con, dedup.exact_dedup_canonical_sql()
+    )
+
+
+def test_canonical_key_collapses_formatting_variants(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "Hello, World!",
+                    "hello   world",
+                    "HELLO-WORLD",
+                    "unrelated",
+                    None,
+                ],
+            }
+        )
+    )
+    out = {
+        r.canon_md5: (r.n_docs, r.rep_doc_id)
+        for r in dedup.exact_dedup_canonical(df).collect()
+    }
+    # case / punctuation / whitespace variants share one key
+    assert (3, 1) in out.values()
+    # NULL text keys as NULL (its own group), not as ''
+    assert (1, 5) in out.values() and None in out
+    # raw exact_dedup keeps them distinct — canonicalization is the
+    # only thing merging the three variants
+    assert dedup.exact_dedup(df).count() == 5
+
+
+def test_canonical_text_values(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["  A\x0bB\tc…漢 d-e_f  "]})
+    )
+    got = df.select(dedup.canonical_text(F.col("text")).alias("c")).collect()[0].c
+    # ASCII-lower, every non-alnum (incl. unicode) -> space, runs
+    # collapsed, ends trimmed
+    assert got == "a b c d e f"
 
 
 def test_minhash_signatures(docs, con):

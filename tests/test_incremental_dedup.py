@@ -132,3 +132,108 @@ def test_decorated_index_columns_tolerated(spark, corpus, batch):
     assert via_decorated == plain
     merged = merge_band_index(decorated, minhash_band_index(batch))
     assert merged.columns == ["band", "key", "doc_id", "sigs"]
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter novelty gate
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_twin(spark):
+    import duckdb
+
+    from ocr_spark.functions.dedup import (
+        bloom_build,
+        bloom_build_sql,
+        bloom_novel,
+        bloom_novel_sql,
+    )
+
+    hist_rows = [(i, f"history doc {i}") for i in range(60)]
+    new_rows = hist_rows[:15] + [
+        (100 + i, f"brand new {i}") for i in range(45)
+    ] + [(999, None)]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    bloom = bloom_build(hist, m_bits=1 << 12, k=4)
+    res = {
+        r.doc_id: r.maybe_seen
+        for r in bloom_novel(new, bloom, m_bits=1 << 12, k=4).collect()
+    }
+    # one-sided guarantee: every re-ingested text flags maybe_seen
+    assert all(res[i] for i, _ in hist_rows[:15])
+    # NULL text is never "seen"
+    assert res[999] is False
+    # sanity: the filter is not degenerate (most novel docs pass)
+    fps = sum(res[100 + i] for i in range(45))
+    assert fps < 10
+    # cross-engine: the bitset table AND every verdict match DuckDB
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("h_df", pd.DataFrame(hist_rows, columns=["doc_id", "text"]))
+    con.register("n_df", pd.DataFrame(new_rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW h AS SELECT * FROM h_df")
+    con.execute("CREATE VIEW n AS SELECT * FROM n_df")
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            bloom_novel_sql("n", bloom_build_sql("h", 1 << 12, 4), 1 << 12, 4)
+        ).fetchall()
+    }
+    assert res == want
+    got_b = sorted(map(tuple, bloom.collect()))
+    want_b = sorted(
+        map(tuple, con.execute(bloom_build_sql("h", 1 << 12, 4)).fetchall())
+    )
+    assert got_b == want_b
+
+
+def test_bloom_merge_equals_joint_build(spark):
+    from ocr_spark.functions.dedup import bloom_build, bloom_merge
+
+    a = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20, 50)], "doc_id long, text string"
+    )
+    merged = sorted(
+        map(tuple, bloom_merge(bloom_build(a), bloom_build(b)).collect())
+    )
+    joint = sorted(map(tuple, bloom_build(a.unionByName(b)).collect()))
+    assert merged == joint
+
+
+def test_bloom_gate_plan_is_broadcast_only(spark):
+    """The gate side must be k broadcast hash joins — zero shuffle on
+    the (big) new-docs side, no sort-merge join, no fan-out."""
+    from ocr_spark.functions.dedup import BLOOM_K, bloom_build, bloom_novel
+    from ocr_spark.plans import plan_str
+
+    hist = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(10)], "doc_id long, text string"
+    )
+    bloom = bloom_build(hist).localCheckpoint()
+    gated = bloom_novel(
+        spark.createDataFrame([(1, "d1")], "doc_id long, text string"), bloom
+    )
+    p = plan_str(gated, "simple")
+    assert p.count("BroadcastHashJoin") == BLOOM_K
+    assert "SortMergeJoin" not in p
+    # row-preserving: unique word_idx keys cannot fan out
+    assert gated.count() == 1
+
+
+def test_bloom_string_ids_ride_through(spark):
+    from ocr_spark.functions.dedup import bloom_build, bloom_novel
+
+    hist = spark.createDataFrame(
+        [(f"sha1:{i}", f"d{i}") for i in range(10)], "doc_id string, text string"
+    )
+    out = {
+        r.doc_id: r.maybe_seen
+        for r in bloom_novel(hist, bloom_build(hist)).collect()
+    }
+    assert set(out) == {f"sha1:{i}" for i in range(10)}
+    assert all(out.values())

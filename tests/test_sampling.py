@@ -546,3 +546,169 @@ def test_curriculum_order_is_retry_stable_and_salt_rotates(spark):
         )
     )
     assert a != c  # epoch salt rotation yields a new permutation
+
+
+# ---------------------------------------------------------------------------
+# apply_mixture: mixture-plan execution
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    rows = (
+        [(i, "a b c d e", "srcA") for i in range(20)]          # 100 tokens
+        + [(i, "w x y z p q r s t u", "srcB") for i in range(20, 30)]  # 100
+        + [(i, "c c c", "srcC") for i in range(30, 35)]        # unweighted
+        + [(99, "orphan", None)]                                # NULL group
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_apply_mixture_exact_epochs(mix_docs):
+    from ocr_spark.functions.sampling import apply_mixture
+
+    # srcA target 300 = exactly 3.0 epochs of its 100-token inventory;
+    # srcB target 100 = exactly 1.0 epoch. No fractional epoch rows.
+    out = apply_mixture(mix_docs, {"srcA": 0.75, "srcB": 0.25}, 400)
+    rows = [(r.doc_id, r.source, r.epoch) for r in out.collect()]
+    by_src = {}
+    for _, s, _ in rows:
+        by_src[s] = by_src.get(s, 0) + 1
+    assert by_src == {"srcA": 60, "srcB": 10}
+    # every srcA doc appears at epochs 0,1,2 exactly
+    epochs = sorted(e for d, s, e in rows if d == 0 and s == "srcA")
+    assert epochs == [0, 1, 2]
+    # unweighted + NULL-group rows are dropped (the mixture defines
+    # the corpus)
+    assert all(s in ("srcA", "srcB") for _, s, _ in rows)
+
+
+def test_apply_mixture_fractional_and_twin(mix_docs):
+    import pandas as pd
+
+    from ocr_spark.functions.sampling import apply_mixture, apply_mixture_sql
+
+    w = {"srcA": 0.75, "srcB": 0.25}
+    out = apply_mixture(mix_docs, w, 450)  # srcA 337 tokens = 3.37 epochs
+    got = sorted(
+        (r.doc_id, r.source, r.epoch)
+        for r in out.select("doc_id", "source", "epoch").collect()
+    )
+    frac = [d for d, s, e in got if s == "srcA" and e == 3]
+    assert 0 < len(frac) < 20  # fractional epoch is a strict subsample
+    con = duckdb.connect()
+    con.register("mix_df", pd.DataFrame(
+        [(r.doc_id, r.text, r.source) for r in mix_docs.collect()],
+        columns=["doc_id", "text", "source"],
+    ))
+    con.execute("CREATE VIEW mix AS SELECT * FROM mix_df")
+    want = sorted(map(tuple, con.execute(apply_mixture_sql(w, 450, "mix")).fetchall()))
+    assert got == want
+
+
+def test_apply_mixture_clamp_and_validation(mix_docs):
+    from ocr_spark.functions.sampling import apply_mixture, apply_mixture_sql
+
+    # absurd budget: srcA would need ~7.5M epochs -> clamped, and a
+    # clamped source emits NO fractional epoch
+    out = apply_mixture(mix_docs, {"srcA": 1.0}, 10**9, max_epochs=5)
+    assert out.count() == 20 * 5
+    assert out.agg(F.max("epoch")).collect()[0][0] == 4
+    with pytest.raises(ValueError):
+        apply_mixture(mix_docs, {"srcA": 1.0}, 100, max_epochs=0)
+    with pytest.raises(ValueError):
+        apply_mixture_sql({}, 100)
+    with pytest.raises(ValueError):
+        apply_mixture(mix_docs.withColumn("epoch", F.lit(1)), {"srcA": 1.0}, 1)
+
+
+def test_apply_mixture_partition_invariant(mix_docs):
+    from ocr_spark.functions.sampling import apply_mixture
+
+    w = {"srcA": 0.6, "srcB": 0.4}
+    base = sorted(
+        (r.doc_id, r.epoch)
+        for r in apply_mixture(mix_docs, w, 450).select("doc_id", "epoch").collect()
+    )
+    for n in (1, 7):
+        again = sorted(
+            (r.doc_id, r.epoch)
+            for r in apply_mixture(mix_docs.repartition(n), w, 450)
+            .select("doc_id", "epoch")
+            .collect()
+        )
+        assert again == base
+
+
+def test_apply_mixture_plan_shape(mix_docs):
+    """The plan join must be a broadcast (no SortMergeJoin on the
+    corpus), and the only Exchange is the inventory aggregation."""
+    from ocr_spark.functions.sampling import apply_mixture
+
+    p = _plan(apply_mixture(mix_docs, {"srcA": 1.0}, 100), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# dataset_split_by_group: leakage-safe grouped split
+# ---------------------------------------------------------------------------
+
+
+def test_split_by_group_no_straddle(docs):
+    from ocr_spark.functions.sampling import dataset_split_by_group
+
+    out = dataset_split_by_group(docs, "source")
+    # every source maps to exactly one split — the leakage guarantee
+    multi = (
+        out.select("source", "split")
+        .distinct()
+        .groupBy("source")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert multi == 0
+    # and with >= 2 sources present, the splits are from the default
+    # vocabulary
+    vals = {r.split for r in out.select("split").distinct().collect()}
+    assert vals <= {"train", "val", "test"}
+
+
+def test_split_by_group_twin(docs):
+    from ocr_spark.functions.sampling import (
+        dataset_split_by_group,
+        dataset_split_by_group_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    got = sorted(
+        (r.doc_id, r.split)
+        for r in dataset_split_by_group(docs, "source")
+        .select("doc_id", "split")
+        .collect()
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                "SELECT doc_id, split FROM ("
+                + dataset_split_by_group_sql("documents")
+                + ")"
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_split_by_group_null_groups_coassign(spark):
+    from ocr_spark.functions.sampling import dataset_split_by_group
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, source string"
+    )
+    out = {r.doc_id: r.split for r in dataset_split_by_group(df, "source").collect()}
+    assert out[1] == out[2]  # all NULL-group rows land together
