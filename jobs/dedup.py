@@ -68,6 +68,36 @@ def main() -> None:
         help="signature components (of 16) that must agree to count as "
         "an index near-dup; default k//2 (estimated Jaccard >= 0.5)",
     )
+    ap.add_argument(
+        "--canonical-exact",
+        action="store_true",
+        help="exact pass groups on the canonicalized text (case/punct/"
+        "whitespace-insensitive keys) instead of the raw bytes",
+    )
+    ap.add_argument(
+        "--against-bloom",
+        default=None,
+        help="persisted bloom seen-set dir; batch docs whose exact text "
+        "the filter may have seen are dropped BEFORE every other stage. "
+        "One-sided: nothing previously inserted survives; novel docs "
+        "are falsely dropped at the filter's FP rate (size --bloom-bits "
+        "for the corpus) — the deliberate bloom tradeoff vs rescanning "
+        "history",
+    )
+    ap.add_argument(
+        "--save-bloom",
+        default=None,
+        help="write the bloom seen-set of the kept docs here (merged "
+        "with --against-bloom when both are given)",
+    )
+    ap.add_argument(
+        "--bloom-bits",
+        type=int,
+        default=20,
+        help="log2 of the bloom filter size in bits (default 2^20); "
+        "must match the loaded filter — the job validates and fails "
+        "loudly on mismatch",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
     import os.path
@@ -82,13 +112,25 @@ def main() -> None:
         # realpath: trailing slashes / relative paths / symlinks must
         # not sneak past the guard.
         ap.error("--save-index must differ from --against-index")
+    if (
+        args.save_bloom
+        and args.against_bloom
+        and os.path.realpath(args.save_bloom) == os.path.realpath(args.against_bloom)
+    ):
+        ap.error("--save-bloom must differ from --against-bloom")
+    if not 10 <= args.bloom_bits <= 40:
+        ap.error("--bloom-bits must be in [10, 40]")
 
     from pyspark.sql import functions as F
 
     from ocr_spark.functions.dedup import (
+        bloom_build,
+        bloom_merge,
+        bloom_novel,
         dedup_against_index,
         dup_clusters,
         exact_dedup,
+        exact_dedup_canonical,
         merge_band_index,
         minhash_band_index,
     )
@@ -101,12 +143,40 @@ def main() -> None:
     docs = spark.read.parquet(args.input).select("doc_id", "text")
     n_in = docs.count()
 
+    # 0.5 bloom gate: the cheapest stage runs first — a compressed
+    # seen-set lookup (k broadcast joins) before any shuffle
+    m_bits, bloom_k = 1 << args.bloom_bits, 4
+    corpus_bloom = None
+    n_bloom = n_in
+    if args.against_bloom:
+        loaded = spark.read.parquet(args.against_bloom)
+        meta = loaded.select("m_bits", "k").first()
+        if meta is None or (meta.m_bits, meta.k) != (m_bits, bloom_k):
+            raise SystemExit(
+                f"--against-bloom was built with (m_bits={getattr(meta, 'm_bits', None)}, "
+                f"k={getattr(meta, 'k', None)}), job configured "
+                f"(m_bits={m_bits}, k={bloom_k}) — verdicts would be garbage"
+            )
+        corpus_bloom = loaded.select("word_idx", "word")
+        docs = (
+            bloom_novel(docs, corpus_bloom, m_bits=m_bits, k=bloom_k)
+            .where(~F.col("maybe_seen"))
+            .drop("maybe_seen")
+            .persist()
+        )
+        n_bloom = docs.count()
+
     # 1. exact: keep rep_doc_id per distinct text. Survivors feed the
     # count, the near-dup pass AND the final anti-join — persist so the
     # exact-dedup shuffle runs once, not three times.
-    reps = exact_dedup(docs).select(F.col("rep_doc_id").alias("doc_id"))
+    exact = exact_dedup_canonical if args.canonical_exact else exact_dedup
+    reps = exact(docs).select(F.col("rep_doc_id").alias("doc_id"))
     survivors = docs.join(reps, "doc_id").persist()
     n_exact = survivors.count()
+    if args.against_bloom:
+        # survivors is materialized; the gated frame's cache (read on
+        # both sides of the join above) is no longer needed
+        docs.unpersist()
 
     # 1.5 incremental: drop batch docs that near-dup corpus history
     # (one (band, key) equi-join against the persisted index; history
@@ -144,6 +214,15 @@ def main() -> None:
             new_index = merge_band_index(corpus_index, new_index)
         new_index.write.mode("overwrite").parquet(args.save_index)
 
+    if args.save_bloom:
+        kept_docs = survivors.join(keep, "doc_id")
+        new_bloom = bloom_build(kept_docs, m_bits=m_bits, k=bloom_k)
+        if corpus_bloom is not None:
+            new_bloom = bloom_merge(corpus_bloom, new_bloom)
+        new_bloom.withColumn("m_bits", F.lit(m_bits)).withColumn(
+            "k", F.lit(bloom_k)
+        ).write.mode("overwrite").parquet(args.save_bloom)
+
     survivors.unpersist()
     print(
         json.dumps(
@@ -151,7 +230,8 @@ def main() -> None:
                 "n_input": n_in,
                 "n_after_exact": n_exact,
                 "n_keep": n_keep,
-                "exact_dups_removed": n_in - n_exact,
+                "bloom_dups_removed": n_in - n_bloom,
+                "exact_dups_removed": n_bloom - n_exact,
                 "index_dups_removed": n_exact - n_incremental,
                 "near_dups_removed": n_incremental - n_keep,
                 "tau": args.tau,

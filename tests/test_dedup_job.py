@@ -168,3 +168,134 @@ def test_batch_cli_job(spark, tmp_path, capsys):
     env = json.load(open(f"{out}/parsing_results.json"))
     assert env["meta"]["total_files"] == 100
     assert len(env["documents"]) == 100
+
+
+def test_dedup_job_bloom_two_day_flow(spark, tmp_path, capsys):
+    """Day 1 saves a bloom seen-set of the kept docs; day 2's batch is
+    gated against it — re-crawled texts drop at stage 0.5 without ever
+    rescanning day-1 data."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import dedup as job
+
+    day1 = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["alpha beta gamma", "delta epsilon zeta"]}
+    )
+    day2 = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": [
+                "alpha beta gamma",        # exact re-crawl -> bloom drop
+                "totally fresh content",   # novel
+                None,                      # NULL text is never "seen"
+            ],
+        }
+    )
+    in1, in2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    out1, out2 = str(tmp_path / "k1"), str(tmp_path / "k2")
+    bl1, bl2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    spark.createDataFrame(day1).write.parquet(in1)
+    spark.createDataFrame(day2).write.parquet(in2)
+
+    argv1 = ["dedup.py", "--input", in1, "--output", out1, "--save-bloom", bl1]
+    with patch.object(sys, "argv", argv1), patch.object(
+        SparkSession, "stop", lambda self: None
+    ):
+        job.main()
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["n_keep"] == 2 and s1["bloom_dups_removed"] == 0
+
+    argv2 = [
+        "dedup.py", "--input", in2, "--output", out2,
+        "--against-bloom", bl1, "--save-bloom", bl2,
+    ]
+    with patch.object(sys, "argv", argv2), patch.object(
+        SparkSession, "stop", lambda self: None
+    ):
+        job.main()
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["bloom_dups_removed"] == 1  # the re-crawl
+    from ocr_spark.pipeline.session import get_spark
+
+    s = get_spark("local[4]")
+    keep2 = sorted(r.doc_id for r in s.read.parquet(out2).collect())
+    assert keep2 == [11, 12]
+    # the merged day-2 filter knows BOTH days' texts
+    merged = s.read.parquet(bl2)
+    assert {r.m_bits for r in merged.select("m_bits").distinct().collect()} == {1 << 20}
+    from ocr_spark.functions.dedup import bloom_novel
+
+    probe = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "totally fresh content"), (3, "never seen")],
+        "doc_id long, text string",
+    )
+    verdicts = {
+        r.doc_id: r.maybe_seen
+        for r in bloom_novel(probe, merged.select("word_idx", "word")).collect()
+    }
+    assert verdicts[1] and verdicts[2] and not verdicts[3]
+
+
+def test_dedup_job_bloom_guards(spark, tmp_path):
+    sys.path.insert(0, "/root/repo/jobs")
+    import dedup as job
+    import pytest
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "x")], "doc_id long, text string"
+    ).write.parquet(inp)
+    bl = str(tmp_path / "b")
+    # in-place overwrite rejected at argparse time
+    argv = [
+        "dedup.py", "--input", inp, "--output", str(tmp_path / "k"),
+        "--against-bloom", bl, "--save-bloom", bl,
+    ]
+    with patch.object(sys, "argv", argv), pytest.raises(SystemExit):
+        job.main()
+    # size-mismatch detected from the persisted metadata, not trusted
+    argv1 = [
+        "dedup.py", "--input", inp, "--output", str(tmp_path / "k1"),
+        "--save-bloom", bl, "--bloom-bits", "12",
+    ]
+    with patch.object(sys, "argv", argv1), patch.object(
+        SparkSession, "stop", lambda self: None
+    ):
+        job.main()
+    argv2 = [
+        "dedup.py", "--input", inp, "--output", str(tmp_path / "k2"),
+        "--against-bloom", bl, "--bloom-bits", "16",
+    ]
+    with patch.object(sys, "argv", argv2), patch.object(
+        SparkSession, "stop", lambda self: None
+    ), pytest.raises(SystemExit, match="m_bits"):
+        job.main()
+
+
+def test_dedup_job_canonical_exact(spark, tmp_path, capsys):
+    """--canonical-exact merges case/punct/whitespace variants in the
+    exact pass; without it they all survive."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import dedup as job
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["Hello, World!", "hello   world", "other doc entirely"],
+        }
+    )
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "keep")
+    spark.createDataFrame(df).write.parquet(inp)
+    argv = [
+        "dedup.py", "--input", inp, "--output", out, "--canonical-exact",
+    ]
+    with patch.object(sys, "argv", argv), patch.object(
+        SparkSession, "stop", lambda self: None
+    ):
+        job.main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_after_exact"] == 2 and summary["n_keep"] == 2
+    from ocr_spark.pipeline.session import get_spark
+
+    s = get_spark("local[4]")
+    assert sorted(r.doc_id for r in s.read.parquet(out).collect()) == [1, 3]
