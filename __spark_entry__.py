@@ -1253,6 +1253,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _read(s, d, "documents").where("source = 'src0'")
             ),
         ).select("doc_id", "maybe_seen"),
+        # bloom tuning evidence: verdicts vs exact truth — the filter
+        # is deliberately undersized (256 bits, k=2) so false
+        # positives actually occur and the ppm math is exercised;
+        # n_false_neg is pinned 0 by the one-sided guarantee
+        "bloom_fp_eval": lambda s, d: ded.bloom_fp_eval(
+            _read(s, d, "documents"),
+            _read(s, d, "documents").where("source = 'src0'"),
+            m_bits=256,
+            k=2,
+        ),
+        # corpus bigram diversity per source: distinct share of all
+        # n-gram occurrences (integer ppm) — the templatedness monitor
+        "ngram_diversity": lambda s, d: txt.ngram_diversity(
+            _read(s, d, "documents")
+        ),
         # mixture-plan EXECUTION: epoch-repeated, fractionally-sampled
         # training mix (row-level oracle check of every (doc, epoch)
         # emission; unweighted sources provably dropped)
@@ -1743,6 +1758,13 @@ def oracle_sql() -> dict[str, str]:
                 "(SELECT * FROM documents WHERE source = 'src0')"
             ),
         ),
+        "bloom_fp_eval": ded.bloom_fp_eval_sql(
+            "documents",
+            "(SELECT * FROM documents WHERE source = 'src0')",
+            m_bits=256,
+            k=2,
+        ),
+        "ngram_diversity": txt.ngram_diversity_sql("documents"),
         "mixture_epochs": smp.apply_mixture_sql(
             {"src0": 0.8, "src1": 0.2}, 5000
         ),

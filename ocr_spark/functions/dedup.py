@@ -1656,3 +1656,93 @@ def bloom_novel_sql(
       FROM {new_table} d
       {' '.join(joins)}
     """
+
+
+def bloom_fp_eval(
+    corpus: DataFrame,
+    history: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """One-row quality report of the bloom gate against exact truth —
+    the evidence for choosing (m_bits, k) before trusting the filter
+    on a real ingest (the retrieval-side :func:`lsh_recall_eval`).
+
+    Builds the filter over ``history``, gates ``corpus``, and compares
+    every verdict with exact md5-membership: ``n_false_neg`` MUST be 0
+    (the one-sided guarantee — a nonzero value means a bug, not a
+    tuning problem); ``fp_ppm`` is the false-positive rate over the
+    truly-novel docs in integer ppm. Truth is defined over non-NULL
+    texts only (the filter never inserts NULLs and never flags them).
+    Requires unique ``doc_id``s (it is an eval, run on a sample).
+    """
+    bloom = bloom_build(history, m_bits, k)
+    verdicts = bloom_novel(corpus, bloom, m_bits, k)
+    seen = (
+        history.where(F.col("text").isNotNull())
+        .select(F.md5("text").alias("_hk"))
+        .distinct()
+    )
+    flagged = verdicts.withColumn("_ck", F.md5("text")).join(
+        seen, F.col("_ck") == F.col("_hk"), "left"
+    )
+    truth = F.col("_hk").isNotNull()
+    ms = F.col("maybe_seen")
+    return (
+        flagged.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(truth.cast("long")).alias("n_true_seen"),
+            F.sum(ms.cast("long")).alias("n_maybe_seen"),
+            F.sum((ms & ~truth).cast("long")).alias("n_false_pos"),
+            F.sum((truth & ~ms).cast("long")).alias("n_false_neg"),
+        )
+        .withColumn(
+            "fp_ppm",
+            F.expr(
+                "CASE WHEN n_docs - n_true_seen > 0 THEN "
+                "(n_false_pos * 1000000) div (n_docs - n_true_seen) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )
+
+
+def bloom_fp_eval_sql(
+    corpus_table: str = "documents",
+    history_table: str = "documents",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    id_sql: str = "CAST(d.doc_id AS BIGINT)",
+) -> str:
+    """DuckDB twin of :func:`bloom_fp_eval`."""
+    verdicts = bloom_novel_sql(
+        corpus_table, bloom_build_sql(history_table, m_bits, k), m_bits, k, id_sql
+    )
+    return f"""
+      WITH verdicts AS ({verdicts}),
+      truth AS (
+        SELECT {id_sql} AS doc_id,
+               (d.text IS NOT NULL AND EXISTS (
+                 SELECT 1 FROM {history_table} h
+                 WHERE md5(h.text) = md5(d.text)
+               )) AS true_seen
+        FROM {corpus_table} d
+      ),
+      j AS (
+        SELECT v.maybe_seen AS ms, t.true_seen AS ts
+        FROM verdicts v JOIN truth t USING (doc_id)
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN ts THEN 1 ELSE 0 END) AS BIGINT) AS n_true_seen,
+             CAST(sum(CASE WHEN ms THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe_seen,
+             CAST(sum(CASE WHEN ms AND NOT ts THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_pos,
+             CAST(sum(CASE WHEN ts AND NOT ms THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_neg,
+             CASE WHEN count(*) - sum(CASE WHEN ts THEN 1 ELSE 0 END) > 0 THEN
+               (CAST(sum(CASE WHEN ms AND NOT ts THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1000000)
+               // CAST(count(*) - sum(CASE WHEN ts THEN 1 ELSE 0 END) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS fp_ppm
+      FROM j
+    """

@@ -706,3 +706,62 @@ def lexical_stats_sql(table: str = "documents") -> str:
         )
       )
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram diversity profile
+# ---------------------------------------------------------------------------
+
+
+def ngram_diversity(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Per-source corpus diversity: (source, n_ngrams, n_distinct,
+    diversity_ppm) where diversity_ppm = distinct-n-gram share of all
+    n-gram OCCURRENCES in integer ppm — the corpus-level templatedness
+    monitor (low bigram diversity = boilerplate/template farm; the
+    corpus-scale complement of the per-doc
+    :func:`ocr_spark.functions.scrub.repetition_signals`).
+
+    Shape: one scan (shared shingling LET binding), explode, one
+    aggregation over (source, 60-bit hash). ``countDistinct`` expands
+    to a two-stage partial/merge aggregate on uniform hash keys —
+    exact, as a contract query must be; at the 100 TB scale swap the
+    distinct for the mergeable HLL sketch
+    (:mod:`ocr_spark.functions.sketches`) and keep this exact form for
+    per-source samples.
+    """
+    from ocr_spark.functions.dedup import shingles_expr
+    from ocr_spark.functions.hashing import md5_long
+
+    ex = docs.where(F.col("text").isNotNull()).select(
+        "source", F.explode(F.expr(shingles_expr(n))).alias("_g")
+    )
+    keyed = ex.select("source", md5_long(F.col("_g")).alias("_h"))
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.countDistinct("_h").cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "diversity_ppm", F.expr("(n_distinct * 1000000) div n_ngrams")
+        )
+    )
+
+
+def ngram_diversity_sql(table: str = "documents", n: int = 2) -> str:
+    """DuckDB twin of :func:`ngram_diversity`."""
+    from ocr_spark.functions.dedup import shingles_sql
+    from ocr_spark.functions.hashing import md5_long_sql
+
+    return f"""
+      WITH ex AS (
+        SELECT source, unnest({shingles_sql(n)}) AS _g
+        FROM {table} WHERE text IS NOT NULL
+      ),
+      keyed AS (SELECT source, {md5_long_sql('_g')} AS _h FROM ex)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_ngrams,
+             CAST(count(DISTINCT _h) AS BIGINT) AS n_distinct,
+             (CAST(count(DISTINCT _h) AS BIGINT) * 1000000)
+               // CAST(count(*) AS BIGINT) AS diversity_ppm
+      FROM keyed GROUP BY source
+    """

@@ -1394,3 +1394,28 @@ def test_kn_score_partition_invariant(docs):
     a = sorted(map(tuple, lm.kn_bigram_score(docs).collect()))
     b = sorted(map(tuple, lm.kn_bigram_score(docs.repartition(13)).collect()))
     assert a == b
+
+
+def test_ngram_diversity(docs, con):
+    assert_same(text.ngram_diversity(docs), con, text.ngram_diversity_sql())
+
+
+def test_ngram_diversity_flags_templates(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["copy paste copy paste copy paste"] * 3
+            + ["alpha beta", "gamma delta", "epsilon zeta"],
+            "source": ["tmpl"] * 3 + ["fresh"] * 3,
+        }
+    )
+    out = {
+        r.source: r.diversity_ppm
+        for r in text.ngram_diversity(spark.createDataFrame(pdf)).collect()
+    }
+    # the template farm repeats its bigrams; the fresh source's are
+    # all distinct
+    assert out["fresh"] == 1_000_000
+    assert out["tmpl"] < 250_000

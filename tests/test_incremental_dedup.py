@@ -237,3 +237,35 @@ def test_bloom_string_ids_ride_through(spark):
     }
     assert set(out) == {f"sha1:{i}" for i in range(10)}
     assert all(out.values())
+
+
+def test_bloom_fp_eval_invariants_and_twin(spark):
+    import duckdb
+
+    import pandas as pd
+
+    from ocr_spark.functions.dedup import bloom_fp_eval, bloom_fp_eval_sql
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [f"doc number {i}" for i in range(40)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    hist = df.where("doc_id < 10")
+    # deliberately tiny filter -> false positives occur
+    ev = bloom_fp_eval(df, hist, m_bits=64, k=2).collect()[0]
+    assert ev.n_docs == 40 and ev.n_true_seen == 10
+    assert ev.n_false_neg == 0  # the one-sided guarantee
+    assert ev.n_maybe_seen == ev.n_true_seen + ev.n_false_pos
+    con = duckdb.connect()
+    con.register("t_df", pdf)
+    con.execute("CREATE VIEW t AS SELECT * FROM t_df")
+    want = con.execute(
+        bloom_fp_eval_sql("t", "(SELECT * FROM t WHERE doc_id < 10)", 64, 2)
+    ).fetchall()[0]
+    assert tuple(ev) == tuple(want)
+    # properly-sized filter: zero false positives on this corpus
+    ev2 = bloom_fp_eval(df, hist, m_bits=1 << 16, k=4).collect()[0]
+    assert ev2.n_false_pos == 0 and ev2.fp_ppm == 0
