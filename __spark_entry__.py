@@ -1235,9 +1235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": lambda s, d: smp.cap_per_group(
             _read(s, d, "documents"), "source", 10
         ).select("doc_id", "source"),
-        # incremental-ingest novelty gate: a re-crawl batch (every
-        # doc re-ingested, every 5th modified) anti-joined against
-        # the corpus — only the modified fifth is novel
         # canonical-key exact dedup: case/punct/whitespace-insensitive
         # content keys (the C4/RefinedWeb normalization before hashing)
         "exact_dedup_canonical": lambda s, d: ded.exact_dedup_canonical(
@@ -1279,6 +1276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_source": lambda s, d: smp.dataset_split_by_group(
             _read(s, d, "documents")
         ).select("doc_id", "source", "split"),
+        # incremental-ingest novelty gate: a re-crawl batch (every
+        # doc re-ingested, every 5th modified) anti-joined against
+        # the corpus — only the modified fifth is novel
         "novel_docs": lambda s, d: ded.novel_docs(
             _read(s, d, "documents").withColumn(
                 "text",

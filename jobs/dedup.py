@@ -151,10 +151,13 @@ def main() -> None:
     if args.against_bloom:
         loaded = spark.read.parquet(args.against_bloom)
         meta = loaded.select("m_bits", "k").first()
-        if meta is None or (meta.m_bits, meta.k) != (m_bits, bloom_k):
+        # meta is None => a legitimately EMPTY filter (e.g. day 1 kept
+        # only NULL-text docs): nothing was inserted, nothing can flag
+        # seen — the size guard only applies when rows exist
+        if meta is not None and (meta.m_bits, meta.k) != (m_bits, bloom_k):
             raise SystemExit(
-                f"--against-bloom was built with (m_bits={getattr(meta, 'm_bits', None)}, "
-                f"k={getattr(meta, 'k', None)}), job configured "
+                f"--against-bloom was built with (m_bits={meta.m_bits}, "
+                f"k={meta.k}), job configured "
                 f"(m_bits={m_bits}, k={bloom_k}) — verdicts would be garbage"
             )
         corpus_bloom = loaded.select("word_idx", "word")

@@ -1430,12 +1430,9 @@ def containment_pairs_sql(
 # canonical-text exact dedup (C4/RefinedWeb-style normalized keys)
 # ---------------------------------------------------------------------------
 
-# ASCII A-Z -> a-z via translate: java.lang.String.toLowerCase applies
-# locale-sensitive FULL case mapping (the Turkish-I / Kelvin-sign trap
-# the gopher_rules review closed), translate is a 26-char table lookup
-# with identical semantics in Spark and DuckDB.
-_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-_LOWER = "abcdefghijklmnopqrstuvwxyz"
+# ASCII lowercase via translate, never lower() — see schema.ASCII_*.
+from ocr_spark.schema import ASCII_LOWER as _LOWER
+from ocr_spark.schema import ASCII_UPPER as _UPPER
 
 
 def canonical_text(col):
@@ -1471,7 +1468,7 @@ def canonical_text_sql(expr: str) -> str:
 
 def exact_dedup_canonical(docs: DataFrame) -> DataFrame:
     """:func:`exact_dedup` over the canonicalized text: (canon_md5,
-    n_docs, rep_doc_id, canon_preview). Same one-shuffle hash-
+    n_docs, rep_doc_id). Same one-shuffle hash-
     aggregate shape — the canonicalization rides inside the scan
     stage, so the only cost over raw exact dedup is per-row string
     work. NULL text canonicalizes to NULL and groups with other NULLs
@@ -1587,11 +1584,26 @@ def bloom_novel(
     m_bits too large to broadcast, partition the filter by word_idx
     and let the joins shuffle; the semantics don't change.
     """
-    out = new_docs
-    hits = []
     wb = _BLOOM_WORD_BITS
-    for i, pos in enumerate(_bloom_positions(F.col("text"), m_bits, k)):
+    helpers = ["_bh", "maybe_seen"] + [
+        c for i in range(k) for c in (f"_bp{i}", f"_bw{i}", f"_bword{i}")
+    ]
+    clash = [c for c in helpers if c in new_docs.columns]
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {clash} — rename them (or the "
+            "prior maybe_seen verdict) before gating"
+        )
+    # ONE md5 of the full text per row; the k positions are cheap
+    # re-hashes of the 32-char hex, all in a single projection BEFORE
+    # any join (withColumn-per-join would re-evaluate the full-text
+    # md5 in every join stage's Project).
+    out = new_docs.withColumn("_bh", F.md5("text"))
+    for i in range(k):
+        pos = md5_long(F.concat(F.lit(f"bloom:{i}:"), F.col("_bh"))) % m_bits
         out = out.withColumn(f"_bp{i}", pos)
+    hits = []
+    for i in range(k):
         side = F.broadcast(
             bloom.select(
                 F.col("word_idx").alias(f"_bw{i}"), F.col("word").alias(f"_bword{i}")
@@ -1608,7 +1620,9 @@ def bloom_novel(
     for h in hits[1:]:
         seen = seen & h
     maybe_seen = F.when(F.col("text").isNull(), F.lit(False)).otherwise(seen)
-    drop = [c for i in range(k) for c in (f"_bp{i}", f"_bw{i}", f"_bword{i}")]
+    drop = ["_bh"] + [
+        c for i in range(k) for c in (f"_bp{i}", f"_bw{i}", f"_bword{i}")
+    ]
     return out.withColumn("maybe_seen", maybe_seen).drop(*drop)
 
 

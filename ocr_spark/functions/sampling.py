@@ -682,9 +682,7 @@ def mixture_plan(
         F.size(F.filter(words_col(), lambda x: x != F.lit(""))), F.lit(0)
     )
     # applied post-agg, where the group column is aliased to `source`
-    target = F.lit(0).cast("long")
-    for src, t in sorted(targets.items()):
-        target = F.when(F.col("source") == src, F.lit(t)).otherwise(target)
+    target = _target_case_col(targets)
     agg = (
         docs.select(F.col(group_col).alias("source"), n_tok.alias("_nt"))
         .groupBy("source")
@@ -723,13 +721,9 @@ def mixture_plan_sql(
 
     targets = _mixture_targets(weights, budget_tokens)
     # the CASE runs over agg, where the group column is aliased `source`
-    cases = " ".join(
-        f"WHEN source = '{src}' THEN CAST({t} AS BIGINT)"
-        for src, t in sorted(targets.items())
-    )
+    tcase = _target_case_sql(targets)
     floor6_epochs = floor6_sql(
-        f"CAST((CASE {cases} ELSE CAST(0 AS BIGINT) END) AS DOUBLE)"
-        f" / CAST(n_tokens AS DOUBLE)"
+        f"CAST({tcase} AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
     )
     return f"""
       WITH counted AS (
@@ -745,7 +739,7 @@ def mixture_plan_sql(
         FROM counted GROUP BY source
       )
       SELECT source, n_docs, n_tokens,
-             (CASE {cases} ELSE CAST(0 AS BIGINT) END) AS target_tokens,
+             {tcase} AS target_tokens,
              CASE WHEN n_tokens > 0 THEN
                {floor6_epochs}
              ELSE 0.0 END AS epochs
@@ -977,6 +971,7 @@ def apply_mixture(
     salt: str = "mixapply:v1",
     id_col: str = "doc_id",
     max_epochs: int = 64,
+    check_coverage: bool = False,
 ) -> DataFrame:
     """EXECUTE the :func:`mixture_plan`: materialize the epoch-
     repeated, fractionally-sampled training mix. Every kept row is the
@@ -990,7 +985,14 @@ def apply_mixture(
     Semantics pinned by tests: sources absent from ``weights`` (and
     NULL-group rows) are DROPPED — the mixture defines the corpus;
     ``max_epochs`` clamps up-sampling (a clamped source emits exactly
-    max_epochs full epochs, no fractional epoch).
+    max_epochs full epochs, no fractional epoch). The converse hole —
+    a WEIGHTED source absent from the corpus (e.g. a typo'd name)
+    silently contributes nothing and its budget share simply vanishes
+    — is closed by ``check_coverage=True``, which runs one extra
+    distinct-scan of the group column at call time and raises
+    ValueError naming the missing sources (off by default because the
+    scan doubles the corpus reads; turn it on in jobs, leave it off
+    when composing lazily).
 
     Integer-exact cross-engine: ``full = target div inventory`` and
     the fractional threshold ``((target mod inv) * 10k) div inv`` are
@@ -1009,6 +1011,19 @@ def apply_mixture(
     for helper in ("_mix_src", "_full", "_thresh", "epoch"):
         if helper in docs.columns:
             raise ValueError(f"input already has a {helper} column")
+    if check_coverage:
+        present = {
+            r[0]
+            for r in docs.select(F.col(group_col).alias("source"))
+            .distinct()
+            .collect()
+        }
+        missing = sorted(set(weights) - present)
+        if missing:
+            raise ValueError(
+                f"weighted source(s) {missing} absent from the corpus — "
+                "their budget share would silently vanish"
+            )
     from ocr_spark.functions.text import words_col
 
     n_tok = F.coalesce(

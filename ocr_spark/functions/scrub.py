@@ -261,8 +261,8 @@ def line_dedup_sql(table: str = "documents") -> str:
 # Gopher-style quality rules
 # ---------------------------------------------------------------------------
 
-_UC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-_LC = "abcdefghijklmnopqrstuvwxyz"
+from ocr_spark.schema import ASCII_LOWER as _LC
+from ocr_spark.schema import ASCII_UPPER as _UC
 # The Gopher paper's "must contain >=2 of" stop set.
 GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 

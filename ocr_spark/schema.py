@@ -28,6 +28,13 @@ WS_CHARS = " \t\n\r\f\x0b"
 WS = "[" + WS_CHARS + "]"
 NON_ALNUM_WS = "[^a-zA-Z0-9" + WS_CHARS + "]"
 
+# The ONE ASCII case-mapping table pair (for translate()):
+# java.lang.String.toLowerCase / SQL lower() apply locale-sensitive
+# FULL case mapping (the Turkish-I / Kelvin-sign trap), translate is a
+# 26-char lookup with identical semantics in Spark and DuckDB.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
 # Span kinds observed in the reference DocTags streams.
 KIND_TEXT = "text"
 KIND_SECTION_HEADER = "section_header_level_1"

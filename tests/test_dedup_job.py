@@ -299,3 +299,36 @@ def test_dedup_job_canonical_exact(spark, tmp_path, capsys):
 
     s = get_spark("local[4]")
     assert sorted(r.doc_id for r in s.read.parquet(out).collect()) == [1, 3]
+
+
+def test_dedup_job_empty_bloom_reloads_as_nothing_seen(spark, tmp_path, capsys):
+    """A day-1 batch whose kept docs all have NULL text writes a
+    zero-row filter; day 2 must treat it as 'nothing seen', not trip
+    the size guard."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import dedup as job
+
+    in1, in2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    out1, out2 = str(tmp_path / "k1"), str(tmp_path / "k2")
+    bl = str(tmp_path / "b")
+    spark.createDataFrame(
+        [(1, None)], "doc_id long, text string"
+    ).write.parquet(in1)
+    spark.createDataFrame(
+        [(2, "fresh text")], "doc_id long, text string"
+    ).write.parquet(in2)
+    argv1 = ["dedup.py", "--input", in1, "--output", out1, "--save-bloom", bl]
+    with patch.object(sys, "argv", argv1), patch.object(
+        SparkSession, "stop", lambda self: None
+    ):
+        job.main()
+    capsys.readouterr()
+    argv2 = [
+        "dedup.py", "--input", in2, "--output", out2, "--against-bloom", bl,
+    ]
+    with patch.object(sys, "argv", argv2), patch.object(
+        SparkSession, "stop", lambda self: None
+    ):
+        job.main()
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["bloom_dups_removed"] == 0 and s2["n_keep"] == 1

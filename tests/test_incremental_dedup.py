@@ -269,3 +269,17 @@ def test_bloom_fp_eval_invariants_and_twin(spark):
     # properly-sized filter: zero false positives on this corpus
     ev2 = bloom_fp_eval(df, hist, m_bits=1 << 16, k=4).collect()[0]
     assert ev2.n_false_pos == 0 and ev2.fp_ppm == 0
+
+
+def test_bloom_novel_rejects_colliding_columns(spark):
+    import pytest
+
+    from ocr_spark.functions.dedup import bloom_build, bloom_novel
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    bloom = bloom_build(df)
+    # a prior verdict column must not be silently overwritten
+    with pytest.raises(ValueError, match="maybe_seen"):
+        bloom_novel(df.withColumn("maybe_seen", __import__("pyspark").sql.functions.lit(True)), bloom)
+    with pytest.raises(ValueError, match="_bp0"):
+        bloom_novel(df.withColumn("_bp0", __import__("pyspark").sql.functions.lit(1)), bloom)

@@ -712,3 +712,15 @@ def test_split_by_group_null_groups_coassign(spark):
     )
     out = {r.doc_id: r.split for r in dataset_split_by_group(df, "source").collect()}
     assert out[1] == out[2]  # all NULL-group rows land together
+
+
+def test_apply_mixture_check_coverage(mix_docs):
+    from ocr_spark.functions.sampling import apply_mixture
+
+    with pytest.raises(ValueError, match="srcA_typo"):
+        apply_mixture(
+            mix_docs, {"srcA_typo": 0.8, "srcB": 0.2}, 100, check_coverage=True
+        )
+    # without the check the typo'd share silently vanishes (documented)
+    out = apply_mixture(mix_docs, {"srcA_typo": 0.8, "srcB": 0.2}, 1000)
+    assert {r.source for r in out.select("source").distinct().collect()} == {"srcB"}
