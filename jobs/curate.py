@@ -64,6 +64,11 @@ end to end — the composition a 100 TB corpus actually runs:
 9. write     — curated (doc_id, text[, source, split, shard_id])
                table in the bucketed layout + one JSON summary line
                with per-stage counts;
+9.6 mixture  — optional (--mixture-weights JSON --mixture-budget N):
+               `<output>_mix` sidecar with the EXECUTED mix
+               (doc_id, source, epoch) — epoch-repeated and
+               fractionally-sampled per functions/sampling.py
+               apply_mixture, coverage-checked;
 9.5 pack     — optional (--pack-seq-len L): training-loader sidecars
                next to the curated table — `<output>_chunks` (word
                windows of the curated text, co-located by pack
@@ -263,8 +268,43 @@ def main() -> None:
     ap.add_argument("--pack-shards", type=int, default=64)
     ap.add_argument("--max-bucket", type=int, default=1000, help="LSH band bucket cap; 0 = off")
     ap.add_argument("--n-buckets", type=int, default=16, help="output bucket count")
+    ap.add_argument(
+        "--mixture-weights",
+        default=None,
+        help="JSON {source: weight}; with --mixture-budget, emit the "
+        "executed training mix as the <output>_mix sidecar "
+        "(doc_id, source, epoch) over the curated table — fails "
+        "loudly if a weighted source has no curated survivors",
+    )
+    ap.add_argument(
+        "--mixture-budget",
+        type=int,
+        default=0,
+        help="total training token budget for --mixture-weights",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+
+    # mixture knobs fail at parse time, not after the whole funnel ran
+    mixture_weights = None
+    if args.mixture_weights or args.mixture_budget:
+        if not (args.mixture_weights and args.mixture_budget > 0):
+            ap.error(
+                "--mixture-weights and --mixture-budget (> 0) must be "
+                "given together"
+            )
+        try:
+            mixture_weights = json.loads(args.mixture_weights)
+        except ValueError as exc:
+            ap.error(f"--mixture-weights is not valid JSON: {exc}")
+        if not isinstance(mixture_weights, dict) or not mixture_weights:
+            ap.error("--mixture-weights must be a non-empty JSON object")
+        from ocr_spark.functions.sampling import _mixture_targets
+
+        try:
+            _mixture_targets(mixture_weights, args.mixture_budget)
+        except ValueError as exc:
+            ap.error(str(exc))
 
     # packing knobs fail at parse time, not after the whole funnel ran
     if args.pack_seq_len < 0:
@@ -640,6 +680,26 @@ def main() -> None:
         chunks.unpersist()
         idx.unpersist()
 
+    # 9.6 mixture: the EXECUTED training mix as a loader sidecar —
+    # (doc_id, source, epoch) rows over the table just written (same
+    # read-back rule as packing: never re-run the funnel lineage).
+    # check_coverage=True: in a one-shot job, a weighted source whose
+    # docs were all curated away must fail, not silently lose its
+    # budget share.
+    n_mix = None
+    if mixture_weights is not None:
+        from ocr_spark.functions.sampling import apply_mixture
+
+        written_mix = spark.read.parquet(args.output)
+        mix = apply_mixture(
+            _with_source(written_mix),
+            mixture_weights,
+            args.mixture_budget,
+            check_coverage=True,
+        ).select("doc_id", "source", "epoch")
+        mix.write.mode("overwrite").parquet(args.output.rstrip("/") + "_mix")
+        n_mix = spark.read.parquet(args.output.rstrip("/") + "_mix").count()
+
     print(
         json.dumps(
             {
@@ -687,6 +747,7 @@ def main() -> None:
                 "pack_seq_len": args.pack_seq_len,
                 "n_chunks": n_chunks,
                 "n_packs": n_packs,
+                "n_mix_rows": n_mix,
             }
         )
     )

@@ -22,6 +22,11 @@ parquet under --output/<name>:
                    (functions/unicode_norm.py)
 - scripts        : per-source x dominant-writing-system doc counts
                    (functions/text.py script_profile)
+- diversity      : per-source distinct-bigram share of all bigram
+                   occurrences in integer ppm (functions/text.py
+                   ngram_diversity) — the templatedness monitor; a
+                   falling diversity_ppm after a crawl = a template
+                   farm or mirror entered the source
 - duplication    : (--duplication) per-source mean shared-window
                    fraction + windowless count (functions/scrub.py
                    duplication_profile) — the boilerplate/mirror-mass
@@ -92,7 +97,12 @@ def main() -> None:
         hist_sketch_build,
         source_overlap,
     )
-    from ocr_spark.functions.text import lang_id, quality_score, script_profile
+    from ocr_spark.functions.text import (
+        lang_id,
+        ngram_diversity,
+        quality_score,
+        script_profile,
+    )
     from ocr_spark.functions.unicode_norm import encoding_profile
     from ocr_spark.pipeline.session import get_spark
     from ocr_spark.schema import WS
@@ -148,6 +158,12 @@ def main() -> None:
         )
     )
     tables["source_overlap"] = source_overlap(docs, group_col=g)
+    # corpus templatedness: one bigram explode + a two-stage distinct
+    # aggregate on uniform hash keys (far lighter than --duplication's
+    # per-char anchors; heavier than the count-only passes)
+    tables["diversity"] = ngram_diversity(
+        docs.select(F.col(g).alias("source"), "text")
+    )
     # per-source duplication severity: mean shared-window fraction
     # (docs with windows) + windowless count — rising mean_dup_ppm
     # after a crawl = a boilerplate-heavy or mirrored source. Opt-in:

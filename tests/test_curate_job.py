@@ -592,3 +592,51 @@ def test_curate_encoding_gate(spark, tmp_path):
     kept_off = {r.doc_id for r in spark.read.parquet(out_off).collect()}
     assert s_off["encoding_gate"] is False
     assert len(kept_off) > len(kept_on)  # damaged doc survives without the gate
+
+
+def test_curate_mixture_sidecar(spark, tmp_path):
+    out, s = _run(
+        spark,
+        tmp_path,
+        (
+            "--min-quality", "0.0",
+            "--mixture-weights", '{"src0": 0.7, "src1": 0.3}',
+            "--mixture-budget", "2000",
+        ),
+    )
+    mix = spark.read.parquet(out + "_mix")
+    assert set(mix.columns) == {"doc_id", "source", "epoch"}
+    assert s["n_mix_rows"] == mix.count() > 0
+    srcs = {r.source for r in mix.select("source").distinct().collect()}
+    assert srcs <= {"src0", "src1"}
+    # every kept (doc, epoch) pair references a curated doc
+    curated_ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert {r.doc_id for r in mix.select("doc_id").distinct().collect()} <= curated_ids
+
+
+def test_curate_mixture_missing_source_fails_loudly(spark, tmp_path):
+    with pytest.raises(ValueError, match="no_such_src"):
+        _run(
+            spark,
+            tmp_path,
+            (
+                "--min-quality", "0.0",
+                "--mixture-weights", '{"no_such_src": 1.0}',
+                "--mixture-budget", "1000",
+            ),
+        )
+
+
+def test_curate_mixture_knobs_rejected_at_parse_time(tmp_path):
+    import jobs.curate as job
+
+    for extra in (
+        ("--mixture-weights", '{"a": 1.0}'),            # no budget
+        ("--mixture-budget", "100"),                      # no weights
+        ("--mixture-weights", "not json", "--mixture-budget", "1"),
+        ("--mixture-weights", '{"a": -1.0}', "--mixture-budget", "1"),
+        ("--mixture-weights", "[]", "--mixture-budget", "1"),
+    ):
+        argv = ["curate.py", "--input", "x", "--output", "y", *extra]
+        with patch.object(sys, "argv", argv), pytest.raises(SystemExit):
+            job.main()

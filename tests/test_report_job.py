@@ -43,6 +43,7 @@ def test_report_tables_and_counts(spark, tmp_path):
         "source_overlap",
         "encoding",
         "scripts",
+        "diversity",
     }
     stats = spark.read.parquet(f"{out}/source_stats")
     assert stats.count() == 20  # one row per source
@@ -155,3 +156,19 @@ def test_report_duplication_and_fertility_tables(spark, tmp_path):
         bpe.agg(F.sum("n_bpe_tokens")).collect()[0][0]
         == fert.agg(F.sum("n_bpe_tokens")).collect()[0][0]
     )
+
+
+def test_report_diversity_table(spark, tmp_path):
+    out, s = _run(spark, tmp_path)
+    div = spark.read.parquet(f"{out}/diversity")
+    assert div.count() == 20  # one row per source
+    assert div.where(
+        (F.col("diversity_ppm") <= 0) | (F.col("diversity_ppm") > 1_000_000)
+    ).count() == 0
+    # equals the operator applied directly
+    from ocr_spark.functions.text import ngram_diversity
+
+    direct = sorted(
+        map(tuple, ngram_diversity(spark.read.parquet(f"{SF_DIR}/documents.parquet")).collect())
+    )
+    assert sorted(map(tuple, div.collect())) == direct
