@@ -1276,6 +1276,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_source": lambda s, d: smp.dataset_split_by_group(
             _read(s, d, "documents")
         ).select("doc_id", "source", "split"),
+        # near-dup-cluster-safe split: members of a verified near-dup
+        # cluster co-assign (the leak near-dup dedup exists to stop)
+        "split_by_cluster": lambda s, d: smp.dataset_split_by_cluster(
+            _read(s, d, "documents")
+        ).select("doc_id", "split"),
+        # sentence-level language mix: the code-switching profile the
+        # whole-doc lang argmax cannot see
+        "lang_mix_profile": lambda s, d: txt.lang_mix_profile(
+            _read(s, d, "documents")
+        ),
         # incremental-ingest novelty gate: a re-crawl batch (every
         # doc re-ingested, every 5th modified) anti-joined against
         # the corpus — only the modified fifth is novel
@@ -1773,6 +1783,8 @@ def oracle_sql() -> dict[str, str]:
             + smp.dataset_split_by_group_sql("documents")
             + ")"
         ),
+        "split_by_cluster": smp.dataset_split_by_cluster_sql("documents"),
+        "lang_mix_profile": txt.lang_mix_profile_sql("documents"),
         "novel_docs": (
             "SELECT doc_id, source FROM ("
             + ded.novel_docs_sql(

@@ -1121,3 +1121,61 @@ def apply_mixture_sql(
       SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
       FROM exploded WHERE epoch < _full OR _b < _thresh
     """
+
+
+def dataset_split_by_cluster(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "csplit:v1",
+    **cluster_kwargs,
+) -> DataFrame:
+    """Near-dup-leakage-safe split: every member of a near-duplicate
+    CLUSTER co-assigns to one split. A per-doc split puts two 0.9-
+    Jaccard near-copies on opposite sides of train/test — the exact
+    leak near-dup dedup exists to stop; hashing the cluster label
+    (min-id rep from :func:`ocr_spark.functions.dedup.dup_clusters`)
+    closes it without dropping anything. Docs in no cluster split by
+    their own id (a singleton IS its own cluster).
+
+    ``cluster_kwargs`` pass through to ``dup_clusters`` (w/tau/k/
+    bands/max_bucket/algorithm). Scale shape: the cluster pass is the
+    standard LSH-verify-CC composition; the split itself stays a
+    scan-stage hash over the coalesced key after one doc_id-keyed
+    left join.
+    """
+    from ocr_spark.functions.dedup import dup_clusters
+
+    if "_split_key" in df.columns or "cluster_rep" in df.columns:
+        raise ValueError("input already has a _split_key/cluster_rep column")
+    clusters = dup_clusters(df, **cluster_kwargs)
+    keyed = df.join(clusters, "doc_id", "left").withColumn(
+        "_split_key",
+        F.coalesce(
+            F.col("cluster_rep").cast("string"), F.col("doc_id").cast("string")
+        ),
+    )
+    return dataset_split(keyed, weights, salt, id_col="_split_key").drop(
+        "_split_key", "cluster_rep"
+    )
+
+
+def dataset_split_by_cluster_sql(
+    table: str = "documents",
+    weights: dict[str, float] | None = None,
+    salt: str = "csplit:v1",
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+    **cluster_kwargs,
+) -> str:
+    """DuckDB twin of :func:`dataset_split_by_cluster`, projected to
+    (doc_id, split)."""
+    from ocr_spark.functions.dedup import dup_clusters_sql
+
+    inner = f"""(
+      SELECT d.*, coalesce(CAST(c.cluster_rep AS VARCHAR),
+                           CAST(d.doc_id AS VARCHAR)) AS _split_key
+      FROM {table} d
+      LEFT JOIN ({dup_clusters_sql(table, **cluster_kwargs)}) c
+        USING (doc_id)
+    )"""
+    split = dataset_split_sql(inner, weights, salt, id_col="_split_key")
+    return f"SELECT {id_sql} AS doc_id, split FROM ({split}) d"

@@ -765,3 +765,86 @@ def ngram_diversity_sql(table: str = "documents", n: int = 2) -> str:
                // CAST(count(*) AS BIGINT) AS diversity_ppm
       FROM keyed GROUP BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# sentence-level language mix (code-switching / wrong-lang-run detector)
+# ---------------------------------------------------------------------------
+
+
+def lang_mix_profile(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_sents, n_langs, dominant_lang, dominant_ppm):
+    sentence-level language mix per document — the code-switching
+    detector :func:`lang_id`'s whole-doc argmax cannot see (a page
+    that is half English boilerplate half target-language content
+    gets one doc-level label; this profile says HOW mixed it is, and
+    a curation gate can require dominant_ppm >= some floor).
+
+    Sentences come from :func:`ocr_spark.functions.chunking.
+    split_sentences`; each is labeled with THE shared language argmax
+    (``lang_pred_expr`` — one rendering, both engines). Dominance
+    ties break lang-ASC; dominant_ppm is integer ppm of sentences.
+    Docs with NULL text (or no non-empty sentences) emit no row.
+
+    Shape: scan-stage segmentation + labeling, one (doc_id, lang)
+    partial-agg shuffle, one doc_id window — both on uniform keys.
+    """
+    from ocr_spark.functions.chunking import split_sentences
+    from pyspark.sql import Window
+
+    sents = split_sentences(docs).select(
+        "doc_id", F.col("sentence").alias("text")
+    )
+    labeled = sents.select("doc_id", F.expr(lang_pred_expr()).alias("lang"))
+    per = labeled.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    tot = Window.partitionBy("doc_id")
+    return (
+        per.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_sents", F.sum("n").over(tot).cast("long"))
+        .withColumn("n_langs", F.count("*").over(tot).cast("long"))
+        .where(F.col("_rk") == 1)
+        .select(
+            "doc_id",
+            "n_sents",
+            "n_langs",
+            F.col("lang").alias("dominant_lang"),
+            F.expr("(n * 1000000) div n_sents").alias("dominant_ppm"),
+        )
+    )
+
+
+def lang_mix_profile_sql(
+    table: str = "documents", id_sql: str = "CAST(doc_id AS BIGINT)"
+) -> str:
+    """DuckDB twin of :func:`lang_mix_profile` (windowed SUM(BIGINT)
+    widens to HUGEINT — cast back, the packing lesson)."""
+    from ocr_spark.functions.chunking import split_sentences_sql
+
+    return f"""
+      WITH sents AS (
+        SELECT doc_id, sentence AS text
+        FROM ({split_sentences_sql(table)})
+      ),
+      labeled AS (SELECT doc_id, {lang_pred_sql()} AS lang FROM sents),
+      per AS (
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n
+        FROM labeled GROUP BY doc_id, lang
+      ),
+      rk AS (
+        SELECT doc_id, lang, n,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS _rk,
+               CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_sents,
+               CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_langs
+        FROM per
+      )
+      SELECT {id_sql} AS doc_id, n_sents, n_langs,
+             lang AS dominant_lang,
+             (n * 1000000) // n_sents AS dominant_ppm
+      FROM rk WHERE _rk = 1
+    """

@@ -1419,3 +1419,29 @@ def test_ngram_diversity_flags_templates(spark):
     # all distinct
     assert out["fresh"] == 1_000_000
     assert out["tmpl"] < 250_000
+
+
+def test_lang_mix_profile(docs, con):
+    assert_same(text.lang_mix_profile(docs), con, text.lang_mix_profile_sql())
+
+
+def test_lang_mix_profile_detects_code_switching(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "The cat sat. Le chat est la. Der Hund auch. And the dog too.",
+                "One sentence the and of. Another the of and.",
+                None,  # no sentences -> no row
+            ],
+        }
+    )
+    out = {
+        r.doc_id: (r.n_sents, r.n_langs, r.dominant_lang, r.dominant_ppm)
+        for r in text.lang_mix_profile(spark.createDataFrame(pdf)).collect()
+    }
+    assert out[1] == (4, 3, "en", 500_000)  # half-English mixed page
+    assert out[2] == (2, 1, "en", 1_000_000)  # monolingual
+    assert 3 not in out

@@ -724,3 +724,39 @@ def test_apply_mixture_check_coverage(mix_docs):
     # without the check the typo'd share silently vanishes (documented)
     out = apply_mixture(mix_docs, {"srcA_typo": 0.8, "srcB": 0.2}, 1000)
     assert {r.source for r in out.select("source").distinct().collect()} == {"srcB"}
+
+
+def test_split_by_cluster_coassigns_near_dups(spark):
+    import duckdb
+    import pandas as pd
+
+    from ocr_spark.functions.sampling import (
+        dataset_split_by_cluster,
+        dataset_split_by_cluster_sql,
+    )
+
+    words = [f"w{i:02d}" for i in range(40)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                " ".join(words),
+                " ".join(words[:39] + ["CHANGED"]),  # near-dup of 1
+                "totally different content here for real",
+                "yet another unrelated document body",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = {r.doc_id: r.split for r in dataset_split_by_cluster(df, tau=0.5).collect()}
+    assert len(out) == 4  # row-preserving, singletons included
+    assert out[1] == out[2]  # the near-dup pair cannot straddle splits
+    con = duckdb.connect()
+    con.register("t_df", pdf)
+    con.execute("CREATE VIEW t AS SELECT * FROM t_df")
+    want = dict(
+        con.execute(dataset_split_by_cluster_sql("t", tau=0.5)).fetchall()
+    )
+    assert out == want
+    with pytest.raises(ValueError):
+        dataset_split_by_cluster(df.withColumn("cluster_rep", F.lit(1)))
