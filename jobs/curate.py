@@ -303,7 +303,10 @@ def main() -> None:
 
         try:
             _mixture_targets(mixture_weights, args.mixture_budget)
-        except ValueError as exc:
+        except (TypeError, ValueError) as exc:
+            # TypeError: a non-numeric weight value (e.g. "x", null, a
+            # list) survives json.loads and only fails in the >= 0
+            # compare — still a usage error, not a traceback
             ap.error(str(exc))
 
     # packing knobs fail at parse time, not after the whole funnel ran
@@ -342,6 +345,21 @@ def main() -> None:
 
     spark = get_spark(args.master, app_name="ocr_spark_curate")
     docs = spark.read.parquet(args.input)
+    # fail fast (metadata-only schema check) for every stage that will
+    # need a source column — not after the whole funnel ran
+    _needs_source = [
+        flag
+        for flag, on in (
+            ("--cap-per-source", args.cap_per_source > 0),
+            ("--temperature-mix", bool(args.temperature_mix)),
+            ("--mixture-weights", mixture_weights is not None),
+        )
+        if on
+    ]
+    if _needs_source and "source" not in docs.columns:
+        raise SystemExit(
+            f"{'/'.join(_needs_source)} need an input with a source column"
+        )
     if args.synthesize:
         docs = synthesize_spans(docs)
 
@@ -576,8 +594,8 @@ def main() -> None:
         src = spark.read.parquet(args.input)
         if "source" not in src.columns:
             raise SystemExit(
-                "--cap-per-source/--temperature-mix need an input "
-                "with a source column"
+                "--cap-per-source/--temperature-mix/--mixture-weights "
+                "need an input with a source column"
             )
         # two silent-corruption guards on the lookup side:
         # - cast src's doc_id to curated's id type (the synthesize

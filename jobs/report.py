@@ -22,11 +22,13 @@ parquet under --output/<name>:
                    (functions/unicode_norm.py)
 - scripts        : per-source x dominant-writing-system doc counts
                    (functions/text.py script_profile)
-- diversity      : per-source distinct-bigram share of all bigram
-                   occurrences in integer ppm (functions/text.py
-                   ngram_diversity) — the templatedness monitor; a
-                   falling diversity_ppm after a crawl = a template
-                   farm or mirror entered the source
+- diversity      : (--diversity) per-source distinct-bigram share of
+                   all bigram occurrences in integer ppm
+                   (functions/text.py ngram_diversity) — the
+                   templatedness monitor; a falling diversity_ppm
+                   after a crawl = a template farm or mirror entered
+                   the source. Opt-in like --duplication: a full
+                   bigram explode + exact distinct aggregate
 - duplication    : (--duplication) per-source mean shared-window
                    fraction + windowless count (functions/scrub.py
                    duplication_profile) — the boilerplate/mirror-mass
@@ -74,6 +76,13 @@ def main() -> None:
     )
     ap.add_argument("--output", required=True, help="output root dir")
     ap.add_argument("--group-col", default="source")
+    ap.add_argument(
+        "--diversity",
+        action="store_true",
+        help="also write the per-source bigram-diversity table (full "
+        "bigram explode + exact distinct aggregate — the "
+        "templatedness monitor; use the HLL sketch variant at scale)",
+    )
     ap.add_argument(
         "--duplication",
         action="store_true",
@@ -160,10 +169,12 @@ def main() -> None:
     tables["source_overlap"] = source_overlap(docs, group_col=g)
     # corpus templatedness: one bigram explode + a two-stage distinct
     # aggregate on uniform hash keys (far lighter than --duplication's
-    # per-char anchors; heavier than the count-only passes)
-    tables["diversity"] = ngram_diversity(
-        docs.select(F.col(g).alias("source"), "text")
-    )
+    # per-char anchors; heavier than the count-only passes — opt-in
+    # per the --duplication precedent)
+    if args.diversity:
+        tables["diversity"] = ngram_diversity(
+            docs.select(F.col(g).alias("source"), "text")
+        )
     # per-source duplication severity: mean shared-window fraction
     # (docs with windows) + windowless count — rising mean_dup_ppm
     # after a crawl = a boilerplate-heavy or mirrored source. Opt-in:

@@ -1167,14 +1167,21 @@ def dataset_split_by_cluster_sql(
     **cluster_kwargs,
 ) -> str:
     """DuckDB twin of :func:`dataset_split_by_cluster`, projected to
-    (doc_id, split)."""
+    (doc_id, split). ``id_sql`` reaches the embedded cluster pass too
+    (string-id corpora pass ``id_sql="doc_id"``, matching the Spark
+    side's id-type-agnostic handling); an ``algorithm`` kwarg is
+    accepted-and-ignored so one kwargs dict drives both twins (the
+    recursive-CTE oracle has a single algorithm — both Spark variants
+    produce identical labels)."""
     from ocr_spark.functions.dedup import dup_clusters_sql
 
+    cluster_kwargs = dict(cluster_kwargs)
+    cluster_kwargs.pop("algorithm", None)
     inner = f"""(
       SELECT d.*, coalesce(CAST(c.cluster_rep AS VARCHAR),
                            CAST(d.doc_id AS VARCHAR)) AS _split_key
       FROM {table} d
-      LEFT JOIN ({dup_clusters_sql(table, **cluster_kwargs)}) c
+      LEFT JOIN ({dup_clusters_sql(table, id_sql=id_sql.replace("d.", ""), **cluster_kwargs)}) c
         USING (doc_id)
     )"""
     split = dataset_split_sql(inner, weights, salt, id_col="_split_key")

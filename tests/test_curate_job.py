@@ -635,8 +635,35 @@ def test_curate_mixture_knobs_rejected_at_parse_time(tmp_path):
         ("--mixture-budget", "100"),                      # no weights
         ("--mixture-weights", "not json", "--mixture-budget", "1"),
         ("--mixture-weights", '{"a": -1.0}', "--mixture-budget", "1"),
+        ("--mixture-weights", '{"a": "x"}', "--mixture-budget", "1"),
+        ("--mixture-weights", '{"a": null}', "--mixture-budget", "1"),
         ("--mixture-weights", "[]", "--mixture-budget", "1"),
     ):
         argv = ["curate.py", "--input", "x", "--output", "y", *extra]
         with patch.object(sys, "argv", argv), pytest.raises(SystemExit):
             job.main()
+
+
+def test_curate_mixture_fails_fast_without_source_column(spark, tmp_path):
+    """A mixture-only run on a source-less input dies at job START
+    (metadata schema check), not after the whole funnel ran."""
+    import pandas as pd
+
+    from ocr_spark.schema import DOC_SCHEMA
+
+    span = lambda i, t: {"kind": "text", "text": t, "media_ref": "", "offset": i}
+    rows = pd.DataFrame(
+        {"doc_id": [1], "spans": [[span(0, "some words the a of")]]}
+    )
+    inp = str(tmp_path / "spans")
+    spark.createDataFrame(rows, DOC_SCHEMA).write.parquet(inp)
+    import jobs.curate as job
+
+    argv = [
+        "curate.py", "--input", inp, "--output", str(tmp_path / "out"),
+        "--mixture-weights", '{"a": 1.0}', "--mixture-budget", "10",
+    ]
+    with patch.object(sys, "argv", argv), patch.object(
+        SparkSession, "stop", lambda self: None
+    ), pytest.raises(SystemExit, match="--mixture-weights"):
+        job.main()

@@ -43,7 +43,6 @@ def test_report_tables_and_counts(spark, tmp_path):
         "source_overlap",
         "encoding",
         "scripts",
-        "diversity",
     }
     stats = spark.read.parquet(f"{out}/source_stats")
     assert stats.count() == 20  # one row per source
@@ -159,7 +158,8 @@ def test_report_duplication_and_fertility_tables(spark, tmp_path):
 
 
 def test_report_diversity_table(spark, tmp_path):
-    out, s = _run(spark, tmp_path)
+    out, s = _run(spark, tmp_path, ("--diversity",))
+    assert "diversity" in s["rows"]
     div = spark.read.parquet(f"{out}/diversity")
     assert div.count() == 20  # one row per source
     assert div.where(

@@ -760,3 +760,41 @@ def test_split_by_cluster_coassigns_near_dups(spark):
     assert out == want
     with pytest.raises(ValueError):
         dataset_split_by_cluster(df.withColumn("cluster_rep", F.lit(1)))
+
+
+def test_split_by_cluster_string_ids_both_engines(spark):
+    import duckdb
+    import pandas as pd
+
+    from ocr_spark.functions.sampling import (
+        dataset_split_by_cluster,
+        dataset_split_by_cluster_sql,
+    )
+
+    words = [f"w{i:02d}" for i in range(40)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"sha1:{i}" for i in range(3)],
+            "text": [
+                " ".join(words),
+                " ".join(words[:39] + ["CHANGED"]),
+                "something else entirely for contrast",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r.doc_id: r.split for r in dataset_split_by_cluster(df, tau=0.5).collect()}
+    assert got["sha1:0"] == got["sha1:1"]
+    con = duckdb.connect()
+    con.register("t_df", pdf)
+    con.execute("CREATE VIEW t AS SELECT * FROM t_df")
+    # id_sql reaches the embedded cluster pass; algorithm kwarg is
+    # accepted-and-ignored so ONE kwargs dict drives both twins
+    want = dict(
+        con.execute(
+            dataset_split_by_cluster_sql(
+                "t", id_sql="doc_id", tau=0.5, algorithm="two-phase"
+            )
+        ).fetchall()
+    )
+    assert got == want
