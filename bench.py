@@ -167,6 +167,15 @@ def headline_queries(spark, sf_dir: str, span_dir: str | None = None):
         # ann_recall_eval reuse measured shapes (regex-count scan /
         # lsh_verified joins / window pick / topk joins).
         "script_profile": lambda: txt.script_profile(docs()),
+        # round-3 session-15 additions: the bloom gate is a NEW
+        # measured shape (bitset build agg + k broadcast-join probe,
+        # one md5/row); apply_mixture is the broadcast-plan-join +
+        # bounded-explode shape. exact_dedup_canonical / split_by_* /
+        # ngram_diversity / lang_mix_profile reuse measured shapes
+        # (hash-agg over a scan-stage expr / hash-bucket filter /
+        # shingle agg / sentence explode + window).
+        "bloom_gate": lambda: _bloom_gate_q(docs()),
+        "apply_mixture": lambda: _apply_mixture_q(docs()),
     }
 
 
@@ -174,6 +183,24 @@ def _rrp_q(docs):
     from ocr_spark.functions.scrub import remove_repeated_passages
 
     return remove_repeated_passages(docs)
+
+
+def _bloom_gate_q(docs):
+    # history = half the corpus; gate the whole corpus against it
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.dedup import bloom_build, bloom_novel
+
+    bloom = bloom_build(docs.where(F.expr("doc_id % 2 = 0")))
+    return bloom_novel(docs, bloom)
+
+
+def _apply_mixture_q(docs):
+    from ocr_spark.functions.sampling import apply_mixture
+
+    # sources src0..src19; weight half of them, ~2.5 epochs realized
+    weights = {f"src{i}": 1.0 for i in range(10)}
+    return apply_mixture(docs, weights, 400_000)
 
 
 def _source_overlap_q(docs):

@@ -848,3 +848,38 @@ def lang_mix_profile_sql(
              (n * 1000000) // n_sents AS dominant_ppm
       FROM rk WHERE _rk = 1
     """
+
+
+def ngram_diversity_approx(
+    docs: DataFrame, n: int = 2, lg_k: int = 12
+) -> DataFrame:
+    """The 100 TB path for :func:`ngram_diversity`: the exact
+    ``countDistinct`` (a full two-stage distinct over every n-gram
+    hash) is replaced by a DataSketches HLL aggregate — fixed
+    ``2^lg_k``-bucket state per source, one ordinary partial-agg
+    shuffle, mergeable across shards/days like the repo's other
+    sketches. Same output schema as the exact form; ``n_distinct``
+    (and therefore ``diversity_ppm``) is the HLL estimate (~1.6%
+    relative error at lg_k=12). No DuckDB twin — the sketch is
+    engine-specific; the exact operator is the oracle-checked one,
+    and the test pins this estimate within its error bound of exact.
+    """
+    from ocr_spark.functions.dedup import shingles_expr
+    from ocr_spark.functions.hashing import md5_long
+
+    ex = docs.where(F.col("text").isNotNull()).select(
+        "source", F.explode(F.expr(shingles_expr(n))).alias("_g")
+    )
+    keyed = ex.select("source", md5_long(F.col("_g")).alias("_h"))
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("_h", F.lit(lg_k))
+            ).cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "diversity_ppm", F.expr("(n_distinct * 1000000) div n_ngrams")
+        )
+    )

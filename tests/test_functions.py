@@ -1445,3 +1445,16 @@ def test_lang_mix_profile_detects_code_switching(spark):
     assert out[1] == (4, 3, "en", 500_000)  # half-English mixed page
     assert out[2] == (2, 1, "en", 1_000_000)  # monolingual
     assert 3 not in out
+
+
+def test_ngram_diversity_approx_within_error_bound(docs):
+    """The HLL scale path estimates within its published error of the
+    exact operator (and shares the exact per-source totals)."""
+    exact = {r.source: r for r in text.ngram_diversity(docs).collect()}
+    approx = {r.source: r for r in text.ngram_diversity_approx(docs).collect()}
+    assert set(exact) == set(approx)
+    for s in exact:
+        assert exact[s].n_ngrams == approx[s].n_ngrams
+        assert abs(approx[s].n_distinct - exact[s].n_distinct) <= max(
+            2, 0.05 * exact[s].n_distinct
+        )
