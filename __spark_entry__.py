@@ -1286,6 +1286,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix_profile": lambda s, d: txt.lang_mix_profile(
             _read(s, d, "documents")
         ),
+        # scoped LSH candidates: pairs restricted to a shared source —
+        # the 100 TB pruning knob (band buckets shrink to per-scope
+        # slices; cross-scope near-dups deliberately out of contract)
+        "lsh_pairs_scoped": lambda s, d: ded.minhash_lsh_pairs(
+            _read(s, d, "documents"), scope_col="source"
+        ),
+        # canonical novelty: a re-crawl where every doc is re-cased
+        # (ASCII translate, same table both engines) and every 5th
+        # carries real new content — the canonical gate admits ONLY
+        # the modified fifth (the raw-md5 gate would re-admit all)
+        "novel_docs_canonical": lambda s, d: ded.novel_docs(
+            _read(s, d, "documents").withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.col("text"), F.lit(" v2")),
+                ).otherwise(
+                    F.translate(
+                        F.col("text"),
+                        "abcdefghijklmnopqrstuvwxyz",
+                        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                    )
+                ),
+            ),
+            _read(s, d, "documents"),
+            canonical=True,
+        ).select("doc_id", "source"),
         # incremental-ingest novelty gate: a re-crawl batch (every
         # doc re-ingested, every 5th modified) anti-joined against
         # the corpus — only the modified fifth is novel
@@ -1785,6 +1812,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "split_by_cluster": smp.dataset_split_by_cluster_sql("documents"),
         "lang_mix_profile": txt.lang_mix_profile_sql("documents"),
+        "lsh_pairs_scoped": ded.minhash_lsh_pairs_sql(scope_col="source"),
+        "novel_docs_canonical": (
+            "SELECT doc_id, source FROM ("
+            + ded.novel_docs_sql(
+                "(SELECT * REPLACE (CASE WHEN doc_id % 5 = 0"
+                " THEN text || ' v2' ELSE translate(text,"
+                " 'abcdefghijklmnopqrstuvwxyz',"
+                " 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') END AS text)"
+                " FROM documents)",
+                "documents",
+                canonical=True,
+            )
+            + ")"
+        ),
         "novel_docs": (
             "SELECT doc_id, source FROM ("
             + ded.novel_docs_sql(

@@ -211,6 +211,7 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     w: int = SHINGLE_W,
     max_bucket: int | None = None,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) near-duplicate candidate pairs: docs sharing at
     least one LSH band bucket, a < b, distinct.
@@ -222,21 +223,33 @@ def minhash_lsh_pairs(
     would otherwise emit B^2/2 pairs, and its members are still
     recalled through their other (more selective) bands. The DuckDB
     twin applies the identical cap.
+
+    ``scope_col`` restricts candidates to pairs sharing that column's
+    value (domain / source / lang) — the standard 100 TB pruning knob:
+    near-dups overwhelmingly live within a site, and scoping shrinks
+    every band bucket to its per-scope slice (the scope value joins
+    the bucket key, so a boilerplate bucket spanning 1000 domains
+    becomes 1000 independent small buckets). Cross-scope near-dups
+    are deliberately out of contract when scoped — that's the trade.
+    NULL scope values never pair (SQL equality).
     """
     banded = minhash_band_index(docs, k, bands, w).drop("sigs")
+    join_keys = ["band", "key"]
+    if scope_col is not None:
+        scope = docs.select("doc_id", F.col(scope_col).alias("_scope"))
+        banded = banded.join(scope, "doc_id")
+        join_keys.append("_scope")
     if max_bucket is not None:
         from pyspark.sql import Window
 
-        bc = F.count("*").over(Window.partitionBy("band", "key"))
+        bc = F.count("*").over(Window.partitionBy(*join_keys))
         banded = banded.withColumn("_bc", bc).where(F.col("_bc") <= max_bucket).drop("_bc")
     a, b = banded.alias("a"), banded.alias("b")
+    cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+    for kcol in join_keys:
+        cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -249,27 +262,34 @@ def minhash_lsh_pairs_sql(
     w: int = SHINGLE_W,
     max_bucket: int | None = None,
     id_sql: str = "CAST(doc_id AS BIGINT)",
+    scope_col: str | None = None,
 ) -> str:
     h40, sigs = _sigs_sql(k, w)
     band_keys = _band_keys_sql(k, bands)
+    scope_sel = f", {scope_col} AS _scope" if scope_col is not None else ""
+    scope_keep = ", _scope" if scope_col is not None else ""
+    part = "band, key, _scope" if scope_col is not None else "band, key"
+    scope_join = (
+        " AND a._scope = b._scope" if scope_col is not None else ""
+    )
     cap = (
-        f"QUALIFY count(*) OVER (PARTITION BY band, key) <= {max_bucket}"
+        f"QUALIFY count(*) OVER (PARTITION BY {part}) <= {max_bucket}"
         if max_bucket is not None
         else ""
     )
     return f"""
       WITH banded AS (
-        SELECT doc_id, r.i AS band, keys[r.i + 1] AS key
+        SELECT doc_id, r.i AS band, keys[r.i + 1] AS key{', _scope' if scope_col is not None else ''}
         FROM (
-          SELECT {id_sql} AS doc_id, {band_keys} AS keys
-          FROM (SELECT doc_id, {sigs} AS sigs
-                FROM (SELECT doc_id, {h40} AS hs FROM {table}))
+          SELECT {id_sql} AS doc_id, {band_keys} AS keys{scope_keep}
+          FROM (SELECT doc_id, {sigs} AS sigs{scope_keep}
+                FROM (SELECT doc_id, {h40} AS hs{scope_sel} FROM {table}))
         ) CROSS JOIN range(0, {bands}) r(i)
         {cap}
       )
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id{scope_join}
     """
 
 
@@ -928,7 +948,22 @@ def simhash_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
-def novel_docs(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
+def _content_key(canonical: bool):
+    """THE novelty-gate content key: md5 of the raw text, or of the
+    canonicalized text (case/punct/whitespace-insensitive re-crawl
+    matching) when ``canonical`` — shared by novel_docs and the bloom
+    family so their verdicts agree on what "the same text" means."""
+    base = canonical_text(F.col("text")) if canonical else F.col("text")
+    return F.md5(base)
+
+
+def _content_key_sql(expr: str, canonical: bool) -> str:
+    return f"md5({canonical_text_sql(expr) if canonical else expr})"
+
+
+def novel_docs(
+    new_docs: DataFrame, corpus: DataFrame, canonical: bool = False
+) -> DataFrame:
     """Rows of ``new_docs`` whose exact text content is absent from
     ``corpus`` — the incremental-ingest gate (only novel documents
     proceed to the expensive near-dup / extraction stages; re-crawls
@@ -941,21 +976,28 @@ def novel_docs(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
     the corpus has no NULL-text row, matching SQL NOT-EXISTS-on-md5
     semantics via a null-safe key compare.
     """
-    new_keyed = new_docs.withColumn("_k", F.md5("text"))
-    seen = corpus.select(F.md5("text").alias("_k")).distinct()
+    key = _content_key(canonical)
+    new_keyed = new_docs.withColumn("_k", key)
+    seen = corpus.select(key.alias("_k")).distinct()
     return new_keyed.join(
         seen, new_keyed["_k"].eqNullSafe(seen["_k"]), "left_anti"
     ).drop("_k")
 
 
-def novel_docs_sql(new_table: str, corpus_table: str) -> str:
+def novel_docs_sql(
+    new_table: str, corpus_table: str, canonical: bool = False
+) -> str:
     """DuckDB twin of :func:`novel_docs` (NOT EXISTS on the same key;
     ``IS NOT DISTINCT FROM`` mirrors the null-safe compare)."""
+    ck, nk = (
+        _content_key_sql("c.text", canonical),
+        _content_key_sql("n.text", canonical),
+    )
     return f"""
       SELECT n.* FROM {new_table} n
       WHERE NOT EXISTS (
         SELECT 1 FROM {corpus_table} c
-        WHERE md5(c.text) IS NOT DISTINCT FROM md5(n.text)
+        WHERE {ck} IS NOT DISTINCT FROM {nk}
       )
     """
 
@@ -1507,27 +1549,29 @@ BLOOM_M_BITS = 1 << 20
 BLOOM_K = 4
 
 
-def _bloom_positions(text_col, m_bits: int, k: int) -> list:
-    """k bit positions for one document: ONE full-text md5, then k
-    cheap re-hashes of its 32-char hex (never k scans of the text)."""
-    h = F.md5(text_col)
+def _bloom_positions(h_col, m_bits: int, k: int) -> list:
+    """k bit positions from ONE content hash column (the md5 hex of
+    the raw or canonicalized text): k cheap re-hashes of the 32-char
+    hex — never k scans of the text."""
     return [
-        md5_long(F.concat(F.lit(f"bloom:{i}:"), h)) % m_bits
+        md5_long(F.concat(F.lit(f"bloom:{i}:"), h_col)) % m_bits
         for i in range(k)
     ]
 
 
-def _bloom_positions_sql(text_expr: str, m_bits: int, k: int) -> list[str]:
-    h = f"md5({text_expr})"
+def _bloom_positions_sql(h_expr: str, m_bits: int, k: int) -> list[str]:
     out = []
     for i in range(k):
-        keyed = md5_long_sql(f"'bloom:{i}:' || {h}")
+        keyed = md5_long_sql(f"'bloom:{i}:' || {h_expr}")
         out.append(f"({keyed} % {m_bits})")
     return out
 
 
 def bloom_build(
-    docs: DataFrame, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+    docs: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    canonical: bool = False,
 ) -> DataFrame:
     """Build the seen-set bloom filter over ``md5(text)``: a sparse
     (word_idx, word) bitset table of at most ``ceil(m_bits/30)`` rows.
@@ -1544,7 +1588,9 @@ def bloom_build(
     Shape: one pruned scan, explode of k ints/doc, one partial-agg
     shuffle on uniform ``word_idx`` keys bounded by m_bits/30 groups.
     """
-    pos = F.explode(F.array(*_bloom_positions(F.col("text"), m_bits, k)))
+    pos = F.explode(
+        F.array(*_bloom_positions(_content_key(canonical), m_bits, k))
+    )
     keyed = docs.where(F.col("text").isNotNull()).select(pos.alias("pos"))
     wb = _BLOOM_WORD_BITS
     return (
@@ -1572,6 +1618,7 @@ def bloom_novel(
     bloom: DataFrame,
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
+    canonical: bool = False,
 ) -> DataFrame:
     """Gate ``new_docs`` against a :func:`bloom_build` table: adds
     ``maybe_seen`` (true = the filter MAY have seen this exact text;
@@ -1598,7 +1645,7 @@ def bloom_novel(
     # re-hashes of the 32-char hex, all in a single projection BEFORE
     # any join (withColumn-per-join would re-evaluate the full-text
     # md5 in every join stage's Project).
-    out = new_docs.withColumn("_bh", F.md5("text"))
+    out = new_docs.withColumn("_bh", _content_key(canonical))
     for i in range(k):
         pos = md5_long(F.concat(F.lit(f"bloom:{i}:"), F.col("_bh"))) % m_bits
         out = out.withColumn(f"_bp{i}", pos)
@@ -1627,11 +1674,14 @@ def bloom_novel(
 
 
 def bloom_build_sql(
-    table: str = "documents", m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+    table: str = "documents",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    canonical: bool = False,
 ) -> str:
     """DuckDB twin of :func:`bloom_build` (``//`` floors, but every
     position is non-negative, so it equals Spark's ``div``)."""
-    ps = _bloom_positions_sql("text", m_bits, k)
+    ps = _bloom_positions_sql(_content_key_sql("text", canonical), m_bits, k)
     return f"""
       SELECT pos // {_BLOOM_WORD_BITS} AS word_idx,
              bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD_BITS} AS INT))
@@ -1649,10 +1699,11 @@ def bloom_novel_sql(
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
     id_sql: str = "CAST(doc_id AS BIGINT)",
+    canonical: bool = False,
 ) -> str:
     """DuckDB twin of :func:`bloom_novel`, projected to
     (doc_id, maybe_seen)."""
-    ps = _bloom_positions_sql("d.text", m_bits, k)
+    ps = _bloom_positions_sql(_content_key_sql("d.text", canonical), m_bits, k)
     joins, hits = [], []
     for i, p in enumerate(ps):
         joins.append(

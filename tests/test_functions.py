@@ -1458,3 +1458,46 @@ def test_ngram_diversity_approx_within_error_bound(docs):
         assert abs(approx[s].n_distinct - exact[s].n_distinct) <= max(
             2, 0.05 * exact[s].n_distinct
         )
+
+
+def test_minhash_lsh_pairs_scoped(spark, con):
+    import pandas as pd
+
+    words = [f"w{i:02d}" for i in range(40)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                " ".join(words),
+                " ".join(words[:39] + ["X"]),
+                " ".join(words),
+                " ".join(words[:39] + ["Y"]),
+            ],
+            "source": ["a", "a", "b", "b"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    con.register("t_scope_df", pdf)
+    con.execute("CREATE OR REPLACE VIEW t_scope AS SELECT * FROM t_scope_df")
+    scoped = sorted(
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(df, scope_col="source").collect()
+    )
+    # within-scope pairs only — cross-source candidates are pruned
+    assert scoped and all(
+        {1, 2} >= set(p) or {3, 4} >= set(p) for p in scoped
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                dedup.minhash_lsh_pairs_sql("t_scope", scope_col="source")
+            ).fetchall(),
+        )
+    )
+    assert scoped == want
+    # scoped ⊆ unscoped
+    allp = sorted(
+        (r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(df).collect()
+    )
+    assert set(scoped) <= set(allp)

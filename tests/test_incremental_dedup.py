@@ -283,3 +283,58 @@ def test_bloom_novel_rejects_colliding_columns(spark):
         bloom_novel(df.withColumn("maybe_seen", __import__("pyspark").sql.functions.lit(True)), bloom)
     with pytest.raises(ValueError, match="_bp0"):
         bloom_novel(df.withColumn("_bp0", __import__("pyspark").sql.functions.lit(1)), bloom)
+
+
+def test_novel_docs_canonical_matches_recrawl_variants(spark):
+    import duckdb
+    import pandas as pd
+
+    from ocr_spark.functions.dedup import novel_docs, novel_docs_sql
+
+    corp = pd.DataFrame({"doc_id": [1, 2], "text": ["Hello, World!", "other doc"]})
+    new = pd.DataFrame(
+        {"doc_id": [10, 11], "text": ["hello   world", "brand new"]}
+    )
+    cdf, ndf = spark.createDataFrame(corp), spark.createDataFrame(new)
+    # raw gate: both pass (bytes differ); canonical gate: only 11
+    assert sorted(r.doc_id for r in novel_docs(ndf, cdf).collect()) == [10, 11]
+    assert sorted(
+        r.doc_id for r in novel_docs(ndf, cdf, canonical=True).collect()
+    ) == [11]
+    con = duckdb.connect()
+    con.register("c_df", corp)
+    con.register("n_df", new)
+    con.execute("CREATE VIEW c AS SELECT * FROM c_df")
+    con.execute("CREATE VIEW n AS SELECT * FROM n_df")
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM ("
+            + novel_docs_sql("n", "c", canonical=True)
+            + ")"
+        ).fetchall()
+    )
+    assert want == [11]
+
+
+def test_bloom_canonical_gate(spark):
+    from ocr_spark.functions.dedup import bloom_build, bloom_novel
+
+    corp = spark.createDataFrame(
+        [(1, "Hello, World!")], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [(10, "hello   world"), (11, "brand new")], "doc_id long, text string"
+    )
+    bl = bloom_build(corp, canonical=True)
+    v = {
+        r.doc_id: r.maybe_seen
+        for r in bloom_novel(probe, bl, canonical=True).collect()
+    }
+    assert v == {10: True, 11: False}
+    # raw filter does NOT match the re-cased re-crawl
+    v0 = {
+        r.doc_id: r.maybe_seen
+        for r in bloom_novel(probe, bloom_build(corp)).collect()
+    }
+    assert v0 == {10: False, 11: False}
