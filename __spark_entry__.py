@@ -871,6 +871,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_stats": lambda s, d: txt.lexical_stats(
             _read(s, d, "documents")
         ),
+        # Flesch reading ease (vowel-group syllables, terminal-punct
+        # sentences): the classic difficulty axis, zero shuffle
+        "readability": lambda s, d: txt.readability(
+            _read(s, d, "documents")
+        ),
         "zorder_codes": lambda s, d: zorder_codes(
             _read(s, d, "documents").select("doc_id", "n_chars"),
             "doc_id",
@@ -1629,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": txt.fingerprint_sql(),
         "script_profile": txt.script_profile_sql(),
         "lexical_stats": txt.lexical_stats_sql(),
+        "readability": txt.readability_sql(),
         "zorder_codes": zorder_codes_sql(
             "SELECT doc_id, n_chars FROM documents", "doc_id", "n_chars"
         ),

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.functions.hashing import md5_long_expr, md5_long_sql
-from ocr_spark.schema import NON_ALNUM_WS, WS
+from ocr_spark.schema import ASCII_LOWER, ASCII_UPPER, NON_ALNUM_WS, WS
 
 # BPE-ish word/symbol tokenizer: alnum runs or single non-space symbols.
 TOKEN_RE = "[a-zA-Z0-9]+|" + NON_ALNUM_WS
@@ -883,3 +883,84 @@ def ngram_diversity_approx(
             "diversity_ppm", F.expr("(n_distinct * 1000000) div n_ngrams")
         )
     )
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_sents, n_syll, words_per_sent,
+    syll_per_word, flesch): Flesch reading-ease per document — the
+    classic readability axis (textbooks ~60-80, legalese/boilerplate
+    <30) used alongside Gopher rules and the model-based classifier
+    when stratifying pretraining corpora by difficulty.
+
+    flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/word)
+
+    Syllables use the standard heuristic: one per maximal vowel-group
+    run ``[aeiouy]+`` in the ASCII-folded text (groups cannot span the
+    whitespace between words, so one whole-text regexp_count suffices),
+    and a vowelless word (acronyms, digits) still counts one syllable.
+    Sentences come from terminal-punctuation runs ``[.!?]+`` with an
+    unpunctuated document counting as one sentence. Case folding is
+    the locale-safe ``translate`` (schema.ASCII_*), never ``lower()``.
+
+    Scan-stage only — zero shuffle; the float tree (two multiplies,
+    two subtractions, per ROW not aggregated) is rendered identically
+    in the DuckDB twin, and all three derived doubles are floor6 so
+    hash comparison is stable. NULL/empty text emits zero counts and
+    the degenerate flesch of the all-greatest(…,1) denominators.
+    """
+    t = f"translate(coalesce(text, ''), '{ASCII_UPPER}', '{ASCII_LOWER}')"
+    words = f"filter(split({t}, '{WS}+'), x -> x != '')"
+    base = docs.select(
+        "doc_id",
+        F.expr(f"size({words})").cast("int").alias("n_words"),
+        F.expr(
+            f"CASE WHEN size({words}) = 0 THEN 0 "
+            f"ELSE greatest(regexp_count(coalesce(text, ''), '[.!?]+'), 1) END"
+        ).cast("int").alias("n_sents"),
+        F.expr(
+            f"regexp_count({t}, '[aeiouy]+') + "
+            f"size(filter({words}, w -> w NOT RLIKE '[aeiouy]'))"
+        ).cast("int").alias("n_syll"),
+    )
+    wps = F.col("n_words").cast("double") / F.greatest(F.col("n_sents"), F.lit(1))
+    spw = F.col("n_syll").cast("double") / F.greatest(F.col("n_words"), F.lit(1))
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        floor6(wps).alias("words_per_sent"),
+        floor6(spw).alias("syll_per_word"),
+        floor6(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch"
+        ),
+    )
+
+
+def readability_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`readability` (len(regexp_extract_all) =
+    regexp_count; identical float tree and floor6)."""
+    t = f"translate(coalesce(text, ''), '{ASCII_UPPER}', '{ASCII_LOWER}')"
+    words = (
+        f"list_filter(regexp_split_to_array({t}, '{WS}+'), x -> x != '')"
+    )
+    wps = "(CAST(n_words AS DOUBLE) / greatest(n_sents, 1))"
+    spw = "(CAST(n_syll AS DOUBLE) / greatest(n_words, 1))"
+    return f"""
+      SELECT doc_id,
+             n_words, n_sents, n_syll,
+             {floor6_sql(wps)} AS words_per_sent,
+             {floor6_sql(spw)} AS syll_per_word,
+             {floor6_sql(f"(206.835 - 1.015 * {wps} - 84.6 * {spw})")} AS flesch
+      FROM (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(len(w) AS INT) AS n_words,
+               CAST(CASE WHEN len(w) = 0 THEN 0 ELSE greatest(
+                 len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1)
+               END AS INT) AS n_sents,
+               CAST(len(regexp_extract_all({t}, '[aeiouy]+'))
+                 + len(list_filter(w, x -> NOT regexp_matches(x, '[aeiouy]')))
+                 AS INT) AS n_syll
+        FROM (SELECT doc_id, text, {words} AS w FROM {table})
+      )
+    """

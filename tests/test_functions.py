@@ -105,6 +105,7 @@ def test_text_operator_fuzz_across_engines(spark, con):
         (text.fingerprint, text.fingerprint_sql("t_fuzz")),
         (text.script_profile, text.script_profile_sql("t_fuzz")),
         (text.lexical_stats, text.lexical_stats_sql("t_fuzz")),
+        (text.readability, text.readability_sql("t_fuzz")),
         (encoding_profile, encoding_profile_sql("t_fuzz")),
         (dedup.exact_dedup, dedup.exact_dedup_sql("t_fuzz")),
         (dedup.exact_dedup_canonical, dedup.exact_dedup_canonical_sql("t_fuzz")),
@@ -1342,6 +1343,56 @@ def test_lexical_stats_plan_is_scan_stage(docs):
     from ocr_spark.plans import plan_str as _plan2
 
     assert "Exchange" not in _plan2(text.lexical_stats(docs), "simple")
+
+
+# ---------------------------------------------------------------------------
+# readability
+# ---------------------------------------------------------------------------
+
+
+def test_readability_matches_oracle(docs, con):
+    assert_same(text.readability(docs), con, text.readability_sql())
+
+
+def test_readability_semantics(spark):
+    rows = {
+        r.doc_id: r
+        for r in text.readability(
+            spark.createDataFrame(
+                [
+                    # 2 sentences, 6 words, syllables: the=1 cat=1
+                    # sat=1 down. = 1 It=1 slept.=1 -> 6
+                    (1, "The cat sat down. It slept."),
+                    # no terminal punctuation -> 1 sentence; vowelless
+                    # word still counts one syllable (xkcd)
+                    (2, "xkcd 42 rocks"),
+                    (3, None),
+                    # multi-vowel groups: 'queueing' = q-ueuei-ng ->
+                    # 2 groups ('ueuei' is ONE maximal run? no: u,e,u,
+                    # e,i are all vowels -> one run) + 'aloud' a-lou-d
+                    # = 2 runs -> total 3
+                    (4, "queueing aloud!!!"),
+                ],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert (rows[1].n_words, rows[1].n_sents, rows[1].n_syll) == (6, 2, 6)
+    assert rows[1].words_per_sent == 3.0 and rows[1].syll_per_word == 1.0
+    # flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert abs(rows[1].flesch - 119.19) < 1e-6
+    # vowelless words count one syllable each; unpunctuated = 1 sent
+    assert (rows[2].n_sents, rows[2].n_syll) == (1, 3)
+    # NULL text: zero counts, never dropped
+    assert (rows[3].n_words, rows[3].n_sents, rows[3].n_syll) == (0, 0, 0)
+    # maximal vowel runs, not per-vowel counts
+    assert (rows[4].n_words, rows[4].n_sents, rows[4].n_syll) == (2, 1, 3)
+
+
+def test_readability_plan_is_scan_stage(docs):
+    from ocr_spark.plans import plan_str as _plan2
+
+    assert "Exchange" not in _plan2(text.readability(docs), "simple")
 
 
 # ---------------------------------------------------------------------------
