@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.functions import dedup as ded
+from ocr_spark.functions import audit as adt
 from ocr_spark.functions import dsir
 from ocr_spark.functions import llm_parse as lp
 from ocr_spark.functions import interleave as ilv
@@ -876,6 +877,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": lambda s, d: txt.readability(
             _read(s, d, "documents")
         ),
+        # order-insensitive per-source content checksum (modular sum
+        # of 60-bit row hashes): the snapshot reproducibility audit
+        "corpus_checksum": lambda s, d: adt.table_checksum(
+            _read(s, d, "documents")
+        ),
         "zorder_codes": lambda s, d: zorder_codes(
             _read(s, d, "documents").select("doc_id", "n_chars"),
             "doc_id",
@@ -1635,6 +1641,7 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": txt.script_profile_sql(),
         "lexical_stats": txt.lexical_stats_sql(),
         "readability": txt.readability_sql(),
+        "corpus_checksum": adt.table_checksum_sql(),
         "zorder_codes": zorder_codes_sql(
             "SELECT doc_id, n_chars FROM documents", "doc_id", "n_chars"
         ),
