@@ -66,6 +66,8 @@ from ocr_spark.functions.packing import (
 from ocr_spark.functions.unicode_norm import (
     encoding_profile,
     encoding_profile_sql,
+    fix_mojibake,
+    fix_mojibake_sql,
     normalize_nfc,
     normalize_nfc_sql,
 )
@@ -998,6 +1000,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("text"),
             )
         ),
+        # mojibake REPAIR over the same deterministic damage idiom:
+        # 'ar' -> damaged e-acute (C3 A9), 'th' -> damaged left smart
+        # quote (E2 20AC 153 = UTF-8 E2 80 9C read as cp1252); the
+        # repaired output must contain the real codepoints + counts.
+        "fix_mojibake": lambda s, d: fix_mojibake(
+            _read(s, d, "documents").select(
+                "doc_id",
+                F.replace(
+                    F.replace(
+                        F.col("text"),
+                        F.lit("ar"),
+                        F.lit(chr(0xC3) + chr(0xA9)),
+                    ),
+                    F.lit("th"),
+                    F.lit(chr(0xE2) + chr(0x20AC) + chr(0x153)),
+                ).alias("text"),
+            )
+        ),
         # NOTE: the acute is built with Python chr(769) — Spark SQL's
         # chr() is ASCII-modulo-256, not a Unicode codepoint.
         "normalize_nfc": lambda s, d: normalize_nfc(
@@ -1693,6 +1713,12 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, "
             f"replace(replace(text, 'ar', '{chr(0xC3)}{chr(0xA9)}'), "
             f"'sh', '{chr(0xFFFD)}') AS text "
+            "FROM documents) src"
+        ),
+        "fix_mojibake": fix_mojibake_sql(
+            "(SELECT doc_id, "
+            f"replace(replace(text, 'ar', '{chr(0xC3)}{chr(0xA9)}'), "
+            f"'th', '{chr(0xE2)}{chr(0x20AC)}{chr(0x153)}') AS text "
             "FROM documents) src"
         ),
         "exact_dedup": ded.exact_dedup_sql(),

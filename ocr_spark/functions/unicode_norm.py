@@ -156,3 +156,109 @@ def encoding_profile_sql(table: str = "documents") -> str:
                      coalesce(text, '') AS t FROM {table})
       )
     """
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (the actionable counterpart of encoding_profile)
+# ---------------------------------------------------------------------------
+
+# Codepoints whose UTF-8-read-as-cp1252 renderings dominate real web
+# mojibake: smart punctuation + euro/TM + NBSP + the common Latin-1
+# letters. The damaged form is DERIVED (encode UTF-8, decode cp1252
+# with the ftfy-style latin-1 fallback for the five unmapped bytes),
+# never hand-typed — so the table cannot drift from the encoding it
+# models, and the source file stays pure ASCII (the session-6
+# NFC-normalization trap).
+MOJIBAKE_TARGETS = (
+    0x2019, 0x2018, 0x201C, 0x201D,  # curly quotes
+    0x2013, 0x2014, 0x2026, 0x2022,  # dashes, ellipsis, bullet
+    0x20AC, 0x2122, 0x00A0,          # euro, TM, NBSP
+    0xE9, 0xE8, 0xEA, 0xE0, 0xE7, 0xF6, 0xFC, 0xE4, 0xF3, 0xED,
+    0xE1, 0xF1, 0xFB, 0xEE, 0xF4, 0xFA, 0xDF,  # common Latin-1 letters
+)
+
+
+def _cp1252_sloppy(bs: bytes) -> str:
+    # cp1252 leaves five bytes unmapped (81 8D 8F 90 9D); mojibake
+    # text carries them as the raw latin-1 C1 codepoints (what ftfy
+    # calls sloppy-windows-1252), e.g. the 9D in a damaged U+201D.
+    out = []
+    for b in bs:
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+# (damaged, repaired) pairs, longest damaged form first then lexical —
+# the chain order is PART OF THE OPERATOR DEFINITION (both engines run
+# the same sequence; a euro repair can legally expose a second-level
+# pattern in double-encoded text, see fix_mojibake docstring).
+MOJIBAKE_PAIRS = tuple(
+    sorted(
+        ((_cp1252_sloppy(chr(cp).encode("utf-8")), chr(cp)) for cp in MOJIBAKE_TARGETS),
+        key=lambda p: (-len(p[0]), p[0]),
+    )
+)
+
+
+def fix_mojibake(docs: DataFrame) -> DataFrame:
+    """(doc_id, fixed_text, n_fixes): repair UTF-8-read-as-cp1252
+    mojibake in place of dropping the document — the salvage path for
+    docs :func:`encoding_profile` flags (drop-on-suspect costs real
+    corpus mass when the damage is this mechanical).
+
+    A chained literal ``replace`` over :data:`MOJIBAKE_PAIRS` (order
+    fixed, longest-first). ``n_fixes`` counts pattern occurrences in
+    the INPUT text via length arithmetic — no regex; note a chained
+    pass can heal one level deeper than the count on double-encoded
+    text (the euro repair re-exposes the smart-quote pattern), which
+    both engines do identically. Single-pass by design: run twice for
+    pathological triple-encoding.
+
+    Scan-stage only — zero shuffle, no UDF; the ~2x28 replace/length
+    nodes stay inside whole-stage codegen. NULL text stays NULL with
+    ``n_fixes`` 0; the row is never dropped.
+    """
+    t = F.coalesce(F.col("text"), F.lit(""))
+    fixed = t
+    n = F.lit(0)
+    for bad, good in MOJIBAKE_PAIRS:
+        n = n + (
+            (F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        ).cast("int")
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return docs.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(fixed)
+        .alias("fixed_text"),
+        n.cast("int").alias("n_fixes"),
+    )
+
+
+def fix_mojibake_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`fix_mojibake`: identical pair table,
+    identical chain order, identical length-arithmetic counts (the
+    double->int cast only ever sees exact integral values, so DuckDB's
+    round-on-cast == Spark's truncate-on-cast)."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    fixed = "t"
+    counts = []
+    for bad, good in MOJIBAKE_PAIRS:
+        counts.append(
+            f"CAST((length(t) - length(replace(t, {q(bad)}, ''))) / {len(bad)} AS INT)"
+        )
+        fixed = f"replace({fixed}, {q(bad)}, {q(good)})"
+    n = " + ".join(counts)
+    return f"""
+      SELECT doc_id,
+             CASE WHEN raw IS NULL THEN NULL ELSE {fixed} END AS fixed_text,
+             CAST({n} AS INT) AS n_fixes
+      FROM (SELECT doc_id, text AS raw, coalesce(text, '') AS t FROM {table})
+    """

@@ -168,3 +168,78 @@ def test_encoding_profile_plan_is_scan_stage(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     p = _plan(encoding_profile(df), "simple")
     assert "Exchange" not in p and "ArrowEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# fix_mojibake
+# ---------------------------------------------------------------------------
+
+def _sloppy(cp: int) -> str:
+    # damaged rendering of a codepoint: UTF-8 bytes read as cp1252
+    # (latin-1 fallback for the five unmapped bytes) — derived, not
+    # hand-typed, same rule as the operator's own table.
+    out = []
+    for b in chr(cp).encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+def test_fix_mojibake_repairs_and_counts(spark):
+    from ocr_spark.functions.unicode_norm import fix_mojibake
+
+    rows = [
+        (0, "clean text"),
+        (1, "caf" + _sloppy(0xE9) + " au lait"),          # é
+        (2, _sloppy(0x201C) + "hi" + _sloppy(0x201D)),     # “hi”
+        (3, "price " + _sloppy(0x20AC) + "5"),             # €
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in fix_mojibake(df).collect()}
+    assert got[0].fixed_text == "clean text" and got[0].n_fixes == 0
+    assert got[1].fixed_text == "caf\xe9 au lait" and got[1].n_fixes == 1
+    assert got[2].fixed_text == "“hi”" and got[2].n_fixes == 2
+    assert got[3].fixed_text == "price €5" and got[3].n_fixes == 1
+    assert got[4].fixed_text is None and got[4].n_fixes == 0
+    assert got[5].fixed_text == "" and got[5].n_fixes == 0
+
+
+def test_fix_mojibake_cross_engine(spark):
+    import pandas as pd
+
+    from ocr_spark.functions.unicode_norm import fix_mojibake, fix_mojibake_sql
+
+    texts = [
+        "clean",
+        "caf" + _sloppy(0xE9),
+        _sloppy(0x201C) + "q" + _sloppy(0x201D) + _sloppy(0x2026),
+        _sloppy(0x20AC) + _sloppy(0x2122) + _sloppy(0xA0),
+        # double-encoded euro: damaged form of the damaged form —
+        # one chained pass heals one level, both engines identically
+        "".join(_sloppy(ord(c)) for c in _sloppy(0x20AC)),
+        "stray " + chr(0xC3) + " alone",  # not a known pair: untouched
+        None,
+        "",
+    ]
+    pdf = pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t_moji_df", pdf)
+    got = sorted(map(tuple, fix_mojibake(df).collect()))
+    want = sorted(
+        map(tuple, con.execute(fix_mojibake_sql("t_moji_df")).fetchall())
+    )
+    assert got == want
+
+
+def test_fix_mojibake_plan_is_scan_stage(spark):
+    from ocr_spark.functions.unicode_norm import fix_mojibake
+    from ocr_spark.plans import plan_str as _plan
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(fix_mojibake(df), "simple")
+    assert "Exchange" not in p and "ArrowEvalPython" not in p
