@@ -65,6 +65,15 @@ def main() -> None:
         "costs one pruned pass over the input",
     )
     ap.add_argument(
+        "--lineage-checksums",
+        action="store_true",
+        help="record an order-insensitive content checksum per bucket "
+        "in the lineage (ExtractionRun.verify_output() then byte-audits "
+        "the table against its commits). Costs one extra full read of "
+        "each group's freshly-written output (the metrics scan must "
+        "read spans too), no extra shuffle",
+    )
+    ap.add_argument(
         "--integrity-gate",
         default=None,
         metavar="DIR",
@@ -121,6 +130,7 @@ def main() -> None:
             buckets_per_commit=args.buckets_per_commit,
             size_weighted_partitions=args.size_weighted_partitions or None,
             stage_input=args.stage_input,
+            checksum_output=args.lineage_checksums,
         ),
     )
     summary = run.run()

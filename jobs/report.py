@@ -40,6 +40,11 @@ parquet under --output/<name>:
                    source pair (mirror/repackage detection,
                    functions/sketches.py) — one corpus pass, exact
                    integer estimates
+- checksum       : per-source order-insensitive content checksum
+                   (functions/audit.py modular 60-bit sum) — persist
+                   it and the next run byte-audits each source by
+                   integer compare; the summary line carries the
+                   corpus-level fold
 - bpe_token_stats: (--bpe-tokens) per-source token totals under the
                    baked TRAINED tokenizer (functions/bpe.py) — the
                    budget number mixture/packing planning uses, where
@@ -167,6 +172,18 @@ def main() -> None:
         )
     )
     tables["source_overlap"] = source_overlap(docs, group_col=g)
+    # per-source content checksum (functions/audit.py): persist it with
+    # the report and the NEXT run answers "did source X's bytes change"
+    # by integer comparison — no rescan of history, no sort, no diff.
+    # One partial-agg pass over the audited columns.
+    from ocr_spark.functions.audit import fold_checksums, table_checksum
+
+    audit_cols = tuple(
+        c for c in ("doc_id", "text", "lang", "source") if c in docs.columns
+    )
+    tables["checksum"] = table_checksum(
+        docs, group_cols=(g,), cols=audit_cols
+    ).localCheckpoint()
     # corpus templatedness: one bigram explode + a two-stage distinct
     # aggregate on uniform hash keys (far lighter than --duplication's
     # per-char anchors; heavier than the count-only passes — opt-in
@@ -280,6 +297,16 @@ def main() -> None:
                 "group": top[0][g],
                 "l1_scaled": top[0]["l1_scaled"],
             }
+    # corpus-level roll-up of the per-source checksums (modular fold of
+    # the ~n_sources-row checkpointed frame — no second corpus pass):
+    # the one integer an alerting wrapper compares across snapshots.
+    corpus = fold_checksums(tables["checksum"]).collect()[0]
+    summary["corpus_checksum"] = {
+        "n_rows": int(corpus.n_rows) if corpus.n_rows is not None else 0,
+        "checksum60": int(corpus.checksum60)
+        if corpus.checksum60 is not None
+        else 0,
+    }
     print(json.dumps(summary))
     spark.stop()
 

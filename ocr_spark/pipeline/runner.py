@@ -17,10 +17,12 @@ per-page cursor). A run:
    corpus scans otherwise — the dominant I/O term at 100 TB);
 3. after each group commits, writes one lineage record per bucket:
    (run_id, bucket, status, attempt, n_docs, n_spans_in, n_spans_out,
-   parse_failures, wall_ms) as a single JSON file per bucket — the
-   write is atomic (tmp + rename), so a crash mid-group leaves those
-   buckets pending and the next invocation redoes exactly them — T2/T5
-   rollback-free retry;
+   parse_failures, wall_ms[, checksum60 with
+   ``RunConfig.checksum_output``]) as a single JSON file per bucket —
+   the write is atomic (tmp + rename), so a crash mid-group leaves
+   those buckets pending and the next invocation redoes exactly them —
+   T2/T5 rollback-free retry; ``verify_output()`` byte-audits the
+   table against the recorded checksums;
 4. ``resume()`` = skip buckets whose lineage record exists (the
    anti-join against done work).
 
@@ -80,6 +82,16 @@ class RunConfig:
     # exactly its buckets — total I/O 2x the corpus instead of Gx.
     # Leave False only when the run fits in one or two commit groups.
     stage_input: bool = False
+    # record an order-insensitive content checksum per bucket in the
+    # lineage (functions/audit.py modular-sum scheme over the full
+    # output row incl. spans). Turns lineage into a byte-level audit:
+    # verify_output() re-derives the sums from the files and flags any
+    # bucket whose bytes drifted from what its commit recorded. COST:
+    # the post-commit metrics scan must read the spans column too (the
+    # bulk of the output bytes) instead of the 3 pruned metric ints —
+    # one extra full read of each group's freshly-written output, no
+    # extra shuffle. Off by default for that reason.
+    checksum_output: bool = False
 
 
 def _bucket_col(n_buckets: int):
@@ -97,6 +109,30 @@ def _bucket_col(n_buckets: int):
         F.hash(F.coalesce(F.col("doc_id").cast("string"), F.lit(""))),
         F.lit(n_buckets),
     )
+
+
+def _row_checksum60():
+    """Per-row 60-bit content hash over the FULL output row, rendered
+    the audit.py way (coalesce each part to chr(0), chr(1) separator —
+    concat_ws's silent NULL-skip never fires). ``spans`` is rendered
+    via to_json: struct field order and span order are fixed by the
+    output contract, so the rendering is deterministic. Spark-side
+    self-consistency is all a rebuild audit needs (no DuckDB twin —
+    the corpus-level twin lives in functions/audit.py)."""
+    from ocr_spark.functions.hashing import md5_long
+
+    parts = [
+        F.coalesce(F.col("doc_id"), F.lit("\x00")),
+        F.coalesce(F.to_json(F.col("spans")), F.lit("\x00")),
+        F.coalesce(F.col("n_spans_in").cast("string"), F.lit("\x00")),
+        F.coalesce(F.col("n_spans_out").cast("string"), F.lit("\x00")),
+        F.coalesce(F.col("parse_failed").cast("string"), F.lit("\x00")),
+    ]
+    return md5_long(F.concat_ws("\x01", *parts))
+
+
+# modulus for the bucket checksum accumulator (functions/audit.py)
+_MOD60 = 1 << 60
 
 
 class ExtractionRun:
@@ -253,19 +289,8 @@ class ExtractionRun:
         )
         # per-bucket lineage metrics: a column-pruned, partition-pruned
         # scan of the files just written — NOT a kernel re-execution.
-        metrics = (
-            self.spark.read.schema(OUTPUT_SCHEMA).parquet(self.out)
-            .where(F.col("bucket").isin(buckets))
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("n_spans_in").alias("n_spans_in"),
-                F.sum("n_spans_out").alias("n_spans_out"),
-                F.sum("parse_failed").alias("parse_failures"),
-            )
-            .collect()
-        )
-        by_bucket = {r.bucket: r for r in metrics}
+        # (With checksum_output the scan also reads spans; see RunConfig.)
+        by_bucket = {r.bucket: r for r in self._bucket_metrics(buckets)}
         wall_ms = int((time.time() - t0) * 1000)
         for b in buckets:
             r = by_bucket.get(b)
@@ -280,7 +305,62 @@ class ExtractionRun:
                 "parse_failures": int(r.parse_failures) if r else 0,
                 "wall_ms": wall_ms,
             }
+            if self.cfg.checksum_output:
+                # empty bucket checksums as 0 — the additive identity,
+                # matching what the modular sum over zero rows yields
+                rec["checksum60"] = int(r.checksum60) if r else 0
             self._atomic_write(self._record_path(b), json.dumps(rec))
+
+    def _bucket_metrics(
+        self, buckets: list[int], with_checksum: bool | None = None
+    ) -> list:
+        if with_checksum is None:
+            with_checksum = self.cfg.checksum_output
+        aggs = [
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans_in").alias("n_spans_in"),
+            F.sum("n_spans_out").alias("n_spans_out"),
+            F.sum("parse_failed").alias("parse_failures"),
+        ]
+        if with_checksum:
+            aggs.append(
+                (F.sum(_row_checksum60().cast("decimal(38,0)")) % F.lit(_MOD60))
+                .cast("long")
+                .alias("checksum60")
+            )
+        return (
+            self.spark.read.schema(OUTPUT_SCHEMA).parquet(self.out)
+            .where(F.col("bucket").isin(buckets))
+            .groupBy("bucket")
+            .agg(*aggs)
+            .collect()
+        )
+
+    def verify_output(self) -> list[int]:
+        """Byte-audit the written table against its lineage: re-derive
+        each done bucket's order-insensitive checksum from the files
+        on disk and return the buckets whose content no longer matches
+        what their commit recorded (post-hoc edits, partial rewrites,
+        a bad compaction). Requires records written with
+        ``checksum_output=True``; records without a checksum are
+        skipped — they predate the flag and can't be audited. One scan
+        of the audited buckets, one partial-agg shuffle."""
+        recorded = {}
+        for b in sorted(self.done_buckets()):
+            with open(self._record_path(b)) as f:
+                rec = json.load(f)
+            if "checksum60" in rec:
+                recorded[b] = (rec["checksum60"], rec["n_docs"])
+        if not recorded:
+            return []
+        actual = {
+            r.bucket: (int(r.checksum60), int(r.n_docs))
+            for r in self._bucket_metrics(sorted(recorded), with_checksum=True)
+        }
+        return sorted(
+            b for b, want in recorded.items()
+            if actual.get(b, (0, 0)) != want
+        )
 
     # -- T6: cancel / cleanup ---------------------------------------------
     def _abort_path(self) -> str:

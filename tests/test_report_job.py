@@ -41,6 +41,7 @@ def test_report_tables_and_counts(spark, tmp_path):
         "lang_mix",
         "quality",
         "source_overlap",
+        "checksum",
         "encoding",
         "scripts",
     }
@@ -172,3 +173,31 @@ def test_report_diversity_table(spark, tmp_path):
         map(tuple, ngram_diversity(spark.read.parquet(f"{SF_DIR}/documents.parquet")).collect())
     )
     assert sorted(map(tuple, div.collect())) == direct
+
+
+def test_report_checksum_table_and_corpus_fold(spark, tmp_path):
+    """The per-source checksum table matches the DuckDB twin on the
+    same parquet, and the summary's corpus_checksum equals the modular
+    fold of the per-source rows — so persisted shard audits roll up to
+    exactly what a corpus-level audit would compute."""
+    import duckdb
+
+    from ocr_spark.functions.audit import table_checksum_sql
+
+    out, s = _run(spark, tmp_path)
+    got = {
+        r.source: (r.n_rows, r.checksum60)
+        for r in spark.read.parquet(f"{out}/checksum").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = {
+        src: (n, c)
+        for src, n, c in con.execute(table_checksum_sql()).fetchall()
+    }
+    assert got == want
+    fold = sum(c for _, c in got.values()) % (1 << 60)
+    assert s["corpus_checksum"]["checksum60"] == fold
+    assert s["corpus_checksum"]["n_rows"] == sum(n for n, _ in got.values())

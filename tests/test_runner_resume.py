@@ -330,3 +330,55 @@ def test_staged_run_survives_empty_corpus(spark, docs, tmp_path):
         str(tmp_path / "out"),
         RunConfig("se1", n_buckets=4, buckets_per_commit=2, stage_input=True),
     ).run()["n_docs"] == 0
+
+
+def test_checksum_lineage_and_verify_output(spark, docs, tmp_path):
+    """checksum_output records a per-bucket content checksum; a
+    clean table verifies, a tampered bucket is flagged, and the
+    checksum is identical between a crash-resume run and a
+    single-shot run (order-insensitive: partitioning/attempt
+    boundaries can't move it)."""
+    run = ExtractionRun(
+        spark, docs, str(tmp_path / "out"),
+        RunConfig("rc", n_buckets=4, checksum_output=True),
+    )
+    run.run()
+    recs = {}
+    for b in range(4):
+        with open(f"{tmp_path}/out/_lineage/rc/bucket-{b:05d}.json") as f:
+            recs[b] = json.load(f)
+    assert all("checksum60" in r for r in recs.values())
+    assert all(0 <= r["checksum60"] < (1 << 60) for r in recs.values())
+    assert run.verify_output() == []
+
+    # crash-resume run over the same docs: same per-bucket checksums
+    run2 = ExtractionRun(
+        spark, docs, str(tmp_path / "out2"),
+        RunConfig("rc2", n_buckets=4, buckets_per_commit=1, checksum_output=True),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run2.run(fail_after_groups=2)
+    run2.run()
+    for b in range(4):
+        with open(f"{tmp_path}/out2/_lineage/rc2/bucket-{b:05d}.json") as f:
+            assert json.load(f)["checksum60"] == recs[b]["checksum60"]
+
+    # tamper: rewrite one bucket's partition with a doc dropped
+    victim = next(b for b, r in recs.items() if r["n_docs"] > 1)
+    part = f"{tmp_path}/out/bucket={victim}"
+    kept = spark.read.parquet(part)
+    drop_id = kept.select("doc_id").orderBy("doc_id").first().doc_id
+    tampered = kept.where(F.col("doc_id") != drop_id).collect()
+    import shutil
+
+    shutil.rmtree(part)
+    spark.createDataFrame(tampered, kept.schema).write.parquet(part)
+    assert run.verify_output() == [victim]
+
+
+def test_verify_output_skips_records_without_checksums(spark, docs, tmp_path):
+    run = ExtractionRun(
+        spark, docs, str(tmp_path / "out"), RunConfig("rn", n_buckets=4)
+    )
+    run.run()
+    assert run.verify_output() == []  # nothing auditable, not a failure
