@@ -68,10 +68,11 @@ def main() -> None:
         "--lineage-checksums",
         action="store_true",
         help="record an order-insensitive content checksum per bucket "
-        "in the lineage (ExtractionRun.verify_output() then byte-audits "
-        "the table against its commits). Costs one extra full read of "
-        "each group's freshly-written output (the metrics scan must "
-        "read spans too), no extra shuffle",
+        "in the lineage, then byte-audit the finished table against "
+        "those records (verify_output; mismatched buckets fail the job "
+        "and are listed in the summary). Costs one extra full read of "
+        "each group's freshly-written output plus one audit scan, no "
+        "extra shuffle",
     )
     ap.add_argument(
         "--integrity-gate",
@@ -134,6 +135,14 @@ def main() -> None:
         ),
     )
     summary = run.run()
+    if args.lineage_checksums:
+        bad = run.verify_output()
+        summary["checksum_mismatched_buckets"] = bad
+        if bad:
+            print(json.dumps(summary))
+            raise SystemExit(
+                f"lineage checksum audit FAILED for buckets {bad}"
+            )
     if args.integrity_gate:
         summary["n_quarantined"] = n_quarantined
     if args.emit_structure:

@@ -65,6 +65,15 @@ def _row_sql(cols: tuple[str, ...]) -> str:
     return f"({parts})"
 
 
+def checksum_agg(row_hash) -> "F.Column":
+    """THE modular-sum accumulator (sum of 60-bit row hashes in an
+    exact DECIMAL(38,0), folded mod 2^60) — the one definition every
+    checksum producer uses (:func:`table_checksum`, the runner's
+    per-bucket lineage checksums), so their outputs stay
+    fold-compatible with :func:`fold_checksums` by construction."""
+    return (F.sum(row_hash.cast("decimal(38,0)")) % F.lit(MOD60)).cast("long")
+
+
 def table_checksum(
     df: DataFrame,
     group_cols: tuple[str, ...] = ("source",),
@@ -73,17 +82,9 @@ def table_checksum(
     """(group_cols..., n_rows, checksum60): order-insensitive content
     checksum per group (see module docstring)."""
     h = F.expr(md5_long_expr(_row_expr(cols)))
-    return (
-        df.groupBy(*group_cols)
-        .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.sum(h.cast("decimal(38,0)")).alias("_sum"),
-        )
-        .select(
-            *group_cols,
-            "n_rows",
-            (F.col("_sum") % F.lit(MOD60)).cast("long").alias("checksum60"),
-        )
+    return df.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        checksum_agg(h).alias("checksum60"),
     )
 
 

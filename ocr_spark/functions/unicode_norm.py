@@ -192,15 +192,28 @@ def _cp1252_sloppy(bs: bytes) -> str:
 
 
 # (damaged, repaired) pairs, longest damaged form first then lexical —
-# the chain order is PART OF THE OPERATOR DEFINITION (both engines run
-# the same sequence; a euro repair can legally expose a second-level
-# pattern in double-encoded text, see fix_mojibake docstring).
+# the substitution order is PART OF THE OPERATOR DEFINITION (both
+# engines run the same sequence).
 MOJIBAKE_PAIRS = tuple(
     sorted(
         ((_cp1252_sloppy(chr(cp).encode("utf-8")), chr(cp)) for cp in MOJIBAKE_TARGETS),
         key=lambda p: (-len(p[0]), p[0]),
     )
 )
+
+# Phase-1 placeholders: Unicode NONCHARACTERS U+FDD0.. — codepoints the
+# standard reserves for internal use and forbids in interchanged text,
+# so scrubbing any pre-existing ones from the input is itself a repair.
+# A damaged pattern is rewritten to its sentinel first and only
+# resolved to the repaired character afterwards; since no damaged
+# pattern contains a noncharacter, a repair output can never combine
+# with adjacent clean text to complete a LATER damaged pattern (the
+# direct-chain cascade: genuine 'A-tilde' + damaged-NBSP would
+# otherwise heal the NBSP into the second byte of a fake damaged-'a
+# grave' and destroy both characters).
+_SENTINELS = tuple(chr(0xFDD0 + i) for i in range(len(MOJIBAKE_PAIRS)))
+assert len(MOJIBAKE_PAIRS) <= 32  # U+FDD0..U+FDEF
+_NONCHAR_CLASS = "[" + chr(0xFDD0) + "-" + chr(0xFDEF) + "]"
 
 
 def fix_mojibake(docs: DataFrame) -> DataFrame:
@@ -209,30 +222,42 @@ def fix_mojibake(docs: DataFrame) -> DataFrame:
     docs :func:`encoding_profile` flags (drop-on-suspect costs real
     corpus mass when the damage is this mechanical).
 
-    A chained literal ``replace`` over :data:`MOJIBAKE_PAIRS` (order
-    fixed, longest-first). ``n_fixes`` counts pattern occurrences in
-    the INPUT text via length arithmetic — no regex; note a chained
-    pass can heal one level deeper than the count on double-encoded
-    text (the euro repair re-exposes the smart-quote pattern), which
-    both engines do identically. Single-pass by design: run twice for
-    pathological triple-encoding.
+    Two-phase literal substitution over :data:`MOJIBAKE_PAIRS` (order
+    fixed, longest-first): damaged form -> noncharacter sentinel, then
+    sentinel -> repaired character, so repair outputs can never
+    complete a later damaged pattern (see ``_SENTINELS``). ``n_fixes``
+    counts the substitutions that actually FIRED — sentinel
+    occurrences in the phase-1 string via length arithmetic, exact
+    even when patterns overlap in the input. One pass heals exactly
+    one encoding level; run again for double-encoded text. Unicode
+    noncharacters U+FDD0-FDEF in the input are scrubbed first (they
+    are forbidden in interchange, and pre-existing ones would alias
+    the sentinels).
 
-    Scan-stage only — zero shuffle, no UDF; the ~2x28 replace/length
-    nodes stay inside whole-stage codegen. NULL text stays NULL with
-    ``n_fixes`` 0; the row is never dropped.
+    Scan-stage only — zero shuffle, no UDF; the ~3x28 replace/length
+    nodes stay inside whole-stage codegen (two Project stages: the
+    shared phase-1 string is materialized once, not re-derived per
+    count). NULL text stays NULL with ``n_fixes`` 0; the row is never
+    dropped.
     """
-    t = F.coalesce(F.col("text"), F.lit(""))
-    fixed = t
+    s = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), _NONCHAR_CLASS, ""
+    )
+    for (bad, _), sent in zip(MOJIBAKE_PAIRS, _SENTINELS):
+        s = F.replace(s, F.lit(bad), F.lit(sent))
+    staged = docs.select(
+        "doc_id", F.col("text").isNull().alias("_null"), s.alias("_s")
+    )
     n = F.lit(0)
-    for bad, good in MOJIBAKE_PAIRS:
+    fixed = F.col("_s")
+    for (_, good), sent in zip(MOJIBAKE_PAIRS, _SENTINELS):
         n = n + (
-            (F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit(""))))
-            / F.lit(len(bad))
+            F.length("_s") - F.length(F.replace(F.col("_s"), F.lit(sent), F.lit("")))
         ).cast("int")
-        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
-    return docs.select(
+        fixed = F.replace(fixed, F.lit(sent), F.lit(good))
+    return staged.select(
         "doc_id",
-        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        F.when(F.col("_null"), F.lit(None).cast("string"))
         .otherwise(fixed)
         .alias("fixed_text"),
         n.cast("int").alias("n_fixes"),
@@ -241,24 +266,24 @@ def fix_mojibake(docs: DataFrame) -> DataFrame:
 
 def fix_mojibake_sql(table: str = "documents") -> str:
     """DuckDB twin of :func:`fix_mojibake`: identical pair table,
-    identical chain order, identical length-arithmetic counts (the
-    double->int cast only ever sees exact integral values, so DuckDB's
-    round-on-cast == Spark's truncate-on-cast)."""
+    identical two-phase sentinel scheme, identical length-arithmetic
+    counts over the shared phase-1 column."""
 
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
-    fixed = "t"
+    stage = f"regexp_replace(coalesce(text, ''), {q(_NONCHAR_CLASS)}, '', 'g')"
+    for (bad, _), sent in zip(MOJIBAKE_PAIRS, _SENTINELS):
+        stage = f"replace({stage}, {q(bad)}, {q(sent)})"
+    fixed = "s"
     counts = []
-    for bad, good in MOJIBAKE_PAIRS:
-        counts.append(
-            f"CAST((length(t) - length(replace(t, {q(bad)}, ''))) / {len(bad)} AS INT)"
-        )
-        fixed = f"replace({fixed}, {q(bad)}, {q(good)})"
+    for (_, good), sent in zip(MOJIBAKE_PAIRS, _SENTINELS):
+        counts.append(f"CAST(length(s) - length(replace(s, {q(sent)}, '')) AS INT)")
+        fixed = f"replace({fixed}, {q(sent)}, {q(good)})"
     n = " + ".join(counts)
     return f"""
       SELECT doc_id,
              CASE WHEN raw IS NULL THEN NULL ELSE {fixed} END AS fixed_text,
              CAST({n} AS INT) AS n_fixes
-      FROM (SELECT doc_id, text AS raw, coalesce(text, '') AS t FROM {table})
+      FROM (SELECT doc_id, text AS raw, {stage} AS s FROM {table})
     """

@@ -131,10 +131,6 @@ def _row_checksum60():
     return md5_long(F.concat_ws("\x01", *parts))
 
 
-# modulus for the bucket checksum accumulator (functions/audit.py)
-_MOD60 = 1 << 60
-
-
 class ExtractionRun:
     def __init__(
         self,
@@ -323,11 +319,9 @@ class ExtractionRun:
             F.sum("parse_failed").alias("parse_failures"),
         ]
         if with_checksum:
-            aggs.append(
-                (F.sum(_row_checksum60().cast("decimal(38,0)")) % F.lit(_MOD60))
-                .cast("long")
-                .alias("checksum60")
-            )
+            from ocr_spark.functions.audit import checksum_agg
+
+            aggs.append(checksum_agg(_row_checksum60()).alias("checksum60"))
         return (
             self.spark.read.schema(OUTPUT_SCHEMA).parquet(self.out)
             .where(F.col("bucket").isin(buckets))

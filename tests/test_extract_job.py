@@ -88,3 +88,28 @@ def test_extract_job_gate_clean_corpus_is_noop(spark, tmp_path):
     assert summary["n_quarantined"] == 0
     assert spark.read.parquet(q).count() == 0
     assert spark.read.parquet(out).count() > 0
+
+
+def test_extract_job_lineage_checksums_audit(spark, tmp_path):
+    """--lineage-checksums records per-bucket checksums AND runs the
+    byte-audit before reporting: a clean run reports no mismatches."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    rows = [
+        ("d1", [("text", "hello world", "", 0)]),
+        ("d2", [("text", "more prose", "", 0), ("text", "tail", "", 1)]),
+    ]
+    spark.createDataFrame(rows, _NESTED_SCHEMA).write.parquet(inp)
+    s = _run_main(
+        [
+            "extract.py",
+            "--input", inp,
+            "--output", out,
+            "--run-id", "chk",
+            "--buckets", "2",
+            "--lineage-checksums",
+        ]
+    )
+    assert s["checksum_mismatched_buckets"] == []
+    rec = json.load(open(f"{out}/_lineage/chk/bucket-00000.json"))
+    assert "checksum60" in rec

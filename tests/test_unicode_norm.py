@@ -197,6 +197,12 @@ def test_fix_mojibake_repairs_and_counts(spark):
         (3, "price " + _sloppy(0x20AC) + "5"),             # €
         (4, None),
         (5, ""),
+        # cascade regression: a GENUINE A-tilde followed by a damaged
+        # NBSP — after the NBSP repair the text would read 'A-tilde +
+        # NBSP', i.e. exactly the damaged form of a-grave; the direct
+        # replace chain destroyed both chars ('IRM\xe04'). The sentinel
+        # scheme must keep the genuine char and repair only the NBSP.
+        (6, "IRM" + chr(0xC3) + _sloppy(0xA0) + "4"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in fix_mojibake(df).collect()}
@@ -206,6 +212,8 @@ def test_fix_mojibake_repairs_and_counts(spark):
     assert got[3].fixed_text == "price €5" and got[3].n_fixes == 1
     assert got[4].fixed_text is None and got[4].n_fixes == 0
     assert got[5].fixed_text == "" and got[5].n_fixes == 0
+    assert got[6].fixed_text == "IRM" + chr(0xC3) + "\xa0" + "4"
+    assert got[6].n_fixes == 1
 
 
 def test_fix_mojibake_cross_engine(spark):
@@ -218,12 +226,17 @@ def test_fix_mojibake_cross_engine(spark):
         "caf" + _sloppy(0xE9),
         _sloppy(0x201C) + "q" + _sloppy(0x201D) + _sloppy(0x2026),
         _sloppy(0x20AC) + _sloppy(0x2122) + _sloppy(0xA0),
-        # double-encoded euro: damaged form of the damaged form —
-        # one chained pass heals one level, both engines identically
+        # double-encoded euro: damaged form of the damaged form — a
+        # single pass heals exactly one level (here: none of the
+        # second-level digraphs are targets), both engines identically
         "".join(_sloppy(ord(c)) for c in _sloppy(0x20AC)),
         "stray " + chr(0xC3) + " alone",  # not a known pair: untouched
         None,
         "",
+        "IRM" + chr(0xC3) + _sloppy(0xA0) + "4",  # cascade regression
+        # hostile: pre-existing noncharacters (sentinel aliases) are
+        # scrubbed identically by both engines
+        chr(0xFDD0) + "x" + chr(0xFDEF) + _sloppy(0xE9),
     ]
     pdf = pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
     df = spark.createDataFrame(pdf)
