@@ -784,6 +784,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").alias("n")),
         # interleaved-structure gate + corpus-frequency boilerplate strip
         "interleave_stats": lambda s, d: ilv.interleave_stats(_span_docs(s, d)),
+        # multimodal token budgeting + span-level concat-then-cut
+        # chunking (budget sized so contract docs split into several
+        # windows and media spans straddle boundaries)
+        "interleaved_token_counts": lambda s, d: ilv.interleaved_token_counts(
+            _span_docs(s, d), media_token_cost=32
+        ),
+        "chunk_interleaved": lambda s, d: ilv.chunk_interleaved(
+            _span_docs(s, d), max_tokens=64, media_token_cost=32
+        ),
         "strip_frequent_spans": lambda s, d: ilv.strip_frequent_spans(
             _span_docs(s, d)
         ),
@@ -1604,6 +1613,12 @@ def oracle_sql() -> dict[str, str]:
         "media_linking": _media_sql(),
         "span_kind_histogram": _kind_hist_sql(),
         "interleave_stats": ilv.interleave_stats_sql(synth_spans_sql()),
+        "interleaved_token_counts": ilv.interleaved_token_counts_sql(
+            synth_spans_sql(), media_token_cost=32
+        ),
+        "chunk_interleaved": ilv.chunk_interleaved_sql(
+            synth_spans_sql(), max_tokens=64, media_token_cost=32
+        ),
         "strip_frequent_spans": ilv.strip_frequent_spans_sql(synth_spans_sql()),
         "caption_pairs": (
             "SELECT doc_id, media_ref, media_offset, "

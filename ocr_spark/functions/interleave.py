@@ -659,3 +659,213 @@ def span_integrity_sql(spans_sql: str = "SELECT * FROM spans") -> str:
               AND n_null_kind = 0) AS ok
       FROM g
     """
+
+
+# ---------------------------------------------------------------------------
+# multimodal token budgeting + training-window chunking
+# ---------------------------------------------------------------------------
+
+# Fixed token cost of one media span in the training sequence: the
+# public ViT-L/14-at-336px patch count most interleaved-model recipes
+# charge per image. A knob, not a constant of nature.
+MEDIA_TOKEN_COST = 576
+
+
+def _ws_tok_expr(text_expr: str) -> str:
+    """Spark SQL whitespace token count of a (possibly NULL) string —
+    the repo's ONE token definition (schema.WS; the filter drops the
+    '' artifact both engines produce on empty input)."""
+    from ocr_spark.schema import WS
+
+    return (
+        f"size(filter(split(coalesce({text_expr}, ''), '{WS}+'), "
+        "x -> x != ''))"
+    )
+
+
+def _ws_tok_sql(text_expr: str) -> str:
+    from ocr_spark.schema import WS
+
+    return (
+        f"len(list_filter(regexp_split_to_array(coalesce({text_expr}, ''), "
+        f"'{WS}+'), x -> x <> ''))"
+    )
+
+
+def interleaved_token_counts(
+    docs: DataFrame, media_token_cost: int = MEDIA_TOKEN_COST
+) -> DataFrame:
+    """(doc_id, n_text_tokens, n_media_spans, n_tokens): the
+    multimodal sequence-token budget per document — text spans cost
+    their whitespace token count, media spans a fixed
+    ``media_token_cost``. This is the number packing/mixture planning
+    must use for an interleaved corpus (``pack_index`` over a
+    text-only token count silently under-budgets every image-bearing
+    document by ~576 tokens per image).
+
+    ZERO shuffle: the spans arrive nested one-row-per-document, so
+    both sums are scan-stage array folds (scalar accumulator — never
+    the O(n^2) array-append fold). A NULL/empty span array yields 0s,
+    not NULL (the doc costs nothing; divergence note: the flat-span
+    DuckDB twin has no rows for such a doc, like interleave_stats —
+    the contract corpus contains none).
+    """
+    toks = F.expr(
+        "aggregate(coalesce(spans, array()), CAST(0 AS BIGINT), "
+        f"(acc, s) -> acc + CASE WHEN {_IS_MEDIA} THEN 0 "
+        f"ELSE {_ws_tok_expr('s.text')} END)"
+    )
+    n_media = F.expr(
+        f"size(filter(coalesce(spans, array()), s -> {_IS_MEDIA}))"
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        toks.alias("n_text_tokens"),
+        n_media.alias("n_media_spans"),
+        (toks + n_media.cast("bigint") * F.lit(media_token_cost)).alias(
+            "n_tokens"
+        ),
+    )
+
+
+def interleaved_token_counts_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    media_token_cost: int = MEDIA_TOKEN_COST,
+) -> str:
+    """DuckDB twin over a FLAT span source (doc_id, kind, text,
+    media_ref, "offset") — unnest-and-aggregate where Spark folds."""
+    is_media = "(media_ref IS NOT NULL AND media_ref <> '')"
+    return f"""
+      WITH src AS ({spans_sql})
+      SELECT doc_id,
+             CAST(sum(CASE WHEN {is_media} THEN 0
+                      ELSE {_ws_tok_sql('text')} END) AS BIGINT)
+               AS n_text_tokens,
+             CAST(sum(CASE WHEN {is_media} THEN 1 ELSE 0 END) AS INT)
+               AS n_media_spans,
+             CAST(sum(CASE WHEN {is_media} THEN {media_token_cost}
+                      ELSE {_ws_tok_sql('text')} END) AS BIGINT)
+               AS n_tokens
+      FROM src GROUP BY doc_id
+    """
+
+
+def chunk_interleaved(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    media_token_cost: int = MEDIA_TOKEN_COST,
+) -> DataFrame:
+    """(doc_id, chunk_id, n_spans, n_text_spans, n_media_spans,
+    n_tokens, overflow): cut each document's interleaved span SEQUENCE
+    into training windows of ``max_tokens`` — the span-level
+    concat-then-cut (the ``pack_index`` philosophy one level down):
+    boundaries fall at cumulative-cost multiples of the budget and a
+    span belongs to the window its first token lands in, so **spans
+    are atomic** — an image is never split from itself, and a window
+    may overrun by at most the straddling span (``overflow`` marks
+    those; the overrun is absorbed by the global cumsum, later windows
+    stay budget-aligned). Costs as in :func:`interleaved_token_counts`.
+
+    Window order is (offset, is_media, text, media_ref) — array order
+    is not trusted (the interleave_stats rule), and the trailing keys
+    pin a total order under duplicate offsets so the cumsum (hence
+    the chunk assignment) is deterministic in both engines.
+
+    ONE shuffle: explode -> doc_id window cumsum -> (doc_id, chunk_id)
+    aggregate; the aggregate reuses the window's hash partitioning
+    (subset rule), so no second exchange. Documents with NULL/empty
+    span arrays produce no chunks (nothing to train on).
+    """
+    from pyspark.sql import Window
+
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    flat = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    is_media = F.expr("media_ref IS NOT NULL AND media_ref <> ''")
+    cost = (
+        F.when(is_media, F.lit(media_token_cost))
+        .otherwise(F.expr(_ws_tok_expr("text")))
+        .cast("bigint")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        "offset",
+        is_media.cast("int"),
+        F.coalesce("text", F.lit("")),
+        F.coalesce("media_ref", F.lit("")),
+    )
+    cum = (
+        flat.withColumn("is_media", is_media.cast("int"))
+        .withColumn("cost", cost)
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("cost").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "chunk_id", F.expr(f"cum_before div {max_tokens}").cast("int")
+        )
+    )
+    return cum.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("int").alias("n_spans"),
+        F.sum(1 - F.col("is_media")).cast("int").alias("n_text_spans"),
+        F.sum("is_media").cast("int").alias("n_media_spans"),
+        F.sum("cost").alias("n_tokens"),
+        (
+            F.max(F.col("cum_before") + F.col("cost"))
+            > (F.col("chunk_id") + 1).cast("bigint") * F.lit(max_tokens)
+        ).alias("overflow"),
+    )
+
+
+def chunk_interleaved_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    max_tokens: int = 2048,
+    media_token_cost: int = MEDIA_TOKEN_COST,
+) -> str:
+    """DuckDB twin of :func:`chunk_interleaved` over a FLAT span
+    source: identical ordering keys, identical non-negative integer
+    division (// floors, Spark div truncates — equal on the
+    non-negative cumsum)."""
+    is_media = "(media_ref IS NOT NULL AND media_ref <> '')"
+    return f"""
+      WITH src AS ({spans_sql}),
+      costed AS (
+        SELECT doc_id,
+               CASE WHEN {is_media} THEN 1 ELSE 0 END AS is_media,
+               CAST(CASE WHEN {is_media} THEN {media_token_cost}
+                    ELSE {_ws_tok_sql('text')} END AS BIGINT) AS cost,
+               "offset", coalesce(text, '') AS otext,
+               coalesce(media_ref, '') AS oref
+        FROM src
+      ),
+      cum AS (
+        SELECT doc_id, is_media, cost,
+               coalesce(sum(cost) OVER (
+                 PARTITION BY doc_id
+                 ORDER BY "offset", is_media, otext, oref
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM costed
+      ),
+      assigned AS (
+        SELECT *, CAST(cum_before // {max_tokens} AS INT) AS chunk_id
+        FROM cum
+      )
+      SELECT doc_id, chunk_id,
+             CAST(count(*) AS INT) AS n_spans,
+             CAST(sum(1 - is_media) AS INT) AS n_text_spans,
+             CAST(sum(is_media) AS INT) AS n_media_spans,
+             CAST(sum(cost) AS BIGINT) AS n_tokens,
+             max(cum_before + cost)
+               > (chunk_id + 1) * CAST({max_tokens} AS BIGINT) AS overflow
+      FROM assigned GROUP BY doc_id, chunk_id
+    """

@@ -567,3 +567,141 @@ def test_span_integrity_is_scan_stage(spark):
     plan = plan_str(span_integrity(nested), "simple")
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+# ---------------------------------------------------------------------------
+# interleaved_token_counts / chunk_interleaved
+# ---------------------------------------------------------------------------
+
+def test_interleaved_token_counts_semantics(spark):
+    from ocr_spark.functions.interleave import interleaved_token_counts
+
+    rows = [
+        _doc("d1", [("text", "a b  c", "", 0), ("picture", "", "img-1", 1)]),
+        _doc("d2", [("text", None, "", 0), ("text", "", "", 1)]),
+        _doc("d3", []),
+        ("d4", None),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = {r.doc_id: r for r in
+           interleaved_token_counts(df, media_token_cost=100).collect()}
+    assert got["d1"].n_text_tokens == 3 and got["d1"].n_media_spans == 1
+    assert got["d1"].n_tokens == 103
+    assert got["d2"].n_tokens == 0  # NULL/empty text spans cost nothing
+    assert got["d3"].n_tokens == 0 and got["d4"].n_tokens == 0
+
+
+def test_chunk_interleaved_semantics(spark):
+    from ocr_spark.functions.interleave import chunk_interleaved
+
+    rows = [
+        # 3 tokens | media(3) | 2 tokens, budget 4:
+        # chunk 0 = [text3, media3] (starts at 0 and 3; media straddles
+        # -> overflow), chunk 1 = [text2] (starts at cum 6 -> 6 div 4)
+        _doc("d1", [("text", "a b c", "", 0),
+                    ("picture", "", "img-1", 1),
+                    ("text", "d e", "", 2)]),
+        # single oversize text span: one chunk, overflow
+        _doc("d2", [("text", "t1 t2 t3 t4 t5 t6", "", 0)]),
+        _doc("d3", []),  # no chunks
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = sorted(
+        map(tuple, chunk_interleaved(df, max_tokens=4, media_token_cost=3)
+            .collect())
+    )
+    assert got == [
+        ("d1", 0, 2, 1, 1, 6, True),
+        ("d1", 1, 1, 1, 0, 2, False),
+        ("d2", 0, 1, 1, 0, 6, True),
+    ]
+
+
+def test_chunk_interleaved_media_never_splits(spark):
+    """Every media span lands whole in exactly one chunk: the total
+    media count across chunks equals the corpus media count, and no
+    chunk's token count is ever negative/fractional."""
+    from ocr_spark.functions.interleave import chunk_interleaved
+
+    nested_df = synthesize_spans(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    chunks = chunk_interleaved(nested_df, max_tokens=32, media_token_cost=20)
+    n_media_chunks = chunks.agg(F.sum("n_media_spans")).collect()[0][0]
+    n_media_spans = nested_df.select(
+        F.explode("spans").alias("s")
+    ).where("s.media_ref <> ''").count()
+    assert n_media_chunks == n_media_spans
+    # chunk ids contiguous from 0 per doc
+    bad = (
+        chunks.groupBy("doc_id")
+        .agg(F.min("chunk_id").alias("lo"), F.max("chunk_id").alias("hi"),
+             F.count("*").alias("n"))
+        .where("lo != 0 OR n != hi + 1")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_chunking_cross_engine(spark):
+    import pandas as pd
+
+    from ocr_spark.functions.interleave import (
+        chunk_interleaved,
+        chunk_interleaved_sql,
+        interleaved_token_counts,
+        interleaved_token_counts_sql,
+    )
+
+    # hostile flat corpus: duplicate offsets, NULL text, empty text,
+    # unicode, zero-token whitespace-only text, media at tied offset
+    flat = [
+        ("h1", "text", "alpha beta", "", 0),
+        ("h1", "picture", "", "img-a", 0),       # tied offset vs text
+        ("h1", "text", "  ", "", 1),              # whitespace-only: 0 tokens
+        ("h1", "text", None, "", 2),
+        ("h2", "text", "caf\xe9 na\xefve", "", 0),
+        ("h2", "picture", "", "img-b", 1),
+        ("h2", "text", "x", "", 2),
+    ]
+    pdf = pd.DataFrame(
+        flat, columns=["doc_id", "kind", "text", "media_ref", "offset"]
+    )
+    nested_df = (
+        spark.createDataFrame(pdf)
+        .groupBy("doc_id")
+        .agg(F.collect_list(
+            F.struct("kind", "text", "media_ref", "offset")).alias("spans"))
+    )
+    con2 = duckdb.connect()
+    con2.register("flat_spans", pdf)
+    src = 'SELECT doc_id, kind, text, media_ref, "offset" FROM flat_spans'
+    for sdf, sql in (
+        (chunk_interleaved(nested_df, max_tokens=5, media_token_cost=4),
+         chunk_interleaved_sql(src, max_tokens=5, media_token_cost=4)),
+        (interleaved_token_counts(nested_df, media_token_cost=4),
+         interleaved_token_counts_sql(src, media_token_cost=4)),
+    ):
+        cols = sorted(sdf.columns)
+        got = sorted(map(tuple, sdf.select(*cols).collect()))
+        odf = con2.execute(sql).df()
+        want = sorted(map(tuple, odf[cols].itertuples(index=False, name=None)))
+        assert got == want
+
+
+def test_chunk_interleaved_single_exchange(spark):
+    """The (doc_id, chunk_id) aggregate must reuse the window's
+    doc_id hash partitioning (subset rule) — exactly ONE Exchange in
+    the plan; token_counts stays scan-stage (zero Exchange)."""
+    from ocr_spark.functions.interleave import (
+        chunk_interleaved,
+        interleaved_token_counts,
+    )
+
+    nested_df = synthesize_spans(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    p = plan_str(chunk_interleaved(nested_df), "simple")
+    assert p.count("Exchange") == 1 and "ArrowEvalPython" not in p
+    p2 = plan_str(interleaved_token_counts(nested_df), "simple")
+    assert "Exchange" not in p2 and "ArrowEvalPython" not in p2
