@@ -176,6 +176,13 @@ def headline_queries(spark, sf_dir: str, span_dir: str | None = None):
         # shingle agg / sentence explode + window).
         "bloom_gate": lambda: _bloom_gate_q(docs()),
         "apply_mixture": lambda: _apply_mixture_q(docs()),
+        # round-3 session-16 addition: the explode -> doc_id-window
+        # cumsum -> partition-reusing aggregate shape (single
+        # Exchange) over the SAME amplified span table as the kernel
+        # queries. interleaved_token_counts / fix_mojibake /
+        # corpus_checksum reuse measured shapes (scan-stage array
+        # fold / replace-chain scan / hash-agg over a scan expr).
+        "chunk_interleaved": lambda: ilv.chunk_interleaved(spans()),
     }
 
 

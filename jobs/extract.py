@@ -75,6 +75,28 @@ def main() -> None:
         "extra shuffle",
     )
     ap.add_argument(
+        "--emit-chunks",
+        default=None,
+        metavar="DIR",
+        help="also write DIR/chunks: the input span table cut into "
+        "multimodal training windows (chunk_interleaved — spans "
+        "atomic, media at a fixed token cost, budget-aligned "
+        "boundaries). One extra pruned pass: explode + one doc_id "
+        "window shuffle",
+    )
+    ap.add_argument(
+        "--chunk-tokens",
+        type=int,
+        default=2048,
+        help="training-window token budget for --emit-chunks",
+    )
+    ap.add_argument(
+        "--media-token-cost",
+        type=int,
+        default=576,
+        help="per-media-span token cost for --emit-chunks",
+    )
+    ap.add_argument(
         "--integrity-gate",
         default=None,
         metavar="DIR",
@@ -158,6 +180,16 @@ def main() -> None:
             out = f"{args.emit_structure}/{name}"
             df.write.mode("overwrite").parquet(out)
             summary[f"n_{name}"] = spark.read.parquet(out).count()
+    if args.emit_chunks:
+        from ocr_spark.functions.interleave import chunk_interleaved
+
+        out = f"{args.emit_chunks}/chunks"
+        chunk_interleaved(
+            docs,
+            max_tokens=args.chunk_tokens,
+            media_token_cost=args.media_token_cost,
+        ).write.mode("overwrite").parquet(out)
+        summary["n_chunks"] = spark.read.parquet(out).count()
     print(json.dumps(summary))
     spark.stop()
 

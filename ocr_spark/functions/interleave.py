@@ -775,6 +775,13 @@ def chunk_interleaved(
     aggregate; the aggregate reuses the window's hash partitioning
     (subset rule), so no second exchange. Documents with NULL/empty
     span arrays produce no chunks (nothing to train on).
+
+    Downstream composition: the output carries (doc_id, chunk_id,
+    n_tokens), the exact input shape of the packing family. Use the
+    ATOMIC packers (``sampling.pack_shards`` semantics — whole units,
+    budget-aligned) on these chunks; ``packing.pack_index`` slices
+    chunks at TOKEN granularity to fill sequences exactly, which would
+    cut through a media span — right for text chunks, wrong here.
     """
     from pyspark.sql import Window
 

@@ -113,3 +113,37 @@ def test_extract_job_lineage_checksums_audit(spark, tmp_path):
     assert s["checksum_mismatched_buckets"] == []
     rec = json.load(open(f"{out}/_lineage/chk/bucket-00000.json"))
     assert "checksum60" in rec
+
+
+def test_extract_job_emit_chunks(spark, tmp_path):
+    """--emit-chunks writes the chunk_interleaved sidecar over the
+    input span table, equal to the operator applied directly."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.interleave import chunk_interleaved
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chunks_dir = str(tmp_path / "chunks")
+    rows = [
+        ("d1", [("text", "a b c d e", "", 0), ("picture", "", "img", 1)]),
+        ("d2", [("text", "one two", "", 0)]),
+    ]
+    spark.createDataFrame(rows, _NESTED_SCHEMA).write.parquet(inp)
+    s = _run_main(
+        [
+            "extract.py",
+            "--input", inp,
+            "--output", out,
+            "--run-id", "ch",
+            "--buckets", "2",
+            "--emit-chunks", chunks_dir,
+            "--chunk-tokens", "4",
+            "--media-token-cost", "3",
+        ]
+    )
+    got = sorted(map(tuple, spark.read.parquet(f"{chunks_dir}/chunks").collect()))
+    want = sorted(map(tuple, chunk_interleaved(
+        spark.read.parquet(inp), max_tokens=4, media_token_cost=3
+    ).collect()))
+    assert got == want and s["n_chunks"] == len(got)
