@@ -75,6 +75,15 @@ def main() -> None:
         "extra shuffle",
     )
     ap.add_argument(
+        "--interleave-gate",
+        action="store_true",
+        help="drop documents failing the structural interleave gate "
+        "(image farms, gallery runs, prose-free docs — "
+        "interleave_gate defaults) BEFORE extraction. Zero shuffle: "
+        "one scan-stage predicate on the spans array; the count of "
+        "dropped docs lands in the summary",
+    )
+    ap.add_argument(
         "--emit-chunks",
         default=None,
         metavar="DIR",
@@ -143,6 +152,14 @@ def main() -> None:
         n_quarantined = spark.read.parquet(args.integrity_gate).count()
         if n_quarantined:
             docs = docs.join(bad_ids, "doc_id", "left_anti")
+    n_pre_gate = None
+    if args.interleave_gate:
+        from ocr_spark.functions.interleave import interleave_gate
+
+        # one doc_id-count scan for the drop accounting; the gate
+        # itself is a scan-stage predicate fused into the run's read
+        n_pre_gate = docs.count()
+        docs = interleave_gate(docs)
     run = ExtractionRun(
         spark,
         docs,
@@ -157,6 +174,8 @@ def main() -> None:
         ),
     )
     summary = run.run()
+    if n_pre_gate is not None:
+        summary["n_gate_dropped"] = n_pre_gate - summary["n_docs"]
     if args.lineage_checksums:
         bad = run.verify_output()
         summary["checksum_mismatched_buckets"] = bad

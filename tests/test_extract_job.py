@@ -147,3 +147,30 @@ def test_extract_job_emit_chunks(spark, tmp_path):
         spark.read.parquet(inp), max_tokens=4, media_token_cost=3
     ).collect()))
     assert got == want and s["n_chunks"] == len(got)
+
+
+def test_extract_job_interleave_gate(spark, tmp_path):
+    """--interleave-gate drops structurally bad docs (gallery runs /
+    prose-free) before the kernel and accounts for them."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    rows = [
+        # passes: two text spans, no media
+        ("ok", [("text", "hello world", "", 0), ("text", "more", "", 1)]),
+        # fails: media-only gallery (no text spans, run of 4)
+        ("gallery", [("picture", "", f"img-{i}", i) for i in range(4)]),
+    ]
+    spark.createDataFrame(rows, _NESTED_SCHEMA).write.parquet(inp)
+    s = _run_main(
+        [
+            "extract.py",
+            "--input", inp,
+            "--output", out,
+            "--run-id", "gate",
+            "--buckets", "2",
+            "--interleave-gate",
+        ]
+    )
+    assert s["n_docs"] == 1 and s["n_gate_dropped"] == 1
+    ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert ids == {"ok"}
