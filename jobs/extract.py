@@ -102,8 +102,9 @@ def main() -> None:
     ap.add_argument(
         "--media-token-cost",
         type=int,
-        default=576,
-        help="per-media-span token cost for --emit-chunks",
+        default=None,
+        help="per-media-span token cost for --emit-chunks (default: "
+        "the library-wide interleave.MEDIA_TOKEN_COST)",
     )
     ap.add_argument(
         "--integrity-gate",
@@ -171,19 +172,19 @@ def main() -> None:
             size_weighted_partitions=args.size_weighted_partitions or None,
             stage_input=args.stage_input,
             checksum_output=args.lineage_checksums,
+            # pin the input-shaping flags: resuming a half-done run
+            # with a different gate would mix gated and ungated
+            # buckets in one table (manifest check rejects it)
+            input_config={
+                "synthesize": bool(args.synthesize),
+                "integrity_gate": bool(args.integrity_gate),
+                "interleave_gate": bool(args.interleave_gate),
+            },
         ),
     )
     summary = run.run()
     if n_pre_gate is not None:
         summary["n_gate_dropped"] = n_pre_gate - summary["n_docs"]
-    if args.lineage_checksums:
-        bad = run.verify_output()
-        summary["checksum_mismatched_buckets"] = bad
-        if bad:
-            print(json.dumps(summary))
-            raise SystemExit(
-                f"lineage checksum audit FAILED for buckets {bad}"
-            )
     if args.integrity_gate:
         summary["n_quarantined"] = n_quarantined
     if args.emit_structure:
@@ -200,15 +201,32 @@ def main() -> None:
             df.write.mode("overwrite").parquet(out)
             summary[f"n_{name}"] = spark.read.parquet(out).count()
     if args.emit_chunks:
-        from ocr_spark.functions.interleave import chunk_interleaved
+        from ocr_spark.functions.interleave import (
+            MEDIA_TOKEN_COST,
+            chunk_interleaved,
+        )
 
         out = f"{args.emit_chunks}/chunks"
         chunk_interleaved(
             docs,
             max_tokens=args.chunk_tokens,
-            media_token_cost=args.media_token_cost,
+            media_token_cost=(
+                MEDIA_TOKEN_COST
+                if args.media_token_cost is None
+                else args.media_token_cost
+            ),
         ).write.mode("overwrite").parquet(out)
         summary["n_chunks"] = spark.read.parquet(out).count()
+    # the byte-audit runs LAST so a failure still prints the full
+    # accounting (same summary schema on success and failure)
+    if args.lineage_checksums:
+        bad = run.verify_output()
+        summary["checksum_mismatched_buckets"] = bad
+        if bad:
+            print(json.dumps(summary))
+            raise SystemExit(
+                f"lineage checksum audit FAILED for buckets {bad}"
+            )
     print(json.dumps(summary))
     spark.stop()
 

@@ -766,10 +766,16 @@ def chunk_interleaved(
     those; the overrun is absorbed by the global cumsum, later windows
     stay budget-aligned). Costs as in :func:`interleaved_token_counts`.
 
-    Window order is (offset, is_media, text, media_ref) — array order
-    is not trusted (the interleave_stats rule), and the trailing keys
-    pin a total order under duplicate offsets so the cumsum (hence
-    the chunk assignment) is deterministic in both engines.
+    Window order is (offset NULLS FIRST, is_media, text, media_ref) —
+    array order is not trusted (the interleave_stats rule), the
+    trailing keys pin a total order under duplicate offsets, and the
+    NULL placement is explicit because the engines' ASC defaults
+    disagree; the cumsum (hence the chunk assignment) is deterministic
+    in both. ``chunk_id`` is the budget-WINDOW index, not a dense
+    rank: a single span costing more than one budget makes the next
+    span skip window ids (a 5000-token span at budget 2048 fills
+    windows 0-2, so its successor starts chunk 2) — renumber
+    downstream if a dense sequence is needed.
 
     ONE shuffle: explode -> doc_id window cumsum -> (doc_id, chunk_id)
     aggregate; the aggregate reuses the window's hash partitioning
@@ -799,8 +805,12 @@ def chunk_interleaved(
         .otherwise(F.expr(_ws_tok_expr("text")))
         .cast("bigint")
     )
+    # NULL offsets (span-table contract violations — span_integrity
+    # quarantines them, but --emit-chunks may run ungated) sort FIRST
+    # explicitly: Spark's ASC default is NULLS FIRST, DuckDB's is
+    # NULLS LAST, and the cumsum order decides chunk assignment.
     w = Window.partitionBy("doc_id").orderBy(
-        "offset",
+        F.col("offset").asc_nulls_first(),
         is_media.cast("int"),
         F.coalesce("text", F.lit("")),
         F.coalesce("media_ref", F.lit("")),
@@ -858,7 +868,7 @@ def chunk_interleaved_sql(
         SELECT doc_id, is_media, cost,
                coalesce(sum(cost) OVER (
                  PARTITION BY doc_id
-                 ORDER BY "offset", is_media, otext, oref
+                 ORDER BY "offset" ASC NULLS FIRST, is_media, otext, oref
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) AS cum_before
         FROM costed

@@ -203,17 +203,24 @@ MOJIBAKE_PAIRS = tuple(
 
 # Phase-1 placeholders: Unicode NONCHARACTERS U+FDD0.. — codepoints the
 # standard reserves for internal use and forbids in interchanged text,
-# so scrubbing any pre-existing ones from the input is itself a repair.
-# A damaged pattern is rewritten to its sentinel first and only
-# resolved to the repaired character afterwards; since no damaged
+# so neutralizing any pre-existing ones in the input is itself a
+# repair. A damaged pattern is rewritten to its sentinel first and
+# only resolved to the repaired character afterwards; since no damaged
 # pattern contains a noncharacter, a repair output can never combine
 # with adjacent clean text to complete a LATER damaged pattern (the
 # direct-chain cascade: genuine 'A-tilde' + damaged-NBSP would
 # otherwise heal the NBSP into the second byte of a fake damaged-'a
-# grave' and destroy both characters).
+# grave' and destroy both characters). Pre-existing noncharacters are
+# SUBSTITUTED with U+FFFD, never deleted: deletion would merge their
+# neighbors and could synthesize a damaged pattern out of genuine
+# characters (A-tilde + noncharacter + NBSP -> fake damaged-a-grave)
+# — the same cascade one level earlier. U+FFFD appears in no damaged
+# pattern, so the substitution can complete nothing.
 _SENTINELS = tuple(chr(0xFDD0 + i) for i in range(len(MOJIBAKE_PAIRS)))
-assert len(MOJIBAKE_PAIRS) <= 32  # U+FDD0..U+FDEF
+if len(MOJIBAKE_PAIRS) > 32:  # not assert: -O must not skip this
+    raise RuntimeError("sentinel space U+FDD0..U+FDEF exhausted")
 _NONCHAR_CLASS = "[" + chr(0xFDD0) + "-" + chr(0xFDEF) + "]"
+_REPLACEMENT = chr(0xFFFD)
 
 
 def fix_mojibake(docs: DataFrame) -> DataFrame:
@@ -226,13 +233,15 @@ def fix_mojibake(docs: DataFrame) -> DataFrame:
     fixed, longest-first): damaged form -> noncharacter sentinel, then
     sentinel -> repaired character, so repair outputs can never
     complete a later damaged pattern (see ``_SENTINELS``). ``n_fixes``
-    counts the substitutions that actually FIRED — sentinel
-    occurrences in the phase-1 string via length arithmetic, exact
-    even when patterns overlap in the input. One pass heals exactly
-    one encoding level; run again for double-encoded text. Unicode
-    noncharacters U+FDD0-FDEF in the input are scrubbed first (they
-    are forbidden in interchange, and pre-existing ones would alias
-    the sentinels).
+    counts the modifications that actually FIRED: sentinel occurrences
+    in the phase-1 string (exact even when patterns overlap in the
+    input) plus noncharacter substitutions. One pass heals exactly one
+    encoding level; run again for double-encoded text. Unicode
+    noncharacters U+FDD0-FDEF in the input are substituted with U+FFFD
+    first (forbidden in interchange, and pre-existing ones would alias
+    the sentinels) — substituted, never deleted: deletion would merge
+    neighbors and could synthesize a damaged pattern from genuine
+    characters.
 
     Scan-stage only — zero shuffle, no UDF; the ~3x28 replace/length
     nodes stay inside whole-stage codegen (two Project stages: the
@@ -240,15 +249,22 @@ def fix_mojibake(docs: DataFrame) -> DataFrame:
     count). NULL text stays NULL with ``n_fixes`` 0; the row is never
     dropped.
     """
-    s = F.regexp_replace(
-        F.coalesce(F.col("text"), F.lit("")), _NONCHAR_CLASS, ""
-    )
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    s = F.regexp_replace(raw, _NONCHAR_CLASS, _REPLACEMENT)
+    # substitution preserves length, so the scrub count needs the
+    # delete-form diff on the RAW text (computed once, pre-stage)
+    n_scrub = (
+        F.length(raw) - F.length(F.regexp_replace(raw, _NONCHAR_CLASS, ""))
+    ).cast("int")
     for (bad, _), sent in zip(MOJIBAKE_PAIRS, _SENTINELS):
         s = F.replace(s, F.lit(bad), F.lit(sent))
     staged = docs.select(
-        "doc_id", F.col("text").isNull().alias("_null"), s.alias("_s")
+        "doc_id",
+        F.col("text").isNull().alias("_null"),
+        n_scrub.alias("_n_scrub"),
+        s.alias("_s"),
     )
-    n = F.lit(0)
+    n = F.col("_n_scrub")
     fixed = F.col("_s")
     for (_, good), sent in zip(MOJIBAKE_PAIRS, _SENTINELS):
         n = n + (
@@ -272,11 +288,18 @@ def fix_mojibake_sql(table: str = "documents") -> str:
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
-    stage = f"regexp_replace(coalesce(text, ''), {q(_NONCHAR_CLASS)}, '', 'g')"
+    stage = (
+        f"regexp_replace(coalesce(text, ''), {q(_NONCHAR_CLASS)}, "
+        f"{q(_REPLACEMENT)}, 'g')"
+    )
     for (bad, _), sent in zip(MOJIBAKE_PAIRS, _SENTINELS):
         stage = f"replace({stage}, {q(bad)}, {q(sent)})"
+    scrub = (
+        "CAST(length(coalesce(text, '')) - length(regexp_replace("
+        f"coalesce(text, ''), {q(_NONCHAR_CLASS)}, '', 'g')) AS INT)"
+    )
     fixed = "s"
-    counts = []
+    counts = ["n_scrub"]
     for (_, good), sent in zip(MOJIBAKE_PAIRS, _SENTINELS):
         counts.append(f"CAST(length(s) - length(replace(s, {q(sent)}, '')) AS INT)")
         fixed = f"replace({fixed}, {q(sent)}, {q(good)})"
@@ -285,5 +308,6 @@ def fix_mojibake_sql(table: str = "documents") -> str:
       SELECT doc_id,
              CASE WHEN raw IS NULL THEN NULL ELSE {fixed} END AS fixed_text,
              CAST({n} AS INT) AS n_fixes
-      FROM (SELECT doc_id, text AS raw, {stage} AS s FROM {table})
+      FROM (SELECT doc_id, text AS raw, {scrub} AS n_scrub, {stage} AS s
+            FROM {table})
     """

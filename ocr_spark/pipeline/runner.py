@@ -92,6 +92,14 @@ class RunConfig:
     # one extra full read of each group's freshly-written output, no
     # extra shuffle. Off by default for that reason.
     checksum_output: bool = False
+    # caller-declared description of how the INPUT frame was shaped
+    # (gates, synthesis, filters) — pinned in the manifest and
+    # verified on resume, because done-bucket records are only valid
+    # if later invocations feed the identically-shaped input (resuming
+    # a half-done run with a different gate would mix gated and
+    # ungated buckets in one table). Any JSON-serializable dict;
+    # jobs/extract.py passes its gate flags.
+    input_config: dict | None = None
 
 
 def _bucket_col(n_buckets: int):
@@ -157,8 +165,16 @@ class ExtractionRun:
         if os.path.exists(path):
             with open(path) as f:
                 stored = json.load(f)
-            current = {"n_buckets": self.cfg.n_buckets, "kernel": asdict(self.cfg.kernel)}
-            recorded = {"n_buckets": stored.get("n_buckets"), "kernel": stored.get("kernel")}
+            current = {
+                "n_buckets": self.cfg.n_buckets,
+                "kernel": asdict(self.cfg.kernel),
+                "input_config": self.cfg.input_config,
+            }
+            recorded = {
+                "n_buckets": stored.get("n_buckets"),
+                "kernel": stored.get("kernel"),
+                "input_config": stored.get("input_config"),
+            }
             if current != recorded:
                 raise ValueError(
                     f"run '{self.cfg.run_id}' was created with {recorded}; "
@@ -171,6 +187,7 @@ class ExtractionRun:
             "n_buckets": self.cfg.n_buckets,
             "buckets_per_commit": self.cfg.buckets_per_commit,
             "kernel": asdict(self.cfg.kernel),
+            "input_config": self.cfg.input_config,
         }
         self._atomic_write(path, json.dumps(manifest, indent=2))
 

@@ -632,15 +632,74 @@ def test_chunk_interleaved_media_never_splits(spark):
         F.explode("spans").alias("s")
     ).where("s.media_ref <> ''").count()
     assert n_media_chunks == n_media_spans
-    # chunk ids contiguous from 0 per doc
+    # chunk ids start at 0 (the first span's cum_before is 0) and are
+    # at most one per budget window — NOT necessarily dense: a span
+    # spanning several budgets makes its successor skip window ids.
     bad = (
         chunks.groupBy("doc_id")
         .agg(F.min("chunk_id").alias("lo"), F.max("chunk_id").alias("hi"),
              F.count("*").alias("n"))
-        .where("lo != 0 OR n != hi + 1")
+        .where("lo != 0 OR n > hi + 1")
         .count()
     )
     assert bad == 0
+
+
+def test_chunk_interleaved_sparse_ids_and_null_offset(spark):
+    """A span spanning multiple budgets skips window ids for its
+    successor (ids are budget indexes, not a dense rank), and a NULL
+    offset sorts FIRST identically in both engines."""
+    import pandas as pd
+
+    from ocr_spark.functions.interleave import (
+        chunk_interleaved,
+        chunk_interleaved_sql,
+    )
+
+    rows = [
+        # 5-token span at budget 2 -> fills windows 0,1,2; successor
+        # starts at cum 5 -> chunk 2
+        _doc("sparse", [("text", "a b c d e", "", 0), ("text", "f", "", 1)]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = sorted(map(tuple, chunk_interleaved(df, max_tokens=2).collect()))
+    assert got == [
+        ("sparse", 0, 1, 1, 0, 5, True),
+        ("sparse", 2, 1, 1, 0, 1, False),
+    ]
+
+    flat = [
+        ("n1", "text", "one two three", "", None),   # NULL offset: first
+        ("n1", "picture", "", "img", 0),
+    ]
+    pdf = pd.DataFrame(
+        flat, columns=["doc_id", "kind", "text", "media_ref", "offset"]
+    )
+    nested_df = (
+        spark.createDataFrame(
+            pdf.astype({"offset": "Int64"})
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(
+            F.struct("kind", "text", "media_ref", "offset")).alias("spans"))
+    )
+    con2 = duckdb.connect()
+    con2.register("flat_null_off", pdf)
+    sql = chunk_interleaved_sql(
+        'SELECT doc_id, kind, text, media_ref, "offset" FROM flat_null_off',
+        max_tokens=4,
+        media_token_cost=3,
+    )
+    cols = sorted(["doc_id", "chunk_id", "n_spans", "n_text_spans",
+                   "n_media_spans", "n_tokens", "overflow"])
+    sdf = chunk_interleaved(nested_df, max_tokens=4, media_token_cost=3)
+    got2 = sorted(map(tuple, sdf.select(*cols).collect()))
+    odf = con2.execute(sql).df()
+    want2 = sorted(map(tuple, odf[cols].itertuples(index=False, name=None)))
+    assert got2 == want2
+    # NULL-offset text (3 tokens) first -> media starts at cum 3,
+    # straddles -> chunk 0 has both spans
+    assert got2[0][cols.index("n_spans")] == 2
 
 
 def test_chunking_cross_engine(spark):

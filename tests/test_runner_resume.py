@@ -113,6 +113,15 @@ def test_resume_rejects_config_mismatch(spark, docs, tmp_path):
     )
     with pytest.raises(ValueError, match="corrupt"):
         bad.run()
+    # a different input shaping (gates on/off) is the same hazard:
+    # done-bucket records would cover a differently-filtered input
+    gated = ExtractionRun(
+        spark, docs, str(tmp_path / "out"),
+        RunConfig("cm1", n_buckets=8, buckets_per_commit=4,
+                  input_config={"integrity_gate": True}),
+    )
+    with pytest.raises(ValueError, match="corrupt"):
+        gated.run()
     # same config resumes fine
     assert run.run()["buckets_done"] == 8
 

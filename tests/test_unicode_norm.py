@@ -203,6 +203,11 @@ def test_fix_mojibake_repairs_and_counts(spark):
         # replace chain destroyed both chars ('IRM\xe04'). The sentinel
         # scheme must keep the genuine char and repair only the NBSP.
         (6, "IRM" + chr(0xC3) + _sloppy(0xA0) + "4"),
+        # scrub-merge cascade regression: genuine A-tilde +
+        # NONCHARACTER + NBSP — deleting the noncharacter would merge
+        # the neighbors into the damaged form of a-grave and "repair"
+        # them away; substitution with U+FFFD must keep both.
+        (7, "X" + chr(0xC3) + chr(0xFDD5) + "\xa0" + "Y"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in fix_mojibake(df).collect()}
@@ -214,6 +219,8 @@ def test_fix_mojibake_repairs_and_counts(spark):
     assert got[5].fixed_text == "" and got[5].n_fixes == 0
     assert got[6].fixed_text == "IRM" + chr(0xC3) + "\xa0" + "4"
     assert got[6].n_fixes == 1
+    assert got[7].fixed_text == "X" + chr(0xC3) + chr(0xFFFD) + "\xa0" + "Y"
+    assert got[7].n_fixes == 1  # the noncharacter substitution counts
 
 
 def test_fix_mojibake_cross_engine(spark):
