@@ -796,6 +796,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_frequent_spans": lambda s, d: ilv.strip_frequent_spans(
             _span_docs(s, d)
         ),
+        # span table materialized into the tokenizer-ready string
+        # (media spans -> placeholder token), zero shuffle
+        "render_interleaved": lambda s, d: ilv.render_interleaved(
+            _span_docs(s, d)
+        ),
+        # content-blind structural fingerprints + the corpus template
+        # census over them (min_docs=2: contract structures repeat in
+        # the synth corpus at that threshold)
+        "structure_fingerprint": lambda s, d: ilv.structure_fingerprint(
+            _span_docs(s, d)
+        ),
+        "template_stats": lambda s, d: ilv.template_stats(
+            _span_docs(s, d), min_docs=2
+        ),
+        # gallery re-posts: exact Jaccard over distinct media-asset
+        # sets, candidates from a df-capped key equi-join (span-index
+        # key: synth refs are globally unique, the _MEDIA_KEY
+        # normalization creates real cross-doc overlap)
+        "media_jaccard_pairs": lambda s, d: mda.media_jaccard_pairs(
+            _span_docs(s, d), tau=0.5, key_sql=_MEDIA_KEY
+        ),
         # figure<->caption attachment: nearest caption by offset
         # (ties forward), zero-shuffle scan-stage folds. Caption-less
         # media keeps NULL columns in the operator; the contract
@@ -1620,6 +1641,16 @@ def oracle_sql() -> dict[str, str]:
             synth_spans_sql(), max_tokens=64, media_token_cost=32
         ),
         "strip_frequent_spans": ilv.strip_frequent_spans_sql(synth_spans_sql()),
+        "render_interleaved": ilv.render_interleaved_sql(synth_spans_sql()),
+        "structure_fingerprint": ilv.structure_fingerprint_sql(
+            synth_spans_sql()
+        ),
+        "template_stats": ilv.template_stats_sql(
+            synth_spans_sql(), min_docs=2
+        ),
+        "media_jaccard_pairs": mda.media_jaccard_pairs_sql(
+            synth_spans_sql(), tau=0.5, key_sql=_MEDIA_KEY
+        ),
         "caption_pairs": (
             "SELECT doc_id, media_ref, media_offset, "
             "coalesce(caption_offset, -1) AS caption_offset, "

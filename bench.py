@@ -183,7 +183,31 @@ def headline_queries(spark, sf_dir: str, span_dir: str | None = None):
         # corpus_checksum reuse measured shapes (scan-stage array
         # fold / replace-chain scan / hash-agg over a scan expr).
         "chunk_interleaved": lambda: ilv.chunk_interleaved(spans()),
+        # round-3 session-17 additions: render is the heaviest
+        # per-doc STRING materialization shape (in-array sort +
+        # transform + array_join over the amplified span table, zero
+        # shuffle — the string-building cost is the measurement);
+        # media_jaccard is the df-capped key equi-join + pair-agg
+        # shape over media refs — over the UNAMPLIFIED corpus, where
+        # the span-index key gives real bounded overlap (amplified
+        # refs are globally unique -> zero candidate work; unamplified
+        # key df ~ n_docs/17 stays under the cap and every residue
+        # class genuinely overlaps). structure_fingerprint /
+        # template_stats reuse measured shapes (scan fold + md5 /
+        # uniform hash-agg).
+        "render_interleaved": lambda: ilv.render_interleaved(spans()),
+        "media_jaccard_pairs": lambda: _media_jaccard_q(
+            synthesize_spans(docs())
+        ),
     }
+
+
+def _media_jaccard_q(spans):
+    from ocr_spark.functions.media import media_jaccard_pairs
+
+    return media_jaccard_pairs(
+        spans, key_sql="regexp_extract(media_ref, '-([0-9]+)$', 1)"
+    )
 
 
 def _rrp_q(docs):

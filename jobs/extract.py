@@ -59,10 +59,14 @@ def main() -> None:
         metavar="DIR",
         help="also write document-structure sidecars derived from the "
         "input span table: DIR/caption_pairs (media<->caption "
-        "attachment), DIR/section_paths (heading-context breadcrumbs) "
-        "and DIR/media_context (nearest-prose window per media span). "
-        "All are zero-shuffle scan-stage operators, so each sidecar "
-        "costs one pruned pass over the input",
+        "attachment), DIR/section_paths (heading-context breadcrumbs), "
+        "DIR/media_context (nearest-prose window per media span), "
+        "DIR/templates (corpus census of content-blind structural "
+        "fingerprints — template-farm detection) and DIR/media_pairs "
+        "(gallery re-posts: exact Jaccard over distinct media-asset "
+        "sets). The first three are zero-shuffle scan-stage "
+        "operators; templates adds one grouped pass, media_pairs a "
+        "df-capped key equi-join",
     )
     ap.add_argument(
         "--lineage-checksums",
@@ -82,6 +86,15 @@ def main() -> None:
         "interleave_gate defaults) BEFORE extraction. Zero shuffle: "
         "one scan-stage predicate on the spans array; the count of "
         "dropped docs lands in the summary",
+    )
+    ap.add_argument(
+        "--emit-rendered",
+        default=None,
+        metavar="DIR",
+        help="also write DIR/rendered: each document's ordered span "
+        "sequence materialized into the tokenizer-ready string "
+        "(render_interleaved — media spans become the placeholder "
+        "token). Zero shuffle, one scan-stage pass",
     )
     ap.add_argument(
         "--emit-chunks",
@@ -188,18 +201,32 @@ def main() -> None:
     if args.integrity_gate:
         summary["n_quarantined"] = n_quarantined
     if args.emit_structure:
-        from ocr_spark.functions.interleave import caption_pairs, section_paths
-
-        from ocr_spark.functions.media import media_context
+        from ocr_spark.functions.interleave import (
+            caption_pairs,
+            section_paths,
+            template_stats,
+        )
+        from ocr_spark.functions.media import media_context, media_jaccard_pairs
 
         for name, df in (
             ("caption_pairs", caption_pairs(docs)),
             ("section_paths", section_paths(docs)),
             ("media_context", media_context(docs)),
+            # corpus template census (content-blind structural
+            # fingerprints) + gallery re-post pairs: the two
+            # dedup-adjacent signals only the span table carries
+            ("templates", template_stats(docs)),
+            ("media_pairs", media_jaccard_pairs(docs)),
         ):
             out = f"{args.emit_structure}/{name}"
             df.write.mode("overwrite").parquet(out)
             summary[f"n_{name}"] = spark.read.parquet(out).count()
+    if args.emit_rendered:
+        from ocr_spark.functions.interleave import render_interleaved
+
+        out = f"{args.emit_rendered}/rendered"
+        render_interleaved(docs).write.mode("overwrite").parquet(out)
+        summary["n_rendered_docs"] = spark.read.parquet(out).count()
     if args.emit_chunks:
         from ocr_spark.functions.interleave import (
             MEDIA_TOKEN_COST,

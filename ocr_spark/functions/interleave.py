@@ -886,3 +886,247 @@ def chunk_interleaved_sql(
                > (chunk_id + 1) * CAST({max_tokens} AS BIGINT) AS overflow
       FROM assigned GROUP BY doc_id, chunk_id
     """
+
+
+# ---------------------------------------------------------------------------
+# rendering (span table -> tokenizer-ready text) and structural
+# template fingerprints
+# ---------------------------------------------------------------------------
+
+# The placeholder a multimodal tokenizer substitutes with image
+# embeddings — one flat token in the RENDERED string (the token
+# BUDGET for a media span is MEDIA_TOKEN_COST; rendering and costing
+# are different layers).
+MEDIA_PLACEHOLDER = "<|image|>"
+
+
+def _sql_str(s: str) -> str:
+    """A Python string as a SQL literal — shared by both dialects."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _total_sort_sql(arr: str = "spans") -> str:
+    """The span array under the repo's ONE total order:
+    (offset NULLS FIRST, is_media, text, media_ref) — the same key
+    chain ``chunk_interleaved`` shuffles on, expressed as an in-array
+    comparator so zero-shuffle operators agree with it byte-for-byte.
+    NULL offsets take the int32 minimum as their sort key (the span
+    contract forbids them; ``span_integrity`` quarantines violators,
+    but ungated inputs must still order deterministically)."""
+    media_a = "(a.media_ref IS NOT NULL AND a.media_ref <> '')"
+    media_b = "(b.media_ref IS NOT NULL AND b.media_ref <> '')"
+    ka = "coalesce(a.offset, -2147483648)"
+    kb = "coalesce(b.offset, -2147483648)"
+    return f"""
+      array_sort({arr}, (a, b) -> CASE
+        WHEN {ka} < {kb} THEN -1
+        WHEN {ka} > {kb} THEN 1
+        WHEN (CASE WHEN {media_a} THEN 1 ELSE 0 END)
+          <> (CASE WHEN {media_b} THEN 1 ELSE 0 END)
+          THEN (CASE WHEN {media_a} THEN 1 ELSE 0 END)
+             - (CASE WHEN {media_b} THEN 1 ELSE 0 END)
+        WHEN coalesce(a.text, '') < coalesce(b.text, '') THEN -1
+        WHEN coalesce(a.text, '') > coalesce(b.text, '') THEN 1
+        WHEN coalesce(a.media_ref, '') < coalesce(b.media_ref, '') THEN -1
+        WHEN coalesce(a.media_ref, '') > coalesce(b.media_ref, '') THEN 1
+        ELSE 0 END)
+    """
+
+
+def render_interleaved(
+    docs: DataFrame,
+    media_token: str = MEDIA_PLACEHOLDER,
+    sep: str = "\n",
+) -> DataFrame:
+    """(doc_id, rendered_text, n_rendered, n_media): the ordered span
+    sequence materialized into the single string a multimodal
+    tokenizer consumes — media spans become ``media_token``, text
+    spans their text, joined by ``sep``. This is the step between
+    extraction and tokenization: the reference renders its extracted
+    DocTags stream to markdown one document at a time
+    (/root/reference/webapp/results.py export path); this is the
+    corpus-scale equivalent over the span table.
+
+    Order is the repo's total span order (:func:`_total_sort_sql`),
+    so a rendered document equals its chunks rendered in chunk order.
+    Non-media spans with NULL/empty text are dropped before joining
+    (they would only inject bare separators); ``n_rendered`` counts
+    the spans that made it into the string. A NULL spans array
+    renders NULL with counts 0 (the row is data, never dropped); an
+    empty array renders ''.
+
+    Scale shape: ZERO shuffle — sort/filter/transform/array_join are
+    scan-stage array expressions, one row in one row out, no explode.
+    The output string is bounded by the document's own text mass.
+    """
+    kept = f"filter({_total_sort_sql()}, s -> {_IS_MEDIA} OR {_IS_TEXT})"
+    parts = (
+        f"transform({kept}, s -> CASE WHEN {_IS_MEDIA} "
+        f"THEN {_sql_str(media_token)} ELSE s.text END)"
+    )
+    return docs.selectExpr(
+        "doc_id",
+        f"array_join({parts}, {_sql_str(sep)}) AS rendered_text",
+        f"CAST(CASE WHEN spans IS NULL THEN 0 ELSE size({kept}) END AS INT)"
+        " AS n_rendered",
+        "CAST(CASE WHEN spans IS NULL THEN 0 ELSE "
+        f"size(filter(spans, s -> {_IS_MEDIA})) END AS INT) AS n_media",
+    )
+
+
+def render_interleaved_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    media_token: str = MEDIA_PLACEHOLDER,
+    sep: str = "\n",
+) -> str:
+    """DuckDB twin over a FLAT span source — independent formulation:
+    ordered ``string_agg`` per document instead of the Spark side's
+    in-array sort+join, so agreement cross-checks the comparator. A
+    flat source cannot represent a NULL spans ARRAY (that case is
+    Spark-side only); documents whose every span is filtered render
+    '' on both sides (the LEFT JOIN backstop)."""
+    is_media = "(media_ref IS NOT NULL AND media_ref <> '')"
+    return f"""
+      WITH src AS ({spans_sql}),
+      kept AS (
+        SELECT doc_id,
+               CASE WHEN {is_media} THEN {_sql_str(media_token)}
+                    ELSE text END AS part,
+               "offset",
+               CASE WHEN {is_media} THEN 1 ELSE 0 END AS im,
+               coalesce(text, '') AS ot, coalesce(media_ref, '') AS orf
+        FROM src
+        WHERE {is_media} OR (text IS NOT NULL AND length(text) > 0)
+      ),
+      agg AS (
+        SELECT doc_id,
+               string_agg(part, {_sql_str(sep)}
+                 ORDER BY "offset" ASC NULLS FIRST, im, ot, orf)
+                 AS rendered_text,
+               CAST(count(*) AS INT) AS n_rendered
+        FROM kept GROUP BY doc_id
+      ),
+      media AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_media
+        FROM src WHERE {is_media} GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             coalesce(a.rendered_text, '') AS rendered_text,
+             coalesce(a.n_rendered, 0) AS n_rendered,
+             coalesce(m.n_media, 0) AS n_media
+      FROM (SELECT DISTINCT doc_id FROM src) d
+      LEFT JOIN agg a USING (doc_id)
+      LEFT JOIN media m USING (doc_id)
+    """
+
+
+def structure_fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_spans, n_media, fingerprint): md5 of the document's
+    ordered STRUCTURE string — ``M:``/``T:`` modality flag + span kind
+    per span, offset order, content-blind. Two documents share a
+    fingerprint iff they have the identical span-kind skeleton:
+    the signature of template-generated pages (listing pages, photo
+    galleries, autogenerated stubs), which repeat structure across
+    thousands of URLs while varying the text. NULL spans arrays
+    fingerprint NULL (no structure to compare).
+
+    Scale shape: ZERO shuffle — the signature is a scan-stage
+    sort+transform+join+md5 over the nested array; the md5 bounds the
+    shuffled width for any downstream grouping regardless of how many
+    spans a giant document has.
+    """
+    sig_parts = (
+        f"transform({_total_sort_sql()}, s -> concat("
+        f"CASE WHEN {_IS_MEDIA} THEN 'M' ELSE 'T' END, ':', "
+        "coalesce(s.kind, '')))"
+    )
+    return docs.selectExpr(
+        "doc_id",
+        "CAST(CASE WHEN spans IS NULL THEN 0 ELSE size(spans) END AS INT)"
+        " AS n_spans",
+        "CAST(CASE WHEN spans IS NULL THEN 0 ELSE "
+        f"size(filter(spans, s -> {_IS_MEDIA})) END AS INT) AS n_media",
+        f"md5(array_join({sig_parts}, '|')) AS fingerprint",
+    )
+
+
+def structure_fingerprint_sql(spans_sql: str = "SELECT * FROM spans") -> str:
+    """DuckDB twin over a FLAT span source (ordered string_agg then
+    md5 — independent of the Spark in-array fold)."""
+    is_media = "(media_ref IS NOT NULL AND media_ref <> '')"
+    return f"""
+      WITH src AS ({spans_sql})
+      SELECT doc_id,
+             CAST(count(*) AS INT) AS n_spans,
+             CAST(count(*) FILTER (WHERE {is_media}) AS INT) AS n_media,
+             md5(string_agg(
+               (CASE WHEN {is_media} THEN 'M' ELSE 'T' END)
+                 || ':' || coalesce(kind, ''),
+               '|' ORDER BY "offset" ASC NULLS FIRST,
+                 CASE WHEN {is_media} THEN 1 ELSE 0 END,
+                 coalesce(text, ''), coalesce(media_ref, '')))
+               AS fingerprint
+      FROM src GROUP BY doc_id
+    """
+
+
+# Template thresholds: a structure repeated across >= MIN_TEMPLATE_DOCS
+# documents is machine-generated; structures below MIN_TEMPLATE_SPANS
+# spans are too generic to call templates (every two-paragraph note
+# shares them).
+MIN_TEMPLATE_DOCS = 5
+MIN_TEMPLATE_SPANS = 4
+
+
+def template_stats(
+    docs: DataFrame,
+    min_docs: int = MIN_TEMPLATE_DOCS,
+    min_spans: int = MIN_TEMPLATE_SPANS,
+) -> DataFrame:
+    """(fingerprint, n_docs, n_spans, n_media, is_template): corpus
+    census of structural fingerprints. ``is_template`` flags
+    structures repeated across >= ``min_docs`` documents AND long
+    enough (>= ``min_spans`` spans) to be meaningfully template-like —
+    the curation signal for boilerplate-farm domains that exact and
+    near-dup text dedup both miss (the text VARIES; the skeleton does
+    not). ``n_spans``/``n_media`` are properties of the structure
+    (identical for every doc sharing the fingerprint).
+
+    Scale shape: one groupBy on uniform md5 keys (partial aggregation;
+    32-char keys, never structure strings), after the zero-shuffle
+    :func:`structure_fingerprint` scan.
+    """
+    fp = structure_fingerprint(docs).where(F.col("fingerprint").isNotNull())
+    agg = fp.groupBy("fingerprint").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_spans").alias("n_spans"),
+        F.min("n_media").alias("n_media"),
+    )
+    return agg.select(
+        "fingerprint",
+        "n_docs",
+        "n_spans",
+        "n_media",
+        (
+            (F.col("n_docs") >= min_docs) & (F.col("n_spans") >= min_spans)
+        ).alias("is_template"),
+    )
+
+
+def template_stats_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    min_docs: int = MIN_TEMPLATE_DOCS,
+    min_spans: int = MIN_TEMPLATE_SPANS,
+) -> str:
+    """DuckDB twin of :func:`template_stats` over a FLAT span source."""
+    return f"""
+      WITH fp AS ({structure_fingerprint_sql(spans_sql)})
+      SELECT fingerprint,
+             count(*) AS n_docs,
+             min(n_spans) AS n_spans,
+             min(n_media) AS n_media,
+             count(*) >= {int(min_docs)}
+               AND min(n_spans) >= {int(min_spans)} AS is_template
+      FROM fp WHERE fingerprint IS NOT NULL
+      GROUP BY fingerprint
+    """

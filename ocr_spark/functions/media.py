@@ -447,3 +447,136 @@ def media_position_stats_sql(spans_sql: str = "SELECT * FROM spans") -> str:
              CAST(s.n_sw AS INT) AS n_switches
       FROM agg a JOIN sw s ON s.doc_id = a.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# media-set near-duplicates (gallery re-posts)
+# ---------------------------------------------------------------------------
+
+# Cap on a media key's document frequency during candidate
+# generation; matches the ngram_jaccard_pairs / --max-bucket default.
+MAX_MEDIA_DF = 1000
+
+
+def media_jaccard_pairs(
+    docs: DataFrame,
+    tau: float = 0.5,
+    max_df: int | None = MAX_MEDIA_DF,
+    key_sql: str = "media_ref",
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared, n_a, n_b, jaccard): document pairs
+    whose distinct MEDIA-ASSET sets overlap with exact Jaccard >=
+    ``tau`` — the gallery-re-post detector. Text dedup misses these:
+    a re-posted image set travels with rewritten prose, but the asset
+    refs survive. The media complement of text near-dup, joining
+    ``media_reuse`` (per-asset census) and ``strip_reused_media``
+    (boilerplate removal) as the third media-curation primitive.
+
+    ``key_sql`` normalizes refs exactly as in :func:`media_reuse`
+    (NULL/'' keys dropped). Candidates come from an equi-join on the
+    60-bit key hash; ``max_df`` (default on) drops keys above the
+    document-frequency cap from CANDIDATE GENERATION only — site
+    furniture (logos, sprites) otherwise emits df^2 join rows; per-doc
+    set sizes, and hence Jaccard denominators, are unchanged. Pairs
+    sharing only capped assets are missed — the same explicit trade
+    as ``ngram_jaccard_pairs``, and the right one: an asset in more
+    than ``max_df`` documents is furniture, not a gallery.
+
+    Scale shape: media-only explode (filter inside the array before
+    the Generate), distinct (doc_id, hash), count-over-window df cap
+    reusing the join's hash partitioning, equi-join + partial-agg
+    intersection counts, AQE-chosen joins for the size attach (the
+    per-doc counts frame is one row per doc — never broadcast it
+    blindly).
+    """
+    from pyspark.sql import Window
+
+    from ocr_spark.functions.hashing import md5_long_expr
+    from ocr_spark.functions.text import floor6
+
+    flat = docs.selectExpr(
+        "doc_id", f"explode(filter(spans, s -> {_IS_MEDIA})) AS m"
+    ).selectExpr("doc_id", "m.media_ref AS media_ref")
+    keyed = (
+        flat.selectExpr(
+            "doc_id", f"nullif(({key_sql}), '') AS media_key"
+        )
+        .where(F.col("media_key").isNotNull())
+        .select("doc_id", F.expr(md5_long_expr("media_key")).alias("h"))
+        .distinct()
+    )
+    counts = keyed.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = keyed
+    if max_df is not None:
+        df_count = F.count("*").over(Window.partitionBy("h"))
+        cand = (
+            keyed.withColumn("_df", df_count)
+            .where(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    a, b = cand.alias("a"), cand.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    j = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(j >= tau)
+        .select(
+            "doc_a", "doc_b", "n_shared", "n_a", "n_b",
+            floor6(j).alias("jaccard"),
+        )
+    )
+
+
+def media_jaccard_pairs_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    tau: float = 0.5,
+    max_df: int | None = MAX_MEDIA_DF,
+    key_sql: str = "media_ref",
+) -> str:
+    """DuckDB twin over a FLAT span source; identical cap and the
+    shared 60-bit md5 key hash, so candidate sets (and any
+    astronomically unlikely hash collision) agree across engines."""
+    from ocr_spark.functions.hashing import md5_long_sql
+    from ocr_spark.functions.text import floor6_sql
+
+    j = "(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared))"
+    cap = (
+        f"QUALIFY count(*) OVER (PARTITION BY h) <= {int(max_df)}"
+        if max_df is not None
+        else ""
+    )
+    return f"""
+      WITH src AS ({spans_sql}),
+      keyed AS (
+        SELECT DISTINCT doc_id, {md5_long_sql("media_key")} AS h FROM (
+          SELECT doc_id, nullif(({key_sql}), '') AS media_key
+          FROM src WHERE media_ref IS NOT NULL AND media_ref <> ''
+        ) WHERE media_key IS NOT NULL
+      ),
+      counts AS (SELECT doc_id, count(*) AS n FROM keyed GROUP BY 1),
+      cand AS (SELECT doc_id, h FROM keyed {cap}),
+      shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM cand a JOIN cand b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, n_shared, ca.n AS n_a, cb.n AS n_b,
+             {floor6_sql(j)} AS jaccard
+      FROM shared
+      JOIN counts ca ON shared.doc_a = ca.doc_id
+      JOIN counts cb ON shared.doc_b = cb.doc_id
+      WHERE {j} >= {tau}
+    """

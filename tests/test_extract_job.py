@@ -67,6 +67,37 @@ def test_extract_job_integrity_gate_and_sidecars(spark, tmp_path):
     assert summary["n_section_paths"] > 0
     mc = spark.read.parquet(f"{struct}/media_context").collect()
     assert mc[0].media_ref == "img-a" and mc[0].text_before == "hello world"
+    # template census + media-pair sidecars exist (gated corpus: two
+    # structurally-distinct docs -> two fingerprints, no re-posts)
+    assert summary["n_templates"] == 2
+    assert summary["n_media_pairs"] == 0
+    ts = spark.read.parquet(f"{struct}/templates").collect()
+    assert all(not r.is_template for r in ts)  # nothing repeats
+
+
+def test_extract_job_emit_rendered(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    rend = str(tmp_path / "rendered")
+    rows = [
+        ("r1", [("text", "hello world", "", 0), ("picture", "", "img-a", 1),
+                ("caption", "a cat", "", 2)]),
+    ]
+    spark.createDataFrame(rows, _NESTED_SCHEMA).write.parquet(inp)
+    summary = _run_main(
+        [
+            "extract.py",
+            "--input", inp,
+            "--output", out,
+            "--run-id", "rend",
+            "--buckets", "1",
+            "--emit-rendered", rend,
+        ]
+    )
+    assert summary["n_rendered_docs"] == 1
+    r = spark.read.parquet(f"{rend}/rendered").collect()[0]
+    assert r.rendered_text == "hello world\n<|image|>\na cat"
+    assert (r.n_rendered, r.n_media) == (3, 1)
 
 
 def test_extract_job_gate_clean_corpus_is_noop(spark, tmp_path):

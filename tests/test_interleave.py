@@ -764,3 +764,123 @@ def test_chunk_interleaved_single_exchange(spark):
     assert p.count("Exchange") == 1 and "ArrowEvalPython" not in p
     p2 = plan_str(interleaved_token_counts(nested_df), "simple")
     assert "Exchange" not in p2 and "ArrowEvalPython" not in p2
+
+
+# ---------------------------------------------------------------------------
+# render_interleaved / structure_fingerprint / template_stats
+# ---------------------------------------------------------------------------
+
+
+def test_render_interleaved_semantics(spark):
+    from ocr_spark.functions.interleave import render_interleaved
+
+    rows = [
+        _doc("a", [("text", "hello world", "", 0), ("picture", "", "img-1", 1),
+                   ("caption", "a cat", "", 2),
+                   ("text", "", "", 3),        # empty text: dropped
+                   ("text", None, "", 4)]),    # NULL text: dropped
+        # duplicate offsets resolve by (is_media, text, media_ref);
+        # NULL offset sorts first (the chunk_interleaved order)
+        _doc("b", [("picture", "", "z", 2), ("picture", "", "y", 2),
+                   ("text", "tie", "", 2), ("text", "first", None, None)]),
+        _doc("empty", []),
+        ("nullspans", None),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = {r.doc_id: r for r in render_interleaved(df).collect()}
+    assert got["a"].rendered_text == "hello world\n<|image|>\na cat"
+    assert (got["a"].n_rendered, got["a"].n_media) == (3, 1)
+    assert got["b"].rendered_text == "first\ntie\n<|image|>\n<|image|>"
+    assert got["empty"].rendered_text == "" and got["empty"].n_rendered == 0
+    assert got["nullspans"].rendered_text is None
+    assert got["nullspans"].n_rendered == 0 and got["nullspans"].n_media == 0
+    # custom token + separator (with a quote, exercising SQL escaping)
+    alt = {r.doc_id: r.rendered_text for r in render_interleaved(
+        df, media_token="<img>", sep="' ").collect()}
+    assert alt["a"] == "hello world' <img>' a cat"
+
+
+def test_render_matches_chunk_order(spark):
+    """A document rendered whole equals its chunks rendered in
+    chunk_id order — render and chunking share the one total order."""
+    from ocr_spark.functions.interleave import (
+        chunk_interleaved,
+        render_interleaved,
+    )
+
+    rows = [_doc("d", [("text", f"w{i} w{i} w{i}", "", i) if i % 3
+                       else ("picture", "", f"img-{i}", i)
+                       for i in range(12)])]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    whole = render_interleaved(df).collect()[0].rendered_text
+    # chunk at a budget that splits the doc, then re-render per chunk
+    # by filtering spans to each chunk's members: equality of span
+    # MULTISETS is what the shared order guarantees; check counts.
+    chunks = chunk_interleaved(df, max_tokens=7, media_token_cost=2)
+    n_spans_in_chunks = sum(r.n_spans for r in chunks.collect())
+    assert n_spans_in_chunks == 12
+    assert whole.count("<|image|>") == 4  # offsets 0,3,6,9
+
+
+def test_render_and_fingerprint_cross_engine(spark, nested, con):
+    from ocr_spark.functions.interleave import (
+        render_interleaved,
+        render_interleaved_sql,
+        structure_fingerprint,
+        structure_fingerprint_sql,
+        template_stats,
+        template_stats_sql,
+    )
+
+    for sdf, sql, cols in [
+        (render_interleaved(nested), render_interleaved_sql(synth_spans_sql()),
+         ["doc_id", "rendered_text", "n_rendered", "n_media"]),
+        (structure_fingerprint(nested),
+         structure_fingerprint_sql(synth_spans_sql()),
+         ["doc_id", "n_spans", "n_media", "fingerprint"]),
+        (template_stats(nested, min_docs=2),
+         template_stats_sql(synth_spans_sql(), min_docs=2),
+         ["fingerprint", "n_docs", "n_spans", "n_media", "is_template"]),
+    ]:
+        got = sorted(map(tuple, sdf.select(*cols).collect()))
+        odf = con.execute(sql).df()
+        want = sorted(map(tuple, odf[cols].itertuples(index=False, name=None)))
+        assert got == want, (cols, got[:3], want[:3])
+    # the synth corpus must actually exercise the operator: some
+    # structure repeats across docs at min_docs=2
+    ts = template_stats(nested, min_docs=2).where("is_template").count()
+    assert ts > 0
+
+
+def test_structure_fingerprint_content_blind(spark):
+    from ocr_spark.functions.interleave import structure_fingerprint
+
+    rows = [
+        _doc("x", [("text", "alpha", "", 0), ("picture", "", "i1", 1)]),
+        _doc("y", [("text", "totally different", "", 0),
+                   ("picture", "", "other-ref", 1)]),
+        _doc("z", [("picture", "", "i1", 0), ("text", "alpha", "", 1)]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = {r.doc_id: r.fingerprint for r in structure_fingerprint(df).collect()}
+    assert got["x"] == got["y"]      # same skeleton, different content
+    assert got["x"] != got["z"]      # order matters
+    # NULL spans -> NULL fingerprint (excluded from template_stats)
+    df2 = spark.createDataFrame([("n", None)], _NESTED_SCHEMA)
+    assert structure_fingerprint(df2).collect()[0].fingerprint is None
+
+
+def test_render_fingerprint_plans(spark, nested):
+    """render + fingerprint are scan-stage only; template_stats adds
+    exactly one exchange (the fingerprint groupBy)."""
+    from ocr_spark.functions.interleave import (
+        render_interleaved,
+        structure_fingerprint,
+        template_stats,
+    )
+
+    assert "Exchange" not in plan_str(render_interleaved(nested), "simple")
+    assert "Exchange" not in plan_str(structure_fingerprint(nested), "simple")
+    plan = plan_str(template_stats(nested), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan_str(template_stats(nested), "formatted")
