@@ -60,6 +60,10 @@ from ocr_spark.functions.chunking import (
 from ocr_spark.functions.packing import (
     pack_index,
     pack_index_sql,
+    pack_interleaved,
+    pack_interleaved_sql,
+    pack_interleaved_stats,
+    pack_interleaved_stats_sql,
     pack_stats,
     pack_stats_sql,
 )
@@ -1010,6 +1014,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             seq_len=96,
             n_shards=4,
         ),
+        # media-atomic slot packing over interleaved chunks (budget 64
+        # x 4 slots; overflow chunks isolated into their own packs)
+        "pack_interleaved": lambda s, d: pack_interleaved(
+            ilv.chunk_interleaved(
+                _span_docs(s, d), max_tokens=64, media_token_cost=32
+            ),
+            slots=4,
+            n_shards=4,
+        ),
+        "pack_interleaved_stats": lambda s, d: pack_interleaved_stats(
+            ilv.chunk_interleaved(
+                _span_docs(s, d), max_tokens=64, media_token_cost=32
+            ),
+            slots=4,
+            n_shards=4,
+        ),
         # NFC normalization over a deterministically DE-composed copy
         # (replace a -> a + combining acute) so the UDF genuinely
         # recomposes at contract scale instead of passing through.
@@ -1750,6 +1770,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_stats": pack_stats_sql(
             chunk_documents_sql(max_tokens=64, overlap=16), seq_len=96, n_shards=4
+        ),
+        "pack_interleaved": pack_interleaved_sql(
+            ilv.chunk_interleaved_sql(
+                synth_spans_sql(), max_tokens=64, media_token_cost=32
+            ),
+            slots=4,
+            n_shards=4,
+        ),
+        "pack_interleaved_stats": pack_interleaved_stats_sql(
+            ilv.chunk_interleaved_sql(
+                synth_spans_sql(), max_tokens=64, media_token_cost=32
+            ),
+            slots=4,
+            n_shards=4,
         ),
         "normalize_nfc": normalize_nfc_sql(
             "(SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS text "

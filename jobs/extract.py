@@ -120,6 +120,16 @@ def main() -> None:
         "the library-wide interleave.MEDIA_TOKEN_COST)",
     )
     ap.add_argument(
+        "--pack-slots",
+        type=int,
+        default=None,
+        metavar="K",
+        help="with --emit-chunks: also write DIR/packs, the chunks "
+        "slot-packed K whole chunks per training sequence "
+        "(pack_interleaved — media-atomic, seq_len = K * "
+        "--chunk-tokens; overflow chunks isolated one-per-pack)",
+    )
+    ap.add_argument(
         "--integrity-gate",
         default=None,
         metavar="DIR",
@@ -244,6 +254,17 @@ def main() -> None:
             ),
         ).write.mode("overwrite").parquet(out)
         summary["n_chunks"] = spark.read.parquet(out).count()
+        if args.pack_slots:
+            from ocr_spark.functions.packing import pack_interleaved
+
+            # pack the WRITTEN chunk table (one chunking execution)
+            packs_out = f"{args.emit_chunks}/packs"
+            pack_interleaved(
+                spark.read.parquet(out), slots=args.pack_slots
+            ).write.mode("overwrite").parquet(packs_out)
+            summary["n_pack_rows"] = spark.read.parquet(packs_out).count()
+    elif args.pack_slots:
+        raise SystemExit("--pack-slots requires --emit-chunks")
     # the byte-audit runs LAST so a failure still prints the full
     # accounting (same summary schema on success and failure)
     if args.lineage_checksums:

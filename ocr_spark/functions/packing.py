@@ -212,3 +212,164 @@ def pack_stats_sql(
       FROM ({_index_sql(chunks_sql, seq_len, n_shards)})
       GROUP BY shard, pack_id
     """
+
+
+# ---------------------------------------------------------------------------
+# media-atomic slot packing over interleaved chunks
+# ---------------------------------------------------------------------------
+
+SLOTS_PER_PACK = 4
+
+
+def pack_interleaved(
+    chunks: DataFrame,
+    slots: int = SLOTS_PER_PACK,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """(shard, pack_id, slot, doc_id, chunk_id, n_tokens, overflow):
+    media-atomic sequence packing over ``chunk_interleaved`` output —
+    ``slots`` whole chunks per pack, chunks NEVER split.
+
+    :func:`pack_index` cuts at token granularity, which is correct for
+    text but illegal for interleaved chunks: a cut landing inside a
+    media span's token block would split the unsplittable. Slot
+    packing trades fill for atomicity: chunk_interleaved guarantees
+    every non-overflow chunk costs <= its budget B, so a pack of
+    ``slots`` chunks costs <= slots*B tokens — choose
+    seq_len = slots * B and every pack fits, wasting at most the
+    slack the budget-aligned chunks already carry (measure it with
+    :func:`pack_interleaved_stats`; raise B / lower slots if the
+    waste ppm matters). OVERFLOW chunks (a single span bigger than B)
+    can exceed any slot budget, so each gets a pack of its own, slot
+    0, numbered after the shard's slot packs — the loader sees them
+    isolated instead of silently blowing a sequence.
+
+    Determinism: shard = the shared salted md5 of doc_id (a document
+    never straddles shards); within a shard, chunks order by
+    (overflow, doc_id, chunk_id) and pack_id/slot are pure integer
+    arithmetic on the row number — rerun-stable,
+    partition-count-invariant, engine-exact.
+
+    Scale shape: ONE shuffle (the per-shard row-number window; the
+    overflow-count window reuses the same partitioning). Shards are
+    independent — parallelism = n_shards, same as pack_index.
+    """
+    _validate(slots, n_shards)
+    base = (
+        chunks.where(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("overflow").cast("boolean").alias("overflow"),
+            shard_col(n_shards).alias("shard"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    ow = F.when(F.col("overflow"), F.lit(1)).otherwise(F.lit(0))
+    w_rn = Window.partitionBy("shard").orderBy(
+        ow.asc(), "doc_id", "chunk_id"
+    )
+    w_all = Window.partitionBy("shard")
+    rn = F.row_number().over(w_rn)
+    c = F.sum(1 - ow).over(w_all)  # non-overflow chunks in the shard
+    n_slot_packs = F.floor((c + slots - 1) / slots)
+    return base.select(
+        "shard",
+        F.when(
+            F.col("overflow"),
+            (n_slot_packs + (rn - c) - 1),
+        )
+        .otherwise(F.floor((rn - 1) / slots))
+        .cast("long")
+        .alias("pack_id"),
+        F.when(F.col("overflow"), F.lit(0))
+        .otherwise((rn - 1) % slots)
+        .cast("int")
+        .alias("slot"),
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        "overflow",
+    )
+
+
+def pack_interleaved_stats(
+    chunks: DataFrame,
+    slots: int = SLOTS_PER_PACK,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """(shard, pack_id, n_chunks, n_docs, n_tokens, has_overflow):
+    per-pack composition — the fill/waste report for slot packing
+    (compare n_tokens against slots * budget; ``has_overflow`` packs
+    are the isolated giant-span sequences)."""
+    idx = pack_interleaved(chunks, slots, n_shards)
+    return idx.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.max(F.col("overflow").cast("int")).cast("boolean").alias(
+            "has_overflow"
+        ),
+    )
+
+
+def _interleaved_sql(chunks_sql: str, slots: int, n_shards: int) -> str:
+    shard = md5_long_sql(f"'{_SALT}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+      WITH ichunks AS ({chunks_sql}),
+      based AS (
+        SELECT doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               overflow, CASE WHEN overflow THEN 1 ELSE 0 END AS ow,
+               {shard} % {n_shards} AS shard
+        FROM ichunks WHERE n_tokens > 0 AND doc_id IS NOT NULL
+      ),
+      numbered AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                 PARTITION BY shard ORDER BY ow, doc_id, chunk_id
+               ) AS rn,
+               SUM(1 - ow) OVER (PARTITION BY shard) AS c
+        FROM based
+      )
+      SELECT shard,
+             CAST(CASE WHEN overflow
+               THEN (c + {slots} - 1) // {slots} + (rn - c) - 1
+               ELSE (rn - 1) // {slots} END AS BIGINT) AS pack_id,
+             CAST(CASE WHEN overflow THEN 0
+               ELSE (rn - 1) % {slots} END AS INT) AS slot,
+             doc_id, chunk_id, n_tokens, overflow
+      FROM numbered
+    """
+
+
+def pack_interleaved_sql(
+    chunks_sql: str,
+    slots: int = SLOTS_PER_PACK,
+    n_shards: int = N_SHARDS,
+) -> str:
+    """DuckDB twin of :func:`pack_interleaved`; ``chunks_sql`` is a
+    SELECT producing (doc_id, chunk_id, n_tokens, overflow) — e.g.
+    ``interleave.chunk_interleaved_sql(...)``. Integer floor division
+    on non-negative operands only, so ``//`` == Spark ``div``."""
+    _validate(slots, n_shards)
+    return _interleaved_sql(chunks_sql, slots, n_shards)
+
+
+def pack_interleaved_stats_sql(
+    chunks_sql: str,
+    slots: int = SLOTS_PER_PACK,
+    n_shards: int = N_SHARDS,
+) -> str:
+    """DuckDB twin of :func:`pack_interleaved_stats`."""
+    _validate(slots, n_shards)
+    return f"""
+      SELECT shard, pack_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(MAX(CASE WHEN overflow THEN 1 ELSE 0 END) AS BOOLEAN)
+               AS has_overflow
+      FROM ({_interleaved_sql(chunks_sql, slots, n_shards)})
+      GROUP BY shard, pack_id
+    """

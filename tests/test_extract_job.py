@@ -180,6 +180,47 @@ def test_extract_job_emit_chunks(spark, tmp_path):
     assert got == want and s["n_chunks"] == len(got)
 
 
+def test_extract_job_pack_slots(spark, tmp_path):
+    """--pack-slots slot-packs the written chunk table; requires
+    --emit-chunks."""
+    import pytest
+
+    import jobs.extract  # noqa: F401  (argparse surface)
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chunks_dir = str(tmp_path / "chunks")
+    rows = [
+        ("d1", [("text", "a b c d e", "", 0), ("picture", "", "img", 1)]),
+        ("d2", [("text", "one two", "", 0)]),
+    ]
+    spark.createDataFrame(rows, _NESTED_SCHEMA).write.parquet(inp)
+    s = _run_main(
+        [
+            "extract.py",
+            "--input", inp,
+            "--output", out,
+            "--run-id", "pk",
+            "--buckets", "2",
+            "--emit-chunks", chunks_dir,
+            "--chunk-tokens", "4",
+            "--media-token-cost", "3",
+            "--pack-slots", "2",
+        ]
+    )
+    packs = spark.read.parquet(f"{chunks_dir}/packs")
+    assert s["n_pack_rows"] == packs.count() > 0
+    # every chunk row packed exactly once
+    assert packs.count() == spark.read.parquet(
+        f"{chunks_dir}/chunks"
+    ).where("n_tokens > 0").count()
+    with pytest.raises(SystemExit, match="requires --emit-chunks"):
+        _run_main(
+            ["extract.py", "--input", inp, "--output", str(tmp_path / "o2"),
+             "--run-id", "pk2", "--buckets", "1", "--pack-slots", "2"]
+        )
+
+
 def test_extract_job_interleave_gate(spark, tmp_path):
     """--interleave-gate drops structurally bad docs (gallery runs /
     prose-free) before the kernel and accounts for them."""

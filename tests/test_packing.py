@@ -137,3 +137,116 @@ def test_plan_one_shuffle_no_join(spark):
     assert "Join" not in plan, plan
     # exactly one exchange: the per-shard window
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# pack_interleaved (media-atomic slot packing)
+# ---------------------------------------------------------------------------
+
+
+def _ichunks_df(spark):
+    import pandas as pd
+
+    rows = []
+    for d in range(10):
+        for c in range(3):
+            ovf = d in (3, 7) and c == 1
+            rows.append((f"doc{d}", c, 900 if ovf else 50 + d + c, ovf))
+    rows.append(("docz", 0, 0, False))  # zero tokens: dropped
+    rows.append((None, 0, 10, False))   # NULL id: dropped
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "chunk_id", "n_tokens", "overflow"]
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_pack_interleaved_invariants_and_oracle(spark):
+    import collections
+
+    from ocr_spark.functions.packing import (
+        pack_interleaved,
+        pack_interleaved_sql,
+        pack_interleaved_stats,
+        pack_interleaved_stats_sql,
+    )
+
+    df, pdf = _ichunks_df(spark)
+    con = duckdb.connect()
+    con.register("ch", pdf)
+    src = "SELECT doc_id, chunk_id, n_tokens, overflow FROM ch"
+    cols = ["shard", "pack_id", "slot", "doc_id", "chunk_id",
+            "n_tokens", "overflow"]
+    got = sorted(map(tuple, pack_interleaved(df, slots=4, n_shards=3)
+                 .select(*cols).collect()))
+    odf = con.execute(pack_interleaved_sql(src, slots=4, n_shards=3)).df()
+    assert got == sorted(
+        map(tuple, odf[cols].itertuples(index=False, name=None))
+    )
+    scols = ["shard", "pack_id", "n_chunks", "n_docs", "n_tokens",
+             "has_overflow"]
+    gs = sorted(map(tuple, pack_interleaved_stats(df, slots=4, n_shards=3)
+                .select(*scols).collect()))
+    osd = con.execute(
+        pack_interleaved_stats_sql(src, slots=4, n_shards=3)
+    ).df()
+    assert gs == sorted(
+        map(tuple, osd[scols].itertuples(index=False, name=None))
+    )
+    # invariants: per-shard pack ids contiguous from 0; overflow packs
+    # hold exactly one chunk at slot 0; slot packs hold <= slots
+    byshard = collections.defaultdict(list)
+    for r in gs:
+        byshard[r[0]].append(r)
+    for s, packs in byshard.items():
+        ids = sorted(p[1] for p in packs)
+        assert ids == list(range(len(ids)))
+        for p in packs:
+            assert (p[2] == 1) if p[5] else (p[2] <= 4)
+    # every surviving chunk packed exactly once
+    assert len(got) == 30
+    # chunks are NEVER split: one row per (doc, chunk)
+    assert len({(r[3], r[4]) for r in got}) == 30
+
+
+def test_pack_interleaved_over_real_chunks(spark):
+    """End-to-end with chunk_interleaved: non-overflow packs respect
+    seq_len = slots * budget; overflow chunks are isolated."""
+    from ocr_spark.functions.interleave import chunk_interleaved
+    from ocr_spark.functions.packing import (
+        pack_interleaved,
+        pack_interleaved_stats,
+    )
+    from ocr_spark.sources.synth import synthesize_spans
+
+    docs = synthesize_spans(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    budget, slots = 64, 4
+    chunks = chunk_interleaved(docs, max_tokens=budget, media_token_cost=32)
+    stats = pack_interleaved_stats(chunks, slots=slots).collect()
+    assert len(stats) > 0
+    for r in stats:
+        if not r.has_overflow:
+            assert r.n_tokens <= slots * budget
+            assert r.n_chunks <= slots
+        else:
+            assert r.n_chunks == 1
+    idx = pack_interleaved(chunks, slots=slots)
+    assert idx.count() == chunks.where("n_tokens > 0").count()
+
+
+def test_pack_interleaved_plan_one_shuffle(spark):
+    from ocr_spark.functions.interleave import chunk_interleaved
+    from ocr_spark.functions.packing import pack_interleaved
+    from ocr_spark.sources.synth import synthesize_spans
+
+    docs = synthesize_spans(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    df = pack_interleaved(chunk_interleaved(docs))
+    plan = plan_str(df, "simple")
+    # chunking contributes one exchange (doc_id window); packing must
+    # add exactly ONE more (the shard window; the overflow-count
+    # window reuses its partitioning), no joins
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan
