@@ -145,6 +145,13 @@ def main() -> None:
     )
     ap.add_argument("--master", default=None, help="override master URL")
     args = ap.parse_args()
+    # argument cross-checks up front — a flag misuse must fail before
+    # the (potentially hours-long) extraction run, not after it
+    if args.pack_slots is not None:
+        if not args.emit_chunks:
+            ap.error("--pack-slots requires --emit-chunks")
+        if args.pack_slots < 1:
+            ap.error("--pack-slots must be >= 1")
 
     from ocr_spark.pipeline.runner import ExtractionRun, RunConfig
     from ocr_spark.pipeline.session import get_spark
@@ -263,8 +270,6 @@ def main() -> None:
                 spark.read.parquet(out), slots=args.pack_slots
             ).write.mode("overwrite").parquet(packs_out)
             summary["n_pack_rows"] = spark.read.parquet(packs_out).count()
-    elif args.pack_slots:
-        raise SystemExit("--pack-slots requires --emit-chunks")
     # the byte-audit runs LAST so a failure still prints the full
     # accounting (same summary schema on success and failure)
     if args.lineage_checksums:

@@ -901,26 +901,46 @@ MEDIA_PLACEHOLDER = "<|image|>"
 
 
 def _sql_str(s: str) -> str:
-    """A Python string as a SQL literal — shared by both dialects."""
+    """A Python string as a DuckDB SQL literal (DuckDB strings have no
+    backslash escapes, so only the quote needs doubling). The Spark
+    side never embeds user strings into SQL text — it passes them as
+    ``F.lit`` columns — because Spark's literal parser additionally
+    treats backslash as an escape and the two dialects would diverge
+    on any token containing one."""
     return "'" + s.replace("'", "''") + "'"
+
+
+# Trailing tie-break keys of the total span order, as a SQL ORDER BY
+# fragment over a flat span row (prefix with the offset key): modality
+# flag, text, media_ref, kind. kind is the LAST key: it never affects
+# chunking or rendering (spans tied on text+media_ref have equal cost
+# and equal rendered part), but structure fingerprints depend on it.
+_ORDER_TAIL_SQL = (
+    "CASE WHEN media_ref IS NOT NULL AND media_ref <> '' THEN 1 ELSE 0 END, "
+    "coalesce(text, ''), coalesce(media_ref, ''), coalesce(kind, '')"
+)
 
 
 def _total_sort_sql(arr: str = "spans") -> str:
     """The span array under the repo's ONE total order:
-    (offset NULLS FIRST, is_media, text, media_ref) — the same key
-    chain ``chunk_interleaved`` shuffles on, expressed as an in-array
+    (offset NULLS FIRST, is_media, text, media_ref, kind) — the key
+    chain ``chunk_interleaved`` shuffles on (refined by the trailing
+    ``kind``, which cannot affect chunk assignment: spans tied on
+    text and media_ref have equal cost), expressed as an in-array
     comparator so zero-shuffle operators agree with it byte-for-byte.
-    NULL offsets take the int32 minimum as their sort key (the span
-    contract forbids them; ``span_integrity`` quarantines violators,
-    but ungated inputs must still order deterministically)."""
+    NULL offsets order strictly FIRST (an explicit NULL branch, not a
+    sentinel value — a genuine int32-min offset must not tie with
+    NULL; the span contract forbids NULLs and ``span_integrity``
+    quarantines them, but ungated inputs must still order
+    deterministically)."""
     media_a = "(a.media_ref IS NOT NULL AND a.media_ref <> '')"
     media_b = "(b.media_ref IS NOT NULL AND b.media_ref <> '')"
-    ka = "coalesce(a.offset, -2147483648)"
-    kb = "coalesce(b.offset, -2147483648)"
     return f"""
       array_sort({arr}, (a, b) -> CASE
-        WHEN {ka} < {kb} THEN -1
-        WHEN {ka} > {kb} THEN 1
+        WHEN a.offset IS NULL AND b.offset IS NOT NULL THEN -1
+        WHEN a.offset IS NOT NULL AND b.offset IS NULL THEN 1
+        WHEN a.offset < b.offset THEN -1
+        WHEN a.offset > b.offset THEN 1
         WHEN (CASE WHEN {media_a} THEN 1 ELSE 0 END)
           <> (CASE WHEN {media_b} THEN 1 ELSE 0 END)
           THEN (CASE WHEN {media_a} THEN 1 ELSE 0 END)
@@ -929,6 +949,8 @@ def _total_sort_sql(arr: str = "spans") -> str:
         WHEN coalesce(a.text, '') > coalesce(b.text, '') THEN 1
         WHEN coalesce(a.media_ref, '') < coalesce(b.media_ref, '') THEN -1
         WHEN coalesce(a.media_ref, '') > coalesce(b.media_ref, '') THEN 1
+        WHEN coalesce(a.kind, '') < coalesce(b.kind, '') THEN -1
+        WHEN coalesce(a.kind, '') > coalesce(b.kind, '') THEN 1
         ELSE 0 END)
     """
 
@@ -958,19 +980,40 @@ def render_interleaved(
     Scale shape: ZERO shuffle — sort/filter/transform/array_join are
     scan-stage array expressions, one row in one row out, no explode.
     The output string is bounded by the document's own text mass.
+    ``media_token``/``sep`` are injected as ``F.lit`` columns, never
+    spliced into SQL text (Spark literals backslash-escape; see
+    :func:`_sql_str`); the counts run on the UNSORTED array (order
+    contributes nothing to a count — no second comparator sort).
     """
-    kept = f"filter({_total_sort_sql()}, s -> {_IS_MEDIA} OR {_IS_TEXT})"
-    parts = (
-        f"transform({kept}, s -> CASE WHEN {_IS_MEDIA} "
-        f"THEN {_sql_str(media_token)} ELSE s.text END)"
+    kept = F.expr(
+        f"filter({_total_sort_sql()}, s -> {_IS_MEDIA} OR {_IS_TEXT})"
     )
-    return docs.selectExpr(
+
+    def _is_media_col(s):
+        return s.getField("media_ref").isNotNull() & (
+            s.getField("media_ref") != F.lit("")
+        )
+
+    parts = F.transform(
+        kept,
+        lambda s: F.when(_is_media_col(s), F.lit(media_token)).otherwise(
+            s.getField("text")
+        ),
+    )
+    spans_null = F.col("spans").isNull()
+    return docs.select(
         "doc_id",
-        f"array_join({parts}, {_sql_str(sep)}) AS rendered_text",
-        f"CAST(CASE WHEN spans IS NULL THEN 0 ELSE size({kept}) END AS INT)"
-        " AS n_rendered",
-        "CAST(CASE WHEN spans IS NULL THEN 0 ELSE "
-        f"size(filter(spans, s -> {_IS_MEDIA})) END AS INT) AS n_media",
+        F.array_join(parts, sep).alias("rendered_text"),
+        F.when(spans_null, F.lit(0))
+        .otherwise(
+            F.expr(f"size(filter(spans, s -> {_IS_MEDIA} OR {_IS_TEXT}))")
+        )
+        .cast("int")
+        .alias("n_rendered"),
+        F.when(spans_null, F.lit(0))
+        .otherwise(F.expr(f"size(filter(spans, s -> {_IS_MEDIA}))"))
+        .cast("int")
+        .alias("n_media"),
     )
 
 
@@ -994,14 +1037,15 @@ def render_interleaved_sql(
                     ELSE text END AS part,
                "offset",
                CASE WHEN {is_media} THEN 1 ELSE 0 END AS im,
-               coalesce(text, '') AS ot, coalesce(media_ref, '') AS orf
+               coalesce(text, '') AS ot, coalesce(media_ref, '') AS orf,
+               coalesce(kind, '') AS ok
         FROM src
         WHERE {is_media} OR (text IS NOT NULL AND length(text) > 0)
       ),
       agg AS (
         SELECT doc_id,
                string_agg(part, {_sql_str(sep)}
-                 ORDER BY "offset" ASC NULLS FIRST, im, ot, orf)
+                 ORDER BY "offset" ASC NULLS FIRST, im, ot, orf, ok)
                  AS rendered_text,
                CAST(count(*) AS INT) AS n_rendered
         FROM kept GROUP BY doc_id
@@ -1062,9 +1106,7 @@ def structure_fingerprint_sql(spans_sql: str = "SELECT * FROM spans") -> str:
              md5(string_agg(
                (CASE WHEN {is_media} THEN 'M' ELSE 'T' END)
                  || ':' || coalesce(kind, ''),
-               '|' ORDER BY "offset" ASC NULLS FIRST,
-                 CASE WHEN {is_media} THEN 1 ELSE 0 END,
-                 coalesce(text, ''), coalesce(media_ref, '')))
+               '|' ORDER BY "offset" ASC NULLS FIRST, {_ORDER_TAIL_SQL}))
                AS fingerprint
       FROM src GROUP BY doc_id
     """

@@ -39,9 +39,9 @@ N_SHARDS = 8
 _SALT = "pack:v1|"
 
 
-def _validate(seq_len: int, n_shards: int) -> None:
+def _validate(seq_len: int, n_shards: int, name: str = "seq_len") -> None:
     if seq_len < 1:
-        raise ValueError("seq_len must be >= 1")
+        raise ValueError(f"{name} must be >= 1")
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
 
@@ -254,7 +254,7 @@ def pack_interleaved(
     overflow-count window reuses the same partitioning). Shards are
     independent — parallelism = n_shards, same as pack_index.
     """
-    _validate(slots, n_shards)
+    _validate(slots, n_shards, name="slots")
     base = (
         chunks.where(F.col("doc_id").isNotNull())
         .select(
@@ -352,7 +352,7 @@ def pack_interleaved_sql(
     SELECT producing (doc_id, chunk_id, n_tokens, overflow) — e.g.
     ``interleave.chunk_interleaved_sql(...)``. Integer floor division
     on non-negative operands only, so ``//`` == Spark ``div``."""
-    _validate(slots, n_shards)
+    _validate(slots, n_shards, name="slots")
     return _interleaved_sql(chunks_sql, slots, n_shards)
 
 
@@ -362,7 +362,7 @@ def pack_interleaved_stats_sql(
     n_shards: int = N_SHARDS,
 ) -> str:
     """DuckDB twin of :func:`pack_interleaved_stats`."""
-    _validate(slots, n_shards)
+    _validate(slots, n_shards, name="slots")
     return f"""
       SELECT shard, pack_id,
              CAST(COUNT(*) AS BIGINT) AS n_chunks,

@@ -214,11 +214,14 @@ def test_extract_job_pack_slots(spark, tmp_path):
     assert packs.count() == spark.read.parquet(
         f"{chunks_dir}/chunks"
     ).where("n_tokens > 0").count()
-    with pytest.raises(SystemExit, match="requires --emit-chunks"):
+    # misuse is rejected at argparse time (exit 2) — see
+    # test_pack_slots_validated_before_any_work
+    with pytest.raises(SystemExit) as e:
         _run_main(
             ["extract.py", "--input", inp, "--output", str(tmp_path / "o2"),
              "--run-id", "pk2", "--buckets", "1", "--pack-slots", "2"]
         )
+    assert e.value.code == 2
 
 
 def test_extract_job_interleave_gate(spark, tmp_path):
@@ -246,3 +249,22 @@ def test_extract_job_interleave_gate(spark, tmp_path):
     assert s["n_docs"] == 1 and s["n_gate_dropped"] == 1
     ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert ids == {"ok"}
+
+
+def test_pack_slots_validated_before_any_work(spark, tmp_path):
+    """Flag misuse fails at argparse time (exit 2), before extraction
+    touches the input — not after an hours-long run."""
+    import pytest
+
+    with pytest.raises(SystemExit) as e:
+        _run_main(
+            ["extract.py", "--input", "/nonexistent", "--output", "/tmp/x",
+             "--run-id", "v", "--pack-slots", "2"]
+        )
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e2:
+        _run_main(
+            ["extract.py", "--input", "/nonexistent", "--output", "/tmp/x",
+             "--run-id", "v", "--emit-chunks", "/tmp/c", "--pack-slots", "0"]
+        )
+    assert e2.value.code == 2

@@ -884,3 +884,61 @@ def test_render_fingerprint_plans(spark, nested):
     plan = plan_str(template_stats(nested), "simple")
     assert plan.count("Exchange") == 1, plan
     assert "partial_count" in plan_str(template_stats(nested), "formatted")
+
+
+def test_render_token_with_backslash_and_quote(spark):
+    """media_token/sep go in as F.lit columns, never SQL text: a
+    backslash must survive verbatim (Spark SQL literals would
+    escape it)."""
+    from ocr_spark.functions.interleave import render_interleaved
+
+    rows = [_doc("a", [("text", "x", "", 0), ("picture", "", "i", 1)])]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = render_interleaved(
+        df, media_token=r"<\img'>", sep=r"\n'"
+    ).collect()[0]
+    assert got.rendered_text == "x" + r"\n'" + r"<\img'>"
+
+
+def test_structure_fingerprint_kind_tiebreak(spark):
+    """Spans tied on (offset, modality, text, media_ref) but differing
+    in kind: the kind tie-break pins the fingerprint regardless of
+    array order (and both engines agree)."""
+    import pandas as pd
+
+    from ocr_spark.functions.interleave import (
+        structure_fingerprint,
+        structure_fingerprint_sql,
+    )
+
+    spans_ab = [("picture", "", "ref", 0), ("figure", "", "ref", 0)]
+    rows = [_doc("fwd", spans_ab), _doc("rev", list(reversed(spans_ab)))]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = {r.doc_id: r.fingerprint for r in structure_fingerprint(df).collect()}
+    assert got["fwd"] == got["rev"]  # array order untrusted, pinned by kind
+    flat = [(d, s[0], s[1], s[2], s[3]) for d, spans in rows for s in spans]
+    pdf = pd.DataFrame(
+        flat, columns=["doc_id", "kind", "text", "media_ref", "offset"]
+    )
+    c = duckdb.connect()
+    c.register("tie", pdf)
+    odf = c.execute(structure_fingerprint_sql(
+        'SELECT doc_id, kind, text, media_ref, "offset" FROM tie'
+    )).df()
+    want = dict(zip(odf.doc_id, odf.fingerprint))
+    assert want == got
+
+
+def test_total_order_null_offset_vs_int32_min(spark):
+    """NULL offset sorts STRICTLY before a genuine int32-min offset
+    (explicit NULL branch, not a sentinel) — matching
+    chunk_interleaved's NULLS FIRST in both engines."""
+    from ocr_spark.functions.interleave import render_interleaved
+
+    rows = [_doc("d", [
+        ("text", "minval", "", -2147483648),
+        ("picture", "", "img", None),  # NULL offset: must come first
+    ])]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = render_interleaved(df).collect()[0]
+    assert got.rendered_text == "<|image|>\nminval"

@@ -250,3 +250,16 @@ def test_pack_interleaved_plan_one_shuffle(spark):
     # window reuses its partitioning), no joins
     assert plan.count("Exchange") == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_pack_interleaved_knob_validation(spark):
+    from ocr_spark.functions.packing import (
+        pack_interleaved,
+        pack_interleaved_sql,
+    )
+
+    df, _ = _ichunks_df(spark)
+    with pytest.raises(ValueError, match="slots"):
+        pack_interleaved(df, slots=0)
+    with pytest.raises(ValueError, match="slots"):
+        pack_interleaved_sql("SELECT 1", slots=-1)
