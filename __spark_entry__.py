@@ -821,6 +821,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jaccard_pairs": lambda s, d: mda.media_jaccard_pairs(
             _span_docs(s, d), tau=0.5, key_sql=_MEDIA_KEY
         ),
+        # gallery re-post GROUPS: connected components over the
+        # media-pair graph (min-id rep, shared CC machinery)
+        "media_dup_clusters": lambda s, d: mda.media_dup_clusters(
+            _span_docs(s, d), tau=0.5, key_sql=_MEDIA_KEY
+        ),
+        # template-mass cap: at most K docs per structural template,
+        # everything else untouched (id set compared; the nested rows
+        # themselves are the semi-join of the input)
+        "template_sample": lambda s, d: ilv.template_sample(
+            _span_docs(s, d), max_per_template=3, min_docs=2
+        )
+        .select("doc_id")
+        .distinct(),
         # figure<->caption attachment: nearest caption by offset
         # (ties forward), zero-shuffle scan-stage folds. Caption-less
         # media keeps NULL columns in the operator; the contract
@@ -1670,6 +1683,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_jaccard_pairs": mda.media_jaccard_pairs_sql(
             synth_spans_sql(), tau=0.5, key_sql=_MEDIA_KEY
+        ),
+        "media_dup_clusters": mda.media_dup_clusters_sql(
+            synth_spans_sql(), tau=0.5, key_sql=_MEDIA_KEY
+        ),
+        "template_sample": ilv.template_sample_sql(
+            synth_spans_sql(), max_per_template=3, min_docs=2
         ),
         "caption_pairs": (
             "SELECT doc_id, media_ref, media_offset, "

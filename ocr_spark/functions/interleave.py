@@ -1172,3 +1172,98 @@ def template_stats_sql(
       FROM fp WHERE fingerprint IS NOT NULL
       GROUP BY fingerprint
     """
+
+
+# Deterministic per-template sampling salt — rotate to draw a
+# different sample (the curriculum_order convention).
+_TSAMPLE_SALT = "tsample:v1|"
+
+MAX_PER_TEMPLATE = 100
+
+
+def template_sample(
+    docs: DataFrame,
+    max_per_template: int = MAX_PER_TEMPLATE,
+    min_docs: int = MIN_TEMPLATE_DOCS,
+    min_spans: int = MIN_TEMPLATE_SPANS,
+) -> DataFrame:
+    """Cap each structural template's mass: documents whose
+    fingerprint is a template (>= ``min_docs`` docs, >= ``min_spans``
+    spans) keep at most ``max_per_template`` members; everything else
+    passes untouched. The actionable counterpart of
+    :func:`template_stats` — a template farm's million near-identical
+    listing pages collapse to a bounded sample instead of dominating
+    the corpus, WITHOUT deleting the template outright (its content
+    varies; some of it is signal). Schema-preserving, so it composes
+    with ``interleave_gate`` / ``span_integrity`` in a curation
+    funnel.
+
+    Which members survive is deterministic and unbiased: rank by the
+    salted 60-bit md5 of doc_id (rotate ``_TSAMPLE_SALT`` for a fresh
+    draw), doc_id as tie-break. NULL-fingerprint docs (NULL spans
+    array) pass untouched — no structure, nothing to cap.
+
+    Scale shape: the keep-set is decided over the (doc_id,
+    fingerprint, n_spans) projection — one fingerprint-window shuffle
+    of ~50 B rows, never the span payload — then applied as a
+    left-semi join docs never re-shuffle for. The md5 fingerprint
+    bounds key width regardless of document size.
+    """
+    if max_per_template < 1:
+        raise ValueError("max_per_template must be >= 1")
+    from pyspark.sql import Window
+
+    from ocr_spark.functions.hashing import md5_long
+
+    fp = structure_fingerprint(docs)
+    w = Window.partitionBy("fingerprint")
+    rank = F.row_number().over(
+        w.orderBy(
+            md5_long(
+                F.concat(F.lit(_TSAMPLE_SALT), F.col("doc_id").cast("string"))
+            ),
+            "doc_id",
+        )
+    )
+    n_docs = F.count("*").over(w)
+    keep_ids = (
+        fp.where(F.col("fingerprint").isNotNull())
+        .select("doc_id", "n_spans", rank.alias("_r"), n_docs.alias("_n"))
+        .where(
+            (F.col("_n") < min_docs)
+            | (F.col("n_spans") < min_spans)
+            | (F.col("_r") <= max_per_template)
+        )
+        .select("doc_id")
+    )
+    passthrough = docs.where(F.col("spans").isNull())
+    return docs.join(keep_ids, "doc_id", "left_semi").unionByName(passthrough)
+
+
+def template_sample_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    max_per_template: int = MAX_PER_TEMPLATE,
+    min_docs: int = MIN_TEMPLATE_DOCS,
+    min_spans: int = MIN_TEMPLATE_SPANS,
+) -> str:
+    """DuckDB twin emitting the SURVIVING doc_id set (the flat model
+    cannot carry the nested rows; compare id sets — project the Spark
+    side to doc_id). Same salted-md5 rank, same thresholds."""
+    if max_per_template < 1:
+        raise ValueError("max_per_template must be >= 1")
+    from ocr_spark.functions.hashing import md5_long_sql
+
+    rank_key = md5_long_sql(f"'{_TSAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+      WITH fp AS ({structure_fingerprint_sql(spans_sql)})
+      SELECT doc_id FROM (
+        SELECT doc_id, n_spans,
+               row_number() OVER (
+                 PARTITION BY fingerprint ORDER BY {rank_key}, doc_id
+               ) AS r,
+               count(*) OVER (PARTITION BY fingerprint) AS n
+        FROM fp
+      )
+      WHERE n < {int(min_docs)} OR n_spans < {int(min_spans)}
+         OR r <= {int(max_per_template)}
+    """

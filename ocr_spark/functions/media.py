@@ -580,3 +580,59 @@ def media_jaccard_pairs_sql(
       JOIN counts cb ON shared.doc_b = cb.doc_id
       WHERE {j} >= {tau}
     """
+
+
+def media_dup_clusters(
+    docs: DataFrame,
+    tau: float = 0.5,
+    max_df: int | None = MAX_MEDIA_DF,
+    key_sql: str = "media_ref",
+    algorithm: str = "label-jump",
+) -> DataFrame:
+    """(doc_id, cluster_rep): connected components over the
+    media-set near-duplicate graph — gallery re-post GROUPS, the
+    media analog of ``dedup.dup_clusters``. A gallery re-posted
+    across N sites forms one cluster; keep the rep (min doc_id),
+    drop or downweight the rest.
+
+    Edges come from :func:`media_jaccard_pairs` (df-capped candidate
+    generation, exact Jaccard verify); components use the shared
+    ``dedup.connected_components`` machinery (min-label propagation
+    with pointer jumping, or large-star/small-star via
+    ``algorithm``). Only docs in >= 1 pair are emitted — singletons
+    are trivially their own cluster.
+    """
+    from ocr_spark.functions.dedup import connected_components
+
+    edges = media_jaccard_pairs(docs, tau, max_df, key_sql).select(
+        "doc_a", "doc_b"
+    )
+    labels, _ = connected_components(edges, algorithm)
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+def media_dup_clusters_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    tau: float = 0.5,
+    max_df: int | None = MAX_MEDIA_DF,
+    key_sql: str = "media_ref",
+) -> str:
+    """DuckDB twin: recursive-CTE reachability over the same pair
+    graph (the dup_clusters_sql shape) — min over VARCHAR doc ids is
+    binary-collation identical across engines."""
+    pairs = media_jaccard_pairs_sql(spans_sql, tau, max_df, key_sql)
+    return f"""
+      WITH RECURSIVE mpairs AS ({pairs}),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM mpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM mpairs
+      ),
+      verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM verts
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+      )
+      SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY doc_id
+    """

@@ -942,3 +942,60 @@ def test_total_order_null_offset_vs_int32_min(spark):
     df = spark.createDataFrame(rows, _NESTED_SCHEMA)
     got = render_interleaved(df).collect()[0]
     assert got.rendered_text == "<|image|>\nminval"
+
+
+def test_template_sample_semantics_and_oracle(spark, nested, con):
+    from ocr_spark.functions.interleave import (
+        template_sample,
+        template_sample_sql,
+    )
+
+    tmpl = [("text", None, "", 0), ("picture", "", "", 1),
+            ("caption", None, "", 2), ("text", None, "", 3)]
+
+    def inst(d, i):
+        return _doc(d, [(k, f"t{i}-{j}" if t is None else t,
+                         f"img-{i}" if k == "picture" else r, o)
+                        for j, (k, t, r, o) in enumerate(tmpl)])
+
+    rows = [inst(f"farm{i:03d}", i) for i in range(10)]        # one template
+    rows += [_doc("solo", [("text", "unique", "", 0), ("picture", "", "s", 1),
+                           ("text", "tail", "", 2), ("text", "end", "", 3)])]
+    rows += [("nullspans", None)]                               # passes through
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    out = template_sample(df, max_per_template=4, min_docs=5)
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert "solo" in kept and "nullspans" in kept
+    n_farm = sum(k.startswith("farm") for k in kept)
+    assert n_farm == 4                     # capped, deterministically
+    assert out.columns == df.columns       # schema-preserving
+    # determinism: same draw every run
+    kept2 = sorted(r.doc_id for r in template_sample(
+        df, max_per_template=4, min_docs=5).select("doc_id").collect())
+    assert kept == kept2
+    # cross-engine on the synth corpus (min_docs=2: structures repeat)
+    g = sorted(r.doc_id for r in template_sample(
+        nested, max_per_template=3, min_docs=2)
+        .select("doc_id").distinct().collect())
+    odf = con.execute(template_sample_sql(
+        synth_spans_sql(), max_per_template=3, min_docs=2)).df()
+    assert g == sorted(odf.doc_id)
+    assert 0 < len(g) < 500                # it genuinely caps something
+    with pytest.raises(ValueError, match="max_per_template"):
+        template_sample(df, max_per_template=0)
+
+
+def test_template_sample_plan_no_span_shuffle(spark, nested):
+    """The fingerprint window shuffles the tiny id projection; the
+    span payload reaches the output via the semi-join only."""
+    from ocr_spark.functions.interleave import template_sample
+
+    fmt = plan_str(template_sample(nested), "formatted")
+    import re
+
+    # every exchange must partition on fingerprint or doc_id (the
+    # semi-join), never carry spans as a shuffle payload column set
+    # that includes the window — heuristic: the window exchange's
+    # input schema must not mention 'spans'
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)", fmt):
+        assert m.group(1) in ("fingerprint", "doc_id"), fmt[:2000]

@@ -606,3 +606,36 @@ def test_media_jaccard_plan(spark, nested):
     assert "CartesianProduct" not in plan, plan
     fmt = plan_str(media_jaccard_pairs(nested), "formatted")
     assert "partial_count" in fmt
+
+
+def test_media_dup_clusters(spark, nested, con):
+    """Connected components over the media-pair graph: gallery
+    re-post groups, min-id rep, both engines agree."""
+    from ocr_spark.functions.media import (
+        media_dup_clusters,
+        media_dup_clusters_sql,
+    )
+
+    # hand corpus: {a,b,c} chained via shared refs, {x,y} separate
+    rows = [
+        _doc("a", [_m(0, "r1"), _m(1, "r2")]),
+        _doc("b", [_m(0, "r1"), _m(1, "r2"), _m(2, "r3")]),
+        _doc("c", [_m(0, "r2"), _m(1, "r3")]),
+        _doc("x", [_m(0, "q1"), _m(1, "q2")]),
+        _doc("y", [_m(0, "q1"), _m(1, "q2")]),
+        _doc("lone", [_m(0, "z")]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    got = {r.doc_id: r.cluster_rep
+           for r in media_dup_clusters(df, tau=0.5, max_df=None).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    # cross-engine on the synth corpus (span-index key: real overlap)
+    key = "regexp_extract(media_ref, '-([0-9]+)$', 1)"
+    cols = ["doc_id", "cluster_rep"]
+    g = sorted(map(tuple, media_dup_clusters(nested, key_sql=key)
+                .select(*cols).collect()))
+    odf = con.execute(
+        media_dup_clusters_sql(synth_spans_sql(), key_sql=key)
+    ).df()
+    assert g == sorted(map(tuple, odf[cols].itertuples(index=False, name=None)))
+    assert len(g) > 0
