@@ -162,6 +162,28 @@ _STRIP_LIST = ", ".join(f"'{k}'" for k in STRIPPED_KINDS)
 # regexp_extract signature and on '' for group-no-match.
 _MEDIA_KEY = "regexp_extract(media_ref, '-([0-9]+)$', 1)"
 
+# Ordinal media key (index div 17 = the picture's ordinal within its
+# doc, since synth pictures land every 17th span): identical-text docs
+# get identical ordinal SETS, so cross-modality conjunction queries
+# have real positives. Dialect pair: Spark int() returns NULL on '',
+# DuckDB needs TRY_CAST because its optimizer evaluates the projection
+# below the media filter (CAST('' AS INT) would error).
+_MEDIA_ORD_KEY = (
+    "CAST(int(regexp_extract(media_ref, '-([0-9]+)$', 1)) div 17 AS STRING)"
+)
+_MEDIA_ORD_KEY_DUCK = (
+    "CAST(TRY_CAST(regexp_extract(media_ref, '-([0-9]+)$', 1) AS INT) // 17 "
+    "AS VARCHAR)"
+)
+
+# One hot key over ~half the events + a uniform tail — the shape
+# key_skew_stats exists to flag. One string, both dialects (% and
+# CAST..STRING agree; DuckDB accepts STRING as a VARCHAR alias).
+_SKEW_KEY = (
+    "CASE WHEN user_id % 10 < 5 THEN 'hot' "
+    "ELSE CAST(user_id % 1000 AS STRING) END"
+)
+
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -797,6 +819,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_interleaved": lambda s, d: ilv.chunk_interleaved(
             _span_docs(s, d), max_tokens=64, media_token_cost=32
         ),
+        # span-conservation audit of the chunker: every span/token
+        # accounted for exactly once, unflagged over-budget chunks = 0
+        "chunk_integrity": lambda s, d: ilv.chunk_integrity(
+            _span_docs(s, d), max_tokens=64, media_token_cost=32
+        ),
         "strip_frequent_spans": lambda s, d: ilv.strip_frequent_spans(
             _span_docs(s, d)
         ),
@@ -825,6 +852,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # media-pair graph (min-id rep, shared CC machinery)
         "media_dup_clusters": lambda s, d: mda.media_dup_clusters(
             _span_docs(s, d), tau=0.5, key_sql=_MEDIA_KEY
+        ),
+        # conjunction near-dups: rendered-text LSH pairs AND media-set
+        # overlap. The ordinal key (index div 17) makes identical-text
+        # docs share asset sets in the synth corpus (refs embed the
+        # doc id, so any ref-level key is globally unique); max_df
+        # stays None here because ordinal keys are deliberately hot —
+        # production keys are real asset ids under the default cap
+        "multimodal_near_dups": lambda s, d: mda.multimodal_near_dups(
+            _span_docs(s, d),
+            tau_media=0.5,
+            max_df=None,
+            key_sql=_MEDIA_ORD_KEY,
         ),
         # template-mass cap: at most K docs per structural template,
         # everything else untouched (id set compared; the nested rows
@@ -1191,6 +1230,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "documents"),
             ["lang"],
             {"n_docs": ("count", "doc_id"), "total_chars": ("sum", "n_chars")},
+        ),
+        # skew census: top-k heaviest keys + uniform-mean multiple —
+        # the diagnostic that sizes salted_agg's n_salts (the key expr
+        # manufactures one hot key over half the events)
+        "key_skew_stats": lambda s, d: sk.key_skew_stats(
+            _read(s, d, "events"), _SKEW_KEY, top_k=15
         ),
         # --- multimodal plumbing (binary media + typed metadata)
         "media_table": lambda s, d: mm.synthesize_media(_read(s, d, "documents"))
@@ -1673,6 +1718,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_interleaved": ilv.chunk_interleaved_sql(
             synth_spans_sql(), max_tokens=64, media_token_cost=32
         ),
+        "chunk_integrity": ilv.chunk_integrity_sql(
+            synth_spans_sql(), max_tokens=64, media_token_cost=32
+        ),
         "strip_frequent_spans": ilv.strip_frequent_spans_sql(synth_spans_sql()),
         "render_interleaved": ilv.render_interleaved_sql(synth_spans_sql()),
         "structure_fingerprint": ilv.structure_fingerprint_sql(
@@ -1686,6 +1734,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_dup_clusters": mda.media_dup_clusters_sql(
             synth_spans_sql(), tau=0.5, key_sql=_MEDIA_KEY
+        ),
+        "multimodal_near_dups": mda.multimodal_near_dups_sql(
+            synth_spans_sql(),
+            tau_media=0.5,
+            max_df=None,
+            key_sql=_MEDIA_ORD_KEY_DUCK,
         ),
         "template_sample": ilv.template_sample_sql(
             synth_spans_sql(), max_per_template=3, min_docs=2
@@ -1863,6 +1917,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang"
         ),
+        "key_skew_stats": sk.key_skew_stats_sql("events", _SKEW_KEY, top_k=15),
         "media_table": (
             "SELECT media_ref, width, height FROM ("
             + mm.synthesize_media_sql()

@@ -692,6 +692,24 @@ def _ws_tok_sql(text_expr: str) -> str:
     )
 
 
+def _text_tok_fold():
+    """Scan-stage fold: total whitespace-token cost of a doc's TEXT
+    spans — the ONE text-cost definition ``interleaved_token_counts``
+    and ``chunk_integrity`` must share (an audit comparing two copies
+    of a cost formula audits nothing)."""
+    return F.expr(
+        "aggregate(coalesce(spans, array()), CAST(0 AS BIGINT), "
+        f"(acc, s) -> acc + CASE WHEN {_IS_MEDIA} THEN 0 "
+        f"ELSE {_ws_tok_expr('s.text')} END)"
+    )
+
+
+def _n_media_spans():
+    return F.expr(
+        f"size(filter(coalesce(spans, array()), s -> {_IS_MEDIA}))"
+    ).cast("int")
+
+
 def interleaved_token_counts(
     docs: DataFrame, media_token_cost: int = MEDIA_TOKEN_COST
 ) -> DataFrame:
@@ -710,14 +728,8 @@ def interleaved_token_counts(
     DuckDB twin has no rows for such a doc, like interleave_stats —
     the contract corpus contains none).
     """
-    toks = F.expr(
-        "aggregate(coalesce(spans, array()), CAST(0 AS BIGINT), "
-        f"(acc, s) -> acc + CASE WHEN {_IS_MEDIA} THEN 0 "
-        f"ELSE {_ws_tok_expr('s.text')} END)"
-    )
-    n_media = F.expr(
-        f"size(filter(coalesce(spans, array()), s -> {_IS_MEDIA}))"
-    ).cast("int")
+    toks = _text_tok_fold()
+    n_media = _n_media_spans()
     return docs.select(
         "doc_id",
         toks.alias("n_text_tokens"),
@@ -1266,4 +1278,157 @@ def template_sample_sql(
       )
       WHERE n < {int(min_docs)} OR n_spans < {int(min_spans)}
          OR r <= {int(max_per_template)}
+    """
+
+
+def chunk_integrity(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    media_token_cost: int = MEDIA_TOKEN_COST,
+    chunks: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_spans_in, n_spans_chunked, n_media_in,
+    n_media_chunked, n_tokens_in, n_tokens_chunked, n_chunks,
+    n_overflow, n_over_budget, ok): the span-CONSERVATION audit of the
+    chunking stage — per document, does :func:`chunk_interleaved`
+    account for every span and every token exactly once? The chunk
+    analog of :func:`span_integrity` (ingest) and
+    ``audit.corpus_checksum`` (commit): run it before a chunk sidecar
+    becomes training input, because a chunker that drops or
+    double-counts spans corrupts silently and at 10^12 documents
+    nobody eyeballs the windows.
+
+    Checks, all per doc_id:
+    - span conservation: sum of chunk ``n_spans`` == size of the input
+      span array (NULL array counts 0; a chunkless doc is OK iff it
+      had nothing to chunk);
+    - media conservation: sum of chunk ``n_media_spans`` == the input
+      media-span count (an image lost at a window boundary is the
+      worst silent failure — text loss shows up in loss curves, a
+      dropped image desyncs every later placeholder);
+    - token conservation: sum of chunk ``n_tokens`` == the doc's
+      :func:`interleaved_token_counts` budget (costs shared via ONE
+      fold definition, so this pins the chunker's cumsum, not a
+      formula copy);
+    - budget discipline: ``n_over_budget`` counts chunks exceeding
+      ``max_tokens`` WITHOUT the overflow flag — must be 0 (only a
+      straddling giant span may overrun, and it must be flagged).
+
+    ``ok`` is the conjunction. Pass ``chunks`` to audit a
+    MATERIALIZED chunk sidecar (the real deployment shape: the job
+    writes chunks with ``--emit-chunks``, the audit re-reads the
+    written files against the source table — the
+    ``RunConfig.verify_output`` discipline, which is the only way to
+    catch corruption introduced BETWEEN chunking and commit); omit it
+    and the chunker runs fresh at the given knobs, auditing the
+    operator itself.
+
+    Scale shape: the input side is the zero-shuffle scan fold; the
+    in-memory chunk side reuses the chunker's single doc_id Exchange
+    for BOTH aggregations (subset rule); the final equi-join moves
+    one ~60-byte row per document.
+    """
+    toks = _text_tok_fold()
+    n_media = _n_media_spans()
+    inp = docs.select(
+        "doc_id",
+        F.expr("size(coalesce(spans, array()))").cast("int").alias(
+            "n_spans_in"
+        ),
+        n_media.alias("n_media_in"),
+        (toks + n_media.cast("bigint") * F.lit(media_token_cost)).alias(
+            "n_tokens_in"
+        ),
+    )
+    over_budget = (
+        (F.col("n_tokens") > F.lit(max_tokens)) & ~F.col("overflow")
+    ).cast("int")
+    if chunks is None:
+        chunks = chunk_interleaved(docs, max_tokens, media_token_cost)
+    ch = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum("n_spans").cast("int").alias("n_spans_chunked"),
+            F.sum("n_media_spans").cast("int").alias("n_media_chunked"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_chunked"),
+            F.sum(F.col("overflow").cast("int")).cast("int").alias(
+                "n_overflow"
+            ),
+            F.sum(over_budget).cast("int").alias("n_over_budget"),
+        )
+    )
+    j = inp.join(ch, "doc_id", "left")
+    z = lambda c, t="int": F.coalesce(F.col(c), F.lit(0).cast(t)).alias(c)  # noqa: E731
+    ok = (
+        (F.col("n_spans_in") == F.col("n_spans_chunked"))
+        & (F.col("n_media_in") == F.col("n_media_chunked"))
+        & (F.col("n_tokens_in") == F.col("n_tokens_chunked"))
+        & (F.col("n_over_budget") == 0)
+    )
+    return (
+        j.select(
+            "doc_id",
+            "n_spans_in",
+            z("n_spans_chunked"),
+            "n_media_in",
+            z("n_media_chunked"),
+            "n_tokens_in",
+            z("n_tokens_chunked", "bigint"),
+            z("n_chunks"),
+            z("n_overflow"),
+            z("n_over_budget"),
+        )
+        .withColumn("ok", ok)
+    )
+
+
+def chunk_integrity_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    max_tokens: int = 2048,
+    media_token_cost: int = MEDIA_TOKEN_COST,
+) -> str:
+    """DuckDB twin composed from the token-count and chunker twins —
+    the same two stages the Spark side compares, so a cross-engine
+    match pins both the conservation ARITHMETIC and the coalesce
+    semantics. A flat source cannot carry a chunkless (empty-array)
+    document; that branch is Spark-side-only (unit-tested)."""
+    tok = interleaved_token_counts_sql(spans_sql, media_token_cost)
+    ch = chunk_interleaved_sql(spans_sql, max_tokens, media_token_cost)
+    return f"""
+      WITH tok AS ({tok}),
+      cnt AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_spans_in
+        FROM ({spans_sql}) GROUP BY doc_id
+      ),
+      ch AS ({ch}),
+      chd AS (
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_chunks,
+               CAST(sum(n_spans) AS INT) AS n_spans_chunked,
+               CAST(sum(n_media_spans) AS INT) AS n_media_chunked,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens_chunked,
+               CAST(sum(CASE WHEN overflow THEN 1 ELSE 0 END) AS INT)
+                 AS n_overflow,
+               CAST(sum(CASE WHEN n_tokens > {int(max_tokens)}
+                             AND NOT overflow THEN 1 ELSE 0 END) AS INT)
+                 AS n_over_budget
+        FROM ch GROUP BY doc_id
+      )
+      SELECT cnt.doc_id, cnt.n_spans_in,
+             coalesce(chd.n_spans_chunked, 0) AS n_spans_chunked,
+             tok.n_media_spans AS n_media_in,
+             coalesce(chd.n_media_chunked, 0) AS n_media_chunked,
+             tok.n_tokens AS n_tokens_in,
+             coalesce(chd.n_tokens_chunked, 0) AS n_tokens_chunked,
+             coalesce(chd.n_chunks, 0) AS n_chunks,
+             coalesce(chd.n_overflow, 0) AS n_overflow,
+             coalesce(chd.n_over_budget, 0) AS n_over_budget,
+             cnt.n_spans_in = coalesce(chd.n_spans_chunked, 0)
+               AND tok.n_media_spans = coalesce(chd.n_media_chunked, 0)
+               AND tok.n_tokens = coalesce(chd.n_tokens_chunked, 0)
+               AND coalesce(chd.n_over_budget, 0) = 0 AS ok
+      FROM cnt
+      JOIN tok USING (doc_id)
+      LEFT JOIN chd USING (doc_id)
     """

@@ -636,3 +636,82 @@ def media_dup_clusters_sql(
       )
       SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY doc_id
     """
+
+
+def multimodal_near_dups(
+    docs: DataFrame,
+    tau_text: float = 0.2,
+    tau_media: float = 0.5,
+    w: int | None = None,
+    max_bucket: int | None = None,
+    max_df: int | None = MAX_MEDIA_DF,
+    key_sql: str = "media_ref",
+) -> DataFrame:
+    """(doc_a, doc_b, text_jaccard, media_jaccard): pairs that are
+    near-duplicates in BOTH modalities — the rendered interleaved text
+    is shingle-near-dup (>= ``tau_text``) AND the media-asset sets
+    overlap (>= ``tau_media``). This is the re-post detector for
+    interleaved documents: an article copied with its gallery. Either
+    signal alone over-fires on this corpus shape — text Jaccard
+    matches syndicated prose with fresh images, media Jaccard matches
+    stock-asset reuse under unrelated text; the conjunction is the
+    high-precision dedup edge set for a multimodal corpus.
+
+    Composition, not new machinery: the text side renders the span
+    sequence once (:func:`interleave.render_interleaved`, zero
+    shuffle) and feeds the production text path
+    (``dedup.lsh_verified_pairs`` — minhash-LSH proposes, exact
+    Jaccard disposes); the media side is :func:`media_jaccard_pairs`
+    (df-capped key equi-join). Both emit ``doc_a < doc_b`` on the
+    id's natural order, so the final step is ONE equi-join on the
+    pair key — candidate-scale rows, never document-scale.
+    """
+    from ocr_spark.functions.dedup import SHINGLE_W, lsh_verified_pairs
+    from ocr_spark.functions.interleave import render_interleaved
+
+    if w is None:
+        w = SHINGLE_W
+    rendered = render_interleaved(docs).select(
+        "doc_id", F.col("rendered_text").alias("text")
+    )
+    tp = lsh_verified_pairs(
+        rendered, w=w, tau=tau_text, max_bucket=max_bucket
+    ).select("doc_a", "doc_b", F.col("jaccard").alias("text_jaccard"))
+    mp = media_jaccard_pairs(docs, tau_media, max_df, key_sql).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("media_jaccard")
+    )
+    return tp.join(mp, ["doc_a", "doc_b"])
+
+
+def multimodal_near_dups_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    tau_text: float = 0.2,
+    tau_media: float = 0.5,
+    w: int | None = None,
+    max_bucket: int | None = None,
+    max_df: int | None = MAX_MEDIA_DF,
+    key_sql: str = "media_ref",
+) -> str:
+    """DuckDB twin: the rendered-text twin feeds the verified-LSH twin
+    as a subquery table (string ids pass through, no BIGINT cast),
+    joined with the media-pair twin on the pair key."""
+    from ocr_spark.functions.dedup import SHINGLE_W, lsh_verified_pairs_sql
+    from ocr_spark.functions.interleave import render_interleaved_sql
+
+    if w is None:
+        w = SHINGLE_W
+    rendered = (
+        f"(SELECT doc_id, rendered_text AS text FROM "
+        f"({render_interleaved_sql(spans_sql)}))"
+    )
+    tp = lsh_verified_pairs_sql(
+        rendered, w=w, tau=tau_text, max_bucket=max_bucket, id_sql="doc_id"
+    )
+    mp = media_jaccard_pairs_sql(spans_sql, tau_media, max_df, key_sql)
+    return f"""
+      WITH tp AS ({tp}), mp AS ({mp})
+      SELECT tp.doc_a, tp.doc_b,
+             tp.jaccard AS text_jaccard,
+             mp.jaccard AS media_jaccard
+      FROM tp JOIN mp USING (doc_a, doc_b)
+    """

@@ -111,3 +111,85 @@ def salted_avg(
         df, keys, {"_s": ("sum", col), "_n": ("count", col)}, n_salts
     )
     return out.select(*keys, (F.col("_s") / F.col("_n")).alias(f"avg_{col}"))
+
+
+def key_skew_stats(
+    df: DataFrame, key_sql: str, top_k: int = 20
+) -> DataFrame:
+    """(key, n_rows, share_ppm, hot_x1000, rank): the ``top_k``
+    heaviest grouping keys under ``key_sql`` — the diagnostic to run
+    BEFORE sizing a shuffle: ``hot_x1000`` is the key's multiple of
+    the uniform per-key mean (x1000 fixed-point), i.e. how many
+    reducers' worth of rows land on one reducer if you group by this
+    key raw. Read it as the prescription: hot_x1000 ~ 40_000 means
+    the key carries 40x its fair share — ``salted_agg`` with
+    ``n_salts >= 40`` (or an AQE skew-join) flattens it back to mean.
+    ``share_ppm`` is the key's fraction of ALL rows (parts per
+    million), the "one key is 30% of the corpus" red flag.
+
+    Scale shape: one partial-agg groupBy on the key (the same shuffle
+    the diagnosed query would pay, but carrying counts only), a
+    distributed TakeOrdered for the top-k (``orderBy().limit()`` —
+    the driver sees ``top_k`` rows, never the key census), and the
+    corpus totals broadcast from a 1-row aggregate. Deterministic:
+    ties order by key ascending NULLS LAST, so the cut at ``top_k``
+    is stable across runs and engines. Integer fixed-point
+    (non-negative ``div``) keeps both engines bit-equal.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    from pyspark.sql import Window
+
+    agg = (
+        df.selectExpr(f"({key_sql}) AS key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    totals = agg.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n_keys"),
+    )
+    top = agg.orderBy(
+        F.col("n_rows").desc(), F.col("key").asc_nulls_last()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last())
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("n_rows * 1000000L div _total").alias("share_ppm"),
+            F.expr("n_rows * _n_keys * 1000L div _total").alias("hot_x1000"),
+            F.row_number().over(w).alias("rank"),
+        )
+    )
+
+
+def key_skew_stats_sql(
+    table: str, key_sql: str, top_k: int = 20
+) -> str:
+    """DuckDB twin — same census, same fixed-point arithmetic
+    (``//`` floors, Spark ``div`` truncates; equal on these
+    non-negative counts), same (n_rows DESC, key ASC NULLS LAST)
+    total order deciding both the top-k cut and ``rank``."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    return f"""
+      WITH agg AS (
+        SELECT ({key_sql}) AS key, CAST(count(*) AS BIGINT) AS n_rows
+        FROM {table} GROUP BY 1
+      ),
+      tot AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM agg
+      )
+      SELECT key, n_rows,
+             n_rows * 1000000 // total AS share_ppm,
+             n_rows * n_keys * 1000 // total AS hot_x1000,
+             CAST(row_number() OVER (
+               ORDER BY n_rows DESC, key ASC NULLS LAST) AS INT) AS rank
+      FROM agg, tot
+      ORDER BY n_rows DESC, key ASC NULLS LAST
+      LIMIT {int(top_k)}
+    """

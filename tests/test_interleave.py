@@ -999,3 +999,103 @@ def test_template_sample_plan_no_span_shuffle(spark, nested):
     # input schema must not mention 'spans'
     for m in re.finditer(r"Exchange hashpartitioning\((\w+)", fmt):
         assert m.group(1) in ("fingerprint", "doc_id"), fmt[:2000]
+
+
+def test_chunk_integrity_semantics(spark):
+    from ocr_spark.functions.interleave import chunk_integrity
+
+    rows = [
+        # multi-chunk doc: 3 text spans of 4 tokens + 1 media (cost 8)
+        _doc("multi", [("text", "a b c d", "", 0),
+                       ("picture", "", "img-0", 1),
+                       ("text", "e f g h", "", 2),
+                       ("text", "i j k l", "", 3)]),
+        # giant span: single text span costing > budget -> overflow,
+        # still fully conserved
+        _doc("giant", [("text", " ".join(f"w{i}" for i in range(40)),
+                        "", 0)]),
+        ("empty", []),
+        ("nullspans", None),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    out = {r.doc_id: r for r in chunk_integrity(
+        df, max_tokens=8, media_token_cost=8).collect()}
+    assert set(out) == {"multi", "giant", "empty", "nullspans"}
+    assert all(r.ok for r in out.values()), out
+    m = out["multi"]
+    assert (m.n_spans_in, m.n_spans_chunked) == (4, 4)
+    assert (m.n_media_in, m.n_media_chunked) == (1, 1)
+    assert m.n_tokens_in == m.n_tokens_chunked == 20
+    assert m.n_chunks >= 2 and m.n_over_budget == 0
+    g = out["giant"]
+    assert g.n_overflow >= 1 and g.n_tokens_in == 40 and g.ok
+    for d in ("empty", "nullspans"):
+        r = out[d]
+        assert (r.n_spans_in, r.n_chunks, r.n_tokens_in) == (0, 0, 0)
+        assert r.ok
+
+
+def test_chunk_integrity_catches_corruption(spark):
+    """The audit is falsifiable: feed it a TAMPERED materialized
+    chunk sidecar (the chunks= deployment shape) and each corruption
+    class flips exactly the right doc to not-ok."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.interleave import (
+        chunk_integrity,
+        chunk_interleaved,
+    )
+
+    rows = [
+        _doc("lost", [("text", "a b c d", "", 0),
+                      ("text", "e f g h", "", 1),
+                      ("text", "i j k l", "", 2)]),
+        _doc("inflated", [("text", "m n o p", "", 0),
+                          ("picture", "", "img-0", 1)]),
+        _doc("clean", [("text", "q r s t", "", 0)]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    good = chunk_interleaved(df, max_tokens=4, media_token_cost=4)
+    # drop one of `lost`'s chunks; double-count `inflated`'s tokens
+    tampered = good.where(
+        ~((F.col("doc_id") == "lost") & (F.col("chunk_id") == 0))
+    ).withColumn(
+        "n_tokens",
+        F.when(F.col("doc_id") == "inflated",
+               F.col("n_tokens") * 2).otherwise(F.col("n_tokens")),
+    )
+    out = {r.doc_id: r.ok for r in chunk_integrity(
+        df, max_tokens=4, media_token_cost=4, chunks=tampered).collect()}
+    assert out == {"lost": False, "inflated": False, "clean": True}
+    # and the untampered sidecar audits clean
+    ok = chunk_integrity(df, max_tokens=4, media_token_cost=4,
+                         chunks=good)
+    assert ok.where("NOT ok").count() == 0
+
+
+def test_chunk_integrity_oracle(spark, nested, con):
+    from ocr_spark.functions.interleave import (
+        chunk_integrity,
+        chunk_integrity_sql,
+    )
+
+    sdf = chunk_integrity(nested, max_tokens=64, media_token_cost=32)
+    g = sorted(map(tuple, sdf.collect()))
+    odf = con.execute(chunk_integrity_sql(
+        synth_spans_sql(), max_tokens=64, media_token_cost=32)).df()
+    o = sorted(map(tuple, odf[sdf.columns].itertuples(index=False,
+                                                      name=None)))
+    o = [tuple(v.item() if hasattr(v, "item") else v for v in r) for r in o]
+    assert g == o
+    assert len(g) == 500 and all(r[-1] for r in g)  # every doc ok
+
+
+def test_chunk_integrity_plan(spark, nested):
+    """Input side is a scan fold; the chunk side reuses the chunker's
+    one doc_id Exchange for both aggregations; the final join adds at
+    most one more exchange per side — no nested loops."""
+    from ocr_spark.functions.interleave import chunk_integrity
+
+    fmt = plan_str(chunk_integrity(nested), "formatted")
+    assert "CartesianProduct" not in fmt and "NestedLoop" not in fmt
+    assert fmt.count("Exchange") <= 4, fmt[:3000]

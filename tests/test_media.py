@@ -639,3 +639,63 @@ def test_media_dup_clusters(spark, nested, con):
     ).df()
     assert g == sorted(map(tuple, odf[cols].itertuples(index=False, name=None)))
     assert len(g) > 0
+
+
+def test_multimodal_near_dups(spark, nested, con):
+    """Conjunction semantics: a pair must be BOTH rendered-text
+    near-dup AND media-set near-dup; either signal alone is excluded."""
+    from ocr_spark.functions.media import (
+        multimodal_near_dups,
+        multimodal_near_dups_sql,
+    )
+
+    words = ("the quick brown fox jumps over the lazy dog again and "
+             "again until the corpus has enough shingles to verify").split()
+
+    def prose(i, tail=""):
+        return " ".join(words) + tail
+
+    # both modalities: identical prose, same gallery -> kept
+    a = _doc("a", [("text", prose(0), "", 0), _m(1, "g1"), _m(2, "g2")])
+    b = _doc("b", [("text", prose(0), "", 0), _m(1, "g1"), _m(2, "g2")])
+    # text-only dup: same prose, disjoint galleries -> excluded
+    c = _doc("c", [("text", prose(0), "", 0), _m(1, "x1"), _m(2, "x2")])
+    # media-only dup: same gallery as a/b, unrelated prose -> excluded
+    d = _doc("d", [("text", "completely different words in every "
+                            "position of this unrelated document body",
+                    "", 0), _m(1, "g1"), _m(2, "g2")])
+    df = spark.createDataFrame([a, b, c, d], _NESTED_SCHEMA)
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in multimodal_near_dups(df, tau_text=0.5, tau_media=0.5,
+                                      max_df=None).collect()
+    )
+    # c is a text-dup of BOTH a and b but shares no assets; d shares
+    # the gallery with a and b but no prose. Only (a, b) is both.
+    assert got == [("a", "b")]
+    # cross-engine on the synth corpus (ordinal key: identical-text
+    # docs share asset ordinals; TRY_CAST because DuckDB evaluates
+    # the projection below the media filter)
+    skey = ("CAST(int(regexp_extract(media_ref, '-([0-9]+)$', 1)) "
+            "div 17 AS STRING)")
+    dkey = ("CAST(TRY_CAST(regexp_extract(media_ref, '-([0-9]+)$', 1) "
+            "AS INT) // 17 AS VARCHAR)")
+    sdf = multimodal_near_dups(nested, tau_media=0.5, max_df=None,
+                               key_sql=skey)
+    g = sorted(map(tuple, sdf.collect()))
+    odf = con.execute(multimodal_near_dups_sql(
+        synth_spans_sql(), tau_media=0.5, max_df=None, key_sql=dkey)).df()
+    assert g == sorted(map(tuple,
+                           odf[sdf.columns].itertuples(index=False,
+                                                       name=None)))
+    assert len(g) > 0  # the conjunction has real positives
+
+
+def test_multimodal_near_dups_plan(spark, nested):
+    """Composition stays candidate-driven: no nested-loop or
+    cartesian join anywhere in the combined plan."""
+    from ocr_spark.functions.media import multimodal_near_dups
+
+    plan = plan_str(multimodal_near_dups(nested))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
