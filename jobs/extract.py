@@ -130,6 +130,17 @@ def main() -> None:
         "--chunk-tokens; overflow chunks isolated one-per-pack)",
     )
     ap.add_argument(
+        "--verify-chunks",
+        action="store_true",
+        help="with --emit-chunks: after the chunk sidecar is written, "
+        "re-read it and audit span/media/token conservation per "
+        "document against the input span table (chunk_integrity). "
+        "Fails the job if any document is unaccounted for — the chunk "
+        "analog of --lineage-checksums, catching corruption between "
+        "chunking and commit. Runs after packing so a failure still "
+        "reports the full sidecar accounting",
+    )
+    ap.add_argument(
         "--integrity-gate",
         default=None,
         metavar="DIR",
@@ -152,6 +163,8 @@ def main() -> None:
             ap.error("--pack-slots requires --emit-chunks")
         if args.pack_slots < 1:
             ap.error("--pack-slots must be >= 1")
+    if args.verify_chunks and not args.emit_chunks:
+        ap.error("--verify-chunks requires --emit-chunks")
 
     from ocr_spark.pipeline.runner import ExtractionRun, RunConfig
     from ocr_spark.pipeline.session import get_spark
@@ -270,6 +283,33 @@ def main() -> None:
                 spark.read.parquet(out), slots=args.pack_slots
             ).write.mode("overwrite").parquet(packs_out)
             summary["n_pack_rows"] = spark.read.parquet(packs_out).count()
+        if args.verify_chunks:
+            from ocr_spark.functions.interleave import chunk_integrity
+
+            # audit the WRITTEN sidecar (not the in-memory frame):
+            # this is the read path training will use, so it also
+            # covers parquet round-trip corruption
+            bad_docs = (
+                chunk_integrity(
+                    docs,
+                    max_tokens=args.chunk_tokens,
+                    media_token_cost=(
+                        MEDIA_TOKEN_COST
+                        if args.media_token_cost is None
+                        else args.media_token_cost
+                    ),
+                    chunks=spark.read.parquet(out),
+                )
+                .where("NOT ok")
+                .count()
+            )
+            summary["chunk_integrity_bad_docs"] = bad_docs
+            if bad_docs:
+                print(json.dumps(summary))
+                raise SystemExit(
+                    f"chunk integrity audit FAILED for {bad_docs} "
+                    "document(s)"
+                )
     # the byte-audit runs LAST so a failure still prints the full
     # accounting (same summary schema on success and failure)
     if args.lineage_checksums:

@@ -268,3 +268,42 @@ def test_pack_slots_validated_before_any_work(spark, tmp_path):
              "--run-id", "v", "--emit-chunks", "/tmp/c", "--pack-slots", "0"]
         )
     assert e2.value.code == 2
+
+
+def test_extract_job_verify_chunks(spark, tmp_path):
+    """--verify-chunks audits the WRITTEN chunk sidecar against the
+    input span table (happy path: zero bad docs, key in the summary);
+    the flag without --emit-chunks is rejected at argparse time. The
+    failure path (a sidecar that does not conserve spans) cannot be
+    reached through the CLI — the job always writes fresh chunks
+    immediately before auditing — and is falsification-tested at the
+    operator level (test_chunk_integrity_catches_corruption)."""
+    import pytest
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chunks_dir = str(tmp_path / "chunks")
+    rows = [
+        ("d1", [("text", "a b c d e", "", 0), ("picture", "", "img", 1)]),
+        ("d2", [("text", "one two", "", 0)]),
+    ]
+    spark.createDataFrame(rows, _NESTED_SCHEMA).write.parquet(inp)
+    s = _run_main(
+        [
+            "extract.py",
+            "--input", inp, "--output", out,
+            "--run-id", "vc", "--buckets", "2",
+            "--emit-chunks", chunks_dir,
+            "--chunk-tokens", "4", "--media-token-cost", "3",
+            "--verify-chunks",
+        ]
+    )
+    assert s["chunk_integrity_bad_docs"] == 0
+    assert s["n_chunks"] > 0
+    with pytest.raises(SystemExit) as e:
+        _run_main(
+            ["extract.py", "--input", inp,
+             "--output", str(tmp_path / "o2"), "--run-id", "vc2",
+             "--buckets", "1", "--verify-chunks"]
+        )
+    assert e.value.code == 2
