@@ -824,6 +824,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_integrity": lambda s, d: ilv.chunk_integrity(
             _span_docs(s, d), max_tokens=64, media_token_cost=32
         ),
+        # each training WINDOW as its tokenizer-ready string (the
+        # chunker's cut applied to the rendering; shared assignment
+        # skeleton, so membership cannot drift)
+        "render_chunks": lambda s, d: ilv.render_chunks(
+            _span_docs(s, d), max_tokens=64, media_token_cost=32
+        ),
+        # window-level exact dedup: repeated chunks across the corpus
+        # (boilerplate windows inside otherwise-unique docs)
+        "chunk_dedup": lambda s, d: ded.exact_dedup(
+            ilv.render_chunks(
+                _span_docs(s, d), max_tokens=64, media_token_cost=32
+            ).selectExpr(
+                "concat(doc_id, '#', chunk_id) AS doc_id",
+                "rendered_text AS text",
+            )
+        ),
         "strip_frequent_spans": lambda s, d: ilv.strip_frequent_spans(
             _span_docs(s, d)
         ),
@@ -1720,6 +1736,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_integrity": ilv.chunk_integrity_sql(
             synth_spans_sql(), max_tokens=64, media_token_cost=32
+        ),
+        "render_chunks": ilv.render_chunks_sql(
+            synth_spans_sql(), max_tokens=64, media_token_cost=32
+        ),
+        "chunk_dedup": ded.exact_dedup_sql(
+            "(SELECT doc_id || '#' || CAST(chunk_id AS VARCHAR) AS doc_id, "
+            "rendered_text AS text FROM ("
+            + ilv.render_chunks_sql(
+                synth_spans_sql(), max_tokens=64, media_token_cost=32
+            )
+            + "))",
+            id_sql="doc_id",
         ),
         "strip_frequent_spans": ilv.strip_frequent_spans_sql(synth_spans_sql()),
         "render_interleaved": ilv.render_interleaved_sql(synth_spans_sql()),

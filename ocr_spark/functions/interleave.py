@@ -762,6 +762,58 @@ def interleaved_token_counts_sql(
     """
 
 
+def _chunk_assigned(
+    docs: DataFrame, max_tokens: int, media_token_cost: int
+) -> DataFrame:
+    """Per-span chunk assignment — the shared skeleton of
+    :func:`chunk_interleaved` (stats) and :func:`render_chunks`
+    (strings): explode -> one doc_id window cumsum -> ``chunk_id`` =
+    budget-window index. Columns: (doc_id, text, media_ref, offset,
+    is_media, cost, cum_before, chunk_id)."""
+    from pyspark.sql import Window
+
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    flat = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    is_media = F.expr("media_ref IS NOT NULL AND media_ref <> ''")
+    cost = (
+        F.when(is_media, F.lit(media_token_cost))
+        .otherwise(F.expr(_ws_tok_expr("text")))
+        .cast("bigint")
+    )
+    # NULL offsets (span-table contract violations — span_integrity
+    # quarantines them, but --emit-chunks may run ungated) sort FIRST
+    # explicitly: Spark's ASC default is NULLS FIRST, DuckDB's is
+    # NULLS LAST, and the cumsum order decides chunk assignment.
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("offset").asc_nulls_first(),
+        is_media.cast("int"),
+        F.coalesce("text", F.lit("")),
+        F.coalesce("media_ref", F.lit("")),
+    )
+    return (
+        flat.withColumn("is_media", is_media.cast("int"))
+        .withColumn("cost", cost)
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("cost").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "chunk_id", F.expr(f"cum_before div {max_tokens}").cast("int")
+        )
+    )
+
+
 def chunk_interleaved(
     docs: DataFrame,
     max_tokens: int = 2048,
@@ -801,48 +853,7 @@ def chunk_interleaved(
     chunks at TOKEN granularity to fill sequences exactly, which would
     cut through a media span — right for text chunks, wrong here.
     """
-    from pyspark.sql import Window
-
-    if max_tokens <= 0:
-        raise ValueError("max_tokens must be positive")
-    flat = docs.select("doc_id", F.explode("spans").alias("s")).select(
-        "doc_id",
-        F.col("s.text").alias("text"),
-        F.col("s.media_ref").alias("media_ref"),
-        F.col("s.offset").alias("offset"),
-    )
-    is_media = F.expr("media_ref IS NOT NULL AND media_ref <> ''")
-    cost = (
-        F.when(is_media, F.lit(media_token_cost))
-        .otherwise(F.expr(_ws_tok_expr("text")))
-        .cast("bigint")
-    )
-    # NULL offsets (span-table contract violations — span_integrity
-    # quarantines them, but --emit-chunks may run ungated) sort FIRST
-    # explicitly: Spark's ASC default is NULLS FIRST, DuckDB's is
-    # NULLS LAST, and the cumsum order decides chunk assignment.
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("offset").asc_nulls_first(),
-        is_media.cast("int"),
-        F.coalesce("text", F.lit("")),
-        F.coalesce("media_ref", F.lit("")),
-    )
-    cum = (
-        flat.withColumn("is_media", is_media.cast("int"))
-        .withColumn("cost", cost)
-        .withColumn(
-            "cum_before",
-            F.coalesce(
-                F.sum("cost").over(
-                    w.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .withColumn(
-            "chunk_id", F.expr(f"cum_before div {max_tokens}").cast("int")
-        )
-    )
+    cum = _chunk_assigned(docs, max_tokens, media_token_cost)
     return cum.groupBy("doc_id", "chunk_id").agg(
         F.count("*").cast("int").alias("n_spans"),
         F.sum(1 - F.col("is_media")).cast("int").alias("n_text_spans"),
@@ -1431,4 +1442,120 @@ def chunk_integrity_sql(
       FROM cnt
       JOIN tok USING (doc_id)
       LEFT JOIN chd USING (doc_id)
+    """
+
+
+def render_chunks(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    media_token_cost: int = MEDIA_TOKEN_COST,
+    media_token: str = MEDIA_PLACEHOLDER,
+    sep: str = "\n",
+) -> DataFrame:
+    """(doc_id, chunk_id, rendered_text, n_spans, n_tokens): each
+    training WINDOW materialized as its tokenizer-ready string —
+    :func:`chunk_interleaved`'s cut applied to :func:`render_interleaved`'s
+    rendering. This is the unit that actually enters a training batch,
+    and therefore the right granularity for window-level dedup: a
+    navigation block or footer repeated across thousands of documents
+    produces byte-identical CHUNKS even when every document is unique
+    at doc level — hash these strings (``dedup.exact_dedup`` with
+    ``doc_id#chunk_id`` ids) and the repeated windows fall out.
+
+    Shares :func:`_chunk_assigned` with the chunker, so chunk
+    membership here and chunk stats there can never drift. Within a
+    chunk, parts order by the SAME keys as the cumsum (offset NULLS
+    FIRST via a below-int32 sentinel, is_media, text, media_ref);
+    media spans render as ``media_token``, empty/NULL text spans are
+    dropped from the string (they'd inject bare separators) but still
+    count in ``n_spans``/``n_tokens``. Rendering a doc's chunks in
+    chunk_id order joined by ``sep`` reproduces the whole-doc
+    rendering (property-tested).
+
+    Scale shape: ONE shuffle — the chunker's doc_id window; the
+    (doc_id, chunk_id) aggregate reuses its partitioning. The in-group
+    sort is a scan-stage ``array_sort`` over one chunk's spans, never
+    a second Exchange.
+    """
+    cum = _chunk_assigned(docs, max_tokens, media_token_cost)
+    part = F.when(F.col("is_media") == 1, F.lit(media_token)).otherwise(
+        F.col("text")
+    )
+    keep = (F.col("is_media") == 1) | (
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    # sortable struct: field order IS the comparator; the -2^34
+    # sentinel puts NULL offsets first (below any int32)
+    key = F.struct(
+        F.coalesce(F.col("offset").cast("long"), F.lit(-(1 << 34))).alias(
+            "o"
+        ),
+        F.col("is_media").alias("im"),
+        F.coalesce("text", F.lit("")).alias("ot"),
+        F.coalesce("media_ref", F.lit("")).alias("orf"),
+        part.alias("part"),
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.when(keep, key))),
+            lambda x: x.getField("part"),
+        ),
+        sep,
+    )
+    return cum.groupBy("doc_id", "chunk_id").agg(
+        rendered.alias("rendered_text"),
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum("cost").alias("n_tokens"),
+    )
+
+
+def render_chunks_sql(
+    spans_sql: str = "SELECT * FROM spans",
+    max_tokens: int = 2048,
+    media_token_cost: int = MEDIA_TOKEN_COST,
+    media_token: str = MEDIA_PLACEHOLDER,
+    sep: str = "\n",
+) -> str:
+    """DuckDB twin — independent formulation: ordered ``string_agg``
+    per (doc_id, chunk_id) where Spark sorts in-array, so agreement
+    cross-checks the struct comparator against ORDER BY."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    is_media = "(media_ref IS NOT NULL AND media_ref <> '')"
+    return f"""
+      WITH src AS ({spans_sql}),
+      costed AS (
+        SELECT doc_id,
+               CASE WHEN {is_media} THEN 1 ELSE 0 END AS is_media,
+               CAST(CASE WHEN {is_media} THEN {media_token_cost}
+                    ELSE {_ws_tok_sql('text')} END AS BIGINT) AS cost,
+               "offset",
+               CASE WHEN {is_media} THEN {_sql_str(media_token)}
+                    ELSE text END AS part,
+               {is_media} OR (text IS NOT NULL AND length(text) > 0)
+                 AS keep,
+               coalesce(text, '') AS otext,
+               coalesce(media_ref, '') AS oref
+        FROM src
+      ),
+      cum AS (
+        SELECT *, coalesce(sum(cost) OVER (
+                 PARTITION BY doc_id
+                 ORDER BY "offset" ASC NULLS FIRST, is_media, otext, oref
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM costed
+      ),
+      assigned AS (
+        SELECT *, CAST(cum_before // {max_tokens} AS INT) AS chunk_id
+        FROM cum
+      )
+      SELECT doc_id, chunk_id,
+             coalesce(string_agg(CASE WHEN keep THEN part END,
+               {_sql_str(sep)}
+               ORDER BY "offset" ASC NULLS FIRST, is_media, otext, oref),
+               '') AS rendered_text,
+             CAST(count(*) AS INT) AS n_spans,
+             CAST(sum(cost) AS BIGINT) AS n_tokens
+      FROM assigned GROUP BY doc_id, chunk_id
     """

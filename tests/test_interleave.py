@@ -1099,3 +1099,76 @@ def test_chunk_integrity_plan(spark, nested):
     fmt = plan_str(chunk_integrity(nested), "formatted")
     assert "CartesianProduct" not in fmt and "NestedLoop" not in fmt
     assert fmt.count("Exchange") <= 4, fmt[:3000]
+
+
+def test_render_chunks_semantics(spark):
+    from ocr_spark.functions.interleave import render_chunks
+
+    rows = [
+        _doc("d", [("text", "a b c d", "", 0),
+                   ("picture", "", "img-0", 1),
+                   ("text", "", "", 2),          # dropped from string
+                   ("text", "e f g h", "", 3)]),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    out = {r.chunk_id: r for r in render_chunks(
+        df, max_tokens=8, media_token_cost=4).collect()}
+    # cumsum: 4 + 4 = 8 -> chunk 0 = [text, media]; chunk 1 = ['',"e f g h"]
+    assert out[0].rendered_text == "a b c d\n<|image|>"
+    assert out[1].rendered_text == "e f g h"
+    # empty-text span counts in n_spans but not in the string
+    assert out[1].n_spans == 2 and out[1].n_tokens == 4
+    assert out[0].n_spans == 2 and out[0].n_tokens == 8
+
+
+def test_render_chunks_oracle_and_consistency(spark, nested, con):
+    """Cross-engine parity; chunks joined in order reproduce the
+    whole-doc rendering; stats agree with chunk_interleaved row for
+    row (the shared-skeleton guarantee)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.interleave import (
+        chunk_interleaved,
+        render_chunks,
+        render_chunks_sql,
+        render_interleaved,
+    )
+
+    sdf = render_chunks(nested, max_tokens=64, media_token_cost=32)
+    g = sorted(map(tuple, sdf.collect()))
+    odf = con.execute(render_chunks_sql(
+        synth_spans_sql(), max_tokens=64, media_token_cost=32)).df()
+    o = [tuple(v.item() if hasattr(v, "item") else v for v in r)
+         for r in sorted(map(tuple,
+                             odf[sdf.columns].itertuples(index=False,
+                                                         name=None)))]
+    assert g == o and len(g) > 500
+    whole = {r.doc_id: r.rendered_text
+             for r in render_interleaved(nested).collect()}
+    joined = sdf.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "rendered_text"))
+                ),
+                lambda x: x.getField("rendered_text"),
+            ),
+            "\n",
+        ).alias("j")
+    ).collect()
+    assert all(whole[r.doc_id] == r.j for r in joined)
+    ci = sorted(map(tuple, chunk_interleaved(
+        nested, max_tokens=64, media_token_cost=32
+    ).select("doc_id", "chunk_id", "n_spans", "n_tokens").collect()))
+    rc = sorted(map(tuple, sdf.select(
+        "doc_id", "chunk_id", "n_spans", "n_tokens").collect()))
+    assert ci == rc
+
+
+def test_render_chunks_plan_single_exchange(spark, nested):
+    """The chunker's one doc_id window Exchange serves the aggregate
+    too; the in-chunk sort is a scan-stage array_sort."""
+    from ocr_spark.functions.interleave import render_chunks
+
+    p = plan_str(render_chunks(nested), "simple")
+    assert p.count("Exchange") == 1, p[:3000]
