@@ -199,6 +199,16 @@ def headline_queries(spark, sf_dir: str, span_dir: str | None = None):
         "media_jaccard_pairs": lambda: _media_jaccard_q(
             synthesize_spans(docs())
         ),
+        # round-3 session-17 tail: per-WINDOW string materialization —
+        # the chunker's window Exchange feeding a collect_list/
+        # array_sort/array_join aggregate (string assembly on the
+        # reduce side; chunk_interleaved measures the same Exchange
+        # with numeric aggregates, so the delta isolates the string
+        # cost). chunk_integrity / multimodal_near_dups /
+        # key_skew_stats / chunk_dedup reuse measured shapes (chunker
+        # + equi-join / lsh_verified + media_jaccard / hash-agg +
+        # TakeOrdered / hash-agg over rendered strings).
+        "render_chunks": lambda: ilv.render_chunks(spans()),
     }
 
 
