@@ -154,6 +154,36 @@ def main() -> None:
         "in the run, where the kernels already turn them into error "
         "rows (the NULL-id contract)",
     )
+    ap.add_argument(
+        "--template-cap",
+        type=int,
+        default=None,
+        metavar="K",
+        help="cap each structural template to K deterministic members "
+        "before extraction (template_sample — template-farm mass "
+        "bounded without deleting the template; keep-set decided on "
+        "the tiny fingerprint projection, applied as a left-semi "
+        "join). Costs two accounting count() scans",
+    )
+    ap.add_argument(
+        "--media-dedup-tau",
+        type=float,
+        default=None,
+        metavar="TAU",
+        help="drop non-representative members of media-set duplicate "
+        "clusters (media_dup_clusters at this Jaccard threshold — "
+        "gallery re-posts keep one copy). The drop set is "
+        "materialized once (localCheckpoint) and anti-joined; "
+        "normalize refs with --media-key",
+    )
+    ap.add_argument(
+        "--media-key",
+        default="media_ref",
+        metavar="SQL",
+        help="SQL expression normalizing media_ref to an asset key "
+        "for --media-dedup-tau (e.g. strip CDN prefixes/size "
+        "suffixes); default: the raw ref",
+    )
     ap.add_argument("--master", default=None, help="override master URL")
     args = ap.parse_args()
     # argument cross-checks up front — a flag misuse must fail before
@@ -204,6 +234,34 @@ def main() -> None:
         # itself is a scan-stage predicate fused into the run's read
         n_pre_gate = docs.count()
         docs = interleave_gate(docs)
+    n_template_dropped = None
+    n_post_gate = None
+    if args.template_cap is not None:
+        from ocr_spark.functions.interleave import template_sample
+
+        n_post_gate = docs.count()
+        docs = template_sample(docs, max_per_template=args.template_cap)
+        n_template_dropped = n_post_gate - docs.count()
+    n_media_dup_dropped = None
+    if args.media_dedup_tau is not None:
+        from pyspark.sql import functions as F
+
+        from ocr_spark.functions.media import media_dup_clusters
+
+        # the drop set (cluster members minus the rep) is tiny by
+        # construction: materialize ONCE so the LSH/pair pipeline
+        # does not re-run in the anti-join
+        non_reps = (
+            media_dup_clusters(
+                docs, tau=args.media_dedup_tau, key_sql=args.media_key
+            )
+            .where(F.col("doc_id") != F.col("cluster_rep"))
+            .select("doc_id")
+            .localCheckpoint()
+        )
+        n_media_dup_dropped = non_reps.count()
+        if n_media_dup_dropped:
+            docs = docs.join(non_reps, "doc_id", "left_anti")
     run = ExtractionRun(
         spark,
         docs,
@@ -222,12 +280,32 @@ def main() -> None:
                 "synthesize": bool(args.synthesize),
                 "integrity_gate": bool(args.integrity_gate),
                 "interleave_gate": bool(args.interleave_gate),
+                "template_cap": args.template_cap,
+                "media_dedup_tau": args.media_dedup_tau,
+                "media_key": (
+                    args.media_key
+                    if args.media_dedup_tau is not None
+                    else None
+                ),
             },
         ),
     )
     summary = run.run()
     if n_pre_gate is not None:
-        summary["n_gate_dropped"] = n_pre_gate - summary["n_docs"]
+        # later shaping stages also drop docs — attribute only the
+        # gate's own share: post-gate count is the template stage's
+        # pre-count when that stage ran, else reconstructed from the
+        # run's doc count plus the (exactly known) media drop
+        post_gate = (
+            n_post_gate
+            if n_post_gate is not None
+            else summary["n_docs"] + (n_media_dup_dropped or 0)
+        )
+        summary["n_gate_dropped"] = n_pre_gate - post_gate
+    if n_template_dropped is not None:
+        summary["n_template_dropped"] = n_template_dropped
+    if n_media_dup_dropped is not None:
+        summary["n_media_dup_dropped"] = n_media_dup_dropped
     if args.integrity_gate:
         summary["n_quarantined"] = n_quarantined
     if args.emit_structure:

@@ -307,3 +307,67 @@ def test_extract_job_verify_chunks(spark, tmp_path):
              "--buckets", "1", "--verify-chunks"]
         )
     assert e.value.code == 2
+
+
+def test_extract_job_template_cap_and_media_dedup(spark, tmp_path):
+    """--template-cap bounds template-farm mass; --media-dedup-tau
+    drops gallery re-posts keeping one representative; both are
+    accounted in the summary and pinned in the run manifest (a resume
+    with different shaping flags must be rejected)."""
+    import json as _json
+
+    import pytest
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+
+    def farm(i):
+        return (f"farm{i:02d}",
+                [("text", f"unique prose {i} alpha", "", 0),
+                 ("picture", "", f"img-{i}", 1),
+                 ("caption", f"cap {i}", "", 2),
+                 ("text", f"tail {i} words", "", 3)])
+
+    rows = [farm(i) for i in range(8)]                 # one template x8
+    # gallery re-posts: same asset set, distinct structures (one has
+    # an extra text span so the template family differs)
+    rows += [
+        ("post_a", [("text", "story one here", "", 0),
+                    ("picture", "", "g1", 1),
+                    ("text", "middle text", "", 2),
+                    ("picture", "", "g2", 3)]),
+        ("post_b", [("picture", "", "g1", 0), ("picture", "", "g2", 1),
+                    ("text", "rewritten story", "", 2),
+                    ("text", "extra paragraph", "", 3)]),
+    ]
+    spark.createDataFrame(rows, _NESTED_SCHEMA).write.parquet(inp)
+    s = _run_main(
+        [
+            "extract.py",
+            "--input", inp, "--output", out,
+            "--run-id", "shape", "--buckets", "2",
+            "--interleave-gate",
+            "--template-cap", "3",
+            "--media-dedup-tau", "0.9",
+        ]
+    )
+    # 8 farm docs capped to 3 -> 5 dropped; one of post_a/post_b
+    # dropped as a media dup (rep = min doc_id = post_a survives).
+    # Every doc passes the structural gate, and the gate accounting
+    # must NOT absorb the later stages' drops (attribution fix)
+    assert s["n_gate_dropped"] == 0
+    assert s["n_template_dropped"] == 5
+    assert s["n_media_dup_dropped"] == 1
+    kept = {r.doc_id for r in spark.read.parquet(out).select(
+        "doc_id").distinct().collect()}
+    assert "post_a" in kept and "post_b" not in kept
+    assert sum(k.startswith("farm") for k in kept) == 3
+    # shaping flags pinned: resuming without them is rejected
+    man = _json.load(open(f"{out}/_lineage/shape/manifest.json"))
+    assert man["input_config"]["template_cap"] == 3
+    assert man["input_config"]["media_dedup_tau"] == 0.9
+    with pytest.raises(ValueError, match="would corrupt"):
+        _run_main(
+            ["extract.py", "--input", inp, "--output", out,
+             "--run-id", "shape", "--buckets", "2"]
+        )
