@@ -773,6 +773,33 @@ def _kind_hist_sql() -> str:
 _PII_INJ = " contact: user7@example.com or 10.0.0.1 or +1 (555) 123-4567"
 
 
+def _pii_span_docs(s: SparkSession, d: str) -> DataFrame:
+    """Nested span docs with _PII_INJ appended to a deterministic
+    subset of TEXT spans (doc_id % 7, offset % 5) — the span-level
+    analog of the pii_scrub injection, exercising scrub_spans on
+    every stage while media spans stay byte-identical."""
+    return _span_docs(s, d).withColumn(
+        "spans",
+        F.expr(
+            "transform(spans, s -> struct(s.kind AS kind, "
+            "CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0 "
+            "AND s.offset % 5 = 0 "
+            "AND NOT (s.media_ref IS NOT NULL AND s.media_ref <> '') "
+            f"THEN concat(s.text, '{_PII_INJ}') ELSE s.text END AS text, "
+            "s.media_ref AS media_ref, s.offset AS offset))"
+        ),
+    )
+
+
+_PII_SPAN_INJ_SQL = (
+    "SELECT doc_id, kind, CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0 "
+    'AND "offset" % 5 = 0 '
+    "AND NOT (media_ref IS NOT NULL AND media_ref <> '') "
+    f"THEN text || '{_PII_INJ}' ELSE text END AS text, "
+    'media_ref, "offset" FROM ({})'
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- extraction core (S5-replacement, P1/P7, O2, R6, A4, J6)
@@ -1522,6 +1549,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PII redaction: staged email -> IPv4 -> phone scrub; corpus
         # text carries no PII, so every 7th doc gets a deterministic
         # injection (mirrored in the twin) to make the check real
+        # span-level PII redaction over the nested table: same staged
+        # sequence as pii_scrub per TEXT span, media spans + structure
+        # untouched (schema-preserving; flattened for the compare)
+        "scrub_spans": lambda s, d: scr.scrub_spans(_pii_span_docs(s, d))
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"),
         "pii_scrub": lambda s, d: scr.pii_scrub(
             _read(s, d, "documents").withColumn(
                 "text",
@@ -2072,6 +2105,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_drift": dsir.corpus_drift_sql(
             "(SELECT * FROM documents WHERE doc_id < 250)",
             "(SELECT * FROM documents WHERE doc_id >= 250)",
+        ),
+        "scrub_spans": scr.scrub_spans_sql(
+            _PII_SPAN_INJ_SQL.format(synth_spans_sql())
         ),
         "pii_scrub": scr.pii_scrub_sql(
             "(SELECT * REPLACE (CASE WHEN doc_id % 7 = 0"

@@ -184,6 +184,15 @@ def main() -> None:
         "for --media-dedup-tau (e.g. strip CDN prefixes/size "
         "suffixes); default: the raw ref",
     )
+    ap.add_argument(
+        "--scrub-pii",
+        action="store_true",
+        help="redact PII in every text span before extraction "
+        "(scrub_spans: emails, IPv4, Luhn-validated cards, phones — "
+        "the staged pii_scrub sequence per span; media spans and "
+        "structure untouched). Zero shuffle, fused into the run's "
+        "scan",
+    )
     ap.add_argument("--master", default=None, help="override master URL")
     args = ap.parse_args()
     # argument cross-checks up front — a flag misuse must fail before
@@ -262,6 +271,11 @@ def main() -> None:
         n_media_dup_dropped = non_reps.count()
         if n_media_dup_dropped:
             docs = docs.join(non_reps, "doc_id", "left_anti")
+    if args.scrub_pii:
+        # LAST shaping stage: scrub only what survived the drops
+        from ocr_spark.functions.scrub import scrub_spans
+
+        docs = scrub_spans(docs)
     run = ExtractionRun(
         spark,
         docs,
@@ -281,6 +295,7 @@ def main() -> None:
                 "integrity_gate": bool(args.integrity_gate),
                 "interleave_gate": bool(args.interleave_gate),
                 "template_cap": args.template_cap,
+                "scrub_pii": bool(args.scrub_pii),
                 "media_dedup_tau": args.media_dedup_tau,
                 "media_key": (
                     args.media_key

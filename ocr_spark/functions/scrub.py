@@ -904,3 +904,98 @@ def duplication_profile_sql(
       FROM flagged
       GROUP BY doc_id
     """
+
+
+def _scrub_stage1_expr(src: str) -> str:
+    """Spark SQL: email + IPv4 redaction of the string expr ``src``
+    (the first half of pii_scrub's staged order). Regex literals are
+    backslash-doubled because these strings pass through the SQL
+    parser's unescape (the card_lit lesson above)."""
+    e1 = EMAIL_RE.replace("\\", "\\\\")
+    i1 = IPV4_RE.replace("\\", "\\\\")
+    return (
+        f"regexp_replace(regexp_replace({src}, '{e1}', '{EMAIL_TOKEN}'), "
+        f"'{i1}', '{IP_TOKEN}')"
+    )
+
+
+def _scrub_stage2_expr(src: str) -> str:
+    """Spark SQL: Luhn-gated card redaction + phone redaction of
+    ``src`` — which MUST be a plain field reference, not a computed
+    chain: it is evaluated twice (candidate extraction + fold init),
+    so a chained stage-1 here would run its regexes twice per span."""
+    c1 = CARD_RE.replace("\\", "\\\\")
+    p1 = PHONE_RE.replace("\\", "\\\\")
+    valid = (
+        f"filter(regexp_extract_all({src}, '{c1}', 0), "
+        f"c -> {_luhn_ok_expr()})"
+    )
+    carded = (
+        f"aggregate({valid}, {src}, (acc, c) -> "
+        f"regexp_replace(acc, concat('\\\\b', c, '\\\\b'), '{CARD_TOKEN}'))"
+    )
+    return f"regexp_replace({carded}, '{p1}', '{PHONE_TOKEN}')"
+
+
+def scrub_spans(docs: DataFrame) -> DataFrame:
+    """PII redaction over the NESTED interleaved span table: each
+    text span's content goes through the SAME staged sequence as
+    :func:`pii_scrub` (emails, IPv4, Luhn-validated cards, phones —
+    order-dependent, so the stages share one definition with the flat
+    operator); media spans and the structural columns (kind,
+    media_ref, offset) pass through untouched, so offsets still line
+    up and the output composes with ``interleave_gate`` /
+    ``chunk_interleaved`` downstream. Schema-preserving.
+
+    Scale shape: ZERO shuffle — two ``transform`` passes over the
+    span array (stage split keeps every regex single-execution per
+    span: stage 2 references its input twice, which must be a field,
+    not a chain). Higher-order array exprs run interpreted rather
+    than codegen'd, but the cost here is the regex work itself,
+    identical either way.
+    """
+    media = "(s.media_ref IS NOT NULL AND s.media_ref <> '')"
+
+    def pass_over(stage_expr: str) -> str:
+        return (
+            "transform(spans, s -> struct("
+            "s.kind AS kind, "
+            f"CASE WHEN {media} THEN s.text ELSE {stage_expr} END AS text, "
+            "s.media_ref AS media_ref, s.offset AS offset))"
+        )
+
+    out = docs.withColumn("spans", F.expr(pass_over(_scrub_stage1_expr("s.text"))))
+    return out.withColumn("spans", F.expr(pass_over(_scrub_stage2_expr("s.text"))))
+
+
+def scrub_spans_sql(spans_sql: str = "SELECT * FROM spans") -> str:
+    """DuckDB twin over a FLAT span source — the pii_scrub_sql stage
+    chain applied per span row, media rows untouched."""
+    media = "(media_ref IS NOT NULL AND media_ref <> '')"
+    t2 = (
+        f"regexp_replace(regexp_replace(text, '{EMAIL_RE}', "
+        f"'{EMAIL_TOKEN}', 'g'), '{IPV4_RE}', '{IP_TOKEN}', 'g')"
+    )
+    valid = (
+        f"list_filter(regexp_extract_all(_t2, '{CARD_RE}'), "
+        f"c -> {_luhn_ok_duck()})"
+    )
+    carded = (
+        f"list_reduce(list_prepend(_t2, {valid}), "
+        f"(acc, c) -> regexp_replace(acc, '\\b' || c || '\\b', "
+        f"'{CARD_TOKEN}', 'g'))"
+    )
+    return f"""
+      WITH src AS ({spans_sql}),
+      staged AS (
+        SELECT doc_id, kind, media_ref, "offset", text,
+               CASE WHEN {media} THEN NULL ELSE {t2} END AS _t2
+        FROM src
+      )
+      SELECT doc_id, kind,
+             CASE WHEN {media} THEN text
+                  ELSE regexp_replace({carded}, '{PHONE_RE}',
+                                      '{PHONE_TOKEN}', 'g') END AS text,
+             media_ref, "offset"
+      FROM staged
+    """

@@ -371,3 +371,31 @@ def test_extract_job_template_cap_and_media_dedup(spark, tmp_path):
             ["extract.py", "--input", inp, "--output", out,
              "--run-id", "shape", "--buckets", "2"]
         )
+
+
+def test_extract_job_scrub_pii(spark, tmp_path):
+    """--scrub-pii redacts text-span PII before extraction; the flag
+    is pinned in the manifest."""
+    import json as _json
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    rows = [
+        ("d1", [("text", "mail bob@x.co today please do", "", 0),
+                ("text", "more prose here", "", 1),
+                ("text", "tail words", "", 2)]),
+    ]
+    spark.createDataFrame(rows, _NESTED_SCHEMA).write.parquet(inp)
+    _run_main(
+        ["extract.py", "--input", inp, "--output", out,
+         "--run-id", "pii", "--buckets", "1", "--scrub-pii"]
+    )
+    texts = [
+        sp.text
+        for r in spark.read.parquet(out).collect()
+        for sp in (r.spans or [])
+    ]
+    assert any("<EMAIL>" in t for t in texts)
+    assert not any("bob@x.co" in t for t in texts)
+    man = _json.load(open(f"{out}/_lineage/pii/manifest.json"))
+    assert man["input_config"]["scrub_pii"] is True

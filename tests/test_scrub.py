@@ -657,3 +657,67 @@ def test_duplication_profile_plan_single_explode(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     p = _plan(scrub.duplication_profile(docs), "simple")
     assert p.count("Generate") == 1
+
+
+_NESTED_SCHEMA = (
+    "doc_id string, spans array<struct<"
+    "kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def test_scrub_spans_semantics(spark):
+    """Per-span staged redaction: media spans byte-identical (even
+    with PII-looking refs), Luhn gate holds per span, structure and
+    NULLs untouched, schema preserved."""
+    rows = [
+        ("a", [("text", "mail bob@x.co or 1.2.3.4 ok", "", 0),
+               ("picture", "", "cdn/email@fake.com.png", 1),
+               ("text", "card 4111 1111 1111 1111 ref "
+                        "1234 5678 9012 3456", "", 2),
+               ("text", "call +1 (555) 123-4567 now", "", 3),
+               ("text", None, "", 4)]),
+        ("b", None),
+        ("c", []),
+    ]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    out = scrub.scrub_spans(df)
+    assert out.schema.simpleString() == df.schema.simpleString()
+    got = {r.doc_id: r.spans for r in out.collect()}
+    texts = [s.text for s in got["a"]]
+    assert texts[0] == "mail <EMAIL> or <IP> ok"
+    assert got["a"][1].media_ref == "cdn/email@fake.com.png"  # untouched
+    assert texts[2] == "card <CARD> ref 1234 5678 9012 3456"  # Luhn gate
+    assert texts[3] == "call <PHONE> now"
+    assert texts[4] is None
+    assert [s.offset for s in got["a"]] == [0, 1, 2, 3, 4]
+    assert got["b"] is None and got["c"] == []
+
+
+def test_scrub_spans_matches_flat_pii_scrub(spark):
+    """One definition of the stage chain: scrubbing a single-span doc
+    through scrub_spans equals pii_scrub's clean_text on the same
+    string (the shared-stage guarantee)."""
+    texts = [
+        "a@b.co and 10.0.0.1 and 4111 1111 1111 1111 and "
+        "+1 (555) 123-4567",
+        "ref 1234 5678 9012 3456 keeps, card 5500 0000 0000 0004 goes",
+        "plain prose with no pii at all",
+    ]
+    flat = _df(spark, texts)
+    nested = spark.createDataFrame(
+        [(str(i + 1), [("text", t, "", 0)]) for i, t in enumerate(texts)],
+        _NESTED_SCHEMA,
+    )
+    want = {str(r.doc_id): r.clean_text
+            for r in scrub.pii_scrub(flat).collect()}
+    got = {r.doc_id: r.spans[0].text
+           for r in scrub.scrub_spans(nested).collect()}
+    assert got == want
+
+
+def test_scrub_spans_plan_zero_shuffle(spark):
+    nested = spark.createDataFrame(
+        [("a", [("text", "x", "", 0)])], _NESTED_SCHEMA
+    )
+    p = plan_str(scrub.scrub_spans(nested), "simple")
+    assert "Exchange" not in p and "Generate" not in p, p
