@@ -1549,12 +1549,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PII redaction: staged email -> IPv4 -> phone scrub; corpus
         # text carries no PII, so every 7th doc gets a deterministic
         # injection (mirrored in the twin) to make the check real
-        # span-level PII redaction over the nested table: same staged
-        # sequence as pii_scrub per TEXT span, media spans + structure
-        # untouched (schema-preserving; flattened for the compare)
-        "scrub_spans": lambda s, d: scr.scrub_spans(_pii_span_docs(s, d))
-        .select("doc_id", F.explode("spans").alias("s"))
-        .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"),
         "pii_scrub": lambda s, d: scr.pii_scrub(
             _read(s, d, "documents").withColumn(
                 "text",
@@ -1564,6 +1558,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).otherwise(F.col("text")),
             )
         ),
+        # span-level PII redaction over the nested table: same staged
+        # sequence as pii_scrub per TEXT span, media spans + structure
+        # untouched (schema-preserving; flattened for the compare);
+        # injection mirrors pii_scrub's, at span granularity
+        "scrub_spans": lambda s, d: scr.scrub_spans(_pii_span_docs(s, d))
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"),
         # within-doc repetition removal (C4-style first-occurrence
         # line dedup); words re-shaped onto lines so dups occur
         "line_dedup": lambda s, d: scr.line_dedup(

@@ -1226,11 +1226,21 @@ def template_sample(
     draw), doc_id as tie-break. NULL-fingerprint docs (NULL spans
     array) pass untouched — no structure, nothing to cap.
 
-    Scale shape: the keep-set is decided over the (doc_id,
-    fingerprint, n_spans) projection — one fingerprint-window shuffle
-    of ~50 B rows, never the span payload — then applied as a
-    left-semi join docs never re-shuffle for. The md5 fingerprint
-    bounds key width regardless of document size.
+    Scale shape — built for the input this operator exists for, a
+    corpus where ONE fingerprint holds millions of members (the
+    hottest grouping key imaginable; ``skew.key_skew_stats`` would
+    scream at it). No stage concentrates that family on one reducer:
+    family sizes come from a partial-agg groupBy (map-side combined,
+    skew-immune) joined back under AQE skew-split; the top-K rank is
+    the SALTED two-stage shape — row_number within (fingerprint,
+    salt) keeps at most ``max_per_template`` candidates per salt
+    (the global K smallest are always among the per-salt K smallest),
+    then the final rank runs over <= n_salts*K rows per family. The
+    DROPPED set (rank > K in oversized families) is anti-joined
+    against the payload — broadcast-sized whenever the cap bites few
+    docs; a farm-dominated corpus degrades to one doc_id equi-join of
+    the payload, which is the honest floor for any row-selective
+    operator.
     """
     if max_per_template < 1:
         raise ValueError("max_per_template must be >= 1")
@@ -1238,29 +1248,39 @@ def template_sample(
 
     from ocr_spark.functions.hashing import md5_long
 
-    fp = structure_fingerprint(docs)
-    w = Window.partitionBy("fingerprint")
-    rank = F.row_number().over(
-        w.orderBy(
-            md5_long(
-                F.concat(F.lit(_TSAMPLE_SALT), F.col("doc_id").cast("string"))
-            ),
-            "doc_id",
-        )
+    n_salts = 64
+    fp = structure_fingerprint(docs).where(F.col("fingerprint").isNotNull())
+    rk = md5_long(
+        F.concat(F.lit(_TSAMPLE_SALT), F.col("doc_id").cast("string"))
     )
-    n_docs = F.count("*").over(w)
-    keep_ids = (
-        fp.where(F.col("fingerprint").isNotNull())
-        .select("doc_id", "n_spans", rank.alias("_r"), n_docs.alias("_n"))
+    proj = fp.select("doc_id", "n_spans", "fingerprint", rk.alias("_rk"))
+    fam = proj.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_n"))
+    big = (
+        proj.join(fam, "fingerprint")
         .where(
-            (F.col("_n") < min_docs)
-            | (F.col("n_spans") < min_spans)
-            | (F.col("_r") <= max_per_template)
+            (F.col("_n") >= min_docs) & (F.col("n_spans") >= min_spans)
         )
-        .select("doc_id")
+        .withColumn("_salt", F.pmod(F.col("_rk"), F.lit(n_salts)))
     )
-    passthrough = docs.where(F.col("spans").isNull())
-    return docs.join(keep_ids, "doc_id", "left_semi").unionByName(passthrough)
+    w1 = Window.partitionBy("fingerprint", "_salt").orderBy("_rk", "doc_id")
+    w2 = Window.partitionBy("fingerprint").orderBy("_rk", "doc_id")
+    ranked = big.withColumn("_r1", F.row_number().over(w1))
+    # per-salt prefilter: a row past K within its salt cannot be in
+    # the family's global top K (both orders are the same total
+    # order), so it is dropped outright; the survivors (<= n_salts*K
+    # per family) are few enough for the exact family rank. The two
+    # branches re-execute the id projection — two passes over ~50-B
+    # rows, orders of magnitude below one payload shuffle.
+    dropped = (
+        ranked.where(F.col("_r1") <= max_per_template)
+        .withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") > max_per_template)
+        .select("doc_id")
+        .unionByName(
+            ranked.where(F.col("_r1") > max_per_template).select("doc_id")
+        )
+    )
+    return docs.join(dropped, "doc_id", "left_anti")
 
 
 def template_sample_sql(
@@ -1323,7 +1343,11 @@ def chunk_integrity(
       formula copy);
     - budget discipline: ``n_over_budget`` counts chunks exceeding
       ``max_tokens`` WITHOUT the overflow flag — must be 0 (only a
-      straddling giant span may overrun, and it must be flagged).
+      straddling giant span may overrun, and it must be flagged);
+    - no phantoms: chunks whose doc_id has no source document (stale
+      files in the sidecar dir, wrong source audited) surface as
+      not-ok rows with zeroed input counts — the join is FULL outer,
+      so corruption in either direction fails the audit.
 
     ``ok`` is the conjunction. Pass ``chunks`` to audit a
     MATERIALIZED chunk sidecar (the real deployment shape: the job
@@ -1369,7 +1393,11 @@ def chunk_integrity(
             F.sum(over_budget).cast("int").alias("n_over_budget"),
         )
     )
-    j = inp.join(ch, "doc_id", "left")
+    # FULL outer: a chunk row whose doc_id has no source document
+    # (phantom chunks — stale files mixed into a sidecar dir, or the
+    # wrong source table audited) must surface as a not-ok row with
+    # zeroed input-side counts, not vanish before the check
+    j = inp.join(ch, "doc_id", "full")
     z = lambda c, t="int": F.coalesce(F.col(c), F.lit(0).cast(t)).alias(c)  # noqa: E731
     ok = (
         (F.col("n_spans_in") == F.col("n_spans_chunked"))
@@ -1380,11 +1408,11 @@ def chunk_integrity(
     return (
         j.select(
             "doc_id",
-            "n_spans_in",
+            z("n_spans_in"),
             z("n_spans_chunked"),
-            "n_media_in",
+            z("n_media_in"),
             z("n_media_chunked"),
-            "n_tokens_in",
+            z("n_tokens_in", "bigint"),
             z("n_tokens_chunked", "bigint"),
             z("n_chunks"),
             z("n_overflow"),
@@ -1426,22 +1454,25 @@ def chunk_integrity_sql(
                  AS n_over_budget
         FROM ch GROUP BY doc_id
       )
-      SELECT cnt.doc_id, cnt.n_spans_in,
+      SELECT coalesce(cnt.doc_id, chd.doc_id) AS doc_id,
+             coalesce(cnt.n_spans_in, 0) AS n_spans_in,
              coalesce(chd.n_spans_chunked, 0) AS n_spans_chunked,
-             tok.n_media_spans AS n_media_in,
+             coalesce(tok.n_media_spans, 0) AS n_media_in,
              coalesce(chd.n_media_chunked, 0) AS n_media_chunked,
-             tok.n_tokens AS n_tokens_in,
+             coalesce(tok.n_tokens, 0) AS n_tokens_in,
              coalesce(chd.n_tokens_chunked, 0) AS n_tokens_chunked,
              coalesce(chd.n_chunks, 0) AS n_chunks,
              coalesce(chd.n_overflow, 0) AS n_overflow,
              coalesce(chd.n_over_budget, 0) AS n_over_budget,
-             cnt.n_spans_in = coalesce(chd.n_spans_chunked, 0)
-               AND tok.n_media_spans = coalesce(chd.n_media_chunked, 0)
-               AND tok.n_tokens = coalesce(chd.n_tokens_chunked, 0)
+             coalesce(cnt.n_spans_in, 0) = coalesce(chd.n_spans_chunked, 0)
+               AND coalesce(tok.n_media_spans, 0)
+                   = coalesce(chd.n_media_chunked, 0)
+               AND coalesce(tok.n_tokens, 0)
+                   = coalesce(chd.n_tokens_chunked, 0)
                AND coalesce(chd.n_over_budget, 0) = 0 AS ok
       FROM cnt
       JOIN tok USING (doc_id)
-      LEFT JOIN chd USING (doc_id)
+      FULL JOIN chd ON cnt.doc_id = chd.doc_id
     """
 
 
@@ -1478,14 +1509,16 @@ def render_chunks(
     a second Exchange.
     """
     cum = _chunk_assigned(docs, max_tokens, media_token_cost)
-    part = F.when(F.col("is_media") == 1, F.lit(media_token)).otherwise(
-        F.col("text")
-    )
     keep = (F.col("is_media") == 1) | (
         F.col("text").isNotNull() & (F.col("text") != "")
     )
     # sortable struct: field order IS the comparator; the -2^34
-    # sentinel puts NULL offsets first (below any int32)
+    # sentinel puts NULL offsets first (below any int32). The
+    # rendered part is DERIVED after the sort (media -> media_token,
+    # else ot — identical for every kept span, since kept text spans
+    # have non-empty text == ot), not carried as a second copy of the
+    # span text: the struct is the collect_list aggregation buffer,
+    # and duplicating the payload there doubles reduce-side memory.
     key = F.struct(
         F.coalesce(F.col("offset").cast("long"), F.lit(-(1 << 34))).alias(
             "o"
@@ -1493,12 +1526,13 @@ def render_chunks(
         F.col("is_media").alias("im"),
         F.coalesce("text", F.lit("")).alias("ot"),
         F.coalesce("media_ref", F.lit("")).alias("orf"),
-        part.alias("part"),
     )
     rendered = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.when(keep, key))),
-            lambda x: x.getField("part"),
+            lambda x: F.when(
+                x.getField("im") == 1, F.lit(media_token)
+            ).otherwise(x.getField("ot")),
         ),
         sep,
     )

@@ -127,6 +127,16 @@ def key_skew_stats(
     ``share_ppm`` is the key's fraction of ALL rows (parts per
     million), the "one key is 30% of the corpus" red flag.
 
+    Overflow discipline: the multiple is computed as
+    ``n_rows * 1000 div mean`` (mean = total div n_keys, floored to
+    >= 1) — never ``n_rows * n_keys * 1000``, whose product passes
+    2^63 at exactly the trillion-row/many-key scale this diagnostic
+    targets (Spark would wrap silently, DuckDB would error — a
+    cross-engine divergence on top of garbage). ``n_rows * 1000``
+    is safe to ~9e15 rows per key. The floored integer mean
+    overstates the multiple by < 1 part in mean — noise for a
+    diagnostic whose consumers round to a salt count.
+
     Scale shape: one partial-agg groupBy on the key (the same shuffle
     the diagnosed query would pay, but carrying counts only), a
     distributed TakeOrdered for the top-k (``orderBy().limit()`` —
@@ -159,7 +169,9 @@ def key_skew_stats(
             "key",
             "n_rows",
             F.expr("n_rows * 1000000L div _total").alias("share_ppm"),
-            F.expr("n_rows * _n_keys * 1000L div _total").alias("hot_x1000"),
+            F.expr(
+                "n_rows * 1000L div greatest(_total div _n_keys, 1L)"
+            ).alias("hot_x1000"),
             F.row_number().over(w).alias("rank"),
         )
     )
@@ -186,7 +198,7 @@ def key_skew_stats_sql(
       )
       SELECT key, n_rows,
              n_rows * 1000000 // total AS share_ppm,
-             n_rows * n_keys * 1000 // total AS hot_x1000,
+             n_rows * 1000 // greatest(total // n_keys, 1) AS hot_x1000,
              CAST(row_number() OVER (
                ORDER BY n_rows DESC, key ASC NULLS LAST) AS INT) AS rank
       FROM agg, tot

@@ -1067,6 +1067,16 @@ def test_chunk_integrity_catches_corruption(spark):
     out = {r.doc_id: r.ok for r in chunk_integrity(
         df, max_tokens=4, media_token_cost=4, chunks=tampered).collect()}
     assert out == {"lost": False, "inflated": False, "clean": True}
+    # phantom chunks (doc_id absent from the source) must fail too —
+    # the full-outer direction of the audit
+    phantom = good.unionByName(
+        good.limit(1).withColumn("doc_id", F.lit("ghost"))
+    )
+    out2 = {r.doc_id: r.ok for r in chunk_integrity(
+        df, max_tokens=4, media_token_cost=4, chunks=phantom).collect()}
+    assert out2["ghost"] is False
+    assert {k: v for k, v in out2.items() if k != "ghost"} == {
+        "lost": True, "inflated": True, "clean": True}
     # and the untampered sidecar audits clean
     ok = chunk_integrity(df, max_tokens=4, media_token_cost=4,
                          chunks=good)

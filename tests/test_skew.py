@@ -77,8 +77,11 @@ def test_key_skew_stats_semantics(skewed):
     assert top.key == "hot" and top.n_rows == 1800
     # 1800/2000 of all rows = 900_000 ppm
     assert top.share_ppm == 900000
-    # 21 distinct keys, uniform mean ~95 rows -> hot multiple ~18.9x
-    assert top.hot_x1000 == 1800 * 21 * 1000 // 2000
+    # 21 distinct keys, floored uniform mean 2000//21 = 95 rows ->
+    # hot multiple 1800*1000//95 (the overflow-safe ordering: never
+    # n_rows * n_keys * 1000, which wraps past 2^63 at trillion-row
+    # corpus scale)
+    assert top.hot_x1000 == 1800 * 1000 // (2000 // 21)
     # tail keys are the 20 k%20 keys with 10 rows each; ties broken
     # by key ascending so the cut is deterministic
     assert [r.key for r in out[1:]] == ["k0", "k1", "k10", "k11"]
