@@ -101,6 +101,16 @@ def main() -> None:
         help="also write bpe_token_stats: per-source token totals "
         "under the baked trained tokenizer (functions/bpe_merges.py)",
     )
+    ap.add_argument(
+        "--skew-key",
+        default=None,
+        metavar="SQL",
+        help="also write the skew table: top-20 heaviest values of "
+        "this key expression with share_ppm and the uniform-mean "
+        "multiple (key_skew_stats) — run it on the key of the next "
+        "big groupBy/join to size salting BEFORE the shuffle falls "
+        "over, not after",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -236,6 +246,14 @@ def main() -> None:
             F.sum("n_ctrl").alias("n_ctrl"),
         )
     )
+    # hot-key census under a caller-chosen key expr — the pre-shuffle
+    # salting diagnostic, published next to the health tables so a
+    # skew regression shows up in the same report as the drift that
+    # caused it
+    if args.skew_key:
+        from ocr_spark.functions.skew import key_skew_stats
+
+        tables["skew"] = key_skew_stats(docs, args.skew_key, top_k=20)
     # writing-system mix per source (the lang_mix analog one level
     # below language: a script shift is a routing/crawl change even
     # when lang_id still reads 'und')

@@ -201,3 +201,17 @@ def test_report_checksum_table_and_corpus_fold(spark, tmp_path):
     fold = sum(c for _, c in got.values()) % (1 << 60)
     assert s["corpus_checksum"]["checksum60"] == fold
     assert s["corpus_checksum"]["n_rows"] == sum(n for n, _ in got.values())
+
+
+def test_report_skew_table(spark, tmp_path):
+    out, s = _run(spark, tmp_path, ("--skew-key", "source"))
+    assert "skew" in s["rows"]
+    skew = spark.read.parquet(f"{out}/skew")
+    # 20 synth sources -> one row each, ranks dense from 1
+    assert sorted(r.rank for r in skew.collect()) == list(range(1, 21))
+    from ocr_spark.functions.skew import key_skew_stats
+
+    direct = sorted(map(tuple, key_skew_stats(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        "source", top_k=20).collect()))
+    assert sorted(map(tuple, skew.collect())) == direct
