@@ -37,6 +37,8 @@ from ocr_spark.functions.bpe import (
     bpe_doc_token_counts_sql,
     bpe_fertility_by_lang,
     bpe_fertility_by_lang_sql,
+    bpe_token_count_duck,
+    bpe_token_count_expr,
     bpe_token_counts,
     bpe_token_counts_sql,
 )
@@ -845,6 +847,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "chunk_interleaved": lambda s, d: ilv.chunk_interleaved(
             _span_docs(s, d), max_tokens=64, media_token_cost=32
+        ),
+        # the chunker under the TRAINED tokenizer's cost (what a real
+        # training budget measures; whitespace cost undercounts
+        # subword-heavy text) — same skeleton, swapped cost expr
+        "chunk_interleaved_bpe": lambda s, d: ilv.chunk_interleaved(
+            _span_docs(s, d),
+            max_tokens=64,
+            media_token_cost=32,
+            text_cost_expr=(
+                f"coalesce({bpe_token_count_expr(_BPE_MERGES)}, "
+                "CAST(0 AS BIGINT))"
+            ),
         ),
         # span-conservation audit of the chunker: every span/token
         # accounted for exactly once, unflagged over-budget chunks = 0
@@ -1767,6 +1781,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_interleaved": ilv.chunk_interleaved_sql(
             synth_spans_sql(), max_tokens=64, media_token_cost=32
+        ),
+        "chunk_interleaved_bpe": ilv.chunk_interleaved_sql(
+            synth_spans_sql(),
+            max_tokens=64,
+            media_token_cost=32,
+            text_cost_sql=(
+                f"coalesce({bpe_token_count_duck(_BPE_MERGES)}, "
+                "CAST(0 AS BIGINT))"
+            ),
         ),
         "chunk_integrity": ilv.chunk_integrity_sql(
             synth_spans_sql(), max_tokens=64, media_token_cost=32

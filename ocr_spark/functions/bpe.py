@@ -291,11 +291,28 @@ def bpe_token_count_col(merges: list[tuple[str, str]]) -> F.Column:
     per-source budgets) can compute it inside their own single scan
     instead of joining :func:`bpe_doc_token_counts` back to the
     corpus."""
+    return F.expr(bpe_token_count_expr(merges))
+
+
+def bpe_token_count_expr(merges: list[tuple[str, str]]) -> str:
+    """The Spark SQL token-count expression STRING over a ``text``
+    column — for consumers that splice it into their own expression
+    tree (``interleave.chunk_interleaved(text_cost_expr=...)``: BPE
+    training-budget chunking). NULL text yields NULL; wrap in
+    coalesce where a definite number is required."""
     if not merges:
         raise ValueError("merges must be non-empty (train first)")
     enc = _chain(_strip_pua_expr("text"), merges, _q_spark)
-    return F.expr(
-        f"CAST(length(regexp_replace({enc}, '{WS}+', '')) AS BIGINT)"
+    return f"CAST(length(regexp_replace({enc}, '{WS}+', '')) AS BIGINT)"
+
+
+def bpe_token_count_duck(merges: list[tuple[str, str]]) -> str:
+    """DuckDB dialect twin of :func:`bpe_token_count_expr`."""
+    if not merges:
+        raise ValueError("merges must be non-empty (train first)")
+    enc = _chain(_strip_pua_duck("text"), merges, _q_duck)
+    return (
+        f"CAST(length(regexp_replace({enc}, '{WS}+', '', 'g')) AS BIGINT)"
     )
 
 
@@ -303,13 +320,9 @@ def bpe_doc_token_counts_sql(
     table: str, merges: list[tuple[str, str]]
 ) -> str:
     """DuckDB twin of :func:`bpe_doc_token_counts`."""
-    if not merges:
-        raise ValueError("merges must be non-empty (train first)")
-    enc = _chain(_strip_pua_duck("text"), merges, _q_duck)
     return f"""
       SELECT doc_id,
-             CAST(length(regexp_replace({enc}, '{WS}+', '', 'g'))
-               AS BIGINT) AS n_bpe_tokens
+             {bpe_token_count_duck(merges)} AS n_bpe_tokens
       FROM {table}
     """
 

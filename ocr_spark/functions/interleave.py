@@ -763,13 +763,23 @@ def interleaved_token_counts_sql(
 
 
 def _chunk_assigned(
-    docs: DataFrame, max_tokens: int, media_token_cost: int
+    docs: DataFrame,
+    max_tokens: int,
+    media_token_cost: int,
+    text_cost_expr: str | None = None,
 ) -> DataFrame:
     """Per-span chunk assignment — the shared skeleton of
     :func:`chunk_interleaved` (stats) and :func:`render_chunks`
     (strings): explode -> one doc_id window cumsum -> ``chunk_id`` =
     budget-window index. Columns: (doc_id, text, media_ref, offset,
-    is_media, cost, cum_before, chunk_id)."""
+    is_media, cost, cum_before, chunk_id).
+
+    ``text_cost_expr`` (a Spark SQL expression over the flat ``text``
+    column) overrides the whitespace token cost — e.g. the trained
+    BPE tokenizer's count (``bpe.bpe_token_count_col``'s expression),
+    which is what a real training budget measures. It MUST yield a
+    non-NULL number for NULL text (coalesce inside) or the cumsum
+    goes NULL for the rest of the document."""
     from pyspark.sql import Window
 
     if max_tokens <= 0:
@@ -782,8 +792,10 @@ def _chunk_assigned(
     )
     is_media = F.expr("media_ref IS NOT NULL AND media_ref <> ''")
     cost = (
-        F.when(is_media, F.lit(media_token_cost))
-        .otherwise(F.expr(_ws_tok_expr("text")))
+        F.when(
+            is_media, F.lit(media_token_cost)
+        )
+        .otherwise(F.expr(text_cost_expr or _ws_tok_expr("text")))
         .cast("bigint")
     )
     # NULL offsets (span-table contract violations — span_integrity
@@ -818,6 +830,7 @@ def chunk_interleaved(
     docs: DataFrame,
     max_tokens: int = 2048,
     media_token_cost: int = MEDIA_TOKEN_COST,
+    text_cost_expr: str | None = None,
 ) -> DataFrame:
     """(doc_id, chunk_id, n_spans, n_text_spans, n_media_spans,
     n_tokens, overflow): cut each document's interleaved span SEQUENCE
@@ -853,7 +866,7 @@ def chunk_interleaved(
     chunks at TOKEN granularity to fill sequences exactly, which would
     cut through a media span — right for text chunks, wrong here.
     """
-    cum = _chunk_assigned(docs, max_tokens, media_token_cost)
+    cum = _chunk_assigned(docs, max_tokens, media_token_cost, text_cost_expr)
     return cum.groupBy("doc_id", "chunk_id").agg(
         F.count("*").cast("int").alias("n_spans"),
         F.sum(1 - F.col("is_media")).cast("int").alias("n_text_spans"),
@@ -870,11 +883,14 @@ def chunk_interleaved_sql(
     spans_sql: str = "SELECT * FROM spans",
     max_tokens: int = 2048,
     media_token_cost: int = MEDIA_TOKEN_COST,
+    text_cost_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`chunk_interleaved` over a FLAT span
     source: identical ordering keys, identical non-negative integer
     division (// floors, Spark div truncates — equal on the
-    non-negative cumsum)."""
+    non-negative cumsum). ``text_cost_sql`` mirrors the Spark side's
+    ``text_cost_expr`` (DuckDB dialect, over the flat ``text``
+    column, NULL-safe)."""
     is_media = "(media_ref IS NOT NULL AND media_ref <> '')"
     return f"""
       WITH src AS ({spans_sql}),
@@ -882,7 +898,8 @@ def chunk_interleaved_sql(
         SELECT doc_id,
                CASE WHEN {is_media} THEN 1 ELSE 0 END AS is_media,
                CAST(CASE WHEN {is_media} THEN {media_token_cost}
-                    ELSE {_ws_tok_sql('text')} END AS BIGINT) AS cost,
+                    ELSE {text_cost_sql or _ws_tok_sql('text')} END
+                 AS BIGINT) AS cost,
                "offset", coalesce(text, '') AS otext,
                coalesce(media_ref, '') AS oref
         FROM src

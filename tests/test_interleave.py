@@ -1182,3 +1182,38 @@ def test_render_chunks_plan_single_exchange(spark, nested):
 
     p = plan_str(render_chunks(nested), "simple")
     assert p.count("Exchange") == 1, p[:3000]
+
+
+def test_chunk_interleaved_bpe_cost(spark, nested, con):
+    """Swapping the chunker's text cost to the trained BPE count
+    changes window boundaries deterministically and identically in
+    both engines; totals equal the BPE doc counts (conservation under
+    a swapped cost)."""
+    from ocr_spark.functions.bpe import (
+        bpe_token_count_duck,
+        bpe_token_count_expr,
+    )
+    from ocr_spark.functions.bpe_merges import MERGES
+    from ocr_spark.functions.interleave import (
+        chunk_interleaved,
+        chunk_interleaved_sql,
+    )
+
+    cost = f"coalesce({bpe_token_count_expr(MERGES)}, CAST(0 AS BIGINT))"
+    dcost = f"coalesce({bpe_token_count_duck(MERGES)}, CAST(0 AS BIGINT))"
+    sdf = chunk_interleaved(nested, max_tokens=64, media_token_cost=32,
+                            text_cost_expr=cost)
+    g = sorted(map(tuple, sdf.collect()))
+    odf = con.execute(chunk_interleaved_sql(
+        synth_spans_sql(), max_tokens=64, media_token_cost=32,
+        text_cost_sql=dcost)).df()
+    o = [tuple(v.item() if hasattr(v, "item") else v for v in r)
+         for r in sorted(map(tuple,
+                             odf[sdf.columns].itertuples(index=False,
+                                                         name=None)))]
+    assert g == o and len(g) > 0
+    # BPE merges compress: fewer symbols than chars, so boundaries
+    # genuinely differ from the whitespace costing
+    ws = sorted(map(tuple, chunk_interleaved(
+        nested, max_tokens=64, media_token_cost=32).collect()))
+    assert g != ws
