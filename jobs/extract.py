@@ -130,6 +130,16 @@ def main() -> None:
         "--chunk-tokens; overflow chunks isolated one-per-pack)",
     )
     ap.add_argument(
+        "--chunk-cost",
+        choices=("ws", "bpe"),
+        default="ws",
+        help="text-span cost model for --emit-chunks/--verify-chunks: "
+        "'ws' = whitespace tokens (the library default), 'bpe' = the "
+        "trained tokenizer's count (bpe_merges.py) — what a training "
+        "budget actually measures; same chunker skeleton, swapped "
+        "scan-stage cost expression",
+    )
+    ap.add_argument(
         "--verify-chunks",
         action="store_true",
         help="with --emit-chunks: after the chunk sidecar is written, "
@@ -356,6 +366,15 @@ def main() -> None:
             chunk_interleaved,
         )
 
+        cost_expr = None
+        if args.chunk_cost == "bpe":
+            from ocr_spark.functions.bpe import bpe_token_count_expr
+            from ocr_spark.functions.bpe_merges import MERGES
+
+            cost_expr = (
+                f"coalesce({bpe_token_count_expr(MERGES)}, "
+                "CAST(0 AS BIGINT))"
+            )
         out = f"{args.emit_chunks}/chunks"
         chunk_interleaved(
             docs,
@@ -365,6 +384,7 @@ def main() -> None:
                 if args.media_token_cost is None
                 else args.media_token_cost
             ),
+            text_cost_expr=cost_expr,
         ).write.mode("overwrite").parquet(out)
         summary["n_chunks"] = spark.read.parquet(out).count()
         if args.pack_slots:
@@ -392,6 +412,7 @@ def main() -> None:
                         else args.media_token_cost
                     ),
                     chunks=spark.read.parquet(out),
+                    text_cost_expr=cost_expr,
                 )
                 .where("NOT ok")
                 .count()

@@ -1334,6 +1334,7 @@ def chunk_integrity(
     max_tokens: int = 2048,
     media_token_cost: int = MEDIA_TOKEN_COST,
     chunks: DataFrame | None = None,
+    text_cost_expr: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_spans_in, n_spans_chunked, n_media_in,
     n_media_chunked, n_tokens_in, n_tokens_chunked, n_chunks,
@@ -1375,28 +1376,61 @@ def chunk_integrity(
     and the chunker runs fresh at the given knobs, auditing the
     operator itself.
 
-    Scale shape: the input side is the zero-shuffle scan fold; the
-    in-memory chunk side reuses the chunker's single doc_id Exchange
-    for BOTH aggregations (subset rule); the final equi-join moves
-    one ~60-byte row per document.
+    Auditing a sidecar cut under a custom cost (e.g. the BPE budget)
+    requires the SAME ``text_cost_expr`` here — a cost mismatch reads
+    as token loss on every text-bearing doc, which is exactly right:
+    the sidecar was not built under the budget being audited. With a
+    custom expr the input side explodes (explode_outer — chunkless
+    docs still audit) and shares the chunker's cost projection.
+
+    Scale shape: the input side is the zero-shuffle scan fold (one
+    explode-aggregate under a custom cost); the in-memory chunk side
+    reuses the chunker's single doc_id Exchange for BOTH aggregations
+    (subset rule); the final equi-join moves one ~60-byte row per
+    document.
     """
-    toks = _text_tok_fold()
-    n_media = _n_media_spans()
-    inp = docs.select(
-        "doc_id",
-        F.expr("size(coalesce(spans, array()))").cast("int").alias(
-            "n_spans_in"
-        ),
-        n_media.alias("n_media_in"),
-        (toks + n_media.cast("bigint") * F.lit(media_token_cost)).alias(
-            "n_tokens_in"
-        ),
-    )
+    if text_cost_expr is None:
+        toks = _text_tok_fold()
+        n_media = _n_media_spans()
+        inp = docs.select(
+            "doc_id",
+            F.expr("size(coalesce(spans, array()))").cast("int").alias(
+                "n_spans_in"
+            ),
+            n_media.alias("n_media_in"),
+            (toks + n_media.cast("bigint") * F.lit(media_token_cost)).alias(
+                "n_tokens_in"
+            ),
+        )
+    else:
+        flat = docs.select(
+            "doc_id", F.explode_outer("spans").alias("s")
+        ).select(
+            "doc_id",
+            F.col("s").isNotNull().cast("int").alias("_has"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+        is_media = F.expr("media_ref IS NOT NULL AND media_ref <> ''")
+        cost = (
+            F.when(is_media, F.lit(media_token_cost))
+            .otherwise(F.expr(text_cost_expr))
+            .cast("bigint")
+        )
+        inp = flat.groupBy("doc_id").agg(
+            F.sum("_has").cast("int").alias("n_spans_in"),
+            F.sum(is_media.cast("int")).cast("int").alias("n_media_in"),
+            F.coalesce(
+                F.sum(F.when(F.col("_has") == 1, cost)), F.lit(0)
+            ).cast("long").alias("n_tokens_in"),
+        )
     over_budget = (
         (F.col("n_tokens") > F.lit(max_tokens)) & ~F.col("overflow")
     ).cast("int")
     if chunks is None:
-        chunks = chunk_interleaved(docs, max_tokens, media_token_cost)
+        chunks = chunk_interleaved(
+            docs, max_tokens, media_token_cost, text_cost_expr
+        )
     ch = (
         chunks.groupBy("doc_id")
         .agg(
@@ -1443,14 +1477,29 @@ def chunk_integrity_sql(
     spans_sql: str = "SELECT * FROM spans",
     max_tokens: int = 2048,
     media_token_cost: int = MEDIA_TOKEN_COST,
+    text_cost_sql: str | None = None,
 ) -> str:
     """DuckDB twin composed from the token-count and chunker twins —
     the same two stages the Spark side compares, so a cross-engine
     match pins both the conservation ARITHMETIC and the coalesce
     semantics. A flat source cannot carry a chunkless (empty-array)
-    document; that branch is Spark-side-only (unit-tested)."""
-    tok = interleaved_token_counts_sql(spans_sql, media_token_cost)
-    ch = chunk_interleaved_sql(spans_sql, max_tokens, media_token_cost)
+    document; that branch is Spark-side-only (unit-tested).
+    ``text_cost_sql`` mirrors the Spark side's custom cost."""
+    if text_cost_sql is None:
+        tok = interleaved_token_counts_sql(spans_sql, media_token_cost)
+    else:
+        im = "(media_ref IS NOT NULL AND media_ref <> '')"
+        tok = f"""
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN {im} THEN 1 ELSE 0 END) AS INT)
+                   AS n_media_spans,
+                 CAST(sum(CASE WHEN {im} THEN {media_token_cost}
+                          ELSE {text_cost_sql} END) AS BIGINT) AS n_tokens
+          FROM ({spans_sql}) GROUP BY doc_id
+        """
+    ch = chunk_interleaved_sql(
+        spans_sql, max_tokens, media_token_cost, text_cost_sql
+    )
     return f"""
       WITH tok AS ({tok}),
       cnt AS (

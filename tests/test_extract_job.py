@@ -399,3 +399,35 @@ def test_extract_job_scrub_pii(spark, tmp_path):
     assert not any("bob@x.co" in t for t in texts)
     man = _json.load(open(f"{out}/_lineage/pii/manifest.json"))
     assert man["input_config"]["scrub_pii"] is True
+
+
+def test_extract_job_chunk_cost_bpe(spark, tmp_path):
+    """--chunk-cost bpe cuts and AUDITS under the trained tokenizer's
+    budget (one cost expression drives both); boundaries differ from
+    the ws default on subword-heavy text."""
+    inp = str(tmp_path / "in")
+    rows = [
+        ("d1", [("text", "information understanding transformation "
+                         "considering", "", 0),
+                ("text", "quarterly international organizations "
+                         "repeatedly", "", 1)]),
+    ]
+    spark.createDataFrame(rows, _NESTED_SCHEMA).write.parquet(inp)
+
+    def run(tag, cost):
+        return _run_main(
+            ["extract.py", "--input", inp,
+             "--output", str(tmp_path / f"out{tag}"),
+             "--run-id", tag, "--buckets", "1",
+             "--emit-chunks", str(tmp_path / f"ch{tag}"),
+             "--chunk-tokens", "8", "--media-token-cost", "4",
+             "--chunk-cost", cost, "--verify-chunks"]
+        )
+
+    s_bpe = run("bpe", "bpe")
+    s_ws = run("ws", "ws")
+    assert s_bpe["chunk_integrity_bad_docs"] == 0
+    assert s_ws["chunk_integrity_bad_docs"] == 0
+    bpe = spark.read.parquet(str(tmp_path / "chbpe/chunks")).collect()
+    ws = spark.read.parquet(str(tmp_path / "chws/chunks")).collect()
+    assert sorted(map(tuple, bpe)) != sorted(map(tuple, ws))

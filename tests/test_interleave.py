@@ -1217,3 +1217,38 @@ def test_chunk_interleaved_bpe_cost(spark, nested, con):
     ws = sorted(map(tuple, chunk_interleaved(
         nested, max_tokens=64, media_token_cost=32).collect()))
     assert g != ws
+
+
+def test_chunk_integrity_bpe_cost(spark, nested, con):
+    """The audit under the BPE cost: fresh-run audit all-ok both
+    engines; auditing a WS-cut sidecar under the BPE budget fails on
+    token conservation (cost mismatch = wrong budget, by design)."""
+    from ocr_spark.functions.bpe import (
+        bpe_token_count_duck,
+        bpe_token_count_expr,
+    )
+    from ocr_spark.functions.bpe_merges import MERGES
+    from ocr_spark.functions.interleave import (
+        chunk_integrity,
+        chunk_integrity_sql,
+        chunk_interleaved,
+    )
+
+    cost = f"coalesce({bpe_token_count_expr(MERGES)}, CAST(0 AS BIGINT))"
+    dcost = f"coalesce({bpe_token_count_duck(MERGES)}, CAST(0 AS BIGINT))"
+    sdf = chunk_integrity(nested, max_tokens=64, media_token_cost=32,
+                          text_cost_expr=cost)
+    g = sorted(map(tuple, sdf.collect()))
+    odf = con.execute(chunk_integrity_sql(
+        synth_spans_sql(), max_tokens=64, media_token_cost=32,
+        text_cost_sql=dcost)).df()
+    o = [tuple(v.item() if hasattr(v, "item") else v for v in r)
+         for r in sorted(map(tuple,
+                             odf[sdf.columns].itertuples(index=False,
+                                                         name=None)))]
+    assert g == o and all(r[-1] for r in g)
+    ws_sidecar = chunk_interleaved(nested, max_tokens=64,
+                                   media_token_cost=32)
+    mismatch = chunk_integrity(nested, max_tokens=64, media_token_cost=32,
+                               chunks=ws_sidecar, text_cost_expr=cost)
+    assert mismatch.where("NOT ok").count() > 0
