@@ -775,6 +775,15 @@ def _kind_hist_sql() -> str:
 _PII_INJ = " contact: user7@example.com or 10.0.0.1 or +1 (555) 123-4567"
 
 
+def _BPE_COST(col: str) -> str:
+    """Column-parameterized NULL-safe BPE cost (the chunker/audit
+    text_cost contract)."""
+    return (
+        f"coalesce({bpe_token_count_expr(_BPE_MERGES, col)}, "
+        "CAST(0 AS BIGINT))"
+    )
+
+
 def _pii_span_docs(s: SparkSession, d: str) -> DataFrame:
     """Nested span docs with _PII_INJ appended to a deterministic
     subset of TEXT spans (doc_id % 7, offset % 5) — the span-level
@@ -855,10 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _span_docs(s, d),
             max_tokens=64,
             media_token_cost=32,
-            text_cost_expr=(
-                f"coalesce({bpe_token_count_expr(_BPE_MERGES)}, "
-                "CAST(0 AS BIGINT))"
-            ),
+            text_cost=_BPE_COST,
         ),
         # span-conservation audit of the chunker: every span/token
         # accounted for exactly once, unflagged over-budget chunks = 0

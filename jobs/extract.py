@@ -214,6 +214,8 @@ def main() -> None:
             ap.error("--pack-slots must be >= 1")
     if args.verify_chunks and not args.emit_chunks:
         ap.error("--verify-chunks requires --emit-chunks")
+    if args.chunk_cost != "ws" and not args.emit_chunks:
+        ap.error("--chunk-cost requires --emit-chunks")
 
     from ocr_spark.pipeline.runner import ExtractionRun, RunConfig
     from ocr_spark.pipeline.session import get_spark
@@ -366,15 +368,17 @@ def main() -> None:
             chunk_interleaved,
         )
 
-        cost_expr = None
+        cost_fn = None
         if args.chunk_cost == "bpe":
             from ocr_spark.functions.bpe import bpe_token_count_expr
             from ocr_spark.functions.bpe_merges import MERGES
 
-            cost_expr = (
-                f"coalesce({bpe_token_count_expr(MERGES)}, "
-                "CAST(0 AS BIGINT))"
-            )
+            def cost_fn(col):
+                return (
+                    f"coalesce({bpe_token_count_expr(MERGES, col)}, "
+                    "CAST(0 AS BIGINT))"
+                )
+
         out = f"{args.emit_chunks}/chunks"
         chunk_interleaved(
             docs,
@@ -384,8 +388,26 @@ def main() -> None:
                 if args.media_token_cost is None
                 else args.media_token_cost
             ),
-            text_cost_expr=cost_expr,
+            text_cost=cost_fn,
         ).write.mode("overwrite").parquet(out)
+        # sidecar metadata: without a record of the cost model the
+        # sidecar was cut under, a later audit with the wrong cost is
+        # indistinguishable from corruption (the bloom (m_bits, k)
+        # metadata precedent)
+        with open(f"{args.emit_chunks}/chunks_meta.json", "w") as fh:
+            json.dump(
+                {
+                    "chunk_cost": args.chunk_cost,
+                    "chunk_tokens": args.chunk_tokens,
+                    "media_token_cost": (
+                        MEDIA_TOKEN_COST
+                        if args.media_token_cost is None
+                        else args.media_token_cost
+                    ),
+                },
+                fh,
+            )
+        summary["chunk_cost"] = args.chunk_cost
         summary["n_chunks"] = spark.read.parquet(out).count()
         if args.pack_slots:
             from ocr_spark.functions.packing import pack_interleaved
@@ -412,7 +434,7 @@ def main() -> None:
                         else args.media_token_cost
                     ),
                     chunks=spark.read.parquet(out),
-                    text_cost_expr=cost_expr,
+                    text_cost=cost_fn,
                 )
                 .where("NOT ok")
                 .count()

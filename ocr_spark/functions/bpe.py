@@ -294,23 +294,28 @@ def bpe_token_count_col(merges: list[tuple[str, str]]) -> F.Column:
     return F.expr(bpe_token_count_expr(merges))
 
 
-def bpe_token_count_expr(merges: list[tuple[str, str]]) -> str:
-    """The Spark SQL token-count expression STRING over a ``text``
-    column — for consumers that splice it into their own expression
-    tree (``interleave.chunk_interleaved(text_cost_expr=...)``: BPE
-    training-budget chunking). NULL text yields NULL; wrap in
-    coalesce where a definite number is required."""
+def bpe_token_count_expr(
+    merges: list[tuple[str, str]], col: str = "text"
+) -> str:
+    """The Spark SQL token-count expression STRING over the column
+    (or any string expression) ``col`` — for consumers that splice it
+    into their own expression tree (``interleave.chunk_interleaved``'s
+    ``text_cost``: BPE training-budget chunking; the audit's nested
+    fold passes ``s.text``). NULL input yields NULL; wrap in coalesce
+    where a definite number is required."""
     if not merges:
         raise ValueError("merges must be non-empty (train first)")
-    enc = _chain(_strip_pua_expr("text"), merges, _q_spark)
+    enc = _chain(_strip_pua_expr(col), merges, _q_spark)
     return f"CAST(length(regexp_replace({enc}, '{WS}+', '')) AS BIGINT)"
 
 
-def bpe_token_count_duck(merges: list[tuple[str, str]]) -> str:
+def bpe_token_count_duck(
+    merges: list[tuple[str, str]], col: str = "text"
+) -> str:
     """DuckDB dialect twin of :func:`bpe_token_count_expr`."""
     if not merges:
         raise ValueError("merges must be non-empty (train first)")
-    enc = _chain(_strip_pua_duck("text"), merges, _q_duck)
+    enc = _chain(_strip_pua_duck(col), merges, _q_duck)
     return (
         f"CAST(length(regexp_replace({enc}, '{WS}+', '', 'g')) AS BIGINT)"
     )

@@ -766,7 +766,7 @@ def _chunk_assigned(
     docs: DataFrame,
     max_tokens: int,
     media_token_cost: int,
-    text_cost_expr: str | None = None,
+    text_cost=None,
 ) -> DataFrame:
     """Per-span chunk assignment — the shared skeleton of
     :func:`chunk_interleaved` (stats) and :func:`render_chunks`
@@ -774,12 +774,14 @@ def _chunk_assigned(
     budget-window index. Columns: (doc_id, text, media_ref, offset,
     is_media, cost, cum_before, chunk_id).
 
-    ``text_cost_expr`` (a Spark SQL expression over the flat ``text``
-    column) overrides the whitespace token cost — e.g. the trained
-    BPE tokenizer's count (``bpe.bpe_token_count_col``'s expression),
-    which is what a real training budget measures. It MUST yield a
-    non-NULL number for NULL text (coalesce inside) or the cumsum
-    goes NULL for the rest of the document."""
+    ``text_cost`` (a callable mapping a column EXPRESSION string to a
+    Spark SQL cost expression over it — column-parameterized so the
+    audit's nested fold can apply the SAME definition to ``s.text``)
+    overrides the whitespace token cost — e.g. the trained BPE
+    tokenizer's count (``bpe.bpe_token_count_expr``), which is what a
+    real training budget measures. It MUST yield a non-NULL number
+    for NULL input (coalesce inside) or the cumsum goes NULL for the
+    rest of the document."""
     from pyspark.sql import Window
 
     if max_tokens <= 0:
@@ -791,11 +793,14 @@ def _chunk_assigned(
         F.col("s.offset").alias("offset"),
     )
     is_media = F.expr("media_ref IS NOT NULL AND media_ref <> ''")
+    text_cost_sql = (
+        text_cost("text") if text_cost else _ws_tok_expr("text")
+    )
     cost = (
         F.when(
             is_media, F.lit(media_token_cost)
         )
-        .otherwise(F.expr(text_cost_expr or _ws_tok_expr("text")))
+        .otherwise(F.expr(text_cost_sql))
         .cast("bigint")
     )
     # NULL offsets (span-table contract violations — span_integrity
@@ -830,7 +835,7 @@ def chunk_interleaved(
     docs: DataFrame,
     max_tokens: int = 2048,
     media_token_cost: int = MEDIA_TOKEN_COST,
-    text_cost_expr: str | None = None,
+    text_cost=None,
 ) -> DataFrame:
     """(doc_id, chunk_id, n_spans, n_text_spans, n_media_spans,
     n_tokens, overflow): cut each document's interleaved span SEQUENCE
@@ -866,7 +871,7 @@ def chunk_interleaved(
     chunks at TOKEN granularity to fill sequences exactly, which would
     cut through a media span — right for text chunks, wrong here.
     """
-    cum = _chunk_assigned(docs, max_tokens, media_token_cost, text_cost_expr)
+    cum = _chunk_assigned(docs, max_tokens, media_token_cost, text_cost)
     return cum.groupBy("doc_id", "chunk_id").agg(
         F.count("*").cast("int").alias("n_spans"),
         F.sum(1 - F.col("is_media")).cast("int").alias("n_text_spans"),
@@ -1334,7 +1339,7 @@ def chunk_integrity(
     max_tokens: int = 2048,
     media_token_cost: int = MEDIA_TOKEN_COST,
     chunks: DataFrame | None = None,
-    text_cost_expr: str | None = None,
+    text_cost=None,
 ) -> DataFrame:
     """(doc_id, n_spans_in, n_spans_chunked, n_media_in,
     n_media_chunked, n_tokens_in, n_tokens_chunked, n_chunks,
@@ -1377,59 +1382,46 @@ def chunk_integrity(
     operator itself.
 
     Auditing a sidecar cut under a custom cost (e.g. the BPE budget)
-    requires the SAME ``text_cost_expr`` here — a cost mismatch reads
-    as token loss on every text-bearing doc, which is exactly right:
-    the sidecar was not built under the budget being audited. With a
-    custom expr the input side explodes (explode_outer — chunkless
-    docs still audit) and shares the chunker's cost projection.
+    requires the SAME ``text_cost`` callable here — a cost mismatch
+    reads as token loss on every text-bearing doc, which is exactly
+    right: the sidecar was not built under the budget being audited.
+    The callable is column-parameterized (it receives ``s.text``
+    inside the fold, ``text`` inside the chunker), so both sides run
+    ONE cost definition and the input side stays the same per-row
+    zero-shuffle scan fold as the default — duplicate doc_id input
+    rows keep their per-row verdicts (the re-crawl alarm) under any
+    cost model.
 
-    Scale shape: the input side is the zero-shuffle scan fold (one
-    explode-aggregate under a custom cost); the in-memory chunk side
-    reuses the chunker's single doc_id Exchange for BOTH aggregations
-    (subset rule); the final equi-join moves one ~60-byte row per
-    document.
+    Scale shape: the input side is the zero-shuffle scan fold; the
+    in-memory chunk side reuses the chunker's single doc_id Exchange
+    for BOTH aggregations (subset rule); the final equi-join moves
+    one ~60-byte row per document.
     """
-    if text_cost_expr is None:
+    if text_cost is None:
         toks = _text_tok_fold()
-        n_media = _n_media_spans()
-        inp = docs.select(
-            "doc_id",
-            F.expr("size(coalesce(spans, array()))").cast("int").alias(
-                "n_spans_in"
-            ),
-            n_media.alias("n_media_in"),
-            (toks + n_media.cast("bigint") * F.lit(media_token_cost)).alias(
-                "n_tokens_in"
-            ),
-        )
     else:
-        flat = docs.select(
-            "doc_id", F.explode_outer("spans").alias("s")
-        ).select(
-            "doc_id",
-            F.col("s").isNotNull().cast("int").alias("_has"),
-            F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"),
+        toks = F.expr(
+            "aggregate(coalesce(spans, array()), CAST(0 AS BIGINT), "
+            f"(acc, s) -> acc + CASE WHEN {_IS_MEDIA} THEN 0 "
+            f"ELSE CAST({text_cost('s.text')} AS BIGINT) END)"
         )
-        is_media = F.expr("media_ref IS NOT NULL AND media_ref <> ''")
-        cost = (
-            F.when(is_media, F.lit(media_token_cost))
-            .otherwise(F.expr(text_cost_expr))
-            .cast("bigint")
-        )
-        inp = flat.groupBy("doc_id").agg(
-            F.sum("_has").cast("int").alias("n_spans_in"),
-            F.sum(is_media.cast("int")).cast("int").alias("n_media_in"),
-            F.coalesce(
-                F.sum(F.when(F.col("_has") == 1, cost)), F.lit(0)
-            ).cast("long").alias("n_tokens_in"),
-        )
+    n_media = _n_media_spans()
+    inp = docs.select(
+        "doc_id",
+        F.expr("size(coalesce(spans, array()))").cast("int").alias(
+            "n_spans_in"
+        ),
+        n_media.alias("n_media_in"),
+        (toks + n_media.cast("bigint") * F.lit(media_token_cost)).alias(
+            "n_tokens_in"
+        ),
+    )
     over_budget = (
         (F.col("n_tokens") > F.lit(max_tokens)) & ~F.col("overflow")
     ).cast("int")
     if chunks is None:
         chunks = chunk_interleaved(
-            docs, max_tokens, media_token_cost, text_cost_expr
+            docs, max_tokens, media_token_cost, text_cost
         )
     ch = (
         chunks.groupBy("doc_id")
@@ -1548,6 +1540,7 @@ def render_chunks(
     media_token_cost: int = MEDIA_TOKEN_COST,
     media_token: str = MEDIA_PLACEHOLDER,
     sep: str = "\n",
+    text_cost=None,
 ) -> DataFrame:
     """(doc_id, chunk_id, rendered_text, n_spans, n_tokens): each
     training WINDOW materialized as its tokenizer-ready string —
@@ -1560,7 +1553,10 @@ def render_chunks(
     ``doc_id#chunk_id`` ids) and the repeated windows fall out.
 
     Shares :func:`_chunk_assigned` with the chunker, so chunk
-    membership here and chunk stats there can never drift. Within a
+    membership here and chunk stats there can never drift — PROVIDED
+    the same ``text_cost`` is passed: rendering the windows of a
+    sidecar cut under the BPE budget requires the same callable here,
+    or chunk_ids diverge. Within a
     chunk, parts order by the SAME keys as the cumsum (offset NULLS
     FIRST via a below-int32 sentinel, is_media, text, media_ref);
     media spans render as ``media_token``, empty/NULL text spans are
@@ -1574,7 +1570,7 @@ def render_chunks(
     sort is a scan-stage ``array_sort`` over one chunk's spans, never
     a second Exchange.
     """
-    cum = _chunk_assigned(docs, max_tokens, media_token_cost)
+    cum = _chunk_assigned(docs, max_tokens, media_token_cost, text_cost)
     keep = (F.col("is_media") == 1) | (
         F.col("text").isNotNull() & (F.col("text") != "")
     )

@@ -38,12 +38,15 @@ def run_chunk_stream(
     checkpoint_dir: str,
     max_tokens: int = 2048,
     media_token_cost: int = MEDIA_TOKEN_COST,
+    text_cost=None,
 ):
     """availableNow drain: chunk each span-table file batch into its
     own state partition (replay-idempotent dynamic overwrite via the
-    shared scaffold). Chunk knobs are fixed per stream — mixing
-    budgets in one state dir would corrupt it the same way a
-    mismatched resume would; start a new state dir to re-chunk."""
+    shared scaffold). Chunk knobs — including ``text_cost`` (the
+    chunker's column-parameterized cost callable, e.g. the BPE
+    budget) — are fixed per stream: mixing budgets in one state dir
+    would corrupt it the same way a mismatched resume would; start a
+    new state dir to re-chunk."""
     from ocr_spark.streaming.state_config import (
         run_partitioned_drain,
         write_batch_partition,
@@ -51,7 +54,7 @@ def run_chunk_stream(
 
     def _process(bdf: DataFrame, batch_id: int) -> None:
         write_batch_partition(
-            chunk_interleaved(bdf, max_tokens, media_token_cost),
+            chunk_interleaved(bdf, max_tokens, media_token_cost, text_cost),
             batch_id,
             state_dir,
         )
@@ -65,9 +68,11 @@ def audit_state(
     state_dir: str,
     max_tokens: int = 2048,
     media_token_cost: int = MEDIA_TOKEN_COST,
+    text_cost=None,
 ) -> DataFrame:
     """Post-drain conservation audit: the accumulated chunk state
-    vs the FULL ingested span table, via
+    vs the FULL ingested span table (same ``text_cost`` as the
+    stream, or every text-bearing doc reads as token loss), via
     :func:`~ocr_spark.functions.interleave.chunk_integrity`'s
     materialized-sidecar mode (full-outer, so lost, inflated AND
     phantom chunks all fail). Valid when doc_ids are unique across
@@ -79,5 +84,6 @@ def audit_state(
     docs = spark.read.parquet(input_dir)
     chunks = spark.read.parquet(state_dir).drop("ingest_batch")
     return chunk_integrity(
-        docs, max_tokens, media_token_cost, chunks=chunks
+        docs, max_tokens, media_token_cost, chunks=chunks,
+        text_cost=text_cost,
     )

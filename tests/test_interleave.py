@@ -1199,10 +1199,13 @@ def test_chunk_interleaved_bpe_cost(spark, nested, con):
         chunk_interleaved_sql,
     )
 
-    cost = f"coalesce({bpe_token_count_expr(MERGES)}, CAST(0 AS BIGINT))"
+    def cost(col):
+        return (f"coalesce({bpe_token_count_expr(MERGES, col)}, "
+                "CAST(0 AS BIGINT))")
+
     dcost = f"coalesce({bpe_token_count_duck(MERGES)}, CAST(0 AS BIGINT))"
     sdf = chunk_interleaved(nested, max_tokens=64, media_token_cost=32,
-                            text_cost_expr=cost)
+                            text_cost=cost)
     g = sorted(map(tuple, sdf.collect()))
     odf = con.execute(chunk_interleaved_sql(
         synth_spans_sql(), max_tokens=64, media_token_cost=32,
@@ -1234,10 +1237,13 @@ def test_chunk_integrity_bpe_cost(spark, nested, con):
         chunk_interleaved,
     )
 
-    cost = f"coalesce({bpe_token_count_expr(MERGES)}, CAST(0 AS BIGINT))"
+    def cost(col):
+        return (f"coalesce({bpe_token_count_expr(MERGES, col)}, "
+                "CAST(0 AS BIGINT))")
+
     dcost = f"coalesce({bpe_token_count_duck(MERGES)}, CAST(0 AS BIGINT))"
     sdf = chunk_integrity(nested, max_tokens=64, media_token_cost=32,
-                          text_cost_expr=cost)
+                          text_cost=cost)
     g = sorted(map(tuple, sdf.collect()))
     odf = con.execute(chunk_integrity_sql(
         synth_spans_sql(), max_tokens=64, media_token_cost=32,
@@ -1250,5 +1256,27 @@ def test_chunk_integrity_bpe_cost(spark, nested, con):
     ws_sidecar = chunk_interleaved(nested, max_tokens=64,
                                    media_token_cost=32)
     mismatch = chunk_integrity(nested, max_tokens=64, media_token_cost=32,
-                               chunks=ws_sidecar, text_cost_expr=cost)
+                               chunks=ws_sidecar, text_cost=cost)
     assert mismatch.where("NOT ok").count() > 0
+
+
+def test_chunk_integrity_custom_cost_keeps_per_row_dup_semantics(spark):
+    """Duplicate doc_id input rows must keep per-row verdicts under a
+    CUSTOM cost too (the re-crawl alarm): a grouped input side would
+    sum both occurrences and wave the doubled document through."""
+    from ocr_spark.functions.interleave import (
+        chunk_integrity,
+        chunk_interleaved,
+    )
+
+    rows = [_doc("dup", [("text", "a b c d", "", 0)]),
+            _doc("dup", [("text", "a b c d", "", 0)])]
+    df = spark.createDataFrame(rows, _NESTED_SCHEMA)
+    cost = lambda col: f"coalesce(length({col}), CAST(0 AS BIGINT))"  # noqa: E731
+    sidecar = chunk_interleaved(df, max_tokens=8, media_token_cost=4,
+                                text_cost=cost)
+    out = chunk_integrity(df, max_tokens=8, media_token_cost=4,
+                          chunks=sidecar, text_cost=cost).collect()
+    # two input rows -> two audit rows, each seeing the merged (2-row)
+    # chunk side: both not-ok, the doubled doc cannot pass
+    assert len(out) == 2 and all(not r.ok for r in out)
