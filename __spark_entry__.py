@@ -86,6 +86,7 @@ from ocr_spark.functions.quantize import (
     quantize_flat_sql,
 )
 from ocr_spark.functions import multimodal as mm
+from ocr_spark.functions import tables as tbl
 from ocr_spark.functions import similarity as sim
 from ocr_spark.functions.ivf_centroids import (
     TRAINED_CENTROIDS_SF001 as _IVF_CENTS,
@@ -775,6 +776,69 @@ def _kind_hist_sql() -> str:
 _PII_INJ = " contact: user7@example.com or 10.0.0.1 or +1 (555) 123-4567"
 
 
+def _tbl_tok_sql(j: str, did: str) -> str:
+    """Deterministic OTSL token for synthetic table blocks — ONE
+    dialect-shared CASE (every 4th token a row break, first row
+    column headers, merges seeded by doc_id so lcel/ucel/xcel runs
+    actually occur). Spec-sloppy on purpose: the reconstructor must
+    degrade deterministically on token soup, and both engines must
+    agree on exactly how."""
+    m = f"(({did}) + ({j})) % 6"
+    return (
+        f"CASE WHEN ({j}) % 4 = 3 THEN 'nl' "
+        f"WHEN ({j}) < 3 THEN 'ched' "
+        f"WHEN {m} = 0 THEN 'ecel' WHEN {m} = 1 THEN 'lcel' "
+        f"WHEN {m} = 2 THEN 'ucel' WHEN {m} = 3 THEN 'xcel' "
+        "ELSE 'fcel' END"
+    )
+
+
+def _table_span_docs(s: SparkSession, d: str) -> DataFrame:
+    """Nested span docs where every 3rd document's spans at offsets
+    1-12 become an OTSL table block (synth kinds carry no tables;
+    the kernel emits them from real <otsl> streams — this mapping
+    manufactures the same shape deterministically, the _PII_INJ
+    convention)."""
+    j = "(s.offset - 1)"
+    did = "CAST(doc_id AS BIGINT)"
+    tok = _tbl_tok_sql(j, did)
+    cond = f"{did} % 3 = 0 AND s.offset BETWEEN 1 AND 12"
+    return _span_docs(s, d).withColumn(
+        "spans",
+        F.expr(
+            "transform(spans, s -> struct("
+            f"CASE WHEN {cond} THEN 'table_' || ({tok}) "
+            "ELSE s.kind END AS kind, "
+            f"CASE WHEN {cond} THEN "
+            f"(CASE WHEN ({tok}) IN ('fcel', 'ched') "
+            "THEN coalesce(s.text, '') ELSE '' END) "
+            "ELSE s.text END AS text, "
+            f"CASE WHEN {cond} THEN '' ELSE s.media_ref END "
+            "AS media_ref, s.offset AS offset))"
+        ),
+    )
+
+
+def _table_spans_sql() -> str:
+    """Flat twin of :func:`_table_span_docs` over the synth spans."""
+    j = '("offset" - 1)'
+    did = "CAST(doc_id AS BIGINT)"
+    tok = _tbl_tok_sql(j, did)
+    cond = f'{did} % 3 = 0 AND "offset" BETWEEN 1 AND 12'
+    return f"""
+      SELECT doc_id,
+             CASE WHEN {cond} THEN 'table_' || ({tok})
+                  ELSE kind END AS kind,
+             CASE WHEN {cond} THEN
+               (CASE WHEN ({tok}) IN ('fcel', 'ched')
+                THEN coalesce(text, '') ELSE '' END)
+             ELSE text END AS text,
+             CASE WHEN {cond} THEN '' ELSE media_ref END AS media_ref,
+             "offset"
+      FROM ({synth_spans_sql()})
+    """
+
+
 def _BPE_COST(col: str) -> str:
     """Column-parameterized NULL-safe BPE cost (the chunker/audit
     text_cost contract)."""
@@ -936,6 +1000,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .select("doc_id")
         .distinct(),
+        # OTSL table reconstruction: the kernel's lossless
+        # table_<token> cell spans turned back into the queryable
+        # grid (row/col/rowspan/colspan/is_header); synthetic table
+        # blocks injected per _table_span_docs (synth kinds carry no
+        # tables)
+        "table_reconstruct": lambda s, d: tbl.table_reconstruct(
+            _table_span_docs(s, d)
+        ),
+        # per-table shape census (the table-aware curation gate
+        # statistic: 1xN link farms vs real grids)
+        "table_shapes": lambda s, d: tbl.table_shapes(
+            _table_span_docs(s, d)
+        ),
         # figure<->caption attachment: nearest caption by offset
         # (ties forward), zero-shuffle scan-stage folds. Caption-less
         # media keeps NULL columns in the operator; the contract
@@ -1835,6 +1912,8 @@ def oracle_sql() -> dict[str, str]:
         "template_sample": ilv.template_sample_sql(
             synth_spans_sql(), max_per_template=3, min_docs=2
         ),
+        "table_reconstruct": tbl.table_reconstruct_sql(_table_spans_sql()),
+        "table_shapes": tbl.table_shapes_sql(_table_spans_sql()),
         "caption_pairs": (
             "SELECT doc_id, media_ref, media_offset, "
             "coalesce(caption_offset, -1) AS caption_offset, "
