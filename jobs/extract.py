@@ -342,6 +342,7 @@ def main() -> None:
             template_stats,
         )
         from ocr_spark.functions.media import media_context, media_jaccard_pairs
+        from ocr_spark.functions.tables import table_shapes
 
         for name, df in (
             ("caption_pairs", caption_pairs(docs)),
@@ -352,6 +353,9 @@ def main() -> None:
             # dedup-adjacent signals only the span table carries
             ("templates", template_stats(docs)),
             ("media_pairs", media_jaccard_pairs(docs)),
+            # per-table shape census over the kernel's OTSL cell
+            # spans (empty when the corpus carries no tables)
+            ("tables", table_shapes(docs)),
         ):
             out = f"{args.emit_structure}/{name}"
             df.write.mode("overwrite").parquet(out)

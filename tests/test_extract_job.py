@@ -71,6 +71,7 @@ def test_extract_job_integrity_gate_and_sidecars(spark, tmp_path):
     # structurally-distinct docs -> two fingerprints, no re-posts)
     assert summary["n_templates"] == 2
     assert summary["n_media_pairs"] == 0
+    assert summary["n_tables"] == 0  # no table spans in this corpus
     ts = spark.read.parquet(f"{struct}/templates").collect()
     assert all(not r.is_template for r in ts)  # nothing repeats
 
