@@ -129,6 +129,9 @@ from ocr_spark.functions.sketches import (
     hist_sketch_build_sql as sk_hist_build_sql,
 )
 from ocr_spark.functions import timeseries as tsr
+from ocr_spark.functions import anomaly as anm
+from ocr_spark.functions import paths as pth
+from ocr_spark.functions import scd
 from ocr_spark.functions import text as txt
 from ocr_spark.functions import scrub as scr
 from ocr_spark.functions import contamination as cnt
@@ -875,6 +878,34 @@ _PII_SPAN_INJ_SQL = (
 )
 
 
+def _scd_obs_spark(s: SparkSession, d: str) -> DataFrame:
+    """Daily per-user status observations for the SCD2 contract query:
+    (user_id, snap_day, status=min event_type that day) — integer day
+    ids (the resample_fill epoch-int discipline), min() for a
+    deterministic representative."""
+    ev = _read(s, d, "events")
+    return (
+        ev.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(86400.0))
+            .cast("long")
+            .alias("snap_day"),
+        )
+        .agg(F.min("event_type").alias("status"))
+    )
+
+
+_SCD_OBS_SQL = (
+    "(SELECT user_id,"
+    " CAST(floor(epoch(ts) / 86400) AS BIGINT) AS snap_day,"
+    " min(event_type) AS status"
+    " FROM events"
+    " WHERE ts IS NOT NULL AND user_id IS NOT NULL"
+    " GROUP BY 1, 2)"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- extraction core (S5-replacement, P1/P7, O2, R6, A4, J6)
@@ -1326,6 +1357,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "running_user_stats": lambda s, d: tsr.running_user_stats(
             _read(s, d, "events")
+        ),
+        # rolling-window spike detection: the z-score test multiplied
+        # through into pure-integer form — (w*x-s)^2 > tau2*(w*ssq-s^2)
+        # in DECIMAL(38,0), no division/sqrt/libm on the compared path
+        "anomaly_hourly": lambda s, d: anm.anomaly_flags(
+            _read(s, d, "events"), step_s=3600, window=24, tau2=9
+        ),
+        # session path mining: ordered event-type journeys per
+        # gap-session, top-k by frequency (deterministic ties)
+        "session_paths_topk": lambda s, d: pth.session_paths(
+            _read(s, d, "events"), gap_s=1800, k=50, max_steps=8
+        ),
+        # SCD2 validity intervals over daily per-user status
+        # observations (gaps-and-islands lag/filter/lead; integer day
+        # ids dodge the TIMESTAMPTZ twin trap)
+        # valid_to's real NULL (current run) is coalesced to -1 in the
+        # CONTRACT projection only: a NULLable BIGINT comes back from
+        # the oracle as float64 ('5.0' vs '5' in the value hash) —
+        # is_current already carries the open-endedness
+        "scd2_user_status": lambda s, d: scd.scd2_history(
+            _scd_obs_spark(s, d),
+            key="user_id",
+            snap="snap_day",
+            attrs=("status",),
+        ).selectExpr(
+            "user_id",
+            "status",
+            "valid_from",
+            "coalesce(valid_to, -1) AS valid_to",
+            "is_current",
         ),
         # exact distinct per group (the oracle-able twin of the HLL
         # sketch path in functions/sketches.py, which tests pin for
@@ -2069,6 +2130,23 @@ def oracle_sql() -> dict[str, str]:
             "events", step_s=3600, fill="ffill"
         ),
         "running_user_stats": tsr.running_user_stats_sql(),
+        "anomaly_hourly": anm.anomaly_flags_sql(
+            "events", step_s=3600, window=24, tau2=9
+        ),
+        "session_paths_topk": pth.session_paths_sql(
+            "events", gap_s=1800, k=50, max_steps=8
+        ),
+        "scd2_user_status": (
+            "SELECT user_id, status, valid_from,"
+            " coalesce(valid_to, -1) AS valid_to, is_current FROM ("
+            + scd.scd2_history_sql(
+                table=_SCD_OBS_SQL,
+                key="user_id",
+                snap="snap_day",
+                attrs=("status",),
+            )
+            + ")"
+        ),
         "distinct_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"

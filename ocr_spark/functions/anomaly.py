@@ -1,0 +1,166 @@
+"""Rolling-window anomaly detection over resampled event series.
+
+The monitoring-side operator every ingest pipeline needs once it runs
+continuously (the reference's closest concept is the per-run summary
+counts it renders in the UI, /root/reference/webapp/results.py — a
+human eyeballs them; at 10^12 docs nobody eyeballs anything): flag
+time buckets whose event count deviates from the trailing window by
+more than ``tau`` standard deviations.
+
+Engine mapping and the exactness trick: a textbook z-score needs
+mean, variance, a square root and a division — four float operations
+whose results differ between Spark's and DuckDB's libm/association
+and would poison the hash compare. The test
+
+    |x - mean| > tau * stddev
+
+squares to
+
+    (w*x - s)^2 > tau^2 * (w*ssq - s^2)
+
+after multiplying through by w^2 (w = window size, s = trailing sum,
+ssq = trailing sum of squares, all BIGINT counts): every term is an
+INTEGER and ``tau`` enters only as tau^2, so any rational tau keeps
+the whole predicate in exact arithmetic — no division, no sqrt, no
+float anywhere. Both engines evaluate the identical expression; the
+squares are computed in DECIMAL(38,0) so the predicate survives
+per-bucket counts up to ~10^14 at w=24 (int64 would cap the square
+at counts ~1.2*10^8; 100 TB-scale buckets can exceed that).
+
+Variance-zero windows (a constant trailing series) flag ANY deviation:
+the predicate degenerates to (w*x - s)^2 > 0, which is exactly "x !=
+the constant" — the natural limit, documented rather than special-
+cased. Buckets whose trailing window is not yet full (the first
+``window`` buckets of each series) are never flagged (insufficient
+evidence), reported with is_anomaly = false and window_full = false.
+
+Scale shape: one resample aggregation (map-side partials on
+(event_type, bucket)), a tiny per-type spine, then ONE window pass
+per type ordered by bucket — the spine is dense by construction so
+ROWS BETWEEN window preceding AND 1 preceding IS the trailing time
+window; state is O(window) per partition. Series count = |event
+types| (or any key the caller resamples by), each independent — a
+100 TB event log resamples in one shuffle and the window pass never
+sees raw events, only buckets (bounded by time range / step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.timeseries import resample_fill, resample_fill_sql
+
+DEFAULT_WINDOW = 24  # trailing buckets (one day of hourly buckets)
+DEFAULT_TAU2 = 9  # tau = 3 sigma; the predicate uses tau^2 so any
+#                   rational tau^2 stays in exact integer arithmetic
+
+_DEC = "DECIMAL(38,0)"
+
+
+def anomaly_flags(
+    events: DataFrame,
+    step_s: int = 3600,
+    window: int = DEFAULT_WINDOW,
+    tau2: int = DEFAULT_TAU2,
+) -> DataFrame:
+    """(event_type, bucket_start, n_events, base_n, base_sum,
+    is_anomaly, window_full): per event type's dense ``step_s``-second
+    series, flag buckets where (w*x - s)^2 > tau2 * (w*ssq - s^2)
+    over the trailing ``window`` buckets (current bucket excluded —
+    a spike must not suppress its own detection).
+
+    ``base_n``/``base_sum`` expose the trailing-window evidence so a
+    consumer can rank flags by deviation without re-running the
+    window. Empty trailing buckets count as 0 events (the resample's
+    zero-fill IS the right prior for counts: an empty hour is an
+    observation, not a gap).
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if tau2 < 0:
+        raise ValueError("tau2 must be >= 0")
+    from pyspark.sql import Window
+
+    dense = resample_fill(events, step_s=step_s, fill="zero").select(
+        "event_type", "bucket_start", "n_events"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(-window, -1)
+    )
+    base_n = F.count("n_events").over(w)
+    base_sum = F.sum("n_events").over(w)
+    base_ssq = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    sized = dense.select(
+        "event_type",
+        "bucket_start",
+        "n_events",
+        base_n.cast("long").alias("base_n"),
+        F.coalesce(base_sum, F.lit(0)).cast("long").alias("base_sum"),
+        F.coalesce(base_ssq, F.lit(0)).cast("long").alias("_ssq"),
+    )
+    # (w*x - s)^2 > tau2 * (w*ssq - s^2), exact in DECIMAL(38,0).
+    dev = F.expr(
+        f"CAST({window} * n_events - base_sum AS {_DEC})"
+        f" * CAST({window} * n_events - base_sum AS {_DEC})"
+    )
+    spread = F.expr(
+        f"CAST({tau2} AS {_DEC}) * ("
+        f"CAST({window} AS {_DEC}) * CAST(_ssq AS {_DEC})"
+        f" - CAST(base_sum AS {_DEC}) * CAST(base_sum AS {_DEC}))"
+    )
+    full = F.col("base_n") == window
+    return sized.select(
+        "event_type",
+        "bucket_start",
+        "n_events",
+        "base_n",
+        "base_sum",
+        (full & (dev > spread)).alias("is_anomaly"),
+        full.alias("window_full"),
+    )
+
+
+def anomaly_flags_sql(
+    table: str = "events",
+    step_s: int = 3600,
+    window: int = DEFAULT_WINDOW,
+    tau2: int = DEFAULT_TAU2,
+) -> str:
+    """DuckDB twin: the resample twin as a CTE, then the identical
+    integer predicate (DuckDB multiplies DECIMAL(38,0) at full
+    precision like Spark; both sides cast every factor explicitly)."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if tau2 < 0:
+        raise ValueError("tau2 must be >= 0")
+    dec = _DEC
+    return f"""
+      WITH dense AS (
+        SELECT event_type, bucket_start, n_events
+        FROM ({resample_fill_sql(table, step_s=step_s, fill="zero")})
+      ),
+      sized AS (
+        SELECT event_type, bucket_start, n_events,
+               CAST(count(n_events) OVER w AS BIGINT) AS base_n,
+               CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT)
+                 AS base_sum,
+               CAST(coalesce(sum(n_events * n_events) OVER w, 0)
+                 AS BIGINT) AS _ssq
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+                     ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
+      )
+      SELECT event_type, bucket_start, n_events, base_n, base_sum,
+             (base_n = {window}) AND (
+               CAST({window} * n_events - base_sum AS {dec})
+                 * CAST({window} * n_events - base_sum AS {dec})
+               > CAST({tau2} AS {dec}) * (
+                   CAST({window} AS {dec}) * CAST(_ssq AS {dec})
+                   - CAST(base_sum AS {dec}) * CAST(base_sum AS {dec}))
+             ) AS is_anomaly,
+             base_n = {window} AS window_full
+      FROM sized
+    """

@@ -1,0 +1,138 @@
+"""Session path mining: step order under tied timestamps, gap
+boundary, truncation, top-k tie-break, DuckDB twin parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ocr_spark.functions.paths import session_paths, session_paths_sql
+
+_BASE = dt.datetime(2024, 3, 1)
+_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def _ev(spark, rows):
+    """rows: (event_id, seconds_offset, user_id, event_type)."""
+    return spark.createDataFrame(
+        [
+            (i, _BASE + dt.timedelta(seconds=s), u, t)
+            for i, s, u, t in rows
+        ],
+        schema=_SCHEMA,
+    )
+
+
+def _paths(spark, rows, **kw):
+    out = session_paths(_ev(spark, rows), **kw)
+    return [(r.path, r.n_sessions, r.n_users) for r in out.collect()]
+
+
+def test_steps_ordered_by_ts_then_event_id(spark):
+    # two events share a timestamp: event_id breaks the tie
+    rows = [
+        (2, 0, 1, "b"),
+        (1, 0, 1, "a"),
+        (3, 5, 1, "c"),
+    ]
+    assert _paths(spark, rows, gap_s=60) == [("a>b>c", 1, 1)]
+
+
+def test_gap_boundary_inclusive(spark):
+    # exactly gap_s later still joins; one second later splits
+    rows = [
+        (0, 0, 1, "a"),
+        (1, 60, 1, "b"),     # exactly +gap: same session
+        (2, 121, 1, "c"),    # +61 s after b: new session
+    ]
+    assert sorted(_paths(spark, rows, gap_s=60)) == [
+        ("a>b", 1, 1),
+        ("c", 1, 1),
+    ]
+
+
+def test_truncation_marker(spark):
+    rows = [(i, i, 1, f"e{i}") for i in range(5)]
+    [(path, n, u)] = _paths(spark, rows, gap_s=60, max_steps=3)
+    assert path == "e0>e1>e2>…" and n == 1 and u == 1
+
+
+def test_topk_tiebreak_is_path_ascending(spark):
+    # three singleton paths, k=2: counts tie at 1, path ASC decides
+    rows = [(0, 0, 1, "c"), (1, 9000, 1, "a"), (2, 18000, 1, "b")]
+    got = _paths(spark, rows, gap_s=60, k=2)
+    assert got == [("a", 1, 1), ("b", 1, 1)]
+
+
+def test_n_users_counts_distinct(spark):
+    rows = [
+        (0, 0, 1, "a"),
+        (1, 9000, 1, "a"),  # same user, second session
+        (2, 0, 2, "a"),
+    ]
+    assert _paths(spark, rows, gap_s=60) == [("a", 3, 2)]
+
+
+def test_parameter_validation():
+    with pytest.raises(ValueError):
+        session_paths_sql(gap_s=0)
+    with pytest.raises(ValueError):
+        session_paths_sql(k=0)
+    with pytest.raises(ValueError):
+        session_paths_sql(max_steps=0)
+
+
+def test_matches_duckdb_twin(spark, tmp_path):
+    """Parity on a corpus with tied timestamps, exact-gap boundaries,
+    truncation-length sessions, and NULL ts/user/type rows."""
+    rows = []
+    eid = 0
+    for u in range(8):
+        t = _BASE + dt.timedelta(minutes=u)
+        for i in range(30):
+            rows.append((eid, t, u, ["view", "click", "buy"][i % 3]))
+            eid += 1
+            # tiny step / exactly-gap / over-gap rotation
+            t += dt.timedelta(seconds=[1, 1800, 1801][i % 3])
+    # tied (ts, user): event_id disambiguates
+    rows.append((eid, _BASE, 0, "dup"))
+    eid += 1
+    # one long dense session (> max_steps): exercises truncation
+    for i in range(10):
+        rows.append(
+            (eid, _BASE + dt.timedelta(seconds=i), 99, ["x", "y"][i % 2])
+        )
+        eid += 1
+    # hostile NULLs
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    ).astype({"ts": "datetime64[us]"})
+    nulls = pd.DataFrame(
+        [
+            (eid, pd.NaT, 1, "view"),
+            (eid + 1, _BASE, None, "view"),
+            (eid + 2, _BASE, 1, None),
+        ],
+        columns=pdf.columns,
+    ).astype({"ts": "datetime64[us]"})
+    pdf = pd.concat([pdf, nulls], ignore_index=True)
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+
+    sdf = session_paths(
+        spark.read.parquet(path), gap_s=1800, k=50, max_steps=5
+    )
+    cols = sorted(sdf.columns)
+    got = sorted(tuple(r) for r in sdf.select(*cols).collect())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    odf = con.execute(
+        session_paths_sql(gap_s=1800, k=50, max_steps=5)
+    ).fetchdf()
+    want = sorted(tuple(r) for r in odf[cols].itertuples(index=False))
+    assert got == want
+    assert any("…" in p for p, _, _ in [(r[cols.index("path")], 0, 0) for r in got])
