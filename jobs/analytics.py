@@ -20,6 +20,12 @@ as parquet under --output/<name>:
 - distinct_users   : per-event-type distinct users — EXACT with
                      --exact-distinct, else HLL sketch estimates
                      (fixed-size shuffle, functions/sketches.py)
+- anomalies        : rolling integer z-score spike flags over the
+                     dense hourly per-type series (functions/anomaly)
+- session_paths    : top-k ordered event-type journeys per gap
+                     session (functions/paths)
+- user_status_history : SCD2 validity intervals of the daily
+                     per-user status observation (functions/scd)
 - vocab            : corpus-wide top --vocab-k whitespace tokens
                      (heavy hitters, TakeOrderedAndProject)
 - source_rank      : PageRank over the doc->source reference graph
@@ -52,6 +58,16 @@ def main() -> None:
     ap.add_argument("--vocab-k", type=int, default=200)
     ap.add_argument("--pagerank-iters", type=int, default=3)
     ap.add_argument("--session-gap", default="8 hours")
+    ap.add_argument("--path-gap-s", type=int, default=8 * 3600)
+    ap.add_argument("--paths-k", type=int, default=20)
+    ap.add_argument("--anomaly-window", type=int, default=24)
+    ap.add_argument(
+        "--anomaly-tau2",
+        type=int,
+        default=9,
+        help="squared z-score threshold (9 = 3 sigma); integer so the "
+        "flag predicate stays in exact arithmetic",
+    )
     ap.add_argument(
         "--exact-distinct",
         action="store_true",
@@ -67,7 +83,10 @@ def main() -> None:
         rollup_doc_stats,
         topk_per_group,
     )
+    from ocr_spark.functions.anomaly import anomaly_flags
     from ocr_spark.functions.funnel import funnel_counts, retention_cohorts
+    from ocr_spark.functions.paths import session_paths
+    from ocr_spark.functions.scd import scd2_history
     from ocr_spark.functions.graph import pagerank
     from ocr_spark.functions.text import vocab_topk
     from ocr_spark.functions.sessionize import sessionize
@@ -102,6 +121,32 @@ def main() -> None:
         "funnel": funnel_counts(events),
         "retention": retention_cohorts(events),
         "distinct_users": distinct,
+        # rolling integer z-score spike flags over the dense hourly
+        # per-type series (the ingest-health monitor)
+        "anomalies": anomaly_flags(
+            events, window=args.anomaly_window, tau2=args.anomaly_tau2
+        ),
+        # most frequent session journeys (ordered event-type paths)
+        "session_paths": session_paths(
+            events, gap_s=args.path_gap_s, k=args.paths_k
+        ),
+        # SCD2 status history: per user, validity intervals of the
+        # daily min-event_type observation (integer day ids)
+        "user_status_history": scd2_history(
+            events.where(
+                F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+            )
+            .groupBy(
+                "user_id",
+                F.floor(F.unix_timestamp("ts") / F.lit(86400.0))
+                .cast("long")
+                .alias("snap_day"),
+            )
+            .agg(F.min("event_type").alias("status")),
+            key="user_id",
+            snap="snap_day",
+            attrs=("status",),
+        ),
         "vocab": vocab_topk(docs, k=args.vocab_k),
         # source-authority ranking: bipartite doc->source edges give
         # sources rank mass proportional to (damped) document count —

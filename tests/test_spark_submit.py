@@ -114,7 +114,8 @@ def test_spark_submit_analytics_job(tmp_path):
     assert set(rows) == {
         "doc_rollup", "doc_cube", "lang_by_source", "doc_percentiles",
         "top_docs", "sessions", "attribution", "funnel", "retention",
-        "distinct_users", "vocab", "source_rank",
+        "distinct_users", "anomalies", "session_paths",
+        "user_status_history", "vocab", "source_rank",
     }
     assert all(n > 0 for n in rows.values()), rows
     # every table landed as readable parquet
@@ -136,3 +137,10 @@ def test_spark_submit_analytics_job(tmp_path):
     assert str(att.field("matched_ts").type).startswith("timestamp")
     sess = _schema("sessions")
     assert str(sess.field("session_start").type).startswith("timestamp")
+    anom = _schema("anomalies")
+    assert str(anom.field("is_anomaly").type) == "bool"
+    hist = _schema("user_status_history")
+    # published SCD2 keeps the typed NULLable valid_to (the -1
+    # sentinel exists only in the contract-compare projection)
+    assert str(hist.field("valid_to").type) == "int64"
+    assert "path" in _schema("session_paths").names
