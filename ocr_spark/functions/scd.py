@@ -74,6 +74,13 @@ def scd2_history(
     dialects because their bare-DESC null orders are a known
     divergence), never by the rendered state string (numeric
     renderings differ between engines; the values don't).
+
+    Plan shape (asserted in tests): ONE Exchange on the key. The
+    dup-resolution is NOT a (key, snap)-partitioned row_number — that
+    costs a second shuffle — but a lag-based first-row-per-snap
+    filter inside the SAME key partitioning, ordered (snap ASC,
+    attrs DESC NULLS LAST); the change-flag and lead windows reuse
+    the partitioning with a light in-partition re-sort.
     """
     if not attrs:
         raise ValueError("attrs must name at least one attribute column")
@@ -87,14 +94,14 @@ def scd2_history(
         F.expr(_state_spark(attrs)).alias("_state"),
         *[F.col(a) for a in attrs],
     )
-    wdup = Window.partitionBy("_key", "_snap").orderBy(
-        *[F.col(a).desc_nulls_last() for a in attrs]
+    wdup = Window.partitionBy("_key").orderBy(
+        F.col("_snap").asc(),
+        *[F.col(a).desc_nulls_last() for a in attrs],
     )
-    live = (
-        live.withColumn("_rn", F.row_number().over(wdup))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    first_of_snap = F.lag("_snap").over(wdup).isNull() | (
+        F.lag("_snap").over(wdup) != F.col("_snap")
     )
+    live = live.withColumn("_keep", first_of_snap).where(F.col("_keep"))
     wk = Window.partitionBy("_key").orderBy("_snap")
     flagged = live.select(
         "_key",
@@ -137,11 +144,11 @@ def scd2_history_sql(
       ),
       dedup AS (
         SELECT * FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY _key, _snap ORDER BY {order_dup}
-          ) AS _rn
+          SELECT *, lag(_snap) OVER (
+            PARTITION BY _key ORDER BY _snap ASC, {order_dup}
+          ) AS _prev_snap
           FROM live
-        ) WHERE _rn = 1
+        ) WHERE _prev_snap IS NULL OR _prev_snap <> _snap
       ),
       flagged AS (
         SELECT _key, _snap, {alist},

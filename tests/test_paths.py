@@ -85,6 +85,20 @@ def test_parameter_validation():
         session_paths_sql(max_steps=0)
 
 
+def test_plan_shape(spark):
+    """Two Exchanges only (user_id for sessionization — the
+    (user, session) aggregate reuses it via subset-clustered
+    distribution — and path for the final count), with the top-k as
+    TakeOrderedAndProject, never a global sort."""
+    from ocr_spark.plans import plan_str
+
+    df = _ev(spark, [(0, 0, 1, "a")])
+    p = plan_str(session_paths(df), "simple")
+    assert p.count("Exchange") == 2, p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
 def test_matches_duckdb_twin(spark, tmp_path):
     """Parity on a corpus with tied timestamps, exact-gap boundaries,
     truncation-length sessions, and NULL ts/user/type rows."""

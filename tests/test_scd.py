@@ -8,6 +8,7 @@ import pandas as pd
 import pytest
 
 from ocr_spark.functions.scd import scd2_history, scd2_history_sql
+from ocr_spark.plans import plan_str
 
 _SCHEMA = "user_id long, snap_day long, status string"
 
@@ -78,6 +79,15 @@ def test_duplicate_key_snap_resolves_deterministically(spark):
 def test_empty_attrs_rejected():
     with pytest.raises(ValueError):
         scd2_history_sql(attrs=())
+
+
+def test_plan_has_one_exchange(spark):
+    """The whole pipeline (dup-resolution + change flag + lead) runs
+    under ONE hash shuffle on the key — the dedup is a lag filter
+    inside the key partitioning, never a (key, snap) row_number."""
+    df = spark.createDataFrame([(1, 1, "a")], schema=_SCHEMA)
+    p = plan_str(scd2_history(df, snap="snap_day"), "simple")
+    assert p.count("Exchange") == 1, p
 
 
 def test_matches_duckdb_twin(spark, tmp_path):
