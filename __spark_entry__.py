@@ -878,6 +878,25 @@ _PII_SPAN_INJ_SQL = (
 )
 
 
+# deterministic second-crawl perturbation for the snapshot edit
+# profile: every 5th doc gains an appended note (minor edit), the
+# next bucket is truncated to its first third (major edit), the rest
+# are unchanged (excluded from the profile by the hash pre-join)
+_SNAP_EDIT_CASE = (
+    "CASE WHEN doc_id % 5 = 0"
+    " THEN concat(text, ' appended revision note here')"
+    " WHEN doc_id % 5 = 1"
+    " THEN substring(text, 1, CAST(length(text) {div} 3 AS INT))"
+    " ELSE text END AS text"
+)
+
+
+def _snap_new_spark(s: SparkSession, d: str) -> DataFrame:
+    return _read(s, d, "documents").selectExpr(
+        "doc_id", _SNAP_EDIT_CASE.format(div="div")
+    )
+
+
 def _scd_obs_spark(s: SparkSession, d: str) -> DataFrame:
     """Daily per-user status observations for the SCD2 contract query:
     (user_id, snap_day, status=min event_type that day) — integer day
@@ -1357,6 +1376,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "running_user_stats": lambda s, d: tsr.running_user_stats(
             _read(s, d, "events")
+        ),
+        # crawl-refresh classification: changed docs between two
+        # snapshots profiled minor/major by distinct-shingle Jaccard
+        # (hash pre-join -> semi-joined re-shingle, the
+        # lsh_verified_pairs candidate discipline)
+        "snapshot_edit_profile": lambda s, d: ded.snapshot_edit_profile(
+            _read(s, d, "documents").select("doc_id", "text"),
+            _snap_new_spark(s, d),
         ),
         # rolling-window spike detection: the z-score test multiplied
         # through into pure-integer form — (w*x-s)^2 > tau2*(w*ssq-s^2)
@@ -2130,6 +2157,12 @@ def oracle_sql() -> dict[str, str]:
             "events", step_s=3600, fill="ffill"
         ),
         "running_user_stats": tsr.running_user_stats_sql(),
+        "snapshot_edit_profile": ded.snapshot_edit_profile_sql(
+            "documents",
+            "(SELECT doc_id, "
+            + _SNAP_EDIT_CASE.format(div="//")
+            + " FROM documents)",
+        ),
         "anomaly_hourly": anm.anomaly_flags_sql(
             "events", step_s=3600, window=24, tau2=9
         ),

@@ -60,9 +60,9 @@ MOD40 = MASK_40 + 1
 # ---------------------------------------------------------------------------
 
 
-def shingles_expr(w: int = SHINGLE_W) -> str:
-    """Spark SQL expr: text -> array of w-word shingles (whole text as
-    a single shingle when shorter).
+def shingles_expr(w: int = SHINGLE_W, col: str = "text") -> str:
+    """Spark SQL expr: ``col`` -> array of w-word shingles (whole text
+    as a single shingle when shorter).
 
     The single-element ``transform(array(split(...)), ws -> ...)``
     wrapper is a LET binding: common-subexpression elimination does
@@ -79,10 +79,10 @@ def shingles_expr(w: int = SHINGLE_W) -> str:
         f"ELSE transform(sequence(0, size(ws) - {w}), "
         f"i -> concat_ws(' ', slice(ws, i + 1, {w}))) END"
     )
-    return f"element_at(transform(array(split(text, '{WS}+')), ws -> {body}), 1)"
+    return f"element_at(transform(array(split({col}, '{WS}+')), ws -> {body}), 1)"
 
 
-def shingles_sql(w: int = SHINGLE_W) -> str:
+def shingles_sql(w: int = SHINGLE_W, col: str = "text") -> str:
     """DuckDB twin of :func:`shingles_expr` (same LET-via-lambda
     binding so both engines split once per row)."""
     body = (
@@ -91,7 +91,10 @@ def shingles_sql(w: int = SHINGLE_W) -> str:
         f"ELSE list_transform(range(0, len(ws) - {w} + 1), "
         f"i -> array_to_string(list_slice(ws, i + 1, i + {w}), ' ')) END"
     )
-    return f"list_transform([regexp_split_to_array(text, '{WS}+')], ws -> {body})[1]"
+    return (
+        f"list_transform([regexp_split_to_array({col}, '{WS}+')],"
+        f" ws -> {body})[1]"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1071,6 +1074,123 @@ def snapshot_diff_sql(
                   WHEN o.h IS NOT DISTINCT FROM n.h THEN 'same'
                   ELSE 'changed' END AS status
       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """
+
+
+def snapshot_edit_profile(
+    old: DataFrame,
+    new: DataFrame,
+    w: int = SHINGLE_W,
+    minor_tau_ppm: int = 500_000,
+) -> DataFrame:
+    """(doc_id, n_old, n_new, n_common, jaccard_ppm, edit_class): for
+    every CHANGED document between two snapshots (present in both,
+    content hash differs), the distinct-w-shingle Jaccard between the
+    two versions as exact integer ppm, classified 'minor' (>= the
+    threshold — a tweaked page the crawler should not re-process) vs
+    'major' (a genuine rewrite). The refinement of
+    :func:`snapshot_diff`'s binary 'changed': crawl-refresh policy
+    needs to know HOW changed.
+
+    Scale shape (the lsh_verified_pairs discipline): a narrow 20 B/row
+    hash equi-join finds changed ids first (localCheckpoint'ed — one
+    execution), then each snapshot is LEFT SEMI joined down to those
+    ids before any text moves; shingle arrays cross the wire only for
+    the changed fraction of the crawl, and the Jaccard itself is
+    per-row array algebra (array_distinct/array_intersect) — no
+    explode, no per-shingle shuffle. Assumes id-unique snapshots (the
+    snapshot_diff contract); NULL-id rows never join and are skipped.
+    NULL text coalesces to '' pre-shingling (size(NULL array) is the
+    -1 trap), yielding the [''] singleton set — a NULL->text change
+    profiles as jaccard 0, 'major'.
+
+    jaccard_ppm = (1_000_000 * |A ∩ B|) div |A ∪ B| on NON-NEGATIVE
+    integers (Spark div truncates toward zero, DuckDB // floors — the
+    established gotcha; operands here can't be negative).
+    """
+    if not 0 <= minor_tau_ppm <= 1_000_000:
+        raise ValueError("minor_tau_ppm must be in [0, 1000000]")
+    o_h = old.select(
+        "doc_id", md5_long(F.col("text")).alias("_h_old")
+    )
+    n_h = new.select(
+        "doc_id", md5_long(F.col("text")).alias("_h_new")
+    )
+    changed_ids = (
+        o_h.join(n_h, "doc_id")
+        .where(~F.col("_h_old").eqNullSafe(F.col("_h_new")))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    _col = "coalesce(text, '')"
+    sh = f"array_distinct({shingles_expr(w, col=_col)})"
+    o_sh = old.join(changed_ids, "doc_id", "left_semi").select(
+        "doc_id", F.expr(sh).alias("_sh_old")
+    )
+    n_sh = new.join(changed_ids, "doc_id", "left_semi").select(
+        "doc_id", F.expr(sh).alias("_sh_new")
+    )
+    prof = o_sh.join(n_sh, "doc_id").selectExpr(
+        "doc_id",
+        "CAST(size(_sh_old) AS BIGINT) AS n_old",
+        "CAST(size(_sh_new) AS BIGINT) AS n_new",
+        "CAST(size(array_intersect(_sh_old, _sh_new)) AS BIGINT)"
+        " AS n_common",
+    )
+    jac = (
+        "(CAST(1000000 AS BIGINT) * n_common)"
+        " div (n_old + n_new - n_common)"
+    )
+    return prof.selectExpr(
+        "doc_id",
+        "n_old",
+        "n_new",
+        "n_common",
+        f"{jac} AS jaccard_ppm",
+        f"CASE WHEN {jac} >= {minor_tau_ppm} THEN 'minor'"
+        f" ELSE 'major' END AS edit_class",
+    )
+
+
+def snapshot_edit_profile_sql(
+    old_table: str,
+    new_table: str,
+    w: int = SHINGLE_W,
+    minor_tau_ppm: int = 500_000,
+    id_sql: str = "CAST(doc_id AS BIGINT)",
+) -> str:
+    """DuckDB twin of :func:`snapshot_edit_profile` (single-pass CTE —
+    the two-pass semi-join shape is a distribution optimization, not
+    a semantic one)."""
+    if not 0 <= minor_tau_ppm <= 1_000_000:
+        raise ValueError("minor_tau_ppm must be in [0, 1000000]")
+    _col = "coalesce(text, '')"
+    sh = f"list_distinct({shingles_sql(w, col=_col)})"
+    jac = "(CAST(1000000 AS BIGINT) * n_common) // (n_old + n_new - n_common)"
+    return f"""
+      WITH o AS (
+        SELECT {id_sql} AS doc_id, {md5_long_sql('text')} AS h,
+               {sh} AS sh
+        FROM {old_table}
+      ),
+      n AS (
+        SELECT {id_sql} AS doc_id, {md5_long_sql('text')} AS h,
+               {sh} AS sh
+        FROM {new_table}
+      ),
+      prof AS (
+        SELECT o.doc_id,
+               len(o.sh) AS n_old,
+               len(n.sh) AS n_new,
+               len(list_intersect(o.sh, n.sh)) AS n_common
+        FROM o JOIN n USING (doc_id)
+        WHERE o.h IS DISTINCT FROM n.h
+      )
+      SELECT doc_id, n_old, n_new, n_common,
+             CAST({jac} AS BIGINT) AS jaccard_ppm,
+             CASE WHEN {jac} >= {minor_tau_ppm} THEN 'minor'
+                  ELSE 'major' END AS edit_class
+      FROM prof
     """
 
 
