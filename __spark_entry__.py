@@ -881,10 +881,13 @@ _PII_SPAN_INJ_SQL = (
 # deterministic second-crawl perturbation for the snapshot edit
 # profile: every 5th doc gains an appended note (minor edit), the
 # next bucket is truncated to its first third (major edit), the rest
-# are unchanged (excluded from the profile by the hash pre-join)
+# are unchanged (excluded from the profile by the hash pre-join).
+# '||' not concat: DuckDB's concat SKIPS NULL arguments (a NULL-text
+# doc would diverge — NULL on Spark, the bare suffix on DuckDB);
+# '||' is NULL-propagating in both dialects
 _SNAP_EDIT_CASE = (
     "CASE WHEN doc_id % 5 = 0"
-    " THEN concat(text, ' appended revision note here')"
+    " THEN text || ' appended revision note here'"
     " WHEN doc_id % 5 = 1"
     " THEN substring(text, 1, CAST(length(text) {div} 3 AS INT))"
     " ELSE text END AS text"
@@ -898,31 +901,13 @@ def _snap_new_spark(s: SparkSession, d: str) -> DataFrame:
 
 
 def _scd_obs_spark(s: SparkSession, d: str) -> DataFrame:
-    """Daily per-user status observations for the SCD2 contract query:
-    (user_id, snap_day, status=min event_type that day) — integer day
-    ids (the resample_fill epoch-int discipline), min() for a
-    deterministic representative."""
-    ev = _read(s, d, "events")
-    return (
-        ev.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
-        .groupBy(
-            "user_id",
-            F.floor(F.unix_timestamp("ts") / F.lit(86400.0))
-            .cast("long")
-            .alias("snap_day"),
-        )
-        .agg(F.min("event_type").alias("status"))
-    )
+    """Daily per-user status observations for the SCD2 contract query
+    — THE shared definition (scd.daily_status_obs), same frame the
+    analytics job publishes from."""
+    return scd.daily_status_obs(_read(s, d, "events"))
 
 
-_SCD_OBS_SQL = (
-    "(SELECT user_id,"
-    " CAST(floor(epoch(ts) / 86400) AS BIGINT) AS snap_day,"
-    " min(event_type) AS status"
-    " FROM events"
-    " WHERE ts IS NOT NULL AND user_id IS NOT NULL"
-    " GROUP BY 1, 2)"
-)
+_SCD_OBS_SQL = f"({scd.daily_status_obs_sql('events')})"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

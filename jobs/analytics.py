@@ -86,7 +86,7 @@ def main() -> None:
     from ocr_spark.functions.anomaly import anomaly_flags
     from ocr_spark.functions.funnel import funnel_counts, retention_cohorts
     from ocr_spark.functions.paths import session_paths
-    from ocr_spark.functions.scd import scd2_history
+    from ocr_spark.functions.scd import daily_status_obs, scd2_history
     from ocr_spark.functions.graph import pagerank
     from ocr_spark.functions.text import vocab_topk
     from ocr_spark.functions.sessionize import sessionize
@@ -130,19 +130,11 @@ def main() -> None:
         "session_paths": session_paths(
             events, gap_s=args.path_gap_s, k=args.paths_k
         ),
-        # SCD2 status history: per user, validity intervals of the
-        # daily min-event_type observation (integer day ids)
+        # SCD2 status history over THE shared daily observation
+        # definition (scd.daily_status_obs — same frame the contract
+        # query oracle-checks)
         "user_status_history": scd2_history(
-            events.where(
-                F.col("ts").isNotNull() & F.col("user_id").isNotNull()
-            )
-            .groupBy(
-                "user_id",
-                F.floor(F.unix_timestamp("ts") / F.lit(86400.0))
-                .cast("long")
-                .alias("snap_day"),
-            )
-            .agg(F.min("event_type").alias("status")),
+            daily_status_obs(events),
             key="user_id",
             snap="snap_day",
             attrs=("status",),

@@ -19,13 +19,15 @@ squares to
     (w*x - s)^2 > tau^2 * (w*ssq - s^2)
 
 after multiplying through by w^2 (w = window size, s = trailing sum,
-ssq = trailing sum of squares, all BIGINT counts): every term is an
-INTEGER and ``tau`` enters only as tau^2, so any rational tau keeps
-the whole predicate in exact arithmetic — no division, no sqrt, no
-float anywhere. Both engines evaluate the identical expression; the
-squares are computed in DECIMAL(38,0) so the predicate survives
-per-bucket counts up to ~10^14 at w=24 (int64 would cap the square
-at counts ~1.2*10^8; 100 TB-scale buckets can exceed that).
+ssq = trailing sum of squares): every term is an INTEGER and ``tau``
+enters only as tau^2, so any rational tau keeps the whole predicate
+in exact arithmetic — no division, no sqrt, no float anywhere. Both
+engines evaluate the identical expression; every squaring casts its
+FACTORS to DECIMAL(19,0) first (a BIGINT square like n_events *
+n_events overflows int64 at counts ~3.1*10^9 — Spark 4 ANSI kills
+the job, DuckDB raises; 19,0 x 19,0 multiplies at full precision in
+both engines) so the predicate survives per-bucket counts up to the
+remaining BIGINT-linear bound, w*x at ~3.8*10^17 for w=24.
 
 Variance-zero windows (a constant trailing series) flag ANY deviation:
 the predicate degenerates to (w*x - s)^2 > 0, which is exactly "x !=
@@ -92,14 +94,21 @@ def anomaly_flags(
     )
     base_n = F.count("n_events").over(w)
     base_sum = F.sum("n_events").over(w)
-    base_ssq = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    # square in DECIMAL: n_events * n_events in BIGINT overflows at
+    # counts ~3.1e9 (ANSI: job killed; non-ANSI: silent wrong flags)
+    base_ssq = F.sum(
+        F.expr(
+            "CAST(n_events AS DECIMAL(19,0))"
+            " * CAST(n_events AS DECIMAL(19,0))"
+        )
+    ).over(w)
     sized = dense.select(
         "event_type",
         "bucket_start",
         "n_events",
         base_n.cast("long").alias("base_n"),
         F.coalesce(base_sum, F.lit(0)).cast("long").alias("base_sum"),
-        F.coalesce(base_ssq, F.lit(0)).cast("long").alias("_ssq"),
+        F.coalesce(base_ssq, F.lit(0)).cast(_DEC).alias("_ssq"),
     )
     # (w*x - s)^2 > tau2 * (w*ssq - s^2), exact in DECIMAL(38,0).
     dev = F.expr(
@@ -147,8 +156,9 @@ def anomaly_flags_sql(
                CAST(count(n_events) OVER w AS BIGINT) AS base_n,
                CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT)
                  AS base_sum,
-               CAST(coalesce(sum(n_events * n_events) OVER w, 0)
-                 AS BIGINT) AS _ssq
+               CAST(coalesce(sum(CAST(n_events AS DECIMAL(19,0))
+                     * CAST(n_events AS DECIMAL(19,0))) OVER w, 0)
+                 AS DECIMAL(38,0)) AS _ssq
         FROM dense
         WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
                      ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)

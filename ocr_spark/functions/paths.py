@@ -11,10 +11,12 @@ Engine mapping: gaps-and-islands sessionization (the sessionize.py
 twin's formulation, gap compared on exact integer epoch microseconds
 — interval literals are a dialect trap, integers aren't), then ONE
 per-session aggregate that sorts the session's events inside the
-aggregate buffer: Spark ``array_sort(collect_list(struct(ts,
-event_id, event_type)))`` — the struct field order IS the sort key,
-(ts, event_id) makes tied timestamps deterministic — vs DuckDB
-``list(event_type ORDER BY ts, event_id)``. Paths cap at
+aggregate buffer: Spark ``array_sort(collect_list(struct(ts, _eid,
+event_type)))`` — the struct field order IS the sort key, with
+``_eid = coalesce(event_id, -1)`` and the type as final tie-break so
+tied timestamps and NULL ids stay deterministic in both engines — vs
+DuckDB ``list(event_type ORDER BY ts, coalesce(event_id, -1),
+event_type)``. Paths cap at
 ``max_steps`` events with a '>…' overflow marker so one pathological
 million-event session cannot build a gigabyte string (slice the
 sorted list; both engines).
@@ -46,14 +48,22 @@ def session_paths(
     max_steps: int = DEFAULT_MAX_STEPS,
 ) -> DataFrame:
     """(path, n_sessions, n_users): the ``k`` most frequent session
-    paths — '>'-joined event types in (ts, event_id) order per
-    gap-based session, truncated to ``max_steps`` steps with a '>…'
-    marker. Ties rank deterministically (count DESC, path ASC).
+    paths — '>'-joined event types in (ts, coalesce(event_id, -1),
+    event_type) order per gap-based session, truncated to
+    ``max_steps`` steps with a '>…' marker. Ties rank
+    deterministically (count DESC, path ASC).
 
     Gap semantics mirror ``sessionize``: an event landing EXACTLY
     ``gap_s`` after its predecessor still joins the session (the
     twin-pinned inclusive boundary); NULL ts/user_id/event_type rows
     are excluded in-plan (they can neither order nor label a step).
+
+    Step order is (ts, coalesce(event_id, -1), event_type): the
+    coalesce dodges the Spark-NULLS-FIRST vs DuckDB-NULLS-LAST ASC
+    divergence for NULL event_ids (they sort as -1 — before any real
+    non-negative id — in BOTH engines; a corpus with genuine negative
+    ids needs a different sentinel), and event_type breaks full
+    (ts, id) duplicates deterministically.
     """
     if gap_s < 1:
         raise ValueError("gap_s must be >= 1")
@@ -73,10 +83,10 @@ def session_paths(
     ).select(
         "user_id",
         F.col("ts").cast("timestamp").alias("ts"),
-        "event_id",
+        F.coalesce(F.col("event_id"), F.lit(-1)).alias("_eid"),
         "event_type",
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "_eid", "event_type")
     gap_us = gap_s * 1_000_000
     new_sess = (
         F.lag("ts").over(w).isNull()
@@ -88,14 +98,14 @@ def session_paths(
     sess = live.select(
         "user_id",
         "ts",
-        "event_id",
+        "_eid",
         "event_type",
         F.sum(new_sess).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("_sess"),
     )
     steps = F.expr(
-        "transform(array_sort(collect_list(struct(ts, event_id, "
+        "transform(array_sort(collect_list(struct(ts, _eid, "
         "event_type))), x -> x.event_type)"
     )
     per_sess = sess.groupBy("user_id", "_sess").agg(steps.alias("_steps"))
@@ -125,8 +135,8 @@ def session_paths_sql(
     max_steps: int = DEFAULT_MAX_STEPS,
 ) -> str:
     """DuckDB twin: identical session flags on epoch_us integers,
-    ``list(... ORDER BY ts, event_id)`` for the ordered steps,
-    identical truncation and tie-break."""
+    ``list(... ORDER BY ts, coalesce(event_id, -1), event_type)`` for
+    the ordered steps, identical truncation and tie-break."""
     if gap_s < 1:
         raise ValueError("gap_s must be >= 1")
     if k < 1:
@@ -148,18 +158,22 @@ def session_paths_sql(
                          > {gap_us}
                     THEN 1 ELSE 0 END AS new_sess
         FROM live
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts, coalesce(event_id, -1), event_type)
       ),
       numbered AS (
         SELECT *, sum(new_sess) OVER (
-          PARTITION BY user_id ORDER BY ts, event_id
+          PARTITION BY user_id
+          ORDER BY ts, coalesce(event_id, -1), event_type
           ROWS UNBOUNDED PRECEDING
         ) AS _sess
         FROM flagged
       ),
       per_sess AS (
         SELECT user_id,
-               list(event_type ORDER BY ts, event_id) AS _steps
+               list(event_type
+                    ORDER BY ts, coalesce(event_id, -1), event_type)
+                 AS _steps
         FROM numbered
         GROUP BY user_id, _sess
       ),

@@ -122,6 +122,38 @@ def scd2_history(
     )
 
 
+def daily_status_obs(events: DataFrame) -> DataFrame:
+    """(user_id, snap_day, status): the daily per-user observation the
+    SCD2 surfaces consume — integer epoch-day ids (the resample_fill
+    epoch-int discipline; timestamps are the TIMESTAMPTZ twin trap)
+    and min(event_type) as the deterministic representative. ONE
+    definition shared by the contract query and jobs/analytics.py's
+    published user_status_history table so they cannot drift."""
+    return (
+        events.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(86400.0))
+            .cast("long")
+            .alias("snap_day"),
+        )
+        .agg(F.min("event_type").alias("status"))
+    )
+
+
+def daily_status_obs_sql(table: str = "events") -> str:
+    """DuckDB twin of :func:`daily_status_obs` (floor(epoch/86400) is
+    the same integer day id; epochs here are non-negative)."""
+    return (
+        f"SELECT user_id,"
+        f" CAST(floor(epoch(ts) / 86400) AS BIGINT) AS snap_day,"
+        f" min(event_type) AS status"
+        f" FROM {table}"
+        f" WHERE ts IS NOT NULL AND user_id IS NOT NULL"
+        f" GROUP BY 1, 2"
+    )
+
+
 def scd2_history_sql(
     table: str = "obs",
     key: str = "user_id",

@@ -50,7 +50,6 @@ def test_spike_over_noisy_base_is_flagged(spark):
     # |x-3.5| > 1.5, so 6 flags and 5 does not
     counts = [3, 4, 3, 4, 6, 3, 4, 3, 5]
     got = _flags(spark, counts)
-    by_hour = {b: (a, f) for b, n, a, f in got}
     hour4 = got[4]
     assert hour4[1] == 6 and hour4[2] is True
     hour8 = got[8]

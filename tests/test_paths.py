@@ -41,6 +41,31 @@ def test_steps_ordered_by_ts_then_event_id(spark):
     assert _paths(spark, rows, gap_s=60) == [("a>b>c", 1, 1)]
 
 
+def test_null_event_id_orders_first_in_both_engines(spark, tmp_path):
+    """A NULL event_id tied on ts sorts as -1 — BEFORE any real id —
+    in both engines (Spark ASC is NULLS FIRST, DuckDB's is NULLS
+    LAST; the coalesce sentinel closes the divergence)."""
+    pdf = pd.DataFrame(
+        [
+            (5, _BASE, 1, "b"),
+            (None, _BASE, 1, "a"),  # NULL id, same ts
+            (7, _BASE + dt.timedelta(seconds=3), 1, "c"),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).astype({"ts": "datetime64[us]", "event_id": "Int64"})
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+    df = spark.read.parquet(path)
+
+    out = session_paths(df, gap_s=60)
+    assert [(r.path, r.n_sessions) for r in out.collect()] == [("a>b>c", 1)]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    odf = con.execute(session_paths_sql(gap_s=60)).fetchdf()
+    assert list(odf["path"]) == ["a>b>c"]
+
+
 def test_gap_boundary_inclusive(spark):
     # exactly gap_s later still joins; one second later splits
     rows = [

@@ -102,6 +102,39 @@ def test_matches_duckdb_twin(spark, tmp_path):
     assert kinds == {"minor", "major"}  # non-vacuous both ways
 
 
+def test_contract_perturbation_agrees_on_null_text(spark):
+    """The contract's second-crawl CASE must render identically in
+    both dialects for NULL text: '||' propagates NULL everywhere,
+    while DuckDB's concat() SKIPS NULL arguments (the divergence this
+    pins — a NULL-text doc in the append bucket must stay NULL/
+    unchanged on both sides, never become the bare suffix)."""
+    import __spark_entry__ as entry
+
+    rows = [(0, None), (5, None), (6, None), (10, "a b")]
+    sdf = spark.createDataFrame(rows, schema=_SCHEMA).selectExpr(
+        "doc_id", entry._SNAP_EDIT_CASE.format(div="div")
+    )
+    got = {r.doc_id: r.text for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, NULL), (5, NULL), (6, NULL), (10, 'a b')"
+        ") t(doc_id, text)"
+    )
+    odf = con.execute(
+        "SELECT doc_id, "
+        + entry._SNAP_EDIT_CASE.format(div="//")
+        + " FROM documents"
+    ).fetchdf()
+    want = {
+        int(r.doc_id): (None if pd.isna(r.text) else r.text)
+        for r in odf.itertuples(index=False)
+    }
+    assert got == want
+    assert got[0] is None and got[5] is None  # NULL stays NULL
+
+
 def test_plan_is_candidate_driven(spark):
     """Text/shingles move only behind the changed-id semi-joins; the
     wide join is an equi-join, never a nested loop."""
