@@ -1381,6 +1381,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths_topk": lambda s, d: pth.session_paths(
             _read(s, d, "events"), gap_s=1800, k=50, max_steps=8
         ),
+        # first-order Markov transitions within sessions (SHARED
+        # sessionization skeleton with session_paths — conservation
+        # property-tested); exact integer conditional ppm
+        "event_transitions": lambda s, d: pth.transition_profile(
+            _read(s, d, "events"), gap_s=1800
+        ),
         # SCD2 validity intervals over daily per-user status
         # observations (gaps-and-islands lag/filter/lead; integer day
         # ids dodge the TIMESTAMPTZ twin trap)
@@ -2153,6 +2159,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "session_paths_topk": pth.session_paths_sql(
             "events", gap_s=1800, k=50, max_steps=8
+        ),
+        "event_transitions": pth.transition_profile_sql(
+            "events", gap_s=1800
         ),
         "scd2_user_status": (
             "SELECT user_id, status, valid_from,"

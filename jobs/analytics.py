@@ -24,6 +24,8 @@ as parquet under --output/<name>:
                      dense hourly per-type series (functions/anomaly)
 - session_paths    : top-k ordered event-type journeys per gap
                      session (functions/paths)
+- transitions      : first-order Markov transition matrix within
+                     sessions, exact integer conditional ppm
 - user_status_history : SCD2 validity intervals of the daily
                      per-user status observation (functions/scd)
 - vocab            : corpus-wide top --vocab-k whitespace tokens
@@ -85,7 +87,7 @@ def main() -> None:
     )
     from ocr_spark.functions.anomaly import anomaly_flags
     from ocr_spark.functions.funnel import funnel_counts, retention_cohorts
-    from ocr_spark.functions.paths import session_paths
+    from ocr_spark.functions.paths import session_paths, transition_profile
     from ocr_spark.functions.scd import daily_status_obs, scd2_history
     from ocr_spark.functions.graph import pagerank
     from ocr_spark.functions.text import vocab_topk
@@ -130,6 +132,9 @@ def main() -> None:
         "session_paths": session_paths(
             events, gap_s=args.path_gap_s, k=args.paths_k
         ),
+        # first-order Markov transition matrix within sessions (same
+        # sessionization skeleton as session_paths)
+        "transitions": transition_profile(events, gap_s=args.path_gap_s),
         # SCD2 status history over THE shared daily observation
         # definition (scd.daily_status_obs — same frame the contract
         # query oracle-checks)

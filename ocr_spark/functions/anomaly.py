@@ -82,11 +82,65 @@ def anomaly_flags(
         raise ValueError("window must be >= 2")
     if tau2 < 0:
         raise ValueError("tau2 must be >= 0")
-    from pyspark.sql import Window
-
     dense = resample_fill(events, step_s=step_s, fill="zero").select(
         "event_type", "bucket_start", "n_events"
     )
+    return _flags_over_dense(dense, window, tau2)
+
+
+def flags_from_counts(
+    counts: DataFrame,
+    step_s: int = 3600,
+    window: int = DEFAULT_WINDOW,
+    tau2: int = DEFAULT_TAU2,
+) -> DataFrame:
+    """:func:`anomaly_flags` over PRE-BUCKETED counts (event_type,
+    bucket_start, n_events) instead of raw events — the entry point
+    for maintained count state (the streaming monitor's merged state,
+    a rolled-up warehouse table). Sparse input is densified exactly
+    like resample_fill's zero-fill spine (per-type bounds -> sequence
+    explode -> left join), then the SAME window predicate runs — one
+    flag definition for batch and streaming (merged-equals-batch is
+    test-pinned on it). Duplicate (type, bucket) rows are summed
+    (partial counts from different micro-batches), NULL keys dropped
+    like the event path drops NULL ts/type rows."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if tau2 < 0:
+        raise ValueError("tau2 must be >= 0")
+    if step_s < 1:
+        raise ValueError("step_s must be >= 1")
+    agg = (
+        counts.where(
+            F.col("event_type").isNotNull()
+            & F.col("bucket_start").isNotNull()
+        )
+        .groupBy("event_type", "bucket_start")
+        .agg(F.sum("n_events").cast("long").alias("_n"))
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr(f"sequence(_lo, _hi, {step_s})")).alias(
+            "bucket_start"
+        ),
+    )
+    dense = spine.join(agg, ["event_type", "bucket_start"], "left").select(
+        "event_type",
+        "bucket_start",
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_events"),
+    )
+    return _flags_over_dense(dense, window, tau2)
+
+
+def _flags_over_dense(dense: DataFrame, window: int, tau2: int) -> DataFrame:
+    """THE flag predicate over a dense (event_type, bucket_start,
+    n_events) series — shared by the raw-event and counts-state entry
+    points so the two can never diverge."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket_start")

@@ -41,6 +41,79 @@ DEFAULT_MAX_STEPS = 12
 _ELLIPSIS = ">…"
 
 
+def _sessionized(events: DataFrame, gap_s: int):
+    """Shared sessionization skeleton: (user_id, ts, _eid, event_type,
+    _sess) with the gaps-and-islands session id — ONE definition for
+    session_paths and transition_profile so membership and step order
+    cannot drift between the operators (the _chunk_assigned
+    discipline)."""
+    from pyspark.sql import Window
+
+    # cast: parquet written by pandas arrives as TIMESTAMP_NTZ, which
+    # unix_micros rejects (the sessionize.py precedent); the cast is a
+    # uniform shift, so gap DIFFERENCES are unchanged
+    live = events.where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.coalesce(F.col("event_id"), F.lit(-1)).alias("_eid"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "_eid", "event_type")
+    gap_us = gap_s * 1_000_000
+    new_sess = (
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > F.lit(gap_us)
+        )
+    ).cast("int")
+    return live.select(
+        "user_id",
+        "ts",
+        "_eid",
+        "event_type",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_sess"),
+    )
+
+
+_SESS_ORDER = "ORDER BY ts, coalesce(event_id, -1), event_type"
+
+
+def _sessionized_sql(table: str, gap_s: int) -> str:
+    """DuckDB twin of :func:`_sessionized` as a WITH-body fragment
+    ending in the ``numbered`` CTE (callers append their own)."""
+    gap_us = gap_s * 1_000_000
+    return f"""
+      live AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM {table}
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+      ),
+      flagged AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > {gap_us}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM live
+        WINDOW w AS (PARTITION BY user_id {_SESS_ORDER})
+      ),
+      numbered AS (
+        SELECT *, sum(new_sess) OVER (
+          PARTITION BY user_id {_SESS_ORDER}
+          ROWS UNBOUNDED PRECEDING
+        ) AS _sess
+        FROM flagged
+      )"""
+
+
 def session_paths(
     events: DataFrame,
     gap_s: int = DEFAULT_GAP_S,
@@ -71,39 +144,7 @@ def session_paths(
         raise ValueError("k must be >= 1")
     if max_steps < 1:
         raise ValueError("max_steps must be >= 1")
-    from pyspark.sql import Window
-
-    # cast: parquet written by pandas arrives as TIMESTAMP_NTZ, which
-    # unix_micros rejects (the sessionize.py precedent); the cast is a
-    # uniform shift, so gap DIFFERENCES are unchanged
-    live = events.where(
-        F.col("ts").isNotNull()
-        & F.col("user_id").isNotNull()
-        & F.col("event_type").isNotNull()
-    ).select(
-        "user_id",
-        F.col("ts").cast("timestamp").alias("ts"),
-        F.coalesce(F.col("event_id"), F.lit(-1)).alias("_eid"),
-        "event_type",
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "_eid", "event_type")
-    gap_us = gap_s * 1_000_000
-    new_sess = (
-        F.lag("ts").over(w).isNull()
-        | (
-            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-            > F.lit(gap_us)
-        )
-    ).cast("int")
-    sess = live.select(
-        "user_id",
-        "ts",
-        "_eid",
-        "event_type",
-        F.sum(new_sess).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("_sess"),
-    )
+    sess = _sessionized(events, gap_s)
     steps = F.expr(
         "transform(array_sort(collect_list(struct(ts, _eid, "
         "event_type))), x -> x.event_type)"
@@ -143,32 +184,8 @@ def session_paths_sql(
         raise ValueError("k must be >= 1")
     if max_steps < 1:
         raise ValueError("max_steps must be >= 1")
-    gap_us = gap_s * 1_000_000
     return f"""
-      WITH live AS (
-        SELECT user_id, ts, event_id, event_type
-        FROM {table}
-        WHERE ts IS NOT NULL AND user_id IS NOT NULL
-          AND event_type IS NOT NULL
-      ),
-      flagged AS (
-        SELECT *,
-               CASE WHEN lag(ts) OVER w IS NULL
-                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                         > {gap_us}
-                    THEN 1 ELSE 0 END AS new_sess
-        FROM live
-        WINDOW w AS (PARTITION BY user_id
-                     ORDER BY ts, coalesce(event_id, -1), event_type)
-      ),
-      numbered AS (
-        SELECT *, sum(new_sess) OVER (
-          PARTITION BY user_id
-          ORDER BY ts, coalesce(event_id, -1), event_type
-          ROWS UNBOUNDED PRECEDING
-        ) AS _sess
-        FROM flagged
-      ),
+      WITH {_sessionized_sql(table, gap_s)},
       per_sess AS (
         SELECT user_id,
                list(event_type
@@ -193,4 +210,84 @@ def session_paths_sql(
       GROUP BY path
       ORDER BY n_sessions DESC, path ASC
       LIMIT {k}
+    """
+
+
+def transition_profile(
+    events: DataFrame, gap_s: int = DEFAULT_GAP_S
+) -> DataFrame:
+    """(from_type, to_type, n_transitions, p_ppm): the first-order
+    Markov transition profile of event types WITHIN sessions — the
+    aggregate complement of :func:`session_paths` (paths show whole
+    journeys; this shows the per-step conditional, the input to
+    next-event prediction and funnel design). p_ppm is the exact
+    integer conditional probability floor(1e6 * n / n_from) —
+    non-negative operands, so Spark ``div`` and DuckDB ``//`` agree.
+
+    Session membership and step order come from the SHARED
+    ``_sessionized`` skeleton (the session_paths definition), so a
+    transition can never cross a session boundary the path operator
+    would also not cross: consecutive rows of the user's order
+    transition only when they carry the same session id.
+
+    Scale shape: everything through the lag pass rides the ONE
+    user_id Exchange (the transition lag reuses the sessionization
+    sort); then one (from, to) aggregate with map-side partials over
+    |types|^2-bounded keys and a vocabulary-sized window for the
+    denominator. Event rows shuffle once.
+    """
+    if gap_s < 1:
+        raise ValueError("gap_s must be >= 1")
+    from pyspark.sql import Window
+
+    sess = _sessionized(events, gap_s)
+    w = Window.partitionBy("user_id").orderBy("ts", "_eid", "event_type")
+    pairs = sess.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+        (F.lag("_sess").over(w) == F.col("_sess")).alias("_same"),
+    ).where(F.col("_same"))
+    agg = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wfrom = Window.partitionBy("from_type")
+    return agg.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.sum("n_transitions").over(wfrom).alias("_den"),
+    ).selectExpr(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "(CAST(1000000 AS BIGINT) * n_transitions) div _den AS p_ppm",
+    )
+
+
+def transition_profile_sql(
+    table: str = "events", gap_s: int = DEFAULT_GAP_S
+) -> str:
+    """DuckDB twin: the shared sessionization fragment, the identical
+    lag pass, and the same integer ppm division."""
+    if gap_s < 1:
+        raise ValueError("gap_s must be >= 1")
+    return f"""
+      WITH {_sessionized_sql(table, gap_s)},
+      pairs AS (
+        SELECT lag(event_type) OVER w AS from_type,
+               event_type AS to_type,
+               lag(_sess) OVER w = _sess AS _same
+        FROM numbered
+        WINDOW w AS (PARTITION BY user_id {_SESS_ORDER})
+      ),
+      agg AS (
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM pairs WHERE _same
+        GROUP BY 1, 2
+      )
+      SELECT from_type, to_type, n_transitions,
+             CAST((CAST(1000000 AS BIGINT) * n_transitions)
+               // sum(n_transitions) OVER (PARTITION BY from_type)
+               AS BIGINT) AS p_ppm
+      FROM agg
     """

@@ -9,7 +9,12 @@ import duckdb
 import pandas as pd
 import pytest
 
-from ocr_spark.functions.paths import session_paths, session_paths_sql
+from ocr_spark.functions.paths import (
+    session_paths,
+    session_paths_sql,
+    transition_profile,
+    transition_profile_sql,
+)
 
 _BASE = dt.datetime(2024, 3, 1)
 _SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
@@ -175,3 +180,81 @@ def test_matches_duckdb_twin(spark, tmp_path):
     want = sorted(tuple(r) for r in odf[cols].itertuples(index=False))
     assert got == want
     assert any("…" in p for p, _, _ in [(r[cols.index("path")], 0, 0) for r in got])
+
+
+def test_transitions_stay_within_sessions(spark):
+    # a>b inside one session; the cross-gap b->c pair must NOT count
+    rows = [
+        (0, 0, 1, "a"),
+        (1, 5, 1, "b"),
+        (2, 9000, 1, "c"),
+        (3, 9005, 1, "a"),
+    ]
+    out = transition_profile(_ev(spark, rows), gap_s=60)
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.p_ppm) for r in out.collect()}
+    assert got == {("a", "b"): (1, 1_000_000), ("c", "a"): (1, 1_000_000)}
+
+
+def test_transition_ppm_is_conditional_on_from_type(spark):
+    # from 'a': 2x ->b, 1x ->c  => 666666 / 333333 ppm (floored)
+    rows = [
+        (0, 0, 1, "a"), (1, 1, 1, "b"),
+        (2, 2, 1, "a"), (3, 3, 1, "b"),
+        (4, 4, 1, "a"), (5, 5, 1, "c"),
+    ]
+    out = transition_profile(_ev(spark, rows), gap_s=60)
+    got = {(r.from_type, r.to_type): r.p_ppm for r in out.collect()}
+    assert got[("a", "b")] == 666_666
+    assert got[("a", "c")] == 333_333
+
+
+def test_transition_matches_duckdb_twin(spark, tmp_path):
+    rows = []
+    eid = 0
+    for u in range(6):
+        t = _BASE + dt.timedelta(minutes=u)
+        for i in range(25):
+            rows.append((eid, t, u, ["view", "click", "buy", "view"][i % 4]))
+            eid += 1
+            t += dt.timedelta(seconds=[1, 1800, 1801][i % 3])
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    ).astype({"ts": "datetime64[us]"})
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+
+    sdf = transition_profile(spark.read.parquet(path), gap_s=1800)
+    cols = sorted(sdf.columns)
+    got = sorted(tuple(r) for r in sdf.select(*cols).collect())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    odf = con.execute(transition_profile_sql(gap_s=1800)).fetchdf()
+    want = sorted(tuple(r) for r in odf[cols].itertuples(index=False))
+    assert got == want
+    assert len(got) > 3
+
+
+def test_transition_shares_session_skeleton_with_paths(spark):
+    """Conservation: total transitions == sum over sessions of
+    (len(session) - 1). Computed against session_paths' own output
+    (uncapped steps), so the two operators are pinned to ONE
+    sessionization."""
+    # per-user deltas: 40 s inside a session, +600 s every 7th step
+    # (session break) — sessions of ~7 events across 3 users
+    rows = [
+        (i, (i // 3) * 40 + 600 * ((i // 3) // 7), 1 + i % 3,
+         ["a", "b", "c"][i % 3])
+        for i in range(60)
+    ]
+    ev = _ev(spark, rows)
+    n_trans = (
+        transition_profile(ev, gap_s=60)
+        .groupBy()
+        .sum("n_transitions")
+        .collect()[0][0]
+    ) or 0
+    assert n_trans > 0  # the corpus must actually produce transitions
+    paths = session_paths(ev, gap_s=60, k=1000, max_steps=10_000).collect()
+    expect = sum((p.path.count(">") ) * p.n_sessions for p in paths)
+    assert n_trans == expect

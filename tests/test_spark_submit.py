@@ -114,7 +114,7 @@ def test_spark_submit_analytics_job(tmp_path):
     assert set(rows) == {
         "doc_rollup", "doc_cube", "lang_by_source", "doc_percentiles",
         "top_docs", "sessions", "attribution", "funnel", "retention",
-        "distinct_users", "anomalies", "session_paths",
+        "distinct_users", "anomalies", "session_paths", "transitions",
         "user_status_history", "vocab", "source_rank",
     }
     assert all(n > 0 for n in rows.values()), rows
