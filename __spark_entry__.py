@@ -1381,6 +1381,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths_topk": lambda s, d: pth.session_paths(
             _read(s, d, "events"), gap_s=1800, k=50, max_steps=8
         ),
+        # per-node triangle participation over a deterministic dense
+        # synthetic graph (doc_id % 30 x doc_id div 30 pairing) —
+        # degree-ordered orientation, wedge + closure equi-joins
+        "triangle_counts": lambda s, d: gph.triangle_counts(
+            _read(s, d, "documents").selectExpr(
+                "doc_id % 30 AS src", "(doc_id div 30) % 30 AS dst"
+            )
+        ),
         # first-order Markov transitions within sessions (SHARED
         # sessionization skeleton with session_paths — conservation
         # property-tested); exact integer conditional ppm
@@ -2162,6 +2170,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_transitions": pth.transition_profile_sql(
             "events", gap_s=1800
+        ),
+        "triangle_counts": gph.triangle_counts_sql(
+            "SELECT doc_id % 30 AS src, (doc_id // 30) % 30 AS dst"
+            " FROM documents"
         ),
         "scd2_user_status": (
             "SELECT user_id, status, valid_from,"

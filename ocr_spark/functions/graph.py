@@ -292,3 +292,129 @@ def personalized_pagerank_sql(
     computed in-query; if NO seed is present the query raises via
     DuckDB's error(), matching the Spark side's ValueError)."""
     return _pagerank_sql_impl(edges_source, iters, seeds)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, n_triangles): per-node triangle participation over the
+    UNDIRECTED simple graph induced by ``edges`` (self-loops dropped,
+    direction and multiplicity collapsed). Nodes in no triangle emit
+    no row; the global triangle count is ``sum(n_triangles) / 3``.
+    Completes the graph family: PageRank (authority), connected
+    components (dedup.py — reachability), triangles (local clustering
+    — the community-density signal link-spam detection keys on).
+
+    Engine mapping — the degree-ordered orientation algorithm: orient
+    every undirected edge from its lower to its higher endpoint under
+    the total order rho(v) = (degree(v), v). Every triangle
+    x < y < z (by rho) then has exactly ONE wedge at its minimum
+    vertex (x -> y, x -> z) whose closing edge (y -> z) is also
+    oriented — so triangles = wedges joined against the oriented edge
+    set, each counted once, no division by 6.
+
+    Scale shape: the orientation IS the skew defense — a hub of
+    degree d keeps only its neighbors of HIGHER (degree, id), so
+    oriented out-degree is bounded by O(sqrt(m)) and the wedge
+    self-join is O(m^1.5) total instead of sum(d^2) (a single
+    10^7-degree hub never builds 10^14 wedges). All joins are
+    equi-joins on node keys: distinct + degree aggregate (two
+    uniform shuffles), two degree-attach joins, the wedge self-join
+    on the oriented source, and the closure equi-join on (lo, hi).
+    Node ids are ID-TYPE-AGNOSTIC (no casts — int or string, the
+    dedup-layer contract); rho ties break on the id itself,
+    deterministic in both engines.
+    """
+    e = edges.select(
+        F.col(src).alias("_a"), F.col(dst).alias("_b")
+    ).where("_a IS NOT NULL AND _b IS NOT NULL AND _a <> _b")
+    und = e.selectExpr(
+        "least(_a, _b) AS a", "greatest(_a, _b) AS b"
+    ).distinct()
+    deg = (
+        und.selectExpr("a AS v")
+        .unionAll(und.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    j = (
+        und.join(deg.selectExpr("v AS a", "d AS da"), "a")
+        .join(deg.selectExpr("v AS b", "d AS db"), "b")
+    )
+    a_first = "(da < db OR (da = db AND a < b))"
+    oriented = j.selectExpr(
+        f"CASE WHEN {a_first} THEN a ELSE b END AS lo",
+        f"CASE WHEN {a_first} THEN b ELSE a END AS hi",
+        f"CASE WHEN {a_first} THEN da ELSE db END AS dlo",
+        f"CASE WHEN {a_first} THEN db ELSE da END AS dhi",
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.lo") == F.col("e2.lo")).where(
+        "(e1.dhi < e2.dhi) OR (e1.dhi = e2.dhi AND e1.hi < e2.hi)"
+    ).selectExpr("e1.lo AS x", "e1.hi AS y", "e2.hi AS z")
+    closing = oriented.selectExpr("lo AS y", "hi AS z")
+    tris = wedges.join(closing, ["y", "z"])
+    return (
+        tris.selectExpr("explode(array(x, y, z)) AS node")
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
+def triangle_counts_sql(
+    edges_sql: str, src: str = "src", dst: str = "dst"
+) -> str:
+    """DuckDB twin of :func:`triangle_counts` (identical orientation,
+    wedge, and closure algebra; ``edges_sql`` is any SELECT producing
+    the edge columns)."""
+    a_first = "(da < db OR (da = db AND a < b))"
+    return f"""
+      WITH raw AS (
+        SELECT {src} AS _a, {dst} AS _b FROM ({edges_sql})
+        WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+          AND {src} <> {dst}
+      ),
+      und AS (
+        SELECT DISTINCT least(_a, _b) AS a, greatest(_a, _b) AS b
+        FROM raw
+      ),
+      deg AS (
+        SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+        ) GROUP BY v
+      ),
+      j AS (
+        SELECT und.a, und.b, la.d AS da, lb.d AS db
+        FROM und
+        JOIN deg la ON la.v = und.a
+        JOIN deg lb ON lb.v = und.b
+      ),
+      oriented AS (
+        SELECT CASE WHEN {a_first} THEN a ELSE b END AS lo,
+               CASE WHEN {a_first} THEN b ELSE a END AS hi,
+               CASE WHEN {a_first} THEN da ELSE db END AS dlo,
+               CASE WHEN {a_first} THEN db ELSE da END AS dhi
+        FROM j
+      ),
+      wedges AS (
+        SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        FROM oriented e1 JOIN oriented e2 ON e1.lo = e2.lo
+        WHERE (e1.dhi < e2.dhi) OR (e1.dhi = e2.dhi AND e1.hi < e2.hi)
+      ),
+      tris AS (
+        SELECT w.x, w.y, w.z
+        FROM wedges w
+        JOIN oriented c ON c.lo = w.y AND c.hi = w.z
+      ),
+      exploded AS (
+        SELECT unnest([x, y, z]) AS node FROM tris
+      )
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM exploded
+      GROUP BY node
+    """
