@@ -97,36 +97,48 @@ def flags_from_counts(
     """:func:`anomaly_flags` over PRE-BUCKETED counts (event_type,
     bucket_start, n_events) instead of raw events — the entry point
     for maintained count state (the streaming monitor's merged state,
-    a rolled-up warehouse table). Sparse input is densified exactly
-    like resample_fill's zero-fill spine (per-type bounds -> sequence
-    explode -> left join), then the SAME window predicate runs — one
-    flag definition for batch and streaming (merged-equals-batch is
+    a rolled-up warehouse table). Sparse input is densified on THE
+    shared spine (:func:`ocr_spark.functions.timeseries.bucket_spine`
+    — resample_fill's own definition, so batch and counts paths
+    cannot drift), then the SAME window predicate runs — one flag
+    definition for batch and streaming (merged-equals-batch is
     test-pinned on it). Duplicate (type, bucket) rows are summed
     (partial counts from different micro-batches), NULL keys dropped
-    like the event path drops NULL ts/type rows."""
+    like the event path drops NULL ts/type rows.
+
+    Grid guard: a bucket_start off the ``step_s`` grid cannot join
+    the spine — the spine's LEFT join would silently DROP that count
+    and flag garbage — so misaligned input raises instead (one
+    limit-1 probe; counts written at a different step than they are
+    read is a config bug, not data)."""
     if window < 2:
         raise ValueError("window must be >= 2")
     if tau2 < 0:
         raise ValueError("tau2 must be >= 0")
     if step_s < 1:
         raise ValueError("step_s must be >= 1")
-    agg = (
-        counts.where(
-            F.col("event_type").isNotNull()
-            & F.col("bucket_start").isNotNull()
+    from ocr_spark.functions.timeseries import bucket_spine
+
+    live = counts.where(
+        F.col("event_type").isNotNull() & F.col("bucket_start").isNotNull()
+    )
+    off_grid = (
+        live.where(F.pmod(F.col("bucket_start"), F.lit(step_s)) != 0)
+        .limit(1)
+        .collect()
+    )
+    if off_grid:
+        r = off_grid[0]
+        raise ValueError(
+            f"bucket_start {r.bucket_start} (event_type "
+            f"{r.event_type!r}) is off the step_s={step_s} grid — "
+            "counts were bucketed at a different step than they are "
+            "being read at"
         )
-        .groupBy("event_type", "bucket_start")
-        .agg(F.sum("n_events").cast("long").alias("_n"))
+    agg = live.groupBy("event_type", "bucket_start").agg(
+        F.sum("n_events").cast("long").alias("_n")
     )
-    bounds = agg.groupBy("event_type").agg(
-        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
-    )
-    spine = bounds.select(
-        "event_type",
-        F.explode(F.expr(f"sequence(_lo, _hi, {step_s})")).alias(
-            "bucket_start"
-        ),
-    )
+    spine = bucket_spine(agg, step_s)
     dense = spine.join(agg, ["event_type", "bucket_start"], "left").select(
         "event_type",
         "bucket_start",

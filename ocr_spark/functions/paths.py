@@ -41,6 +41,19 @@ DEFAULT_MAX_STEPS = 12
 _ELLIPSIS = ">…"
 
 
+# THE session step order, Spark side (the SQL twin's _SESS_ORDER):
+# every window that orders a user's events — sessionization, the
+# transition lag — builds from this one tuple so the operators cannot
+# pair events in an order sessions were not numbered in
+_ORDER_COLS = ("ts", "_eid", "event_type")
+
+
+def _user_order_window():
+    from pyspark.sql import Window
+
+    return Window.partitionBy("user_id").orderBy(*_ORDER_COLS)
+
+
 def _sessionized(events: DataFrame, gap_s: int):
     """Shared sessionization skeleton: (user_id, ts, _eid, event_type,
     _sess) with the gaps-and-islands session id — ONE definition for
@@ -62,7 +75,7 @@ def _sessionized(events: DataFrame, gap_s: int):
         F.coalesce(F.col("event_id"), F.lit(-1)).alias("_eid"),
         "event_type",
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "_eid", "event_type")
+    w = _user_order_window()
     gap_us = gap_s * 1_000_000
     new_sess = (
         F.lag("ts").over(w).isNull()
@@ -241,7 +254,7 @@ def transition_profile(
     from pyspark.sql import Window
 
     sess = _sessionized(events, gap_s)
-    w = Window.partitionBy("user_id").orderBy("ts", "_eid", "event_type")
+    w = _user_order_window()
     pairs = sess.select(
         F.lag("event_type").over(w).alias("from_type"),
         F.col("event_type").alias("to_type"),

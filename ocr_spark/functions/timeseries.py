@@ -192,6 +192,25 @@ def running_user_stats_sql(table: str = "events") -> str:
 # ---------------------------------------------------------------------------
 
 
+def bucket_spine(agg: DataFrame, step_s: int) -> DataFrame:
+    """THE dense bucket spine: per event_type, every ``step_s`` bucket
+    from that type's min to max ``bucket_start`` (tiny — generated
+    from the |types|-row bounds table, never from event rows). ONE
+    definition shared by :func:`resample_fill` and
+    :func:`ocr_spark.functions.anomaly.flags_from_counts` so their
+    densification semantics cannot drift (the merged-equals-batch
+    invariant of the streaming anomaly monitor rides on it)."""
+    bounds = agg.groupBy("event_type").agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    return bounds.select(
+        "event_type",
+        F.explode(F.expr(f"sequence(_lo, _hi, {step_s})")).alias(
+            "bucket_start"
+        ),
+    )
+
+
 def resample_fill(
     events: DataFrame,
     step_s: int = 3600,
@@ -253,13 +272,7 @@ def resample_fill(
             F.sum("_c").alias("_sum"),
         )
     )
-    bounds = agg.groupBy("event_type").agg(
-        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
-    )
-    spine = bounds.select(
-        "event_type",
-        F.explode(F.expr(f"sequence(_lo, _hi, {step_s})")).alias("bucket_start"),
-    )
+    spine = bucket_spine(agg, step_s)
     j = spine.join(agg, ["event_type", "bucket_start"], "left")
     filled = F.col("_n").isNull()
     if fill == "ffill":

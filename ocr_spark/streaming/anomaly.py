@@ -58,17 +58,66 @@ def bucket_counts_batch(events: DataFrame, step_s: int = 3600) -> DataFrame:
     )
 
 
+_META_NAME = "_anomaly_meta.json"  # '_' prefix: parquet readers skip it
+
+
+def _meta_path(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir, _META_NAME)
+
+
+def _write_meta(state_dir: str, step_s: int) -> None:
+    import json
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    with open(_meta_path(state_dir), "w") as f:
+        json.dump({"step_s": step_s}, f)
+
+
+def _read_meta(state_dir: str) -> int | None:
+    import json
+    import os
+
+    p = _meta_path(state_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["step_s"])
+
+
 def flags_from_state(
     spark: SparkSession,
     state_dir: str,
-    step_s: int = 3600,
+    step_s: int | None = None,
     window: int = DEFAULT_WINDOW,
     tau2: int = DEFAULT_TAU2,
 ) -> DataFrame:
     """The monitor read side: merge every batch partition's partial
     counts (sum — additive state) and run the SHARED flag predicate.
     Equals ``anomaly_flags`` over the union of all ingested events
-    (the pinned invariant)."""
+    (the pinned invariant).
+
+    The bucket step is READ FROM the state's metadata sidecar (the
+    bloom-filter (m_bits, k) validation precedent): reading counts at
+    a different step than they were written would silently drop every
+    off-grid bucket, so an explicit ``step_s`` that contradicts the
+    recorded one raises instead of guessing."""
+    recorded = _read_meta(state_dir)
+    if step_s is None:
+        if recorded is None:
+            raise ValueError(
+                f"{state_dir} carries no {_META_NAME} sidecar and no "
+                "step_s was given — pass the step the state was "
+                "written at"
+            )
+        step_s = recorded
+    elif recorded is not None and recorded != step_s:
+        raise ValueError(
+            f"state was written at step_s={recorded} but is being "
+            f"read at step_s={step_s}"
+        )
     counts = spark.read.parquet(state_dir).select(
         "event_type", "bucket_start", "n_events"
     )
@@ -93,6 +142,14 @@ def run_anomaly_stream(
         run_partitioned_drain,
         write_batch_partition,
     )
+
+    recorded = _read_meta(state_dir)
+    if recorded is not None and recorded != step_s:
+        raise ValueError(
+            f"state at {state_dir} was written at step_s={recorded}; "
+            f"refusing to append counts at step_s={step_s}"
+        )
+    _write_meta(state_dir, step_s)
 
     def _process(bdf: DataFrame, batch_id: int) -> None:
         write_batch_partition(

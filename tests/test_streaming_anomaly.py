@@ -87,3 +87,34 @@ def test_flags_from_counts_gap_densifies(spark):
         for r in flags_from_counts(counts, window=2).collect()
     }
     assert rows == {0: 2, 3600: 0, 7200: 9}
+
+
+def test_off_grid_counts_raise_instead_of_silently_dropping(spark):
+    import pytest
+
+    counts = spark.createDataFrame(
+        [("click", 0, 2), ("click", 5000, 9)],  # 5000 not on 3600 grid
+        "event_type string, bucket_start long, n_events long",
+    )
+    with pytest.raises(ValueError, match="off the step_s"):
+        flags_from_counts(counts, step_s=3600, window=2)
+
+
+def test_state_records_step_and_rejects_mismatched_reads(spark, tmp_path):
+    import pytest
+
+    inp, st, ckpt = (str(tmp_path / d) for d in ("in", "state", "ckpt"))
+    spark.createDataFrame(_events([2, 3])).write.parquet(inp, mode="append")
+    run_anomaly_stream(spark, inp, st, ckpt, step_s=900)
+
+    # read side defaults to the recorded step: the two event hours
+    # densify into five 900 s buckets (absolute epoch ids)
+    got = sorted(r.bucket_start for r in flags_from_state(spark, st, window=2).collect())
+    assert len(got) == 5
+    assert [b - a for a, b in zip(got, got[1:])] == [900] * 4
+    # ...and a contradictory explicit step raises
+    with pytest.raises(ValueError, match="written at step_s=900"):
+        flags_from_state(spark, st, step_s=3600, window=2)
+    # appending at a different step is refused too
+    with pytest.raises(ValueError, match="refusing to append"):
+        run_anomaly_stream(spark, inp, st, str(tmp_path / "c2"), step_s=60)
