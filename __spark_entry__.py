@@ -1389,6 +1389,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id % 30 AS src", "(doc_id div 30) % 30 AS dst"
             )
         ),
+        # local clustering coefficient per node (exact integer ppm;
+        # every node rowed, zero-triangle included) over the same
+        # synthetic graph
+        "clustering_coefficients": lambda s, d: gph.clustering_coefficients(
+            _read(s, d, "documents").selectExpr(
+                "doc_id % 30 AS src", "(doc_id div 30) % 30 AS dst"
+            )
+        ),
         # first-order Markov transitions within sessions (SHARED
         # sessionization skeleton with session_paths — conservation
         # property-tested); exact integer conditional ppm
@@ -2172,6 +2180,10 @@ def oracle_sql() -> dict[str, str]:
             "events", gap_s=1800
         ),
         "triangle_counts": gph.triangle_counts_sql(
+            "SELECT doc_id % 30 AS src, (doc_id // 30) % 30 AS dst"
+            " FROM documents"
+        ),
+        "clustering_coefficients": gph.clustering_coefficients_sql(
             "SELECT doc_id % 30 AS src, (doc_id // 30) % 30 AS dst"
             " FROM documents"
         ),

@@ -299,6 +299,27 @@ def personalized_pagerank_sql(
 # ---------------------------------------------------------------------------
 
 
+def _simple_graph(edges: DataFrame, src: str, dst: str):
+    """(und, deg): the undirected simple graph (self-loops dropped,
+    direction/multiplicity collapsed to canonical a < b pairs) and
+    its degree table — ONE definition shared by triangle_counts and
+    clustering_coefficients so their degree semantics cannot
+    drift."""
+    e = edges.select(
+        F.col(src).alias("_a"), F.col(dst).alias("_b")
+    ).where("_a IS NOT NULL AND _b IS NOT NULL AND _a <> _b")
+    und = e.selectExpr(
+        "least(_a, _b) AS a", "greatest(_a, _b) AS b"
+    ).distinct()
+    deg = (
+        und.selectExpr("a AS v")
+        .unionAll(und.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    return und, deg
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -330,18 +351,14 @@ def triangle_counts(
     dedup-layer contract); rho ties break on the id itself,
     deterministic in both engines.
     """
-    e = edges.select(
-        F.col(src).alias("_a"), F.col(dst).alias("_b")
-    ).where("_a IS NOT NULL AND _b IS NOT NULL AND _a <> _b")
-    und = e.selectExpr(
-        "least(_a, _b) AS a", "greatest(_a, _b) AS b"
-    ).distinct()
-    deg = (
-        und.selectExpr("a AS v")
-        .unionAll(und.selectExpr("b AS v"))
-        .groupBy("v")
-        .agg(F.count("*").alias("d"))
-    )
+    und, deg = _simple_graph(edges, src, dst)
+    return _triangles(und, deg)
+
+
+def _triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Triangle machinery over a prepared simple graph — shared so
+    clustering_coefficients reuses one (und, deg) computation instead
+    of re-scanning the edge table."""
     j = (
         und.join(deg.selectExpr("v AS a", "d AS da"), "a")
         .join(deg.selectExpr("v AS b", "d AS db"), "b")
@@ -417,4 +434,85 @@ def triangle_counts_sql(
       SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
       FROM exploded
       GROUP BY node
+    """
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, degree, n_triangles, coeff_ppm): local clustering
+    coefficient per node as exact integer ppm —
+    ``(2_000_000 * T) div (d * (d - 1))``, 0 for degree < 2 — over
+    the same undirected simple graph as :func:`triangle_counts`
+    (shared ``_simple_graph`` definition). EVERY node gets a row
+    (zero-triangle nodes included, coeff 0): the per-node density
+    signal community detection and link-spam scoring threshold on,
+    where triangle_counts alone only lists participants.
+
+    Exactness bound: the ppm numerator is BIGINT, so per-node
+    triangle counts are exact up to ~4.6 * 10^12 (T * 2e6 at the
+    int64 ceiling); a node in more triangles than that exceeds any
+    real corpus graph. The denominator d * (d - 1) is safe to
+    d ~ 3 * 10^9. Integer division is on non-negative operands, so
+    Spark ``div`` and DuckDB ``//`` agree (the established gotcha).
+
+    Scale shape: triangle_counts' O(m^1.5) wedge machinery plus one
+    left join from the degree table onto the per-node triangle
+    aggregate — both keyed on the node, uniform.
+    """
+    und, deg = _simple_graph(edges, src, dst)
+    tris = _triangles(und, deg)
+    return (
+        deg.join(tris, deg["v"] == tris["node"], "left")
+        .select(
+            deg["v"].alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
+        .selectExpr(
+            "node",
+            "degree",
+            "n_triangles",
+            "CASE WHEN degree >= 2 THEN (CAST(2000000 AS BIGINT) *"
+            " n_triangles) div (degree * (degree - 1))"
+            " ELSE CAST(0 AS BIGINT) END AS coeff_ppm",
+        )
+    )
+
+
+def clustering_coefficients_sql(
+    edges_sql: str, src: str = "src", dst: str = "dst"
+) -> str:
+    """DuckDB twin of :func:`clustering_coefficients` (the triangle
+    twin as a subquery, left-joined onto the same degree CTE)."""
+    return f"""
+      WITH raw AS (
+        SELECT {src} AS _a, {dst} AS _b FROM ({edges_sql})
+        WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+          AND {src} <> {dst}
+      ),
+      und AS (
+        SELECT DISTINCT least(_a, _b) AS a, greatest(_a, _b) AS b
+        FROM raw
+      ),
+      deg AS (
+        SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+        ) GROUP BY v
+      ),
+      tris AS (
+        {triangle_counts_sql(edges_sql, src, dst)}
+      )
+      SELECT deg.v AS node,
+             CAST(deg.d AS BIGINT) AS degree,
+             CAST(coalesce(tris.n_triangles, 0) AS BIGINT)
+               AS n_triangles,
+             CASE WHEN deg.d >= 2
+                  THEN CAST((CAST(2000000 AS BIGINT)
+                         * coalesce(tris.n_triangles, 0))
+                       // (deg.d * (deg.d - 1)) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS coeff_ppm
+      FROM deg LEFT JOIN tris ON tris.node = deg.v
     """

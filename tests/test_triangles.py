@@ -84,3 +84,64 @@ def test_plan_no_nested_loop(spark):
     p = plan_str(triangle_counts(df), "simple")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# clustering coefficients
+# ---------------------------------------------------------------------------
+
+from ocr_spark.functions.graph import (  # noqa: E402
+    clustering_coefficients,
+    clustering_coefficients_sql,
+)
+
+
+def _coeffs(spark, edges):
+    df = spark.createDataFrame(edges, schema=_SCHEMA)
+    return {
+        r.node: (r.degree, r.n_triangles, r.coeff_ppm)
+        for r in clustering_coefficients(df).collect()
+    }
+
+
+def test_k4_coefficient_is_one(spark):
+    k4 = [(a, b) for a, b in combinations(range(4), 2)]
+    assert _coeffs(spark, k4) == {v: (3, 3, 1_000_000) for v in range(4)}
+
+
+def test_star_and_path_have_zero_coefficient_but_rows(spark):
+    # star center degree 3, no triangles; leaves degree 1 -> coeff 0
+    star = [(0, 1), (0, 2), (0, 3)]
+    got = _coeffs(spark, star)
+    assert got == {0: (3, 0, 0), 1: (1, 0, 0), 2: (1, 0, 0), 3: (1, 0, 0)}
+
+
+def test_half_closed_wedge(spark):
+    # node 0 neighbors {1,2,3}; only (1,2) closed: C(0) = 1/3
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2)]
+    got = _coeffs(spark, edges)
+    assert got[0] == (3, 1, 333_333)
+    assert got[1] == (2, 1, 1_000_000)
+    assert got[3] == (1, 0, 0)
+
+
+def test_coeffs_match_duckdb(spark, tmp_path):
+    edges = [
+        (a, b)
+        for a, b in combinations(range(12), 2)
+        if (a * 31 + b * 17) % 3 == 0
+    ]
+    got = _coeffs(spark, edges)
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    path = str(tmp_path / "edges.parquet")
+    pdf.to_parquet(path)
+    con = duckdb.connect()
+    odf = con.execute(
+        clustering_coefficients_sql(f"SELECT * FROM '{path}'")
+    ).fetchdf()
+    want = {
+        int(r.node): (int(r.degree), int(r.n_triangles), int(r.coeff_ppm))
+        for r in odf.itertuples()
+    }
+    assert got == want
+    assert any(c for _, _, c in got.values())  # non-vacuous
