@@ -910,8 +910,116 @@ def _scd_obs_spark(s: SparkSession, d: str) -> DataFrame:
 _SCD_OBS_SQL = f"({scd.daily_status_obs_sql('events')})"
 
 
+# Driver-sample rotation (round 4): the correctness driver checks the
+# FIRST 50 keys of queries(). Rounds 1-3 sampled insertion order, which
+# is extraction-first, so 115 of the 183 contract queries (the whole
+# dedup/ANN/sampling/scrub/graph/LM/OLAP surface) never produced a
+# driver-side CORRECTNESS row. This list front-loads a breadth-maximal
+# set of 50 never-driver-checked queries (incl. the seven round-3
+# additions ADVICE flagged); the remaining never-checked names follow at
+# positions 51+, then the 68 ever-checked ones. Round 5: rotate the next
+# 50 never-checked block to the front.
+_DRIVER_SAMPLE_FIRST = [
+    "exact_dedup_string_ids",
+    "lsh_verified_pairs_string_ids",
+    "dup_clusters_string_ids",
+    "semantic_dedup",
+    "incremental_dedup",
+    "cluster_reps",
+    "containment_pairs",
+    "lsh_pairs_scoped",
+    "lsh_recall_eval",
+    "snapshot_diff",
+    "snapshot_edit_profile",
+    "novel_docs",
+    "novel_docs_canonical",
+    "exact_dedup_canonical",
+    "bloom_novelty",
+    "bloom_fp_eval",
+    "bm25_topk",
+    "phrase_search",
+    "tfidf_top_terms",
+    "keyword_tag",
+    "winnow_fingerprints",
+    "pagerank",
+    "triangle_counts",
+    "clustering_coefficients",
+    "pack_index",
+    "pack_stats",
+    "pack_shards",
+    "pack_shards_global",
+    "temperature_mix",
+    "mixture_plan",
+    "dataset_split_assign",
+    "stratified_sample",
+    "weighted_sample",
+    "cap_per_source",
+    "shuffle_order",
+    "pii_scrub",
+    "scrub_spans",
+    "line_dedup",
+    "gopher_rules",
+    "repetition_signals",
+    "repeated_passages",
+    "remove_repeated_passages",
+    "duplication_profile",
+    "contamination_overlap",
+    "benchmark_leaks",
+    "quality_classifier",
+    "anomaly_hourly",
+    "session_paths_topk",
+    "event_transitions",
+    "scd2_user_status",
+]
+
+# Names that have a green driver CORRECTNESS row in some earlier round
+# (union of CORRECTNESS_r01..r03 keys). Kept last so the 50-key sample
+# spends its budget on never-checked queries first.
+_DRIVER_CHECKED_R123 = frozenset([
+    "ann_lsh_topk", "ann_multiprobe_topk", "block_density_stats",
+    "caption_pairs", "chunk_dedup", "chunk_integrity", "chunk_interleaved",
+    "chunk_interleaved_bpe", "classify_spans", "cosine_topk",
+    "doc_stats_by_source", "dup_clusters", "edit_update",
+    "edit_update_overwrite", "embedding_near_dups", "event_props_extract",
+    "event_window_counts", "exact_dedup", "extract_dense_blocks",
+    "extract_main_content", "extraction_metrics", "fingerprint",
+    "interleave_stats", "interleaved_token_counts", "ivf_topk", "lang_id",
+    "lexical_stats", "llm_response_parse", "lsh_verified_pairs",
+    "media_context", "media_dup_clusters", "media_features",
+    "media_jaccard_pairs", "media_linking", "media_position_stats",
+    "media_reuse", "media_table", "minhash_lsh_pairs",
+    "minhash_signatures", "multimodal_near_dups", "ngram_jaccard_pairs",
+    "page_count_probe", "quality_score", "readability", "render_chunks",
+    "render_interleaved", "results_upsert", "run_summary",
+    "salted_doc_counts", "script_profile", "section_paths", "simhash",
+    "simhash_pairs", "span_diff", "span_integrity", "span_kind_histogram",
+    "split_pages", "strip_frequent_spans", "strip_reused_media",
+    "structure_fingerprint", "table_reconstruct", "table_shapes",
+    "template_sample", "template_stats", "token_counts", "unique_names",
+    "validate_bhxh_schema", "validate_normalize",
+])
+
+
+def _driver_sample_order(
+    q: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Reorder the contract dict: round-4 sample block first, then the
+    remaining never-driver-checked names in insertion order, then the
+    ever-checked names. Pure reordering — same keys, same callables."""
+    front = [k for k in _DRIVER_SAMPLE_FIRST if k in q]
+    rest_new = [
+        k for k in q
+        if k not in _DRIVER_SAMPLE_FIRST and k not in _DRIVER_CHECKED_R123
+    ]
+    rest_old = [
+        k for k in q
+        if k not in _DRIVER_SAMPLE_FIRST and k in _DRIVER_CHECKED_R123
+    ]
+    return {k: q[k] for k in front + rest_new + rest_old}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    q = {
         # --- extraction core (S5-replacement, P1/P7, O2, R6, A4, J6)
         "extract_main_content": lambda s, d: extract_main_content(_span_docs(s, d)),
         # extraction-CI diff: the north-rule span-sequence-equality
@@ -1936,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
         ).select(F.col("value").alias("doc_id"), "maybe_present"),
     }
+    return _driver_sample_order(q)
 
 
 def oracle_sql() -> dict[str, str]:
