@@ -932,7 +932,6 @@ _DRIVER_SAMPLE_FIRST = [
     "snapshot_diff",
     "snapshot_edit_profile",
     "novel_docs",
-    "novel_docs_canonical",
     "exact_dedup_canonical",
     "bloom_novelty",
     "bloom_fp_eval",
@@ -945,7 +944,6 @@ _DRIVER_SAMPLE_FIRST = [
     "triangle_counts",
     "clustering_coefficients",
     "pack_index",
-    "pack_stats",
     "pack_shards",
     "pack_shards_global",
     "temperature_mix",
@@ -966,6 +964,8 @@ _DRIVER_SAMPLE_FIRST = [
     "contamination_overlap",
     "benchmark_leaks",
     "quality_classifier",
+    "decoded_image_stats",
+    "decoded_audio_stats",
     "anomaly_hourly",
     "session_paths_topk",
     "event_transitions",
@@ -1585,6 +1585,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("media_ref", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")),
         "media_features": lambda s, d: mm.image_features_flat(
             mm.synthesize_media(_read(s, d, "documents"))
+        ),
+        # REAL pixel/sample decode (round-4): deterministic BMP/WAV
+        # bytes synthesized per asset, decoded by the dependency-free
+        # numpy codecs, exact integer channel/sample stats — the oracle
+        # derives the same values from md5(media_ref) directly, so a
+        # wrong decode cannot hash-match
+        "decoded_image_stats": lambda s, d: mm.decoded_image_stats(
+            mm.synthesize_bmp(_read(s, d, "documents"))
+        ),
+        "decoded_audio_stats": lambda s, d: mm.decoded_audio_stats(
+            mm.synthesize_wav(_read(s, d, "documents"))
         ),
         # --- similarity search
         "cosine_topk": lambda s, d: sim.cosine_topk(_read(s, d, "embeddings")),
@@ -2332,6 +2343,8 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "media_features": mm.image_features_flat_sql(),
+        "decoded_image_stats": mm.decoded_image_stats_sql(),
+        "decoded_audio_stats": mm.decoded_audio_stats_sql(),
         "cosine_topk": sim.cosine_topk_sql(),
         "ann_lsh_topk": sim.ann_lsh_topk_sql(),
         "ann_multiprobe_topk": sim.ann_multiprobe_topk_sql(),

@@ -72,13 +72,120 @@ def synthesize_media_sql(table: str = "documents") -> str:
 
 
 # ---------------------------------------------------------------------------
-# decode stubs (the only non-real parts, clearly marked)
+# real decoders for uncompressed container formats (pure numpy, no deps)
+# + stubs for compressed formats (clearly marked)
 # ---------------------------------------------------------------------------
 
 
-def decode_image(data: bytes):  # pragma: no cover - stub
-    """STUB: real pixel decode requires PIL, absent in this container."""
-    try:
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Real BMP decode, dependency-free: uncompressed BI_RGB 24/32-bit
+    Windows bitmaps -> (height, width, 3) uint8 RGB array.
+
+    Handles the format's actual wrinkles: bottom-up (positive height)
+    vs top-down (negative height) row order, 4-byte row padding, and
+    the BGR(A) channel layout. Compressed/paletted BMPs raise
+    ValueError (they belong to the PIL fallback path)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (compression={comp}, bpp={bpp})")
+    if w <= 0 or h == 0:
+        raise ValueError("degenerate BMP dimensions")
+    top_down, height = h < 0, abs(h)
+    nbytes = bpp // 8
+    stride = ((w * nbytes + 3) // 4) * 4
+    if off + stride * height > len(data):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(data, np.uint8, count=stride * height, offset=off)
+    px = rows.reshape(height, stride)[:, : w * nbytes].reshape(height, w, nbytes)
+    if not top_down:
+        px = px[::-1]
+    return np.ascontiguousarray(px[..., [2, 1, 0]])  # BGR(A) -> RGB
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Real binary-PPM (P6) decode, dependency-free ->
+    (height, width, 3) uint8 RGB. Honors '#' comments and arbitrary
+    whitespace in the header; 16-bit-per-sample PPMs raise."""
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(data):
+            c = data[pos : pos + 1]
+            if c == b"#":
+                while pos < len(data) and data[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        return data[start:pos]
+
+    if token() != b"P6":
+        raise ValueError("not a binary PPM (P6)")
+    w, h, maxval = int(token()), int(token()), int(token())
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    if w <= 0 or h <= 0 or pos + w * h * 3 > len(data):
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
+    ).copy()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Real PCM WAV decode, dependency-free -> (samples, sample_rate).
+    16-bit PCM; mono returns shape (n,), multi-channel (n, channels).
+    Walks the RIFF chunk list properly (fmt /data in any order, odd
+    sizes padded). Non-PCM or non-16-bit raises (PIL-equivalent
+    fallback: none in this container)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = raw = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+    samples = np.frombuffer(raw, "<i2", count=len(raw) // 2)
+    if n_ch > 1:
+        samples = samples[: (len(samples) // n_ch) * n_ch].reshape(-1, n_ch)
+    return samples, rate
+
+
+def decode_image(data: bytes):
+    """Dispatch by magic bytes: uncompressed BMP/PPM decode for real
+    (numpy, no dependencies); compressed formats (PNG/JPEG/...) fall
+    through to PIL, which is absent in this container -> the one
+    remaining STUB, clearly marked."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    try:  # pragma: no cover - PIL absent in this container
         import io
 
         from PIL import Image  # type: ignore
@@ -86,13 +193,250 @@ def decode_image(data: bytes):  # pragma: no cover - stub
         return Image.open(io.BytesIO(data))
     except ImportError as e:
         raise NotImplementedError(
-            "image decode requires PIL; not available in this environment"
+            "compressed-image decode requires PIL; not in this environment"
         ) from e
 
 
-def decode_audio(data: bytes):  # pragma: no cover - stub
-    """STUB: real audio decode requires soundfile/librosa."""
-    raise NotImplementedError("audio decode not available in this environment")
+def decode_audio(data: bytes):
+    """Dispatch by magic bytes: PCM WAV decodes for real; compressed
+    audio (mp3/flac/ogg) would need soundfile -> STUB."""
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    raise NotImplementedError(
+        "compressed-audio decode requires soundfile; not in this environment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# real-decode pipeline: deterministic BMP/WAV synthesis -> numpy decode
+# -> exact integer stats, oracle-checked in DuckDB
+# ---------------------------------------------------------------------------
+
+# 4x2 24-bit bottom-up BI_RGB BMP: 14-byte file header + 40-byte
+# BITMAPINFOHEADER, then 24 pixel bytes (stride 12, no padding).
+_BMP_W, _BMP_H = 4, 2
+_BMP_HEADER_HEX = (
+    "424D4E0000000000000036000000"  # BM, size 78, reserved, offset 54
+    "2800000004000000020000000100180000000000180000000000000000000000"
+    "0000000000000000"  # header 40, 4x2, 1 plane, 24bpp, BI_RGB, 24 px bytes
+)
+# PCM16 mono 8 kHz WAV with 8 samples (16 data bytes): RIFF size 52,
+# fmt(16): pcm/1ch/8000Hz/16000Bps/align2/16bit, data(16).
+_WAV_N = 8
+_WAV_RATE = 8000
+_WAV_HEADER_HEX = (
+    "52494646" "34000000" "57415645"
+    "666D7420" "10000000" "0100" "0100" "401F0000" "803E0000" "0200" "1000"
+    "64617461" "10000000"
+)
+
+
+def _media_refs(docs: DataFrame) -> DataFrame:
+    from ocr_spark.sources.synth import synthesize_spans
+
+    return (
+        synthesize_spans(docs, nested=False)
+        .where(F.col("kind") == "picture")
+        .select("media_ref")
+        .distinct()
+    )
+
+
+def synthesize_bmp(docs: DataFrame) -> DataFrame:
+    """(media_ref, data): a REAL decodable 4x2 24-bit BMP per picture
+    ref. Pixel bytes = md5(ref) ++ first 8 bytes of md5(ref||'x') —
+    pure Spark exprs, so the DuckDB twin can derive the expected pixels
+    from media_ref alone."""
+    px_hex = F.concat(
+        F.md5("media_ref"),
+        F.substring(F.md5(F.concat(F.col("media_ref"), F.lit("x"))), 1, 16),
+    )
+    return _media_refs(docs).select(
+        "media_ref",
+        F.to_binary(F.concat(F.lit(_BMP_HEADER_HEX), px_hex), F.lit("hex")).alias(
+            "data"
+        ),
+    )
+
+
+def synthesize_wav(docs: DataFrame) -> DataFrame:
+    """(media_ref, data): a REAL decodable PCM16 mono WAV per picture
+    ref (the synth corpus has no audio spans; the picture refs stand in
+    as the asset key). Sample bytes = md5(ref) -> 8 int16-LE samples."""
+    return _media_refs(docs).select(
+        "media_ref",
+        F.to_binary(
+            F.concat(F.lit(_WAV_HEADER_HEX), F.md5("media_ref")), F.lit("hex")
+        ).alias("data"),
+    )
+
+
+def decoded_image_stats(media: DataFrame) -> DataFrame:
+    """(media_ref, width, height, sum_r, sum_g, sum_b): REAL pixel
+    decode of the binary column via decode_image (numpy BMP/PPM path),
+    then exact integer per-channel sums — every value is a function of
+    the decoded pixel array, so a wrong decode cannot hash-match the
+    oracle.
+
+    Batch shape: Arrow batches in/out (mapInArrow); the inner loop is
+    per BLOB — the codec boundary, exactly where a real PIL/torchvision
+    decode would sit — while all pixel arithmetic is numpy. Only the
+    tiny (ref, 6 ints) rows leave the scan stage."""
+
+    def stats(batches):
+        for b in batches:
+            refs = b.column("media_ref").to_pylist()
+            blobs = b.column("data").to_pylist()
+            out = {
+                "media_ref": refs,
+                "width": [],
+                "height": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+            }
+            for blob in blobs:
+                px = decode_image(blob or b"")
+                h, w = px.shape[:2]
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("media_ref", pa.string()),
+                        ("width", pa.int32()),
+                        ("height", pa.int32()),
+                        ("sum_r", pa.int64()),
+                        ("sum_g", pa.int64()),
+                        ("sum_b", pa.int64()),
+                    ]
+                ),
+            )
+
+    return media.select("media_ref", "data").mapInArrow(
+        stats,
+        schema=(
+            "media_ref string, width int, height int, "
+            "sum_r long, sum_g long, sum_b long"
+        ),
+    )
+
+
+def decoded_image_stats_sql(table: str = "documents") -> str:
+    """DuckDB twin: the BMP raster is md5(ref)++md5(ref||'x')[:8], laid
+    out BGR — byte k of the raster has channel B/G/R for k%3=0/1/2
+    (stride 12 is a multiple of 3), independent of the bottom-up row
+    flip the decoder performs (sums are row-order-invariant)."""
+    from ocr_spark.sources.synth import synth_spans_sql
+
+    return f"""
+      WITH spans AS ({synth_spans_sql(table)}),
+      media AS (
+        SELECT DISTINCT media_ref FROM spans WHERE kind = 'picture'
+      ),
+      px AS (
+        SELECT media_ref,
+               md5(media_ref) || substr(md5(media_ref || 'x'), 1, 16) AS hx
+        FROM media
+      ),
+      b AS (
+        SELECT media_ref, CAST(r.i AS INT) AS k,
+               CAST(('0x' || substr(hx, CAST(r.i AS INT) * 2 + 1, 2)) AS INT)
+                 AS v
+        FROM px CROSS JOIN range(0, {_BMP_W * _BMP_H * 3}) r(i)
+      )
+      SELECT media_ref, {_BMP_W} AS width, {_BMP_H} AS height,
+             CAST(SUM(CASE WHEN k % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_r,
+             CAST(SUM(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_g,
+             CAST(SUM(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_b
+      FROM b GROUP BY media_ref
+    """
+
+
+def decoded_audio_stats(media: DataFrame) -> DataFrame:
+    """(media_ref, n_samples, sample_rate, sum_abs, sum_sq): REAL PCM
+    decode of the binary column via decode_audio, exact integer
+    aggregate stats (int64 — no float drift vs the oracle)."""
+
+    def stats(batches):
+        for b in batches:
+            refs = b.column("media_ref").to_pylist()
+            blobs = b.column("data").to_pylist()
+            out = {
+                "media_ref": refs,
+                "n_samples": [],
+                "sample_rate": [],
+                "sum_abs": [],
+                "sum_sq": [],
+            }
+            for blob in blobs:
+                samples, rate = decode_audio(blob or b"")
+                s = samples.astype(np.int64).reshape(-1)
+                out["n_samples"].append(int(s.size))
+                out["sample_rate"].append(int(rate))
+                out["sum_abs"].append(int(np.abs(s).sum()))
+                out["sum_sq"].append(int((s * s).sum()))
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("media_ref", pa.string()),
+                        ("n_samples", pa.int64()),
+                        ("sample_rate", pa.int32()),
+                        ("sum_abs", pa.int64()),
+                        ("sum_sq", pa.int64()),
+                    ]
+                ),
+            )
+
+    return media.select("media_ref", "data").mapInArrow(
+        stats,
+        schema=(
+            "media_ref string, n_samples long, sample_rate int, "
+            "sum_abs long, sum_sq long"
+        ),
+    )
+
+
+def decoded_audio_stats_sql(table: str = "documents") -> str:
+    """DuckDB twin: sample i = int16-LE from md5(ref) bytes (2i, 2i+1):
+    v = lo + 256*hi - (hi >= 128 ? 65536 : 0)."""
+    from ocr_spark.sources.synth import synth_spans_sql
+
+    return f"""
+      WITH spans AS ({synth_spans_sql(table)}),
+      media AS (
+        SELECT DISTINCT media_ref FROM spans WHERE kind = 'picture'
+      ),
+      s AS (
+        SELECT media_ref,
+               CAST(('0x' || substr(md5(media_ref),
+                       CAST(r.i AS INT) * 4 + 1, 2)) AS INT)
+               + 256 * CAST(('0x' || substr(md5(media_ref),
+                       CAST(r.i AS INT) * 4 + 3, 2)) AS INT)
+               AS u
+        FROM media CROSS JOIN range(0, {_WAV_N}) r(i)
+      ),
+      v AS (
+        SELECT media_ref,
+               CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+                    AS BIGINT) AS x
+        FROM s
+      )
+      SELECT media_ref, CAST({_WAV_N} AS BIGINT) AS n_samples,
+             {_WAV_RATE} AS sample_rate,
+             CAST(SUM(abs(x)) AS BIGINT) AS sum_abs,
+             CAST(SUM(x * x) AS BIGINT) AS sum_sq
+      FROM v GROUP BY media_ref
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -140,5 +140,167 @@ def test_frame_schedule(spark):
 
 
 def test_decode_stub_raises():
+    # compressed formats still stub (no soundfile/PIL in the container)
     with pytest.raises(NotImplementedError):
-        mm.decode_audio(b"xx")
+        mm.decode_audio(b"\xff\xfbxx")  # mp3 frame sync
+
+
+# ---------------------------------------------------------------------------
+# real decoders: round-trips against independently constructed files
+# (struct.pack writers below share NO code with the numpy decoders)
+# ---------------------------------------------------------------------------
+
+import struct
+
+import numpy as np
+
+
+def _write_bmp(px: "np.ndarray", bpp: int = 24, top_down: bool = False) -> bytes:
+    """Independent BMP writer: px is (h, w, 3) uint8 RGB."""
+    h, w = px.shape[:2]
+    nb = bpp // 8
+    stride = ((w * nb + 3) // 4) * 4
+    raster = bytearray()
+    rows = px if top_down else px[::-1]
+    for row in rows:
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r] + ([0xAB] if nb == 4 else []))
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    hdr_h = -h if top_down else h
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, hdr_h, 1, bpp, 0, len(raster), 0, 0, 0, 0
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    return file_hdr + info + bytes(raster)
+
+
+def _rand_px(h, w, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+def test_decode_bmp_roundtrip_padded():
+    # w=3 -> 9-byte rows padded to 12: exercises stride handling
+    px = _rand_px(5, 3, 1)
+    got = mm.decode_bmp(_write_bmp(px))
+    assert got.shape == (5, 3, 3)
+    assert (got == px).all()
+
+
+def test_decode_bmp_topdown_and_32bpp():
+    px = _rand_px(4, 4, 2)
+    assert (mm.decode_bmp(_write_bmp(px, top_down=True)) == px).all()
+    assert (mm.decode_bmp(_write_bmp(px, bpp=32)) == px).all()
+
+
+def test_decode_bmp_rejects_unsupported():
+    px = _rand_px(2, 2, 3)
+    data = bytearray(_write_bmp(px))
+    data[30] = 1  # BI_RLE8
+    with pytest.raises(ValueError):
+        mm.decode_bmp(bytes(data))
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"PNG not a bmp")
+    with pytest.raises(ValueError):
+        mm.decode_bmp(_write_bmp(px)[:-5])  # truncated raster
+
+
+def test_decode_ppm_roundtrip_with_comments():
+    px = _rand_px(3, 5, 4)
+    data = b"P6\n# a comment\n 5 3\n# another\n255\n" + px.tobytes()
+    got = mm.decode_ppm(data)
+    assert (got == px).all()
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)  # 16-bit
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ascii PPM
+
+
+def _write_wav(samples: "np.ndarray", rate: int, n_ch: int = 1) -> bytes:
+    raw = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * 2 * n_ch, 2 * n_ch, 16)
+    # put an ignorable LIST chunk before data to exercise the chunk walk
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(raw))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + extra
+        + b"data"
+        + struct.pack("<I", len(raw))
+        + raw
+    )
+
+
+def test_decode_wav_roundtrip_mono_and_stereo():
+    rng = np.random.RandomState(7)
+    mono = rng.randint(-32768, 32768, size=37).astype(np.int16)
+    got, rate = mm.decode_wav(_write_wav(mono, 16000))
+    assert rate == 16000 and got.shape == (37,) and (got == mono).all()
+    stereo = rng.randint(-32768, 32768, size=(21, 2)).astype(np.int16)
+    got2, rate2 = mm.decode_wav(_write_wav(stereo.reshape(-1), 44100, n_ch=2))
+    assert rate2 == 44100 and got2.shape == (21, 2) and (got2 == stereo).all()
+
+
+def test_decode_wav_rejects_unsupported():
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxNOPE")
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float32
+    bad = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        mm.decode_wav(bad)
+
+
+def test_decode_image_dispatch():
+    px = _rand_px(2, 2, 9)
+    assert (mm.decode_image(_write_bmp(px)) == px).all()
+    assert (
+        mm.decode_image(b"P6\n2 2\n255\n" + px.tobytes()) == px
+    ).all()
+
+
+# --- the synthesized corpus assets decode for real and match the oracle
+
+
+def test_synthesized_bmp_decodes(spark, docs):
+    rows = mm.synthesize_bmp(docs).limit(5).collect()
+    assert rows
+    for r in rows:
+        px = mm.decode_image(bytes(r.data))
+        assert px.shape == (mm._BMP_H, mm._BMP_W, 3)
+        # pixel bytes are md5(ref)++md5(ref||'x')[:8], BGR bottom-up
+        import hashlib
+
+        raster = (
+            hashlib.md5(r.media_ref.encode()).digest()
+            + hashlib.md5((r.media_ref + "x").encode()).digest()[:8]
+        )
+        want = np.frombuffer(raster, np.uint8).reshape(2, 4, 3)[::-1][
+            ..., [2, 1, 0]
+        ]
+        assert (px == want).all()
+
+
+def test_decoded_image_stats_matches_oracle(spark, docs, con):
+    got = sorted(
+        map(tuple, mm.decoded_image_stats(mm.synthesize_bmp(docs)).collect())
+    )
+    want = sorted(map(tuple, con.execute(mm.decoded_image_stats_sql()).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_decoded_audio_stats_matches_oracle(spark, docs, con):
+    got = sorted(
+        map(tuple, mm.decoded_audio_stats(mm.synthesize_wav(docs)).collect())
+    )
+    want = sorted(map(tuple, con.execute(mm.decoded_audio_stats_sql()).fetchall()))
+    assert got == want and len(got) > 0
