@@ -1101,8 +1101,11 @@ def snapshot_edit_profile(
     explode, no per-shingle shuffle. Assumes id-unique snapshots (the
     snapshot_diff contract); NULL-id rows never join and are skipped.
     NULL text coalesces to '' pre-shingling (size(NULL array) is the
-    -1 trap), yielding the [''] singleton set — a NULL->text change
-    profiles as jaccard 0, 'major'.
+    -1 trap), yielding the [''] singleton set — so a NULL->non-empty
+    change profiles as jaccard 0, 'major', while NULL->'' (or
+    whitespace-only) hashes as changed but shingles identically on
+    both sides: jaccard_ppm 1_000_000, 'minor'. That asymmetry is the
+    intended policy (no content appeared), twin-identical.
 
     jaccard_ppm = (1_000_000 * |A ∩ B|) div |A ∪ B| on NON-NEGATIVE
     integers (Spark div truncates toward zero, DuckDB // floors — the

@@ -364,10 +364,12 @@ def _triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
         .join(deg.selectExpr("v AS b", "d AS db"), "b")
     )
     a_first = "(da < db OR (da = db AND a < b))"
+    # dhi only: the wedge tie-break needs the HI endpoint's degree; the
+    # lo side's degree is never referenced again, so carrying it would
+    # ride both sides of the self-join as dead shuffle width
     oriented = j.selectExpr(
         f"CASE WHEN {a_first} THEN a ELSE b END AS lo",
         f"CASE WHEN {a_first} THEN b ELSE a END AS hi",
-        f"CASE WHEN {a_first} THEN da ELSE db END AS dlo",
         f"CASE WHEN {a_first} THEN db ELSE da END AS dhi",
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
@@ -414,7 +416,6 @@ def triangle_counts_sql(
       oriented AS (
         SELECT CASE WHEN {a_first} THEN a ELSE b END AS lo,
                CASE WHEN {a_first} THEN b ELSE a END AS hi,
-               CASE WHEN {a_first} THEN da ELSE db END AS dlo,
                CASE WHEN {a_first} THEN db ELSE da END AS dhi
         FROM j
       ),

@@ -68,6 +68,7 @@ class ResultsWriter:
         table: str | None = None,
         n_buckets: int = 16,
         bucket_by: str = "doc_id",
+        check_catalog: bool = True,
     ):
         if (path is None) == (table is None):
             raise ValueError("pass exactly one of path= or table=")
@@ -76,7 +77,11 @@ class ResultsWriter:
         self.table = table
         self.n_buckets = n_buckets
         self.bucket_by = bucket_by
-        if table is not None:
+        # check_catalog=False builds the writer WITHOUT the fail-fast
+        # catalog probe — for shape-only inspection (iceberg_writer /
+        # ddl) on runtimes without the Iceberg jar; write() on such an
+        # instance still fails at catalog resolution, never mid-write.
+        if table is not None and check_catalog:
             catalog = table.split(".", 1)[0]
             if not iceberg_available(spark, catalog):
                 raise RuntimeError(
@@ -97,12 +102,32 @@ class ResultsWriter:
             self._write_parquet(df, mode)
 
     # -- Iceberg branch ----------------------------------------------------
-    def _write_iceberg(self, df: DataFrame, mode: str) -> None:
+    def iceberg_writer(self, df: DataFrame):
+        """The exact DataFrameWriterV2 the Iceberg branch commits with:
+        target table + bucket(n, key) partition transform. Split out so
+        the sandbox (no Iceberg jar -> the action would fail at catalog
+        resolution) can still pin the committed write shape — the
+        builder is lazy, so the transform list it carries IS what a
+        real cluster's createOrReplace/append would snapshot."""
         from pyspark.sql.functions.partitioning import bucket
 
-        w = df.writeTo(self.table).partitionedBy(
+        return df.writeTo(self.table).partitionedBy(
             bucket(self.n_buckets, F.col(self.bucket_by))
         )
+
+    def ddl(self, df: DataFrame) -> str:
+        """Equivalent CREATE TABLE DDL for the Iceberg target (ops
+        parity artifact; the write path itself uses writeTo)."""
+        if self.table is None:
+            raise ValueError("ddl() is only defined for the Iceberg backend")
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+        return (
+            f"CREATE TABLE {self.table} ({cols}) USING iceberg "
+            f"PARTITIONED BY (bucket({self.n_buckets}, {self.bucket_by}))"
+        )
+
+    def _write_iceberg(self, df: DataFrame, mode: str) -> None:
+        w = self.iceberg_writer(df)
         if mode == "overwrite":
             w.createOrReplace()
         elif mode == "append":

@@ -62,29 +62,46 @@ _META_NAME = "_anomaly_meta.json"  # '_' prefix: parquet readers skip it
 
 
 def _meta_path(state_dir: str) -> str:
-    import os
-
-    return os.path.join(state_dir, _META_NAME)
+    return state_dir.rstrip("/") + "/" + _META_NAME
 
 
-def _write_meta(state_dir: str, step_s: int) -> None:
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — the
+    sidecar must live WITH the state (s3a://, hdfs://, file:///), not
+    on the driver's local disk: a driver-local open() would silently
+    bypass the grid-mismatch guard for any non-local state URI."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    return fs, jpath
+
+
+def _write_meta(spark: SparkSession, state_dir: str, step_s: int) -> None:
     import json
-    import os
 
-    os.makedirs(state_dir, exist_ok=True)
-    with open(_meta_path(state_dir), "w") as f:
-        json.dump({"step_s": step_s}, f)
+    fs, p = _hadoop_fs(spark, _meta_path(state_dir))
+    fs.mkdirs(p.getParent())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps({"step_s": step_s}).encode("utf-8")))
+    finally:
+        out.close()
 
 
-def _read_meta(state_dir: str) -> int | None:
+def _read_meta(spark: SparkSession, state_dir: str) -> int | None:
     import json
-    import os
 
-    p = _meta_path(state_dir)
-    if not os.path.exists(p):
+    fs, p = _hadoop_fs(spark, _meta_path(state_dir))
+    if not fs.exists(p):
         return None
-    with open(p) as f:
-        return int(json.load(f)["step_s"])
+    stream = fs.open(p)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(  # type: ignore[union-attr]
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return int(json.loads(raw)["step_s"])
 
 
 def flags_from_state(
@@ -104,7 +121,7 @@ def flags_from_state(
     a different step than they were written would silently drop every
     off-grid bucket, so an explicit ``step_s`` that contradicts the
     recorded one raises instead of guessing."""
-    recorded = _read_meta(state_dir)
+    recorded = _read_meta(spark, state_dir)
     if step_s is None:
         if recorded is None:
             raise ValueError(
@@ -143,13 +160,13 @@ def run_anomaly_stream(
         write_batch_partition,
     )
 
-    recorded = _read_meta(state_dir)
+    recorded = _read_meta(spark, state_dir)
     if recorded is not None and recorded != step_s:
         raise ValueError(
             f"state at {state_dir} was written at step_s={recorded}; "
             f"refusing to append counts at step_s={step_s}"
         )
-    _write_meta(state_dir, step_s)
+    _write_meta(spark, state_dir, step_s)
 
     def _process(bdf: DataFrame, batch_id: int) -> None:
         write_batch_partition(

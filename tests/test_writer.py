@@ -76,6 +76,45 @@ def test_target_validation(spark, tmp_path):
         w.write(_df(spark, [1], "a"), mode="truncate")
 
 
+def test_iceberg_write_shape_pinned(spark):
+    """Shape verification of the Iceberg branch WITHOUT the jar: the
+    DataFrameWriterV2 the production write commits with is built lazily
+    (no catalog touched until the action), so we can pin the transform
+    list it carries — the exact `bucket(N, doc_id)` partitioning a real
+    cluster's createOrReplace would snapshot — via the JVM builder's
+    own state, plus the equivalent DDL string."""
+    w = ResultsWriter(
+        spark, table="prod.db.results", n_buckets=16, check_catalog=False
+    )
+    df = _df(spark, range(4), "a")
+    jw = w.iceberg_writer(df)._jwriter
+    fld = jw.getClass().getDeclaredField("partitioning")
+    fld.setAccessible(True)
+    assert fld.get(jw).toString() == "Some(List(bucket(16, doc_id)))"
+    tbl = jw.getClass().getDeclaredField("tableName")
+    tbl.setAccessible(True)
+    assert str(tbl.get(jw)) == "List(prod, db, results)"  # parsed identifier
+    assert w.ddl(df) == (
+        "CREATE TABLE prod.db.results (doc_id string, payload string) "
+        "USING iceberg PARTITIONED BY (bucket(16, doc_id))"
+    )
+    # a custom bucket key/count flows through to the transform
+    w2 = ResultsWriter(
+        spark, table="prod.db.r2", n_buckets=64, bucket_by="media_ref",
+        check_catalog=False,
+    )
+    df2 = spark.createDataFrame(pd.DataFrame({"media_ref": ["x"]}))
+    jw2 = w2.iceberg_writer(df2)._jwriter
+    assert fld.get(jw2) is not None
+    f2 = jw2.getClass().getDeclaredField("partitioning")
+    f2.setAccessible(True)
+    assert f2.get(jw2).toString() == "Some(List(bucket(64, media_ref)))"
+    # write() on the unchecked instance still fails fast at catalog
+    # resolution (never a partial write)
+    with pytest.raises(Exception):
+        w.write(df)
+
+
 def test_iceberg_backend_roundtrip(spark, tmp_path):
     """Runs only where the Iceberg runtime is on the classpath (a real
     cluster); skips cleanly in the sandbox."""
