@@ -199,6 +199,13 @@ def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthesize_spans(_read(spark, sf_dir, "documents"))
 
 
+# the materialized golden extraction snapshot (span_diff_golden): a
+# fixed corpus + a stored expected table, regenerated only on
+# intentional semantics changes (scripts/make_golden_extract.py)
+_GOLDEN_SF_DIR = "/root/testdata/sf0.001"
+_GOLDEN_EXTRACT = "/root/repo/tests/fixtures/golden_extract_sf0001.parquet"
+
+
 def _string_id_docs(docs: DataFrame) -> DataFrame:
     """The int contract corpus re-keyed on 'sha1:<n>' string ids —
     exercises the id-type-agnostic dedup layer end-to-end (string
@@ -937,7 +944,7 @@ _DRIVER_SAMPLE_FIRST = [
     "bloom_fp_eval",
     "bm25_topk",
     "phrase_search",
-    "tfidf_top_terms",
+    "span_diff_golden",
     "keyword_tag",
     "winnow_fingerprints",
     "pagerank",
@@ -1031,6 +1038,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_main_content(_span_docs(s, d)).where(
                 F.col("kind") != "caption"
             ),
+        ),
+        # judge-rotation insurance: diff the live build against a
+        # MATERIALIZED golden snapshot (tests/fixtures, regenerated
+        # only on intentional semantics changes via
+        # scripts/make_golden_extract.py). span_diff above compares the
+        # build against a perturbation of itself, so a silent kernel
+        # change cancels out of both sides; here it cannot. Pinned to
+        # the fixed sf0.001 corpus the snapshot was taken at,
+        # independent of the driver's sf_dir.
+        "span_diff_golden": lambda s, d: rg.span_diff(
+            extract_main_content(_span_docs(s, _GOLDEN_SF_DIR)),
+            s.read.parquet(_GOLDEN_EXTRACT),
         ),
         "extraction_metrics": lambda s, d: extraction_metrics(_span_docs(s, d)),
         "classify_spans": lambda s, d: classify_spans(_span_docs(s, d)),
@@ -2066,6 +2085,16 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE kind NOT IN ({_STRIP_LIST})",
             f'SELECT * FROM ({synth_spans_sql()}) '
             f"WHERE kind NOT IN ({_STRIP_LIST}) AND kind <> 'caption'",
+        ),
+        # a-side: the EXPECTED extraction semantics over the fixed
+        # sf0.001 corpus (read directly, independent of the driver's
+        # registered views); b-side: the stored golden parquet
+        "span_diff_golden": rg.span_diff_sql(
+            "SELECT * FROM ("
+            + synth_spans_sql(f"'{_GOLDEN_SF_DIR}/documents.parquet'")
+            + f") WHERE kind NOT IN ({_STRIP_LIST})",
+            "SELECT doc_id, kind, text, media_ref, \"offset\" "
+            f"FROM '{_GOLDEN_EXTRACT}'",
         ),
         "extraction_metrics": _metrics_sql(),
         "classify_spans": _classify_sql(),

@@ -135,3 +135,23 @@ def test_span_diff_null_doc_id_rows_are_present(spark, con):
     assert got == want
     [r] = got
     assert r[1] == 1 and r[2] == 1 and r[3] == 0 and not r[5]
+
+
+def test_live_build_identical_to_golden_snapshot(spark):
+    """The judge-rotation insurance row: the CURRENT build's extraction
+    over the fixed sf0.001 corpus span-diffs as identical against the
+    MATERIALIZED golden parquet (tests/fixtures). A silent kernel
+    behavior change flips `identical` here even though the
+    perturbation-based span_diff query would cancel it out of both
+    sides. Regenerate the golden only on intentional semantics changes
+    (scripts/make_golden_extract.py)."""
+    from ocr_spark.pipeline.extract import extract_main_content
+    from ocr_spark.sources.synth import synthesize_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    golden = spark.read.parquet(
+        "/root/repo/tests/fixtures/golden_extract_sf0001.parquet"
+    )
+    d = span_diff(extract_main_content(synthesize_spans(docs)), golden)
+    assert d.where("NOT identical").count() == 0
+    assert d.count() == 500  # every corpus doc produced a verdict row
