@@ -528,8 +528,127 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def _amplified_salted_docs(spark, sf_dir: str, copies: int, pre_partitions: int):
+    """Amplification for DATA-scaling runs of the dedup/pair families.
+
+    The plain ``_amplified_docs`` copies text verbatim, which is
+    pathological for pair operators: K identical copies of every doc
+    put all copies in the same LSH/media buckets, so candidate-pair
+    OUTPUT grows O(K^2) and a timing-vs-size curve measures the output
+    blow-up, not the engine. Here every word is salted with the copy
+    index, so each copy is an independent shard — within-copy
+    duplicate/near-dup structure is exactly the base corpus's,
+    cross-copy overlap is zero, and expected work grows linearly with
+    corpus size (what a real 100 TB crawl looks like: more data, same
+    duplicate DENSITY)."""
+    from pyspark.sql import functions as F
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(pre_partitions)
+    )
+    ks = spark.range(copies).select(F.col("id").alias("_k"))
+    return base.crossJoin(F.broadcast(ks)).selectExpr(
+        "doc_id + _k * 10000000 AS doc_id",
+        "array_join(transform(split(text, ' '), "
+        "w -> concat(w, CAST(_k AS STRING))), ' ') AS text",
+    )
+
+
+# media_jaccard key for salted amplified spans: per-copy span-index —
+# the copy id recovered from the doc id embedded in the ref, so
+# within-copy key overlap matches the base corpus and cross-copy is 0
+_SCALE_MEDIA_KEY = (
+    "concat(CAST(CAST(regexp_extract(media_ref, 'img-([0-9]+)-', 1) "
+    "AS BIGINT) DIV 10000000 AS STRING), ':', "
+    "regexp_extract(media_ref, '-([0-9]+)$', 1))"
+)
+
+
+def run_data_scaling(levels=(2, 4, 8, 16), trials: int = 2) -> None:
+    """Time-vs-corpus-size for the shuffle-heavy families at a fixed
+    local[CPUS]: evidence that the banded/bucketed plans scale with
+    DATA, complementing the --scaling mode's CPU-scaling evidence.
+
+    Near-linear slope (time ratio ~ size ratio per doubling) is the
+    pass criterion; the per-doubling ratios are emitted so a
+    super-linear term is visible rather than averaged away."""
+    import shutil
+    import tempfile
+
+    from ocr_spark.functions import dedup as ded
+    from ocr_spark.functions.media import media_jaccard_pairs
+    from ocr_spark.pipeline.session import get_spark
+    from ocr_spark.schema import DOC_SCHEMA
+    from ocr_spark.sources.synth import synthesize_spans
+
+    spark = get_spark(f"local[{CPUS}]", app_name="ocr_spark_datascale")
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="ocr_spark_dscale_", dir=tmp_parent)
+    # warm codegen + python workers once so size-1 isn't charged for it
+    _materialize(spark.range(1000).selectExpr("md5(CAST(id AS STRING)) AS x"))
+    results: dict[str, dict[int, dict]] = {}
+    sizes: dict[int, int] = {}
+    try:
+        for copies in levels:
+            ddir = f"{tmp}/docs_{copies}"
+            sdir = f"{tmp}/spans_{copies}"
+            amp = _amplified_salted_docs(spark, SF_DIR, copies, 2 * CPUS)
+            amp.write.parquet(ddir)
+            docs = spark.read.parquet(ddir)
+            synthesize_spans(docs).write.parquet(sdir)
+            spans = spark.read.schema(DOC_SCHEMA).parquet(sdir)
+            sizes[copies] = docs.count()
+            ops = {
+                "exact_dedup": lambda: ded.exact_dedup(docs),
+                "minhash_lsh_pairs": lambda: ded.minhash_lsh_pairs(docs),
+                "lsh_verified_pairs": lambda: ded.lsh_verified_pairs(docs),
+                "media_jaccard_pairs": lambda: media_jaccard_pairs(
+                    spans, key_sql=_SCALE_MEDIA_KEY
+                ),
+            }
+            for name, build in ops.items():
+                t = min(_timed(lambda: _materialize(build())) for _ in range(trials))
+                results.setdefault(name, {})[copies] = {
+                    "n_docs": sizes[copies],
+                    "sec": round(t, 3),
+                    "docs_per_sec": round(sizes[copies] / t, 1),
+                }
+            # free the per-size tables before building the next one
+            shutil.rmtree(ddir, ignore_errors=True)
+            shutil.rmtree(sdir, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = {
+        "metric": "data_scaling",
+        "unit": "sec per op per corpus size",
+        "cpus": CPUS,
+        "sf": _sf_label(SF_DIR),
+        "sizes": {str(k): v for k, v in sizes.items()},
+        "ops": {
+            name: {str(k): v for k, v in per.items()}
+            for name, per in results.items()
+        },
+        # per-doubling time ratios (2.0 = perfectly linear in data);
+        # small corpora carry fixed per-stage floors, so early ratios
+        # < 2 are expected and the LAST doubling is the honest one
+        "doubling_time_ratio": {
+            name: [
+                round(per[b]["sec"] / per[a]["sec"], 2)
+                for a, b in zip(levels, levels[1:])
+            ]
+            for name, per in results.items()
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--data-scaling" in sys.argv:
+        run_data_scaling()
     else:
         run_bench()
