@@ -296,7 +296,15 @@ def decoded_image_stats(media: DataFrame) -> DataFrame:
                 "sum_b": [],
             }
             for blob in blobs:
-                px = decode_image(blob or b"")
+                # errors become data (the E1/E2 kernel discipline): a
+                # corrupt/empty/unsupported blob yields the -1 sentinel
+                # row instead of killing a 100 TB job on one asset
+                try:
+                    px = decode_image(blob or b"")
+                except (ValueError, NotImplementedError):
+                    for c in ("width", "height", "sum_r", "sum_g", "sum_b"):
+                        out[c].append(-1)
+                    continue
                 h, w = px.shape[:2]
                 sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 out["width"].append(w)
@@ -378,7 +386,12 @@ def decoded_audio_stats(media: DataFrame) -> DataFrame:
                 "sum_sq": [],
             }
             for blob in blobs:
-                samples, rate = decode_audio(blob or b"")
+                try:
+                    samples, rate = decode_audio(blob or b"")
+                except (ValueError, NotImplementedError):
+                    for c in ("n_samples", "sample_rate", "sum_abs", "sum_sq"):
+                        out[c].append(-1)
+                    continue
                 s = samples.astype(np.int64).reshape(-1)
                 out["n_samples"].append(int(s.size))
                 out["sample_rate"].append(int(rate))

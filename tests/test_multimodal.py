@@ -304,3 +304,29 @@ def test_decoded_audio_stats_matches_oracle(spark, docs, con):
     )
     want = sorted(map(tuple, con.execute(mm.decoded_audio_stats_sql()).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_decoded_stats_corrupt_blob_becomes_sentinel_row(spark):
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": ["good", "corrupt", "empty"],
+                "data": [
+                    _write_bmp(_rand_px(2, 2, 11)),
+                    b"BM garbage not a real bmp",
+                    b"",
+                ],
+            }
+        )
+    )
+    rows = {r.media_ref: r for r in mm.decoded_image_stats(media).collect()}
+    assert rows["good"].width == 2 and rows["good"].sum_r >= 0
+    assert rows["corrupt"].width == -1 and rows["corrupt"].sum_r == -1
+    assert rows["empty"].width == -1
+    audio = spark.createDataFrame(
+        pd.DataFrame({"media_ref": ["bad"], "data": [b"\xff\xfbmp3"]})
+    )
+    [a] = mm.decoded_audio_stats(audio).collect()
+    assert a.n_samples == -1 and a.sum_sq == -1
