@@ -310,16 +310,18 @@ def _hw_probe() -> dict:
     """
     from concurrent.futures import ProcessPoolExecutor
 
-    n = 1_500_000
+    # sized to spot the 2-4x window degradations that matter, not to
+    # resolve percents: ~2 s single + ~4 s parallel per probe at 32 cpus
+    n, n_par = 1_500_000, 750_000
     single = min(_timed(lambda: _hash_work(n)) for _ in range(2))
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
         with ProcessPoolExecutor(CPUS) as ex:
-            list(ex.map(_hash_work, [n] * CPUS))
+            list(ex.map(_hash_work, [n_par] * CPUS))
         best = min(best, time.time() - t0)
     single_rate = n / single / 1e6
-    par_rate = CPUS * n / best / 1e6
+    par_rate = CPUS * n_par / best / 1e6
     return {
         "single_mhash_s": round(single_rate, 2),
         "parallel_mhash_s": round(par_rate, 2),

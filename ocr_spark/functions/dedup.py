@@ -826,8 +826,8 @@ def dup_clusters_sql(
 ) -> str:
     pairs = lsh_verified_pairs_sql(table, w, tau, k, bands, max_bucket, id_sql)
     return f"""
-      WITH RECURSIVE pairs AS ({pairs}),
-      edges AS (
+      WITH RECURSIVE pairs AS MATERIALIZED ({pairs}),
+      edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL
         SELECT doc_b AS src, doc_a AS dst FROM pairs

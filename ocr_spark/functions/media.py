@@ -622,8 +622,8 @@ def media_dup_clusters_sql(
     binary-collation identical across engines."""
     pairs = media_jaccard_pairs_sql(spans_sql, tau, max_df, key_sql)
     return f"""
-      WITH RECURSIVE mpairs AS ({pairs}),
-      edges AS (
+      WITH RECURSIVE mpairs AS MATERIALIZED ({pairs}),
+      edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM mpairs
         UNION ALL
         SELECT doc_b AS src, doc_a AS dst FROM mpairs

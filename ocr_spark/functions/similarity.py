@@ -430,13 +430,13 @@ def embedding_near_dups_sql(
 ) -> str:
     cos = f"({_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm))"
     return f"""
-      WITH base AS (
+      WITH base AS MATERIALIZED (
         SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
                {_norm_sql('embedding')} AS norm,
                {band_keys_sql('embedding', n_bands, planes_per_band)} AS keys
         FROM {table}
       ),
-      banded AS (
+      banded AS MATERIALIZED (
         SELECT vec_id, embedding, norm, r.i AS band, keys[r.i + 1] AS key
         FROM base CROSS JOIN range(0, {n_bands}) r(i)
       )
@@ -494,8 +494,8 @@ def embedding_dup_clusters_sql(
     min-label (same shape as dedup.dup_clusters_sql)."""
     pairs = embedding_near_dups_sql(table, tau, n_bands, planes_per_band)
     return f"""
-      WITH RECURSIVE pairs AS ({pairs}),
-      edges AS (
+      WITH RECURSIVE pairs AS MATERIALIZED ({pairs}),
+      edges AS MATERIALIZED (
         SELECT vec_a AS src, vec_b AS dst FROM pairs
         UNION ALL
         SELECT vec_b AS src, vec_a AS dst FROM pairs
@@ -1037,13 +1037,13 @@ def knn_graph_sql(
     """DuckDB twin of :func:`knn_graph`."""
     cos = f"({_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm))"
     return f"""
-      WITH base AS (
+      WITH base AS MATERIALIZED (
         SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
                {_norm_sql('embedding')} AS norm,
                {band_keys_sql('embedding', n_bands, planes_per_band)} AS keys
         FROM {table}
       ),
-      banded AS (
+      banded AS MATERIALIZED (
         SELECT vec_id, embedding, norm, r.i AS band, keys[r.i + 1] AS key
         FROM base CROSS JOIN range(0, {n_bands}) r(i)
       ),
