@@ -330,3 +330,39 @@ def test_decoded_stats_corrupt_blob_becomes_sentinel_row(spark):
     )
     [a] = mm.decoded_audio_stats(audio).collect()
     assert a.n_samples == -1 and a.sum_sq == -1
+
+
+# hypothesis round-trips: arbitrary sizes hit every stride-padding and
+# channel-count branch the fixed-seed tests can't enumerate
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+    bpp=st.sampled_from([24, 32]),
+    top_down=st.booleans(),
+)
+def test_decode_bmp_roundtrip_fuzz(w, h, seed, bpp, top_down):
+    px = _rand_px(h, w, seed)
+    got = mm.decode_bmp(_write_bmp(px, bpp=bpp, top_down=top_down))
+    assert got.shape == (h, w, 3) and (got == px).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 200),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    n_ch=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_decode_wav_roundtrip_fuzz(n, rate, n_ch, seed):
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(-32768, 32768, size=n * n_ch).astype(np.int16)
+    got, got_rate = mm.decode_wav(_write_wav(samples, rate, n_ch=n_ch))
+    assert got_rate == rate
+    want = samples if n_ch == 1 else samples.reshape(-1, n_ch)
+    assert got.shape == want.shape and (got == want).all()
