@@ -138,6 +138,7 @@ from ocr_spark.functions import contamination as cnt
 from ocr_spark.functions import graph as gph
 from ocr_spark.functions import classifier as qc
 from ocr_spark.functions import lm
+from ocr_spark.pipeline import extract as pex
 from ocr_spark.pipeline import pages as pg
 from ocr_spark.pipeline import regress as rg
 from ocr_spark.pipeline import results as res
@@ -1052,6 +1053,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(_GOLDEN_EXTRACT),
         ),
         "extraction_metrics": lambda s, d: extraction_metrics(_span_docs(s, d)),
+        # change-detection key for incremental extraction: md5 over the
+        # canonical offset-ordered span serialization, scan-stage only
+        "extract_input_hashes": lambda s, d: pex.doc_input_hash(
+            _span_docs(s, d)
+        ),
+        # daily-ingest incremental extraction: yesterday = the even-id
+        # half of the corpus, with every %10==0 hash poisoned to 'stale'
+        # (simulating changed content) — so odd ids exercise the NEW
+        # branch, %10==0 the CHANGED branch, the rest the carry-forward
+        # branch. Output must equal the full extraction (deterministic
+        # kernel) with recomputed = new-or-changed; the twin pins all
+        # three branches and the union.
+        "incremental_extract": lambda s, d: pex.incremental_extract(
+            _span_docs(s, d),
+            pex.doc_input_hash(
+                _span_docs(s, d).where(F.expr("CAST(doc_id AS BIGINT) % 2 = 0"))
+            ).withColumn(
+                "input_hash",
+                F.when(
+                    F.expr("CAST(doc_id AS BIGINT) % 10 = 0"), F.lit("stale")
+                ).otherwise(F.col("input_hash")),
+            ),
+            extract_main_content(
+                _span_docs(s, d).where(F.expr("CAST(doc_id AS BIGINT) % 2 = 0"))
+            ),
+        ),
         "classify_spans": lambda s, d: classify_spans(_span_docs(s, d)),
         "extract_dense_blocks": lambda s, d: extract_main_content(
             _span_docs(s, d),
@@ -2097,6 +2124,17 @@ def oracle_sql() -> dict[str, str]:
             f"FROM '{_GOLDEN_EXTRACT}'",
         ),
         "extraction_metrics": _metrics_sql(),
+        "extract_input_hashes": pex.doc_input_hash_sql(synth_spans_sql()),
+        # the incremental output equals the FULL extraction (kernel is
+        # deterministic); recomputed = the new-or-changed predicate
+        "incremental_extract": (
+            f"SELECT doc_id, kind, text, media_ref, \"offset\", "
+            f"CASE WHEN CAST(doc_id AS BIGINT) % 2 = 1 "
+            f"OR CAST(doc_id AS BIGINT) % 10 = 0 THEN 1 ELSE 0 END "
+            f"AS recomputed "
+            f"FROM ({synth_spans_sql()}) "
+            f"WHERE kind NOT IN ({_STRIP_LIST})"
+        ),
         "classify_spans": _classify_sql(),
         "extract_dense_blocks": _dense_extract_sql(),
         "block_density_stats": _block_stats_sql(),
