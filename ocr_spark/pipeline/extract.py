@@ -242,9 +242,15 @@ def doc_input_hash(df: DataFrame) -> DataFrame:
     distinct from ''), spans joined by \\x1f; a NULL spans array
     hashes as the empty string (error-row docs still get a stable
     key)."""
+    # NULL offsets (contract-impossible, but cheap to close): coalesce
+    # to -1 BEFORE sorting/serializing — concat_ws drops a trailing
+    # NULL while DuckDB's concat keeps its separator, and a NULL in
+    # the sort comparator would order unstably vs ORDER BY
     ordered = F.expr(
-        "array_sort(spans, (a, b) -> CASE WHEN a.offset < b.offset THEN -1 "
-        "WHEN a.offset > b.offset THEN 1 ELSE 0 END)"
+        "array_sort(spans, (a, b) -> CASE "
+        "WHEN coalesce(a.offset, -1) < coalesce(b.offset, -1) THEN -1 "
+        "WHEN coalesce(a.offset, -1) > coalesce(b.offset, -1) THEN 1 "
+        "ELSE 0 END)"
     )
     serial = F.array_join(
         F.transform(
@@ -254,7 +260,7 @@ def doc_input_hash(df: DataFrame) -> DataFrame:
                 F.coalesce(s["kind"], F.lit(_HASH_NULL)),
                 F.coalesce(s["text"], F.lit(_HASH_NULL)),
                 F.coalesce(s["media_ref"], F.lit(_HASH_NULL)),
-                s["offset"].cast("string"),
+                F.coalesce(s["offset"], F.lit(-1)).cast("string"),
             ),
         ),
         _HASH_RS,
@@ -271,8 +277,8 @@ def doc_input_hash_sql(spans_sql: str) -> str:
                concat(coalesce(kind, chr(0)), chr(30),
                       coalesce(text, chr(0)), chr(30),
                       coalesce(media_ref, chr(0)), chr(30),
-                      CAST("offset" AS VARCHAR)),
-               chr(31) ORDER BY "offset"), '')) AS input_hash
+                      CAST(coalesce("offset", -1) AS VARCHAR)),
+               chr(31) ORDER BY coalesce("offset", -1)), '')) AS input_hash
       FROM ({spans_sql}) GROUP BY doc_id
     """
 
