@@ -143,6 +143,38 @@ def decode_ppm(data: bytes) -> np.ndarray:
     ).copy()
 
 
+def decode_pgm(data: bytes) -> np.ndarray:
+    """Real binary-PGM (P5) grayscale decode, dependency-free ->
+    (height, width) uint8. Same header rules as P6."""
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(data):
+            c = data[pos : pos + 1]
+            if c == b"#":
+                while pos < len(data) and data[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        return data[start:pos]
+
+    if token() != b"P5":
+        raise ValueError("not a binary PGM (P5)")
+    w, h, maxval = int(token()), int(token()), int(token())
+    pos += 1
+    if maxval > 255:
+        raise ValueError("16-bit PGM unsupported")
+    if w <= 0 or h <= 0 or pos + w * h > len(data):
+        raise ValueError("truncated PGM raster")
+    return np.frombuffer(data, np.uint8, count=w * h, offset=pos).reshape(h, w).copy()
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Real PCM WAV decode, dependency-free -> (samples, sample_rate).
     16-bit PCM; mono returns shape (n,), multi-channel (n, channels).
@@ -168,9 +200,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     n_ch = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+    if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
         raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
-    samples = np.frombuffer(raw, "<i2", count=len(raw) // 2)
+    if bits == 16:
+        samples = np.frombuffer(raw, "<i2", count=len(raw) // 2)
+    else:
+        # 8-bit PCM is UNSIGNED per the WAV spec; scale to the int16
+        # range the 16-bit path returns ((v-128)*256, the standard
+        # widening conversion) so downstream stats are bit-depth-stable
+        u = np.frombuffer(raw, np.uint8)
+        samples = ((u.astype(np.int16) - 128) * 256).astype(np.int16)
     if n_ch > 1:
         samples = samples[: (len(samples) // n_ch) * n_ch].reshape(-1, n_ch)
     return samples, rate
@@ -185,6 +224,8 @@ def decode_image(data: bytes):
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
+    if data[:2] == b"P5":
+        return decode_pgm(data)
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -305,6 +346,8 @@ def decoded_image_stats(media: DataFrame) -> DataFrame:
                     for c in ("width", "height", "sum_r", "sum_g", "sum_b"):
                         out[c].append(-1)
                     continue
+                if px.ndim == 2:  # grayscale (PGM): gray == all channels
+                    px = np.stack([px, px, px], axis=-1)
                 h, w = px.shape[:2]
                 sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 out["width"].append(w)

@@ -366,3 +366,39 @@ def test_decode_wav_roundtrip_fuzz(n, rate, n_ch, seed):
     assert got_rate == rate
     want = samples if n_ch == 1 else samples.reshape(-1, n_ch)
     assert got.shape == want.shape and (got == want).all()
+
+
+def test_decode_pgm_and_8bit_wav():
+    # PGM P5 grayscale round-trip via the decode_image dispatch
+    rng = np.random.RandomState(13)
+    gray = rng.randint(0, 256, size=(3, 4)).astype(np.uint8)
+    data = b"P5\n# c\n4 3\n255\n" + gray.tobytes()
+    got = mm.decode_image(data)
+    assert got.shape == (3, 4) and (got == gray).all()
+    with pytest.raises(ValueError):
+        mm.decode_pgm(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+    # 8-bit PCM WAV: unsigned bytes -> standard (v-128)*256 widening
+    u = np.array([0, 128, 255, 64], dtype=np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav = (
+        b"RIFF" + struct.pack("<I", 24 + len(u)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(u)) + u.tobytes()
+    )
+    got_s, rate = mm.decode_wav(wav)
+    assert rate == 8000
+    assert got_s.tolist() == [(-128) * 256, 0, 127 * 256, (-64) * 256]
+
+
+def test_decoded_image_stats_grayscale_blob(spark):
+    import pandas as pd
+
+    gray = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_ref": ["g"], "data": [b"P5\n3 2\n255\n" + gray.tobytes()]}
+        )
+    )
+    [r] = mm.decoded_image_stats(media).collect()
+    assert (r.width, r.height) == (3, 2)
+    assert r.sum_r == r.sum_g == r.sum_b == int(gray.sum())
