@@ -1,0 +1,131 @@
+"""Daily incremental-extraction job: day-0 full run, day-N delta run,
+idempotent re-run, output always equal to a full re-extraction."""
+
+from __future__ import annotations
+
+import json
+import sys
+from unittest.mock import patch
+
+import pandas as pd
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(argv):
+    import jobs.incremental_extract as job
+
+    printed = []
+    with patch.object(sys, "argv", ["incremental_extract.py", *argv]), patch.object(
+        SparkSession, "stop", lambda self: None
+    ), patch("builtins.print", lambda s: printed.append(s)):
+        job.main()
+    return json.loads(printed[-1])
+
+
+def _docs_parquet(spark, tmp_path, name, where=None, edit_ids=None):
+    """Materialize a flat documents subset (optionally text-edited)."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if where is not None:
+        d = d.where(where)
+    if edit_ids:
+        # PREPEND: shifts every word-window span boundary, so the
+        # edited docs' KEPT output provably changes (an appended token
+        # can land in a span the extractor strips, leaving kept rows
+        # identical — correct behavior, useless for this test)
+        d = d.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id").isin(edit_ids), F.concat(F.lit("EDITED "), F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+    p = str(tmp_path / name)
+    d.write.parquet(p)
+    return p
+
+
+def test_day0_then_delta_then_idempotent(spark, tmp_path):
+    from ocr_spark.pipeline.extract import extract_main_content
+    from ocr_spark.sources.synth import synthesize_spans
+
+    state = str(tmp_path / "state")
+    # day 0: half the corpus, no prior state -> everything recomputed
+    day0 = _docs_parquet(spark, tmp_path, "day0", where="doc_id % 2 = 0")
+    out0 = str(tmp_path / "out0")
+    s0 = _run(["--input", day0, "--synthesize", "--output", out0, "--state", state])
+    assert not s0["had_state"]
+    assert s0["n_recomputed_docs"] == s0["n_docs"] == 250
+    # day 1: full corpus, two even docs edited -> recompute = odds
+    # (new) + the two edits; everything else carried
+    day1 = _docs_parquet(spark, tmp_path, "day1", edit_ids=[0, 42])
+    out1 = str(tmp_path / "out1")
+    s1 = _run(
+        ["--input", day1, "--synthesize", "--output", out1,
+         "--state", state, "--prev", out0]
+    )
+    assert s1["had_state"]
+    assert s1["n_docs"] == 500
+    assert s1["n_recomputed_docs"] == 250 + 2
+    assert s1["n_carried_docs"] == 248
+    # the committed table equals a FULL extraction of day-1's corpus
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out1)
+            .select("doc_id", "kind", "text", "media_ref", "offset")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            extract_main_content(
+                synthesize_spans(spark.read.parquet(day1))
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the edited docs were really RE-extracted, not carried: their
+    # kept-span rows differ from day-0's (the appended token lands in
+    # the final span; whether that span survives stripping varies per
+    # doc, so compare row sets rather than grepping for the token)
+    for eid in ("0", "42"):
+        r0 = sorted(
+            map(
+                tuple,
+                spark.read.parquet(out0)
+                .where(f"doc_id = '{eid}'")
+                .select("doc_id", "kind", "text", "media_ref", "offset")
+                .collect(),
+            )
+        )
+        r1 = sorted(
+            map(
+                tuple,
+                spark.read.parquet(out1)
+                .where(f"doc_id = '{eid}'")
+                .select("doc_id", "kind", "text", "media_ref", "offset")
+                .collect(),
+            )
+        )
+        assert r0 != r1
+    # re-run day 1 against the republished state: nothing changed ->
+    # zero kernel work, same table (the idempotence/crash-replay shape)
+    out2 = str(tmp_path / "out2")
+    s2 = _run(
+        ["--input", day1, "--synthesize", "--output", out2,
+         "--state", state, "--prev", out1]
+    )
+    assert s2["n_recomputed_docs"] == 0
+    assert s2["n_docs"] == 500 and s2["n_span_rows"] == s1["n_span_rows"]
+
+
+def test_delta_requires_prev(spark, tmp_path):
+    state = str(tmp_path / "state")
+    day0 = _docs_parquet(spark, tmp_path, "d0", where="doc_id < 10")
+    _run(["--input", day0, "--synthesize", "--output", str(tmp_path / "o"), "--state", state])
+    with pytest.raises(SystemExit, match="--prev"):
+        _run(["--input", day0, "--synthesize", "--output", str(tmp_path / "o2"), "--state", state])
