@@ -304,9 +304,9 @@ def _hw_probe() -> dict:
     Clean-window reference values live in BASELINE.md — a run whose
     probe rates are far below them is measuring the hypervisor, not the
     engine.
-      single_mhash_s : md5 chains/sec, one process (CPU clock delivery)
-      parallel_mhash_s : aggregate md5 chains/sec, CPUS processes
-      parallel_eff : parallel_mhash_s / (CPUS * single_mhash_s)
+      single_mhash_per_s : md5 chains/sec, one process (CPU clock delivery)
+      parallel_mhash_per_s : aggregate md5 chains/sec, CPUS processes
+      parallel_eff : parallel_mhash_per_s / (CPUS * single_mhash_per_s)
     """
     from concurrent.futures import ProcessPoolExecutor
 
@@ -323,10 +323,17 @@ def _hw_probe() -> dict:
     single_rate = n / single / 1e6
     par_rate = CPUS * n_par / best / 1e6
     return {
-        "single_mhash_s": round(single_rate, 2),
-        "parallel_mhash_s": round(par_rate, 2),
+        "single_mhash_per_s": round(single_rate, 2),
+        "parallel_mhash_per_s": round(par_rate, 2),
         "parallel_eff": round(par_rate / (CPUS * single_rate), 3),
     }
+
+
+# Timing-methodology version stamped into the headline JSON. Bump when
+# the trial policy changes so round-over-round deltas are never computed
+# across differing methodologies (a best-of-3 reads faster than a
+# best-of-2 on identical code).
+_TRIAL_POLICY = "v2-best-of-2-cond3"
 
 
 def run_bench() -> None:
@@ -407,20 +414,41 @@ def run_bench() -> None:
         "trial_spread": spreads,
         "hw_probe_pre": hw_pre,
         "hw_probe_post": hw_post,
+        # trial-policy version: v2 = best-of-2 plus a conditional 3rd
+        # trial (sub-second query, or >20% trial-2 improvement). r01-r03
+        # were best-of-2 (v1, field absent). Deltas vs a round recorded
+        # under a DIFFERENT policy are methodology-confounded (best-of-3
+        # is biased faster than best-of-2 independent of engine changes)
+        # and are marked, not compared.
+        "trial_policy": _TRIAL_POLICY,
     }
     # round-over-round regression deltas vs the last recorded BENCH
     # (positive pct = slower than last round; queries new this round
-    # have no delta). Timings on this shared VM jitter ~±15%.
+    # have no delta). Timings on this shared VM jitter ~±15%. Only
+    # same-trial-policy rounds are comparable (see trial_policy above).
     prev = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
     if prev:
         prev_name, prev_json = prev
         prev_q = prev_json.get("queries", {})
         out["prev_round"] = prev_name
-        out["delta_pct"] = {
-            name: round(100.0 * (t - prev_q[name]) / prev_q[name], 1)
-            for name, t in timings.items()
-            if name in prev_q and prev_q[name]
-        }
+        # r04 ran the v2 policy before the field existed; infer it from
+        # trial_spread, which shipped in the same round as the policy
+        prev_policy = prev_json.get(
+            "trial_policy",
+            "v2-best-of-2-cond3" if "trial_spread" in prev_json
+            else "v1-best-of-2",
+        )
+        if prev_policy == _TRIAL_POLICY:
+            out["delta_pct"] = {
+                name: round(100.0 * (t - prev_q[name]) / prev_q[name], 1)
+                for name, t in timings.items()
+                if name in prev_q and prev_q[name]
+            }
+        else:
+            out["delta_pct_skipped"] = (
+                f"prev round {prev_name} used trial policy {prev_policy}; "
+                f"deltas across trial policies are biased and not recorded"
+            )
     print(json.dumps(out))
     spark.stop()
 

@@ -66,8 +66,16 @@ def main() -> None:
     hashes_path = args.state.rstrip("/") + "/hashes"
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(hashes_path)  # type: ignore[union-attr]
+    jold = jvm.org.apache.hadoop.fs.Path(hashes_path + "._old")  # type: ignore[union-attr]
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
     has_state = fs.exists(jpath)
+    if not has_state and fs.exists(jold):
+        # crash landed between the publish renames (live state moved
+        # aside, new state not yet renamed in): the aside copy is the
+        # complete previous state — recover it so this run stays
+        # incremental instead of silently re-extracting the full corpus
+        fs.rename(jold, jpath)
+        has_state = True
 
     if has_state:
         if args.prev is None:
@@ -97,9 +105,18 @@ def main() -> None:
     tmp_path = hashes_path + "._tmp"
     doc_input_hash(docs).write.mode("overwrite").parquet(tmp_path)
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp_path)  # type: ignore[union-attr]
+    # two-rename publish, never delete-then-rename: the live state is
+    # moved ASIDE (not deleted) before the new state renames in, so no
+    # crash point loses state entirely — a crash between the renames
+    # leaves the complete aside copy, which the read path above
+    # recovers. Only after the new state is live is the aside removed.
+    if fs.exists(jold):
+        fs.delete(jold, True)  # leftover aside from a prior crash
     if fs.exists(jpath):
-        fs.delete(jpath, True)
+        fs.rename(jpath, jold)
     fs.rename(jtmp, jpath)
+    if fs.exists(jold):
+        fs.delete(jold, True)
 
     print(
         json.dumps(

@@ -188,6 +188,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if pos + 8 + sz > len(data):
+            # declared chunk size runs past the buffer: a TRUNCATED
+            # file must raise (-> the -1 sentinel row), same contract
+            # as the BMP/PPM decoders — silently decoding the partial
+            # data chunk would yield plausible-looking stats
+            raise ValueError("truncated WAV chunk")
         body = data[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
             fmt = body
@@ -196,6 +202,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated fmt chunk")
     audio_fmt = int.from_bytes(fmt[0:2], "little")
     n_ch = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")

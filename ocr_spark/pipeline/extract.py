@@ -245,24 +245,32 @@ def doc_input_hash(df: DataFrame) -> DataFrame:
     # NULL offsets (contract-impossible, but cheap to close): coalesce
     # to -1 BEFORE sorting/serializing — concat_ws drops a trailing
     # NULL while DuckDB's concat keeps its separator, and a NULL in
-    # the sort comparator would order unstably vs ORDER BY
-    ordered = F.expr(
-        "array_sort(spans, (a, b) -> CASE "
-        "WHEN coalesce(a.offset, -1) < coalesce(b.offset, -1) THEN -1 "
-        "WHEN coalesce(a.offset, -1) > coalesce(b.offset, -1) THEN 1 "
-        "ELSE 0 END)"
-    )
-    serial = F.array_join(
-        F.transform(
-            ordered,
-            lambda s: F.concat_ws(
+    # the sort comparator would order unstably vs ORDER BY.
+    #
+    # Sort key is (offset, full serialized span string), not offset
+    # alone: on offset TIES (two -1-coalesced NULLs, duplicate
+    # offsets) a single-key sort is stable in Spark's array_sort but
+    # unspecified in DuckDB's string_agg ORDER BY, so the twin hashes
+    # could diverge. The serialized string is a total secondary key
+    # that both engines compare byte-identically (Spark UTF8String and
+    # DuckDB default collation are both binary). Built as
+    # struct(o, s): array_sort's default struct ordering is
+    # field-by-field, so no lambda comparator is needed.
+    keyed = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(
+            F.coalesce(s["offset"], F.lit(-1)).alias("o"),
+            F.concat_ws(
                 _HASH_FS,
                 F.coalesce(s["kind"], F.lit(_HASH_NULL)),
                 F.coalesce(s["text"], F.lit(_HASH_NULL)),
                 F.coalesce(s["media_ref"], F.lit(_HASH_NULL)),
                 F.coalesce(s["offset"], F.lit(-1)).cast("string"),
-            ),
+            ).alias("s"),
         ),
+    )
+    serial = F.array_join(
+        F.transform(F.array_sort(keyed), lambda x: x["s"]),
         _HASH_RS,
     )
     return df.select("doc_id", F.md5(F.coalesce(serial, F.lit(""))).alias("input_hash"))
@@ -271,14 +279,20 @@ def doc_input_hash(df: DataFrame) -> DataFrame:
 def doc_input_hash_sql(spans_sql: str) -> str:
     """DuckDB twin of :func:`doc_input_hash` over a FLAT span SELECT
     (doc_id, kind, text, media_ref, "offset") — same serialization,
-    same order, same sentinels."""
+    same order (offset, then the serialized span string as the
+    tie-break, matching the Spark side's (o, s) struct sort), same
+    sentinels."""
+    span_str = (
+        "concat(coalesce(kind, chr(0)), chr(30), "
+        "coalesce(text, chr(0)), chr(30), "
+        "coalesce(media_ref, chr(0)), chr(30), "
+        'CAST(coalesce("offset", -1) AS VARCHAR))'
+    )
     return f"""
       SELECT doc_id, md5(coalesce(string_agg(
-               concat(coalesce(kind, chr(0)), chr(30),
-                      coalesce(text, chr(0)), chr(30),
-                      coalesce(media_ref, chr(0)), chr(30),
-                      CAST(coalesce("offset", -1) AS VARCHAR)),
-               chr(31) ORDER BY coalesce("offset", -1)), '')) AS input_hash
+               {span_str},
+               chr(31) ORDER BY coalesce("offset", -1), {span_str}), ''))
+               AS input_hash
       FROM ({spans_sql}) GROUP BY doc_id
     """
 

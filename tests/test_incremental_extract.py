@@ -65,6 +65,39 @@ def test_input_hash_order_insensitive_and_null_safe(spark):
     assert doc_input_hash(e).collect()[0].input_hash is not None
 
 
+def test_input_hash_offset_ties_deterministic_vs_twin(spark):
+    """Offset TIES (duplicate offsets, NULL offsets both coalesced to
+    -1) must serialize in the same order on both engines: the
+    secondary sort key is the full serialized span string, so Spark's
+    array_sort and DuckDB's string_agg ORDER BY agree even where a
+    single-key sort would be stable on one side and unspecified on
+    the other."""
+    rows = [
+        (
+            "7",
+            [
+                {"kind": "text", "text": "bbb", "media_ref": "", "offset": 5},
+                {"kind": "text", "text": "aaa", "media_ref": "", "offset": 5},
+                {"kind": "img", "text": None, "media_ref": "m2", "offset": None},
+                {"kind": "img", "text": None, "media_ref": "m1", "offset": None},
+            ],
+        )
+    ]
+    got = doc_input_hash(_mk(spark, rows)).collect()[0].input_hash
+    # array order must not matter even among tied offsets
+    rev = [("7", list(reversed(rows[0][1])))]
+    assert doc_input_hash(_mk(spark, rev)).collect()[0].input_hash == got
+    con = duckdb.connect()
+    flat = (
+        "SELECT '7' AS doc_id, kind, text, media_ref, \"offset\" FROM ("
+        "VALUES ('text', 'bbb', '', 5), ('text', 'aaa', '', 5), "
+        "('img', NULL, 'm2', NULL), ('img', NULL, 'm1', NULL)"
+        ") t(kind, text, media_ref, \"offset\")"
+    )
+    want = con.execute(doc_input_hash_sql(flat)).fetchall()[0][1]
+    assert got == want
+
+
 def test_incremental_branches(spark):
     """new / changed / unchanged / deleted, all in one run."""
     old = _mk(

@@ -260,6 +260,24 @@ def test_decode_wav_rejects_unsupported():
         mm.decode_wav(bad)
 
 
+def test_decode_wav_rejects_truncated():
+    # a truncated data chunk (declared size past the buffer) must
+    # raise -> -1 sentinel row, not silently decode fewer samples
+    rng = np.random.RandomState(11)
+    good = _write_wav(rng.randint(-32768, 32768, size=50).astype(np.int16), 8000)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_wav(good[:-7])
+    # fmt chunk shorter than the 16-byte PCM header must raise too
+    fmt = struct.pack("<HHII", 1, 1, 8000, 16000)  # only 12 bytes
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="truncated fmt"):
+        mm.decode_wav(short_fmt)
+
+
 def test_decode_image_dispatch():
     px = _rand_px(2, 2, 9)
     assert (mm.decode_image(_write_bmp(px)) == px).all()
