@@ -1643,6 +1643,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decoded_audio_stats": lambda s, d: mm.decoded_audio_stats(
             mm.synthesize_wav(_read(s, d, "documents"))
         ),
+        # real baseline-PNG decode (stdlib zlib inflate + numpy
+        # un-filtering): the synthesized PNG carries the raster in a
+        # stored deflate block so the oracle again derives expected
+        # pixel sums from md5(media_ref) alone
+        "decoded_png_stats": lambda s, d: mm.decoded_image_stats(
+            mm.synthesize_png(_read(s, d, "documents"))
+        ),
         # --- similarity search
         "cosine_topk": lambda s, d: sim.cosine_topk(_read(s, d, "embeddings")),
         "ann_lsh_topk": lambda s, d: sim.ann_lsh_topk(_read(s, d, "embeddings")),
@@ -2412,6 +2419,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": mm.image_features_flat_sql(),
         "decoded_image_stats": mm.decoded_image_stats_sql(),
         "decoded_audio_stats": mm.decoded_audio_stats_sql(),
+        "decoded_png_stats": mm.decoded_png_stats_sql(),
         "cosine_topk": sim.cosine_topk_sql(),
         "ann_lsh_topk": sim.ann_lsh_topk_sql(),
         "ann_multiprobe_topk": sim.ann_multiprobe_topk_sql(),

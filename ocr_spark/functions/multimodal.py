@@ -175,6 +175,105 @@ def decode_pgm(data: bytes) -> np.ndarray:
     return np.frombuffer(data, np.uint8, count=w * h, offset=pos).reshape(h, w).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Real baseline-PNG decode, dependency-free (stdlib zlib + numpy)
+    -> (h, w) uint8 for grayscale, (h, w, 3|4) for RGB/RGBA.
+
+    Scope: 8-bit depth, color types 0/2/6, non-interlaced — the
+    baseline subset every encoder emits by default. All five scanline
+    filters (None/Sub/Up/Average/Paeth) are un-applied; Sub and Up are
+    vectorized, Average/Paeth fall back to the per-byte recurrence
+    (they are sequential by definition). Chunk CRCs and the zlib adler
+    checksum are NOT verified (standard fast-path behavior; truncation
+    is still caught structurally), which also lets the Spark-expr
+    synthesized test PNGs carry stored-deflate blocks with dummy
+    checksums so the DuckDB oracle can derive expected pixels from
+    md5(media_ref) alone."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    ihdr = None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(data):
+            raise ValueError("truncated PNG chunk")
+        body = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # 4 len + 4 type + body + 4 CRC (not verified)
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    if len(ihdr) < 13:
+        raise ValueError("truncated IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or color not in (0, 2, 6) or comp != 0 or filt != 0 \
+            or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    if w < 1 or h < 1:
+        raise ValueError("bad PNG dimensions")
+    # zlib stream: validate the 2-byte header (deflate method, no
+    # preset dict), then inflate as RAW deflate so the trailing adler
+    # is ignored rather than required
+    if len(idat) < 3 or (idat[0] & 0x0F) != 8 or (idat[1] & 0x20):
+        raise ValueError("bad zlib header in IDAT")
+    raw = zlib.decompressobj(-15).decompress(bytes(idat[2:]))
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    rpos = 0
+    for y in range(h):
+        f = raw[rpos]
+        line = np.frombuffer(raw, np.uint8, stride, rpos + 1).astype(np.int32)
+        rpos += stride + 1
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            cur = (line.reshape(w, nch).cumsum(axis=0) & 0xFF).reshape(stride)
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: inherently sequential
+            cur = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                up = int(prev[x])
+                if f == 3:
+                    pred = (a + up) >> 1
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        up if pb <= pc else c
+                    )
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    if color == 0:
+        return out.reshape(h, w)
+    return out.reshape(h, w, nch)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Real PCM WAV decode, dependency-free -> (samples, sample_rate).
     16-bit PCM; mono returns shape (n,), multi-channel (n, channels).
@@ -224,16 +323,18 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_image(data: bytes):
-    """Dispatch by magic bytes: uncompressed BMP/PPM decode for real
-    (numpy, no dependencies); compressed formats (PNG/JPEG/...) fall
-    through to PIL, which is absent in this container -> the one
-    remaining STUB, clearly marked."""
+    """Dispatch by magic bytes: BMP/PPM/PGM/baseline-PNG decode for
+    real (numpy + stdlib zlib, no dependencies); remaining compressed
+    formats (JPEG/...) fall through to PIL, which is absent in this
+    container -> the one remaining STUB, clearly marked."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:2] == b"P5":
         return decode_pgm(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -308,6 +409,50 @@ def synthesize_bmp(docs: DataFrame) -> DataFrame:
     )
 
 
+# 4x2 8-bit RGB non-interlaced PNG whose IDAT is a STORED deflate
+# block (BFINAL=1, BTYPE=00), so the 26 raster bytes (2 rows of
+# filter-0 byte + 12 RGB bytes) sit verbatim in the file and the whole
+# PNG is expressible as Spark hex-string exprs. Chunk CRCs and the
+# zlib adler are dummies — decode_png verifies structure, not
+# checksums (documented there).
+_PNG_W, _PNG_H = 4, 2
+_PNG_PREFIX_HEX = (
+    "89504E470D0A1A0A"  # signature
+    "0000000D" "49484452" "00000004" "00000002" "0802000000" "00000000"
+    # IHDR: len 13, 4x2, depth 8, color 2 (RGB), comp/filter/interlace 0
+    "00000025" "49444154"  # IDAT: len 37 = 2 zlib hdr + 5 stored + 26 + 4
+    "7801"  # zlib: deflate, no preset dict
+    "01" "1A00" "E5FF"  # stored block: final, LEN=26, NLEN=~26
+)
+_PNG_SUFFIX_HEX = (
+    "00000000"  # adler32 placeholder (not verified)
+    "00000000"  # IDAT chunk CRC placeholder (not verified)
+    "00000000" "49454E44" "AE426082"  # IEND
+)
+
+
+def synthesize_png(docs: DataFrame) -> DataFrame:
+    """(media_ref, data): a REAL decodable 4x2 RGB baseline PNG per
+    picture ref — same md5-derived 24 raster bytes as synthesize_bmp,
+    but laid out RGB top-down with a filter-0 byte per row, wrapped in
+    a stored-deflate IDAT. Pure Spark exprs end to end."""
+    px_hex = F.concat(
+        F.md5("media_ref"),
+        F.substring(F.md5(F.concat(F.col("media_ref"), F.lit("x"))), 1, 16),
+    )
+    body = F.concat(
+        F.lit(_PNG_PREFIX_HEX),
+        F.lit("00"),
+        F.substring(px_hex, 1, _PNG_W * 6),
+        F.lit("00"),
+        F.substring(px_hex, _PNG_W * 6 + 1, _PNG_W * 6),
+        F.lit(_PNG_SUFFIX_HEX),
+    )
+    return _media_refs(docs).select(
+        "media_ref", F.to_binary(body, F.lit("hex")).alias("data")
+    )
+
+
 def synthesize_wav(docs: DataFrame) -> DataFrame:
     """(media_ref, data): a REAL decodable PCM16 mono WAV per picture
     ref (the synth corpus has no audio spans; the picture refs stand in
@@ -354,8 +499,10 @@ def decoded_image_stats(media: DataFrame) -> DataFrame:
                     for c in ("width", "height", "sum_r", "sum_g", "sum_b"):
                         out[c].append(-1)
                     continue
-                if px.ndim == 2:  # grayscale (PGM): gray == all channels
+                if px.ndim == 2:  # grayscale (PGM/PNG-0): gray == all channels
                     px = np.stack([px, px, px], axis=-1)
+                elif px.shape[-1] == 4:  # RGBA (PNG-6): alpha dropped
+                    px = px[..., :3]
                 h, w = px.shape[:2]
                 sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 out["width"].append(w)
@@ -415,6 +562,41 @@ def decoded_image_stats_sql(table: str = "documents") -> str:
              CAST(SUM(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
                AS sum_g,
              CAST(SUM(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_b
+      FROM b GROUP BY media_ref
+    """
+
+
+def decoded_png_stats_sql(table: str = "documents") -> str:
+    """DuckDB twin for decoded_image_stats over synthesize_png: the
+    raster is the same md5(ref)++md5(ref||'x')[:8] 24 bytes as the BMP
+    twin, but PNG stores RGB (byte k%3 = 0/1/2 -> R/G/B) — the filter
+    bytes never reach the pixel sums, and top-down row order is
+    sum-invariant."""
+    from ocr_spark.sources.synth import synth_spans_sql
+
+    return f"""
+      WITH spans AS ({synth_spans_sql(table)}),
+      media AS (
+        SELECT DISTINCT media_ref FROM spans WHERE kind = 'picture'
+      ),
+      px AS (
+        SELECT media_ref,
+               md5(media_ref) || substr(md5(media_ref || 'x'), 1, 16) AS hx
+        FROM media
+      ),
+      b AS (
+        SELECT media_ref, CAST(r.i AS INT) AS k,
+               CAST(('0x' || substr(hx, CAST(r.i AS INT) * 2 + 1, 2)) AS INT)
+                 AS v
+        FROM px CROSS JOIN range(0, {_PNG_W * _PNG_H * 3}) r(i)
+      )
+      SELECT media_ref, {_PNG_W} AS width, {_PNG_H} AS height,
+             CAST(SUM(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_r,
+             CAST(SUM(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_g,
+             CAST(SUM(CASE WHEN k % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
                AS sum_b
       FROM b GROUP BY media_ref
     """

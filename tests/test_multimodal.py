@@ -153,6 +153,8 @@ def test_decode_stub_raises():
 import struct
 
 import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 
 def _write_bmp(px: "np.ndarray", bpp: int = 24, top_down: bool = False) -> bytes:
@@ -316,6 +318,129 @@ def test_decoded_image_stats_matches_oracle(spark, docs, con):
     assert got == want and len(got) > 0
 
 
+def _write_png(arr: "np.ndarray", color: int) -> bytes:
+    """Reference PNG encoder for roundtrip tests: REAL compressed
+    deflate (zlib.compress), real chunk CRCs and adler, one of the
+    five scanline filters per row (y % 5) so every un-filter branch is
+    exercised."""
+    import binascii
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", binascii.crc32(typ + data))
+        )
+
+    h, w = arr.shape[:2]
+    nch = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * nch).astype(np.int32)
+    rows = []
+    for y in range(h):
+        f = y % 5
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * nch, np.int32)
+        filt = np.empty(w * nch, np.int32)
+        for x in range(w * nch):
+            a = int(line[x - nch]) if x >= nch else 0
+            c = int(prev[x - nch]) if x >= nch else 0
+            b = int(prev[x])
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (line[x] - pred) & 0xFF
+        rows.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_roundtrip_rgb_gray_rgba():
+    rng = np.random.RandomState(5)
+    for color, shape in [(2, (7, 5, 3)), (0, (6, 9)), (6, (5, 4, 4))]:
+        arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+        got = mm.decode_png(_write_png(arr, color))
+        assert got.shape == arr.shape and (got == arr).all()
+        assert (mm.decode_image(_write_png(arr, color)) == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    seed=st.integers(0, 2**31 - 1),
+    color=st.sampled_from([0, 2, 6]),
+)
+def test_decode_png_roundtrip_fuzz(w, h, seed, color):
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if color == 0 else (h, w, {2: 3, 6: 4}[color])
+    arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+    got = mm.decode_png(_write_png(arr, color))
+    assert got.shape == arr.shape and (got == arr).all()
+
+
+def test_decode_png_rejects_unsupported_and_truncated():
+    rng = np.random.RandomState(6)
+    arr = rng.randint(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    good = _write_png(arr, 2)
+    with pytest.raises(ValueError):
+        mm.decode_png(b"nope")
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_png(good[:30])  # cut inside IDAT
+    # 16-bit depth and interlace are out of baseline scope
+    import zlib as _z
+    for ihdr_mut in (
+        struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0),
+        struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1),
+    ):
+        bad = (
+            good[:8]
+            + good[8:16]  # IHDR len+type
+            + ihdr_mut
+            + good[16 + 13 :]
+        )
+        with pytest.raises(ValueError, match="unsupported"):
+            mm.decode_png(bad)
+
+
+def test_synthesized_png_decodes(spark, docs):
+    import hashlib
+
+    rows = mm.synthesize_png(docs).limit(5).collect()
+    assert rows
+    for r in rows:
+        px = mm.decode_image(bytes(r.data))
+        assert px.shape == (mm._PNG_H, mm._PNG_W, 3)
+        raster = (
+            hashlib.md5(r.media_ref.encode()).digest()
+            + hashlib.md5((r.media_ref + "x").encode()).digest()[:8]
+        )
+        # PNG raster is RGB top-down, no reorder needed
+        want = np.frombuffer(raster, np.uint8).reshape(2, 4, 3)
+        assert (px == want).all()
+
+
+def test_decoded_png_stats_matches_oracle(spark, docs, con):
+    got = sorted(
+        map(tuple, mm.decoded_image_stats(mm.synthesize_png(docs)).collect())
+    )
+    want = sorted(map(tuple, con.execute(mm.decoded_png_stats_sql()).fetchall()))
+    assert got == want and len(got) > 0
+
+
 def test_decoded_audio_stats_matches_oracle(spark, docs, con):
     got = sorted(
         map(tuple, mm.decoded_audio_stats(mm.synthesize_wav(docs)).collect())
@@ -352,8 +477,6 @@ def test_decoded_stats_corrupt_blob_becomes_sentinel_row(spark):
 
 # hypothesis round-trips: arbitrary sizes hit every stride-padding and
 # channel-count branch the fixed-seed tests can't enumerate
-from hypothesis import given, settings
-from hypothesis import strategies as st
 
 
 @settings(max_examples=25, deadline=None)
