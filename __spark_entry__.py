@@ -918,71 +918,106 @@ def _scd_obs_spark(s: SparkSession, d: str) -> DataFrame:
 _SCD_OBS_SQL = f"({scd.daily_status_obs_sql('events')})"
 
 
-# Driver-sample rotation (round 4): the correctness driver checks the
-# FIRST 50 keys of queries(). Rounds 1-3 sampled insertion order, which
-# is extraction-first, so 115 of the 183 contract queries (the whole
-# dedup/ANN/sampling/scrub/graph/LM/OLAP surface) never produced a
-# driver-side CORRECTNESS row. This list front-loads a breadth-maximal
-# set of 50 never-driver-checked queries (incl. the seven round-3
-# additions ADVICE flagged); the remaining never-checked names follow at
-# positions 51+, then the 68 ever-checked ones. Round 5: rotate the next
-# 50 never-checked block to the front.
+# Driver-sample rotation (round 5): the correctness driver checks the
+# FIRST 50 keys of queries(). Rounds 1-3 sampled insertion order
+# (extraction-first); round 4 front-loaded 50 never-driver-checked
+# dedup/scrub/graph/packing queries (all green, CORRECTNESS_r04). This
+# round rotates the next never-checked block to the front: 47 from the
+# OLAP/timeseries/sketch/PQ/BPE/URL/incremental-extraction residue,
+# plus decoded_png_stats (new this round — also the block's standing
+# real-decode row, so codec regressions stay driver-visible across
+# rotations), plus TWO ever-green sentinels (extract_main_content,
+# span_diff_golden) so the extraction core is never fully outside the
+# driver gate — the blind-spot tradeoff ADVICE r04 flagged. The
+# sentinel cost: 23 of the 71 never-checked names stay pytest-only
+# (pack_interleaved_stats / ivfpq_nprobe_topk / cube_doc_stats were
+# dropped from the drafted block because a same-family sibling is in).
 _DRIVER_SAMPLE_FIRST = [
-    "exact_dedup_string_ids",
-    "lsh_verified_pairs_string_ids",
-    "dup_clusters_string_ids",
-    "semantic_dedup",
-    "incremental_dedup",
-    "cluster_reps",
-    "containment_pairs",
-    "lsh_pairs_scoped",
-    "lsh_recall_eval",
-    "snapshot_diff",
-    "snapshot_edit_profile",
-    "novel_docs",
-    "exact_dedup_canonical",
-    "bloom_novelty",
-    "bloom_fp_eval",
-    "bm25_topk",
-    "phrase_search",
+    # sentinels (ever-green core, kept driver-visible every rotation)
+    "extract_main_content",
     "span_diff_golden",
-    "keyword_tag",
-    "winnow_fingerprints",
-    "pagerank",
-    "triangle_counts",
-    "clustering_coefficients",
-    "pack_index",
-    "pack_shards",
-    "pack_shards_global",
-    "temperature_mix",
-    "mixture_plan",
-    "dataset_split_assign",
-    "stratified_sample",
-    "weighted_sample",
-    "cap_per_source",
-    "shuffle_order",
-    "pii_scrub",
-    "scrub_spans",
-    "line_dedup",
-    "gopher_rules",
-    "repetition_signals",
-    "repeated_passages",
-    "remove_repeated_passages",
-    "duplication_profile",
-    "contamination_overlap",
-    "benchmark_leaks",
-    "quality_classifier",
-    "decoded_image_stats",
-    "decoded_audio_stats",
-    "anomaly_hourly",
-    "session_paths_topk",
-    "event_transitions",
-    "scd2_user_status",
+    # real-decode row for this rotation (also never-checked: new query)
+    "decoded_png_stats",
+    # incremental extraction + corpus audit
+    "extract_input_hashes",
+    "incremental_extract",
+    "corpus_checksum",
+    "zorder_codes",
+    # URL family
+    "canonical_urls",
+    "url_dedup",
+    "domain_stats",
+    "blocklist_filter",
+    # chunking / packing residue
+    "chunk_docs",
+    "split_sentences",
+    "pack_stats",
+    "pack_interleaved",
+    # encoding / normalization
+    "encoding_profile",
+    "fix_mojibake",
+    "normalize_nfc",
+    # events / timeseries
+    "event_sessions",
+    "asof_purchase_click",
+    "resample_hourly",
+    "running_user_stats",
+    "distinct_users_by_type",
+    "interval_attribution",
+    "event_funnel",
+    "retention_cohorts",
+    # OLAP
+    "sales_by_region",
+    "rollup_doc_stats",
+    "pivot_lang_by_source",
+    "unpivot_lang_counts",
+    "chars_histogram",
+    "percentile_chars",
+    "topk_per_group",
+    "key_skew_stats",
+    # ANN / quantization
+    "ann_recall_eval",
+    "quantize_embeddings",
+    "ann_quantized_topk",
+    "ivf_topk_trained",
+    "ivf_cell_stats",
+    "pq_codes",
+    "pq_adc_topk",
+    "ivfpq_topk",
+    "cluster_balanced_sample",
+    "embedding_dup_clusters",
+    "knn_graph",
+    "curriculum_order",
+    # text stats / mixtures
+    "tfidf_top_terms",
+    "ngram_diversity",
+    "mixture_epochs",
+    "split_by_source",
 ]
 
-# Names that have a green driver CORRECTNESS row in some earlier round
-# (union of CORRECTNESS_r01..r03 keys). Kept last so the 50-key sample
-# spends its budget on never-checked queries first.
+# Names that have a green driver CORRECTNESS row in some earlier round.
+# Kept last so the 50-key sample spends its budget on never-checked
+# queries first. R123 = union of CORRECTNESS_r01..r03 keys; R4 = the 50
+# CORRECTNESS_r04 keys (all green).
+_DRIVER_CHECKED_R4 = frozenset([
+    "anomaly_hourly", "benchmark_leaks", "bloom_fp_eval", "bloom_novelty",
+    "bm25_topk", "cap_per_source", "cluster_reps",
+    "clustering_coefficients", "containment_pairs", "contamination_overlap",
+    "dataset_split_assign", "decoded_audio_stats", "decoded_image_stats",
+    "dup_clusters_string_ids", "duplication_profile", "event_transitions",
+    "exact_dedup_canonical", "exact_dedup_string_ids", "gopher_rules",
+    "incremental_dedup", "keyword_tag", "line_dedup", "lsh_pairs_scoped",
+    "lsh_recall_eval", "lsh_verified_pairs_string_ids", "mixture_plan",
+    "novel_docs", "pack_index", "pack_shards", "pack_shards_global",
+    "pagerank", "phrase_search", "pii_scrub", "quality_classifier",
+    "remove_repeated_passages", "repeated_passages", "repetition_signals",
+    "scd2_user_status", "scrub_spans", "semantic_dedup",
+    "session_paths_topk", "shuffle_order", "snapshot_diff",
+    "snapshot_edit_profile", "span_diff_golden", "stratified_sample",
+    "temperature_mix", "triangle_counts", "weighted_sample",
+    "winnow_fingerprints",
+])
+
 _DRIVER_CHECKED_R123 = frozenset([
     "ann_lsh_topk", "ann_multiprobe_topk", "block_density_stats",
     "caption_pairs", "chunk_dedup", "chunk_integrity", "chunk_interleaved",
@@ -1011,17 +1046,18 @@ _DRIVER_CHECKED_R123 = frozenset([
 def _driver_sample_order(
     q: dict[str, Callable[[SparkSession, str], DataFrame]],
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Reorder the contract dict: round-4 sample block first, then the
+    """Reorder the contract dict: round-5 sample block first, then the
     remaining never-driver-checked names in insertion order, then the
     ever-checked names. Pure reordering — same keys, same callables."""
+    checked = _DRIVER_CHECKED_R123 | _DRIVER_CHECKED_R4
     front = [k for k in _DRIVER_SAMPLE_FIRST if k in q]
     rest_new = [
         k for k in q
-        if k not in _DRIVER_SAMPLE_FIRST and k not in _DRIVER_CHECKED_R123
+        if k not in _DRIVER_SAMPLE_FIRST and k not in checked
     ]
     rest_old = [
         k for k in q
-        if k not in _DRIVER_SAMPLE_FIRST and k in _DRIVER_CHECKED_R123
+        if k not in _DRIVER_SAMPLE_FIRST and k in checked
     ]
     return {k: q[k] for k in front + rest_new + rest_old}
 
