@@ -52,3 +52,20 @@ def test_picture_media_refs_preserved(spark, fixture_df):
     assert len(out) > 0
     assert all(r["media_ref"].startswith("pic-") for r in out)
     assert all(r["text"] == "" for r in out)
+
+
+def test_golden_snapshot_unchanged():
+    """The span_diff_golden baseline must never drift silently: its
+    byte hash and row count are pinned here. An INTENTIONAL kernel
+    semantics change regenerates it via
+    KERNEL_SEMANTICS_CHANGED=1 scripts/make_golden_extract.py (which
+    refuses to run otherwise) — and must update these pins in the same
+    commit, stating the semantics change."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    path = "tests/fixtures/golden_extract_sf0001.parquet"
+    digest = hashlib.md5(open(path, "rb").read()).hexdigest()
+    assert digest == "0833d36504fea7c18c219be39f943fdf"
+    assert pq.read_table(path).num_rows == 4085
