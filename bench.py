@@ -675,10 +675,139 @@ def run_data_scaling(levels=(2, 4, 8, 16), trials: int = 2) -> None:
     spark.stop()
 
 
+def run_curate_soak(levels=(8, 32), copies: int = 16) -> None:
+    """Composed-pipeline soak: jobs/curate.py END TO END (extract ->
+    NFC/line-dedup/PII scrub -> novelty anti-join -> Gopher + quality/
+    lang gates -> exact + LSH dedup -> split -> bucketed write -> pack
+    sidecars) over the 16x word-salted amplified corpus (80k docs at
+    sf0.1, constant duplicate density — the honest 100 TB shape), run
+    at two parallelism levels on the SAME input.
+
+    Complements --scaling (single-operator CPU scaling) and
+    --data-scaling (per-op time vs corpus size): nothing else times
+    the COMPOSITION, where cache pressure, stage pipelining, and the
+    persist/unpersist discipline actually interact. Efficiency is
+    computed on the sum of in-job stage times (stage_secs — JVM/py4j
+    startup and input prep are fixed costs a long-lived cluster
+    amortizes); raw subprocess wall is also reported. The same-window
+    hw probe brackets the run so the hypervisor's CPU-delivery ceiling
+    (this VM stops scaling linearly past ~8 workers) is visible next
+    to the raw ratio."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.pipeline.session import get_spark
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="ocr_spark_soak_", dir=tmp_parent)
+    hw_pre = _hw_probe()
+    prep = get_spark(f"local[{CPUS}]", app_name="ocr_spark_soak_prep")
+    # salted amplification with the source column kept (verbatim per
+    # copy — same domain census at every scale), so the gate stages
+    # see the full production schema
+    base = (
+        prep.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "source")
+        .repartition(2 * CPUS)
+    )
+    ks = prep.range(copies).select(F.col("id").alias("_k"))
+    # salt every 3rd word with a per-copy LETTER (not every word with
+    # the numeric index, as --data-scaling does): any 5-gram shingle
+    # window still contains >= 1 salted word, so cross-copy near-dup
+    # overlap stays zero — but 2/3 of stopwords survive and salted
+    # words stay alphabetic, so the quality/Gopher gates see realistic
+    # text instead of gating out the whole salted corpus
+    docs = base.crossJoin(F.broadcast(ks)).selectExpr(
+        "doc_id + _k * 10000000 AS doc_id",
+        "array_join(transform(split(text, ' '), "
+        "(w, i) -> IF(i % 3 = 0, "
+        "concat(w, substring('abcdefghijklmnopqrstuvwxyz', "
+        "CAST(_k AS INT) + 1, 1)), w)), ' ') AS text",
+        "source",
+    )
+    docs.write.parquet(f"{tmp}/docs")
+    n_docs = prep.read.parquet(f"{tmp}/docs").count()
+    prep.stop()
+
+    results = {}
+    try:
+        for cores in levels:
+            out_dir = f"{tmp}/curated_{cores}"
+            cmd = [
+                sys.executable, f"{repo}/jobs/curate.py",
+                "--input", f"{tmp}/docs", "--synthesize",
+                "--output", out_dir, "--master", f"local[{cores}]",
+                # --gopher is NOT in the soak config: the synthetic
+                # corpus has ~0.7 English stopword hits/doc, so the
+                # Gopher stopword rule empties the funnel on this data
+                # (it has its own contract query + job test on text
+                # that carries stopwords)
+                "--nfc", "--line-dedup", "--pii-scrub",
+                "--against", f"{SF_DIR}/documents.parquet",
+                "--cap-per-source", "20000",
+                "--split", "train=0.98,val=0.01,test=0.01",
+                "--pack-seq-len", "512",
+            ]
+            env = dict(os.environ, PYTHONPATH=repo)
+            t0 = time.time()
+            proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise RuntimeError(f"curate job failed at local[{cores}]")
+            wall = time.time() - t0
+            summary = json.loads(proc.stdout.strip().splitlines()[-1])
+            stage_total = round(sum(summary["stage_secs"].values()), 3)
+            results[cores] = {
+                "wall_sec": round(wall, 3),
+                "stage_sec_total": stage_total,
+                "docs_per_sec": round(n_docs / stage_total, 1),
+                "stage_secs": summary["stage_secs"],
+                "n_curated": summary["n_curated"],
+                "n_packs": summary["n_packs"],
+            }
+            shutil.rmtree(out_dir, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    hw_post = _hw_probe()
+    lo, hi = min(levels), max(levels)
+    ratio = hi / lo
+    eff = results[hi]["docs_per_sec"] / (ratio * results[lo]["docs_per_sec"])
+    hw = _hw_parallel_speedup(lo, hi)
+    print(
+        json.dumps(
+            {
+                "metric": "curate_pipeline_scaling",
+                "value": round(eff, 3),
+                "unit": f"stage-time throughput ratio local[{hi}] vs "
+                        f"{ratio:g}x local[{lo}]",
+                "n_docs": n_docs,
+                "sf": _sf_label(SF_DIR),
+                "copies": copies,
+                "levels": {str(k): v for k, v in results.items()},
+                # content-hash determinism claim, checked: the funnel
+                # must keep the SAME docs regardless of parallelism
+                "deterministic_across_levels": len(
+                    {v["n_curated"] for v in results.values()}
+                ) == 1,
+                "hw_ceiling": round(hw / ratio, 3),
+                "eff_vs_hw": round(eff / (hw / ratio), 3) if hw else None,
+                "hw_probe_pre": hw_pre,
+                "hw_probe_post": hw_post,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--data-scaling" in sys.argv:
         run_data_scaling()
+    elif "--curate-soak" in sys.argv:
+        run_curate_soak()
     else:
         run_bench()

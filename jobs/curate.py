@@ -344,6 +344,21 @@ def main() -> None:
     from ocr_spark.sources.synth import synthesize_spans
 
     spark = get_spark(args.master, app_name="ocr_spark_curate")
+
+    # per-stage wall-clock: each count (or write) is the stage's
+    # barrier, so the delta since the previous barrier is what the
+    # stage actually cost — emitted in the summary line for soak runs
+    import time as _time
+
+    stage_secs: dict[str, float] = {}
+    _t_last = _time.time()
+
+    def _tick(stage: str) -> None:
+        nonlocal _t_last
+        now = _time.time()
+        stage_secs[stage] = round(now - _t_last, 3)
+        _t_last = now
+
     docs = spark.read.parquet(args.input)
     # fail fast (metadata-only schema check) for every stage that will
     # need a source column — not after the whole funnel ran
@@ -412,6 +427,7 @@ def main() -> None:
         .persist()
     )
     n_extracted = corpus.count()
+    _tick("extract")
     if raw_spans is not None:
         # corpus is materialized; drop the kernel-output cache
         raw_spans.unpersist()
@@ -468,6 +484,7 @@ def main() -> None:
         pre_novelty = corpus
         corpus = novel_docs(corpus, existing).persist()
         n_novel = corpus.count()
+        _tick("novelty")
         pre_novelty.unpersist()
     else:
         n_novel = n_extracted
@@ -492,6 +509,7 @@ def main() -> None:
         pre_decontam = corpus
         corpus = corpus.join(flagged, "doc_id", "left_anti").persist()
         n_decontam = corpus.count()
+        _tick("decontam")
         pre_decontam.unpersist()
 
     # 2. quality + language gates
@@ -564,6 +582,7 @@ def main() -> None:
         )
     gated = gated.select("doc_id", "text").persist()
     n_gated = gated.count()
+    _tick("gates")
 
     # 3. dedup: exact content hash, then LSH-verified near-dups (the
     # kept representative per dup group is the minimum doc_id by the
@@ -571,6 +590,7 @@ def main() -> None:
     reps = exact_dedup(gated).select(F.col("rep_doc_id").alias("doc_id"))
     survivors = gated.join(reps, "doc_id").persist()
     n_exact = survivors.count()
+    _tick("exact_dedup")
     clusters = dup_clusters(survivors, tau=args.tau, max_bucket=args.max_bucket or None)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
     # persist: every later stage (cap join, quality-sample SELF-join,
@@ -583,6 +603,7 @@ def main() -> None:
     )
     curated_base = curated  # later stages reassign `curated`; keep the
     n_curated = curated.count()  # cached handle for the final unpersist
+    _tick("near_dedup")
 
     # 5. optional per-source balancing (hard cap and/or temperature
     # mix). The source column lives on the flat input table; joined
@@ -618,6 +639,7 @@ def main() -> None:
             _with_source(curated), "source", args.cap_per_source
         )
         n_capped = curated.count()
+        _tick("cap")
 
     # 5.2 optional temperature mix: n^0.5 source rebalancing AFTER the
     # hard cap (the cap bounds pathological domains; the mix then
@@ -628,6 +650,7 @@ def main() -> None:
             _with_source(curated), budget_frac=args.temperature_mix
         )
         n_mixed = curated.count()
+        _tick("temperature_mix")
 
     # 5.5 optional quality-weighted downsampling: AFTER dedup/cap (a
     # sampled-out doc must not resurrect its near-duplicates, and cap
@@ -646,6 +669,7 @@ def main() -> None:
             F.col("quality") * F.lit(args.quality_sample),
         ).drop("quality")
         n_sampled = curated.count()
+        _tick("quality_sample")
 
     # 6. optional deterministic split column
     if args.split:
@@ -665,6 +689,7 @@ def main() -> None:
 
     # 7. curated table in the standard bucketed layout
     ResultsWriter(spark, path=args.output, n_buckets=args.n_buckets).write(curated)
+    _tick("split_shard_write")
 
     # 9.5 optional training-loader sidecars: chunk text co-located by
     # pack shard + the concat-then-cut sample index (one shared shard
@@ -695,6 +720,7 @@ def main() -> None:
         )
         n_chunks = chunks.count()
         n_packs = idx.select("shard", "pack_id").distinct().count()
+        _tick("pack")
         chunks.unpersist()
         idx.unpersist()
 
@@ -717,6 +743,7 @@ def main() -> None:
         ).select("doc_id", "source", "epoch")
         mix.write.mode("overwrite").parquet(args.output.rstrip("/") + "_mix")
         n_mix = spark.read.parquet(args.output.rstrip("/") + "_mix").count()
+        _tick("mixture")
 
     print(
         json.dumps(
@@ -766,6 +793,7 @@ def main() -> None:
                 "n_chunks": n_chunks,
                 "n_packs": n_packs,
                 "n_mix_rows": n_mix,
+                "stage_secs": stage_secs,
             }
         )
     )
