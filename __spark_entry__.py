@@ -1686,6 +1686,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decoded_png_stats": lambda s, d: mm.decoded_image_stats(
             mm.synthesize_png(_read(s, d, "documents"))
         ),
+        # real compressed-audio decode: G.711 mu-law AND A-law WAVs
+        # (both laws in one query, ':u'/':a' ref suffixes), expanded
+        # to linear int16 by the ITU formulas — the oracle re-derives
+        # the expansion from md5(media_ref) in pure integer SQL
+        "decoded_g711_stats": lambda s, d: mm.decoded_audio_stats(
+            mm.synthesize_g711_wav(_read(s, d, "documents"))
+        ),
         # --- similarity search
         "cosine_topk": lambda s, d: sim.cosine_topk(_read(s, d, "embeddings")),
         "ann_lsh_topk": lambda s, d: sim.ann_lsh_topk(_read(s, d, "embeddings")),
@@ -2456,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
         "decoded_image_stats": mm.decoded_image_stats_sql(),
         "decoded_audio_stats": mm.decoded_audio_stats_sql(),
         "decoded_png_stats": mm.decoded_png_stats_sql(),
+        "decoded_g711_stats": mm.decoded_g711_stats_sql(),
         "cosine_topk": sim.cosine_topk_sql(),
         "ann_lsh_topk": sim.ann_lsh_topk_sql(),
         "ann_multiprobe_topk": sim.ann_multiprobe_topk_sql(),

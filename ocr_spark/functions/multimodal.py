@@ -175,6 +175,31 @@ def decode_pgm(data: bytes) -> np.ndarray:
     return np.frombuffer(data, np.uint8, count=w * h, offset=pos).reshape(h, w).copy()
 
 
+def g711_expand(u8: np.ndarray, law: str) -> np.ndarray:
+    """G.711 companded byte -> linear int16, vectorized (the ITU
+    mu-law/A-law expansion formulas, Sun reference semantics: mu-law
+    sign bit 1 = negative, A-law sign bit 1 = positive after the 0x55
+    toggle). Real compressed-audio decode, dependency-free."""
+    b = u8.astype(np.int32)
+    if law == "ulaw":
+        c = (~b) & 0xFF
+        exp = (c >> 4) & 7
+        mant = c & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        return np.where(c & 0x80, -mag, mag).astype(np.int16)
+    if law == "alaw":
+        a = b ^ 0x55
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        mag = np.where(
+            exp == 0,
+            (mant << 4) + 8,
+            ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+        )
+        return np.where(a & 0x80, mag, -mag).astype(np.int16)
+    raise ValueError(f"unknown G.711 law {law!r}")
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -275,10 +300,11 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """Real PCM WAV decode, dependency-free -> (samples, sample_rate).
-    16-bit PCM; mono returns shape (n,), multi-channel (n, channels).
-    Walks the RIFF chunk list properly (fmt /data in any order, odd
-    sizes padded). Non-PCM or non-16-bit raises (PIL-equivalent
+    """Real WAV decode, dependency-free -> (samples, sample_rate).
+    8/16-bit PCM plus G.711 mu-law/A-law (formats 7/6, expanded to
+    linear int16); mono returns shape (n,), multi-channel
+    (n, channels). Walks the RIFF chunk list properly (fmt/data in
+    any order, odd sizes padded). Other formats raise (soundfile
     fallback: none in this container)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
@@ -307,7 +333,18 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     n_ch = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
+    if n_ch < 1:
+        raise ValueError("bad WAV channel count")
+    if audio_fmt in (6, 7):  # G.711 A-law / mu-law (compressed audio)
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit (bits={bits})")
+        samples = g711_expand(
+            np.frombuffer(raw, np.uint8), "alaw" if audio_fmt == 6 else "ulaw"
+        )
+        if n_ch > 1:
+            samples = samples[: (len(samples) // n_ch) * n_ch].reshape(-1, n_ch)
+        return samples, rate
+    if audio_fmt != 1 or bits not in (8, 16):
         raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
     if bits == 16:
         samples = np.frombuffer(raw, "<i2", count=len(raw) // 2)
@@ -463,6 +500,90 @@ def synthesize_wav(docs: DataFrame) -> DataFrame:
             F.concat(F.lit(_WAV_HEADER_HEX), F.md5("media_ref")), F.lit("hex")
         ).alias("data"),
     )
+
+
+# G.711 mono 8 kHz WAV headers, 16 companded bytes of data: same RIFF
+# frame as _WAV_HEADER_HEX but audio_fmt 7 (mu-law) / 6 (A-law),
+# byterate 8000, align 1, bits 8
+_G711_N = 16
+_ULAW_HEADER_HEX = (
+    "52494646" "34000000" "57415645"
+    "666D7420" "10000000" "0700" "0100" "401F0000" "401F0000" "0100" "0800"
+    "64617461" "10000000"
+)
+_ALAW_HEADER_HEX = _ULAW_HEADER_HEX.replace("0700", "0600", 1)
+
+
+def synthesize_g711_wav(docs: DataFrame) -> DataFrame:
+    """(media_ref, data): per picture ref, TWO real decodable G.711
+    WAVs — '<ref>:u' (mu-law) and '<ref>:a' (A-law) — whose 16
+    companded bytes are md5(ref), so the oracle can derive the exact
+    expanded int16 samples from media_ref alone via the same ITU
+    formulas in SQL integer arithmetic."""
+    refs = _media_refs(docs)
+    u = refs.select(
+        F.concat(F.col("media_ref"), F.lit(":u")).alias("media_ref"),
+        F.to_binary(
+            F.concat(F.lit(_ULAW_HEADER_HEX), F.md5("media_ref")), F.lit("hex")
+        ).alias("data"),
+    )
+    a = refs.select(
+        F.concat(F.col("media_ref"), F.lit(":a")).alias("media_ref"),
+        F.to_binary(
+            F.concat(F.lit(_ALAW_HEADER_HEX), F.md5("media_ref")), F.lit("hex")
+        ).alias("data"),
+    )
+    return u.unionByName(a)
+
+
+def decoded_g711_stats_sql(table: str = "documents") -> str:
+    """DuckDB twin for decoded_audio_stats over synthesize_g711_wav:
+    byte k of md5(ref) expanded by the ITU G.711 formulas in pure
+    integer SQL — mu-law: c = 255-v, mag = (8m+132)*2^e - 132, sign
+    bit NEGATIVE; A-law: a = v XOR 85, mag = 16m+8 (e=0) else
+    (16m+264)*2^(e-1), sign bit POSITIVE (Sun reference semantics,
+    same as g711_expand)."""
+    from ocr_spark.sources.synth import synth_spans_sql
+
+    return f"""
+      WITH spans AS ({synth_spans_sql(table)}),
+      media AS (
+        SELECT DISTINCT media_ref FROM spans WHERE kind = 'picture'
+      ),
+      b AS (
+        SELECT media_ref, law, CAST(r.i AS INT) AS k,
+               CAST(('0x' || substr(md5(media_ref), CAST(r.i AS INT) * 2 + 1,
+                     2)) AS INT) AS v
+        FROM media
+        CROSS JOIN (SELECT 'u' AS law UNION ALL SELECT 'a') laws
+        CROSS JOIN range(0, {_G711_N}) r(i)
+      ),
+      x AS (
+        SELECT media_ref || ':' || law AS media_ref,
+               CASE WHEN law = 'u' THEN
+                 CASE WHEN (255 - v) >= 128 THEN
+                   -((((255 - v) % 16) * 8 + 132)
+                     * (1 << (((255 - v) // 16) % 8)) - 132)
+                 ELSE
+                   ((((255 - v) % 16) * 8 + 132)
+                    * (1 << (((255 - v) // 16) % 8)) - 132)
+                 END
+               ELSE
+                 CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END *
+                 CASE WHEN ((xor(v, 85) // 16) % 8) = 0
+                      THEN (xor(v, 85) % 16) * 16 + 8
+                      ELSE ((xor(v, 85) % 16) * 16 + 264)
+                           * (1 << (((xor(v, 85) // 16) % 8) - 1))
+                 END
+               END AS s
+        FROM b
+      )
+      SELECT media_ref, CAST({_G711_N} AS BIGINT) AS n_samples,
+             8000 AS sample_rate,
+             CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+             CAST(SUM(s * s) AS BIGINT) AS sum_sq
+      FROM x GROUP BY media_ref
+    """
 
 
 def decoded_image_stats(media: DataFrame) -> DataFrame:

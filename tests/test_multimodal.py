@@ -543,3 +543,50 @@ def test_decoded_image_stats_grayscale_blob(spark):
     [r] = mm.decoded_image_stats(media).collect()
     assert (r.width, r.height) == (3, 2)
     assert r.sum_r == r.sum_g == r.sum_b == int(gray.sum())
+
+
+def test_g711_expand_matches_stdlib_oracle():
+    """All 256 codes, both laws, against the independent stdlib
+    audioop implementation (present in this Python; skip if removed)."""
+    audioop = pytest.importorskip("audioop")
+    b = np.arange(256, dtype=np.uint8)
+    want_u = np.frombuffer(audioop.ulaw2lin(bytes(b), 2), "<i2")
+    assert (mm.g711_expand(b, "ulaw") == want_u).all()
+    want_a = np.frombuffer(audioop.alaw2lin(bytes(b), 2), "<i2")
+    assert (mm.g711_expand(b, "alaw") == want_a).all()
+    with pytest.raises(ValueError):
+        mm.g711_expand(b, "nope")
+
+
+def test_decode_wav_g711():
+    payload = bytes(range(32))
+    for fmt_code, law in ((7, "ulaw"), (6, "alaw")):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+        wav = (
+            b"RIFF" + struct.pack("<I", 24 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        got, rate = mm.decode_wav(wav)
+        assert rate == 8000
+        want = mm.g711_expand(np.frombuffer(payload, np.uint8), law)
+        assert (got == want).all()
+    # 16-bit G.711 is malformed
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)
+    bad = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        mm.decode_wav(bad)
+
+
+def test_decoded_g711_stats_matches_oracle(spark, docs, con):
+    got = sorted(
+        map(tuple, mm.decoded_audio_stats(mm.synthesize_g711_wav(docs)).collect())
+    )
+    want = sorted(map(tuple, con.execute(mm.decoded_g711_stats_sql()).fetchall()))
+    assert got == want and len(got) > 0
+    # both laws present per ref
+    assert {r[0][-2:] for r in got} == {":u", ":a"}
