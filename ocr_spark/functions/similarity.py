@@ -622,17 +622,22 @@ def _assignments(emb: "DataFrame", n_centroids: int, centroids=None, with_cos: b
         # took ivfpq's probe join from ~15 s to sub-second at sf0.1.
         unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("norm"))
         # hoist the unit vector as a real column so each row pays dim
-        # divisions once, not k*dim (one re-normalize per dots entry)
-        dots = F.array(*[
-            F.aggregate(
+        # divisions once, not k*dim (one re-normalize per dots entry).
+        # The k dots come from ONE transform over the whole centroid
+        # set bound as a single array<array<double>> literal, not k
+        # separately-built folds — identical values and order, but a
+        # k-fold smaller expression tree (same build-time/codegen
+        # lesson as pq._codes_col).
+        dots = F.transform(
+            F.lit([list(c) for c in centroids]),
+            lambda c: F.aggregate(
                 F.zip_with(
-                    F.col("_u"), F.lit(c), lambda x, y: x.cast("double") * y.cast("double")
+                    F.col("_u"), c, lambda x, y: x.cast("double") * y.cast("double")
                 ),
                 F.lit(0.0).cast("double"),
                 lambda acc, v: acc + v,
-            )
-            for c in centroids
-        ])
+            ),
+        )
         assign = (F.array_position(dots, F.array_max(dots))).cast("int") - 1
         out = base.withColumn("_u", unit).withColumn(
             "centroid", assign.cast("long")
