@@ -777,6 +777,17 @@ def run_curate_soak(levels=(8, 32), copies: int = 16) -> None:
     ratio = hi / lo
     eff = results[hi]["docs_per_sec"] / (ratio * results[lo]["docs_per_sec"])
     hw = _hw_parallel_speedup(lo, hi)
+    # pairwise efficiencies between CONSECUTIVE levels too: on this VM
+    # the hypervisor stops delivering linear CPU past ~8 workers, so a
+    # 3-level run (2, 8, 32) separates engine scaling (2->8) from the
+    # hw ceiling (8->32)
+    pairwise = {
+        f"{a}->{b}": round(
+            results[b]["docs_per_sec"] / ((b / a) * results[a]["docs_per_sec"]),
+            3,
+        )
+        for a, b in zip(sorted(levels), sorted(levels)[1:])
+    }
     print(
         json.dumps(
             {
@@ -784,6 +795,7 @@ def run_curate_soak(levels=(8, 32), copies: int = 16) -> None:
                 "value": round(eff, 3),
                 "unit": f"stage-time throughput ratio local[{hi}] vs "
                         f"{ratio:g}x local[{lo}]",
+                "pairwise_eff": pairwise,
                 "n_docs": n_docs,
                 "sf": _sf_label(SF_DIR),
                 "copies": copies,
