@@ -4,6 +4,7 @@ idempotent re-run, output always equal to a full re-extraction."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 from unittest.mock import patch
 
@@ -129,3 +130,35 @@ def test_delta_requires_prev(spark, tmp_path):
     _run(["--input", day0, "--synthesize", "--output", str(tmp_path / "o"), "--state", state])
     with pytest.raises(SystemExit, match="--prev"):
         _run(["--input", day0, "--synthesize", "--output", str(tmp_path / "o2"), "--state", state])
+
+
+def test_crash_between_publish_renames_recovers_state(spark, tmp_path):
+    """A crash between the two publish renames leaves the complete
+    previous state at hashes._old and nothing live. The next run must
+    RECOVER the aside copy and stay incremental — not silently fall
+    back to a full re-extraction of the corpus."""
+    import shutil
+
+    state = str(tmp_path / "state")
+    day0 = _docs_parquet(spark, tmp_path, "c0", where="doc_id < 50")
+    out0 = str(tmp_path / "c_out0")
+    _run(["--input", day0, "--synthesize", "--output", out0, "--state", state])
+    # simulate the crash window: live state moved aside, new state
+    # never renamed in (a stale tmp from the interrupted write remains)
+    hashes = str(tmp_path / "state" / "hashes")
+    shutil.move(hashes, hashes + "._old")
+    shutil.copytree(hashes + "._old", hashes + "._tmp")
+    assert not os.path.exists(hashes)
+    day1 = _docs_parquet(spark, tmp_path, "c1", where="doc_id < 60")
+    out1 = str(tmp_path / "c_out1")
+    s1 = _run(
+        ["--input", day1, "--synthesize", "--output", out1,
+         "--state", state, "--prev", out0]
+    )
+    # recovery happened: the run saw state and recomputed ONLY the
+    # 10 new docs (a lost-state fallback would recompute all 60)
+    assert s1["had_state"]
+    assert s1["n_docs"] == 60 and s1["n_recomputed_docs"] == 10
+    # the aside copy is gone after the next successful publish and the
+    # republished state is live
+    assert os.path.exists(hashes) and not os.path.exists(hashes + "._old")
