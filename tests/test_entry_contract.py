@@ -62,19 +62,61 @@ def _canon(v):
     return (1, repr(v))
 
 
+@pytest.fixture(scope="module")
+def results(spark):
+    """All 190 query/oracle pairs computed ONCE with thread pools —
+    Spark accepts concurrent job submission from one session (py4j
+    releases the GIL on socket waits) and each DuckDB thread gets its
+    own connection. Per-query assertions are unchanged and stay in
+    their own parameterized test below (an exception is stored and
+    re-raised THERE, so a failing query fails exactly its own test);
+    only the scheduling is batched. This cut the sweep's wall-clock
+    roughly in proportion to the pool width."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def spark_side(name):
+        try:
+            sdf = QUERIES[name](spark, SF_DIR)
+            cols = sorted(sdf.columns)
+            return cols, [tuple(r) for r in sdf.select(*cols).collect()]
+        except Exception as exc:  # re-raised in the owning test
+            return exc
+
+    def oracle_side(name):
+        try:
+            c = duckdb.connect()
+            for t in TABLES:
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+                )
+            df = c.execute(ORACLES[name]).df()
+            c.close()
+            return df
+        except Exception as exc:
+            return exc
+
+    names = sorted(QUERIES)
+    with ThreadPoolExecutor(8) as ex:
+        spark_res = dict(zip(names, ex.map(spark_side, names)))
+    with ThreadPoolExecutor(8) as ex:
+        oracle_res = dict(zip(names, ex.map(oracle_side, names)))
+    return spark_res, oracle_res
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(name, spark, con):
-    sdf = QUERIES[name](spark, SF_DIR)
-    spark_cols = sorted(sdf.columns)
-    got = sdf.select(*spark_cols).collect()
-    oracle = con.execute(ORACLES[name]).df()
+def test_query_matches_oracle(name, results):
+    spark_res, oracle_res = results
+    for r in (spark_res[name], oracle_res[name]):
+        if isinstance(r, Exception):
+            raise r
+    spark_cols, got_rows = spark_res[name]
+    oracle = oracle_res[name]
     assert sorted(oracle.columns) == spark_cols, (
         f"{name}: columns {sorted(oracle.columns)} != {spark_cols}"
     )
     want_rows = [
         tuple(r) for r in oracle[spark_cols].itertuples(index=False, name=None)
     ]
-    got_rows = [tuple(r) for r in got]
     assert len(got_rows) == len(want_rows), f"{name}: row count"
     gs = sorted([tuple(_canon(v) for v in r) for r in got_rows])
     ws = sorted([tuple(_canon(v) for v in r) for r in want_rows])
