@@ -144,3 +144,49 @@ def test_spark_submit_analytics_job(tmp_path):
     # sentinel exists only in the contract-compare projection)
     assert str(hist.field("valid_to").type) == "int64"
     assert "path" in _schema("session_paths").names
+
+
+@pytest.mark.slow
+def test_spark_submit_incremental_extract_job(tmp_path):
+    """The daily-delta job under REAL spark-submit --py-files (the
+    north-rule submission path), two days in one JVM-pair: day 0 full,
+    day 1 delta — carried + recomputed counts prove the state
+    round-tripped through the published parquet."""
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    zpath = _build_zip(str(tmp_path))
+    state = str(tmp_path / "state")
+    env = {**os.environ, "PYTHONPATH": ""}
+
+    def run(inp, out, prev=None):
+        cmd = [
+            spark_submit, "--master", "local[4]", "--py-files", zpath,
+            os.path.join(REPO, "jobs", "incremental_extract.py"),
+            "--input", inp, "--synthesize",
+            "--output", out, "--state", state,
+        ] + (["--prev", prev] if prev else [])
+        res = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=600, env=env
+        )
+        assert res.returncode == 0, res.stderr[-3000:]
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    import duckdb
+
+    con = duckdb.connect()
+    day0 = str(tmp_path / "day0")
+    con.execute(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"WHERE doc_id % 2 = 0) TO '{day0}' (FORMAT PARQUET)"
+    )
+    out0 = str(tmp_path / "out0")
+    s0 = run(day0, out0)
+    assert not s0["had_state"] and s0["n_recomputed_docs"] == s0["n_docs"] == 250
+
+    out1 = str(tmp_path / "out1")
+    s1 = run("/root/testdata/sf0.001/documents.parquet", out1, prev=out0)
+    assert s1["had_state"]
+    assert s1["n_docs"] == 500
+    assert s1["n_recomputed_docs"] == 250  # the odd half is new
+    assert s1["n_carried_docs"] == 250
