@@ -693,11 +693,18 @@ def connected_components(
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the previous label (_prev) through the round so the
+        # convergence check below is a column compare on the frame the
+        # checkpoint just materialized — NOT a separate join of new
+        # labels against old (which cost one more shuffle join + a
+        # full extra action every round; at small-cluster dedup
+        # workloads that join was ~a third of the loop's wall-clock)
         stepped = labels.join(nbr_min, "doc_id", "left").select(
             "doc_id",
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
+            F.col("label").alias("_prev"),
         )
         # pointer jump: label <- labels[label] (labels are vertex ids)
         parent = stepped.select(
@@ -710,16 +717,12 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias(
                     "label"
                 ),
+                "_prev",
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("_prev")).count()
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
     bidir.unpersist()
