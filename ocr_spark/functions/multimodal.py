@@ -520,20 +520,24 @@ def synthesize_g711_wav(docs: DataFrame) -> DataFrame:
     companded bytes are md5(ref), so the oracle can derive the exact
     expanded int16 samples from media_ref alone via the same ITU
     formulas in SQL integer arithmetic."""
-    refs = _media_refs(docs)
-    u = refs.select(
-        F.concat(F.col("media_ref"), F.lit(":u")).alias("media_ref"),
-        F.to_binary(
-            F.concat(F.lit(_ULAW_HEADER_HEX), F.md5("media_ref")), F.lit("hex")
-        ).alias("data"),
+    # ONE pass over the distinct refs, both laws exploded from a
+    # 2-element literal — a union of two per-law branches would run
+    # the distinct (and its Exchange) twice, doubling the scan at
+    # corpus scale for identical output
+    laws = F.array(
+        F.struct(F.lit(":u").alias("sfx"), F.lit(_ULAW_HEADER_HEX).alias("hdr")),
+        F.struct(F.lit(":a").alias("sfx"), F.lit(_ALAW_HEADER_HEX).alias("hdr")),
     )
-    a = refs.select(
-        F.concat(F.col("media_ref"), F.lit(":a")).alias("media_ref"),
-        F.to_binary(
-            F.concat(F.lit(_ALAW_HEADER_HEX), F.md5("media_ref")), F.lit("hex")
-        ).alias("data"),
+    return (
+        _media_refs(docs)
+        .select("media_ref", F.explode(laws).alias("law"))
+        .select(
+            F.concat(F.col("media_ref"), F.col("law.sfx")).alias("media_ref"),
+            F.to_binary(
+                F.concat(F.col("law.hdr"), F.md5("media_ref")), F.lit("hex")
+            ).alias("data"),
+        )
     )
-    return u.unionByName(a)
 
 
 def decoded_g711_stats_sql(table: str = "documents") -> str:

@@ -147,3 +147,23 @@ def test_dsir_count_tables_broadcast(docs):
     simple = _plan(dsir_weights(docs, docs.where(F.col("lang") == "en")), "simple")
     assert simple.count("BroadcastNestedLoopJoin") == 2, simple
     assert "Cartesian" not in plan, plan
+
+
+def test_decode_stats_queries_are_scan_stage(docs):
+    """The real-decode pipelines (synthesize -> decode -> integer
+    stats) must stay single-scan-stage: synthesis is pure exprs over
+    the distinct media refs, the codec is one MapInArrow, and the
+    stats aggregate inside the same Arrow pass — at 100 TB the only
+    shuffle-bearing step allowed is the upstream distinct() on refs."""
+    from ocr_spark.functions import multimodal as mm
+
+    for build in (
+        lambda: mm.decoded_image_stats(mm.synthesize_png(docs)),
+        lambda: mm.decoded_image_stats(mm.synthesize_bmp(docs)),
+        lambda: mm.decoded_audio_stats(mm.synthesize_g711_wav(docs)),
+    ):
+        plan = _plan(build())
+        assert "MapInArrow" in plan, plan
+        # exactly the ONE exchange the media_ref distinct() requires —
+        # decode and stats add none of their own
+        assert plan.count("Exchange") <= 2, plan
