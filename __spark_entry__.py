@@ -922,22 +922,27 @@ _SCD_OBS_SQL = f"({scd.daily_status_obs_sql('events')})"
 # FIRST 50 keys of queries(). Rounds 1-3 sampled insertion order
 # (extraction-first); round 4 front-loaded 50 never-driver-checked
 # dedup/scrub/graph/packing queries (all green, CORRECTNESS_r04). This
-# round rotates the next never-checked block to the front: 47 from the
+# round rotates the next never-checked block to the front: 46 from the
 # OLAP/timeseries/sketch/PQ/BPE/URL/incremental-extraction residue,
-# plus decoded_png_stats (new this round — also the block's standing
-# real-decode row, so codec regressions stay driver-visible across
-# rotations), plus TWO ever-green sentinels (extract_main_content,
-# span_diff_golden) so the extraction core is never fully outside the
-# driver gate — the blind-spot tradeoff ADVICE r04 flagged. The
-# sentinel cost: 23 of the 71 never-checked names stay pytest-only
-# (pack_interleaved_stats / ivfpq_nprobe_topk / cube_doc_stats were
-# dropped from the drafted block because a same-family sibling is in).
+# plus BOTH new real-decode queries (decoded_png_stats,
+# decoded_g711_stats — the block's standing codec rows, so decode
+# regressions stay driver-visible across rotations), plus TWO
+# ever-green sentinels (extract_main_content, span_diff_golden) so the
+# extraction core is never fully outside the driver gate — the
+# blind-spot tradeoff ADVICE r04 flagged. The cost: 24 of the 72
+# never-driver-checked names stay outside the driver sample
+# (pack_interleaved_stats / ivfpq_nprobe_topk / cube_doc_stats /
+# pq_adc_topk dropped because a same-family sibling is in) — every
+# one of them was value-verified driver-style at sf0.01 via
+# scripts/contract_check.py this round (NOTES_BUILD.md session 19),
+# and all 190 run in the in-repo sweep each gate.
 _DRIVER_SAMPLE_FIRST = [
     # sentinels (ever-green core, kept driver-visible every rotation)
     "extract_main_content",
     "span_diff_golden",
-    # real-decode row for this rotation (also never-checked: new query)
+    # real-decode rows for this rotation (also never-checked: both new)
     "decoded_png_stats",
+    "decoded_g711_stats",
     # incremental extraction + corpus audit
     "extract_input_hashes",
     "incremental_extract",
@@ -982,7 +987,6 @@ _DRIVER_SAMPLE_FIRST = [
     "ivf_topk_trained",
     "ivf_cell_stats",
     "pq_codes",
-    "pq_adc_topk",
     "ivfpq_topk",
     "cluster_balanced_sample",
     "embedding_dup_clusters",

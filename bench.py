@@ -715,18 +715,24 @@ def run_curate_soak(levels=(8, 32), copies: int = 16) -> None:
         .repartition(2 * CPUS)
     )
     ks = prep.range(copies).select(F.col("id").alias("_k"))
-    # salt every 3rd word with a per-copy LETTER (not every word with
-    # the numeric index, as --data-scaling does): any 5-gram shingle
-    # window still contains >= 1 salted word, so cross-copy near-dup
-    # overlap stays zero — but 2/3 of stopwords survive and salted
-    # words stay alphabetic, so the quality/Gopher gates see realistic
-    # text instead of gating out the whole salted corpus
+    # salt every 3rd word with a per-copy LETTER RUN (not every word
+    # with the numeric index, as --data-scaling does): any 5-gram
+    # shingle window still contains >= 1 salted word, so cross-copy
+    # near-dup overlap stays zero — but 2/3 of stopwords survive and
+    # salted words stay alphabetic, so the quality/Gopher gates see
+    # realistic text instead of gating out the whole salted corpus.
+    # The salt is letter[_k % 26] repeated (1 + _k div 26) times:
+    # unique AND non-empty for ANY copy count (a bare substring(.., 1)
+    # silently returns '' past 26 copies, which would collapse copies
+    # 27+ into byte-identical unsalted text and break the
+    # constant-duplicate-density invariant the soak measures under)
     docs = base.crossJoin(F.broadcast(ks)).selectExpr(
         "doc_id + _k * 10000000 AS doc_id",
         "array_join(transform(split(text, ' '), "
         "(w, i) -> IF(i % 3 = 0, "
-        "concat(w, substring('abcdefghijklmnopqrstuvwxyz', "
-        "CAST(_k AS INT) + 1, 1)), w)), ' ') AS text",
+        "concat(w, repeat(substring('abcdefghijklmnopqrstuvwxyz', "
+        "CAST(_k % 26 AS INT) + 1, 1), CAST(1 + _k DIV 26 AS INT))), "
+        "w)), ' ') AS text",
         "source",
     )
     docs.write.parquet(f"{tmp}/docs")

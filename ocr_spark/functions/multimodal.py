@@ -257,10 +257,18 @@ def decode_png(data: bytes) -> np.ndarray:
     # is ignored rather than required
     if len(idat) < 3 or (idat[0] & 0x0F) != 8 or (idat[1] & 0x20):
         raise ValueError("bad zlib header in IDAT")
-    raw = zlib.decompressobj(-15).decompress(bytes(idat[2:]))
     nch = {0: 1, 2: 3, 6: 4}[color]
     stride = w * nch
-    if len(raw) < h * (stride + 1):
+    need = h * (stride + 1)
+    # bomb guards, BEFORE any allocation: deflate tops out near
+    # 1032:1, so a declared raster that large vs the compressed bytes
+    # is unsatisfiable — and the inflate itself is capped at `need`
+    # output bytes so a malicious stream raises the sentinel-path
+    # ValueError instead of OOMing the executor
+    if need > len(idat) * 1100 + 64:
+        raise ValueError("truncated PNG raster")
+    raw = zlib.decompressobj(-15).decompress(bytes(idat[2:]), need)
+    if len(raw) < need:
         raise ValueError("truncated PNG raster")
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.int32)

@@ -62,10 +62,14 @@ def test_golden_snapshot_unchanged():
     refuses to run otherwise) — and must update these pins in the same
     commit, stating the semantics change."""
     import hashlib
+    import os
 
     import pyarrow.parquet as pq
 
-    path = "tests/fixtures/golden_extract_sf0001.parquet"
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures", "golden_extract_sf0001.parquet",
+    )
     digest = hashlib.md5(open(path, "rb").read()).hexdigest()
     assert digest == "0833d36504fea7c18c219be39f943fdf"
     assert pq.read_table(path).num_rows == 4085

@@ -590,3 +590,26 @@ def test_decoded_g711_stats_matches_oracle(spark, docs, con):
     assert got == want and len(got) > 0
     # both laws present per ref
     assert {r[0][-2:] for r in got} == {":u", ":a"}
+
+
+def test_decode_png_rejects_deflate_bomb():
+    """A tiny-IHDR PNG carrying a huge-expansion IDAT must raise (the
+    -1 sentinel path), never materialize the expansion: the inflate is
+    capped at the declared raster size and a raster unsatisfiable by
+    deflate's ~1032:1 ceiling is rejected before any allocation."""
+    import zlib as _z
+
+    # declared 4x2 RGB (need=26 bytes) but IDAT inflates to 10 MB:
+    # decode must stop at the cap and succeed on the first 26 bytes —
+    # so instead declare a HUGE raster with a small IDAT: rejected
+    # by the ratio guard without allocating
+    ihdr = struct.pack(">IIBBBBB", 50_000, 50_000, 8, 2, 0, 0, 0)
+    idat = b"\x78\x01" + _z.compress(b"\x00" * 1000)[2:]
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+        + struct.pack(">I", len(idat)) + b"IDAT" + idat + b"\x00" * 4
+        + struct.pack(">I", 0) + b"IEND" + b"\xaeB`\x82"
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_png(bomb)
