@@ -267,7 +267,13 @@ def decode_png(data: bytes) -> np.ndarray:
     # ValueError instead of OOMing the executor
     if need > len(idat) * 1100 + 64:
         raise ValueError("truncated PNG raster")
-    raw = zlib.decompressobj(-15).decompress(bytes(idat[2:]), need)
+    try:
+        raw = zlib.decompressobj(-15).decompress(bytes(idat[2:]), need)
+    except zlib.error as exc:
+        # zlib.error is NOT a ValueError: without this re-raise a
+        # garbage deflate body would escape the decoded_*_stats
+        # sentinel catch and fail the whole Spark task on one asset
+        raise ValueError(f"bad deflate stream in IDAT: {exc}") from exc
     if len(raw) < need:
         raise ValueError("truncated PNG raster")
     out = np.empty((h, stride), np.uint8)

@@ -84,17 +84,17 @@ def results(spark, request):
             return exc
 
     def oracle_side(name):
+        c = duckdb.connect()
         try:
-            c = duckdb.connect()
             for t in TABLES:
                 c.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
                 )
-            df = c.execute(ORACLES[name]).df()
-            c.close()
-            return df
+            return c.execute(ORACLES[name]).df()
         except Exception as exc:
             return exc
+        finally:
+            c.close()
 
     try:
         names = sorted({

@@ -592,24 +592,41 @@ def test_decoded_g711_stats_matches_oracle(spark, docs, con):
     assert {r[0][-2:] for r in got} == {":u", ":a"}
 
 
-def test_decode_png_rejects_deflate_bomb():
-    """A tiny-IHDR PNG carrying a huge-expansion IDAT must raise (the
-    -1 sentinel path), never materialize the expansion: the inflate is
-    capped at the declared raster size and a raster unsatisfiable by
-    deflate's ~1032:1 ceiling is rejected before any allocation."""
-    import zlib as _z
-
-    # declared 4x2 RGB (need=26 bytes) but IDAT inflates to 10 MB:
-    # decode must stop at the cap and succeed on the first 26 bytes —
-    # so instead declare a HUGE raster with a small IDAT: rejected
-    # by the ratio guard without allocating
-    ihdr = struct.pack(">IIBBBBB", 50_000, 50_000, 8, 2, 0, 0, 0)
-    idat = b"\x78\x01" + _z.compress(b"\x00" * 1000)[2:]
-    bomb = (
+def _png_frame(ihdr: bytes, idat: bytes) -> bytes:
+    return (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
         + struct.pack(">I", len(idat)) + b"IDAT" + idat + b"\x00" * 4
         + struct.pack(">I", 0) + b"IEND" + b"\xaeB`\x82"
     )
+
+
+def test_decode_png_rejects_deflate_bomb_and_caps_inflate():
+    """Hostile IDATs must take the ValueError (-1 sentinel) path or
+    decode within bounds — never OOM the executor or escape the
+    sentinel catch. Three paths: (1) a huge declared raster with a
+    tiny IDAT is rejected by the deflate-ratio guard before any
+    allocation; (2) a small declared raster with an over-expanding
+    IDAT decodes fine because the inflate is CAPPED at the declared
+    raster size (the expansion is never materialized); (3) a garbage
+    deflate body raises ValueError, not zlib.error."""
+    import zlib as _z
+
+    # (1) ratio guard: 50000x50000 RGB declared, ~1 KB IDAT
+    ihdr_huge = struct.pack(">IIBBBBB", 50_000, 50_000, 8, 2, 0, 0, 0)
+    idat_small = b"\x78\x01" + _z.compress(b"\x00" * 1000)[2:]
     with pytest.raises(ValueError, match="truncated"):
-        mm.decode_png(bomb)
+        mm.decode_png(_png_frame(ihdr_huge, idat_small))
+
+    # (2) inflate cap: 4x2 RGB declared (need=26), IDAT inflates to
+    # 10 MB — decode succeeds on the first 26 bytes without ever
+    # materializing the rest (raster = filter-0 rows of zeros)
+    ihdr_small = struct.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0)
+    idat_bomb = b"\x78\x01" + _z.compress(b"\x00" * 10_000_000)[2:]
+    got = mm.decode_png(_png_frame(ihdr_small, idat_bomb))
+    assert got.shape == (2, 4, 3) and not got.any()
+
+    # (3) garbage deflate body -> ValueError (zlib.error would escape
+    # the decoded_*_stats sentinel catch and kill the Spark task)
+    with pytest.raises(ValueError, match="deflate"):
+        mm.decode_png(_png_frame(ihdr_small, b"\x78\x01" + b"\xff" * 20))

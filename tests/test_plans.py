@@ -162,8 +162,10 @@ def test_decode_stats_queries_are_scan_stage(docs):
         lambda: mm.decoded_image_stats(mm.synthesize_bmp(docs)),
         lambda: mm.decoded_audio_stats(mm.synthesize_g711_wav(docs)),
     ):
-        plan = _plan(build())
+        # 'simple' mode: each operator printed once, so counts are
+        # meaningful (the repo's documented convention for counting)
+        plan = _plan(build(), "simple")
         assert "MapInArrow" in plan, plan
         # exactly the ONE exchange the media_ref distinct() requires —
         # decode and stats add none of their own
-        assert plan.count("Exchange") <= 2, plan
+        assert plan.count("Exchange") == 1, plan
