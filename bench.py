@@ -634,6 +634,10 @@ def run_data_scaling(levels=(2, 4, 8, 16), trials: int = 2) -> None:
                 "exact_dedup": lambda: ded.exact_dedup(docs),
                 "minhash_lsh_pairs": lambda: ded.minhash_lsh_pairs(docs),
                 "lsh_verified_pairs": lambda: ded.lsh_verified_pairs(docs),
+                # the full near-dup composition incl. the CC fixpoint
+                # loop — the soak's dominant stage, so its data-growth
+                # curve belongs in this table too (round 5)
+                "dup_clusters": lambda: ded.dup_clusters(docs),
                 "media_jaccard_pairs": lambda: media_jaccard_pairs(
                     spans, key_sql=_SCALE_MEDIA_KEY
                 ),
